@@ -1,0 +1,253 @@
+"""Dictionary-building aggregations (SURVEY.md §2.3 — the five MR jobs +
+db build re-expressed as Catalyst-only DataFrame plans).
+
+Every function here is pure `groupBy/join/window` — no Python in the hot
+path — so partial (map-side) aggregation, broadcast joins, pushdown and
+AQE skew splitting all come for free.
+
+Reference parity citations:
+  - word_doc_freq        -> libraries/mapreducejobs/WordInTopicCount.scala:15-84
+  - surface form stats   -> libraries/mapreducejobs/SurfaceForms.scala:95-123
+                            (count>1 retention at :118)
+  - redirect fixpoint    -> applications/BuildPhraseQueryDb.scala:158-161
+                            (+ the chain-resolution TODO at :155-156, done here)
+  - context counts       -> applications/BuildPhraseQueryDb.scala:185-187
+  - link_weights (J5)    -> applications/BuildPhraseQueryDb.scala:337-431
+                            (weights at :417-420; bidirectional union :272-274)
+  - top-K contexts       -> Disambiguator.scala:492-495 (numAllowedContexts=30)
+  - top-K topics/surface -> Disambiguator.scala:306 (LIMIT 50)
+  - allowedPhrase        -> Disambiguator.scala:77-81
+  - allowedTopic         -> Disambiguator.scala:83-95
+  - lexicon filters      -> PhraseMap.scala:184-190 (df>4, utf8 len<20)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from careers_spark.functions.text import tokenize_udf
+
+TOP_CONTEXTS_K = 30
+TOP_TOPICS_PER_SURFACE = 50
+
+# allowedTopic blocklist (reference: Disambiguator.scala:83-95)
+_DISALLOWED_TOPIC_RE = (
+    r"^(Category:|List of |Table of )"
+    r"|\((novel|song|band|album|film|tv series)\)$"
+    r"|postcode"
+)
+
+
+def word_doc_freq(transcripts: DataFrame) -> DataFrame:
+    """Per-word document frequency; distinct-per-turn before the count
+    (the reference dedups per doc with a TreeSet, WordInTopicCount.scala:43-51
+    — here `array_distinct` before `explode` keeps it map-side)."""
+    return (
+        transcripts.select(
+            F.explode(F.array_distinct(tokenize_udf(F.col("text")))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+
+
+def lexicon_words(wdf: DataFrame) -> DataFrame:
+    """df>4 and UTF-8 length < 20 (PhraseMap.scala:184-190)."""
+    return wdf.filter((F.col("doc_freq") > 4) & (F.octet_length("word") < 20))
+
+
+def resolve_redirects(redirects: DataFrame, max_hops: int = 16) -> DataFrame:
+    """Redirect chains resolved to fixpoint by pointer doubling.
+
+    Output: (from_topic, to_topic) with to_topic terminal. log2(max chain)
+    self-joins, each a broadcast-size dimension join. Cycles are broken by
+    the hop cap (the reference never resolves chains at all — see the TODO
+    at BuildPhraseQueryDb.scala:155-156).
+    """
+    cur = redirects.select("from_topic", "to_topic")
+    hops = 1
+    while hops < max_hops:
+        nxt = (
+            cur.alias("a")
+            .join(
+                F.broadcast(cur.alias("b")),
+                F.col("a.to_topic") == F.col("b.from_topic"),
+                "left",
+            )
+            .select(
+                F.col("a.from_topic").alias("from_topic"),
+                F.coalesce(F.col("b.to_topic"), F.col("a.to_topic")).alias("to_topic"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        # converged when no target is itself a redirect source
+        remaining = (
+            nxt.alias("a")
+            .join(
+                F.broadcast(redirects.select("from_topic").alias("r")),
+                F.col("a.to_topic") == F.col("r.from_topic"),
+                "left_semi",
+            )
+            .count()
+        )
+        cur = nxt
+        hops *= 2
+        if remaining == 0:
+            break
+    return cur
+
+
+def canonicalize_topics(df: DataFrame, resolved: DataFrame, col: str) -> DataFrame:
+    """Rewrite a topic column through the resolved-redirect map (A8:
+    topics LEFT JOIN redirects, BuildPhraseQueryDb.scala:158-161)."""
+    r = resolved.withColumnRenamed("from_topic", "__from").withColumnRenamed(
+        "to_topic", "__to"
+    )
+    return (
+        df.join(F.broadcast(r), df[col] == F.col("__from"), "left")
+        .withColumn(col, F.coalesce(F.col("__to"), F.col(col)))
+        .drop("__from", "__to")
+    )
+
+
+def allowed_phrase(df: DataFrame, col: str = "surface") -> DataFrame:
+    """Reject all-numeric phrases (Disambiguator.scala:77-81)."""
+    return df.filter(~F.col(col).rlike(r"^[0-9 ]+$"))
+
+
+def allowed_topic(df: DataFrame, col: str = "topic") -> DataFrame:
+    """Reject list/category/disambiguation-ish topics (Disambiguator.scala:83-95)."""
+    return df.filter(~F.col(col).rlike(_DISALLOWED_TOPIC_RE))
+
+
+def build_surface_forms(raw: DataFrame, resolved_redirects: DataFrame) -> DataFrame:
+    """Anchor statistics -> candidate dictionary rows.
+
+    redirect-resolve targets, re-aggregate, keep count > 1
+    (SurfaceForms.scala:118), apply allowedPhrase/allowedTopic filters,
+    keep top-50 topics per surface (Disambiguator.scala:306).
+    """
+    sf = canonicalize_topics(raw, resolved_redirects, "topic")
+    sf = (
+        sf.groupBy("surface", "topic")
+        .agg(F.sum("count").alias("count"))
+        .filter(F.col("count") > 1)
+    )
+    sf = allowed_phrase(allowed_topic(sf))
+    w = Window.partitionBy("surface").orderBy(F.desc("count"), F.asc("topic"))
+    return (
+        sf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_TOPICS_PER_SURFACE)
+        .drop("rk")
+    )
+
+
+def surface_priors(surface_forms: DataFrame) -> DataFrame:
+    """Anchor prior = count / phrase_count (Disambiguator.scala:433-438)."""
+    w = Window.partitionBy("surface")
+    return surface_forms.withColumn(
+        "prior", F.col("count") / F.sum("count").over(w)
+    )
+
+
+def context_counts(topic_contexts: DataFrame) -> DataFrame:
+    """A9: per-context in-degree (BuildPhraseQueryDb.scala:185-187)."""
+    return topic_contexts.groupBy("context").agg(F.count("*").alias("n"))
+
+
+def link_weights(topic_contexts: DataFrame) -> DataFrame:
+    """J5 — the context-overlap self-join (BuildPhraseQueryDb.scala:337-431).
+
+    For every (bidirectional) edge (t, c):
+        ic      = |ctx(t) ∩ ctx(c)|
+        weight1 = (1 + ic) / (1 + |ctx(t)|)
+        weight2 = (1 + ic) / (1 + |ctx(c)|)
+
+    Expressed as exploded self-joins so Catalyst gets partial aggregation
+    and AQE skew-splitting on hub contexts (the reference hand-bans hub
+    categories instead — CategoryHierarchy.scala:88-118).
+    """
+    tc = topic_contexts.select("topic", "context").dropDuplicates()
+    # bidirectional (U3: BuildPhraseQueryDb.scala:272-274)
+    bidir = tc.union(
+        tc.select(F.col("context").alias("topic"), F.col("topic").alias("context"))
+    ).dropDuplicates()
+
+    deg = bidir.groupBy("topic").agg(F.count("*").alias("deg"))
+
+    e = bidir.alias("e")
+    a = bidir.alias("a")  # contexts of e.topic
+    b = bidir.alias("b")  # contexts of e.context
+    inter = (
+        e.join(a, F.col("e.topic") == F.col("a.topic"))
+        .join(
+            b,
+            (F.col("b.topic") == F.col("e.context"))
+            & (F.col("b.context") == F.col("a.context")),
+        )
+        .groupBy(F.col("e.topic").alias("topic"), F.col("e.context").alias("context"))
+        .agg(F.count("*").alias("ic"))
+    )
+
+    out = (
+        bidir.join(inter, ["topic", "context"], "left")
+        .na.fill({"ic": 0})
+        .join(deg.withColumnRenamed("deg", "deg_t"), "topic")
+        .join(
+            deg.selectExpr("topic as context", "deg as deg_c"),
+            "context",
+        )
+        .select(
+            "topic",
+            "context",
+            ((1 + F.col("ic")) / (1 + F.col("deg_t"))).alias("weight1"),
+            ((1 + F.col("ic")) / (1 + F.col("deg_c"))).alias("weight2"),
+        )
+    )
+    return out
+
+
+def top_contexts(link_w: DataFrame, k: int = TOP_CONTEXTS_K) -> DataFrame:
+    """G3: top-K contexts per topic by weight1 (Disambiguator.scala:492-495)."""
+    w = Window.partitionBy("topic").orderBy(F.desc("weight1"), F.asc("context"))
+    return (
+        link_w.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def topic_context_vectors(top_ctx: DataFrame) -> DataFrame:
+    """Pack per-topic context vectors for the coherence UDF:
+    (topic, contexts array<string>, weights array<double>) — the broadcast
+    analogue of the reference's in-RAM linkWeights arrays
+    (Disambiguator.scala:219-227)."""
+    return (
+        top_ctx.groupBy("topic")
+        .agg(F.array_sort(F.collect_list(F.struct("context", "weight1"))).alias("cw"))
+        .select(
+            "topic",
+            F.expr("transform(cw, x -> x.context)").alias("ctx_ids"),
+            F.expr("transform(cw, x -> x.weight1)").alias("ctx_ws"),
+        )
+    )
+
+
+def build_dictionary(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """End-to-end dictionary build from raw synth tables.
+
+    Returns surface_forms (with priors), resolved redirects, link_weights,
+    top_contexts and packed context vectors.
+    """
+    resolved = resolve_redirects(tables["redirects"])
+    sf = surface_priors(build_surface_forms(tables["surface_forms_raw"], resolved))
+    lw = link_weights(tables["topic_contexts"])
+    tc = top_contexts(lw)
+    return {
+        "redirects_resolved": resolved,
+        "surface_forms": sf,
+        "link_weights": lw,
+        "top_contexts": tc,
+        "context_vectors": topic_context_vectors(tc),
+    }
