@@ -1,0 +1,82 @@
+"""End-to-end gates: triple P/R (the analogue of the 42-case golden
+corpus assert), resume, and the per-turn determinism invariant from
+BASELINE.json's input_hint."""
+
+import pandas as pd
+import pytest
+
+from careers_spark import schema as S
+from careers_spark import synth
+from careers_spark.plans.pipeline import KGPipeline
+
+N_CONVS = 60
+N_DOMAINS = 16
+
+
+@pytest.fixture(scope="module")
+def kb():
+    return synth.build_kb(N_DOMAINS)
+
+
+def test_triple_pr_gate(spark, kb, work_dir):
+    transcripts = spark.createDataFrame(
+        synth.gen_transcripts_pdf(kb, N_CONVS), schema=S.TRANSCRIPTS
+    )
+    expected = spark.createDataFrame(synth.gen_expected_triples_pdf(kb, N_CONVS))
+    run = KGPipeline(spark, work_dir).run(transcripts, synth.kb_tables(spark, kb))
+    got = run.outputs["triples"].select("conv_id", "subj", "pred", "obj").distinct()
+    exp = expected.select("conv_id", "subj", "pred", "obj").distinct()
+    tp = got.intersect(exp).count()
+    fp = got.exceptAll(exp).count()
+    fn = exp.exceptAll(got).count()
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    assert precision >= 0.95, f"precision {precision} (tp={tp} fp={fp})"
+    assert recall >= 0.95, f"recall {recall} (tp={tp} fn={fn})"
+
+
+def test_resume_skips_stages(spark, kb, work_dir):
+    transcripts = spark.createDataFrame(
+        synth.gen_transcripts_pdf(kb, 10), schema=S.TRANSCRIPTS
+    )
+    raw = synth.kb_tables(spark, kb)
+    r1 = KGPipeline(spark, work_dir).run(transcripts, raw)
+    n1 = r1.outputs["triples"].count()
+    r2 = KGPipeline(spark, work_dir).run(transcripts, raw)
+    assert all(s.resumed for s in r2.stages)
+    assert r2.outputs["triples"].count() == n1
+
+
+def test_lineage_written(spark, kb, work_dir):
+    transcripts = spark.createDataFrame(
+        synth.gen_transcripts_pdf(kb, 5), schema=S.TRANSCRIPTS
+    )
+    run = KGPipeline(spark, work_dir).run(transcripts, synth.kb_tables(spark, kb))
+    lin = spark.read.parquet(f"{work_dir}/_lineage/mentions")
+    total = sum(r.rows_out for r in lin.collect())
+    assert total == run.outputs["mentions"].count()
+
+
+def test_per_turn_determinism_across_parallelism(spark, kb):
+    """Per-row invariant from input_hint: per-turn text equality under
+    stable (conv_id, turn_idx) ordering, at two parallelism levels."""
+    a = synth.gen_transcripts(spark, kb, 40, parallelism=2)
+    b = synth.gen_transcripts(spark, kb, 40, parallelism=32)
+    joined = a.alias("a").join(b.alias("b"), ["conv_id", "turn_idx"], "full")
+    mismatches = joined.filter("a.text IS DISTINCT FROM b.text").count()
+    assert mismatches == 0
+
+
+def test_pipeline_output_determinism(spark, kb, tmp_path):
+    """Same corpus, two different shuffle-partition settings -> identical
+    triple sets (ordering discipline holds under re-partitioning)."""
+    transcripts = spark.createDataFrame(
+        synth.gen_transcripts_pdf(kb, 15), schema=S.TRANSCRIPTS
+    )
+    raw = synth.kb_tables(spark, kb)
+    r1 = KGPipeline(spark, str(tmp_path / "w1")).run(transcripts, raw, repartition=2)
+    r2 = KGPipeline(spark, str(tmp_path / "w2")).run(transcripts, raw, repartition=17)
+    t1 = r1.outputs["triples"].select("conv_id", "turn_idx", "subj", "pred", "obj")
+    t2 = r2.outputs["triples"].select("conv_id", "turn_idx", "subj", "pred", "obj")
+    assert t1.exceptAll(t2).count() == 0
+    assert t2.exceptAll(t1).count() == 0
