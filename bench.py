@@ -1,0 +1,112 @@
+"""Per-round bench harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG pipeline
+on a deterministic synth transcript corpus, and prints ONE JSON line:
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "kg": {...triples/sec detail...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_CONVS = int(os.environ.get("KG_BENCH_CONVS", "10000"))
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "star_revenue",
+    "word_doc_freq",
+    "bigram_doc_freq",
+    "minhash_signatures",
+    "lsh_verified_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "embedding_topk",
+    "lsh_ann_topk",
+    "sessionize",
+    "top_orders_per_cust",
+    "link_weights_nation",
+    "redirect_fixpoint",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "frame_sample_plan",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from careers_spark import synth
+    from careers_spark.plans.pipeline import KGPipeline
+    from careers_spark.session import get_spark
+
+    spark = get_spark(
+        "bench", cpus=CPUS, extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.monotonic()
+        df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # KG pipeline on a materialized synth corpus (generation excluded)
+    kb = synth.build_kb(max(8, KG_CONVS // 50))
+    tmp = tempfile.mkdtemp(prefix="kgbench_")
+    try:
+        synth.gen_transcripts(spark, kb, KG_CONVS).write.mode("overwrite").parquet(
+            f"{tmp}/transcripts"
+        )
+        transcripts = spark.read.parquet(f"{tmp}/transcripts")
+        n_turns = transcripts.count()
+        raw = synth.kb_tables(spark, kb)
+        t0 = time.monotonic()
+        run = KGPipeline(spark, f"{tmp}/work").run(transcripts, raw)
+        kg_wall = time.monotonic() - t0
+        n_triples = next(s.rows for s in run.stages if s.name == "triples")
+        timings["kg_pipeline"] = round(kg_wall, 3)
+        kg = {
+            "n_convs": KG_CONVS,
+            "n_turns": n_turns,
+            "n_triples": n_triples,
+            "wall_s": round(kg_wall, 2),
+            "turns_per_sec": round(n_turns / kg_wall, 1),
+            "triples_per_sec": round(n_triples / kg_wall, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "kg": kg,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -120,29 +120,39 @@ def _sim(ctx_a: dict, ctx_b: dict, ta: str, tb: str) -> float:
     return s
 
 
-def _resolve_conv(cand: pd.DataFrame, turns: pd.DataFrame) -> pd.DataFrame:
-    conv_id = (cand["conv_id"].iloc[0] if len(cand) else turns["conv_id"].iloc[0])
+def _resolve_conv_rows(
+    conv_id: str,
+    cand_rows: list[tuple],
+    turn_rows: list[tuple],
+    ctx_map: dict[str, dict],
+) -> list[tuple]:
+    """Resolve one conversation. cand_rows: (turn_idx, start, end, surface,
+    topic, prior); turn_rows: (turn_idx, text). Plain-python rows — the
+    pandas slicing per tiny conversation dominated the stage cost.
+
+    Context vectors come from the broadcast ctx_map (dimension-sized,
+    the analogue of the reference's in-RAM linkWeights arrays,
+    Disambiguator.scala:219-227) — NOT from per-row shuffle payload.
+    """
     out_rows: list[tuple] = []
-    if len(cand) == 0:
-        return _rows_to_pdf(out_rows)
+    if not cand_rows:
+        return out_rows
 
     # --- group candidate rows into mentions -------------------------------
-    cand = cand.sort_values(["turn_idx", "start", "end", "topic"], kind="mergesort")
+    _EMPTY: dict = {}
+    cand_rows = sorted(cand_rows)
     mkeys: list[tuple[int, int, int, str]] = []
     mcands: list[list[tuple[str, float, dict]]] = []
     midx: dict[tuple, int] = {}
-    for t, s, e, surf, topic, prior, cids, cws in zip(
-        cand["turn_idx"], cand["start"], cand["end"], cand["surface"],
-        cand["topic"], cand["prior"], cand["ctx_ids"], cand["ctx_ws"],
-    ):
-        key = (int(t), int(s), int(e), surf)
+    for t, s, e, surf, topic, prior in cand_rows:
+        key = (t, s, e, surf)
         i = midx.get(key)
         if i is None:
             i = len(mkeys)
             midx[key] = i
             mkeys.append(key)
             mcands.append([])
-        mcands[i].append((topic, float(prior), dict(zip(list(cids), list(cws)))))
+        mcands[i].append((topic, float(prior), ctx_map.get(topic, _EMPTY)))
 
     spans = [(k[0], k[1], k[2]) for k in mkeys]
     sites = _build_sites(spans)
@@ -208,7 +218,7 @@ def _resolve_conv(cand: pd.DataFrame, turns: pd.DataFrame) -> pd.DataFrame:
         out_rows.append((conv_id, t, "link", s, e, surf, topic, score, None, None))
 
     # --- triple extraction over adjacent resolved mentions ----------------
-    toks_by_turn = {int(r.turn_idx): tokenize_py(r.text) for r in turns.itertuples()}
+    toks_by_turn = {ti: tokenize_py(tx) for ti, tx in turn_rows}
     by_turn: dict[int, list[int]] = {}
     for i in chosen:
         by_turn.setdefault(spans[i][0], []).append(i)
@@ -226,7 +236,7 @@ def _resolve_conv(cand: pd.DataFrame, turns: pd.DataFrame) -> pd.DataFrame:
                         final[a][0], final[a][1], pred, final[b][0],
                     )
                 )
-    return _rows_to_pdf(out_rows)
+    return out_rows
 
 
 def _rows_to_pdf(rows: list[tuple]) -> pd.DataFrame:
@@ -243,20 +253,89 @@ def _rows_to_pdf(rows: list[tuple]) -> pd.DataFrame:
     return pdf
 
 
-def resolve(candidates: DataFrame, transcripts: DataFrame) -> DataFrame:
-    """Cogrouped per-conversation resolution.
+def resolve(
+    candidates: DataFrame,
+    transcripts: DataFrame,
+    context_vectors: DataFrame,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Cogrouped per-conversation resolution, bucket-batched.
 
-    candidates: output of linking.attach_context_vectors
+    candidates: output of linking.attach_candidates — slim rows only
+        (conv_id, turn_idx, start, end, surface, topic, prior); context
+        vectors ride a BROADCAST, not the shuffle (carrying 30-element
+        arrays per candidate row multiplied shuffle volume ~10x and made
+        this stage I/O-bound).
     transcripts: (conv_id, turn_idx, text) — needed for gap tokens
+    context_vectors: (topic, ctx_ids, ctx_ws) dimension table
     Returns the unified link/triple frame (RESOLVED_SCHEMA).
+
+    Conversations are independent, so they are grouped into hash buckets
+    and one pandas group carries many conversations — this amortizes the
+    per-group Arrow/Python round-trip that dominates at small group
+    sizes (same motivation as the reference loading its model once per
+    task, not once per record). n_buckets should be a few times the
+    core count but small enough that a bucket's conversations fit in
+    worker memory; default 16x shuffle partitions.
     """
+    from pyspark.sql import functions as F
+
+    spark = candidates.sparkSession
+    if n_buckets is None:
+        n_buckets = 16 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    ctx_map = {
+        r.topic: dict(zip(list(r.ctx_ids), list(r.ctx_ws)))
+        for r in context_vectors.select("topic", "ctx_ids", "ctx_ws").collect()
+    }
+    ctx_bc = spark.sparkContext.broadcast(ctx_map)
+
+    bucket = lambda df: df.withColumn(  # noqa: E731
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+    )
 
     def fn(cand_pdf: pd.DataFrame, turns_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _resolve_conv(cand_pdf, turns_pdf)
+        ctx = ctx_bc.value
+        turns_by_conv: dict[str, list[tuple]] = {}
+        for c, ti, tx in zip(
+            turns_pdf["conv_id"].tolist(),
+            turns_pdf["turn_idx"].tolist(),
+            turns_pdf["text"].tolist(),
+        ):
+            turns_by_conv.setdefault(c, []).append((int(ti), tx))
+        cands_by_conv: dict[str, list[tuple]] = {}
+        for c, t, s, e, surf, topic, prior in zip(
+            cand_pdf["conv_id"].tolist(),
+            cand_pdf["turn_idx"].tolist(),
+            cand_pdf["start"].tolist(),
+            cand_pdf["end"].tolist(),
+            cand_pdf["surface"].tolist(),
+            cand_pdf["topic"].tolist(),
+            cand_pdf["prior"].tolist(),
+        ):
+            cands_by_conv.setdefault(c, []).append(
+                (int(t), int(s), int(e), surf, topic, prior)
+            )
+        rows: list[tuple] = []
+        for conv_id in sorted(cands_by_conv):
+            rows.extend(
+                _resolve_conv_rows(
+                    conv_id,
+                    cands_by_conv[conv_id],
+                    turns_by_conv.get(conv_id, []),
+                    ctx,
+                )
+            )
+        return _rows_to_pdf(rows)
 
     return (
-        candidates.groupby("conv_id")
-        .cogroup(transcripts.select("conv_id", "turn_idx", "text").groupby("conv_id"))
+        bucket(candidates.select(
+            "conv_id", "turn_idx", "start", "end", "surface", "topic", "prior"
+        ))
+        .groupby("bucket")
+        .cogroup(
+            bucket(transcripts.select("conv_id", "turn_idx", "text")).groupby("bucket")
+        )
         .applyInPandas(fn, schema=RESOLVED_SCHEMA)
     )
 

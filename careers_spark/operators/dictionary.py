@@ -57,14 +57,36 @@ def lexicon_words(wdf: DataFrame) -> DataFrame:
     return wdf.filter((F.col("doc_freq") > 4) & (F.octet_length("word") < 20))
 
 
-def resolve_redirects(redirects: DataFrame, max_hops: int = 16) -> DataFrame:
+def resolve_redirects(
+    redirects: DataFrame, max_hops: int = 16, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """Redirect chains resolved to fixpoint by pointer doubling.
 
     Output: (from_topic, to_topic) with to_topic terminal. log2(max chain)
     self-joins, each a broadcast-size dimension join. Cycles are broken by
     the hop cap (the reference never resolves chains at all — see the TODO
     at BuildPhraseQueryDb.scala:155-156).
+
+    Redirect tables are dimension-sized (same memory contract as the
+    broadcast automaton), so below `driver_threshold` rows the fixpoint
+    is computed driver-side in one pass — the distributed pointer
+    doubling is the >2M-row path and is covered by tests either way.
     """
+    n = redirects.count()
+    if n <= driver_threshold:
+        pairs = redirects.select("from_topic", "to_topic").collect()
+        redir = {r.from_topic: r.to_topic for r in pairs}
+        out = []
+        for src in redir:
+            t, seen = src, set()
+            while t in redir and t not in seen and len(seen) < max_hops:
+                seen.add(t)
+                t = redir[t]
+            out.append((src, t))
+        return redirects.sparkSession.createDataFrame(
+            out or [], schema="from_topic string, to_topic string"
+        )
+
     cur = redirects.select("from_topic", "to_topic")
     hops = 1
     while hops < max_hops:

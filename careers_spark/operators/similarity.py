@@ -101,11 +101,16 @@ def lsh_bucketed_topk(
     query_pred: str = "vec_id % 50 = 0",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: sign-bit bucket join + exact re-rank.
 
-    At 100 TB the bucket key becomes the shuffle/partition key; expected
-    bucket size is N / 2^n_planes, making the candidate join local.
+    Multi-probe: each query additionally probes every bucket within
+    Hamming distance `multiprobe` of its own (the standard recall
+    booster — query fan-out is 1+n_planes instead of more hash tables,
+    so the base side is stored once). At 100 TB the bucket key becomes
+    the shuffle/partition key; expected bucket size is N / 2^n_planes,
+    making the candidate join local.
     """
     spark = embeddings.sparkSession
     dim = len(embeddings.select(vec_col).first()[0])
@@ -133,8 +138,22 @@ def lsh_bucketed_topk(
     queries = bucketed(embeddings.filter(query_pred), id_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
     )
+    if multiprobe >= 1:
+        # probe keys: own bucket + every 1-bit flip of it
+        flips = ",".join(
+            f"concat(substr(bucket, 1, {i}), "
+            f"case when substr(bucket, {i + 1}, 1) = '0' then '1' else '0' end, "
+            f"substr(bucket, {i + 2}))"
+            for i in range(n_planes)
+        )
+        queries = queries.select(
+            "query_id",
+            "qvec",
+            F.explode(F.expr(f"array(bucket, {flips})")).alias("bucket"),
+        )
     sims = (
         queries.join(base, "bucket")
+        .dropDuplicates(["query_id", "nid"])
         .filter(F.col("query_id") != F.col("nid"))
         .select(
             "query_id",

@@ -32,8 +32,8 @@ def kg_run_in_memory(
     ctx = D.topic_context_vectors(D.top_contexts(D.link_weights(raw["topic_contexts"])))
     ac = M.build_automaton(sf)
     mentions = M.detect_mentions(spark, transcripts, ac)
-    cands = L.attach_context_vectors(L.attach_candidates(mentions, sf), ctx)
-    out = CO.resolve(cands, transcripts).localCheckpoint(eager=False)
+    cands = L.attach_candidates(mentions, sf)
+    out = CO.resolve(cands, transcripts, ctx).localCheckpoint(eager=False)
     canon = CZ.canonical_mapping(resolved_r, raw["same_as"])
     triples = CZ.apply_canonical(
         CZ.apply_canonical(CO.triples_of(out), canon, "subj"), canon, "obj"

@@ -56,7 +56,18 @@ class KGPipeline:
     def __init__(self, spark: SparkSession, work_dir: str):
         self.spark = spark
         self.work_dir = work_dir
+        self._lineage: list[tuple] = []
         os.makedirs(work_dir, exist_ok=True)
+
+    def _flush_lineage(self) -> None:
+        if not self._lineage:
+            return
+        self.spark.createDataFrame(
+            self._lineage, schema="file string, rows_out long, stage string"
+        ).coalesce(1).write.mode("append").parquet(
+            os.path.join(self.work_dir, "_lineage")
+        )
+        self._lineage = []
 
     # -- stage protocol -----------------------------------------------------
     def _marker(self, name: str) -> str:
@@ -95,16 +106,20 @@ class KGPipeline:
         # (survives as an audit trail next to the data). The explicit
         # schema keeps the read-back valid when a stage legitimately
         # produced zero rows (an empty partitioned write has no files).
+        # Row count comes from the collected lineage (tiny), not a second
+        # scan; lineage rows accumulate in memory and flush once per run
+        # (_flush_lineage) — one Spark job per stage instead of three.
         back = self.spark.read.schema(df.schema).parquet(out_dir)
-        lineage = (
+        lineage_rows = (
             back.groupBy(F.input_file_name().alias("file"))
             .agg(F.count("*").alias("rows_out"))
             .withColumn("stage", F.lit(name))
+            .collect()
         )
-        lineage.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.work_dir, "_lineage", name)
+        self._lineage.extend(
+            (r.file, r.rows_out, name) for r in lineage_rows
         )
-        rows = back.count()
+        rows = sum(r.rows_out for r in lineage_rows)
         wall = time.monotonic() - t0
         with open(marker, "w") as f:
             json.dump(
@@ -116,26 +131,26 @@ class KGPipeline:
         return back
 
     # -- the pipeline ---------------------------------------------------------
-    def run(
-        self,
-        transcripts: DataFrame,
-        raw_tables: dict[str, DataFrame],
-        repartition: int | None = None,
-    ) -> PipelineRun:
-        run = PipelineRun()
-        st = lambda *a, **k: self.stage(run, *a, **k)  # noqa: E731
+    # Two phases, mirroring the reference's split between the one-time
+    # model build (wikibatch.sh: dump statistics -> binary model) and the
+    # per-document processing that consumes it:
+    #   run_dictionary : corpus-independent model tables; checkpoint into
+    #                    dict_dir so multiple processing runs (and both
+    #                    cluster sizes of the scaling bench) share them
+    #   run_corpus     : transcripts -> mentions -> ... -> nodes/edges
 
-        if repartition:
-            transcripts = transcripts.repartition(repartition, "conv_id")
-        transcripts = st(
-            "transcripts",
-            lambda: transcripts.sortWithinPartitions("conv_id", "turn_idx"),
-        )
+    def run_dictionary(
+        self,
+        raw_tables: dict[str, DataFrame],
+        run: PipelineRun | None = None,
+    ) -> PipelineRun:
+        run = run or PipelineRun()
+        st = lambda *a, **k: self.stage(run, *a, **k)  # noqa: E731
 
         redirects = st(
             "dict_redirects", lambda: D.resolve_redirects(raw_tables["redirects"])
         )
-        surface_forms = st(
+        st(
             "dict_surface_forms",
             lambda: D.surface_priors(
                 D.build_surface_forms(raw_tables["surface_forms_raw"], redirects)
@@ -144,9 +159,35 @@ class KGPipeline:
         link_w = st(
             "dict_link_weights", lambda: D.link_weights(raw_tables["topic_contexts"])
         )
-        ctx_vecs = st(
+        st(
             "dict_context_vectors",
             lambda: D.topic_context_vectors(D.top_contexts(link_w)),
+        )
+        st(
+            "canonical_map",
+            lambda: CZ.canonical_mapping(redirects, raw_tables["same_as"]),
+        )
+        self._flush_lineage()
+        return run
+
+    def run_corpus(
+        self,
+        transcripts: DataFrame,
+        dict_outputs: dict[str, DataFrame],
+        run: PipelineRun | None = None,
+        repartition: int | None = None,
+    ) -> PipelineRun:
+        run = run or PipelineRun()
+        st = lambda *a, **k: self.stage(run, *a, **k)  # noqa: E731
+        surface_forms = dict_outputs["dict_surface_forms"]
+        ctx_vecs = dict_outputs["dict_context_vectors"]
+        canon = dict_outputs["canonical_map"]
+
+        if repartition:
+            transcripts = transcripts.repartition(repartition, "conv_id")
+        transcripts = st(
+            "transcripts",
+            lambda: transcripts.sortWithinPartitions("conv_id", "turn_idx"),
         )
 
         automaton = M.build_automaton(surface_forms)
@@ -155,15 +196,10 @@ class KGPipeline:
         )
         candidates = st(
             "candidates",
-            lambda: L.attach_context_vectors(
-                L.attach_candidates(mentions, surface_forms), ctx_vecs
-            ),
+            lambda: L.attach_candidates(mentions, surface_forms),
         )
-        resolved = st("resolved", lambda: CO.resolve(candidates, transcripts))
-
-        canon = st(
-            "canonical_map",
-            lambda: CZ.canonical_mapping(redirects, raw_tables["same_as"]),
+        resolved = st(
+            "resolved", lambda: CO.resolve(candidates, transcripts, ctx_vecs)
         )
         triples = st(
             "triples",
@@ -179,4 +215,16 @@ class KGPipeline:
             lambda: G.build_nodes(CO.links_of(resolved), canon),
         )
         st("edges", lambda: G.build_edges(triples), partition_by=["pred"])
+        self._flush_lineage()
         return run
+
+    def run(
+        self,
+        transcripts: DataFrame,
+        raw_tables: dict[str, DataFrame],
+        repartition: int | None = None,
+    ) -> PipelineRun:
+        run = self.run_dictionary(raw_tables)
+        return self.run_corpus(
+            transcripts, run.outputs, run=run, repartition=repartition
+        )

@@ -38,8 +38,8 @@ def _run_resolution(spark, texts: list[str]):
     ctx_vecs = D.topic_context_vectors(D.top_contexts(D.link_weights(raw["topic_contexts"])))
     ac = M.build_automaton(sf)
     mentions = M.detect_mentions(spark, transcripts, ac)
-    cands = L.attach_context_vectors(L.attach_candidates(mentions, sf), ctx_vecs)
-    out = CO.resolve(cands, transcripts)
+    cands = L.attach_candidates(mentions, sf)
+    out = CO.resolve(cands, transcripts, ctx_vecs)
     links = {
         (r.turn_idx, r.start, r.end): r.topic for r in CO.links_of(out).collect()
     }
@@ -120,8 +120,8 @@ def test_triple_extraction_gap_patterns(spark):
     )
     ac = M.build_automaton(sf)
     mentions = M.detect_mentions(spark, transcripts, ac)
-    cands = L.attach_context_vectors(L.attach_candidates(mentions, sf), ctx_vecs)
-    out = CO.resolve(cands, transcripts)
+    cands = L.attach_candidates(mentions, sf)
+    out = CO.resolve(cands, transcripts, ctx_vecs)
     triples = CO.triples_of(out)
     preds = {r.pred for r in triples.collect()}
     assert preds <= {"works_at", "located_in", "studied_at", "founded", "uses", "acquired"}

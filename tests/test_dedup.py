@@ -1,0 +1,81 @@
+"""Dedup-family goldens on hand-built corpora (exact expected pairs)."""
+
+import pandas as pd
+import pytest
+
+from careers_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",  # near-dup of 1
+        3: "completely different text about spark engines here",
+        4: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+        5: "short",
+    }
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+
+
+def test_dedup_exact(spark, docs):
+    got = {r.canonical_doc_id: r.n_dups for r in DD.dedup_exact(docs).collect()}
+    assert got[1] == 2  # docs 1 and 4 collapse
+    assert got[2] == 1 and got[3] == 1 and got[5] == 1
+    assert 4 not in got
+
+
+def test_shingles(spark, docs):
+    sh = DD.doc_shingles(docs, n=3)
+    by_doc = {
+        r.doc_id: r.n for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_doc[1] == 7  # 9 tokens -> 7 trigrams
+    assert 5 not in by_doc  # too short for any trigram
+
+
+def test_jaccard_pairs_golden(spark, docs):
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in DD.jaccard_pairs(docs, threshold=0.1).collect()}
+    # docs 1 and 4 identical -> jaccard 1.0; 1-2 share 6 of 7 trigrams
+    # (only "over the lazy"+tail differs) -> 6 / (7 + 7 - 6) = 0.75
+    assert got[(1, 4)] == 1.0
+    assert got[(1, 2)] == 0.75
+    assert got[(2, 4)] == 0.75
+    assert (1, 3) not in got
+
+
+def test_lsh_finds_exact_and_near_dups(spark, docs):
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in
+           DD.lsh_verified_pairs(docs, num_hashes=12, band_size=3, threshold=0.1).collect()}
+    assert got[(1, 4)] == 1.0  # identical docs always share every band
+    # near-dups may or may not collide in a band (probabilistic), but any
+    # reported pair must carry the exact verified jaccard
+    for (a, b), j in got.items():
+        assert j >= 0.1
+
+
+def test_lsh_subset_of_exact(spark, docs):
+    """LSH-verified pairs are a subset of the exact all-pairs result."""
+    exact = {(r.doc_a, r.doc_b) for r in DD.jaccard_pairs(docs, threshold=0.1).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in
+           DD.lsh_verified_pairs(docs, threshold=0.1).collect()}
+    assert lsh <= exact
+
+
+def test_simhash_similarity(spark, docs):
+    sims = {r.doc_id: r.simhash for r in DD.simhash(docs, bits=32).collect()}
+    assert sims[1] == sims[4]  # identical text -> identical simhash
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dups differ in fewer bits than unrelated docs
+    assert hamming(sims[1], sims[2]) < hamming(sims[1], sims[3])
+
+
+def test_minhash_signature_stability(spark, docs):
+    s1 = DD.minhash_signatures(docs, num_hashes=4).collect()
+    s2 = DD.minhash_signatures(docs, num_hashes=4).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))

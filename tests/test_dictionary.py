@@ -16,11 +16,13 @@ def test_redirect_fixpoint(spark):
             }
         )
     )
-    got = {
-        r.from_topic: r.to_topic for r in D.resolve_redirects(redirects).collect()
-    }
-    # a -> b -> final (2 hops), c -> a -> b -> final (3 hops), x -> y
-    assert got == {"a": "final", "b": "final", "c": "final", "x": "y"}
+    for thresh in (2_000_000, 0):  # driver-side and distributed paths
+        got = {
+            r.from_topic: r.to_topic
+            for r in D.resolve_redirects(redirects, driver_threshold=thresh).collect()
+        }
+        # a -> b -> final (2 hops), c -> a -> b -> final (3 hops), x -> y
+        assert got == {"a": "final", "b": "final", "c": "final", "x": "y"}, thresh
 
 
 def test_surface_forms_count_gt_1_and_redirects(spark):

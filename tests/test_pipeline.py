@@ -52,7 +52,7 @@ def test_lineage_written(spark, kb, work_dir):
         synth.gen_transcripts_pdf(kb, 5), schema=S.TRANSCRIPTS
     )
     run = KGPipeline(spark, work_dir).run(transcripts, synth.kb_tables(spark, kb))
-    lin = spark.read.parquet(f"{work_dir}/_lineage/mentions")
+    lin = spark.read.parquet(f"{work_dir}/_lineage").filter("stage = 'mentions'")
     total = sum(r.rows_out for r in lin.collect())
     assert total == run.outputs["mentions"].count()
 

@@ -1,0 +1,109 @@
+"""Similarity search + text stats + multimodal plumbing tests on the
+driver's sf0.001 tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from careers_spark.operators import multimodal as MM
+from careers_spark.operators import similarity as SIM
+from careers_spark.operators import textstats as TS
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_brute_force_topk_shape(spark, embeddings):
+    got = SIM.brute_force_topk(embeddings, k=3, query_pred="vec_id % 100 = 0").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        sims = [r.sim for r in sorted(rows, key=lambda r: r.rk)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != qid for r in rows)
+
+
+def test_lsh_recall_vs_brute_force(spark, embeddings):
+    """The LSH-bucketed path must recover a decent fraction of the true
+    top-k (same-bucket near neighbors)."""
+    k = 5
+    exact = SIM.brute_force_topk(embeddings, k=k, query_pred="vec_id % 100 = 0")
+    # 3 planes ≈ 62 docs/bucket at 500 docs — planes must track log2(N)
+    approx = SIM.lsh_bucketed_topk(embeddings, k=k, n_planes=3, query_pred="vec_id % 100 = 0")
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"LSH recall {recall}"
+
+
+def test_embedding_near_dups_symmetric_bound(spark, embeddings):
+    got = SIM.embedding_near_dup_pairs(
+        embeddings, threshold=0.3, sample_pred="vec_id % 10 = 0"
+    ).collect()
+    for r in got:
+        assert r.id_a < r.id_b
+        assert 0.3 <= r.sim <= 1.0
+
+
+def test_token_counts(spark, documents):
+    row = TS.token_counts(documents).filter("doc_id = 0").first()
+    doc = documents.filter("doc_id = 0").first()
+    assert row.word_tokens == len([t for t in doc.text.lower().split() if t])
+    assert row.bpe_est == -(-len(doc.text) // 4)
+
+
+def test_quality_score_bounds(spark, documents):
+    rows = TS.quality_score(documents).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert all(0.0 <= r.stop_ratio <= 1.0 for r in rows)
+
+
+def test_lang_id_values(spark, documents):
+    rows = TS.lang_id(documents).collect()
+    allowed = set(TS.LANG_WORDS) | {"und"}
+    assert all(r.pred_lang in allowed for r in rows)
+
+
+def test_doc_fingerprint_deterministic(spark, documents):
+    a = sorted(map(tuple, TS.doc_fingerprint(documents).collect()))
+    b = sorted(map(tuple, TS.doc_fingerprint(documents).collect()))
+    assert a == b
+
+
+def test_multimodal_plumbing(spark, documents):
+    assets = MM.synth_assets(documents)
+    feats = MM.extract_features(assets, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == documents.count()
+    assert all(len(r.feature) == MM.FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.feature)
+    # deterministic across runs
+    again = feats.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_multimodal_real_decoder_is_stubbed(spark, documents):
+    assets = MM.synth_assets(documents)
+    with pytest.raises(Exception) as ei:
+        MM.extract_features(assets, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark, documents):
+    assets = MM.synth_assets(documents)
+    plan = MM.frame_sample_plan(assets, every_ms=1000)
+    n_videos = assets.filter("kind = 'video'").count()
+    assert plan.select("asset_id").distinct().count() == n_videos
+    assert plan.filter("frame_ts_ms % 1000 != 0").count() == 0

@@ -1,0 +1,39 @@
+"""Materialize a deterministic bench corpus: transcripts + dictionary
+raw tables (+ expected triples) as parquet, so N- and 4N-core runs read
+the IDENTICAL input."""
+
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from careers_spark import synth  # noqa: E402
+from careers_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-convs", type=int, default=40000)
+    ap.add_argument("--n-domains", type=int, default=0, help="0 = n_convs//50")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    n_domains = args.n_domains or max(8, args.n_convs // 50)
+    spark = get_spark("prep_bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    kb = synth.build_kb(n_domains, seed=args.seed)
+    synth.gen_transcripts(spark, kb, args.n_convs, seed=args.seed).write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/transcripts")
+    synth.gen_expected_triples(spark, kb, args.n_convs, seed=args.seed).write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/expected_triples")
+    for name, df in synth.kb_tables(spark, kb).items():
+        df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+    n = spark.read.parquet(f"{args.out}/transcripts").count()
+    print(f"corpus ready: {args.n_convs} convs, {n} turns -> {args.out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
