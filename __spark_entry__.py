@@ -272,6 +272,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf_dir, "documents")
     )
 
+    # ---- digests + incremental matching (TopicVector / WebCVProcess) ----
+    def doc_topic_digests(spark, sf_dir):
+        from careers_spark.operators import digests as DG
+
+        docs = _t(spark, sf_dir, "documents")
+        tf = (
+            docs.select("doc_id", F.explode(DD.tokens_col("text")).alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("cnt"))
+        )
+        links_like = tf.selectExpr(
+            "cast(doc_id as string) as conv_id",
+            "tok as topic",
+            "cast(cnt as double) as score",
+        )
+        return DG.document_digests(links_like, k=10).select(
+            "conv_id", "topic", F.round("weight", 6).alias("weight")
+        )
+
+    q["doc_topic_digests"] = doc_topic_digests
+
+    def digest_similarity(spark, sf_dir):
+        from careers_spark.operators import digests as DG
+
+        docs = _t(spark, sf_dir, "documents")
+        tf = (
+            docs.select("doc_id", F.explode(DD.tokens_col("text")).alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("cnt"))
+        )
+        links_like = tf.selectExpr(
+            "cast(doc_id as string) as conv_id",
+            "tok as topic",
+            "cast(cnt as double) as score",
+        )
+        # similarity on UNROUNDED digests (rounding only the output) so
+        # threshold behavior matches the oracle exactly
+        dv = DG.document_digests(links_like, k=10)
+        return DG.digest_similarity(dv, min_similarity=0.5)
+
+    q["digest_similarity"] = digest_similarity
+
+    def phrase_doc_freq(spark, sf_dir):
+        from careers_spark.operators import dictionary as DICT
+        from careers_spark.operators import mentions as MEN
+        from careers_spark.plans.flagship import documents_as_transcripts
+
+        docs = _t(spark, sf_dir, "documents")
+        ac = MEN.TokenAhoCorasick()
+        for surf, _t2, _c in flagship.TECH_SURFACES:
+            ac.add(surf)
+        ac.build()
+        men = MEN.detect_mentions(spark, documents_as_transcripts(docs), ac)
+        return DICT.phrase_doc_freq(men)
+
+    q["phrase_doc_freq"] = phrase_doc_freq
+
+    def incremental_pairs(spark, sf_dir):
+        from careers_spark.operators import digests as DG
+
+        o = _t(spark, sf_dir, "orders").filter("o_orderkey % 100 = 0").selectExpr(
+            "o_orderkey as id_a"
+        )
+        p = _t(spark, sf_dir, "part").filter("p_partkey % 10 = 0").selectExpr(
+            "p_partkey as id_b"
+        )
+        return DG.incremental_pairs(o, p, left_cursor=7000, right_cursor=1000)
+
+    q["incremental_pairs"] = incremental_pairs
+
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
         MM.synth_assets(_t(spark, sf_dir, "documents"))
@@ -595,6 +665,72 @@ def oracle_sql() -> dict[str, str]:
         rm AS (SELECT doc_id, min({_DUCK_H64.format(c='g')}) AS rolling_min FROM g5 GROUP BY doc_id)
         SELECT t.doc_id, md5(t.text) AS text_md5, rm.rolling_min
         FROM t JOIN rm ON t.doc_id = rm.doc_id
+    """
+
+    o["doc_topic_digests"] = f"""
+        WITH tf AS (
+          SELECT CAST(doc_id AS VARCHAR) AS conv_id, tok AS topic,
+                 CAST(count(*) AS DOUBLE) AS score
+          FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+          GROUP BY doc_id, tok
+        ),
+        topk AS (
+          SELECT conv_id, topic, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id
+                                         ORDER BY score DESC, topic) AS rk
+            FROM tf
+          ) WHERE rk <= 10
+        ),
+        nrm AS (SELECT conv_id, sqrt(sum(score * score)) AS n FROM topk GROUP BY conv_id)
+        SELECT t.conv_id, t.topic, round(t.score / nrm.n, 6) AS weight
+        FROM topk t JOIN nrm ON t.conv_id = nrm.conv_id
+    """
+
+    o["digest_similarity"] = f"""
+        WITH tf AS (
+          SELECT CAST(doc_id AS VARCHAR) AS conv_id, tok AS topic,
+                 CAST(count(*) AS DOUBLE) AS score
+          FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+          GROUP BY doc_id, tok
+        ),
+        topk AS (
+          SELECT conv_id, topic, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id
+                                         ORDER BY score DESC, topic) AS rk
+            FROM tf
+          ) WHERE rk <= 10
+        ),
+        nrm AS (SELECT conv_id, sqrt(sum(score * score)) AS n FROM topk GROUP BY conv_id),
+        dv AS (
+          SELECT t.conv_id, t.topic, t.score / nrm.n AS weight
+          FROM topk t JOIN nrm ON t.conv_id = nrm.conv_id
+        )
+        SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+               round(sum(a.weight * b.weight), 6) AS similarity
+        FROM dv a JOIN dv b ON a.topic = b.topic AND a.conv_id < b.conv_id
+        GROUP BY a.conv_id, b.conv_id
+        HAVING round(sum(a.weight * b.weight), 6) >= 0.5
+    """
+
+    phrase_likes = []
+    for surf, _t2, _c in flagship.TECH_SURFACES:
+        phrase_likes.append(
+            f"SELECT '{surf}' AS surface, CAST(count(*) AS BIGINT) AS doc_freq "
+            f"FROM (SELECT ' ' || array_to_string({_DUCK_TOKS}, ' ') || ' ' AS padded "
+            f"FROM documents) WHERE padded LIKE '% {surf} %'"
+        )
+    o["phrase_doc_freq"] = (
+        "SELECT surface, doc_freq FROM ("
+        + " UNION ALL ".join(phrase_likes)
+        + ") WHERE doc_freq > 0"
+    )
+
+    o["incremental_pairs"] = """
+        WITH l AS (SELECT o_orderkey AS id_a FROM orders WHERE o_orderkey % 100 = 0),
+             r AS (SELECT p_partkey AS id_b FROM part WHERE p_partkey % 10 = 0)
+        SELECT id_a, id_b FROM l CROSS JOIN r WHERE id_a > 7000
+        UNION ALL
+        SELECT id_a, id_b FROM l CROSS JOIN r WHERE id_a <= 7000 AND id_b > 1000
     """
 
     o["frame_sample_plan"] = """

@@ -81,6 +81,21 @@ def normalize_col(c: Column) -> Column:
     return F.lower(F.translate(F.regexp_replace(c, "'", ""), "/-", "  "))
 
 
+def normalize_topic_title(c: Column) -> Column:
+    """Prefix 'Main:' when the title carries no namespace
+    (reference: utility.scala:399-402, normalizeTopicTitle)."""
+    return F.when(c.contains(":"), c).otherwise(F.concat(F.lit("Main:"), c))
+
+
+def normalize_link(ns: Column, title: Column) -> Column:
+    """Namespace-qualified link target with '#anchor' stripped
+    (reference: utility.scala:404-409, normalizeLink)."""
+    clean = F.split(title, "#")[0]
+    return F.concat_ws(
+        ":", F.when(ns == "", F.lit("Main")).otherwise(ns), clean
+    )
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(s: pd.Series) -> pd.Series:
     """Arrow-batched tokenizer for DataFrame pipelines."""

@@ -256,7 +256,7 @@ def _rows_to_pdf(rows: list[tuple]) -> pd.DataFrame:
 def resolve(
     candidates: DataFrame,
     transcripts: DataFrame,
-    context_vectors: DataFrame,
+    context_vectors,  # DataFrame (topic, ctx_ids, ctx_ws) or prebuilt dict
     n_buckets: int | None = None,
 ) -> DataFrame:
     """Cogrouped per-conversation resolution, bucket-batched.
@@ -284,10 +284,13 @@ def resolve(
     if n_buckets is None:
         n_buckets = 16 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    ctx_map = {
-        r.topic: dict(zip(list(r.ctx_ids), list(r.ctx_ws)))
-        for r in context_vectors.select("topic", "ctx_ids", "ctx_ws").collect()
-    }
+    if isinstance(context_vectors, dict):
+        ctx_map = context_vectors
+    else:
+        ctx_map = {
+            r.topic: dict(zip(list(r.ctx_ids), list(r.ctx_ws)))
+            for r in context_vectors.select("topic", "ctx_ids", "ctx_ws").collect()
+        }
     ctx_bc = spark.sparkContext.broadcast(ctx_map)
 
     bucket = lambda df: df.withColumn(  # noqa: E731

@@ -143,6 +143,51 @@ def allowed_topic(df: DataFrame, col: str = "topic") -> DataFrame:
     return df.filter(~F.col(col).rlike(_DISALLOWED_TOPIC_RE))
 
 
+# hand-listed context blocklist (reference: Disambiguator.scala:43-72 lists
+# 29 overbroad categories; the transcript-domain analogue keeps the shape)
+DISALLOWED_CONTEXTS = [
+    "Category:Living people",
+    "Category:Disambiguation pages",
+    "Category:All articles with unsourced statements",
+    "Category:Articles with invalid date parameter in template",
+]
+
+
+def allowed_context(df: DataFrame, col: str = "context") -> DataFrame:
+    """Reject blocklisted, 4-digit-year-dated, and redirect-ish contexts
+    (reference: Disambiguator.scala:43-102 allowedContext + the date
+    matcher at :74,99 — P8/P11)."""
+    c = F.col(col)
+    return df.filter(
+        ~c.isin(DISALLOWED_CONTEXTS)
+        & ~c.rlike(r"[0-9]{4}")
+        & ~F.lower(c).contains("redirect")
+    )
+
+
+def first_turn_flag(transcripts: DataFrame) -> DataFrame:
+    """'First section' flag for transcripts: the conversation's opening
+    turn (reference: CategoryMembership.scala:32-70's inFirstSection fold
+    -> W3: row_number over (conv_id, turn_idx) = 1)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.withColumn(
+        "first_section", F.row_number().over(w) == 1
+    )
+
+
+def phrase_doc_freq(mentions: DataFrame) -> DataFrame:
+    """Per-surface document frequency from detected mentions — the
+    PhraseCounter semantics (reference: PhraseCount.scala:106-110 emits
+    1 per doc containing the phrase; combiner = automatic partial agg).
+    countDistinct is exact here; at 10^12 scale swap for
+    approx_count_distinct where exactness is not contract (G8)."""
+    return mentions.groupBy("surface").agg(
+        F.countDistinct("conv_id").alias("doc_freq")
+    )
+
+
 def build_surface_forms(raw: DataFrame, resolved_redirects: DataFrame) -> DataFrame:
     """Anchor statistics -> candidate dictionary rows.
 

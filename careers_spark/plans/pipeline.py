@@ -176,12 +176,22 @@ class KGPipeline:
         dict_outputs: dict[str, DataFrame],
         run: PipelineRun | None = None,
         repartition: int | None = None,
+        model=None,
     ) -> PipelineRun:
         run = run or PipelineRun()
         st = lambda *a, **k: self.stage(run, *a, **k)  # noqa: E731
         surface_forms = dict_outputs["dict_surface_forms"]
-        ctx_vecs = dict_outputs["dict_context_vectors"]
         canon = dict_outputs["canonical_map"]
+
+        # the broadcastable model artifact (automaton + context map) —
+        # cached next to the dictionary checkpoint when available, the
+        # analogue of the reference's phraseMap.bin
+        from careers_spark.operators.model import KGModel
+
+        if model is None:
+            model = KGModel.build(
+                surface_forms, dict_outputs["dict_context_vectors"]
+            )
 
         if repartition:
             transcripts = transcripts.repartition(repartition, "conv_id")
@@ -190,16 +200,20 @@ class KGPipeline:
             lambda: transcripts.sortWithinPartitions("conv_id", "turn_idx"),
         )
 
-        automaton = M.build_automaton(surface_forms)
         mentions = st(
-            "mentions", lambda: M.detect_mentions(self.spark, transcripts, automaton)
+            "mentions",
+            lambda: M.detect_mentions(self.spark, transcripts, model.automaton),
         )
-        candidates = st(
-            "candidates",
-            lambda: L.attach_candidates(mentions, surface_forms),
-        )
+        # candidate attach is a cheap broadcast join — computed inside the
+        # resolved stage rather than checkpointed (one less stage barrier;
+        # recompute-on-resume costs one dim join)
         resolved = st(
-            "resolved", lambda: CO.resolve(candidates, transcripts, ctx_vecs)
+            "resolved",
+            lambda: CO.resolve(
+                L.attach_candidates(mentions, surface_forms),
+                transcripts,
+                model.ctx_map,
+            ),
         )
         triples = st(
             "triples",

@@ -60,10 +60,20 @@ def main():
     transcripts = spark.read.parquet(f"{args.input}/transcripts")
     n_turns = transcripts.count()
 
-    # phase 1: dictionary model build (one-time, corpus-independent)
+    # phase 1: dictionary model build (one-time, corpus-independent),
+    # including the pickled automaton + context-map artifact (the
+    # analogue of the reference's phraseMap.bin binary model)
+    from careers_spark.operators.model import KGModel
+
     t0 = time.monotonic()
-    dict_pipe = KGPipeline(spark, args.dict_cache or f"{args.work_dir}/dict")
+    dict_dir = args.dict_cache or f"{args.work_dir}/dict"
+    dict_pipe = KGPipeline(spark, dict_dir)
     drun = dict_pipe.run_dictionary(raw)
+    model = KGModel.build_or_load(
+        drun.outputs["dict_surface_forms"],
+        drun.outputs["dict_context_vectors"],
+        cache_path=f"{dict_dir}/model.pkl",
+    )
     dict_wall = time.monotonic() - t0
 
     if not args.no_warmup:
@@ -77,7 +87,9 @@ def main():
 
     # phase 2: transcript processing (the scaling-relevant phase)
     t0 = time.monotonic()
-    run = KGPipeline(spark, args.work_dir).run_corpus(transcripts, drun.outputs)
+    run = KGPipeline(spark, args.work_dir).run_corpus(
+        transcripts, drun.outputs, model=model
+    )
     wall = time.monotonic() - t0
     n_triples = next(s.rows for s in run.stages if s.name == "triples")
 

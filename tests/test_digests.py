@@ -1,0 +1,131 @@
+"""Digest / matching operators (TopicVector + WebCVProcess semantics)."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from careers_spark.operators import digests as DG
+
+
+@pytest.fixture(scope="module")
+def links(spark):
+    rows = [
+        ("c1", "Main:Spark", 2.0),
+        ("c1", "Main:Join", 1.0),
+        ("c2", "Main:Spark", 1.0),
+        ("c2", "Main:Join", 2.0),
+        ("c3", "Main:Plants", 5.0),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "topic", "score"])
+    )
+
+
+def test_document_digests_normalized(spark, links):
+    dv = {(r.conv_id, r.topic): r.weight for r in DG.document_digests(links).collect()}
+    n = math.sqrt(4 + 1)
+    assert abs(dv[("c1", "Main:Spark")] - 2 / n) < 1e-9
+    assert abs(dv[("c1", "Main:Join")] - 1 / n) < 1e-9
+    assert dv[("c3", "Main:Plants")] == 1.0
+    # per-conv L2 norm == 1
+    agg = {}
+    for (c, _t), w in dv.items():
+        agg[c] = agg.get(c, 0) + w * w
+    assert all(abs(v - 1.0) < 1e-9 for v in agg.values())
+
+
+def test_document_digests_topk(spark):
+    rows = [("c1", f"t{i:02d}", float(i)) for i in range(10)]
+    links = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "topic", "score"])
+    )
+    got = DG.document_digests(links, k=3).collect()
+    assert sorted(r.topic for r in got) == ["t07", "t08", "t09"]
+
+
+def test_digest_similarity(spark, links):
+    sims = {
+        (r.conv_a, r.conv_b): r.similarity
+        for r in DG.digest_similarity(DG.document_digests(links), min_similarity=0.0).collect()
+    }
+    # c1·c2 = (2*1 + 1*2)/5 = 0.8; c3 shares no topic -> no pair at all
+    assert abs(sims[("c1", "c2")] - 0.8) < 1e-6
+    assert all("c3" not in k for k in sims)
+
+
+def test_incremental_pairs(spark):
+    left = spark.createDataFrame(pd.DataFrame({"id_a": [1, 2, 3, 4]}))
+    right = spark.createDataFrame(pd.DataFrame({"id_b": [10, 20, 30]}))
+    got = {
+        (r.id_a, r.id_b)
+        for r in DG.incremental_pairs(left, right, left_cursor=2, right_cursor=20).collect()
+    }
+    # new-left (3,4) x all-right  +  old-left (1,2) x new-right (30)
+    expected = {(a, b) for a in (3, 4) for b in (10, 20, 30)} | {(1, 30), (2, 30)}
+    assert got == expected
+
+
+def test_dictionary_extras(spark):
+    import pandas as pd
+
+    from careers_spark import schema as S
+    from careers_spark.operators import dictionary as D
+
+    tc = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "topic": ["t"] * 4,
+                "context": [
+                    "Category:Good",
+                    "Category:1984 births",
+                    "Category:Living people",
+                    "Template:Redirect pages",
+                ],
+            }
+        )
+    )
+    got = [r.context for r in D.allowed_context(tc).collect()]
+    assert got == ["Category:Good"]
+
+    t = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1", "c2"],
+                "turn_idx": pd.array([0, 1, 0], dtype="int32"),
+                "role": ["user"] * 3,
+                "text": ["a", "b", "c"],
+                "tool": [""] * 3,
+                "ts": pd.to_datetime([0, 1, 2], unit="s"),
+            }
+        ),
+        schema=S.TRANSCRIPTS,
+    )
+    flags = {
+        (r.conv_id, r.turn_idx): r.first_section
+        for r in D.first_turn_flag(t).collect()
+    }
+    assert flags == {("c1", 0): True, ("c1", 1): False, ("c2", 0): True}
+
+
+def test_normalize_topic_and_link(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from careers_spark.functions.text import normalize_link, normalize_topic_title
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "title": ["Plain Title", "Category:Things"],
+                "ns": ["", "Category"],
+                "target": ["Page#section", "Other"],
+            }
+        )
+    )
+    got = df.select(
+        normalize_topic_title(F.col("title")).alias("t"),
+        normalize_link(F.col("ns"), F.col("target")).alias("l"),
+    ).collect()
+    assert [r.t for r in got] == ["Main:Plain Title", "Category:Things"]
+    assert [r.l for r in got] == ["Main:Page", "Category:Other"]

@@ -24,7 +24,12 @@ def stream_input(spark, tmp_path_factory):
                 "unrelated filler text",
             ],
             "tool": [""] * 4,
-            "ts": pd.to_datetime([0, 60, 60, 120], unit="s"),
+            # NOTE: streaming's initial watermark is epoch 0 — rows at
+            # ts<=0 are born late and get dropped by watermarked dedup,
+            # so fixtures must use realistic timestamps
+            "ts": pd.to_datetime(
+                [1700000000, 1700000060, 1700000060, 1700000120], unit="s"
+            ),
         }
     )
     spark.createDataFrame(pdf, schema=S.TRANSCRIPTS).write.parquet(str(d / "data"))
