@@ -342,6 +342,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_pairs"] = incremental_pairs
 
+    # ---- community grouping over the corpus-derived entity graph ----
+    def entity_communities(spark, sf_dir):
+        from careers_spark.operators.communities import label_propagation
+
+        # token co-occurrence graph over a doc sample -> communities
+        docs = _t(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+        toks = docs.select(
+            "doc_id", F.explode(F.array_distinct(DD.tokens_col("text"))).alias("tok")
+        )
+        a = toks.selectExpr("doc_id", "tok as src")
+        b = toks.selectExpr("doc_id as d2", "tok as dst")
+        edges = (
+            a.join(b, (a.doc_id == b.d2) & (F.col("src") < F.col("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n_obs"))
+            .filter("n_obs >= 20")
+        )
+        return label_propagation(edges, weight="n_obs")
+
+    q["entity_communities"] = entity_communities
+
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
         MM.synth_assets(_t(spark, sf_dir, "documents"))

@@ -163,13 +163,26 @@ def _resolve_conv_rows(
 
     n = len(mkeys)
 
+    # topic-pair similarities repeat across mentions and rounds within a
+    # conversation — memoize (symmetric: _sim's shared-context term and
+    # both direct-link terms are order-independent)
+    sim_cache: dict[tuple[str, str], float] = {}
+
+    def csim(ta: str, ca: dict, tb: str, cb: dict) -> float:
+        key = (ta, tb) if ta <= tb else (tb, ta)
+        v = sim_cache.get(key)
+        if v is None:
+            v = _sim(ca, cb, ta, tb)
+            sim_cache[key] = v
+        return v
+
     # --- round 1: support against prior-weighted peers ---------------------
     def support(i: int, topic: str, ctx: dict, peers: list[tuple[int, str, float, dict]]) -> float:
         s = 0.0
         for j, tj, wj, cj in peers:
             if site_of[j] == site_of[i]:
                 continue  # same-site exclusion (AmbiguityForest.scala:783-784)
-            s += _sim(ctx, cj, topic, tj) * wj
+            s += csim(topic, ctx, tj, cj) * wj
         return s
 
     peers_r1 = [

@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB
+must be visible in explain() output — filter pushdown to the parquet
+scan, broadcast hash joins for dimension tables, whole-stage codegen
+around the hot expressions, and partial (map-side) aggregation."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: the scan reads only the needed columns
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_candidates_join_is_broadcast(spark):
+    from careers_spark.operators import linking as L
+
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "start": pd.array([0], dtype="int32"),
+                "end": pd.array([0], dtype="int32"),
+                "surface": ["rice"],
+            }
+        )
+    )
+    sf = spark.createDataFrame(
+        pd.DataFrame(
+            {"surface": ["rice"], "topic": ["Main:Rice"], "prior": [1.0]}
+        )
+    )
+    plan = _plan(L.attach_candidates(mentions, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_word_doc_freq_partial_aggregation(spark):
+    from careers_spark.operators import dictionary as D
+
+    t = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "cast(doc_id as string) as conv_id",
+        "0 as turn_idx",
+        "'user' as role",
+        "text",
+        "'' as tool",
+        "current_timestamp() as ts",
+    )
+    plan = _plan(D.word_doc_freq(t))
+    # partial (map-side combine) + final aggregate around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_dedup_stays_jvm_side(spark):
+    """The dedup family must be pure Catalyst — no python UDF nodes."""
+    from careers_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        DD.dedup_exact(docs),
+        DD.minhash_signatures(docs, num_hashes=2),
+        DD.simhash(docs, bits=8),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_topk_uses_window_not_global_sort(spark):
+    from careers_spark.operators import dictionary as D
+
+    lw = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "topic": ["t"] * 3,
+                "context": ["a", "b", "c"],
+                "weight1": [0.1, 0.2, 0.3],
+                "weight2": [0.0] * 3,
+            }
+        )
+    )
+    plan = _plan(D.top_contexts(lw, k=2))
+    assert "RunningWindowFunction" in plan or "Window" in plan
