@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_CONVS = int(os.environ.get("KG_BENCH_CONVS", "10000"))
+KG_CONVS = int(os.environ.get("KG_BENCH_CONVS", "100000"))
 
 BENCH_QUERIES = [
     "tpch_q1",
