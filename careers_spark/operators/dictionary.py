@@ -275,6 +275,46 @@ def link_weights(topic_contexts: DataFrame) -> DataFrame:
     return out
 
 
+SECOND_ORDER_KICKIN = 10  # reference: AmbiguityForest.scala:71-76
+SECOND_ORDER_WEIGHT = 0.1
+
+
+def expand_second_order_contexts(link_w: DataFrame) -> DataFrame:
+    """Second-order context expansion (Disambiguator.scala:469-490):
+    topics with fewer than SECOND_ORDER_KICKIN first-order contexts also
+    inherit their contexts' contexts at x0.1 downweight. First-order
+    rows win on conflict (max weight). The reference computes this per
+    document at query time and carries a TODO to precompute it in the db
+    (AmbiguityForest.scala:46-48) — here it IS the precomputed table."""
+    deg = link_w.groupBy("topic").agg(F.count("*").alias("n_ctx"))
+    sparse = deg.filter(F.col("n_ctx") < SECOND_ORDER_KICKIN).select("topic")
+    a = link_w.alias("a")
+    b = link_w.alias("b")
+    second = (
+        a.join(F.broadcast(sparse), "topic", "left_semi")
+        .alias("a")
+        .join(b, F.col("a.context") == F.col("b.topic"))
+        .filter(F.col("a.topic") != F.col("b.context"))
+        .select(
+            F.col("a.topic").alias("topic"),
+            F.col("b.context").alias("context"),
+            (F.col("a.weight1") * F.col("b.weight1") * SECOND_ORDER_WEIGHT).alias(
+                "weight1"
+            ),
+            (F.col("a.weight2") * F.col("b.weight2") * SECOND_ORDER_WEIGHT).alias(
+                "weight2"
+            ),
+        )
+        .groupBy("topic", "context")
+        .agg(F.max("weight1").alias("weight1"), F.max("weight2").alias("weight2"))
+    )
+    return (
+        link_w.unionByName(second)
+        .groupBy("topic", "context")
+        .agg(F.max("weight1").alias("weight1"), F.max("weight2").alias("weight2"))
+    )
+
+
 def top_contexts(link_w: DataFrame, k: int = TOP_CONTEXTS_K) -> DataFrame:
     """G3: top-K contexts per topic by weight1 (Disambiguator.scala:492-495)."""
     w = Window.partitionBy("topic").orderBy(F.desc("weight1"), F.asc("context"))
@@ -301,15 +341,21 @@ def topic_context_vectors(top_ctx: DataFrame) -> DataFrame:
     )
 
 
-def build_dictionary(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def build_dictionary(
+    tables: dict[str, DataFrame], second_order: bool = False
+) -> dict[str, DataFrame]:
     """End-to-end dictionary build from raw synth tables.
 
     Returns surface_forms (with priors), resolved redirects, link_weights,
-    top_contexts and packed context vectors.
+    top_contexts and packed context vectors. second_order=True applies
+    the sparse-topic context expansion (expand_second_order_contexts)
+    before the top-K cut.
     """
     resolved = resolve_redirects(tables["redirects"])
     sf = surface_priors(build_surface_forms(tables["surface_forms_raw"], resolved))
     lw = link_weights(tables["topic_contexts"])
+    if second_order:
+        lw = expand_second_order_contexts(lw)
     tc = top_contexts(lw)
     return {
         "redirects_resolved": resolved,

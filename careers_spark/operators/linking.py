@@ -31,6 +31,91 @@ def attach_candidates(mentions: DataFrame, surface_forms: DataFrame) -> DataFram
     )
 
 
+def tfidf_context_scores(
+    candidates: DataFrame,
+    transcripts: DataFrame,
+    top_ctx: DataFrame,
+    word_doc_freq: DataFrame,
+    n_docs: int,
+) -> DataFrame:
+    """Anchor-prior x TF-IDF context-cosine candidate scoring.
+
+    The reference scores document-topic affinity with TF-IDF cosines
+    over context words (TopicVector.scala:47-84 cosine; word document
+    frequencies from WordInTopicCount feed the idf). Re-expressed as
+    joins:
+
+      topic term vectors : context NAMES tokenized, term weight =
+                           ctx_weight * idf(term)        (broadcast dim)
+      turn term vectors  : turn tokens restricted to terms that occur in
+                           ANY topic vector (broadcast semi-join BEFORE
+                           the explode shuffle — the term dimension is
+                           dictionary-sized, so the fact-side work stays
+                           proportional to matching tokens only)
+      ctx_cos            : dot / (|topic| * |turn|) per (mention, topic)
+
+    Returns candidates + `ctx_cos` (0.0 when nothing overlaps) and
+    `score` = prior * (1 + ctx_cos): with no term overlap the score
+    reduces to the anchor prior exactly, so enabling this on corpora
+    whose context names never appear in text is a no-op.
+    """
+    from careers_spark.functions.text import tokenize_udf
+
+    idf = word_doc_freq.select(
+        "word", F.log(F.lit(float(n_docs + 1)) / (F.col("doc_freq") + 1)).alias("idf")
+    )
+
+    topic_terms = (
+        top_ctx.select("topic", "context", "weight1")
+        .withColumn("term", F.explode(F.array_distinct(tokenize_udf(F.col("context")))))
+        .join(idf.withColumnRenamed("word", "term"), "term", "left")
+        .na.fill({"idf": 1.0})
+        .groupBy("topic", "term")
+        .agg(F.sum(F.col("weight1") * F.col("idf")).alias("tw"))
+    )
+    topic_norm = topic_terms.groupBy("topic").agg(
+        F.sqrt(F.sum(F.col("tw") * F.col("tw"))).alias("tnorm")
+    )
+
+    turn_terms = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.array_distinct(tokenize_udf(F.col("text")))).alias("term"),
+        )
+        .join(F.broadcast(topic_terms.select("term").distinct()), "term", "left_semi")
+        .join(F.broadcast(idf.withColumnRenamed("word", "term")), "term", "left")
+        .na.fill({"idf": 1.0})
+    )
+    turn_norm = turn_terms.groupBy("conv_id", "turn_idx").agg(
+        F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("dnorm")
+    )
+
+    dots = (
+        candidates.join(F.broadcast(topic_terms), "topic")
+        .join(turn_terms, ["conv_id", "turn_idx", "term"])
+        .groupBy("conv_id", "turn_idx", "start", "end", "surface", "topic")
+        .agg(F.sum(F.col("tw") * F.col("idf")).alias("dot"))
+    )
+
+    out = (
+        candidates.join(
+            dots, ["conv_id", "turn_idx", "start", "end", "surface", "topic"], "left"
+        )
+        .join(F.broadcast(topic_norm), "topic", "left")
+        .join(turn_norm, ["conv_id", "turn_idx"], "left")
+        .withColumn(
+            "ctx_cos",
+            F.coalesce(
+                F.col("dot") / (F.col("tnorm") * F.col("dnorm")), F.lit(0.0)
+            ),
+        )
+        .withColumn("score", F.col("prior") * (1 + F.col("ctx_cos")))
+        .drop("dot", "tnorm", "dnorm")
+    )
+    return out
+
+
 def attach_context_vectors(candidates: DataFrame, context_vectors: DataFrame) -> DataFrame:
     """Attach the per-topic top-K context vector (broadcast dim join);
     topics with no known contexts get empty arrays."""

@@ -53,9 +53,14 @@ class PipelineRun:
 
 
 class KGPipeline:
-    def __init__(self, spark: SparkSession, work_dir: str):
+    def __init__(self, spark: SparkSession, work_dir: str, checksums: bool = False):
+        """checksums=True adds an order-insensitive xxhash64 content
+        checksum per output file to the lineage rows — resume can then
+        verify a checkpoint instead of trusting the _DONE marker. Costs
+        one extra hash pass over each stage's output; off by default."""
         self.spark = spark
         self.work_dir = work_dir
+        self.checksums = checksums
         self._lineage: list[tuple] = []
         os.makedirs(work_dir, exist_ok=True)
 
@@ -63,7 +68,8 @@ class KGPipeline:
         if not self._lineage:
             return
         self.spark.createDataFrame(
-            self._lineage, schema="file string, rows_out long, stage string"
+            self._lineage,
+            schema="file string, rows_out long, checksum long, stage string",
         ).coalesce(1).write.mode("append").parquet(
             os.path.join(self.work_dir, "_lineage")
         )
@@ -110,14 +116,20 @@ class KGPipeline:
         # scan; lineage rows accumulate in memory and flush once per run
         # (_flush_lineage) — one Spark job per stage instead of three.
         back = self.spark.read.schema(df.schema).parquet(out_dir)
+        aggs = [F.count("*").alias("rows_out")]
+        if self.checksums:
+            # order-insensitive content hash: sum of per-row xxhash64
+            # folded into 2^31 space (ANSI mode rejects raw int64 sums)
+            aggs.append(
+                F.sum(F.pmod(F.xxhash64(F.struct(*back.columns)), F.lit(2**31)))
+                .alias("checksum")
+            )
         lineage_rows = (
-            back.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count("*").alias("rows_out"))
-            .withColumn("stage", F.lit(name))
-            .collect()
+            back.groupBy(F.input_file_name().alias("file")).agg(*aggs).collect()
         )
         self._lineage.extend(
-            (r.file, r.rows_out, name) for r in lineage_rows
+            (r.file, r.rows_out, r.checksum if self.checksums else None, name)
+            for r in lineage_rows
         )
         rows = sum(r.rows_out for r in lineage_rows)
         wall = time.monotonic() - t0
@@ -177,6 +189,7 @@ class KGPipeline:
         run: PipelineRun | None = None,
         repartition: int | None = None,
         model=None,
+        tfidf: bool = False,
     ) -> PipelineRun:
         run = run or PipelineRun()
         st = lambda *a, **k: self.stage(run, *a, **k)  # noqa: E731
@@ -207,13 +220,30 @@ class KGPipeline:
         # candidate attach is a cheap broadcast join — computed inside the
         # resolved stage rather than checkpointed (one less stage barrier;
         # recompute-on-resume costs one dim join)
+        def _candidates() -> DataFrame:
+            cands = L.attach_candidates(mentions, surface_forms)
+            if tfidf:
+                # anchor-prior x TF-IDF context-cosine (north-star
+                # linking score; no term overlap -> identity on priors)
+                wdf = self.stage(
+                    run, "word_doc_freq", lambda: D.word_doc_freq(transcripts)
+                )
+                n_turns = next(
+                    s.rows for s in run.stages if s.name == "transcripts"
+                )
+                top_ctx = D.top_contexts(dict_outputs["dict_link_weights"])
+                cands = (
+                    L.tfidf_context_scores(
+                        cands, transcripts, top_ctx, wdf, n_docs=n_turns
+                    )
+                    .withColumn("prior", F.col("score"))
+                    .drop("score", "ctx_cos")
+                )
+            return cands
+
         resolved = st(
             "resolved",
-            lambda: CO.resolve(
-                L.attach_candidates(mentions, surface_forms),
-                transcripts,
-                model.ctx_map,
-            ),
+            lambda: CO.resolve(_candidates(), transcripts, model.ctx_map),
         )
         triples = st(
             "triples",

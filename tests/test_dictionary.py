@@ -158,3 +158,40 @@ def test_word_doc_freq_distinct_per_doc(spark):
     )
     got = {r.word: r.doc_freq for r in D.word_doc_freq(t).collect()}
     assert got == {"spark": 2, "flink": 1}  # per-turn distinct, not raw count
+
+
+def test_second_order_context_expansion(spark):
+    """Sparse topics inherit contexts-of-contexts at x0.1
+    (Disambiguator.scala:469-490); first-order weights win conflicts."""
+    lw = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "topic": ["t1", "c1"],
+                "context": ["c1", "c2"],
+                "weight1": [0.5, 0.4],
+                "weight2": [0.5, 0.4],
+            }
+        )
+    )
+    got = {
+        (r.topic, r.context): (round(r.weight1, 6), round(r.weight2, 6))
+        for r in D.expand_second_order_contexts(lw).collect()
+    }
+    # first-order rows intact
+    assert got[("t1", "c1")] == (0.5, 0.5)
+    assert got[("c1", "c2")] == (0.4, 0.4)
+    # t1 inherits c2 via c1 at 0.5 * 0.4 * 0.1 = 0.02
+    assert got[("t1", "c2")] == (0.02, 0.02)
+    assert len(got) == 3
+
+
+def test_second_order_kickin_threshold(spark):
+    """Topics at/above the kick-in degree get NO second-order rows."""
+    rows = [("rich", f"c{i}", 0.5, 0.5) for i in range(D.SECOND_ORDER_KICKIN)]
+    rows.append(("c0", "extra", 0.4, 0.4))
+    lw = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["topic", "context", "weight1", "weight2"])
+    )
+    got = {(r.topic, r.context) for r in D.expand_second_order_contexts(lw).collect()}
+    assert ("rich", "extra") not in got  # rich has >= kickin contexts
+    assert ("c0", "extra") in got  # first-order preserved

@@ -80,3 +80,34 @@ def test_pipeline_output_determinism(spark, kb, tmp_path):
     t2 = r2.outputs["triples"].select("conv_id", "turn_idx", "subj", "pred", "obj")
     assert t1.exceptAll(t2).count() == 0
     assert t2.exceptAll(t1).count() == 0
+
+
+def test_tfidf_pipeline_preserves_pr(spark, kb, tmp_path):
+    """TF-IDF context-cosine enabled end-to-end: the synth corpus has no
+    context-name words in turn text, so scores reduce to priors and the
+    triple set is unchanged (the identity guarantee), while the stage
+    itself exercises the full join path."""
+    transcripts = spark.createDataFrame(
+        synth.gen_transcripts_pdf(kb, 15), schema=S.TRANSCRIPTS
+    )
+    raw = synth.kb_tables(spark, kb)
+    p1 = KGPipeline(spark, str(tmp_path / "a"))
+    r_base = p1.run(transcripts, raw)
+    p2 = KGPipeline(spark, str(tmp_path / "b"))
+    d = p2.run_dictionary(raw)
+    r_tfidf = p2.run_corpus(transcripts, d.outputs, tfidf=True)
+    t1 = r_base.outputs["triples"].select("conv_id", "subj", "pred", "obj")
+    t2 = r_tfidf.outputs["triples"].select("conv_id", "subj", "pred", "obj")
+    assert t1.exceptAll(t2).count() == 0
+    assert t2.exceptAll(t1).count() == 0
+
+
+def test_lineage_checksums(spark, kb, tmp_path):
+    transcripts = spark.createDataFrame(
+        synth.gen_transcripts_pdf(kb, 5), schema=S.TRANSCRIPTS
+    )
+    raw = synth.kb_tables(spark, kb)
+    KGPipeline(spark, str(tmp_path / "w"), checksums=True).run(transcripts, raw)
+    lin = spark.read.parquet(str(tmp_path / "w" / "_lineage"))
+    rows = lin.filter("stage = 'mentions'").collect()
+    assert rows and all(r.checksum is not None for r in rows)

@@ -1,0 +1,88 @@
+"""Property-based invariants (hypothesis) — the randomized layer the
+reference's test suite lacks (SURVEY §5). Pure-python properties of the
+resolver helpers; no Spark session needed."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from careers_spark.functions.text import normalize_sf_py, tokenize_py
+from careers_spark.operators.coherence import _alternatives, _build_sites
+from careers_spark.operators.mentions import TokenAhoCorasick
+
+spans_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # turn
+        st.integers(0, 15),  # start
+        st.integers(0, 6),  # length - 1
+    ).map(lambda t: (t[0], t[1], t[1] + t[2])),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(spans_strategy)
+@settings(max_examples=200, deadline=None)
+def test_sites_partition_mentions(spans):
+    sites = _build_sites(spans)
+    flat = sorted(i for s in sites for i in s)
+    assert flat == list(range(len(spans)))  # every mention in exactly one site
+
+
+@given(spans_strategy)
+@settings(max_examples=200, deadline=None)
+def test_sites_members_same_turn(spans):
+    for site in _build_sites(spans):
+        assert len({spans[i][0] for i in site}) == 1
+
+
+@given(spans_strategy)
+@settings(max_examples=100, deadline=None)
+def test_alternatives_non_overlapping(spans):
+    """Every alternative of every site is a non-overlapping selection
+    (the segmentation invariant of Disambiguator.scala:126-206)."""
+    for site in _build_sites(spans):
+        for alt in _alternatives(site, spans):
+            ordered = sorted(alt, key=lambda i: spans[i][1])
+            for a, b in zip(ordered, ordered[1:]):
+                assert spans[b][1] > spans[a][2]
+            assert set(alt) <= set(site)
+            assert len(alt) >= 1
+
+
+tokens_strategy = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=0, max_size=30
+)
+phrases_strategy = st.lists(
+    st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=1, max_size=3),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(tokens_strategy, phrases_strategy)
+@settings(max_examples=200, deadline=None)
+def test_automaton_equals_naive_scan(tokens, phrases):
+    """Aho-Corasick output == brute-force subsequence search."""
+    ac = TokenAhoCorasick()
+    surfaces = {" ".join(p) for p in phrases}
+    for s in surfaces:
+        ac.add(s)
+    ac.build()
+    got = sorted(ac.scan(tokens))
+    expected = sorted(
+        (i, i + len(p.split()) - 1, p)
+        for p in surfaces
+        for i in range(len(tokens) - len(p.split()) + 1)
+        if tokens[i : i + len(p.split())] == p.split()
+    )
+    assert got == expected
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_tokenize_total_and_idempotent_normal_form(s):
+    toks = tokenize_py(s)
+    assert all(t for t in toks)  # no empty tokens
+    norm = normalize_sf_py(s)
+    # normal form is a fixpoint: normalizing again changes nothing
+    assert normalize_sf_py(norm) == norm
