@@ -65,3 +65,30 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(table))
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str,
+        n_buckets: int = 64,
+        sort_col: str | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed table write: later equi-joins/aggregations on
+        `bucket_col` between co-bucketed tables need NO shuffle (the
+        Iceberg path achieves the same with bucket(n, col) partition
+        transforms). Registered in the session catalog as `table`."""
+        if self.use_iceberg:
+            from pyspark.sql import functions as F
+
+            (
+                df.writeTo(f"{self.catalog_name}.db.{table}")
+                .partitionedBy(F.bucket(n_buckets, F.col(bucket_col)))
+                .createOrReplace()
+            )
+            return
+        w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+        if sort_col:
+            w = w.sortBy(sort_col)
+        w.option("path", self._path(table)).saveAsTable(table)

@@ -99,3 +99,26 @@ def test_topk_uses_window_not_global_sort(spark):
     )
     plan = _plan(D.top_contexts(lw, k=2))
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join on the bucket key without a shuffle —
+    the co-location strategy for repeated conv_id-keyed joins at scale."""
+    from careers_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    a = spark.range(0, 1000).selectExpr("id as k", "id * 2 as va")
+    b = spark.range(0, 1000).selectExpr("id as k", "id * 3 as vb")
+    cat.write_bucketed(a, "bkt_a", "k", n_buckets=8)
+    cat.write_bucketed(b, "bkt_b", "k", n_buckets=8)
+    try:
+        # force SMJ (tiny tables would broadcast); the point is that the
+        # sort-merge join reads bucketed data with NO shuffle exchange
+        joined = spark.table("bkt_a").hint("merge").join(spark.table("bkt_b"), "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
