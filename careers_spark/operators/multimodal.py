@@ -114,6 +114,40 @@ def extract_features(assets: DataFrame, decoder: str = "fake") -> DataFrame:
     )
 
 
+def resize_images(
+    assets: DataFrame, width: int = 224, height: int = 224, decoder: str = "fake"
+) -> DataFrame:
+    """Resize stage for image assets.
+
+    decoder="fake" emits a deterministic resized payload (md5-keyed
+    bytes of the target size header + original digest) so the batch
+    shape / schema / partition behavior is fully exercised;
+    decoder="real" is the PIL integration point (not in this env).
+    Output keeps the ASSETS schema with updated meta + payload.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def fn(batches):
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resize needs PIL; plug in here "
+                    "(Image.open(BytesIO(payload)).resize((w, h)))"
+                )
+            out = pdf.copy()
+            mask = out["kind"] == "image"
+            out.loc[mask, "payload"] = out.loc[mask, "payload"].map(
+                lambda p: hashlib.md5(p or b"").digest() + bytes([width % 256, height % 256])
+            )
+            out.loc[mask, "meta"] = out.loc[mask, "meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield out
+
+    return assets.mapInPandas(fn, schema=ASSETS)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan (timestamps only — decode is stubbed):
     one row per planned frame, derived from metadata, pure Catalyst."""

@@ -107,3 +107,27 @@ def test_frame_sample_plan(spark, documents):
     n_videos = assets.filter("kind = 'video'").count()
     assert plan.select("asset_id").distinct().count() == n_videos
     assert plan.filter("frame_ts_ms % 1000 != 0").count() == 0
+
+
+def test_resize_plumbing(spark, documents):
+    assets = MM.synth_assets(documents)
+    resized = MM.resize_images(assets, width=64, height=48, decoder="fake")
+    rows = resized.filter("kind = 'image'").collect()
+    assert rows
+    for r in rows:
+        assert r.meta.width == 64 and r.meta.height == 48
+        assert len(r.payload) == 18  # md5 digest + 2 size bytes
+    # non-image assets pass through untouched
+    vid = resized.filter("kind = 'video'").first()
+    orig = assets.filter("kind = 'video'").first()
+    assert vid.payload == orig.payload
+
+
+def test_resize_real_is_stubbed(spark, documents):
+    assets = MM.synth_assets(documents)
+    import pytest as _pytest
+    with _pytest.raises(Exception) as ei:
+        MM.resize_images(assets, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
