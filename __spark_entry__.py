@@ -367,10 +367,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
         MM.synth_assets(_t(spark, sf_dir, "documents"))
     )
-    # binary decode is stubbed (no media libs) -> rows-only check
-    q["multimodal_features"] = lambda spark, sf_dir: MM.extract_features(
-        MM.synth_assets(_t(spark, sf_dir, "documents")), decoder="fake"
-    )
+    # decode is stubbed (no media libs) but the fake features are
+    # md5-derived -> exploded to scalar uint16 dims for an EXACT oracle
+    # (r1's array<float> output broke the driver canonicalizer)
+    def multimodal_features(spark, sf_dir):
+        feats = MM.extract_features(
+            MM.synth_assets(_t(spark, sf_dir, "documents")), decoder="fake"
+        )
+        return feats.select(
+            "asset_id",
+            "kind",
+            F.posexplode("feature").alias("dim_idx", "val"),
+            "n_bytes",
+        ).select(
+            "asset_id",
+            "kind",
+            "dim_idx",
+            # float32 val = u16/65535 exactly recovers the integer
+            F.round(F.col("val") * 65535).cast("int").alias("feat_u16"),
+            "n_bytes",
+        )
+
+    q["multimodal_features"] = multimodal_features
 
     return q
 
@@ -752,6 +770,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b FROM l CROSS JOIN r WHERE id_a > 7000
         UNION ALL
         SELECT id_a, id_b FROM l CROSS JOIN r WHERE id_a <= 7000 AND id_b > 1000
+    """
+
+    o["multimodal_features"] = """
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+                 md5(text) AS h,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes
+          FROM documents
+        )
+        SELECT asset_id, kind, CAST(j AS INTEGER) AS dim_idx,
+               CAST(('0x' || substr(h, CAST(4*j+1 AS INTEGER), 2))::INTEGER
+                    + 256 * ('0x' || substr(h, CAST(4*j+3 AS INTEGER), 2))::INTEGER
+                    AS INTEGER) AS feat_u16,
+               n_bytes
+        FROM a CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
     """
 
     o["frame_sample_plan"] = """

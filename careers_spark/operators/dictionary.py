@@ -31,12 +31,12 @@ from careers_spark.functions.text import tokenize_udf
 TOP_CONTEXTS_K = 30
 TOP_TOPICS_PER_SURFACE = 50
 
-# allowedTopic blocklist (reference: Disambiguator.scala:83-95)
-_DISALLOWED_TOPIC_RE = (
-    r"^(Category:|List of |Table of )"
-    r"|\((novel|song|band|album|film|tv series)\)$"
-    r"|postcode"
-)
+# allowedTopic predicate pieces (reference: Disambiguator.scala:81-95 —
+# startsWith / contains / endsWith, all case-sensitive, exactly as the
+# reference spells them)
+DISALLOWED_TOPIC_PREFIXES = ("Main:List of", "Main:Table of", "Category:")
+DISALLOWED_TOPIC_SUBSTRINGS = ("(novel)", "(song)", "(band)", "(album)", "TV series")
+DISALLOWED_TOPIC_SUFFIXES = ("postcode area",)
 
 
 def word_doc_freq(transcripts: DataFrame) -> DataFrame:
@@ -138,30 +138,73 @@ def allowed_phrase(df: DataFrame, col: str = "surface") -> DataFrame:
     return df.filter(~F.col(col).rlike(r"^[0-9 ]+$"))
 
 
+def topic_allowed_col(col):
+    """Boolean Column implementing the reference allowedTopic predicate
+    (Disambiguator.scala:81-95): reject Main:List of / Main:Table of /
+    Category: prefixes, '... postcode area' suffix, and case-sensitive
+    contains of (novel)/(song)/(band)/(album)/'TV series'."""
+    c = F.col(col) if isinstance(col, str) else col
+    bad = F.lit(False)
+    for p in DISALLOWED_TOPIC_PREFIXES:
+        bad = bad | c.startswith(p)
+    for s in DISALLOWED_TOPIC_SUBSTRINGS:
+        bad = bad | c.contains(s)
+    for e in DISALLOWED_TOPIC_SUFFIXES:
+        bad = bad | c.endswith(e)
+    return ~bad
+
+
 def allowed_topic(df: DataFrame, col: str = "topic") -> DataFrame:
-    """Reject list/category/disambiguation-ish topics (Disambiguator.scala:83-95)."""
-    return df.filter(~F.col(col).rlike(_DISALLOWED_TOPIC_RE))
+    """Reject list/category/media-disambiguation topics — exact reference
+    semantics (Disambiguator.scala:81-95)."""
+    return df.filter(topic_allowed_col(col))
 
 
-# hand-listed context blocklist (reference: Disambiguator.scala:43-72 lists
-# 29 overbroad categories; the transcript-domain analogue keeps the shape)
+# hand-listed context blocklist, carried verbatim from the reference
+# (Disambiguator.scala:43-72 — including its oddities: the 'Category: '
+# spaced entry and the 'Categories:' prefixed final entry; the duplicate
+# first entry is kept once, set semantics)
 DISALLOWED_CONTEXTS = [
+    "Category:Main topic classifications",
+    "Category:Fundamental categories",
+    "Category:Categories",
+    "Category:Greek loanwords",
+    "Category:Philosophy redirects",
+    "Category:Protected redirects",
+    "Category:American websites",
+    "Category:1995 introductions",
+    "Category:Articles including recorded pronunciations (UK English)",
+    "Category:American inventions",
+    "Category:Article Feedback Pilot",
+    "Category:Swedish-speaking Finns",
+    "Category:Acronyms",
+    "Category:Articles with example code",
+    "Category:Articles with example pseudocode",
     "Category:Living people",
-    "Category:Disambiguation pages",
-    "Category:All articles with unsourced statements",
-    "Category:Articles with invalid date parameter in template",
+    "Category:Discovery and invention controversies",
+    "Category:Categories named after universities and colleges",
+    "Category:Computing acronyms",
+    "Category:Articles with inconsistent citation formats",
+    "Category:Organizations established in 1993",
+    "Category:Lists by country",
+    "Category:Redirects from Japanese-language terms",
+    "Category:Non-transitive categories",
+    "Category: Disambiguation pages",
+    "Category:Arabic words and phrases",
+    "Category:All articles lacking sources",
+    "Categories: Letter-number combination disambiguation pages",
 ]
 
 
 def allowed_context(df: DataFrame, col: str = "context") -> DataFrame:
-    """Reject blocklisted, 4-digit-year-dated, and redirect-ish contexts
-    (reference: Disambiguator.scala:43-102 allowedContext + the date
-    matcher at :74,99 — P8/P11)."""
+    """Reject blocklisted, 4-digit-year-dated, and redirect contexts —
+    exact reference semantics (Disambiguator.scala:43-79,97-102:
+    literal set, `[0-9]{4,4}` find, case-sensitive contains('redirect'))."""
     c = F.col(col)
     return df.filter(
         ~c.isin(DISALLOWED_CONTEXTS)
         & ~c.rlike(r"[0-9]{4}")
-        & ~F.lower(c).contains("redirect")
+        & ~c.contains("redirect")
     )
 
 

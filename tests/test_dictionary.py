@@ -61,6 +61,40 @@ def test_allowed_filters(spark):
     assert [r.topic for r in D.allowed_topic(df).collect()] == ["Main:Rice"]
 
 
+def test_allowed_topic_reference_goldens(spark):
+    """Exact reference allowedTopic semantics (Disambiguator.scala:81-95):
+    prefixes Main:List of / Main:Table of / Category:, case-sensitive
+    contains (novel)/(song)/(band)/(album)/'TV series', endswith
+    'postcode area' — including the cases VERDICT r1 flagged as leaking."""
+    rejected = [
+        "Main:List of rivers of Europe",
+        "Main:Table of contents",
+        "Category:Numbers",
+        "Main:Lost (TV series)",  # contains 'TV series', no end anchor
+        "Main:Lost (TV series) episodes",
+        "Main:1984 (novel)",
+        "Main:1984 (novel) adaptations",  # contains, not endswith
+        "Main:Hey Jude (song)",
+        "Main:Oasis (band)",
+        "Main:Thriller (album)",
+        "Main:SW postcode area",
+    ]
+    kept = [
+        "Main:Rice",
+        "Main:The Beatles",
+        "Main:Lists of lists",  # 'List of' must be a Main:-prefix match
+        "Main:A list of things",
+        "Main:Novels",  # '(novel)' is a literal parenthesized match
+        "Main:Tv series finales",  # case-sensitive: 'Tv' != 'TV'
+        "Main:Postcode areas in the UK",  # endswith only
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"topic": rejected + kept})
+    )
+    got = sorted(r.topic for r in D.allowed_topic(df).collect())
+    assert got == sorted(kept)
+
+
 def test_surface_priors(spark):
     sf = spark.createDataFrame(
         pd.DataFrame(

@@ -75,18 +75,28 @@ def test_dictionary_extras(spark):
     tc = spark.createDataFrame(
         pd.DataFrame(
             {
-                "topic": ["t"] * 4,
+                "topic": ["t"] * 6,
                 "context": [
                     "Category:Good",
-                    "Category:1984 births",
-                    "Category:Living people",
+                    "Category:1984 births",  # 4-digit date -> reject
+                    "Category:Living people",  # blocklist -> reject
+                    "Category:Soft redirects",  # contains 'redirect' -> reject
+                    # reference contains('redirect') is CASE-SENSITIVE:
+                    # capital-R 'Redirect' passes unless blocklisted
                     "Template:Redirect pages",
+                    "Category:Acronyms",  # blocklist entry r1 lacked -> reject
                 ],
             }
         )
     )
-    got = [r.context for r in D.allowed_context(tc).collect()]
-    assert got == ["Category:Good"]
+    got = sorted(r.context for r in D.allowed_context(tc).collect())
+    assert got == ["Category:Good", "Template:Redirect pages"]
+    # the full 28-entry reference blocklist is carried verbatim
+    assert len(D.DISALLOWED_CONTEXTS) == 28
+    full = spark.createDataFrame(
+        pd.DataFrame({"topic": ["t"] * 28, "context": D.DISALLOWED_CONTEXTS})
+    )
+    assert D.allowed_context(full).count() == 0
 
     t = spark.createDataFrame(
         pd.DataFrame(
