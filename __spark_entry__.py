@@ -41,6 +41,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # tokens / shingles SQL fragments shared by several oracles
 _DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')"
+# DuckDB twin of functions.text.tokenize_py (normalize: lower, drop ',
+# map / and - to space; then the c++/.net/c#/f# specials; then word
+# split). NFKD folding is a no-op on this corpus (the driver documents
+# table is ASCII-only); DuckDB's strip_accents is not NFKD-equivalent
+# (ligatures), so it is deliberately not applied here.
+_DUCK_TOKS_REF = (
+    "list_filter(regexp_split_to_array("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "translate(replace(lower(text), '''', ''), '/-', '  '), "
+    "'c\\+\\+', 'cplusplus', 'g'), '\\.net\\b', 'dotnet', 'g'), "
+    "'c#', 'csharp', 'g'), 'f#', 'fsharp', 'g'), "
+    "'[^a-z0-9]+'), t -> t != '')"
+)
 _DUCK_H64 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
 
 
@@ -328,6 +341,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DICT.phrase_doc_freq(men)
 
     q["phrase_doc_freq"] = phrase_doc_freq
+
+    def digest_grouped_ranks(spark, sf_dir):
+        from careers_spark.operators import digests as DG
+
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        p = _t(spark, sf_dir, "part")
+        digests = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter("o_custkey % 10 = 0")
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy(
+                F.col("o_custkey").cast("string").alias("conv_id"),
+                F.col("p_brand").alias("topic"),
+            )
+            .agg(F.sum(F.col("l_quantity").cast("double")).alias("weight"))
+        )
+        groups = p.groupBy(F.col("p_brand").alias("topic")).agg(
+            F.min("p_type").alias("group_id")
+        )
+        return DG.ranked_and_grouped(digests, groups).withColumn(
+            "weight", F.round("weight", 4)
+        )
+
+    q["digest_grouped_ranks"] = digest_grouped_ranks
 
     def incremental_pairs(spark, sf_dir):
         from careers_spark.operators import digests as DG
@@ -638,6 +676,103 @@ def oracle_sql() -> dict[str, str]:
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
     """
 
+    # lsh_ann_topk: the hyperplanes are deterministic md5 values, so the
+    # whole LSH (bucket, 1-bit multiprobe, exact re-rank) is expressible
+    # in DuckDB. Mirrors similarity._hyperplanes_df/_bucketize/_flip_probes
+    # with n_planes=6, k=5, dim=64, seed=42.
+    _np = 6
+    _flips = ",".join(
+        f"concat(substr(bucket, 1, {i}), "
+        f"CASE WHEN substr(bucket, {i + 1}, 1) = '0' THEN '1' ELSE '0' END, "
+        f"substr(bucket, {i + 2}))"
+        for i in range(_np)
+    )
+    o["lsh_ann_topk"] = f"""
+        WITH planes AS (
+          SELECT p, list(c ORDER BY d) AS plane FROM (
+            SELECT p, d,
+                   ('0x' || substr(md5('42_' || p || '_' || d), 1, 8))::BIGINT
+                     / 4294967295.0 - 0.5 AS c
+            FROM (SELECT unnest(range(0, {_np})) AS p)
+            CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+          ) GROUP BY p
+        ),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bits AS (
+          SELECT vec_id,
+                 string_agg(CASE WHEN list_dot_product(v, plane) > 0
+                            THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+          FROM vecs CROSS JOIN planes GROUP BY vec_id
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, unnest([bucket, {_flips}]) AS bucket
+          FROM bits WHERE vec_id % 50 = 0
+        ),
+        cands AS (
+          SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+          FROM probes p JOIN bits b ON b.bucket = p.bucket
+          WHERE b.vec_id <> p.query_id
+        ),
+        sims AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(list_dot_product(q.v, n.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+          FROM cands c
+          JOIN vecs q ON q.vec_id = c.query_id
+          JOIN vecs n ON n.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rk
+          FROM sims
+        ) WHERE rk <= 5
+    """
+
+    # entity_communities: synchronous LPA with deterministic ties and a
+    # self-vote is a fixpoint iteration — unrolling exactly max_iter=10
+    # rounds in SQL reproduces Spark's early-stopped result (a converged
+    # labeling is stable under further rounds).
+    _lpa = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst, CAST(count(*) AS BIGINT) AS w
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        ),
+        bidir AS MATERIALIZED (
+          SELECT src AS u, dst AS v, w FROM e
+          UNION ALL SELECT dst AS u, src AS v, w FROM e
+        ),
+        selfw AS MATERIALIZED (SELECT u AS node, max(w) AS w FROM bidir GROUP BY u),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM bidir)"""
+    ]
+    for _k in range(1, 11):
+        _lpa.append(
+            f"""v{_k} AS MATERIALIZED (
+          SELECT node, label, sum(w) AS votes FROM (
+            SELECT b.u AS node, l.label, b.w
+            FROM bidir b JOIN l{_k - 1} l ON l.node = b.v
+            UNION ALL
+            SELECT s.node, l.label, s.w
+            FROM selfw s JOIN l{_k - 1} l ON l.node = s.node
+          ) GROUP BY node, label
+        ),
+        l{_k} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY votes DESC, label) AS rk
+            FROM v{_k}
+          ) WHERE rk = 1
+        )"""
+        )
+    o["entity_communities"] = (
+        "WITH " + ",\n".join(_lpa) + "\nSELECT node, label AS community FROM l10"
+    )
+
     o["token_counts"] = f"""
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
@@ -751,11 +886,13 @@ def oracle_sql() -> dict[str, str]:
         HAVING round(sum(a.weight * b.weight), 6) >= 0.5
     """
 
+    # uses the tokenize_py twin so the oracle matches the mention scan's
+    # tokenization semantics (apostrophes, specials), not just this corpus
     phrase_likes = []
     for surf, _t2, _c in flagship.TECH_SURFACES:
         phrase_likes.append(
             f"SELECT '{surf}' AS surface, CAST(count(*) AS BIGINT) AS doc_freq "
-            f"FROM (SELECT ' ' || array_to_string({_DUCK_TOKS}, ' ') || ' ' AS padded "
+            f"FROM (SELECT ' ' || array_to_string({_DUCK_TOKS_REF}, ' ') || ' ' AS padded "
             f"FROM documents) WHERE padded LIKE '% {surf} %'"
         )
     o["phrase_doc_freq"] = (
@@ -763,6 +900,37 @@ def oracle_sql() -> dict[str, str]:
         + " UNION ALL ".join(phrase_likes)
         + ") WHERE doc_freq > 0"
     )
+
+    o["digest_grouped_ranks"] = """
+        WITH digests AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS conv_id, p_brand AS topic,
+                 sum(CAST(l_quantity AS DOUBLE)) AS weight
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE o_custkey % 10 = 0
+          GROUP BY 1, 2
+        ),
+        groups AS (SELECT p_brand AS topic, min(p_type) AS group_id
+                   FROM part GROUP BY 1),
+        ranked AS (
+          SELECT d.conv_id, d.topic, d.weight,
+                 row_number() OVER (PARTITION BY d.conv_id
+                                    ORDER BY d.weight DESC, d.topic) - 1 AS rank,
+                 coalesce(g.group_id, d.topic) AS group_id
+          FROM digests d LEFT JOIN groups g ON g.topic = d.topic
+        ),
+        avgd AS (
+          SELECT *, avg(rank) OVER (PARTITION BY conv_id, group_id) AS avg_rank
+          FROM ranked
+        )
+        SELECT conv_id, group_id,
+               CAST(dense_rank() OVER (PARTITION BY conv_id
+                                       ORDER BY avg_rank, group_id) AS INTEGER) AS group_order,
+               round(avg_rank, 6) AS avg_rank,
+               topic, CAST(rank AS INTEGER) AS rank, round(weight, 4) AS weight
+        FROM avgd
+    """
 
     o["incremental_pairs"] = """
         WITH l AS (SELECT o_orderkey AS id_a FROM orders WHERE o_orderkey % 100 = 0),

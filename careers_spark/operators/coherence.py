@@ -25,10 +25,27 @@ site/alternative builder Disambiguator.scala:105-208):
 Runs as a cogrouped applyInPandas over (candidates, turns) keyed by
 conv_id — the conversation IS the coherence window, so no cross-group
 state exists and the stage parallelizes embarrassingly.
+
+Performance posture (the stage is the pipeline's only Python hot path):
+
+  - context vectors are INTERNED on the driver (topic/context strings ->
+    int ids, vectors -> sorted numpy arrays) and broadcast once; ids are
+    assigned in lexicographic order so integer comparisons reproduce the
+    reference's name-ordered tie-breaks exactly;
+  - topic-pair similarities are memoized in a worker-lifetime cache on
+    the broadcast object (pairs repeat massively across conversations —
+    the per-conversation cache of round 1 wasted that reuse);
+  - candidate batches are processed as numpy column slices (lexsort +
+    boundary splits), not per-row python tuples;
+  - turn text is only tokenized for turns holding >= 2 chosen mentions
+    (gap-pattern extraction needs nothing else), and the transcripts
+    side of the cogroup is pre-filtered to those turns with a slim
+    semi-join so unneeded text never rides the shuffle.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -41,6 +58,74 @@ RESOLVED_SCHEMA = (
 )
 
 _EPS = 1e-6
+_SIM_CACHE_MAX = 4_000_000  # worker-heap guard: ~64B/entry -> ~256MB cap
+
+
+class InternedContexts:
+    """Broadcastable interned form of the per-topic context vectors.
+
+    Ids cover every string that is a topic OR appears inside a context
+    vector; they are assigned in sorted order so `id_a < id_b` iff
+    `name_a < name_b` (the resolver's tie-breaks are name-ordered).
+    The pair-sim cache lives on the instance: one deserialized copy per
+    python worker serves every batch of the stage.
+    """
+
+    def __init__(self, ctx_map: dict[str, dict[str, float]]):
+        names = sorted(set(ctx_map) | {c for v in ctx_map.values() for c in v})
+        self.names = names
+        self.tid = {n: i for i, n in enumerate(names)}
+        n = len(names)
+        empty_i = np.empty(0, np.int64)
+        empty_w = np.empty(0, np.float64)
+        self.ids: list[np.ndarray] = [empty_i] * n
+        self.ws: list[np.ndarray] = [empty_w] * n
+        for name, vec in ctx_map.items():
+            if not vec:
+                continue
+            i = self.tid[name]
+            pairs = sorted((self.tid[c], float(w)) for c, w in vec.items())
+            self.ids[i] = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+            self.ws[i] = np.fromiter((p[1] for p in pairs), np.float64, len(pairs))
+        self._cache: dict[int, float] = {}
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_cache"] = {}
+        return d
+
+    def sim(self, a: int, b: int) -> float:
+        """Topic-topic compatibility (AmbiguityForest.scala:832-875):
+        shared-context w*w plus direct topic-as-context links. a/b are
+        interned ids; -1 means "not in the interning space" (no contexts
+        and never a context) — sim is identically 0 there."""
+        if a == b or a < 0 or b < 0:
+            return 0.0
+        key = (a << 32) | b if a < b else (b << 32) | a
+        cache = self._cache
+        v = cache.get(key)
+        if v is not None:
+            return v
+        ia, wa = self.ids[a], self.ws[a]
+        ib, wb = self.ids[b], self.ws[b]
+        s = 0.0
+        if len(ia) and len(ib):
+            _, ka, kb = np.intersect1d(ia, ib, assume_unique=True, return_indices=True)
+            if len(ka):
+                s += float(wa[ka] @ wb[kb])
+        # direct links: b in ctx(a), a in ctx(b)
+        if len(ia):
+            p = np.searchsorted(ia, b)
+            if p < len(ia) and ia[p] == b:
+                s += float(wa[p])
+        if len(ib):
+            p = np.searchsorted(ib, a)
+            if p < len(ib) and ib[p] == a:
+                s += float(wb[p])
+        if len(cache) >= _SIM_CACHE_MAX:
+            cache.clear()
+        cache[key] = s
+        return s
 
 
 def _build_sites(spans: list[tuple[int, int, int]]) -> list[list[int]]:
@@ -104,112 +189,99 @@ def _alternatives(site: list[int], spans: list[tuple[int, int, int]]) -> list[li
     return [list(a) for a in sorted(uniq)]
 
 
-def _sim(ctx_a: dict, ctx_b: dict, ta: str, tb: str) -> float:
-    """Topic-topic compatibility: shared-context w*w plus direct
-    topic-as-context links (AmbiguityForest.scala:832-875)."""
-    if ta == tb:
-        return 0.0
-    small, big = (ctx_a, ctx_b) if len(ctx_a) <= len(ctx_b) else (ctx_b, ctx_a)
-    s = 0.0
-    for c, w in small.items():
-        wb = big.get(c)
-        if wb is not None:
-            s += w * wb
-    s += ctx_a.get(tb, 0.0)
-    s += ctx_b.get(ta, 0.0)
-    return s
-
-
-def _resolve_conv_rows(
+def _resolve_conv(
     conv_id: str,
-    cand_rows: list[tuple],
-    turn_rows: list[tuple],
-    ctx_map: dict[str, dict],
-) -> list[tuple]:
-    """Resolve one conversation. cand_rows: (turn_idx, start, end, surface,
-    topic, prior); turn_rows: (turn_idx, text). Plain-python rows — the
-    pandas slicing per tiny conversation dominated the stage cost.
+    turn: np.ndarray,
+    start: np.ndarray,
+    end: np.ndarray,
+    surf_code: np.ndarray,
+    surf_names: np.ndarray,
+    topic_code: np.ndarray,
+    topic_names: np.ndarray,
+    topic_gid: np.ndarray,
+    prior: np.ndarray,
+    turns_text: dict[int, str],
+    ctx: InternedContexts,
+    out_rows: list[tuple],
+) -> None:
+    """Resolve one conversation from presorted numpy candidate slices.
 
-    Context vectors come from the broadcast ctx_map (dimension-sized,
-    the analogue of the reference's in-RAM linkWeights arrays,
-    Disambiguator.scala:219-227) — NOT from per-row shuffle payload.
+    Rows arrive sorted by (turn, start, end, topic_code); topic_code is
+    the batch-local lexicographic factorization (tie-breaks), topic_gid
+    the interned ctx id (-1 when unknown). Appends to out_rows.
     """
-    out_rows: list[tuple] = []
-    if not cand_rows:
-        return out_rows
+    n_rows = len(turn)
+    # --- mention boundaries (same (turn,start,end) -> one mention) --------
+    m_first: list[int] = [0]
+    for r in range(1, n_rows):
+        if turn[r] != turn[r - 1] or start[r] != start[r - 1] or end[r] != end[r - 1]:
+            m_first.append(r)
+    m_first.append(n_rows)
+    n = len(m_first) - 1
 
-    # --- group candidate rows into mentions -------------------------------
-    _EMPTY: dict = {}
-    cand_rows = sorted(cand_rows)
-    mkeys: list[tuple[int, int, int, str]] = []
-    mcands: list[list[tuple[str, float, dict]]] = []
-    midx: dict[tuple, int] = {}
-    for t, s, e, surf, topic, prior in cand_rows:
-        key = (t, s, e, surf)
-        i = midx.get(key)
-        if i is None:
-            i = len(mkeys)
-            midx[key] = i
-            mkeys.append(key)
-            mcands.append([])
-        mcands[i].append((topic, float(prior), ctx_map.get(topic, _EMPTY)))
-
-    spans = [(k[0], k[1], k[2]) for k in mkeys]
+    spans = [(int(turn[m_first[i]]), int(start[m_first[i]]), int(end[m_first[i]]))
+             for i in range(n)]
     sites = _build_sites(spans)
-    site_of = {}
+    site_of = [0] * n
     for si, site in enumerate(sites):
         for i in site:
             site_of[i] = si
 
-    n = len(mkeys)
-
-    # topic-pair similarities repeat across mentions and rounds within a
-    # conversation — memoize (symmetric: _sim's shared-context term and
-    # both direct-link terms are order-independent)
-    sim_cache: dict[tuple[str, str], float] = {}
-
-    def csim(ta: str, ca: dict, tb: str, cb: dict) -> float:
-        key = (ta, tb) if ta <= tb else (tb, ta)
-        v = sim_cache.get(key)
-        if v is None:
-            v = _sim(ca, cb, ta, tb)
-            sim_cache[key] = v
-        return v
+    sim = ctx.sim
 
     # --- round 1: support against prior-weighted peers ---------------------
-    def support(i: int, topic: str, ctx: dict, peers: list[tuple[int, str, float, dict]]) -> float:
+    # peers: every candidate row, tagged with its mention's site
+    row_site = np.empty(n_rows, np.int64)
+    for i in range(n):
+        row_site[m_first[i]: m_first[i + 1]] = site_of[i]
+
+    def support(site_i: int, gid: int) -> float:
         s = 0.0
-        for j, tj, wj, cj in peers:
-            if site_of[j] == site_of[i]:
+        for r in range(n_rows):
+            if row_site[r] == site_i:
                 continue  # same-site exclusion (AmbiguityForest.scala:783-784)
-            s += csim(topic, ctx, tj, cj) * wj
+            s += sim(gid, topic_gid[r]) * prior[r]
         return s
 
-    peers_r1 = [
-        (i, t, p, c)
-        for i in range(n)
-        for (t, p, c) in mcands[i]
-    ]
-    winners: list[tuple[str, float, dict]] = []
+    winners_code = np.empty(n, np.int64)
+    winners_gid = np.empty(n, np.int64)
+    winners_prior = np.empty(n, np.float64)
     for i in range(n):
-        best = None
-        for t, p, c in mcands[i]:
-            sc = p * (_EPS + support(i, t, c, peers_r1))
-            key = (sc, t)
-            if best is None or sc > best[0] or (sc == best[0] and t < best[1]):
-                best = (sc, t, p, c)
-        winners.append((best[1], best[2], best[3]))
+        lo, hi = m_first[i], m_first[i + 1]
+        best_sc, best_c = -1.0, -1
+        for r in range(lo, hi):
+            sc = prior[r] * (_EPS + support(site_of[i], topic_gid[r]))
+            # candidates are code-sorted, so strict > keeps the smallest
+            # topic name on ties (reference name-ordered tie-break)
+            if sc > best_sc:
+                best_sc, best_c = sc, r
+        winners_code[i] = topic_code[best_c]
+        winners_gid[i] = topic_gid[best_c]
+        winners_prior[i] = prior[best_c]
 
     # --- round 2: re-score against round-1 winners -------------------------
-    peers_r2 = [(i, t, p, c) for i, (t, p, c) in enumerate(winners)]
-    final: list[tuple[str, float]] = []
+    final_code = np.empty(n, np.int64)
+    final_score = np.empty(n, np.float64)
+    final_row = np.empty(n, np.int64)
+
+    def support2(site_i: int, gid: int) -> float:
+        s = 0.0
+        for j in range(n):
+            if site_of[j] == site_i:
+                continue
+            s += sim(gid, winners_gid[j]) * winners_prior[j]
+        return s
+
     for i in range(n):
-        best = None
-        for t, p, c in mcands[i]:
-            sc = p * (_EPS + support(i, t, c, peers_r2))
-            if best is None or sc > best[0] or (sc == best[0] and t < best[1]):
-                best = (sc, t)
-        final.append((best[1], best[0]))
+        lo, hi = m_first[i], m_first[i + 1]
+        best_sc, best_c = -1.0, -1
+        for r in range(lo, hi):
+            sc = prior[r] * (_EPS + support2(site_of[i], topic_gid[r]))
+            if sc > best_sc:
+                best_sc, best_c = sc, r
+        final_code[i] = topic_code[best_c]
+        final_score[i] = best_sc
+        final_row[i] = best_c
 
     # --- pick best alternative per site (coverage, then score) ------------
     chosen: list[int] = []
@@ -218,7 +290,7 @@ def _resolve_conv_rows(
         best_alt, best_key = None, None
         for alt in alts:
             coverage = sum(spans[i][2] - spans[i][1] + 1 for i in alt)
-            score = sum(final[i][1] for i in alt)
+            score = sum(float(final_score[i]) for i in alt)
             key = (coverage, score, tuple(alt))
             if best_key is None or key > best_key:
                 best_key, best_alt = key, alt
@@ -226,30 +298,39 @@ def _resolve_conv_rows(
 
     chosen.sort(key=lambda i: (spans[i][0], spans[i][1]))
     for i in chosen:
-        t, s, e, surf = mkeys[i]
-        topic, score = final[i]
-        out_rows.append((conv_id, t, "link", s, e, surf, topic, score, None, None))
+        t, s, e = spans[i]
+        out_rows.append(
+            (
+                conv_id, t, "link", s, e,
+                surf_names[surf_code[m_first[i]]],
+                topic_names[final_code[i]],
+                float(final_score[i]), None, None,
+            )
+        )
 
     # --- triple extraction over adjacent resolved mentions ----------------
-    toks_by_turn = {ti: tokenize_py(tx) for ti, tx in turn_rows}
     by_turn: dict[int, list[int]] = {}
     for i in chosen:
         by_turn.setdefault(spans[i][0], []).append(i)
-    for turn, idxs in by_turn.items():
-        toks = toks_by_turn.get(turn, [])
+    for t, idxs in by_turn.items():
+        if len(idxs) < 2:
+            continue  # no adjacent pair -> no gap to inspect (skip tokenize)
+        toks = tokenize_py(turns_text.get(t, ""))
         idxs.sort(key=lambda i: spans[i][1])
         for a, b in zip(idxs, idxs[1:]):
-            gap = " ".join(toks[spans[a][2] + 1 : spans[b][1]])
+            gap = " ".join(toks[spans[a][2] + 1: spans[b][1]])
             pred = PRED_PATTERNS.get(gap)
             if pred is not None:
                 out_rows.append(
                     (
-                        conv_id, turn, "triple",
-                        spans[a][1], spans[b][2], mkeys[a][3],
-                        final[a][0], final[a][1], pred, final[b][0],
+                        conv_id, t, "triple",
+                        spans[a][1], spans[b][2],
+                        surf_names[surf_code[m_first[a]]],
+                        topic_names[final_code[a]],
+                        float(final_score[a]), pred,
+                        topic_names[final_code[b]],
                     )
                 )
-    return out_rows
 
 
 def _rows_to_pdf(rows: list[tuple]) -> pd.DataFrame:
@@ -269,7 +350,7 @@ def _rows_to_pdf(rows: list[tuple]) -> pd.DataFrame:
 def resolve(
     candidates: DataFrame,
     transcripts: DataFrame,
-    context_vectors,  # DataFrame (topic, ctx_ids, ctx_ws) or prebuilt dict
+    context_vectors,  # DataFrame (topic, ctx_ids, ctx_ws) | dict | InternedContexts
     n_buckets: int | None = None,
 ) -> DataFrame:
     """Cogrouped per-conversation resolution, bucket-batched.
@@ -279,7 +360,10 @@ def resolve(
         vectors ride a BROADCAST, not the shuffle (carrying 30-element
         arrays per candidate row multiplied shuffle volume ~10x and made
         this stage I/O-bound).
-    transcripts: (conv_id, turn_idx, text) — needed for gap tokens
+    transcripts: (conv_id, turn_idx, text) — needed for gap tokens; only
+        turns carrying >= 2 mention spans are shipped (slim semi-join —
+        chosen mentions are a subset of mention spans, so the gap pass
+        never needs the others).
     context_vectors: (topic, ctx_ids, ctx_ws) dimension table
     Returns the unified link/triple frame (RESOLVED_SCHEMA).
 
@@ -297,14 +381,29 @@ def resolve(
     if n_buckets is None:
         n_buckets = 16 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    if isinstance(context_vectors, dict):
-        ctx_map = context_vectors
+    if isinstance(context_vectors, InternedContexts):
+        interned = context_vectors
+    elif isinstance(context_vectors, dict):
+        interned = InternedContexts(context_vectors)
     else:
-        ctx_map = {
-            r.topic: dict(zip(list(r.ctx_ids), list(r.ctx_ws)))
-            for r in context_vectors.select("topic", "ctx_ids", "ctx_ws").collect()
-        }
-    ctx_bc = spark.sparkContext.broadcast(ctx_map)
+        interned = InternedContexts(
+            {
+                r.topic: dict(zip(list(r.ctx_ids), list(r.ctx_ws)))
+                for r in context_vectors.select("topic", "ctx_ids", "ctx_ws").collect()
+            }
+        )
+    ctx_bc = spark.sparkContext.broadcast(interned)
+
+    # only turns that can yield a gap pattern need their text shipped
+    eligible_turns = (
+        candidates.groupBy("conv_id", "turn_idx")
+        .agg(F.countDistinct("start", "end").alias("nm"))
+        .filter(F.col("nm") >= 2)
+        .select("conv_id", "turn_idx")
+    )
+    turns_slim = transcripts.select("conv_id", "turn_idx", "text").join(
+        eligible_turns, ["conv_id", "turn_idx"], "left_semi"
+    )
 
     bucket = lambda df: df.withColumn(  # noqa: E731
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
@@ -312,35 +411,61 @@ def resolve(
 
     def fn(cand_pdf: pd.DataFrame, turns_pdf: pd.DataFrame) -> pd.DataFrame:
         ctx = ctx_bc.value
-        turns_by_conv: dict[str, list[tuple]] = {}
-        for c, ti, tx in zip(
-            turns_pdf["conv_id"].tolist(),
-            turns_pdf["turn_idx"].tolist(),
-            turns_pdf["text"].tolist(),
-        ):
-            turns_by_conv.setdefault(c, []).append((int(ti), tx))
-        cands_by_conv: dict[str, list[tuple]] = {}
-        for c, t, s, e, surf, topic, prior in zip(
-            cand_pdf["conv_id"].tolist(),
-            cand_pdf["turn_idx"].tolist(),
-            cand_pdf["start"].tolist(),
-            cand_pdf["end"].tolist(),
-            cand_pdf["surface"].tolist(),
-            cand_pdf["topic"].tolist(),
-            cand_pdf["prior"].tolist(),
-        ):
-            cands_by_conv.setdefault(c, []).append(
-                (int(t), int(s), int(e), surf, topic, prior)
-            )
+        if not len(cand_pdf):
+            return _rows_to_pdf([])
+
+        conv_code, conv_names = pd.factorize(cand_pdf["conv_id"], sort=True)
+        surf_code, surf_names = pd.factorize(cand_pdf["surface"], sort=True)
+        # sort=True makes integer code order == lexicographic name order,
+        # preserving the reference's name-ordered tie-breaks
+        topic_code, topic_names = pd.factorize(cand_pdf["topic"], sort=True)
+        tid = ctx.tid
+        topic_gid_lut = np.fromiter(
+            (tid.get(t, -1) for t in topic_names), np.int64, len(topic_names)
+        )
+
+        turn = cand_pdf["turn_idx"].to_numpy(np.int64)
+        start = cand_pdf["start"].to_numpy(np.int64)
+        end = cand_pdf["end"].to_numpy(np.int64)
+        prior = cand_pdf["prior"].to_numpy(np.float64)
+
+        order = np.lexsort((topic_code, end, start, turn, conv_code))
+        conv_code = conv_code[order]
+        turn, start, end = turn[order], start[order], end[order]
+        surf_code, topic_code, prior = (
+            surf_code[order], topic_code[order], prior[order]
+        )
+        topic_gid = topic_gid_lut[topic_code]
+        surf_names = np.asarray(surf_names, dtype=object)
+        topic_names = np.asarray(topic_names, dtype=object)
+
+        # turn texts per conversation (only eligible turns arrive)
+        texts_by_conv: dict[str, dict[int, str]] = {}
+        if len(turns_pdf):
+            for c, ti, tx in zip(
+                turns_pdf["conv_id"].to_numpy(),
+                turns_pdf["turn_idx"].to_numpy(),
+                turns_pdf["text"].to_numpy(),
+            ):
+                texts_by_conv.setdefault(c, {})[int(ti)] = tx
+
+        # conversation boundaries in the sorted batch
+        bounds = np.flatnonzero(np.diff(conv_code)) + 1
+        starts = np.concatenate(([0], bounds, [len(conv_code)]))
+
         rows: list[tuple] = []
-        for conv_id in sorted(cands_by_conv):
-            rows.extend(
-                _resolve_conv_rows(
-                    conv_id,
-                    cands_by_conv[conv_id],
-                    turns_by_conv.get(conv_id, []),
-                    ctx,
-                )
+        for k in range(len(starts) - 1):
+            lo, hi = int(starts[k]), int(starts[k + 1])
+            cid = conv_names[conv_code[lo]]
+            _resolve_conv(
+                cid,
+                turn[lo:hi], start[lo:hi], end[lo:hi],
+                surf_code[lo:hi], surf_names,
+                topic_code[lo:hi], topic_names, topic_gid[lo:hi],
+                prior[lo:hi],
+                texts_by_conv.get(cid, {}),
+                ctx,
+                rows,
             )
         return _rows_to_pdf(rows)
 
@@ -349,9 +474,7 @@ def resolve(
             "conv_id", "turn_idx", "start", "end", "surface", "topic", "prior"
         ))
         .groupby("bucket")
-        .cogroup(
-            bucket(transcripts.select("conv_id", "turn_idx", "text")).groupby("bucket")
-        )
+        .cogroup(bucket(turns_slim).groupby("bucket"))
         .applyInPandas(fn, schema=RESOLVED_SCHEMA)
     )
 

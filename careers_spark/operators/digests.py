@@ -63,6 +63,42 @@ def digest_similarity(
     )
 
 
+def ranked_and_grouped(digests: DataFrame, groups: DataFrame) -> DataFrame:
+    """TopicVector.rankedAndGrouped (reference: TopicVector.scala:86-108):
+    rank a conversation's topics by weight desc (0-based, like the
+    reference's zipWithIndex), attach each topic's group id, average the
+    ranks per group, and order groups by ascending average rank.
+
+    groups: (topic, group_id) dimension table — the reference assigns
+    groupId by clustering the document's topics at strictness 0.7 inside
+    getDocumentDigest (AmbiguityForest.scala:1157-1212); any
+    deterministic topic->group mapping plugs in here (communities,
+    strongest-context, or a taxonomy column). Topics without a group
+    form singleton groups keyed by their own name.
+
+    Output is flat (one row per ranked topic) so it stays
+    window/groupBy-only and engine-comparable:
+    (conv_id, group_id, group_order, avg_rank, topic, rank, weight).
+    """
+    w = Window.partitionBy("conv_id").orderBy(F.desc("weight"), F.asc("topic"))
+    ranked = digests.withColumn("rank", F.row_number().over(w) - 1)
+    g = (
+        ranked.join(F.broadcast(groups.select("topic", "group_id")), "topic", "left")
+        .withColumn("group_id", F.coalesce(F.col("group_id"), F.col("topic")))
+    )
+    avg_w = Window.partitionBy("conv_id", "group_id")
+    order_w = Window.partitionBy("conv_id").orderBy("avg_rank", "group_id")
+    return (
+        g.withColumn("avg_rank", F.avg("rank").over(avg_w))
+        .withColumn("group_order", F.dense_rank().over(order_w))
+        .select(
+            "conv_id", "group_id", "group_order",
+            F.round("avg_rank", 6).alias("avg_rank"),
+            "topic", "rank", "weight",
+        )
+    )
+
+
 def incremental_pairs(
     left: DataFrame,
     right: DataFrame,

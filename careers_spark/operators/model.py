@@ -26,13 +26,27 @@ class KGModel:
     automaton: TokenAhoCorasick
     ctx_map: dict[str, dict[str, float]]
 
+    # heap guard: the model is a driver-collected broadcast dim, the same
+    # memory contract as the reference's ~300 MB phrase map loaded per
+    # task (WordInTopicCount.scala:19-25). Topics x top-30 contexts at
+    # ~100B/entry -> ~30 GB at the cap; anything larger is a schema bug,
+    # not a bigger dictionary.
+    MAX_CONTEXT_TOPICS = 10_000_000
+
     @classmethod
     def build(
         cls, surface_forms: DataFrame, context_vectors: DataFrame
     ) -> "KGModel":
+        dim = context_vectors.select("topic", "ctx_ids", "ctx_ws")
+        n = dim.count()  # fail fast BEFORE the collect
+        if n > cls.MAX_CONTEXT_TOPICS:
+            raise MemoryError(
+                f"context-vector dimension too large to broadcast: {n} topics "
+                f"(cap {cls.MAX_CONTEXT_TOPICS}); check the dictionary filters"
+            )
         ctx_map = {
             r.topic: dict(zip(list(r.ctx_ids), list(r.ctx_ws)))
-            for r in context_vectors.select("topic", "ctx_ids", "ctx_ws").collect()
+            for r in dim.collect()
         }
         return cls(automaton=build_automaton(surface_forms), ctx_map=ctx_map)
 

@@ -79,19 +79,50 @@ def brute_force_topk(
 
 def _hyperplanes_df(spark, n_planes: int, dim: int, seed: int = 42) -> DataFrame:
     """Deterministic pseudo-random hyperplanes as a broadcastable dim
-    table: component = centered md5-hash of (seed, plane, dim)."""
+    table: component = centered md5-hash of (seed, plane, dim). Component
+    order is pinned by sorting (d, c) structs inside the aggregate —
+    collect_list order after a shuffle is not otherwise guaranteed."""
     return spark.sql(
         f"""
-        select p, collect_list(c) as plane from (
+        select p, transform(array_sort(collect_list(struct(d, c))), s -> s.c) as plane
+        from (
           select p, d,
                  (cast(conv(substr(md5(concat('{seed}', '_', p, '_', d)), 1, 8), 16, 10) as double)
                   / 4294967295.0 - 0.5) as c
           from (select explode(sequence(0, {n_planes - 1})) as p) cross join
                (select explode(sequence(0, {dim - 1})) as d)
-          order by p, d
         ) group by p
         """
     )
+
+
+def _bucketize(df: DataFrame, planes: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Sign-bit LSH bucket key per vector: (id_col, vec_col, bucket)."""
+    return (
+        df.crossJoin(F.broadcast(planes))
+        .withColumn("bit", (F.expr(_dot(vec_col, "plane")) > 0).cast("int"))
+        .groupBy(F.col(id_col), F.col(vec_col))
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "bit"))),
+                    lambda s: s["bit"].cast("string"),
+                ),
+            ).alias("bucket")
+        )
+    )
+
+
+def _flip_probes(n_planes: int) -> str:
+    """SQL array expr of a bucket key plus all its 1-bit flips."""
+    flips = ",".join(
+        f"concat(substr(bucket, 1, {i}), "
+        f"case when substr(bucket, {i + 1}, 1) = '0' then '1' else '0' end, "
+        f"substr(bucket, {i + 2}))"
+        for i in range(n_planes)
+    )
+    return f"array(bucket, {flips})"
 
 
 def lsh_bucketed_topk(
@@ -102,6 +133,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-bit bucket join + exact re-rank.
 
@@ -113,24 +145,12 @@ def lsh_bucketed_topk(
     making the candidate join local.
     """
     spark = embeddings.sparkSession
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes_df(spark, n_planes, dim)
 
     def bucketed(df: DataFrame, idc: str) -> DataFrame:
-        return (
-            df.crossJoin(F.broadcast(planes))
-            .withColumn("bit", (F.expr(_dot(vec_col, "plane")) > 0).cast("int"))
-            .groupBy(F.col(idc), F.col(vec_col))
-            .agg(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("p", "bit"))),
-                        lambda s: s["bit"].cast("string"),
-                    ),
-                ).alias("bucket")
-            )
-        )
+        return _bucketize(df, planes, idc, vec_col)
 
     base = bucketed(embeddings, id_col).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "bucket"
@@ -140,16 +160,10 @@ def lsh_bucketed_topk(
     )
     if multiprobe >= 1:
         # probe keys: own bucket + every 1-bit flip of it
-        flips = ",".join(
-            f"concat(substr(bucket, 1, {i}), "
-            f"case when substr(bucket, {i + 1}, 1) = '0' then '1' else '0' end, "
-            f"substr(bucket, {i + 2}))"
-            for i in range(n_planes)
-        )
         queries = queries.select(
             "query_id",
             "qvec",
-            F.explode(F.expr(f"array(bucket, {flips})")).alias("bucket"),
+            F.explode(F.expr(_flip_probes(n_planes))).alias("bucket"),
         )
     sims = (
         queries.join(base, "bucket")
@@ -176,26 +190,61 @@ def lsh_bucketed_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    sample_pred: str = "true",
+    sample_pred: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b) above threshold."""
-    e = embeddings.filter(sample_pred).select(
+    """Embedding-cosine near-duplicate pairs (a < b) above threshold.
+
+    With a narrowing `sample_pred` the exact all-pairs cross join runs
+    (the oracle-checkable baseline). Unsampled input routes through the
+    LSH sign-bit buckets with 1-bit multiprobe — candidate pairs share a
+    (possibly flipped) bucket key, then exact cosine verifies — so the
+    100 TB path has NO CartesianProduct; recall is the standard LSH
+    trade and is gated in tests against the exact path.
+    """
+    exact = sample_pred not in (None, "true", "")
+    e = embeddings.filter(sample_pred or "true").select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    a = e.selectExpr("id as id_a", "v as va")
-    b = e.selectExpr("id as id_b", "v as vb")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.expr(_dot("va", "vb")) / (F.expr(_norm("va")) * F.expr(_norm("vb"))),
-                6,
-            ).alias("sim"),
+
+    def _sim(va: str, vb: str):
+        return F.round(
+            F.expr(_dot(va, vb)) / (F.expr(_norm(va)) * F.expr(_norm(vb))), 6
         )
-        .filter(F.col("sim") >= threshold)
+
+    if exact:
+        a = e.selectExpr("id as id_a", "v as va")
+        b = e.selectExpr("id as id_b", "v as vb")
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", _sim("va", "vb").alias("sim"))
+            .filter(F.col("sim") >= threshold)
+        )
+
+    spark = embeddings.sparkSession
+    if dim is None:
+        dim = len(e.select("v").first()[0])
+    planes = _hyperplanes_df(spark, n_planes, dim)
+    bk = _bucketize(e, planes, "id", "v")
+    probes = bk.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.explode(F.expr(_flip_probes(n_planes))).alias("bucket"),
+    )
+    cands = (
+        probes.join(
+            bk.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+            ),
+            "bucket",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.select("id_a", "id_b", _sim("va", "vb").alias("sim")).filter(
+        F.col("sim") >= threshold
     )

@@ -23,16 +23,29 @@ SYNTH_DOMAINS = 8
 
 
 def kg_run_in_memory(
-    spark: SparkSession, transcripts: DataFrame, raw: dict[str, DataFrame]
+    spark: SparkSession, transcripts: DataFrame, raw: dict[str, DataFrame],
+    tfidf: bool = True,
 ) -> dict[str, DataFrame]:
     """dictionary -> mentions -> linking -> coherence -> canonical triples,
-    without stage materialization (for queries()/entry smoke paths)."""
-    resolved_r = D.resolve_redirects(raw["redirects"])
-    sf = D.surface_priors(D.build_surface_forms(raw["surface_forms_raw"], resolved_r))
-    ctx = D.topic_context_vectors(D.top_contexts(D.link_weights(raw["topic_contexts"])))
+    without stage materialization (for queries()/entry smoke paths).
+    Defaults match KGPipeline.run_corpus: TF-IDF context-cosine linking
+    scores and the second-order/allowedContext dictionary build."""
+    built = D.build_dictionary(raw)
+    resolved_r = built["redirects_resolved"]
+    sf = built["surface_forms"]
+    ctx = built["context_vectors"]
     ac = M.build_automaton(sf)
     mentions = M.detect_mentions(spark, transcripts, ac)
     cands = L.attach_candidates(mentions, sf)
+    if tfidf:
+        wdf = D.word_doc_freq(transcripts)
+        n_turns = transcripts.count()
+        top_ctx = D.top_contexts(built["link_weights"])
+        cands = (
+            L.tfidf_context_scores(cands, transcripts, top_ctx, wdf, n_docs=n_turns)
+            .withColumn("prior", F.col("score"))
+            .drop("score", "ctx_cos")
+        )
     out = CO.resolve(cands, transcripts, ctx).localCheckpoint(eager=False)
     canon = CZ.canonical_mapping(resolved_r, raw["same_as"])
     triples = CZ.apply_canonical(

@@ -155,7 +155,14 @@ class KGPipeline:
         self,
         raw_tables: dict[str, DataFrame],
         run: PipelineRun | None = None,
+        second_order: bool = True,
+        context_filter: bool = True,
     ) -> PipelineRun:
+        """Defaults mirror the reference model build: allowedContext
+        filters the raw context table (Disambiguator.scala:43-102) and
+        sparse topics inherit second-order contexts at x0.1
+        (Disambiguator.scala:469-490; precomputed here, which is the
+        reference's own TODO at AmbiguityForest.scala:46-48)."""
         run = run or PipelineRun()
         st = lambda *a, **k: self.stage(run, *a, **k)  # noqa: E731
 
@@ -168,9 +175,17 @@ class KGPipeline:
                 D.build_surface_forms(raw_tables["surface_forms_raw"], redirects)
             ),
         )
-        link_w = st(
-            "dict_link_weights", lambda: D.link_weights(raw_tables["topic_contexts"])
-        )
+
+        def _link_weights() -> DataFrame:
+            tc = raw_tables["topic_contexts"]
+            if context_filter:
+                tc = D.allowed_context(tc)
+            lw = D.link_weights(tc)
+            if second_order:
+                lw = D.expand_second_order_contexts(lw)
+            return lw
+
+        link_w = st("dict_link_weights", _link_weights)
         st(
             "dict_context_vectors",
             lambda: D.topic_context_vectors(D.top_contexts(link_w)),
@@ -189,7 +204,7 @@ class KGPipeline:
         run: PipelineRun | None = None,
         repartition: int | None = None,
         model=None,
-        tfidf: bool = False,
+        tfidf: bool = True,
     ) -> PipelineRun:
         run = run or PipelineRun()
         st = lambda *a, **k: self.stage(run, *a, **k)  # noqa: E731

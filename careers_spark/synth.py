@@ -49,9 +49,18 @@ PRED_PATTERNS: dict[str, str] = {
 EPOCH0 = 1700000000  # fixed corpus epoch (seconds)
 
 
+def _nid(i: int) -> str:
+    """Entity-id fragment with no 4-digit run: the reference's
+    allowedContext date matcher rejects any context containing
+    ``[0-9]{4}`` (Disambiguator.scala:74,99), and synth topics appear as
+    contexts of each other — so ids are digit-chunked ('3x07' not
+    '0307')."""
+    return f"{i // 100}x{i % 100:02d}"
+
+
 @dataclass
 class Entity:
-    topic: str  # canonical-form topic id, e.g. "Main:Org0007 Corp"
+    topic: str  # canonical-form topic id, e.g. "Main:Org0x07 Corp"
     aliases: list[tuple[str, int]]  # (normalized surface, anchor count)
     contexts: list[str]
 
@@ -199,27 +208,27 @@ def build_kb(n_domains: int, seed: int = 42) -> KB:
         aliases = [(f"city{j}", 50 + (j % 7) * 10)]
         if j == 0:
             aliases.append(("metropolis", 400))
-        e = Entity(f"Main:City{j:04d}", aliases, ["Category:Cities"])
+        e = Entity(f"Main:City{_nid(j)}", aliases, ["Category:Cities"])
         cities.append(e)
         kb.entities.append(e)
         univ = Entity(
-            f"Main:University of City{j:04d}",
+            f"Main:University of City{_nid(j)}",
             [(f"university of city{j}", 40)],
             ["Category:Universities", e.topic],
         )
         kb.entities.append(univ)
 
     for i in range(n_domains):
-        cat = f"Category:Domain{i:05d}"
+        cat = f"Category:Domain{_nid(i)}"
         city_j = 0 if rng.random() < 0.3 else rng.randrange(n_cities)
         city = cities[city_j]
         org = Entity(
-            f"Main:Org{i:05d} Corp",
+            f"Main:Org{_nid(i)} Corp",
             [(f"org{i} corp", 60), (f"org{i}", 30)],
             [cat, city.topic],
         )
         person = Entity(
-            f"Main:Person{i:05d} Smith",
+            f"Main:Person{_nid(i)} Smith",
             [(f"person{i} smith", 40), (f"person{i}", 25)],
             [cat, org.topic],
         )
@@ -240,18 +249,18 @@ def build_kb(n_domains: int, seed: int = 42) -> KB:
         # redirect topic — must resolve to the canonical org at dictionary
         # build time (reference TODO at BuildPhraseQueryDb.scala:155-156)
         if i % 3 == 0:
-            kb.redirects.append((f"Main:The Org{i:05d}", org.topic))
-            kb.extra_surface_forms.append((f"the org{i}", f"Main:The Org{i:05d}", 12))
+            kb.redirects.append((f"Main:The Org{_nid(i)}", org.topic))
+            kb.extra_surface_forms.append((f"the org{i}", f"Main:The Org{_nid(i)}", 12))
             if i % 6 == 0:
-                kb.redirects.append((f"Main:Org{i:05d} Inc", f"Main:The Org{i:05d}"))
+                kb.redirects.append((f"Main:Org{_nid(i)} Inc", f"Main:The Org{_nid(i)}"))
                 kb.extra_surface_forms.append(
-                    (f"org{i} inc", f"Main:Org{i:05d} Inc", 8)
+                    (f"org{i} inc", f"Main:Org{_nid(i)} Inc", 8)
                 )
 
         # duplicate org entity linked by same_as -> CC canonicalization
         if i % 4 == 0:
             dup = Entity(
-                f"Main:Org{i:05d} Corporation",
+                f"Main:Org{_nid(i)} Corporation",
                 [(f"org{i} corporation", 10)],
                 [cat],
             )
@@ -259,7 +268,7 @@ def build_kb(n_domains: int, seed: int = 42) -> KB:
             kb.same_as.append((dup.topic, org.topic))
 
         univ = next(
-            e for e in kb.entities if e.topic == f"Main:University of City{city_j:04d}"
+            e for e in kb.entities if e.topic == f"Main:University of City{_nid(city_j)}"
         )
         kb.domains.append(
             Domain(i, cat, org, person, city, univ, person_ambiguous_alias=domain_amb)

@@ -139,3 +139,35 @@ def test_normalize_topic_and_link(spark):
     ).collect()
     assert [r.t for r in got] == ["Main:Plain Title", "Category:Things"]
     assert [r.l for r in got] == ["Main:Page", "Category:Other"]
+
+
+def test_ranked_and_grouped_golden(spark):
+    """TopicVector.rankedAndGrouped semantics (TopicVector.scala:86-108)
+    on a hand-computed fixture: ranks are 0-based by weight desc, groups
+    average their members' ranks, groups order by ascending avg rank."""
+    digests = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1"] * 4 + ["c2"],
+                "topic": ["t_a", "t_b", "t_c", "t_d", "t_a"],
+                "weight": [0.9, 0.7, 0.5, 0.3, 1.0],
+            }
+        )
+    )
+    groups = spark.createDataFrame(
+        pd.DataFrame(
+            {"topic": ["t_a", "t_b", "t_c"], "group_id": ["g1", "g2", "g1"]}
+        )
+    )
+    got = {
+        (r.conv_id, r.topic): (r.rank, r.group_id, r.avg_rank, r.group_order)
+        for r in DG.ranked_and_grouped(digests, groups).collect()
+    }
+    # c1 ranks: t_a=0, t_b=1, t_c=2, t_d=3
+    # groups: g1={t_a,t_c} avg 1.0; g2={t_b} avg 1.0; t_d singleton avg 3.0
+    # group order by (avg_rank, group_id): g1=1, g2=2, t_d=3
+    assert got[("c1", "t_a")] == (0, "g1", 1.0, 1)
+    assert got[("c1", "t_c")] == (2, "g1", 1.0, 1)
+    assert got[("c1", "t_b")] == (1, "g2", 1.0, 2)
+    assert got[("c1", "t_d")] == (3, "t_d", 3.0, 3)  # ungrouped -> singleton
+    assert got[("c2", "t_a")] == (0, "g1", 0.0, 1)

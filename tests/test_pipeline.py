@@ -111,3 +111,33 @@ def test_lineage_checksums(spark, kb, tmp_path):
     lin = spark.read.parquet(str(tmp_path / "w" / "_lineage"))
     rows = lin.filter("stage = 'mentions'").collect()
     assert rows and all(r.checksum is not None for r in rows)
+
+
+def test_model_build_heap_guard(spark):
+    """Oversized broadcast dims must raise BEFORE the driver collect
+    (SURVEY §4 heap-guard row; reference floor-check at
+    WordInTopicCount.scala:19-25)."""
+    import pandas as pd
+    import pytest
+
+    from careers_spark.operators.model import KGModel
+
+    sf = spark.createDataFrame(
+        pd.DataFrame({"surface": ["a"], "topic": ["Main:A"], "prior": [1.0]})
+    )
+    cv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "topic": ["Main:A", "Main:B"],
+                "ctx_ids": [["x"], ["y"]],
+                "ctx_ws": [[0.1], [0.2]],
+            }
+        )
+    )
+    old = KGModel.MAX_CONTEXT_TOPICS
+    KGModel.MAX_CONTEXT_TOPICS = 1
+    try:
+        with pytest.raises(MemoryError):
+            KGModel.build(sf, cv)
+    finally:
+        KGModel.MAX_CONTEXT_TOPICS = old

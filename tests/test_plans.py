@@ -122,3 +122,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_near_dup_unsampled_has_no_cartesian(spark):
+    """embedding_near_dup_pairs without a sample predicate must route
+    through LSH buckets (bucket equi-join + exact verify), never a
+    CartesianProduct — the 100 TB path. The sampled path stays the exact
+    cross join by declared contract."""
+    from careers_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(SIM.embedding_near_dup_pairs(emb, threshold=0.5, dim=64))
+    # no vectors-x-vectors product; the only nested-loop joins allowed are
+    # the tiny broadcast `planes` dim (8 rows) feeding the bucketizer
+    assert "CartesianProduct" not in plan, plan
+    # the candidate pair join is an equi-join on the bucket key
+    assert "bucket" in plan
+
+    sampled = SIM.embedding_near_dup_pairs(
+        emb, threshold=0.5, sample_pred="vec_id % 5 = 0"
+    )
+    sp = _plan(sampled)
+    assert "CartesianProduct" in sp or "BroadcastNestedLoopJoin Cross" in sp

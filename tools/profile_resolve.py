@@ -26,26 +26,26 @@ for cpus in (8, 32):
     )
     ctx = spark.read.parquet("/tmp/kg_scale_dict/dict_context_vectors")
 
-    # monkeypatch fn wrapper to time python work per bucket
-    orig_resolve_rows = CO._resolve_conv_rows
+    # monkeypatch fn wrapper to time python work per conversation
+    orig_resolve = CO._resolve_conv
     tfile = f"/tmp/rtimes_{cpus}.txt"
     open(tfile, "w").close()
 
     import careers_spark.operators.coherence as comod
 
-    def timed(conv_id, cand_rows, turn_rows, ctx_map, _o=orig_resolve_rows):
+    def timed(*args, _o=orig_resolve, **kw):
         import os
         t0 = time.perf_counter()
-        r = _o(conv_id, cand_rows, turn_rows, ctx_map)
+        r = _o(*args, **kw)
         with open(tfile, "a") as f:
             f.write(f"{os.getpid()} {time.perf_counter() - t0}\n")
         return r
 
-    comod._resolve_conv_rows = timed
+    comod._resolve_conv = timed
     t0 = time.monotonic()
     n = CO.resolve(cand, turns, ctx).count()
     wall = time.monotonic() - t0
-    comod._resolve_conv_rows = orig_resolve_rows
+    comod._resolve_conv = orig_resolve
     print(f"cpus={cpus} wall={wall:.1f}s rows={n}", file=out, flush=True)
     spark.stop()
 out.close()
