@@ -53,8 +53,18 @@ def main() -> None:
     from careers_spark.plans.pipeline import KGPipeline
     from careers_spark.session import get_spark
 
+    # tmpfs for shuffle + stage checkpoints: the host's single 250 MB/s
+    # virtual disk is a shared-serial artifact a real cluster doesn't have
+    # (each executor brings its own disks) — same rationale as
+    # tools/scaling_bench.sh
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     spark = get_spark(
-        "bench", cpus=CPUS, extra_conf={"spark.ui.showConsoleProgress": "false"}
+        "bench",
+        cpus=CPUS,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": os.path.join(scratch, "kgbench_spark_local"),
+        },
     )
 
     qs = entrymod.queries()
@@ -70,7 +80,7 @@ def main() -> None:
     # the BASELINE.md method — so triples/sec measures transcript
     # processing, comparable with BENCH/BASELINE.md)
     kb = synth.build_kb(max(8, KG_CONVS // 50))
-    tmp = tempfile.mkdtemp(prefix="kgbench_")
+    tmp = tempfile.mkdtemp(prefix="kgbench_", dir=scratch)
     try:
         synth.gen_transcripts(spark, kb, KG_CONVS).write.mode("overwrite").parquet(
             f"{tmp}/transcripts"

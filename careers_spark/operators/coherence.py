@@ -352,6 +352,7 @@ def resolve(
     transcripts: DataFrame,
     context_vectors,  # DataFrame (topic, ctx_ids, ctx_ws) | dict | InternedContexts
     n_buckets: int | None = None,
+    mention_spans: DataFrame | None = None,
 ) -> DataFrame:
     """Cogrouped per-conversation resolution, bucket-batched.
 
@@ -394,9 +395,13 @@ def resolve(
         )
     ctx_bc = spark.sparkContext.broadcast(interned)
 
-    # only turns that can yield a gap pattern need their text shipped
+    # only turns that can yield a gap pattern need their text shipped.
+    # Eligibility comes from the (cheap, usually checkpointed) mention
+    # spans when provided — deriving it from `candidates` would evaluate
+    # the candidate DAG twice when linking carries the TF-IDF joins.
+    spans_src = mention_spans if mention_spans is not None else candidates
     eligible_turns = (
-        candidates.groupBy("conv_id", "turn_idx")
+        spans_src.groupBy("conv_id", "turn_idx")
         .agg(F.countDistinct("start", "end").alias("nm"))
         .filter(F.col("nm") >= 2)
         .select("conv_id", "turn_idx")

@@ -37,6 +37,7 @@ def tfidf_context_scores(
     top_ctx: DataFrame,
     word_doc_freq: DataFrame,
     n_docs: int,
+    turn_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Anchor-prior x TF-IDF context-cosine candidate scoring.
 
@@ -58,6 +59,15 @@ def tfidf_context_scores(
     `score` = prior * (1 + ctx_cos): with no term overlap the score
     reduces to the anchor prior exactly, so enabling this on corpora
     whose context names never appear in text is a no-op.
+
+    turn_terms: optional precomputed (conv_id, turn_idx, term) table,
+    distinct per turn — lets the pipeline tokenize the corpus ONCE and
+    share the pass with word_doc_freq instead of re-tokenizing here.
+
+    Shuffle-volume note: the dot-product join only ever matches terms
+    that occur in the corpus, so topic term vectors are pre-shrunk to
+    the corpus vocabulary (a semi-join) BEFORE the candidate explode;
+    norms are computed on the FULL vectors first, so results are exact.
     """
     from careers_spark.functions.text import tokenize_udf
 
@@ -73,16 +83,19 @@ def tfidf_context_scores(
         .groupBy("topic", "term")
         .agg(F.sum(F.col("weight1") * F.col("idf")).alias("tw"))
     )
+    # norms over the FULL vectors (before any vocabulary shrink)
     topic_norm = topic_terms.groupBy("topic").agg(
         F.sqrt(F.sum(F.col("tw") * F.col("tw"))).alias("tnorm")
     )
 
-    turn_terms = (
-        transcripts.select(
+    if turn_terms is None:
+        turn_terms = transcripts.select(
             "conv_id",
             "turn_idx",
             F.explode(F.array_distinct(tokenize_udf(F.col("text")))).alias("term"),
         )
+    turn_terms = (
+        turn_terms
         .join(F.broadcast(topic_terms.select("term").distinct()), "term", "left_semi")
         .join(F.broadcast(idf.withColumnRenamed("word", "term")), "term", "left")
         .na.fill({"idf": 1.0})
@@ -91,8 +104,13 @@ def tfidf_context_scores(
         F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("dnorm")
     )
 
+    # only terms present in the (already topic-term-restricted) corpus
+    # side can contribute to a dot product — shrink the explode side
+    active_terms = topic_terms.join(
+        F.broadcast(turn_terms.select("term").distinct()), "term", "left_semi"
+    )
     dots = (
-        candidates.join(F.broadcast(topic_terms), "topic")
+        candidates.join(F.broadcast(active_terms), "topic")
         .join(turn_terms, ["conv_id", "turn_idx", "term"])
         .groupBy("conv_id", "turn_idx", "start", "end", "surface", "topic")
         .agg(F.sum(F.col("tw") * F.col("idf")).alias("dot"))

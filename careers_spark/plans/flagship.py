@@ -46,7 +46,9 @@ def kg_run_in_memory(
             .withColumn("prior", F.col("score"))
             .drop("score", "ctx_cos")
         )
-    out = CO.resolve(cands, transcripts, ctx).localCheckpoint(eager=False)
+    out = CO.resolve(
+        cands, transcripts, ctx, mention_spans=mentions
+    ).localCheckpoint(eager=False)
     canon = CZ.canonical_mapping(resolved_r, raw["same_as"])
     triples = CZ.apply_canonical(
         CZ.apply_canonical(CO.triples_of(out), canon, "subj"), canon, "obj"

@@ -232,33 +232,60 @@ class KGPipeline:
             "mentions",
             lambda: M.detect_mentions(self.spark, transcripts, model.automaton),
         )
-        # candidate attach is a cheap broadcast join — computed inside the
-        # resolved stage rather than checkpointed (one less stage barrier;
-        # recompute-on-resume costs one dim join)
+        # plain candidate attach is a cheap broadcast join — computed
+        # inside the resolved stage rather than checkpointed. With TF-IDF
+        # scoring on, the candidate DAG carries several fact-side
+        # shuffles, so it IS checkpointed (the cogroup then reads a flat
+        # table instead of recomputing a 4-shuffle DAG inside its job).
         def _candidates() -> DataFrame:
             cands = L.attach_candidates(mentions, surface_forms)
             if tfidf:
                 # anchor-prior x TF-IDF context-cosine (north-star
-                # linking score; no term overlap -> identity on priors)
+                # linking score; no term overlap -> identity on priors).
+                # The corpus is tokenized ONCE (turn_terms stage) and the
+                # pass is shared by word_doc_freq + the cosine joins.
+                from careers_spark.functions.text import tokenize_udf
+
+                turn_terms = self.stage(
+                    run,
+                    "turn_terms",
+                    lambda: transcripts.select(
+                        "conv_id",
+                        "turn_idx",
+                        F.explode(
+                            F.array_distinct(tokenize_udf(F.col("text")))
+                        ).alias("term"),
+                    ),
+                )
                 wdf = self.stage(
-                    run, "word_doc_freq", lambda: D.word_doc_freq(transcripts)
+                    run,
+                    "word_doc_freq",
+                    lambda: turn_terms.groupBy(
+                        F.col("term").alias("word")
+                    ).agg(F.count("*").alias("doc_freq")),
                 )
                 n_turns = next(
                     s.rows for s in run.stages if s.name == "transcripts"
                 )
                 top_ctx = D.top_contexts(dict_outputs["dict_link_weights"])
-                cands = (
-                    L.tfidf_context_scores(
-                        cands, transcripts, top_ctx, wdf, n_docs=n_turns
+                cands = self.stage(
+                    run,
+                    "candidates",
+                    lambda: L.tfidf_context_scores(
+                        cands, transcripts, top_ctx, wdf,
+                        n_docs=n_turns, turn_terms=turn_terms,
                     )
                     .withColumn("prior", F.col("score"))
-                    .drop("score", "ctx_cos")
+                    .drop("score", "ctx_cos"),
                 )
             return cands
 
         resolved = st(
             "resolved",
-            lambda: CO.resolve(_candidates(), transcripts, model.ctx_map),
+            lambda: CO.resolve(
+                _candidates(), transcripts, model.ctx_map,
+                mention_spans=mentions,
+            ),
         )
         triples = st(
             "triples",

@@ -44,7 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 6g measured sweet spot on this workload: G1 on a 48g heap burns
+        # 2-3x CPU (sweep at local[32], 1M convs: 4g=56s, 8g=76s,
+        # 16g=112s, 48g=195s); broadcast dims are heap-guarded anyway
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "6g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -32,9 +32,10 @@ def main():
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--skip-pr", action="store_true")
     ap.add_argument(
-        "--tfidf",
+        "--no-tfidf",
         action="store_true",
-        help="enable anchor-prior x TF-IDF context-cosine linking scores",
+        help="disable the (default-on) anchor-prior x TF-IDF "
+        "context-cosine linking scores",
     )
     ap.add_argument(
         "--no-warmup",
@@ -93,7 +94,7 @@ def main():
     # phase 2: transcript processing (the scaling-relevant phase)
     t0 = time.monotonic()
     run = KGPipeline(spark, args.work_dir).run_corpus(
-        transcripts, drun.outputs, model=model, tfidf=args.tfidf
+        transcripts, drun.outputs, model=model, tfidf=not args.no_tfidf
     )
     wall = time.monotonic() - t0
     n_triples = next(s.rows for s in run.stages if s.name == "triples")
