@@ -380,6 +380,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_pairs"] = incremental_pairs
 
+    # ---- category hierarchy over a part-derived DAG ----
+    def category_hierarchy(spark, sf_dir):
+        from careers_spark.operators import hierarchy as H
+
+        p = _t(spark, sf_dir, "part")
+        wcol = (1.0 + (F.length("parent") % 5) / 10.0).alias("weight")
+        e1 = p.selectExpr("p_brand as child", "p_type as parent").distinct()
+        e2 = p.selectExpr(
+            "p_type as child", "split(p_type, ' ')[0] as parent"
+        ).distinct()
+        e3 = p.selectExpr(
+            "split(p_type, ' ')[0] as child", "'ROOT' as parent"
+        ).distinct()
+        edges = e1.unionByName(e2).unionByName(e3).select("child", "parent", wcol)
+        seeds = p.select(F.col("p_brand").alias("node")).distinct()
+        dist = H.shortest_path_distances(edges, seeds, max_iters=8)
+        tree = H.shortest_path_tree(edges, dist)
+        return tree.select(
+            "node", "via",
+            F.round("weight", 4).alias("weight"),
+            F.round("dist", 4).alias("dist"),
+        )
+
+    q["category_hierarchy"] = category_hierarchy
+
     # ---- community grouping over the corpus-derived entity graph ----
     def entity_communities(spark, sf_dir):
         from careers_spark.operators.communities import label_propagation
@@ -899,6 +924,50 @@ def oracle_sql() -> dict[str, str]:
         "SELECT surface, doc_freq FROM ("
         + " UNION ALL ".join(phrase_likes)
         + ") WHERE doc_freq > 0"
+    )
+
+    # category_hierarchy: fixed-depth unrolled relaxation (the DAG is
+    # brand -> type -> first-word -> ROOT, diameter 3; 5 rounds > any
+    # path) — a converged relaxation is a fixpoint, so this equals the
+    # Spark loop's early-stopped result. MATERIALIZED prevents DuckDB
+    # from inlining each round twice (exponential re-evaluation).
+    _relax = [
+        """edges AS MATERIALIZED (
+          SELECT child, parent, 1.0 + (strlen(parent) % 5) / 10.0 AS weight FROM (
+            SELECT DISTINCT p_brand AS child, p_type AS parent FROM part
+            UNION
+            SELECT DISTINCT p_type AS child, split_part(p_type, ' ', 1) AS parent FROM part
+            UNION
+            SELECT DISTINCT split_part(p_type, ' ', 1) AS child, 'ROOT' AS parent FROM part
+          ) WHERE child <> parent
+        ),
+        d0 AS (SELECT DISTINCT p_brand AS node, 0.0 AS dist FROM part)"""
+    ]
+    for _k in range(1, 6):
+        _relax.append(
+            f"""d{_k} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT e.parent AS node, d.dist + e.weight AS dist
+            FROM edges e JOIN d{_k - 1} d ON d.node = e.child
+            UNION ALL SELECT node, dist FROM d{_k - 1}
+          ) GROUP BY node
+        )"""
+        )
+    o["category_hierarchy"] = (
+        "WITH " + ",\n".join(_relax) + """,
+        cand AS (
+          SELECT e.parent AS node, e.child AS via, e.weight, dn.dist
+          FROM edges e
+          JOIN d5 dc ON dc.node = e.child
+          JOIN d5 dn ON dn.node = e.parent
+          WHERE dc.dist + e.weight <= dn.dist + 1e-12
+        )
+        SELECT node, via, round(weight, 4) AS weight, round(dist, 4) AS dist
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY node
+                                       ORDER BY weight, via) AS rk
+          FROM cand
+        ) WHERE rk = 1"""
     )
 
     o["digest_grouped_ranks"] = """

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "frame_sample_plan",
     "multimodal_features",
+    "digest_grouped_ranks",
+    "category_hierarchy",
 ]
 
 

@@ -1,0 +1,73 @@
+"""Category-hierarchy operators (CategoryHierarchy.scala re-expression):
+closure walk with banned hubs, multi-source shortest paths, prev-tree."""
+
+import pandas as pd
+
+from careers_spark.operators import hierarchy as H
+
+
+def _edges(spark):
+    rows = [
+        ("a", "x", 1.0),
+        ("b", "x", 2.0),
+        ("x", "y", 1.0),
+        ("b", "y", 5.0),
+        ("y", "hub", 1.0),   # banned parent
+        ("y", "z", 2.0),
+        ("q", "z", 1.0),     # q is not reachable from seeds
+        ("x", "x", 9.0),     # self-loop must be ignored
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["child", "parent", "weight"])
+    )
+
+
+def _seeds(spark):
+    return spark.createDataFrame(pd.DataFrame({"node": ["a", "b"]}))
+
+
+def _banned(spark):
+    return spark.createDataFrame(pd.DataFrame({"node": ["hub"]}))
+
+
+def test_category_closure(spark):
+    got = {
+        (r.child, r.parent)
+        for r in H.category_closure(
+            _edges(spark), _seeds(spark), banned=_banned(spark)
+        ).collect()
+    }
+    # reachable upward from {a,b}, hub banned, q's edge never reached
+    assert got == {("a", "x"), ("b", "x"), ("x", "y"), ("b", "y"), ("y", "z")}
+
+
+def test_shortest_path_distances_and_tree(spark):
+    """Hand-computed multi-source distances (dijkstraVisit semantics,
+    CategoryHierarchy.scala:243-293) + prev tree (:281-286)."""
+    edges, seeds, banned = _edges(spark), _seeds(spark), _banned(spark)
+    dist = H.shortest_path_distances(edges, seeds, banned=banned)
+    d = {r.node: r.dist for r in dist.collect()}
+    # a=0, b=0, x=min(0+1, 0+2)=1, y=min(1+1, 0+5)=2, z=y+2=4
+    assert d == {"a": 0.0, "b": 0.0, "x": 1.0, "y": 2.0, "z": 4.0}
+
+    tree = {
+        r.node: (r.via, r.weight)
+        for r in H.shortest_path_tree(edges, dist, banned=banned).collect()
+    }
+    # seeds have no prev; each reached node's argmin incoming edge
+    assert tree == {"x": ("a", 1.0), "y": ("x", 1.0), "z": ("y", 2.0)}
+
+
+def test_indegree_hub_guard(spark):
+    """overbroadCategoryCount analogue (CategoryHierarchy.scala:17):
+    parents above the in-degree cap are dropped before any walk."""
+    rows = [(f"c{i}", "hub", 1.0) for i in range(5)] + [("c0", "ok", 1.0)]
+    edges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["child", "parent", "weight"])
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [f"c{i}" for i in range(5)]}))
+    got = {
+        (r.child, r.parent)
+        for r in H.category_closure(edges, seeds, max_parent_indegree=3).collect()
+    }
+    assert got == {("c0", "ok")}

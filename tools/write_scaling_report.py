@@ -17,7 +17,9 @@ effs = {
     (n, m): (by_par[m]["triples_per_sec"] / by_par[n]["triples_per_sec"]) / 4
     for n, m in pairs
 }
-headline = max(effs.values()) if effs else float("nan")
+# DECLARED headline pair: local[2] -> local[8] (matches the
+# scaling_bench.sh definition); other pairs reported unadjusted
+headline = effs.get((2, 8), max(effs.values()) if effs else float("nan"))
 
 hdr = " | ".join(f"local[{j['parallelism']}]" for j in runs)
 
@@ -76,8 +78,9 @@ for (n, m), e in sorted(effs.items()):
     lines.append(f"| local[{n}] -> local[{m}] | **{e:.3f}** |")
 lines += [
     "",
-    f"Headline: **{headline:.3f}** (target >= 0.8), at the pair where the",
-    "single-box proxy is most faithful to adding executors. Efficiency",
+    f"Headline: **{headline:.3f}** (target >= 0.8) at the DECLARED pair",
+    "local[2] -> local[8] — the same pair tools/scaling_bench.sh defines,",
+    "chosen before measurement, not after. Efficiency",
     "declines at higher N because every level shares ONE JVM and one",
     "memory subsystem: the identical python resolver work costs +63%",
     "CPU-seconds at 32 workers vs 8 (measured), i.e. high-N local mode",
