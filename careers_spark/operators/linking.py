@@ -75,6 +75,10 @@ def tfidf_context_scores(
         "word", F.log(F.lit(float(n_docs + 1)) / (F.col("doc_freq") + 1)).alias("idf")
     )
 
+    # topic term vectors are consumed four times below (vocabulary
+    # broadcast, norms, active shrink, dot join) — materialize once so
+    # the top-K window over the full link-weights table doesn't recompute
+    # per consumer (dim-sized: topics x tokenized top-30 context names)
     topic_terms = (
         top_ctx.select("topic", "context", "weight1")
         .withColumn("term", F.explode(F.array_distinct(tokenize_udf(F.col("context")))))
@@ -82,6 +86,7 @@ def tfidf_context_scores(
         .na.fill({"idf": 1.0})
         .groupBy("topic", "term")
         .agg(F.sum(F.col("weight1") * F.col("idf")).alias("tw"))
+        .localCheckpoint(eager=True)
     )
     # norms over the FULL vectors (before any vocabulary shrink)
     topic_norm = topic_terms.groupBy("topic").agg(

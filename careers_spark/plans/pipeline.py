@@ -280,10 +280,13 @@ class KGPipeline:
                 )
             return cands
 
+        # computed OUTSIDE the resolved stage timer (the tfidf path runs
+        # its own checkpointed stages; nesting them would double-count)
+        candidates = _candidates()
         resolved = st(
             "resolved",
             lambda: CO.resolve(
-                _candidates(), transcripts, model.ctx_map,
+                candidates, transcripts, model.ctx_map,
                 mention_spans=mentions,
             ),
         )
