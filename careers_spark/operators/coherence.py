@@ -156,18 +156,23 @@ def _alternatives(site: list[int], spans: list[tuple[int, int, int]]) -> list[li
     members = sorted(site, key=lambda i: (spans[i][1], -spans[i][2]))
     alts: list[list[int]] = []
 
-    def rec(chosen: list[int], rest: list[int]) -> None:
-        ext = [
-            j
-            for j in rest
-            if not chosen or spans[j][1] > spans[chosen[-1]][2]
-        ]
+    def rec(chosen: list[int], last_end: int) -> None:
+        ext = [j for j in members if spans[j][1] > last_end]
         if not ext:
             alts.append(list(chosen))
             return
         for j in ext:
+            # gap-free: no member span may fit entirely between the last
+            # chosen span and this one (else the segmentation is not
+            # maximal — the reference's buildSite never emits those;
+            # golden-ported verbatim in tests/test_segmentation_golden.py)
+            s_j = spans[j][1]
+            if any(
+                spans[k][1] > last_end and spans[k][2] < s_j for k in ext
+            ):
+                continue
             chosen.append(j)
-            rec(chosen, [k for k in ext if spans[k][1] > spans[j][2] or k == j])
+            rec(chosen, spans[j][2])
             chosen.pop()
 
     if len(members) > 12:
@@ -183,7 +188,7 @@ def _alternatives(site: list[int], spans: list[tuple[int, int, int]]) -> list[li
                 pos = spans[i][2]
         return [greedy]
 
-    rec([], members)
+    rec([], -1)
     # dedupe
     uniq = {tuple(a) for a in alts}
     return [list(a) for a in sorted(uniq)]

@@ -78,9 +78,15 @@ def tfidf_context_scores(
     # topic term vectors are consumed four times below (vocabulary
     # broadcast, norms, active shrink, dot join) — materialize once so
     # the top-K window over the full link-weights table doesn't recompute
-    # per consumer (dim-sized: topics x tokenized top-30 context names)
+    # per consumer (dim-sized: topics x tokenized top-30 context names).
+    # The explicit repartition matters: top_ctx often reads back from a
+    # small checkpoint parquet (one input split), and without it the
+    # explode fan-out + python tokenizer of millions of context names
+    # runs in ONE task — a serial chunk no executor count can shrink.
+    sc = top_ctx.sparkSession.sparkContext
     topic_terms = (
         top_ctx.select("topic", "context", "weight1")
+        .repartition(2 * sc.defaultParallelism)
         .withColumn("term", F.explode(F.array_distinct(tokenize_udf(F.col("context")))))
         .join(idf.withColumnRenamed("word", "term"), "term", "left")
         .na.fill({"idf": 1.0})

@@ -1,0 +1,65 @@
+#!/bin/bash
+# Executor-count scaling evidence — the faithful proxy for the north
+# rule's "N and 4N executors": spark-submit --master local-cluster[E,2,2048]
+# launches E REAL separate executor JVMs (own heap, GC, python workers,
+# netty shuffle) of a fixed 2-core shape on this host, and only the
+# executor count scales. This avoids the one-fat-JVM artifact of
+# local[N] threading (GC + allocator contention grow with threads, which
+# models a bigger single executor, not more executors).
+# DECLARED headline pair: 1 -> 4 executors (the minimal faithful
+# executor scaling on one box; higher counts saturate the host's single
+# memory subsystem, which real clusters do not share — both pairs are
+# reported). The identical job/input/dict as
+# tools/scaling_bench.sh; best-of-REPEATS per level.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CONVS="${KG_SCALE_CONVS:-2000000}"
+REPEATS="${KG_SCALE_REPEATS:-2}"
+LEVELS="${KG_EXEC_LEVELS:-1 4 2 8}"
+BASE="${KG_SCALE_BASE:-/dev/shm/kg_scale}"
+mkdir -p "$BASE"
+INPUT="$BASE/input"
+DICT="$BASE/dict"
+ZIP=/tmp/careers_spark.zip
+
+if [ ! -d "$INPUT/transcripts" ] || [ "${FORCE_PREP:-0}" = "1" ]; then
+  rm -rf "$INPUT" "$DICT"
+  python tools/prep_bench_corpus.py --n-convs "$CONVS" --out "$INPUT"
+fi
+
+rm -f "$ZIP"; zip -qr "$ZIP" careers_spark
+
+if [ ! -f "$DICT/model.pkl" ]; then
+  spark-submit --master "local[32]" \
+    --conf spark.sql.shuffle.partitions=64 \
+    --conf spark.driver.memory=6g \
+    --conf spark.local.dir="$BASE/spark-local" \
+    --py-files "$ZIP" \
+    run_pipeline.py --input "$INPUT" --work-dir "$BASE/dictbuild" \
+    --dict-cache "$DICT" --dict-only 2>/dev/null | tail -1
+fi
+
+for E in $LEVELS; do
+  for R in $(seq 1 "$REPEATS"); do
+    rm -rf "$BASE/run_e$E"
+    spark-submit --master "local-cluster[$E,2,2048]" \
+      --conf spark.sql.shuffle.partitions=$((4 * E)) \
+      --conf spark.driver.memory=4g \
+      --conf spark.local.dir="$BASE/spark-local" \
+      --py-files "$ZIP" \
+      run_pipeline.py --input "$INPUT" --work-dir "$BASE/run_e$E" \
+      --dict-cache "$DICT" --skip-pr \
+      --json-out "/tmp/kg_execscale_${E}_r${R}.json" 2>/dev/null | tail -1
+  done
+  python - "$E" "$REPEATS" <<'PY'
+import json, sys
+e, reps = sys.argv[1], int(sys.argv[2])
+runs = [json.load(open(f"/tmp/kg_execscale_{e}_r{r}.json")) for r in range(1, reps + 1)]
+best = min(runs, key=lambda j: j["wall_s"])
+best["all_walls_s"] = [j["wall_s"] for j in runs]
+best["executors"] = int(e)
+json.dump(best, open(f"/tmp/kg_execscale_best_{e}.json", "w"))
+print(f"local-cluster[{e},2] best={best['wall_s']}s of {best['all_walls_s']}")
+PY
+done
