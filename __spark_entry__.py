@@ -270,7 +270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approximate path: recall vs brute force is pytest-asserted; the
     # bucketing uses engine-specific plans so this is a rows-only check
     q["lsh_ann_topk"] = lambda spark, sf_dir: SIM.lsh_bucketed_topk(
-        _t(spark, sf_dir, "embeddings"), k=5, n_planes=6, query_pred="vec_id % 50 = 0"
+        _t(spark, sf_dir, "embeddings"), k=5, n_planes=6,
+        query_pred="vec_id % 50 = 0", dim=64,
     )
 
     # ---- text analysis ----
@@ -395,7 +396,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distinct()
         edges = e1.unionByName(e2).unionByName(e3).select("child", "parent", wcol)
         seeds = p.select(F.col("p_brand").alias("node")).distinct()
-        dist = H.shortest_path_distances(edges, seeds, max_iters=8)
+        # collapse_cycles exercises the SCC condensation path; the
+        # part-derived graph is a DAG, so condensation is the identity
+        # and the fixed-depth DuckDB oracle stays exact
+        dist = H.shortest_path_distances(
+            edges, seeds, max_iters=8, collapse_cycles=True
+        )
         tree = H.shortest_path_tree(edges, dist)
         return tree.select(
             "node", "via",

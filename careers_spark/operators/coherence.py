@@ -57,6 +57,16 @@ RESOLVED_SCHEMA = (
     "surface string, topic string, score double, pred string, obj string"
 )
 
+# int-coded wire schema: when global surface/topic id dims are available
+# (coded mode), only small ints cross the cogroup shuffle and the Arrow
+# boundary in BOTH directions; names are broadcast-joined back JVM-side.
+# The resolver's Arrow string traffic was the dominant scaling cost of
+# the stage (r2 executor-curve decomposition).
+RESOLVED_CODED_SCHEMA = (
+    "conv_id string, turn_idx int, kind string, start int, end int, "
+    "surf_id int, topic_id int, score double, pred string, obj_id int"
+)
+
 _EPS = 1e-6
 _SIM_CACHE_MAX = 4_000_000  # worker-heap guard: ~64B/entry -> ~256MB cap
 
@@ -202,9 +212,7 @@ def _resolve_conv(
     start: list,
     end: list,
     surf_code: list,
-    surf_names: np.ndarray,
     topic_code: list,
-    topic_names: np.ndarray,
     topic_gid: list,
     prior: list,
     turns_text: dict[int, str],
@@ -216,9 +224,13 @@ def _resolve_conv(
     ndarray indexing boxes a numpy scalar per access, which measurably
     dominates at one row per microsecond; tolist() happens once per
     batch in the caller. Rows are sorted by (turn, start, end,
-    topic_code); topic_code is the batch-local lexicographic
-    factorization (tie-breaks), topic_gid the interned ctx id (-1 when
-    unknown). Appends to out_rows.
+    topic_code); topic_code is a LEXICOGRAPHIC id space (batch-local
+    factorize in legacy mode, the global dictionary id in coded mode —
+    either way id order == name order, so integer comparisons reproduce
+    the reference's name-ordered tie-breaks), topic_gid the interned ctx
+    id (-1 when unknown). Appends code-valued rows (surf/topic/obj as
+    ints) to out_rows; the caller maps codes to names (legacy) or ships
+    them as-is for a JVM-side broadcast name join (coded).
     """
     # --- mention boundaries (same (turn,start,end) -> one mention) --------
     m_first: list[int] = [lo]
@@ -306,8 +318,8 @@ def _resolve_conv(
         out_rows.append(
             (
                 conv_id, t, "link", s, e,
-                surf_names[surf_code[m_first[i]]],
-                topic_names[final_code[i]],
+                surf_code[m_first[i]],
+                final_code[i],
                 final_score[i], None, None,
             )
         )
@@ -329,26 +341,67 @@ def _resolve_conv(
                     (
                         conv_id, t, "triple",
                         spans[a][1], spans[b][2],
-                        surf_names[surf_code[m_first[a]]],
-                        topic_names[final_code[a]],
+                        surf_code[m_first[a]],
+                        final_code[a],
                         final_score[a], pred,
-                        topic_names[final_code[b]],
+                        final_code[b],
                     )
                 )
 
 
-def _rows_to_pdf(rows: list[tuple]) -> pd.DataFrame:
-    pdf = pd.DataFrame(
-        rows,
-        columns=[
-            "conv_id", "turn_idx", "kind", "start", "end",
-            "surface", "topic", "score", "pred", "obj",
-        ],
-    )
-    for c in ("turn_idx", "start", "end"):
+_CODE_COLS = [
+    "conv_id", "turn_idx", "kind", "start", "end",
+    "surf_id", "topic_id", "score", "pred", "obj_id",
+]
+
+
+def _rows_to_pdf_coded(rows: list[tuple]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows, columns=_CODE_COLS)
+    for c in ("turn_idx", "start", "end", "surf_id", "topic_id"):
         pdf[c] = pdf[c].astype("int32")
+    # obj_id is null on link rows -> nullable Int32 for the Arrow cast
+    pdf["obj_id"] = pdf["obj_id"].astype("Int32")
     pdf["score"] = pdf["score"].astype("float64")
     return pdf
+
+
+def _rows_to_pdf_named(
+    rows: list[tuple], surf_names: np.ndarray, topic_names: np.ndarray
+) -> pd.DataFrame:
+    """Legacy string-output path: map the batch-local codes back to
+    names python-side (one vectorized take per column)."""
+    pdf = pd.DataFrame(rows, columns=_CODE_COLS)
+    out = pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"],
+            "turn_idx": pdf["turn_idx"].astype("int32"),
+            "kind": pdf["kind"],
+            "start": pdf["start"].astype("int32"),
+            "end": pdf["end"].astype("int32"),
+            "surface": (
+                surf_names[pdf["surf_id"].to_numpy(np.int64)]
+                if len(pdf) else pd.Series([], dtype=object)
+            ),
+            "topic": (
+                topic_names[pdf["topic_id"].to_numpy(np.int64)]
+                if len(pdf) else pd.Series([], dtype=object)
+            ),
+            "score": pdf["score"].astype("float64"),
+            "pred": pdf["pred"],
+            "obj": (
+                pd.Series(
+                    [
+                        None if pd.isna(v) else topic_names[int(v)]
+                        for v in pdf["obj_id"]
+                    ],
+                    index=pdf.index,
+                    dtype=object,
+                )
+                if len(pdf) else pd.Series([], dtype=object)
+            ),
+        }
+    )
+    return out
 
 
 def resolve(
@@ -357,6 +410,8 @@ def resolve(
     context_vectors,  # DataFrame (topic, ctx_ids, ctx_ws) | dict | InternedContexts
     n_buckets: int | None = None,
     mention_spans: DataFrame | None = None,
+    surface_names: list[str] | None = None,
+    topic_names: list[str] | None = None,
 ) -> DataFrame:
     """Cogrouped per-conversation resolution, bucket-batched.
 
@@ -379,6 +434,15 @@ def resolve(
     task, not once per record). n_buckets should be a few times the
     core count but small enough that a bucket's conversations fit in
     worker memory; default 16x shuffle partitions.
+
+    surface_names/topic_names: the COMPLETE dictionary universes of
+    candidate surfaces and topics (e.g. from the KGModel). When both are
+    given, the stage runs in CODED mode: candidates are broadcast-joined
+    to global lexicographic int ids before the cogroup shuffle, only
+    ints cross the Arrow boundary in both directions, and names are
+    broadcast-joined back JVM-side afterwards. Output schema is
+    identical either way; ids are assigned in sorted order, so the
+    integer tie-breaks match the legacy per-batch factorization exactly.
     """
     from pyspark.sql import functions as F
 
@@ -397,7 +461,26 @@ def resolve(
                 for r in context_vectors.select("topic", "ctx_ids", "ctx_ws").collect()
             }
         )
-    ctx_bc = spark.sparkContext.broadcast(interned)
+
+    coded = surface_names is not None and topic_names is not None
+    if coded:
+        # sorted ids: id order == name order (tie-break contract)
+        surface_names = sorted(set(surface_names))
+        topic_names = sorted(set(topic_names))
+        gid_lut = np.fromiter(
+            (interned.tid.get(t, -1) for t in topic_names),
+            np.int64,
+            len(topic_names),
+        )
+        ctx_bc = spark.sparkContext.broadcast((interned, gid_lut))
+        surface_dim = spark.createDataFrame(
+            list(enumerate(surface_names)), "surf_id int, surface string"
+        )
+        topic_dim = spark.createDataFrame(
+            list(enumerate(topic_names)), "topic_id int, topic string"
+        )
+    else:
+        ctx_bc = spark.sparkContext.broadcast((interned, None))
 
     # only turns that can yield a gap pattern need their text shipped.
     # Eligibility comes from the (cheap, usually checkpointed) mention
@@ -418,20 +501,33 @@ def resolve(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
     )
 
+    _EMPTY_NAMES = np.empty(0, dtype=object)
+
     def fn(cand_pdf: pd.DataFrame, turns_pdf: pd.DataFrame) -> pd.DataFrame:
-        ctx = ctx_bc.value
+        ctx, lut = ctx_bc.value
         if not len(cand_pdf):
-            return _rows_to_pdf([])
+            return (
+                _rows_to_pdf_coded([])
+                if coded
+                else _rows_to_pdf_named([], _EMPTY_NAMES, _EMPTY_NAMES)
+            )
 
         conv_code, conv_names = pd.factorize(cand_pdf["conv_id"], sort=True)
-        surf_code, surf_names = pd.factorize(cand_pdf["surface"], sort=True)
-        # sort=True makes integer code order == lexicographic name order,
-        # preserving the reference's name-ordered tie-breaks
-        topic_code, topic_names = pd.factorize(cand_pdf["topic"], sort=True)
-        tid = ctx.tid
-        topic_gid_lut = np.fromiter(
-            (tid.get(t, -1) for t in topic_names), np.int64, len(topic_names)
-        )
+        if coded:
+            surf_code = cand_pdf["surf_id"].to_numpy(np.int64)
+            topic_code = cand_pdf["topic_id"].to_numpy(np.int64)
+            surf_names_b = topic_names_b = None
+        else:
+            # sort=True makes integer code order == lexicographic name
+            # order, preserving the reference's name-ordered tie-breaks
+            surf_code, surf_names_b = pd.factorize(cand_pdf["surface"], sort=True)
+            topic_code, topic_names_b = pd.factorize(cand_pdf["topic"], sort=True)
+            tid = ctx.tid
+            lut = np.fromiter(
+                (tid.get(t, -1) for t in topic_names_b),
+                np.int64,
+                len(topic_names_b),
+            )
 
         turn = cand_pdf["turn_idx"].to_numpy(np.int64)
         start = cand_pdf["start"].to_numpy(np.int64)
@@ -440,9 +536,7 @@ def resolve(
 
         order = np.lexsort((topic_code, end, start, turn, conv_code))
         conv_code = conv_code[order]
-        topic_gid = topic_gid_lut[topic_code[order]]
-        surf_names = np.asarray(surf_names, dtype=object)
-        topic_names = np.asarray(topic_names, dtype=object)
+        topic_gid = lut[topic_code[order]]
 
         # one vectorized tolist() per column: the per-conversation loops
         # index elements constantly, and list indexing beats boxing a
@@ -476,23 +570,59 @@ def resolve(
             _resolve_conv(
                 cid, lo, hi,
                 turn_l, start_l, end_l,
-                surf_l, surf_names,
-                topic_l, topic_names, gid_l,
+                surf_l,
+                topic_l, gid_l,
                 prior_l,
                 texts_by_conv.get(cid, {}),
                 ctx,
                 rows,
             )
-        return _rows_to_pdf(rows)
+        if coded:
+            return _rows_to_pdf_coded(rows)
+        return _rows_to_pdf_named(
+            rows,
+            np.asarray(surf_names_b, dtype=object),
+            np.asarray(topic_names_b, dtype=object),
+        )
 
-    return (
-        bucket(candidates.select(
+    if coded:
+        cand_in = (
+            candidates.select(
+                "conv_id", "turn_idx", "start", "end", "surface", "topic", "prior"
+            )
+            .join(F.broadcast(surface_dim), "surface")
+            .join(F.broadcast(topic_dim), "topic")
+            .select(
+                "conv_id", "turn_idx", "start", "end", "surf_id", "topic_id", "prior"
+            )
+        )
+    else:
+        cand_in = candidates.select(
             "conv_id", "turn_idx", "start", "end", "surface", "topic", "prior"
-        ))
+        )
+
+    out = (
+        bucket(cand_in)
         .groupby("bucket")
         .cogroup(bucket(turns_slim).groupby("bucket"))
-        .applyInPandas(fn, schema=RESOLVED_SCHEMA)
+        .applyInPandas(
+            fn, schema=RESOLVED_CODED_SCHEMA if coded else RESOLVED_SCHEMA
+        )
     )
+    if coded:
+        obj_dim = topic_dim.select(
+            F.col("topic_id").alias("obj_id"), F.col("topic").alias("obj")
+        )
+        out = (
+            out.join(F.broadcast(surface_dim), "surf_id")
+            .join(F.broadcast(topic_dim), "topic_id")
+            .join(F.broadcast(obj_dim), "obj_id", "left")
+            .select(
+                "conv_id", "turn_idx", "kind", "start", "end",
+                "surface", "topic", "score", "pred", "obj",
+            )
+        )
+    return out
 
 
 def links_of(resolved: DataFrame) -> DataFrame:

@@ -336,7 +336,21 @@ def expand_second_order_contexts(link_w: DataFrame) -> DataFrame:
     dominated by K kept entries from that same source — without this
     bound a hub context (one with ~N reverse edges) multiplies every
     sparse topic pointing at it by N, which is quadratic at scale
-    (observed: 346M rows at a 40k-entity KB; capped: ~K per edge)."""
+    (observed: 346M rows at a 40k-entity KB; capped: ~K per edge).
+
+    Exact-tie edge case (documented, accepted): within one source
+    context, an entry dropped at the top-K boundary ties a kept entry
+    on weight1 but sorts after it by context name. Because the final
+    aggregation is MAX over (topic, context), losing that tied entry
+    can only matter if NO kept source supplies the same (topic,
+    context) with >= weight — i.e. a target context whose best path in
+    is exactly the boundary-tied edge. The consumer's own top-K cut
+    then sees a weight lower by at most the tie epsilon (0 exactly at
+    a true tie); membership of the consumer's top-K can differ only
+    between entries that were themselves exactly tied. Weights here are
+    products of count ratios, so exact ties occur (equal counts) but
+    resolve identically by the (weight desc, context asc) tie-break at
+    both levels."""
     deg = link_w.groupBy("topic").agg(F.count("*").alias("n_ctx"))
     sparse = deg.filter(F.col("n_ctx") < SECOND_ORDER_KICKIN).select("topic")
     a = link_w.alias("a")

@@ -31,6 +31,123 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from careers_spark.operators.canonicalize import connected_components
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "child",
+    dst: str = "parent",
+    max_trim: int = 25,
+    max_doublings: int = 6,
+) -> DataFrame:
+    """(node, scc) labels for a directed graph; scc = lexicographic min
+    member id, nodes on no cycle are their own singleton component.
+
+    Re-expresses the reference's Tarjan SCC (utility/Graph.scala:21-123,
+    golden corpus testCategorisation.scala:11-55), which category
+    condensation consumes before distance computation. Tarjan is a
+    driver-side recursive DFS — inherently serial — so the Spark-native
+    shape is:
+
+      1. TRIM: iteratively drop nodes with no in-edge or no out-edge in
+         the remaining subgraph (such nodes cannot lie on a cycle). On
+         category parent-hierarchies this collapses the graph to the
+         tiny cycle core, which is what makes step 2 affordable: the
+         quadratic reachability work never touches the acyclic bulk.
+      2. Reachability pairs on the core by path doubling
+         (R <- R ∪ R∘R, log2 rounds to cover the core's diameter).
+      3. Mutual pairs (a reaches b AND b reaches a) as undirected edges.
+      4. connected_components over the mutual edges = the SCCs (min
+         label is the same representative rule as canonicalization).
+    """
+    e = (
+        edges.selectExpr(f"{src} as u", f"{dst} as v")
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .dropDuplicates()
+    )
+
+    n_edges = e.count()
+    for _ in range(max_trim):
+        if n_edges == 0:
+            break
+        keep = (
+            e.select("u")
+            .dropDuplicates()
+            .join(e.select(F.col("v").alias("u")).dropDuplicates(), "u", "left_semi")
+        )
+        ne = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_new = ne.count()
+        e = ne
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+
+    if n_edges == 0:
+        return nodes.withColumn("scc", F.col("node"))
+
+    # path doubling over the cycle core only
+    reach = e.selectExpr("u as a", "v as b")
+    n_pairs = n_edges
+    for _ in range(max_doublings):
+        stepped = (
+            reach.alias("x")
+            .join(reach.alias("y"), F.col("x.b") == F.col("y.a"))
+            .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        )
+        grown = (
+            reach.unionByName(stepped).dropDuplicates().localCheckpoint(eager=True)
+        )
+        n_grown = grown.count()
+        reach = grown
+        if n_grown == n_pairs:
+            break
+        n_pairs = n_grown
+
+    mutual = reach.join(
+        reach.selectExpr("b as a", "a as b"), ["a", "b"], "left_semi"
+    ).filter(F.col("a") != F.col("b"))
+    cc = connected_components(mutual, src="a", dst="b")
+    return nodes.join(cc, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("scc")
+    )
+
+
+def condense_cycles(
+    edges: DataFrame, src: str = "child", dst: str = "parent"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse every SCC of (src, dst, weight) edges to its min-id
+    representative (the reference's cycle condensation before distance
+    computation). Returns (condensed_edges, scc_map): condensed edges
+    keep the MIN weight over collapsed parallel edges (shortest-path
+    semantics) and drop intra-component self-loops; scc_map is
+    (node, scc) for mapping seeds/results. On a DAG this is the
+    identity (modulo duplicate-edge min-weight dedup)."""
+    scc = strongly_connected_components(edges, src=src, dst=dst)
+    sm = F.broadcast(scc)
+    out = (
+        edges.join(sm.withColumnRenamed("node", src), src)
+        .withColumnRenamed("scc", "__src_scc")
+        .join(sm.withColumnRenamed("node", dst), dst)
+        .withColumnRenamed("scc", "__dst_scc")
+        .filter(F.col("__src_scc") != F.col("__dst_scc"))
+        .groupBy(
+            F.col("__src_scc").alias(src), F.col("__dst_scc").alias(dst)
+        )
+        .agg(F.min("weight").alias("weight"))
+    )
+    return out, scc
+
 
 def _prep_edges(
     edges: DataFrame,
@@ -94,15 +211,32 @@ def shortest_path_distances(
     banned: DataFrame | None = None,
     max_parent_indegree: int | None = None,
     max_iters: int = 16,
+    collapse_cycles: bool = False,
 ) -> DataFrame:
     """Min path weight from ANY seed, walking child->parent edges — the
     distributable form of the reference's multi-source dijkstraVisit
     (CategoryHierarchy.scala:243-293): synchronous relaxation rounds to
-    a fixpoint. Returns (node, dist)."""
+    a fixpoint. Returns (node, dist).
+
+    collapse_cycles=True first condenses every SCC to its min-id
+    representative (the reference's Tarjan condensation,
+    utility/Graph.scala:21-123) so a tight weighted cycle cannot eat
+    relaxation rounds; every member of a collapsed cycle reports the
+    component's distance. The in-degree guard applies to the raw edges
+    (pre-condensation), matching the reference's per-category count.
+    On a DAG this is the identity."""
     e = _prep_edges(edges, banned, max_parent_indegree)
+    scc = None
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).dropDuplicates()
+    if collapse_cycles:
+        e, scc = condense_cycles(e)
+        seed_nodes = (
+            seed_nodes.join(F.broadcast(scc), "node", "left")
+            .select(F.coalesce("scc", "node").alias("node"))
+            .dropDuplicates()
+        )
     dist = (
-        seeds.select(F.col(seeds.columns[0]).alias("node"))
-        .dropDuplicates()
+        seed_nodes
         .withColumn("dist", F.lit(0.0))
         .localCheckpoint(eager=True)
     )
@@ -130,6 +264,16 @@ def shortest_path_distances(
         dist = relaxed
         if converged:
             break
+    if scc is not None:
+        # expand component distances back to every member node; a seed
+        # absent from the edge set keeps its own id (null scc match)
+        dist = (
+            dist.withColumnRenamed("node", "__c")
+            .join(
+                F.broadcast(scc.withColumnRenamed("scc", "__c")), "__c", "left"
+            )
+            .select(F.coalesce("node", "__c").alias("node"), "dist")
+        )
     return dist
 
 

@@ -64,6 +64,10 @@ def tfidf_context_scores(
     distinct per turn — lets the pipeline tokenize the corpus ONCE and
     share the pass with word_doc_freq instead of re-tokenizing here.
 
+    candidates must be unique on their full column set (true of
+    attach_candidates output: distinct mention spans x a (surface,
+    topic)-unique dictionary) — scoring groups by those columns.
+
     Shuffle-volume note: the dot-product join only ever matches terms
     that occur in the corpus, so topic term vectors are pre-shrunk to
     the corpus vocabulary (a semi-join) BEFORE the candidate explode;
@@ -116,23 +120,40 @@ def tfidf_context_scores(
     )
 
     # only terms present in the (already topic-term-restricted) corpus
-    # side can contribute to a dot product — shrink the explode side
+    # side can contribute to a dot product — shrink the explode side.
+    # tnorm rides the broadcast dim so dot AND norm come out of ONE
+    # aggregation keyed by the candidate identity: zero-contribution
+    # candidate rows are unioned in (contrib 0, tnorm null), which
+    # replaces the r2 shape's 6-key sort-merge re-join of `dots` back
+    # onto candidates with a map-side-combining groupBy.
     active_terms = topic_terms.join(
         F.broadcast(turn_terms.select("term").distinct()), "term", "left_semi"
-    )
-    dots = (
+    ).join(topic_norm, "topic")
+
+    keys = candidates.columns  # identity + carried cols (incl. prior)
+    exploded = (
         candidates.join(F.broadcast(active_terms), "topic")
-        .join(turn_terms, ["conv_id", "turn_idx", "term"])
-        .groupBy("conv_id", "turn_idx", "start", "end", "surface", "topic")
-        .agg(F.sum(F.col("tw") * F.col("idf")).alias("dot"))
+        .join(turn_terms.withColumnRenamed("idf", "t_idf"),
+              ["conv_id", "turn_idx", "term"])
+        .select(
+            *keys,
+            (F.col("tw") * F.col("t_idf")).alias("contrib"),
+            "tnorm",
+        )
+    )
+    zeros = candidates.select(
+        *keys,
+        F.lit(0.0).alias("contrib"),
+        F.lit(None).cast("double").alias("tnorm"),
+    )
+    agg = (
+        exploded.unionByName(zeros)
+        .groupBy(*keys)
+        .agg(F.sum("contrib").alias("dot"), F.max("tnorm").alias("tnorm"))
     )
 
     out = (
-        candidates.join(
-            dots, ["conv_id", "turn_idx", "start", "end", "surface", "topic"], "left"
-        )
-        .join(F.broadcast(topic_norm), "topic", "left")
-        .join(turn_norm, ["conv_id", "turn_idx"], "left")
+        agg.join(turn_norm, ["conv_id", "turn_idx"], "left")
         .withColumn(
             "ctx_cos",
             F.coalesce(

@@ -18,20 +18,31 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-from careers_spark.operators.mentions import TokenAhoCorasick, build_automaton
+from careers_spark.operators.mentions import TokenAhoCorasick
 
 
 @dataclass
 class KGModel:
     automaton: TokenAhoCorasick
     ctx_map: dict[str, dict[str, float]]
+    # sorted dictionary universes: the resolver's coded mode assigns
+    # global lexicographic int ids from these, so only ints cross the
+    # cogroup shuffle / Arrow boundary (names join back JVM-side)
+    surface_names: list[str] = None
+    topic_names: list[str] = None
+
+    # bump when the pickled layout changes: build_or_load rebuilds stale
+    # cache files instead of loading a model missing newer fields
+    VERSION = 2
+    version: int = VERSION
 
     # heap guard: the model is a driver-collected broadcast dim, the same
     # memory contract as the reference's ~300 MB phrase map loaded per
-    # task (WordInTopicCount.scala:19-25). Topics x top-30 contexts at
-    # ~100B/entry -> ~30 GB at the cap; anything larger is a schema bug,
-    # not a bigger dictionary.
-    MAX_CONTEXT_TOPICS = 10_000_000
+    # task (WordInTopicCount.scala:19-25). The default driver heap is 6g
+    # (careers_spark.session): topics x top-30 contexts at ~100B/entry
+    # puts the comfortable ceiling near 20M entries -> ~2 GB; anything
+    # larger is a schema bug, not a bigger dictionary.
+    MAX_CONTEXT_TOPICS = 600_000
 
     @classmethod
     def build(
@@ -48,7 +59,22 @@ class KGModel:
             r.topic: dict(zip(list(r.ctx_ids), list(r.ctx_ws)))
             for r in dim.collect()
         }
-        return cls(automaton=build_automaton(surface_forms), ctx_map=ctx_map)
+        sf_dim = surface_forms.select("surface", "topic").distinct()
+        n_sf = sf_dim.count()  # fail fast BEFORE the collect (heap guard)
+        if n_sf > 50_000_000:
+            raise MemoryError(f"dictionary too large to broadcast: {n_sf} pairs")
+        pairs = sf_dim.collect()
+        surface_names = sorted({r.surface for r in pairs})
+        topic_names = sorted({r.topic for r in pairs})
+        ac = TokenAhoCorasick()
+        for s in surface_names:
+            ac.add(s)
+        return cls(
+            automaton=ac.build(),
+            ctx_map=ctx_map,
+            surface_names=surface_names,
+            topic_names=topic_names,
+        )
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -68,7 +94,9 @@ class KGModel:
         cache_path: str | None,
     ) -> "KGModel":
         if cache_path and os.path.exists(cache_path):
-            return cls.load(cache_path)
+            m = cls.load(cache_path)
+            if getattr(m, "version", 1) == cls.VERSION:
+                return m
         m = cls.build(surface_forms, context_vectors)
         if cache_path:
             m.save(cache_path)

@@ -198,14 +198,16 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above threshold.
 
-    With a narrowing `sample_pred` the exact all-pairs cross join runs
-    (the oracle-checkable baseline). Unsampled input routes through the
-    LSH sign-bit buckets with 1-bit multiprobe — candidate pairs share a
-    (possibly flipped) bucket key, then exact cosine verifies — so the
-    100 TB path has NO CartesianProduct; recall is the standard LSH
-    trade and is gated in tests against the exact path.
+    With ANY `sample_pred` (including "true") the exact all-pairs cross
+    join runs on the filtered rows — the oracle-checkable baseline, and
+    the r1-documented meaning of the argument. Only sample_pred=None
+    routes through the LSH sign-bit buckets with 1-bit multiprobe —
+    candidate pairs share a (possibly flipped) bucket key, then exact
+    cosine verifies — so the 100 TB path has NO CartesianProduct;
+    recall is the standard LSH trade and is gated in tests against the
+    exact path.
     """
-    exact = sample_pred not in (None, "true", "")
+    exact = sample_pred is not None
     e = embeddings.filter(sample_pred or "true").select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )

@@ -46,8 +46,11 @@ def kg_run_in_memory(
             .withColumn("prior", F.col("score"))
             .drop("score", "ctx_cos")
         )
+    sf_pairs = sf.select("surface", "topic").distinct().collect()
     out = CO.resolve(
-        cands, transcripts, ctx, mention_spans=mentions
+        cands, transcripts, ctx, mention_spans=mentions,
+        surface_names=sorted({r.surface for r in sf_pairs}),
+        topic_names=sorted({r.topic for r in sf_pairs}),
     ).localCheckpoint(eager=False)
     canon = CZ.canonical_mapping(resolved_r, raw["same_as"])
     triples = CZ.apply_canonical(

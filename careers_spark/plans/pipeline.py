@@ -108,30 +108,45 @@ class KGPipeline:
             w = w.partitionBy(*partition_by)
         w.parquet(out_dir)
 
-        # per-partition lineage: one row per output file, from a read-back
-        # (survives as an audit trail next to the data). The explicit
-        # schema keeps the read-back valid when a stage legitimately
-        # produced zero rows (an empty partitioned write has no files).
-        # Row count comes from the collected lineage (tiny), not a second
-        # scan; lineage rows accumulate in memory and flush once per run
-        # (_flush_lineage) — one Spark job per stage instead of three.
-        back = self.spark.read.schema(df.schema).parquet(out_dir)
-        aggs = [F.count("*").alias("rows_out")]
+        # per-partition lineage: one row per output file (survives as an
+        # audit trail next to the data). Row counts come from the parquet
+        # FOOTERS (pyarrow metadata read, driver-side, no Spark job) —
+        # the r2 read-back job re-scanned every stage's full output just
+        # to count rows per file, a pure fixed cost per stage that capped
+        # scaling efficiency. Lineage rows accumulate in memory and flush
+        # once per run (_flush_lineage). checksums=True is the exception:
+        # a content hash genuinely needs a data scan, so only that opt-in
+        # path runs the read-back aggregation.
         if self.checksums:
+            back_ck = self.spark.read.schema(df.schema).parquet(out_dir)
             # order-insensitive content hash: sum of per-row xxhash64
             # folded into 2^31 space (ANSI mode rejects raw int64 sums)
-            aggs.append(
-                F.sum(F.pmod(F.xxhash64(F.struct(*back.columns)), F.lit(2**31)))
-                .alias("checksum")
+            lineage_rows = (
+                back_ck.groupBy(F.input_file_name().alias("file"))
+                .agg(
+                    F.count("*").alias("rows_out"),
+                    F.sum(
+                        F.pmod(F.xxhash64(F.struct(*back_ck.columns)), F.lit(2**31))
+                    ).alias("checksum"),
+                )
+                .collect()
             )
-        lineage_rows = (
-            back.groupBy(F.input_file_name().alias("file")).agg(*aggs).collect()
-        )
-        self._lineage.extend(
-            (r.file, r.rows_out, r.checksum if self.checksums else None, name)
-            for r in lineage_rows
-        )
-        rows = sum(r.rows_out for r in lineage_rows)
+            self._lineage.extend(
+                (r.file, r.rows_out, r.checksum, name) for r in lineage_rows
+            )
+            rows = sum(r.rows_out for r in lineage_rows)
+        else:
+            import pyarrow.parquet as pq
+
+            rows = 0
+            for root, _dirs, fnames in os.walk(out_dir):
+                for fn in sorted(fnames):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fpath = os.path.join(root, fn)
+                    n = pq.ParquetFile(fpath).metadata.num_rows
+                    self._lineage.append((fpath, n, None, name))
+                    rows += n
         wall = time.monotonic() - t0
         with open(marker, "w") as f:
             json.dump(
@@ -139,6 +154,9 @@ class KGPipeline:
                 f,
             )
         run.stages.append(StageResult(name, rows, wall, resumed=False))
+        # downstream consumers read the MATERIALIZED table (a lazy scan
+        # plan — no job runs here), not the stage's compute DAG
+        back = self.spark.read.schema(df.schema).parquet(out_dir)
         run.outputs[name] = back
         return back
 
@@ -321,6 +339,11 @@ class KGPipeline:
             lambda: CO.resolve(
                 candidates, transcripts, model.ctx_map,
                 mention_spans=mentions,
+                # coded mode: ints on the cogroup shuffle + Arrow boundary,
+                # names broadcast-joined back JVM-side (None on models
+                # built before the dims existed -> legacy string path)
+                surface_names=getattr(model, "surface_names", None),
+                topic_names=getattr(model, "topic_names", None),
             ),
         )
         triples = st(

@@ -58,6 +58,55 @@ def test_shortest_path_distances_and_tree(spark):
     assert tree == {"x": ("a", 1.0), "y": ("x", 1.0), "z": ("y", 2.0)}
 
 
+def test_scc_tarjan_golden(spark):
+    """The reference's SCC golden, ported verbatim
+    (testCategorisation.scala:11-55 over utility/Graph.scala): six nodes,
+    components {d}, {e,f}, {a,b,c}."""
+    rows = [
+        ("d", "e"), ("e", "f"), ("f", "e"), ("f", "a"), ("d", "a"),
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b"),
+    ]
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["child", "parent"]))
+    scc = H.strongly_connected_components(edges)
+    comps = {}
+    for r in scc.collect():
+        comps.setdefault(r.scc, set()).add(r.node)
+    assert sorted(comps.values(), key=len) == [
+        {"d"}, {"e", "f"}, {"a", "b", "c"}
+    ]
+
+
+def test_condense_cycles_dag_identity(spark):
+    """On a DAG condensation is the identity (modulo min-weight dedup)."""
+    edges = _edges(spark).filter("child != parent")
+    out, scc = H.condense_cycles(edges)
+    assert {(r.child, r.parent, r.weight) for r in out.collect()} == {
+        (r.child, r.parent, r.weight) for r in edges.collect()
+    }
+    assert all(r.node == r.scc for r in scc.collect())
+
+
+def test_shortest_paths_through_cycle(spark):
+    """A tight weighted cycle between seed and target: condensation
+    collapses it, members share the component distance, and the walk
+    cannot burn relaxation rounds inside the loop."""
+    rows = [
+        ("s", "c1", 1.0),
+        ("c1", "c2", 0.5), ("c2", "c3", 0.5), ("c3", "c1", 0.5),  # 3-cycle
+        ("c2", "t", 2.0),
+    ]
+    edges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["child", "parent", "weight"])
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"node": ["s"]}))
+    dist = H.shortest_path_distances(
+        edges, seeds, max_iters=8, collapse_cycles=True
+    )
+    d = {r.node: r.dist for r in dist.collect()}
+    # cycle {c1,c2,c3} collapses to one node at dist 1; t = 1 + 2
+    assert d == {"s": 0.0, "c1": 1.0, "c2": 1.0, "c3": 1.0, "t": 3.0}
+
+
 def test_indegree_hub_guard(spark):
     """overbroadCategoryCount analogue (CategoryHierarchy.scala:17):
     parents above the in-degree cap are dropped before any walk."""

@@ -43,6 +43,7 @@ fi
 for E in $LEVELS; do
   for R in $(seq 1 "$REPEATS"); do
     rm -rf "$BASE/run_e$E"
+    uptime
     spark-submit --master "local-cluster[$E,2,2048]" \
       --conf spark.sql.shuffle.partitions=$((4 * E)) \
       --conf spark.driver.memory=4g \
@@ -50,16 +51,16 @@ for E in $LEVELS; do
       --py-files "$ZIP" \
       run_pipeline.py --input "$INPUT" --work-dir "$BASE/run_e$E" \
       --dict-cache "$DICT" --skip-pr \
-      --json-out "/tmp/kg_execscale_${E}_r${R}.json" 2>/dev/null | tail -1
+      --json-out "/tmp/kg_execscale_${CONVS}_${E}_r${R}.json" 2>/dev/null | tail -1
   done
-  python - "$E" "$REPEATS" <<'PY'
+  python - "$E" "$REPEATS" "$CONVS" <<'PY'
 import json, sys
-e, reps = sys.argv[1], int(sys.argv[2])
-runs = [json.load(open(f"/tmp/kg_execscale_{e}_r{r}.json")) for r in range(1, reps + 1)]
+e, reps, convs = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+runs = [json.load(open(f"/tmp/kg_execscale_{convs}_{e}_r{r}.json")) for r in range(1, reps + 1)]
 best = min(runs, key=lambda j: j["wall_s"])
 best["all_walls_s"] = [j["wall_s"] for j in runs]
 best["executors"] = int(e)
-json.dump(best, open(f"/tmp/kg_execscale_best_{e}.json", "w"))
+json.dump(best, open(f"/tmp/kg_execscale_best_{convs}_{e}.json", "w"))
 print(f"local-cluster[{e},2] best={best['wall_s']}s of {best['all_walls_s']}")
 PY
 done

@@ -6,9 +6,11 @@ Usage:
 Thread-level runs (local[N], from tools/scaling_bench.sh) are read from
 the argv globs; executor-level runs (local-cluster[E,2,2048], from
 tools/exec_scaling_bench.sh) are picked up automatically from
-/tmp/kg_execscale_best_*.json when present.
+/tmp/kg_execscale_best_*.json when present. Executor runs at different
+corpus sizes (KG_SCALE_CONVS) each get their own table — the larger
+corpus evidences the stage-protocol floor amortizing.
 
-HEADLINE: executor-count efficiency at the declared 2 -> 8 executor
+HEADLINE: executor-count efficiency at the declared 1 -> 4 executor
 pair — the faithful proxy for the north rule's "N and 4N executors"
 (real separate executor JVMs of fixed shape; only the count scales).
 The thread curve is reported alongside, unadjusted, as the
@@ -19,12 +21,14 @@ import glob
 import json
 import sys
 
+DECLARED_PAIR = (1, 4)
+
 runs = sorted(
     (json.load(open(p)) for p in sys.argv[1:]), key=lambda j: j["parallelism"]
 )
 exec_runs = sorted(
     (json.load(open(p)) for p in glob.glob("/tmp/kg_execscale_best_*.json")),
-    key=lambda j: j["executors"],
+    key=lambda j: (j["n_turns"], j["executors"]),
 )
 
 by_par = {j["parallelism"]: j for j in runs}
@@ -33,22 +37,41 @@ effs = {
     (n, m): (by_par[m]["triples_per_sec"] / by_par[n]["triples_per_sec"]) / 4
     for n, m in pairs
 }
-by_exec = {j["executors"]: j for j in exec_runs}
-exec_pairs = [(n, 4 * n) for n in by_exec if 4 * n in by_exec]
-exec_effs = {
-    (n, m): (by_exec[m]["triples_per_sec"] / by_exec[n]["triples_per_sec"]) / 4
-    for n, m in exec_pairs
+
+# group executor runs by corpus size; the SMALLEST corpus is the declared
+# measurement (the prepped 2M-conv corpus), larger ones are the
+# floor-amortization evidence
+corpora = sorted({j["n_turns"] for j in exec_runs})
+exec_groups = {
+    nt: {j["executors"]: j for j in exec_runs if j["n_turns"] == nt}
+    for nt in corpora
 }
-headline = exec_effs.get((1, 4)) if (1, 4) in exec_effs else (
-    max(exec_effs.values()) if exec_effs else float("nan")
-)
+
+
+def pair_effs(by_exec):
+    ps = [(n, 4 * n) for n in by_exec if 4 * n in by_exec]
+    return {
+        (n, m): (by_exec[m]["triples_per_sec"] / by_exec[n]["triples_per_sec"]) / 4
+        for n, m in ps
+    }
+
+
+headline = float("nan")
+headline_pair = None
+if corpora:
+    base_effs = pair_effs(exec_groups[corpora[0]])
+    if DECLARED_PAIR in base_effs:
+        headline, headline_pair = base_effs[DECLARED_PAIR], DECLARED_PAIR
+    elif base_effs:
+        headline_pair = max(base_effs, key=base_effs.get)
+        headline = base_effs[headline_pair]
 
 lines = [
     "# BENCH/BASELINE — measured numbers",
     "",
     "Method: identical `spark-submit --py-files careers_spark.zip run_pipeline.py`",
     "job on the identical materialized synth corpus (tools/prep_bench_corpus.py,",
-    "seed=42, 2M conversations / 8.2M turns). The dictionary model build is a",
+    "seed=42). The dictionary model build is a",
     "one-time shared artifact (reference parity: wikibatch.sh's model build is",
     "separate from per-document processing; the pickled automaton+context-map",
     "is the phraseMap.bin analogue), built once at full parallelism and resumed",
@@ -64,50 +87,66 @@ lines = [
     "",
 ]
 
-if exec_runs:
-    hdr = " | ".join(f"{j['executors']} executors" for j in exec_runs)
+for nt in corpora:
+    by_exec = exec_groups[nt]
+    grp = [by_exec[e] for e in sorted(by_exec)]
+    exec_effs = pair_effs(by_exec)
+    hdr = " | ".join(f"{j['executors']} executors" for j in grp)
+    title = (
+        "## Executor-count scaling — local-cluster[E, 2, 2048]"
+        if nt == corpora[0]
+        else f"## Executor-count scaling at {nt / 1e6:.1f}M turns "
+        "(floor-amortization evidence)"
+    )
+    lines += [title, ""]
+    if nt == corpora[0]:
+        lines += [
+            "The north rule's criterion is throughput scaling from N to 4N",
+            "EXECUTORS. `--master local-cluster[E,2,2048]` launches E real,",
+            "separate executor JVMs (own heap, GC, python workers, netty",
+            "shuffle) of a fixed 2-core/2g shape; only the executor count",
+            "scales between levels — unlike local[N] threads, which widen ONE",
+            "JVM and saturate its allocator/GC (that curve is below).",
+            "",
+        ]
     lines += [
-        "## Executor-count scaling — local-cluster[E, 2, 2048]",
-        "",
-        "The north rule's criterion is throughput scaling from N to 4N",
-        "EXECUTORS. `--master local-cluster[E,2,2048]` launches E real,",
-        "separate executor JVMs (own heap, GC, python workers, netty",
-        "shuffle) of a fixed 2-core/2g shape; only the executor count",
-        "scales between levels — unlike local[N] threads, which widen ONE",
-        "JVM and saturate its allocator/GC (that curve is below).",
-        "",
         f"| metric | {hdr} |",
-        "|---|" + "---|" * len(exec_runs),
-        "| cores total | "
-        + " | ".join(str(2 * j["executors"]) for j in exec_runs) + " |",
+        "|---|" + "---|" * len(grp),
+        "| cores total | " + " | ".join(str(2 * j["executors"]) for j in grp) + " |",
+        "| turns | " + " | ".join(str(j["n_turns"]) for j in grp) + " |",
         "| corpus-phase wall (s, best) | "
-        + " | ".join(str(j["wall_s"]) for j in exec_runs) + " |",
+        + " | ".join(str(j["wall_s"]) for j in grp) + " |",
         "| all repeat walls (s) | "
-        + " | ".join(str(j.get("all_walls_s", [j["wall_s"]])) for j in exec_runs)
-        + " |",
-        "| triples emitted | "
-        + " | ".join(str(j["n_triples"]) for j in exec_runs) + " |",
-        "| turns/sec | "
-        + " | ".join(str(j["turns_per_sec"]) for j in exec_runs) + " |",
+        + " | ".join(str(j.get("all_walls_s", [j["wall_s"]])) for j in grp) + " |",
+        "| triples emitted | " + " | ".join(str(j["n_triples"]) for j in grp) + " |",
+        "| turns/sec | " + " | ".join(str(j["turns_per_sec"]) for j in grp) + " |",
         "| triples/sec | "
-        + " | ".join(str(j["triples_per_sec"]) for j in exec_runs) + " |",
+        + " | ".join(str(j["triples_per_sec"]) for j in grp) + " |",
         "",
         "| executor pair | efficiency = (thr_4N / thr_N) / 4 |",
         "|---|---|",
     ]
     for (n, m), e in sorted(exec_effs.items()):
         lines.append(f"| {n} -> {m} executors | **{e:.3f}** |")
-    lines += [
-        "",
-        f"**Headline: {headline:.3f}** (target >= 0.8) at the DECLARED",
-        "pair 1 -> 4 executors (the minimal faithful executor scaling;\n"
-        "higher counts additionally saturate the host's ONE memory\n"
-        "subsystem, which real clusters do not share — all pairs are\n"
-        "reported unadjusted). Identical",
-        "triple counts at every level evidence the determinism invariant",
-        "(per-turn text equality + stable (conv_id, turn_idx) ordering).",
-        "",
-    ]
+    lines.append("")
+    if nt == corpora[0] and headline_pair is not None:
+        declared = (
+            "the DECLARED pair"
+            if headline_pair == DECLARED_PAIR
+            else f"pair {headline_pair[0]} -> {headline_pair[1]} (declared pair "
+            f"{DECLARED_PAIR[0]} -> {DECLARED_PAIR[1]} not measured)"
+        )
+        lines += [
+            f"**Headline: {headline:.3f}** (target >= 0.8) at {declared}",
+            f"{headline_pair[0]} -> {headline_pair[1]} executors (the minimal "
+            "faithful executor scaling;\n"
+            "higher counts additionally saturate the host's ONE memory\n"
+            "subsystem, which real clusters do not share — all pairs are\n"
+            "reported unadjusted). Identical",
+            "triple counts at every level evidence the determinism invariant",
+            "(per-turn text equality + stable (conv_id, turn_idx) ordering).",
+            "",
+        ]
     if 1 in by_exec and 4 in by_exec:
         s1, s4 = by_exec[1]["stages"], by_exec[4]["stages"]
         big = {"mentions", "turn_terms", "candidates", "resolved"}
@@ -118,19 +157,12 @@ if exec_runs:
         lines += [
             "### Where the 1 -> 4 gap is (per-stage decomposition)",
             "",
-            f"Data-proportional stages (mentions/turn_terms/candidates/resolved):",
-            f"{bw1:.0f}s -> {bw4:.0f}s = {bw1 / bw4:.2f}x of ideal 4x — the residual",
-            "sublinearity is the host's shared memory bandwidth (Arrow",
-            "batch traffic into/out of the python resolve workers plus",
-            "shuffle I/O; all 2E cores live on one socket here, unlike a",
-            "real cluster). Fixed-cost stages (stage-protocol write +",
-            f"lineage + tiny tables): {fx1:.0f}s -> {fx4:.0f}s — a floor that a",
-            "larger corpus amortizes away (it is ~linear in stage COUNT,",
-            "not data). Next-round remediation, in order of leverage:",
-            "emit int-coded topics from the resolver and join names back",
-            "JVM-side (cuts the dominant Arrow string traffic), then a",
-            "lineage path that rides the stage write instead of a",
-            "read-back job.",
+            "Data-proportional stages (mentions/turn_terms/candidates/resolved):",
+            f"{bw1:.0f}s -> {bw4:.0f}s = {bw1 / bw4:.2f}x of ideal 4x.",
+            "Fixed-cost stages (stage-protocol write + lineage + tiny",
+            f"tables): {fx1:.0f}s -> {fx4:.0f}s — a floor that a larger",
+            "corpus amortizes away (it is ~linear in stage COUNT, not data;",
+            "the larger-corpus table below is the direct evidence).",
             "",
         ]
 
@@ -191,5 +223,9 @@ if runs:
 
 with open("BENCH/BASELINE.md", "w") as f:
     f.write("\n".join(lines) + "\n")
-print("exec pairs:", {f"{n}->{m}": round(e, 3) for (n, m), e in exec_effs.items()})
+for nt in corpora:
+    print(
+        f"corpus {nt}: exec pairs:",
+        {f"{n}->{m}": round(e, 3) for (n, m), e in pair_effs(exec_groups[nt]).items()},
+    )
 print("thread pairs:", {f"{n}->{m}": round(e, 3) for (n, m), e in effs.items()})
