@@ -368,6 +368,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["digest_grouped_ranks"] = digest_grouped_ranks
 
+    def digest_doc_grouped(spark, sf_dir):
+        """Per-DOCUMENT digest grouping (getDocumentDigest's strictness-
+        0.7 clustering of the conversation's own topic vector,
+        AmbiguityForest.scala:1157-1212) feeding rankedAndGrouped.
+
+        Pair weights: brands co-occurring in a conversation that share a
+        brand-family digit. Same-family pairs are all present, so each
+        family is a clique and the agglomeration's quasi-clique merges
+        never reject — the DuckDB twin can therefore compute the same
+        groups set-wise and the oracle stays exact; the
+        strictness-rejection semantics are pytest-golden-gated
+        (tests/test_digests.py::test_document_digest_groups_strictness).
+        """
+        from careers_spark.operators import digests as DG
+
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        p = _t(spark, sf_dir, "part")
+        digests = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter("o_custkey % 10 = 0")
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy(
+                F.col("o_custkey").cast("string").alias("conv_id"),
+                F.col("p_brand").alias("topic"),
+            )
+            .agg(F.sum(F.col("l_quantity").cast("double")).alias("weight"))
+        )
+        a = digests.selectExpr("conv_id", "topic as topic_a", "weight as wa")
+        b = digests.selectExpr("conv_id", "topic as topic_b", "weight as wb")
+        pairs = (
+            a.join(b, "conv_id")
+            .filter(
+                "topic_a < topic_b "
+                "and substring(topic_a, 7, 1) = substring(topic_b, 7, 1)"
+            )
+            .select(
+                "conv_id", "topic_a", "topic_b",
+                (F.col("wa") + F.col("wb")).alias("weight"),
+            )
+        )
+        groups = DG.document_digest_groups(pairs)
+        return DG.ranked_and_grouped(digests, groups).withColumn(
+            "weight", F.round("weight", 4)
+        )
+
+    q["digest_doc_grouped"] = digest_doc_grouped
+
+    def incremental_digest_pairs(spark, sf_dir):
+        """Blocked variant of the incremental matcher: the new x all /
+        old x new poll predicate rides the digest-topic equi-join (no
+        crossJoin), the scale path for unbounded poll volumes."""
+        from careers_spark.operators import digests as DG
+
+        docs = _t(spark, sf_dir, "documents")
+        tf = (
+            docs.select("doc_id", F.explode(DD.tokens_col("text")).alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("cnt"))
+        )
+        links_like = tf.selectExpr(
+            "cast(doc_id as string) as conv_id",
+            "tok as topic",
+            "cast(cnt as double) as score",
+        )
+        dv = DG.document_digests(links_like, k=10)
+        l = dv.selectExpr(
+            "cast(conv_id as bigint) as id_a", "topic", "weight"
+        ).filter("id_a % 2 = 0")
+        r = dv.selectExpr(
+            "cast(conv_id as bigint) as id_b", "topic", "weight"
+        ).filter("id_b % 2 = 1")
+        return DG.incremental_digest_pairs(
+            l, r, left_cursor=250, right_cursor=251, min_similarity=0.3
+        )
+
+    q["incremental_digest_pairs"] = incremental_digest_pairs
+
     def incremental_pairs(spark, sf_dir):
         from careers_spark.operators import digests as DG
 
@@ -917,6 +995,38 @@ def oracle_sql() -> dict[str, str]:
         HAVING round(sum(a.weight * b.weight), 6) >= 0.5
     """
 
+    o["incremental_digest_pairs"] = f"""
+        WITH tf AS (
+          SELECT CAST(doc_id AS VARCHAR) AS conv_id, tok AS topic,
+                 CAST(count(*) AS DOUBLE) AS score
+          FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+          GROUP BY doc_id, tok
+        ),
+        topk AS (
+          SELECT conv_id, topic, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id
+                                         ORDER BY score DESC, topic) AS rk
+            FROM tf
+          ) WHERE rk <= 10
+        ),
+        nrm AS (SELECT conv_id, sqrt(sum(score * score)) AS n FROM topk GROUP BY conv_id),
+        dv AS (
+          SELECT t.conv_id, t.topic, t.score / nrm.n AS weight
+          FROM topk t JOIN nrm ON t.conv_id = nrm.conv_id
+        ),
+        l AS (SELECT CAST(conv_id AS BIGINT) AS id_a, topic, weight FROM dv
+              WHERE CAST(conv_id AS BIGINT) % 2 = 0),
+        r AS (SELECT CAST(conv_id AS BIGINT) AS id_b, topic, weight FROM dv
+              WHERE CAST(conv_id AS BIGINT) % 2 = 1)
+        -- new-left x all-right UNION old-left x new-right == the single
+        -- disjunctive cursor predicate (branches are disjoint on id_a)
+        SELECT id_a, id_b, round(sum(l.weight * r.weight), 6) AS similarity
+        FROM l JOIN r ON l.topic = r.topic
+        WHERE id_a > 250 OR id_b > 251
+        GROUP BY id_a, id_b
+        HAVING round(sum(l.weight * r.weight), 6) >= 0.3
+    """
+
     # uses the tokenize_py twin so the oracle matches the mention scan's
     # tokenization semantics (apostrophes, specials), not just this corpus
     phrase_likes = []
@@ -994,6 +1104,54 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY d.weight DESC, d.topic) - 1 AS rank,
                  coalesce(g.group_id, d.topic) AS group_id
           FROM digests d LEFT JOIN groups g ON g.topic = d.topic
+        ),
+        avgd AS (
+          SELECT *, avg(rank) OVER (PARTITION BY conv_id, group_id) AS avg_rank
+          FROM ranked
+        )
+        SELECT conv_id, group_id,
+               CAST(dense_rank() OVER (PARTITION BY conv_id
+                                       ORDER BY avg_rank, group_id) AS INTEGER) AS group_order,
+               round(avg_rank, 6) AS avg_rank,
+               topic, CAST(rank AS INTEGER) AS rank, round(weight, 4) AS weight
+        FROM avgd
+    """
+
+    # per-document grouping: same-family pairs form cliques, so the
+    # reference's weight-ordered quasi-clique agglomeration reduces to
+    # family components with >= 2 members (see digest_doc_grouped's
+    # docstring; strictness divergence is pytest-gated)
+    o["digest_doc_grouped"] = """
+        WITH digests AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS conv_id, p_brand AS topic,
+                 sum(CAST(l_quantity AS DOUBLE)) AS weight
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE o_custkey % 10 = 0
+          GROUP BY 1, 2
+        ),
+        member AS (
+          SELECT conv_id, topic, weight, substr(topic, 7, 1) AS fam
+          FROM digests
+        ),
+        fams AS (
+          SELECT conv_id, fam, count(*) AS n, min(topic) AS gid
+          FROM member GROUP BY 1, 2
+        ),
+        groups AS (
+          SELECT m.conv_id, m.topic, f.gid AS group_id
+          FROM member m
+          JOIN fams f ON m.conv_id = f.conv_id AND m.fam = f.fam
+          WHERE f.n >= 2
+        ),
+        ranked AS (
+          SELECT d.conv_id, d.topic, d.weight,
+                 row_number() OVER (PARTITION BY d.conv_id
+                                    ORDER BY d.weight DESC, d.topic) - 1 AS rank,
+                 coalesce(g.group_id, d.topic) AS group_id
+          FROM digests d
+          LEFT JOIN groups g ON g.conv_id = d.conv_id AND g.topic = d.topic
         ),
         avgd AS (
           SELECT *, avg(rank) OVER (PARTITION BY conv_id, group_id) AS avg_rank

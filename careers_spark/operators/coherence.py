@@ -11,12 +11,17 @@ site/alternative builder Disambiguator.scala:105-208):
   - candidate *support*: topic-topic compatibility through shared
     contexts (w1*w2) plus direct topic-as-context links
     (AmbiguityForest.scala:832-875), excluding same-site pairs (:783-784);
-  - two-round resolve replaces the greedy prune loop (:912-981): round 1
-    scores every candidate against every other mention's prior-weighted
-    candidates, round 2 re-scores against round-1 winners only, then the
-    best alternative per site wins by (token coverage, score) — the
-    coverage tiebreak mirrors the reference's longest-match ordering
-    (end desc, start asc sort at Disambiguator.scala:550-560);
+  - resolution is the reference's GREEDY PRUNE loop (:912-981): the
+    globally lowest-scored candidate of any still-ambiguous mention is
+    eliminated and its contribution subtracted from every peer's
+    support (downWeightPeers :220-250; removeTopic's last-candidate
+    guard :207-217), repeated until one candidate per mention — this
+    propagates corrections through chained ambiguity, which the earlier
+    fixed-round rescoring could not (gated by
+    tests/test_resolver_greedy.py); then the best alternative per site
+    wins by (token coverage, score) — the coverage tiebreak mirrors the
+    reference's longest-match ordering (end desc, start asc sort at
+    Disambiguator.scala:550-560);
   - predicates: the deterministic gap-token pattern rules
     (careers_spark.synth.PRED_PATTERNS) applied between adjacent resolved
     mentions in the same turn — the "dependency-pattern triple extraction
@@ -250,54 +255,72 @@ def _resolve_conv(
 
     sim = ctx.sim
 
-    # --- round 1: support against prior-weighted peers ---------------------
+    # --- initial support against prior-weighted peers ----------------------
     # peers: every candidate row, tagged with its mention's site
     row_site = [0] * (hi - lo)
+    row_mention = [0] * (hi - lo)
     for i in range(n):
         for r in range(m_first[i], m_first[i + 1]):
             row_site[r - lo] = site_of[i]
+            row_mention[r - lo] = i
 
-    def support(site_i: int, gid: int) -> float:
+    supp = [0.0] * (hi - lo)
+    for r in range(lo, hi):
         s = 0.0
-        for r in range(lo, hi):
-            if row_site[r - lo] == site_i:
+        gr = topic_gid[r]
+        sr = row_site[r - lo]
+        for r2 in range(lo, hi):
+            if row_site[r2 - lo] == sr:
                 continue  # same-site exclusion (AmbiguityForest.scala:783-784)
-            s += sim(gid, topic_gid[r]) * prior[r]
-        return s
+            s += sim(gr, topic_gid[r2]) * prior[r2]
+        supp[r - lo] = s
 
-    winners_gid = [0] * n
-    winners_prior = [0.0] * n
-    for i in range(n):
-        best_sc, best_c = -1.0, -1
-        for r in range(m_first[i], m_first[i + 1]):
-            sc = prior[r] * (_EPS + support(site_of[i], topic_gid[r]))
-            # candidates are code-sorted, so strict > keeps the smallest
-            # topic name on ties (reference name-ordered tie-break)
-            if sc > best_sc:
-                best_sc, best_c = sc, r
-        winners_gid[i] = topic_gid[best_c]
-        winners_prior[i] = prior[best_c]
+    # --- greedy elimination with peer down-weighting -----------------------
+    # The reference's pruneOutAlternatives topic loop
+    # (AmbiguityForest.scala:948-981): a priority queue pops the globally
+    # LOWEST-weight candidate; it is removed unless it is its mention's
+    # last (removeTopic, :207-217), and its contribution is subtracted
+    # from every peer's weight (downWeightPeers, :220-250). Repeating to
+    # one candidate per mention propagates corrections through CHAINS of
+    # ambiguity (A's winner depends on B's, B's on C's) — a fixed number
+    # of rescoring rounds cannot. Candidate score = prior * (eps +
+    # remaining support), the same scoring shape both phases here use.
+    active = [True] * (hi - lo)
+    n_active = [m_first[i + 1] - m_first[i] for i in range(n)]
+    n_multi = sum(1 for c in n_active if c > 1)
+    while n_multi > 0:
+        # globally lowest-scored candidate among multi-candidate
+        # mentions; ties remove the LARGER topic code so the smallest
+        # name survives (reference name-ordered tie-break)
+        worst_r, worst_key = -1, None
+        for r in range(lo, hi):
+            rl = r - lo
+            if not active[rl] or n_active[row_mention[rl]] < 2:
+                continue
+            key = (prior[r] * (_EPS + supp[rl]), -topic_code[r])
+            if worst_key is None or key < worst_key:
+                worst_key, worst_r = key, r
+        rl = worst_r - lo
+        active[rl] = False
+        mi = row_mention[rl]
+        n_active[mi] -= 1
+        if n_active[mi] == 1:
+            n_multi -= 1
+        gw, pw, sw = topic_gid[worst_r], prior[worst_r], row_site[rl]
+        for r2 in range(lo, hi):
+            r2l = r2 - lo
+            if not active[r2l] or row_site[r2l] == sw:
+                continue
+            supp[r2l] -= sim(topic_gid[r2], gw) * pw
 
-    # --- round 2: re-score against round-1 winners -------------------------
     final_code = [0] * n
     final_score = [0.0] * n
-
-    def support2(site_i: int, gid: int) -> float:
-        s = 0.0
-        for j in range(n):
-            if site_of[j] == site_i:
-                continue
-            s += sim(gid, winners_gid[j]) * winners_prior[j]
-        return s
-
     for i in range(n):
-        best_sc, best_c = -1.0, -1
         for r in range(m_first[i], m_first[i + 1]):
-            sc = prior[r] * (_EPS + support2(site_of[i], topic_gid[r]))
-            if sc > best_sc:
-                best_sc, best_c = sc, r
-        final_code[i] = topic_code[best_c]
-        final_score[i] = best_sc
+            if active[r - lo]:
+                final_code[i] = topic_code[r]
+                final_score[i] = prior[r] * (_EPS + supp[r - lo])
+                break
 
     # --- pick best alternative per site (coverage, then score) ------------
     chosen: list[int] = []

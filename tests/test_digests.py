@@ -141,6 +141,76 @@ def test_normalize_topic_and_link(spark):
     assert [r.l for r in got] == ["Main:Page", "Category:Other"]
 
 
+def test_document_digest_groups_strictness(spark):
+    """Hand-computed agglomerative grouping golden (getDocumentDigest's
+    AgglomClustering.run at strictness 0.7, AmbiguityForest.scala:
+    300-530, 1157-1212). The (a,c) edge is where the quasi-clique
+    criterion and single linkage DISAGREE: after {a,b} merges, only 1
+    of the 2 cross-pairs {a,b}x{c} is linked (0.5 < 0.7), so c stays
+    out — single linkage would have chained a-b-c together."""
+    rows = [
+        ("c1", "t_a", "t_b", 10.0),  # merge -> {a,b}
+        ("c1", "t_a", "t_c", 9.0),   # REJECTED: 1/2 linked < 0.7
+        ("c1", "t_c", "t_d", 8.0),   # merge -> {c,d}
+        # c2: full triangle -> one cluster (2/2 linked on second merge)
+        ("c2", "t_a", "t_b", 5.0),
+        ("c2", "t_b", "t_c", 4.0),
+        ("c2", "t_a", "t_c", 3.0),
+        # c3: zero-weight pair merges but dissolves at minClusterCoherence
+        ("c3", "t_x", "t_y", 0.0),
+    ]
+    pw = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "topic_a", "topic_b", "weight"])
+    )
+    got = {
+        (r.conv_id, r.topic): r.group_id
+        for r in DG.document_digest_groups(pw).collect()
+    }
+    assert got == {
+        ("c1", "t_a"): "t_a",
+        ("c1", "t_b"): "t_a",
+        ("c1", "t_c"): "t_c",
+        ("c1", "t_d"): "t_c",
+        ("c2", "t_a"): "t_a",
+        ("c2", "t_b"): "t_a",
+        ("c2", "t_c"): "t_a",
+        # c3 dissolved entirely (coherence 0 <= 1e-9)
+    }
+
+
+def test_ranked_and_grouped_per_document(spark):
+    """Per-document groups (conv_id column present) join per (conv_id,
+    topic): the same topic lands in different groups in different
+    conversations — the reference's per-document groupId semantics."""
+    digests = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1", "c2", "c2"],
+                "topic": ["t_a", "t_b", "t_a", "t_b"],
+                "weight": [0.9, 0.7, 0.9, 0.7],
+            }
+        )
+    )
+    groups = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1"],
+                "topic": ["t_a", "t_b"],
+                "group_id": ["g", "g"],
+            }
+        )
+    )
+    got = {
+        (r.conv_id, r.topic): (r.group_id, r.group_order)
+        for r in DG.ranked_and_grouped(digests, groups).collect()
+    }
+    # c1: both topics share group g; c2 has no groups -> singletons
+    assert got[("c1", "t_a")] == ("g", 1)
+    assert got[("c1", "t_b")] == ("g", 1)
+    assert got[("c2", "t_a")] == ("t_a", 1)
+    assert got[("c2", "t_b")] == ("t_b", 2)
+
+
 def test_ranked_and_grouped_golden(spark):
     """TopicVector.rankedAndGrouped semantics (TopicVector.scala:86-108)
     on a hand-computed fixture: ranks are 0-based by weight desc, groups
