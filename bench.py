@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "frame_sample_plan",
     "multimodal_features",
     "digest_grouped_ranks",
+    "digest_doc_grouped",
     "category_hierarchy",
 ]
 

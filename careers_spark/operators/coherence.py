@@ -143,6 +143,33 @@ class InternedContexts:
         return s
 
 
+def build_id_dims(spark, surface_names: list[str], topic_names: list[str]):
+    """(surface_dim, topic_dim) DataFrames with global LEXICOGRAPHIC int
+    ids — id order == name order, preserving name-ordered tie-breaks.
+    Built via pandas+Arrow (a py4j list of 100k+ tuples costs seconds of
+    driver time per run). Callers must pass sorted, de-duplicated names
+    (the KGModel universes are)."""
+    surface_dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "surf_id": np.arange(len(surface_names), dtype=np.int32),
+                "surface": surface_names,
+            }
+        ),
+        schema="surf_id int, surface string",
+    )
+    topic_dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "topic_id": np.arange(len(topic_names), dtype=np.int32),
+                "topic": topic_names,
+            }
+        ),
+        schema="topic_id int, topic string",
+    )
+    return surface_dim, topic_dim
+
+
 def _build_sites(spans: list[tuple[int, int, int]]) -> list[list[int]]:
     """Group mention indices into overlap sites. spans: (turn, start, end)."""
     order = sorted(range(len(spans)), key=lambda i: (spans[i][0], spans[i][1], spans[i][2]))
@@ -496,12 +523,7 @@ def resolve(
             len(topic_names),
         )
         ctx_bc = spark.sparkContext.broadcast((interned, gid_lut))
-        surface_dim = spark.createDataFrame(
-            list(enumerate(surface_names)), "surf_id int, surface string"
-        )
-        topic_dim = spark.createDataFrame(
-            list(enumerate(topic_names)), "topic_id int, topic string"
-        )
+        surface_dim, topic_dim = build_id_dims(spark, surface_names, topic_names)
     else:
         ctx_bc = spark.sparkContext.broadcast((interned, None))
 
@@ -608,7 +630,13 @@ def resolve(
             np.asarray(topic_names_b, dtype=object),
         )
 
-    if coded:
+    if coded and "surf_id" in candidates.columns:
+        # candidates already dictionary-coded upstream
+        # (linking.attach_candidates_coded) — nothing to join
+        cand_in = candidates.select(
+            "conv_id", "turn_idx", "start", "end", "surf_id", "topic_id", "prior"
+        )
+    elif coded:
         cand_in = (
             candidates.select(
                 "conv_id", "turn_idx", "start", "end", "surface", "topic", "prior"

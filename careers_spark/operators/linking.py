@@ -31,6 +31,33 @@ def attach_candidates(mentions: DataFrame, surface_forms: DataFrame) -> DataFram
     )
 
 
+def attach_candidates_coded(
+    mentions: DataFrame,
+    surface_forms: DataFrame,
+    surface_dim: DataFrame,
+    topic_dim: DataFrame,
+) -> DataFrame:
+    """attach_candidates with dictionary-CODED output: (conv_id,
+    turn_idx, start, end, surf_id, topic_id, prior). Surface strings
+    leave the plan at the map-side broadcast join, so every downstream
+    corpus-phase shuffle (TF-IDF aggregations, the resolve cogroup) and
+    checkpoint carries small ints instead of repeated dictionary
+    strings — at 100 TB the string keys are pure memory-bandwidth tax
+    on every exchange. surface_dim/topic_dim: (surf_id, surface) /
+    (topic_id, topic) with lexicographic ids (coherence.build_id_dims)."""
+    dim = (
+        surface_forms.select("surface", "topic", "prior")
+        .join(surface_dim, "surface")
+        .join(topic_dim, "topic")
+        .select("surface", "surf_id", "topic_id", "prior")
+    )
+    return (
+        mentions.join(F.broadcast(dim), "surface")
+        .filter(F.col("prior") >= MIN_TOPIC_REL_WEIGHT)
+        .drop("surface")
+    )
+
+
 def tfidf_context_scores(
     candidates: DataFrame,
     transcripts: DataFrame,
@@ -38,6 +65,7 @@ def tfidf_context_scores(
     word_doc_freq: DataFrame,
     n_docs: int,
     turn_terms: DataFrame | None = None,
+    topic_col: str = "topic",
 ) -> DataFrame:
     """Anchor-prior x TF-IDF context-cosine candidate scoring.
 
@@ -64,6 +92,11 @@ def tfidf_context_scores(
     distinct per turn — lets the pipeline tokenize the corpus ONCE and
     share the pass with word_doc_freq instead of re-tokenizing here.
 
+    topic_col: name of the topic-key column shared by `candidates` and
+    `top_ctx` — "topic" (strings) or a dictionary-coded "topic_id"
+    (ints; the pipeline's 100 TB posture, keeping strings off every
+    shuffle of this stage).
+
     candidates must be unique on their full column set (true of
     attach_candidates output: distinct mention spans x a (surface,
     topic)-unique dictionary) — scoring groups by those columns.
@@ -89,17 +122,17 @@ def tfidf_context_scores(
     # runs in ONE task — a serial chunk no executor count can shrink.
     sc = top_ctx.sparkSession.sparkContext
     topic_terms = (
-        top_ctx.select("topic", "context", "weight1")
+        top_ctx.select(topic_col, "context", "weight1")
         .repartition(2 * sc.defaultParallelism)
         .withColumn("term", F.explode(F.array_distinct(tokenize_udf(F.col("context")))))
         .join(idf.withColumnRenamed("word", "term"), "term", "left")
         .na.fill({"idf": 1.0})
-        .groupBy("topic", "term")
+        .groupBy(topic_col, "term")
         .agg(F.sum(F.col("weight1") * F.col("idf")).alias("tw"))
         .localCheckpoint(eager=True)
     )
     # norms over the FULL vectors (before any vocabulary shrink)
-    topic_norm = topic_terms.groupBy("topic").agg(
+    topic_norm = topic_terms.groupBy(topic_col).agg(
         F.sqrt(F.sum(F.col("tw") * F.col("tw"))).alias("tnorm")
     )
 
@@ -128,11 +161,11 @@ def tfidf_context_scores(
     # onto candidates with a map-side-combining groupBy.
     active_terms = topic_terms.join(
         F.broadcast(turn_terms.select("term").distinct()), "term", "left_semi"
-    ).join(topic_norm, "topic")
+    ).join(topic_norm, topic_col)
 
     keys = candidates.columns  # identity + carried cols (incl. prior)
     exploded = (
-        candidates.join(F.broadcast(active_terms), "topic")
+        candidates.join(F.broadcast(active_terms), topic_col)
         .join(turn_terms.withColumnRenamed("idf", "t_idf"),
               ["conv_id", "turn_idx", "term"])
         .select(

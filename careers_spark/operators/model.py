@@ -31,9 +31,16 @@ class KGModel:
     surface_names: list[str] = None
     topic_names: list[str] = None
 
+    # interned context vectors (careers_spark.operators.coherence
+    # .InternedContexts), built once at model-build time and pickled —
+    # re-interning 100k+ topic vectors on the driver cost seconds at
+    # the start of EVERY corpus run (a fixed cost at every scaling
+    # level); None on models built before v3
+    interned: object = None
+
     # bump when the pickled layout changes: build_or_load rebuilds stale
     # cache files instead of loading a model missing newer fields
-    VERSION = 2
+    VERSION = 3
     version: int = VERSION
 
     # heap guard: the model is a driver-collected broadcast dim, the same
@@ -69,11 +76,14 @@ class KGModel:
         ac = TokenAhoCorasick()
         for s in surface_names:
             ac.add(s)
+        from careers_spark.operators.coherence import InternedContexts
+
         return cls(
             automaton=ac.build(),
             ctx_map=ctx_map,
             surface_names=surface_names,
             topic_names=topic_names,
+            interned=InternedContexts(ctx_map),
         )
 
     def save(self, path: str) -> None:

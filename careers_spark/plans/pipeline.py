@@ -250,13 +250,33 @@ class KGPipeline:
             "mentions",
             lambda: M.detect_mentions(self.spark, transcripts, model.automaton),
         )
+
+        # dictionary-coded id dims (lexicographic ints; coherence
+        # tie-break contract): with them, surface/topic STRINGS leave
+        # the corpus phase at the first broadcast join — every TF-IDF
+        # shuffle, the candidates checkpoint, and the resolve cogroup
+        # carry small ints (memory bandwidth is the scaling limiter on
+        # shared-socket hosts, and string keys are its biggest tax)
+        surface_names = getattr(model, "surface_names", None)
+        topic_names = getattr(model, "topic_names", None)
+        coded = surface_names is not None and topic_names is not None
+        if coded:
+            surface_dim, topic_dim = CO.build_id_dims(
+                self.spark, surface_names, topic_names
+            )
+
         # plain candidate attach is a cheap broadcast join — computed
         # inside the resolved stage rather than checkpointed. With TF-IDF
         # scoring on, the candidate DAG carries several fact-side
         # shuffles, so it IS checkpointed (the cogroup then reads a flat
         # table instead of recomputing a 4-shuffle DAG inside its job).
         def _candidates() -> DataFrame:
-            cands = L.attach_candidates(mentions, surface_forms)
+            if coded:
+                cands = L.attach_candidates_coded(
+                    mentions, surface_forms, surface_dim, topic_dim
+                )
+            else:
+                cands = L.attach_candidates(mentions, surface_forms)
             if tfidf:
                 # anchor-prior x TF-IDF context-cosine (north-star
                 # linking score; no term overlap -> identity on priors).
@@ -319,12 +339,17 @@ class KGPipeline:
                         F.col("z.ctx_ws").alias("weight1"),
                     )
                 )
+                if coded:
+                    top_ctx = top_ctx.join(
+                        F.broadcast(topic_dim), "topic"
+                    ).drop("topic")
                 cands = self.stage(
                     run,
                     "candidates",
                     lambda: L.tfidf_context_scores(
                         cands, transcripts, top_ctx, wdf,
                         n_docs=n_turns, turn_terms=turn_terms,
+                        topic_col="topic_id" if coded else "topic",
                     )
                     .withColumn("prior", F.col("score"))
                     .drop("score", "ctx_cos"),
@@ -337,7 +362,10 @@ class KGPipeline:
         resolved = st(
             "resolved",
             lambda: CO.resolve(
-                candidates, transcripts, model.ctx_map,
+                candidates, transcripts,
+                # prefer the model's pre-interned vectors (pickled with
+                # the model artifact) over re-interning per run
+                getattr(model, "interned", None) or model.ctx_map,
                 mention_spans=mentions,
                 # coded mode: ints on the cogroup shuffle + Arrow boundary,
                 # names broadcast-joined back JVM-side (None on models

@@ -118,6 +118,8 @@ for nt in corpora:
         + " | ".join(str(j["wall_s"]) for j in grp) + " |",
         "| all repeat walls (s) | "
         + " | ".join(str(j.get("all_walls_s", [j["wall_s"]])) for j in grp) + " |",
+        "| process-tree CPU seconds (user+sys, per repeat) | "
+        + " | ".join(str(j.get("all_cpu_s", "-")) for j in grp) + " |",
         "| triples emitted | " + " | ".join(str(j["n_triples"]) for j in grp) + " |",
         "| turns/sec | " + " | ".join(str(j["turns_per_sec"]) for j in grp) + " |",
         "| triples/sec | "
