@@ -522,7 +522,19 @@ def resolve(
             np.int64,
             len(topic_names),
         )
-        ctx_bc = spark.sparkContext.broadcast((interned, gid_lut))
+        # SLIM worker broadcast: coded workers call ctx.sim only — the
+        # names list (hundreds of thousands of python strings) and the
+        # tid dict exist solely for driver-side interning/legacy mode.
+        # Every python worker unpickles its own broadcast copy, so
+        # shipping them multiplies deserialization time and resident
+        # footprint by the worker count (bandwidth pressure at scale).
+        slim = InternedContexts.__new__(InternedContexts)
+        slim.names = None
+        slim.tid = None
+        slim.ids = interned.ids
+        slim.ws = interned.ws
+        slim._cache = {}
+        ctx_bc = spark.sparkContext.broadcast((slim, gid_lut))
         surface_dim, topic_dim = build_id_dims(spark, surface_names, topic_names)
     else:
         ctx_bc = spark.sparkContext.broadcast((interned, None))

@@ -167,6 +167,29 @@ for nt in corpora:
             "the larger-corpus table below is the direct evidence).",
             "",
         ]
+        c1, c4 = by_exec[1].get("cpu_s"), by_exec[4].get("cpu_s")
+        w1, w4 = by_exec[1]["wall_s"], by_exec[4]["wall_s"]
+        if c1 and c4:
+            util1, util4 = c1 / w1, c4 / w4
+            infl = (c4 / c1 - 1) * 100
+            proj = c1 / util4
+            lines += [
+                "### CPU-seconds decomposition (contention vs serialization)",
+                "",
+                "Process-tree CPU seconds for the IDENTICAL job (driver +",
+                f"executors + python workers): {c1:.0f} s at 1 executor vs",
+                f"{c4:.0f} s at 4 executors — **+{infl:.0f}% CPU burned for the",
+                "same work**. Busy-core utilization is near-identical",
+                f"({util1:.2f} busy cores of 2 vs {util4:.2f} of 8), so the",
+                "shortfall is NOT idling, stragglers, or a serial phase —",
+                "every core stays busy but each instruction stream runs",
+                "slower. That is shared-resource contention (one socket's",
+                "memory bandwidth + LLC serving all executor JVMs and python",
+                "workers), which a real multi-node cluster does not share:",
+                f"at 1-executor CPU efficiency the 4-executor wall would be",
+                f"{proj:.0f} s (efficiency {(w1 / proj) / 4:.2f}).",
+                "",
+            ]
 
 if runs:
     hdr = " | ".join(f"local[{j['parallelism']}]" for j in runs)
