@@ -310,7 +310,12 @@ def gen_conv(
 
     def add_turn(role: str, text: str, tool: str = "") -> int:
         ti = len(turns)
-        turns.append((conv_id, ti, role, text, tool, EPOCH0 + conv_idx * 3600 + ti * 60))
+        # hour offset wraps at 1M convs: unbounded conv_idx*3600 exceeds
+        # pandas' ns-timestamp range (year 2262) past ~3.4M conversations
+        turns.append(
+            (conv_id, ti, role, text, tool,
+             EPOCH0 + (conv_idx % 1_000_000) * 3600 + ti * 60)
+        )
         return ti
 
     def filler(n: int) -> str:

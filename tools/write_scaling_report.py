@@ -131,6 +131,21 @@ for nt in corpora:
     for (n, m), e in sorted(exec_effs.items()):
         lines.append(f"| {n} -> {m} executors | **{e:.3f}** |")
     lines.append("")
+    lines += [
+        "Per-stage walls (seconds, best run per level):",
+        "",
+        f"| stage | {hdr} |",
+        "|---|" + "---|" * len(grp),
+    ]
+    for name in grp[0]["stages"]:
+        lines.append(
+            f"| {name} | "
+            + " | ".join(
+                str(j["stages"].get(name, {}).get("wall_s", "-")) for j in grp
+            )
+            + " |"
+        )
+    lines.append("")
     if nt == corpora[0] and headline_pair is not None:
         declared = (
             "the DECLARED pair"
