@@ -510,6 +510,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_communities"] = entity_communities
 
+    def community_modularity(spark, sf_dir):
+        """Per-community Newman modularity of the LPA labeling — the
+        objective the reference's shelled-out C++ Louvain maximizes
+        (CommunityLouvain.scala:33-148)."""
+        from careers_spark.operators.communities import (
+            label_propagation,
+            modularity,
+        )
+
+        docs = _t(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+        toks = docs.select(
+            "doc_id", F.explode(F.array_distinct(DD.tokens_col("text"))).alias("tok")
+        )
+        a = toks.selectExpr("doc_id", "tok as src")
+        b = toks.selectExpr("doc_id as d2", "tok as dst")
+        edges = (
+            a.join(b, (a.doc_id == b.d2) & (F.col("src") < F.col("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n_obs"))
+            # 35 (vs entity_communities' 20): sparser graph with several
+            # communities, so the modularity terms are non-trivial
+            .filter("n_obs >= 35")
+        )
+        labels = label_propagation(edges, weight="n_obs")
+        return modularity(edges, labels, weight="n_obs")
+
+    q["community_modularity"] = community_modularity
+
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
         MM.synth_assets(_t(spark, sf_dir, "documents"))
@@ -841,15 +869,16 @@ def oracle_sql() -> dict[str, str]:
     # self-vote is a fixpoint iteration — unrolling exactly max_iter=10
     # rounds in SQL reproduces Spark's early-stopped result (a converged
     # labeling is stable under further rounds).
-    _lpa = [
-        f"""tokd AS MATERIALIZED (
+    def _lpa_chain(min_obs: int) -> list:
+        chain = [
+            f"""tokd AS MATERIALIZED (
           SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
           FROM documents WHERE doc_id % 10 = 0
         ),
         e AS MATERIALIZED (
           SELECT a.tok AS src, b.tok AS dst, CAST(count(*) AS BIGINT) AS w
           FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
-          GROUP BY 1, 2 HAVING count(*) >= 20
+          GROUP BY 1, 2 HAVING count(*) >= {min_obs}
         ),
         bidir AS MATERIALIZED (
           SELECT src AS u, dst AS v, w FROM e
@@ -857,10 +886,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         selfw AS MATERIALIZED (SELECT u AS node, max(w) AS w FROM bidir GROUP BY u),
         l0 AS (SELECT DISTINCT u AS node, u AS label FROM bidir)"""
-    ]
-    for _k in range(1, 11):
-        _lpa.append(
-            f"""v{_k} AS MATERIALIZED (
+        ]
+        for _k in range(1, 11):
+            chain.append(
+                f"""v{_k} AS MATERIALIZED (
           SELECT node, label, sum(w) AS votes FROM (
             SELECT b.u AS node, l.label, b.w
             FROM bidir b JOIN l{_k - 1} l ON l.node = b.v
@@ -877,9 +906,40 @@ def oracle_sql() -> dict[str, str]:
             FROM v{_k}
           ) WHERE rk = 1
         )"""
-        )
+            )
+        return chain
+
+    _lpa = _lpa_chain(20)
     o["entity_communities"] = (
         "WITH " + ",\n".join(_lpa) + "\nSELECT node, label AS community FROM l10"
+    )
+
+    # community_modularity: the LPA CTE chain + the Newman formula —
+    # Q_c = in_c/m2 - (tot_c/m2)^2 over the bidirectional view (m2=2m).
+    # Note: Spark's bidir groups parallel (u,v) rows first, but sums are
+    # grouping-invariant, so the UNION ALL view is numerically identical.
+    o["community_modularity"] = (
+        "WITH " + ",\n".join(_lpa_chain(35)) + """,
+        memb AS MATERIALIZED (SELECT node, label AS community FROM l10),
+        m2 AS (SELECT CAST(sum(w) AS DOUBLE) AS m2 FROM bidir),
+        degs AS (SELECT u AS node, CAST(sum(w) AS DOUBLE) AS k
+                 FROM bidir GROUP BY u),
+        tot AS (SELECT m.community, sum(d.k) AS tot_w
+                FROM degs d JOIN memb m ON m.node = d.node GROUP BY 1),
+        inw AS (SELECT ma.community, CAST(sum(b.w) AS DOUBLE) AS in_w
+                FROM bidir b
+                JOIN memb ma ON ma.node = b.u
+                JOIN memb mb ON mb.node = b.v AND mb.community = ma.community
+                GROUP BY 1)
+        SELECT t.community,
+               round(coalesce(i.in_w, 0), 6) AS in_w,
+               round(t.tot_w, 6) AS tot_w,
+               round(coalesce(i.in_w, 0) / m2.m2
+                     - pow(t.tot_w / m2.m2, 2), 6) AS q_contrib
+        FROM tot t
+        LEFT JOIN inw i ON i.community = t.community
+        CROSS JOIN m2
+    """
     )
 
     o["token_counts"] = f"""

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "digest_grouped_ranks",
     "digest_doc_grouped",
     "category_hierarchy",
+    "community_modularity",
 ]
 
 

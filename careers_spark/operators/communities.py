@@ -79,6 +79,173 @@ def label_propagation(
     return labels.withColumnRenamed("label", "community")
 
 
+def _bidir(edges: DataFrame, src: str, dst: str, weight: str | None) -> DataFrame:
+    w = F.col(weight) if weight else F.lit(1.0)
+    return (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+        .union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), w.alias("w"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Per-community Newman modularity contributions for a labeling —
+    the objective the reference's shelled-out C++ Louvain maximizes
+    (CommunityLouvain.scala:33-148 drives the Blondel et al. binary).
+
+        Q = sum_c [ in_c / m2  -  (tot_c / m2)^2 ]
+
+    over the bidirectional edge view (m2 == 2m): in_c = weight of
+    intra-community directed pairs, tot_c = summed weighted degree.
+    Returns (community, in_w, tot_w, q_contrib); sum(q_contrib) is Q.
+    All algebraic aggregates — map-side combinable, one scalar collect
+    for m2."""
+    bidir = _bidir(edges, src, dst, weight).localCheckpoint(eager=True)
+    m2 = bidir.agg(F.sum("w")).collect()[0][0]
+    memb = labels.select("node", "community")
+    deg = bidir.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("k"))
+    tot = (
+        deg.join(memb, "node")
+        .groupBy("community")
+        .agg(F.sum("k").alias("tot_w"))
+    )
+    inw = (
+        bidir.join(memb.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("community", "cu")
+        .join(memb.withColumnRenamed("node", "v"), "v")
+        .filter(F.col("cu") == F.col("community"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.sum("w").alias("in_w"))
+    )
+    return (
+        tot.join(inw, "community", "left")
+        .na.fill({"in_w": 0.0})
+        .select(
+            "community",
+            F.round(F.col("in_w").cast("double"), 6).alias("in_w"),
+            F.round(F.col("tot_w").cast("double"), 6).alias("tot_w"),
+            F.round(
+                F.col("in_w") / F.lit(float(m2))
+                - F.pow(F.col("tot_w") / F.lit(float(m2)), 2),
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+
+
+def louvain_refine(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    rounds: int = 4,
+) -> DataFrame:
+    """Louvain phase-1 local moves, synchronous distributed variant —
+    the modularity-ascent step of the reference's C++ Louvain
+    (CommunityLouvain.scala; Blondel et al. 2008 eq. 2). Each round,
+    every eligible node evaluates joining each NEIGHBOR community c:
+
+        gain(i, c) = k_{i,c} - k_i * tot_{c \\ i} / m2
+
+    (proportional to the standard delta-Q; m2 == 2m) and moves to the
+    argmax if it strictly beats staying, ties to the smaller community
+    id. Synchronous parallel moves can oscillate (two nodes swapping),
+    so rounds alternate over a node-hash parity — only half the nodes
+    may move per round, which makes the schedule deterministic at any
+    parallelism and bounds each accepted move's staleness to one round.
+    Modularity is non-decreasing in practice but NOT guaranteed per
+    round (parallel moves into the same community interact); gate with
+    modularity() when it matters. Returns (node, community)."""
+    bidir = _bidir(edges, src, dst, weight).localCheckpoint(eager=True)
+    m2 = float(bidir.agg(F.sum("w")).collect()[0][0])
+    deg = bidir.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("k"))
+    memb = labels.select("node", "community").localCheckpoint(eager=True)
+
+    quiet = 0
+    for r in range(rounds):
+        tot = (
+            deg.join(memb, "node")
+            .groupBy("community")
+            .agg(F.sum("k").alias("tot_w"))
+        )
+        # k_{i,c}: node's edge weight into each neighbor community
+        kic = (
+            bidir.join(memb.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), F.col("community").alias("c"))
+            .agg(F.sum("w").alias("kic"))
+        )
+        # candidate set: neighbor communities plus the node's own
+        cand = (
+            kic.unionByName(
+                memb.select(
+                    "node",
+                    F.col("community").alias("c"),
+                    F.lit(0.0).alias("kic"),
+                )
+            )
+            .groupBy("node", "c")
+            .agg(F.max("kic").alias("kic"))
+        )
+        own = memb.withColumnRenamed("community", "own_c")
+        scored = (
+            cand.join(deg, "node")
+            .join(tot.withColumnRenamed("community", "c"), "c")
+            .join(own, "node")
+            .withColumn(
+                "tot_less_i",
+                F.col("tot_w")
+                - F.when(F.col("c") == F.col("own_c"), F.col("k")).otherwise(0.0),
+            )
+            .withColumn(
+                "gain",
+                F.col("kic") - F.col("k") * F.col("tot_less_i") / F.lit(m2),
+            )
+        )
+        pick = Window.partitionBy("node").orderBy(
+            F.desc("gain"),
+            # staying wins exact gain ties; otherwise smaller community
+            F.when(F.col("c") == F.col("own_c"), 0).otherwise(1),
+            F.asc("c"),
+        )
+        best = (
+            scored.withColumn("rk", F.row_number().over(pick))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("c").alias("new_c"), "own_c")
+        )
+        moved = best.withColumn(
+            "community",
+            F.when(
+                F.pmod(F.xxhash64("node"), F.lit(2)) == F.lit(r % 2),
+                F.col("new_c"),
+            ).otherwise(F.col("own_c")),
+        ).select("node", "community")
+        new_memb = moved.localCheckpoint(eager=True)
+        changed = (
+            new_memb.alias("n")
+            .join(memb.alias("o"), "node")
+            .filter(F.col("n.community") != F.col("o.community"))
+            .count()
+        )
+        memb = new_memb
+        # a parity round touches only half the nodes: converged means
+        # BOTH parities went quiet back-to-back
+        quiet = quiet + 1 if changed == 0 else 0
+        if quiet >= 2:
+            break
+    return memb
+
+
 def node_groups(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Enrich the nodes table with a community group_id (the reference's
     TopicVector groupId enrichment, TopicVector.scala:86-108)."""

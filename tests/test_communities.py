@@ -38,3 +38,87 @@ def test_deterministic(spark):
     a = sorted(map(tuple, label_propagation(e).collect()))
     b = sorted(map(tuple, label_propagation(e).collect()))
     assert a == b
+
+
+def test_modularity_two_cliques_golden(spark):
+    """Hand-computed Newman modularity on the reference's two-clique
+    Louvain test graph (testDisambiguator.scala:244-274). Unweighted:
+    13 edges -> m2 = 26. Degrees: clique-only nodes 3, bridge endpoints
+    4. Per clique: in_c = 6 intra edges x 2 directions = 12,
+    tot_c = 3+3+3+4 = 13, Q_c = 12/26 - (13/26)^2 = 0.211538."""
+    from careers_spark.operators.communities import modularity
+
+    c1 = [(a, b) for a in "1234" for b in "1234" if a < b]
+    c2 = [(a, b) for a in "5678" for b in "5678" if a < b]
+    edges = _edges(spark, c1 + c2 + [("4", "5")])
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            {"node": list("12345678"), "community": ["A"] * 4 + ["B"] * 4}
+        )
+    )
+    rows = {r.community: r for r in modularity(edges, labels).collect()}
+    for c in "AB":
+        assert rows[c].in_w == 12.0
+        assert rows[c].tot_w == 13.0
+        assert abs(rows[c].q_contrib - 0.211538) < 1e-6
+    # the clique partition is the Louvain optimum: Q = 0.423077
+    assert abs(sum(r.q_contrib for r in rows.values()) - 0.423077) < 1e-5
+
+
+def test_louvain_refine_corrects_misassignment(spark):
+    """Louvain phase-1 moves (modularity ascent) pull a node assigned to
+    the wrong clique back home, and modularity strictly increases."""
+    from careers_spark.operators.communities import louvain_refine, modularity
+
+    c1 = [(a, b) for a in "1234" for b in "1234" if a < b]
+    c2 = [(a, b) for a in "5678" for b in "5678" if a < b]
+    edges = _edges(spark, c1 + c2 + [("4", "5")])
+    # node 2 misassigned to B
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node": list("12345678"),
+                "community": ["A", "B", "A", "A", "B", "B", "B", "B"],
+            }
+        )
+    )
+    q_before = sum(
+        r.q_contrib for r in modularity(edges, bad).collect()
+    )
+    fixed = {
+        r.node: r.community
+        for r in louvain_refine(edges, bad, rounds=6).collect()
+    }
+    assert len({fixed[n] for n in "1234"}) == 1
+    assert len({fixed[n] for n in "5678"}) == 1
+    assert fixed["1"] != fixed["8"]
+    relabeled = spark.createDataFrame(
+        pd.DataFrame(
+            {"node": list(fixed), "community": [fixed[n] for n in fixed]}
+        )
+    )
+    q_after = sum(
+        r.q_contrib for r in modularity(edges, relabeled).collect()
+    )
+    assert q_after > q_before
+    assert abs(q_after - 0.423077) < 1e-5  # reaches the clique optimum
+
+
+def test_louvain_refine_stable_at_optimum(spark):
+    """The optimal clique partition is a fixpoint of the move rule."""
+    from careers_spark.operators.communities import louvain_refine
+
+    c1 = [(a, b) for a in "1234" for b in "1234" if a < b]
+    c2 = [(a, b) for a in "5678" for b in "5678" if a < b]
+    edges = _edges(spark, c1 + c2 + [("4", "5")])
+    opt = spark.createDataFrame(
+        pd.DataFrame(
+            {"node": list("12345678"), "community": ["A"] * 4 + ["B"] * 4}
+        )
+    )
+    got = {
+        r.node: r.community
+        for r in louvain_refine(edges, opt, rounds=4).collect()
+    }
+    assert all(got[n] == "A" for n in "1234")
+    assert all(got[n] == "B" for n in "5678")

@@ -107,6 +107,98 @@ def test_shortest_paths_through_cycle(spark):
     assert d == {"s": 0.0, "c1": 1.0, "c2": 1.0, "c3": 1.0, "t": 3.0}
 
 
+def _tarjan_reference(edges):
+    """Local iterative Tarjan (the reference's utility/Graph.scala:21-123
+    algorithm) as an independent oracle for the distributed SCC."""
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        nodes.add(u)
+        nodes.add(v)
+        if u != v:
+            adj.setdefault(u, []).append(v)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc.append(w)
+                    if w == v:
+                        break
+                sccs.append(scc)
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+
+    for n in sorted(nodes):
+        if n not in index:
+            strongconnect(n)
+    return {frozenset(s) for s in sccs}
+
+
+def test_scc_random_graphs_vs_tarjan(spark):
+    """Distributed SCC (trim + path-doubling + mutual-pairs CC) equals a
+    local Tarjan on random digraphs — cycles, chains, self-loops, hubs."""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        n = rng.randint(4, 14)
+        m = rng.randint(n, 3 * n)
+        edges = [
+            (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+            for _ in range(m)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["child", "parent"])
+        )
+        got = {}
+        for r in H.strongly_connected_components(df).collect():
+            got.setdefault(r.scc, set()).add(r.node)
+        got_sets = {frozenset(s) for s in got.values()}
+        # contract: self-loop edges are non-edges (dropped up front), so
+        # a node with ONLY a self-loop is outside the label universe
+        want = _tarjan_reference([e for e in edges if e[0] != e[1]])
+        # distributed result covers exactly the nodes touching an edge
+        covered = {x for s in want for x in s}
+        got_nodes = {x for s in got_sets for x in s}
+        assert got_nodes == covered, f"seed {seed}: node cover differs"
+        assert got_sets == want, f"seed {seed}: {got_sets} != {want}"
+        # representative rule: min member labels the component
+        for rep, members in got.items():
+            assert rep == min(members)
+
+
 def test_indegree_hub_guard(spark):
     """overbroadCategoryCount analogue (CategoryHierarchy.scala:17):
     parents above the in-degree cap are dropped before any walk."""

@@ -144,3 +144,58 @@ def test_near_dup_unsampled_has_no_cartesian(spark):
     )
     sp = _plan(sampled)
     assert "CartesianProduct" in sp or "BroadcastNestedLoopJoin Cross" in sp
+
+
+def test_incremental_digest_pairs_no_cartesian(spark):
+    """The blocked incremental matcher must materialize pairs through the
+    digest-topic equi-join only — no crossJoin anywhere in the plan
+    (the scale path for unbounded poll volumes)."""
+    from careers_spark.operators import digests as DG
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dv = docs.selectExpr(
+        "cast(doc_id as bigint) as id", "lower(lang) as topic", "1.0 as weight"
+    )
+    out = DG.incremental_digest_pairs(
+        dv.selectExpr("id as id_a", "topic", "weight").filter("id_a % 2 = 0"),
+        dv.selectExpr("id as id_b", "topic", "weight").filter("id_b % 2 = 1"),
+        left_cursor=10,
+        right_cursor=10,
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_coded_candidates_shuffle_carries_no_strings(spark):
+    """Dictionary-coded candidate attach: after the map-side broadcast
+    join, the surface string column is gone — downstream exchanges and
+    checkpoints carry only int ids (+ conv_id)."""
+    from careers_spark.operators import coherence as CO
+    from careers_spark.operators import linking as L
+
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "start": pd.array([0], dtype="int32"),
+                "end": pd.array([0], dtype="int32"),
+                "surface": ["spark"],
+            }
+        )
+    )
+    sf = spark.createDataFrame(
+        pd.DataFrame(
+            {"surface": ["spark"], "topic": ["Main:Apache Spark"], "prior": [1.0]}
+        )
+    )
+    sd, td = CO.build_id_dims(spark, ["spark"], ["Main:Apache Spark"])
+    out = L.attach_candidates_coded(mentions, sf, sd, td)
+    assert set(out.columns) == {
+        "conv_id", "turn_idx", "start", "end", "surf_id", "topic_id", "prior"
+    }
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    row = out.collect()[0]
+    assert (row.surf_id, row.topic_id) == (0, 0)

@@ -87,6 +87,84 @@ def test_chain_cascade_downweighting():
     }
 
 
+def test_conversation_independence_randomized():
+    """Conversations are the coherence window: resolving a conversation
+    alone must equal resolving it inside any batch (the property the
+    bucketed cogroup relies on — bucket composition can never change a
+    result). Randomized over seeded KBs and conversations."""
+    import random
+
+    from careers_spark.operators.coherence import InternedContexts, _resolve_conv
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        n_topics = rng.randint(4, 10)
+        topics = [f"T:{chr(97 + i)}" for i in range(n_topics)]
+        ctx_map = {}
+        for t in topics:
+            if rng.random() < 0.7:
+                ctx_map[t] = {
+                    c: round(rng.uniform(0.1, 3.0), 3)
+                    for c in rng.sample(topics, rng.randint(1, 3))
+                    if c != t
+                }
+
+        def gen_conv():
+            mentions = []
+            pos = 0
+            for _ in range(rng.randint(1, 4)):
+                cands = [
+                    (t, round(rng.uniform(0.05, 1.0), 3))
+                    for t in rng.sample(topics, rng.randint(1, 3))
+                ]
+                mentions.append((0, pos, pos, cands))
+                pos += 2
+            return mentions
+
+        def resolve_rows(convs, code_universe):
+            """convs: {conv_id: mentions}. code_universe mimics a pandas
+            batch's sort=True factorization: codes are assigned over
+            whatever topics the BATCH happens to contain, so the same
+            conversation gets different integer codes depending on its
+            batchmates. Results are keyed by topic NAME so the assert
+            checks relabel-invariance. Returns {conv_id: link set}."""
+            ctx = InternedContexts(ctx_map)
+            names = sorted(code_universe)
+            tcode = {t: i for i, t in enumerate(names)}
+            out_by_conv = {}
+            for cid in sorted(convs):
+                rows = []
+                for turn, s, e, cands in convs[cid]:
+                    for t, p in cands:
+                        rows.append((turn, s, e, tcode[t], p))
+                rows.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+                out = []
+                _resolve_conv(
+                    cid, 0, len(rows),
+                    [r[0] for r in rows], [r[1] for r in rows],
+                    [r[2] for r in rows], [0] * len(rows),
+                    [r[3] for r in rows],
+                    [ctx.tid.get(names[r[3]], -1) for r in rows],
+                    [float(r[4]) for r in rows], {}, ctx, out,
+                )
+                out_by_conv[cid] = {
+                    (r[1], r[3], r[4], names[r[6]])
+                    for r in out
+                    if r[2] == "link"
+                }
+            return out_by_conv
+
+        convs = {f"c{i}": gen_conv() for i in range(3)}
+        batch_universe = {
+            t for m in convs.values() for _, _, _, cs in m for t, _ in cs
+        }
+        joint = resolve_rows(convs, batch_universe)
+        for cid, m in convs.items():
+            own_universe = {t for _, _, _, cs in m for t, _ in cs}
+            alone = resolve_rows({cid: m}, own_universe)[cid]
+            assert alone == joint[cid], f"seed {seed} conv {cid}"
+
+
 def test_last_candidate_guard():
     """removeTopic's last-candidate guard (AmbiguityForest.scala:207-217):
     a mention's only candidate survives no matter how low its score."""
