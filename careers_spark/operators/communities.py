@@ -160,13 +160,15 @@ def louvain_refine(
 
     (proportional to the standard delta-Q; m2 == 2m) and moves to the
     argmax if it strictly beats staying, ties to the smaller community
-    id. Synchronous parallel moves can oscillate (two nodes swapping),
-    so rounds alternate over a node-hash parity — only half the nodes
-    may move per round, which makes the schedule deterministic at any
-    parallelism and bounds each accepted move's staleness to one round.
-    Modularity is non-decreasing in practice but NOT guaranteed per
-    round (parallel moves into the same community interact); gate with
-    modularity() when it matters. Returns (node, community)."""
+    id. Synchronous parallel moves can oscillate (two nodes swapping
+    communities), so rounds alternate the APPLY direction: even rounds
+    admit only moves into a smaller community id, odd rounds only into
+    a larger — in-round swaps are structurally impossible (they need
+    both directions), blocked moves re-qualify next round against the
+    updated state, and the schedule is deterministic at any
+    parallelism. Modularity is non-decreasing in practice but NOT
+    guaranteed per round (parallel moves into one community interact);
+    gate with modularity() when it matters. Returns (node, community)."""
     bidir = _bidir(edges, src, dst, weight).localCheckpoint(eager=True)
     m2 = float(bidir.agg(F.sum("w")).collect()[0][0])
     deg = bidir.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("k"))
@@ -223,12 +225,23 @@ def louvain_refine(
             .filter(F.col("rk") == 1)
             .select("node", F.col("c").alias("new_c"), "own_c")
         )
+        # direction-alternated application: even rounds apply only moves
+        # into a SMALLER community id, odd rounds only into a larger.
+        # Within a round every applied move is strictly id-monotone, so
+        # two nodes can never trade communities (a swap needs one
+        # decreasing and one increasing move) — hash-parity splits
+        # cannot guarantee that (observed: contracted super-nodes with
+        # correlated hashes swapping forever). A move blocked by this
+        # round's direction is eligible next round against the updated
+        # state. Deterministic at any parallelism.
+        dir_ok = (
+            (F.col("new_c") < F.col("own_c"))
+            if r % 2 == 0
+            else (F.col("new_c") > F.col("own_c"))
+        )
         moved = best.withColumn(
             "community",
-            F.when(
-                F.pmod(F.xxhash64("node"), F.lit(2)) == F.lit(r % 2),
-                F.col("new_c"),
-            ).otherwise(F.col("own_c")),
+            F.when(dir_ok, F.col("new_c")).otherwise(F.col("own_c")),
         ).select("node", "community")
         new_memb = moved.localCheckpoint(eager=True)
         changed = (
@@ -244,6 +257,74 @@ def louvain_refine(
         if quiet >= 2:
             break
     return memb
+
+
+def louvain(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    levels: int = 2,
+    rounds: int = 6,
+) -> DataFrame:
+    """The full Louvain loop (Blondel et al. 2008; the algorithm behind
+    the reference's shelled-out C++ binary, CommunityLouvain.scala):
+    phase 1 = local modularity-ascent moves from singleton communities
+    (louvain_refine), phase 2 = CONTRACT each community to a super-node
+    (edge weights summed through the labeling, intra-community weight
+    dropped as the contracted graph's internal mass) and repeat on the
+    contracted graph. Labels compose back down, so the return is
+    (node, community) at the final level. `levels` bounds the
+    contraction depth (2 suffices for clique-of-cliques structure;
+    real corpora rarely need > 4)."""
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     (F.col(weight) if weight else F.lit(1.0)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        cur.select(F.col("src").alias("node"))
+        .union(cur.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    mapping = nodes.withColumn("community", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    for _lvl in range(levels):
+        seed = (
+            cur.select(F.col("src").alias("node"))
+            .union(cur.select(F.col("dst").alias("node")))
+            .dropDuplicates()
+            .withColumn("community", F.col("node"))
+        )
+        refined = louvain_refine(cur, seed, src="src", dst="dst",
+                                 weight="w", rounds=rounds)
+        # compose: node -> current community (== this level's node id)
+        # -> refined community
+        lvl_map = refined.select(
+            F.col("node").alias("community"), F.col("community").alias("new_c")
+        )
+        mapping = (
+            mapping.join(lvl_map, "community")
+            .select("node", F.col("new_c").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        # contract: communities become super-nodes, weights sum
+        rm = refined.withColumnRenamed("community", "c")
+        nxt = (
+            cur.join(rm.withColumnRenamed("node", "src"), "src")
+            .withColumnRenamed("c", "src_c")
+            .join(rm.withColumnRenamed("node", "dst"), "dst")
+            .withColumnRenamed("c", "dst_c")
+            .filter(F.col("src_c") != F.col("dst_c"))
+            .groupBy(F.col("src_c").alias("src"), F.col("dst_c").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        cur = nxt
+    return mapping
 
 
 def node_groups(nodes: DataFrame, edges: DataFrame) -> DataFrame:

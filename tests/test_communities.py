@@ -122,3 +122,29 @@ def test_louvain_refine_stable_at_optimum(spark):
     }
     assert all(got[n] == "A" for n in "1234")
     assert all(got[n] == "B" for n in "5678")
+
+
+def test_louvain_two_level_clique_of_cliques(spark):
+    """Full Louvain loop: phase 1 finds the four 4-cliques from
+    singletons; phase 2 contracts them and merges the strongly-bridged
+    clique pairs (A-B and C-D, 2 bridges each) while the single A-C
+    bridge stays inter-community -> two 8-node communities."""
+    from careers_spark.operators.communities import louvain
+
+    def clique(lo):
+        ns = [f"n{i:02d}" for i in range(lo, lo + 4)]
+        return [(a, b) for a in ns for b in ns if a < b]
+
+    edges = (
+        clique(1) + clique(5) + clique(9) + clique(13)
+        + [("n04", "n05"), ("n03", "n06")]   # A-B double bridge
+        + [("n12", "n13"), ("n11", "n14")]   # C-D double bridge
+        + [("n01", "n09")]                   # single A-C bridge
+    )
+    got = {
+        r.node: r.community
+        for r in louvain(_edges(spark, edges), levels=2).collect()
+    }
+    ab = {got[f"n{i:02d}"] for i in range(1, 9)}
+    cd = {got[f"n{i:02d}"] for i in range(9, 17)}
+    assert len(ab) == 1 and len(cd) == 1 and ab != cd
