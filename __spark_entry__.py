@@ -538,6 +538,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["community_modularity"] = community_modularity
 
+    def louvain_communities(spark, sf_dir):
+        """Full two-level Louvain over the same token co-occurrence
+        graph — bench visibility for the contraction path (r3 verdict
+        "What's wrong" #3). No SQL oracle: the full Louvain loop is an
+        iterative algorithm (the driver records the weaker rows-only
+        check); exactness is pinned by the pytest goldens in
+        tests/test_communities.py (self-loop mass carry, merge/no-merge
+        gains, modularity level-invariance)."""
+        from careers_spark.operators.communities import louvain
+
+        docs = _t(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+        toks = docs.select(
+            "doc_id", F.explode(F.array_distinct(DD.tokens_col("text"))).alias("tok")
+        )
+        a = toks.selectExpr("doc_id", "tok as src")
+        b = toks.selectExpr("doc_id as d2", "tok as dst")
+        edges = (
+            a.join(b, (a.doc_id == b.d2) & (F.col("src") < F.col("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n_obs"))
+            .filter("n_obs >= 35")
+        )
+        return louvain(edges, weight="n_obs", levels=2, rounds=4)
+
+    q["louvain_communities"] = louvain_communities
+
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
         MM.synth_assets(_t(spark, sf_dir, "documents"))

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "digest_doc_grouped",
     "category_hierarchy",
     "community_modularity",
+    "entity_communities",
+    "louvain_communities",
 ]
 
 

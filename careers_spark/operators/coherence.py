@@ -236,6 +236,88 @@ def _alternatives(site: list[int], spans: list[tuple[int, int, int]]) -> list[li
     return [list(a) for a in sorted(uniq)]
 
 
+def _conv_windows(
+    lo: int,
+    hi: int,
+    turn: list,
+    start: list,
+    end: list,
+    cap: int,
+) -> list[tuple[int, int]]:
+    """Split one conversation's candidate rows [lo, hi) into coherence
+    windows of at most `cap` rows — the per-conversation cost guard.
+
+    The reference bounds document size outright (maxNumberOfWords=3000,
+    AmbiguityForest.scala:105: everything past the cap is DROPPED). The
+    resolver's support pass and greedy elimination are O(rows^2) per
+    window, so an unguarded 50k-mention conversation would stall one
+    task for minutes; windowing makes total cost O(rows * cap) while —
+    unlike the reference's truncation — still resolving EVERY mention,
+    just with coherence support restricted to the window.
+
+    Split points prefer TURN boundaries: overlap sites never span turns
+    (spans only overlap within a turn, _build_sites), and gap-pattern
+    triples pair adjacent mentions of the same turn, so a turn-boundary
+    split changes nothing but the support neighborhood. A single turn
+    exceeding `cap` rows is further split at SITE boundaries (rows are
+    (turn, start, end)-sorted, so a site is a contiguous row run); only
+    cross-site adjacency triples at that cut are lost, strictly less
+    than the reference dropping the tail wholesale. A single SITE
+    larger than `cap` stays whole — segmentation alternatives must see
+    the entire site (the >12-member greedy fallback in _alternatives
+    already bounds enumeration there).
+    """
+    if hi - lo <= cap:
+        return [(lo, hi)]
+    # contiguous same-turn row runs
+    runs: list[tuple[int, int]] = []
+    r0 = lo
+    for r in range(lo + 1, hi):
+        if turn[r] != turn[r - 1]:
+            runs.append((r0, r))
+            r0 = r
+    runs.append((r0, hi))
+
+    def split_turn_run(a: int, b: int) -> list[tuple[int, int]]:
+        # site boundaries inside one turn: a new site begins where the
+        # next span starts past the running overlap end
+        bounds = [a]
+        cur_end = end[a]
+        for r in range(a + 1, b):
+            if start[r] > cur_end:
+                bounds.append(r)
+                cur_end = end[r]
+            else:
+                cur_end = max(cur_end, end[r])
+        bounds.append(b)
+        wins: list[tuple[int, int]] = []
+        wlo = bounds[0]
+        for i in range(1, len(bounds) - 1):
+            if bounds[i + 1] - wlo > cap and bounds[i] > wlo:
+                wins.append((wlo, bounds[i]))
+                wlo = bounds[i]
+        wins.append((wlo, b))
+        return wins
+
+    windows: list[tuple[int, int]] = []
+    wlo = -1
+    for a, b in runs:
+        if b - a > cap:
+            if wlo >= 0:
+                windows.append((wlo, a))
+                wlo = -1
+            windows.extend(split_turn_run(a, b))
+            continue
+        if wlo < 0:
+            wlo = a
+        elif b - wlo > cap:
+            windows.append((wlo, a))
+            wlo = a
+    if wlo >= 0:
+        windows.append((wlo, hi))
+    return windows
+
+
 def _resolve_conv(
     conv_id: str,
     lo: int,
@@ -250,6 +332,7 @@ def _resolve_conv(
     turns_text: dict[int, str],
     ctx: InternedContexts,
     out_rows: list[tuple],
+    distance_weighting: bool = False,
 ) -> None:
     """Resolve one conversation from the batch's presorted column LISTS
     (rows [lo, hi)). Plain-python lists, not numpy slices — per-element
@@ -291,15 +374,41 @@ def _resolve_conv(
             row_site[r - lo] = site_of[i]
             row_mention[r - lo] = i
 
+    # W2 — Normal-pdf mention-distance weighting (AmbiguityForest.scala:
+    # 806-811): distanceWeight = 0.2 + N(0,5).density(d)/density(0)
+    # [+ 0.0 * the sigma=10 term, coefficient zero in the reference] with
+    # d = difference of span token centers. The reference computes it but
+    # multiplies it OUT (`linkWeight //* distanceWeight`, :811), so the
+    # default here is OFF and flag-off output is bit-identical. Mentions
+    # in different turns have no shared token axis; the Gaussian at any
+    # cross-turn distance is ~0, so they take the 0.2 floor.
+    dw = None
+    if distance_weighting:
+        from math import exp
+
+        cen = [(start[r] + end[r]) / 2.0 for r in range(lo, hi)]
+
+        def dw(rl: int, r2l: int) -> float:
+            if turn[lo + rl] != turn[lo + r2l]:
+                return 0.2
+            d = cen[rl] - cen[r2l]
+            return 0.2 + exp(-d * d / 50.0)
+
     supp = [0.0] * (hi - lo)
     for r in range(lo, hi):
         s = 0.0
         gr = topic_gid[r]
         sr = row_site[r - lo]
-        for r2 in range(lo, hi):
-            if row_site[r2 - lo] == sr:
-                continue  # same-site exclusion (AmbiguityForest.scala:783-784)
-            s += sim(gr, topic_gid[r2]) * prior[r2]
+        if dw is None:
+            for r2 in range(lo, hi):
+                if row_site[r2 - lo] == sr:
+                    continue  # same-site exclusion (AmbiguityForest.scala:783-784)
+                s += sim(gr, topic_gid[r2]) * prior[r2]
+        else:
+            for r2 in range(lo, hi):
+                if row_site[r2 - lo] == sr:
+                    continue
+                s += sim(gr, topic_gid[r2]) * prior[r2] * dw(r - lo, r2 - lo)
         supp[r - lo] = s
 
     # --- greedy elimination with peer down-weighting -----------------------
@@ -334,11 +443,18 @@ def _resolve_conv(
         if n_active[mi] == 1:
             n_multi -= 1
         gw, pw, sw = topic_gid[worst_r], prior[worst_r], row_site[rl]
-        for r2 in range(lo, hi):
-            r2l = r2 - lo
-            if not active[r2l] or row_site[r2l] == sw:
-                continue
-            supp[r2l] -= sim(topic_gid[r2], gw) * pw
+        if dw is None:
+            for r2 in range(lo, hi):
+                r2l = r2 - lo
+                if not active[r2l] or row_site[r2l] == sw:
+                    continue
+                supp[r2l] -= sim(topic_gid[r2], gw) * pw
+        else:
+            for r2 in range(lo, hi):
+                r2l = r2 - lo
+                if not active[r2l] or row_site[r2l] == sw:
+                    continue
+                supp[r2l] -= sim(topic_gid[r2], gw) * pw * dw(r2l, rl)
 
     final_code = [0] * n
     final_score = [0.0] * n
@@ -462,6 +578,8 @@ def resolve(
     mention_spans: DataFrame | None = None,
     surface_names: list[str] | None = None,
     topic_names: list[str] | None = None,
+    max_rows_per_conv: int = 3000,
+    distance_weighting: bool = False,
 ) -> DataFrame:
     """Cogrouped per-conversation resolution, bucket-batched.
 
@@ -493,6 +611,17 @@ def resolve(
     broadcast-joined back JVM-side afterwards. Output schema is
     identical either way; ids are assigned in sorted order, so the
     integer tie-breaks match the legacy per-batch factorization exactly.
+
+    max_rows_per_conv: per-conversation cost guard (the reference's
+    maxNumberOfWords=3000 analogue, AmbiguityForest.scala:105) —
+    conversations with more candidate rows are resolved in turn-aligned
+    coherence windows of at most this many rows (_conv_windows), keeping
+    the O(rows^2) support/elimination passes bounded per window.
+
+    distance_weighting: W2 — the reference's Normal-pdf mention-distance
+    link weighting (AmbiguityForest.scala:806-811). Default OFF for
+    parity: the reference computes the weight but multiplies it out
+    (`linkWeight //* distanceWeight`, :811).
     """
     from pyspark.sql import functions as F
 
@@ -624,16 +753,21 @@ def resolve(
         for k in range(len(starts) - 1):
             lo, hi = int(starts[k]), int(starts[k + 1])
             cid = conv_names[conv_code[lo]]
-            _resolve_conv(
-                cid, lo, hi,
-                turn_l, start_l, end_l,
-                surf_l,
-                topic_l, gid_l,
-                prior_l,
-                texts_by_conv.get(cid, {}),
-                ctx,
-                rows,
-            )
+            texts = texts_by_conv.get(cid, {})
+            for wlo, whi in _conv_windows(
+                lo, hi, turn_l, start_l, end_l, max_rows_per_conv
+            ):
+                _resolve_conv(
+                    cid, wlo, whi,
+                    turn_l, start_l, end_l,
+                    surf_l,
+                    topic_l, gid_l,
+                    prior_l,
+                    texts,
+                    ctx,
+                    rows,
+                    distance_weighting=distance_weighting,
+                )
         if coded:
             return _rows_to_pdf_coded(rows)
         return _rows_to_pdf_named(

@@ -79,17 +79,25 @@ def label_propagation(
     return labels.withColumnRenamed("label", "community")
 
 
-def _bidir(edges: DataFrame, src: str, dst: str, weight: str | None) -> DataFrame:
+def _bidir(
+    edges: DataFrame, src: str, dst: str, weight: str | None, loops: bool = False
+) -> DataFrame:
+    """Bidirectional edge view. With loops=True a self-loop of input
+    weight l survives as one (u, u, 2l) row — the union emits it in
+    both 'directions' and the aggregate doubles it, which is exactly
+    the Blondel degree convention (a self-loop contributes 2l to k_i
+    and to m2; community.cpp stores contracted intra-community mass the
+    same way). Default drops loops (the pre-round-4 behavior every SQL
+    oracle mirrors)."""
     w = F.col(weight) if weight else F.lit(1.0)
-    return (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
-        .union(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), w.alias("w"))
-        )
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.sum("w").alias("w"))
+    out = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w")
+    ).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), w.alias("w"))
     )
+    if not loops:
+        out = out.filter(F.col("u") != F.col("v"))
+    return out.groupBy("u", "v").agg(F.sum("w").alias("w"))
 
 
 def modularity(
@@ -98,6 +106,7 @@ def modularity(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    loops: bool = False,
 ) -> DataFrame:
     """Per-community Newman modularity contributions for a labeling —
     the objective the reference's shelled-out C++ Louvain maximizes
@@ -109,8 +118,11 @@ def modularity(
     intra-community directed pairs, tot_c = summed weighted degree.
     Returns (community, in_w, tot_w, q_contrib); sum(q_contrib) is Q.
     All algebraic aggregates — map-side combinable, one scalar collect
-    for m2."""
-    bidir = _bidir(edges, src, dst, weight).localCheckpoint(eager=True)
+    for m2. loops=True includes self-loop mass (2l to in_c, k_i, m2 —
+    the contracted-graph convention), making Q invariant across
+    louvain() contraction levels; default drops loops (the behavior the
+    community_modularity SQL oracle mirrors)."""
+    bidir = _bidir(edges, src, dst, weight, loops=loops).localCheckpoint(eager=True)
     m2 = bidir.agg(F.sum("w")).collect()[0][0]
     memb = labels.select("node", "community")
     deg = bidir.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("k"))
@@ -150,6 +162,7 @@ def louvain_refine(
     dst: str = "dst",
     weight: str | None = None,
     rounds: int = 4,
+    loops: bool = False,
 ) -> DataFrame:
     """Louvain phase-1 local moves, synchronous distributed variant —
     the modularity-ascent step of the reference's C++ Louvain
@@ -168,10 +181,19 @@ def louvain_refine(
     updated state, and the schedule is deterministic at any
     parallelism. Modularity is non-decreasing in practice but NOT
     guaranteed per round (parallel moves into one community interact);
-    gate with modularity() when it matters. Returns (node, community)."""
-    bidir = _bidir(edges, src, dst, weight).localCheckpoint(eager=True)
+    gate with modularity() when it matters. Returns (node, community).
+
+    loops=True carries self-loop mass (the contracted graph's
+    intra-community weight, louvain() phase 2): a self-loop contributes
+    to k_i, tot_c, and m2 (the Blondel eq. 2 gain's tot_{c\\i} term —
+    the round-3 gap vs the reference's community.cpp), but never to
+    k_{i,c} (community.cpp Community::neigh_comm skips neigh==node:
+    a node's internal mass moves WITH it, cancelling in the gain
+    comparison)."""
+    bidir = _bidir(edges, src, dst, weight, loops=loops).localCheckpoint(eager=True)
     m2 = float(bidir.agg(F.sum("w")).collect()[0][0])
     deg = bidir.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("k"))
+    nonloop = bidir.filter(F.col("u") != F.col("v")) if loops else bidir
     memb = labels.select("node", "community").localCheckpoint(eager=True)
 
     quiet = 0
@@ -182,8 +204,9 @@ def louvain_refine(
             .agg(F.sum("k").alias("tot_w"))
         )
         # k_{i,c}: node's edge weight into each neighbor community
+        # (self-loops excluded — they are not edges to a community)
         kic = (
-            bidir.join(memb.withColumnRenamed("node", "v"), "v")
+            nonloop.join(memb.withColumnRenamed("node", "v"), "v")
             .groupBy(F.col("u").alias("node"), F.col("community").alias("c"))
             .agg(F.sum("w").alias("kic"))
         )
@@ -271,12 +294,16 @@ def louvain(
     the reference's shelled-out C++ binary, CommunityLouvain.scala):
     phase 1 = local modularity-ascent moves from singleton communities
     (louvain_refine), phase 2 = CONTRACT each community to a super-node
-    (edge weights summed through the labeling, intra-community weight
-    dropped as the contracted graph's internal mass) and repeat on the
-    contracted graph. Labels compose back down, so the return is
-    (node, community) at the final level. `levels` bounds the
-    contraction depth (2 suffices for clique-of-cliques structure;
-    real corpora rarely need > 4)."""
+    — inter-community weights sum through the labeling and
+    intra-community mass is CARRIED as super-node self-loops (the
+    community.cpp partition2graph_binary convention; dropping it, as
+    rounds 2-3 did, loses the tot_{c\\i} self-loop term of the Blondel
+    gain and over-merges at level 2+) — then repeat on the contracted
+    graph with loop-aware refinement. Labels compose back down (LEFT
+    join: a community with no inter-community edges still keeps its
+    nodes), so the return is (node, community) at the final level.
+    `levels` bounds the contraction depth; the loop stops early once a
+    refinement pass merges nothing."""
     cur = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      (F.col(weight) if weight else F.lit(1.0)).alias("w"))
@@ -296,34 +323,44 @@ def louvain(
             .union(cur.select(F.col("dst").alias("node")))
             .dropDuplicates()
             .withColumn("community", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        refined = louvain_refine(cur, seed, src="src", dst="dst",
-                                 weight="w", rounds=rounds)
+        refined = louvain_refine(
+            cur, seed, src="src", dst="dst", weight="w", rounds=rounds,
+            loops=True,
+        )
         # compose: node -> current community (== this level's node id)
-        # -> refined community
+        # -> refined community. LEFT join: a community absent from this
+        # level's graph (possible only if it lost every edge) keeps its
+        # current label instead of silently dropping its nodes.
         lvl_map = refined.select(
             F.col("node").alias("community"), F.col("community").alias("new_c")
         )
         mapping = (
-            mapping.join(lvl_map, "community")
-            .select("node", F.col("new_c").alias("community"))
+            mapping.join(lvl_map, "community", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_c"), F.col("community")).alias("community"),
+            )
             .localCheckpoint(eager=True)
         )
-        # contract: communities become super-nodes, weights sum
+        n_nodes = seed.count()
+        n_comms = refined.select("community").dropDuplicates().count()
+        if n_comms == n_nodes:
+            break  # no merges this level: contraction is a relabeling
+        # contract: communities become super-nodes; inter-community
+        # weights sum, intra-community mass survives as (c, c)
+        # self-loop rows so level-2+ refinement sees the full degree
         rm = refined.withColumnRenamed("community", "c")
-        nxt = (
+        cur = (
             cur.join(rm.withColumnRenamed("node", "src"), "src")
             .withColumnRenamed("c", "src_c")
             .join(rm.withColumnRenamed("node", "dst"), "dst")
             .withColumnRenamed("c", "dst_c")
-            .filter(F.col("src_c") != F.col("dst_c"))
             .groupBy(F.col("src_c").alias("src"), F.col("dst_c").alias("dst"))
             .agg(F.sum("w").alias("w"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
-            break
-        cur = nxt
     return mapping
 
 

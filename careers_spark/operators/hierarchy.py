@@ -99,6 +99,7 @@ def strongly_connected_components(
     # path doubling over the cycle core only
     reach = e.selectExpr("u as a", "v as b")
     n_pairs = n_edges
+    converged = False
     for _ in range(max_doublings):
         stepped = (
             reach.alias("x")
@@ -111,8 +112,21 @@ def strongly_connected_components(
         n_grown = grown.count()
         reach = grown
         if n_grown == n_pairs:
+            converged = True
             break
         n_pairs = n_grown
+    if not converged:
+        # ADVICE r3: a cycle core with diameter > 2^max_doublings would
+        # exit before fixpoint and silently SPLIT its SCC (diverging
+        # from the reference's exact Tarjan, utility/Graph.scala:21-123).
+        # Doubling means 2^12 = 4096-hop reachability per extra unit, so
+        # hitting this is a config error, not a data regime — refuse.
+        raise RuntimeError(
+            f"strongly_connected_components: path doubling did not reach "
+            f"fixpoint within max_doublings={max_doublings} (pair count "
+            f"still growing: {n_pairs} -> {n_grown}); the cycle core has "
+            f"diameter > 2^{max_doublings}. Raise max_doublings."
+        )
 
     mutual = reach.join(
         reach.selectExpr("b as a", "a as b"), ["a", "b"], "left_semi"

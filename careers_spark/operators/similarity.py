@@ -198,16 +198,21 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above threshold.
 
-    With ANY `sample_pred` (including "true") the exact all-pairs cross
-    join runs on the filtered rows — the oracle-checkable baseline, and
-    the r1-documented meaning of the argument. Only sample_pred=None
+    With any NON-EMPTY `sample_pred` (including "true") the exact
+    all-pairs cross join runs on the filtered rows — the
+    oracle-checkable baseline, and the r1-documented meaning of the
+    argument. sample_pred=None or "" (an empty predicate filters
+    nothing, so exact would cross-join the full corpus)
     routes through the LSH sign-bit buckets with 1-bit multiprobe —
     candidate pairs share a (possibly flipped) bucket key, then exact
     cosine verifies — so the 100 TB path has NO CartesianProduct;
     recall is the standard LSH trade and is gated in tests against the
     exact path.
     """
-    exact = sample_pred is not None
+    # ADVICE r4: an EMPTY predicate filters nothing, so routing it to
+    # the exact path would cross-join the full corpus — treat "" as
+    # None (the LSH scale path), same as pre-r3 behavior
+    exact = bool(sample_pred)
     e = embeddings.filter(sample_pred or "true").select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )

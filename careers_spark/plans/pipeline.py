@@ -135,11 +135,28 @@ class KGPipeline:
                 (r.file, r.rows_out, r.checksum, name) for r in lineage_rows
             )
             rows = sum(r.rows_out for r in lineage_rows)
+        elif "://" in out_dir and not out_dir.startswith("file:"):
+            # ADVICE r4: os.walk assumes a LOCAL path — on a remote URI
+            # (hdfs://, s3a://) it would silently record rows=0 and no
+            # lineage. Fall back to the Spark read-back count there (one
+            # job per stage, the pre-r3 cost, correct on any filesystem).
+            back_rc = self.spark.read.schema(df.schema).parquet(out_dir)
+            lineage_rows = (
+                back_rc.groupBy(F.input_file_name().alias("file"))
+                .agg(F.count("*").alias("rows_out"))
+                .collect()
+            )
+            self._lineage.extend(
+                (r.file, r.rows_out, None, name) for r in lineage_rows
+            )
+            rows = sum(r.rows_out for r in lineage_rows)
         else:
             import pyarrow.parquet as pq
 
+            local_dir = out_dir[len("file:"):] if out_dir.startswith("file:") else out_dir
             rows = 0
-            for root, _dirs, fnames in os.walk(out_dir):
+            n_files = 0
+            for root, _dirs, fnames in os.walk(local_dir):
                 for fn in sorted(fnames):
                     if not fn.endswith(".parquet"):
                         continue
@@ -147,6 +164,15 @@ class KGPipeline:
                     n = pq.ParquetFile(fpath).metadata.num_rows
                     self._lineage.append((fpath, n, None, name))
                     rows += n
+                    n_files += 1
+            if n_files == 0:
+                # a stage that wrote rows but footer-counted none means
+                # the path convention broke — fail loudly, never record
+                # empty lineage for non-empty output
+                raise RuntimeError(
+                    f"stage {name!r}: no parquet files found under "
+                    f"{local_dir!r} for lineage footer counting"
+                )
         wall = time.monotonic() - t0
         with open(marker, "w") as f:
             json.dump(

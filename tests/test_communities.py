@@ -124,19 +124,30 @@ def test_louvain_refine_stable_at_optimum(spark):
     assert all(got[n] == "B" for n in "5678")
 
 
+def _clique(lo):
+    ns = [f"n{i:02d}" for i in range(lo, lo + 4)]
+    return [(a, b) for a in ns for b in ns if a < b]
+
+
 def test_louvain_two_level_clique_of_cliques(spark):
-    """Full Louvain loop: phase 1 finds the four 4-cliques from
-    singletons; phase 2 contracts them and merges the strongly-bridged
-    clique pairs (A-B and C-D, 2 bridges each) while the single A-C
-    bridge stays inter-community -> two 8-node communities."""
+    """Full Louvain loop on four bridged 4-cliques: phase 1 finds the
+    cliques from singletons; phase 2 — now carrying intra-community
+    mass as super-node self-loops — correctly REJECTS every merge.
+
+    Hand-computed (m2 = 58): the four-clique partition has
+    Q = 48/58 - (2*15^2 + 2*14^2)/58^2 = 0.5773; merging the
+    double-bridged pairs gives Q = 56/58 - 2*(29/58)^2 = 0.4655. The
+    pre-round-4 expectation (A-B and C-D merge) was the artifact of
+    dropping self-loop mass at contraction: with super-node degrees
+    reduced to bridge weight alone, every merge gain went positive.
+    The Blondel gain with the mass carried is
+    2 - 15*14/58 = -1.62 < 0 for A-B — no merge, matching the
+    reference binary's objective. test_modularity_confirms_* pins the
+    Q comparison with this module's own modularity()."""
     from careers_spark.operators.communities import louvain
 
-    def clique(lo):
-        ns = [f"n{i:02d}" for i in range(lo, lo + 4)]
-        return [(a, b) for a in ns for b in ns if a < b]
-
     edges = (
-        clique(1) + clique(5) + clique(9) + clique(13)
+        _clique(1) + _clique(5) + _clique(9) + _clique(13)
         + [("n04", "n05"), ("n03", "n06")]   # A-B double bridge
         + [("n12", "n13"), ("n11", "n14")]   # C-D double bridge
         + [("n01", "n09")]                   # single A-C bridge
@@ -145,6 +156,119 @@ def test_louvain_two_level_clique_of_cliques(spark):
         r.node: r.community
         for r in louvain(_edges(spark, edges), levels=2).collect()
     }
-    ab = {got[f"n{i:02d}"] for i in range(1, 9)}
-    cd = {got[f"n{i:02d}"] for i in range(9, 17)}
-    assert len(ab) == 1 and len(cd) == 1 and ab != cd
+    assert len(got) == 16  # no node loss
+    comms = [
+        {got[f"n{i:02d}"] for i in range(lo, lo + 4)} for lo in (1, 5, 9, 13)
+    ]
+    for c in comms:
+        assert len(c) == 1  # each clique is one community
+    assert len({next(iter(c)) for c in comms}) == 4  # and they stay apart
+
+
+def test_modularity_confirms_four_clique_optimum(spark):
+    """The Q comparison behind the golden above: four cliques beat the
+    merged pairing on the original graph."""
+    from careers_spark.operators.communities import modularity
+
+    edges = _edges(
+        spark,
+        _clique(1) + _clique(5) + _clique(9) + _clique(13)
+        + [("n04", "n05"), ("n03", "n06"), ("n12", "n13"),
+           ("n11", "n14"), ("n01", "n09")],
+    )
+
+    def q(label_of):
+        labels = spark.createDataFrame(
+            pd.DataFrame(
+                [(f"n{i:02d}", label_of(i)) for i in range(1, 17)],
+                columns=["node", "community"],
+            )
+        )
+        return sum(r.q_contrib for r in modularity(edges, labels).collect())
+
+    q4 = q(lambda i: f"c{(i - 1) // 4}")
+    q2 = q(lambda i: f"c{(i - 1) // 8}")
+    assert abs(q4 - 0.577289) < 1e-4
+    assert abs(q2 - 0.465517) < 1e-4
+    assert q4 > q2
+
+
+def test_louvain_selfloop_mass_gates_phase2_merge(spark):
+    """The round-4 closure golden, driven at the contracted level:
+    super-nodes A/B with heavy internal mass (self-loop weight 10) and
+    a weak bridge (1) must NOT merge — gain = 1 - 21*21/42 = -9.5,
+    separate Q = 0.4524 > merged 0 — while a heavy bridge (25) must:
+    gain = 25 - 45*45/90 = +2.5, separate Q = -0.0556 < merged 0.
+    Without the self-loop carry both cases merged."""
+    from careers_spark.operators.communities import louvain
+
+    def run(bridge_w):
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                [("A", "A", 10.0), ("B", "B", 10.0), ("A", "B", bridge_w)],
+                columns=["src", "dst", "w"],
+            )
+        )
+        got = {
+            r.node: r.community
+            for r in louvain(edges, weight="w", levels=1, rounds=4).collect()
+        }
+        return got["A"] == got["B"]
+
+    assert run(1.0) is False   # weak bridge: internal mass blocks the merge
+    assert run(25.0) is True   # heavy bridge: merge is modularity-positive
+
+
+def test_louvain_keeps_nodes_of_disconnected_components(spark):
+    """ADVICE r3: a disconnected clique that fully collapses in phase 1
+    has no inter-community edges; with self-loop carry it still appears
+    in the contracted graph, and the LEFT-join label composition keeps
+    its nodes either way — no silent node loss on disconnected input."""
+    from careers_spark.operators.communities import louvain
+
+    edges = _clique(1) + _clique(5)  # two cliques, NO bridge
+    got = {
+        r.node: r.community
+        for r in louvain(_edges(spark, edges), levels=3).collect()
+    }
+    assert len(got) == 8  # every node mapped
+    a = {got[f"n{i:02d}"] for i in range(1, 5)}
+    b = {got[f"n{i:02d}"] for i in range(5, 9)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_modularity_level_invariance_with_loops(spark):
+    """Q(original graph, composed labels) == Q(contracted graph with
+    self-loops, identity labels) — the invariant the carry exists for."""
+    from careers_spark.operators.communities import modularity
+
+    # original: two triangles bridged once, labeled by triangle
+    tri1 = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0)]
+    tri2 = [("x", "y", 1.0), ("y", "z", 1.0), ("x", "z", 1.0)]
+    orig = spark.createDataFrame(
+        pd.DataFrame(tri1 + tri2 + [("c", "x", 1.0)], columns=["src", "dst", "w"])
+    )
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            [(n, "T1") for n in "abc"] + [(n, "T2") for n in "xyz"],
+            columns=["node", "community"],
+        )
+    )
+    q_orig = sum(
+        r.q_contrib for r in modularity(orig, labels, weight="w").collect()
+    )
+    # contracted by hand: self-loops carry the 3-edge internal mass
+    contracted = spark.createDataFrame(
+        pd.DataFrame(
+            [("T1", "T1", 3.0), ("T2", "T2", 3.0), ("T1", "T2", 1.0)],
+            columns=["src", "dst", "w"],
+        )
+    )
+    ident = spark.createDataFrame(
+        pd.DataFrame([("T1", "T1"), ("T2", "T2")], columns=["node", "community"])
+    )
+    q_contr = sum(
+        r.q_contrib
+        for r in modularity(contracted, ident, weight="w", loops=True).collect()
+    )
+    assert abs(q_orig - q_contr) < 1e-9
