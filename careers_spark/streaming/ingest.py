@@ -60,6 +60,128 @@ def turn_rate_by_window(stream: DataFrame, window: str = "5 minutes") -> DataFra
     )
 
 
+def stream_kg_incremental(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    checkpoint: str,
+    automaton,
+    surface_forms: DataFrame,
+    context_vectors,
+    once: bool = True,
+    min_similarity: float = 0.1,
+):
+    """The full WebCVProcess polling-loop analogue
+    (reference: applications/WebCVProcess.scala:300-333 — processCVs
+    then processMatches per poll) as a Structured-Streaming foreachBatch
+    sink:
+
+      1. freshness gate: conversations already in the processed
+         registry are anti-joined away, so a poll only touches fresh
+         conv_ids (the reference's max-id cursor, :215-219; conv_ids are
+         strings here, so the cursor is the registry itself);
+      2. processCVs: mention scan -> candidates -> per-conversation
+         coherence resolve on the fresh conversations only, appended to
+         the resolved store (:226-249's annotate-and-persist);
+      3. processMatches: fresh digests get monotone vector ids past the
+         previous max (the reference's DB sequence — id assignment is a
+         batch-bounded serial window, exactly as serial as the sequence
+         it mirrors) and the BLOCKED incremental matcher scores
+         new x all / old x new through the digest-topic equi-join
+         (:286-291), never a crossJoin — the unbounded-poll scale path.
+
+    A conversation is assumed to arrive whole within one micro-batch
+    (the reference's unit of arrival is a complete CV); turns of a
+    conv_id seen in an earlier batch are dropped by the gate.
+
+    Gated end-to-end by tests/test_incremental_loop.py: two-batch ingest
+    == cold batch run, second batch touches only fresh conv_ids.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from careers_spark.operators.coherence import links_of, resolve
+    from careers_spark.operators.digests import (
+        document_digests,
+        incremental_digest_pairs,
+    )
+    from careers_spark.operators.linking import attach_candidates
+    from careers_spark.operators.mentions import detect_mentions
+
+    processed_dir = os.path.join(out_dir, "processed")
+    resolved_dir = os.path.join(out_dir, "resolved")
+    digests_dir = os.path.join(out_dir, "digests")
+    matches_dir = os.path.join(out_dir, "matches")
+
+    def _read_or_none(path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None  # first poll: store not created yet
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seen = _read_or_none(processed_dir)
+        fresh = batch_df
+        if seen is not None:
+            fresh = batch_df.join(
+                seen.select("conv_id").dropDuplicates(), "conv_id", "left_anti"
+            )
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return
+
+        # -- processCVs ---------------------------------------------------
+        mentions = detect_mentions(spark, fresh, automaton)
+        cands = attach_candidates(mentions, surface_forms)
+        out = resolve(cands, fresh, context_vectors).localCheckpoint(eager=True)
+        out.write.mode("append").parquet(resolved_dir)
+        fresh.select("conv_id").dropDuplicates().withColumn(
+            "epoch", F.lit(int(epoch_id))
+        ).write.mode("append").parquet(processed_dir)
+
+        # -- processMatches -----------------------------------------------
+        old_dg = _read_or_none(digests_dir)
+        prev_max = 0
+        if old_dg is not None:
+            prev_max = old_dg.agg(F.max("vec_id")).collect()[0][0] or 0
+        dg = document_digests(links_of(out))
+        ids = (
+            dg.select("conv_id")
+            .dropDuplicates()
+            .withColumn(
+                "vec_id",
+                F.lit(int(prev_max))
+                + F.dense_rank().over(Window.orderBy("conv_id")),
+            )
+        )
+        new_dg = dg.join(ids, "conv_id").localCheckpoint(eager=True)
+        all_dg = (
+            new_dg
+            if old_dg is None
+            else old_dg.unionByName(new_dg).localCheckpoint(eager=True)
+        )
+        matches = incremental_digest_pairs(
+            all_dg.selectExpr("vec_id as id_a", "topic", "weight"),
+            all_dg.selectExpr("vec_id as id_b", "topic", "weight"),
+            prev_max,
+            prev_max,
+            min_similarity=min_similarity,
+        ).filter(F.col("id_a") < F.col("id_b"))
+        matches.write.mode("append").parquet(matches_dir)
+        new_dg.write.mode("append").parquet(digests_dir)
+
+    stream = dedup_late_turns(read_transcript_stream(spark, in_path))
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime="30 seconds").start()
+
+
 def stream_mentions_to_parquet(
     spark: SparkSession,
     in_path: str,
