@@ -318,6 +318,91 @@ def _conv_windows(
     return windows
 
 
+_DENSE_MIN_ROWS = 192  # window size where the dense path overtakes the loop
+
+
+def _dense_support_and_prune(
+    lo: int,
+    hi: int,
+    topic_code: list,
+    topic_gid: list,
+    prior: list,
+    row_site: list,
+    row_mention: list,
+    m_first: list,
+    ctx: InternedContexts,
+):
+    """Vectorized support + greedy elimination for LARGE coherence
+    windows (the r3-verdict item-8 profile): build the window's distinct
+    topic-pair sim matrix ONCE (G^2/2 cached sim() calls, G = distinct
+    topics — candidates repeat topics across mentions, so G << rows),
+    then the O(rows^2) support pass becomes one G-dim matvec plus
+    per-site corrections, and each greedy elimination is one fancy-index
+    subtraction instead of a python scan.
+
+    Same semantics as the scalar loops in _resolve_conv, which remain
+    the bit-exact reference path for ordinary conversations: float
+    summation ORDER differs here (matvec vs row-order loop), so only
+    windows >= _DENSE_MIN_ROWS — far above every golden — take this
+    path. Equivalence is pinned by test_resolver_guard.py
+    (dense == scalar winners on a mixed-sim window).
+
+    Returns (supp ndarray, active bool ndarray) for the shared
+    final-selection code.
+    """
+    codes = np.asarray(topic_code[lo:hi], np.int64)
+    gids = np.asarray(topic_gid[lo:hi], np.int64)
+    p = np.asarray(prior[lo:hi], np.float64)
+    sites_a = np.asarray(row_site, np.int64)
+    ment_a = np.asarray(row_mention, np.int64)
+
+    u, first_idx, inv = np.unique(codes, return_index=True, return_inverse=True)
+    ug = gids[first_idx]
+    G = len(u)
+    sim = ctx.sim
+    S = np.zeros((G, G), np.float64)
+    for i in range(G):
+        gi_ = int(ug[i])
+        row = S[i]
+        for j in range(i + 1, G):
+            s = sim(gi_, int(ug[j]))
+            if s:
+                row[j] = s
+                S[j, i] = s
+
+    # support = full-window total minus the same-site contribution
+    # (AmbiguityForest.scala:783-784); S's zero diagonal makes the
+    # r2 == r and same-topic terms vanish exactly as sim(a, a) == 0 does
+    q = np.bincount(inv, weights=p, minlength=G)
+    supp = (S @ q)[inv]
+    order = np.argsort(sites_a, kind="stable")
+    bounds = np.flatnonzero(np.diff(sites_a[order])) + 1
+    for seg in np.split(order, bounds):
+        inv_s = inv[seg]
+        supp[seg] -= S[np.ix_(inv_s, inv_s)] @ p[seg]
+
+    # greedy elimination, same key as the scalar loop:
+    # min (prior * (eps + supp)), ties remove the LARGER topic code
+    n = len(m_first) - 1
+    counts = np.bincount(ment_a, minlength=n)
+    active = np.ones(hi - lo, bool)
+    n_multi = int(np.sum(counts > 1))
+    while n_multi > 0:
+        elig = np.flatnonzero(active & (counts[ment_a] > 1))
+        scores = p[elig] * (_EPS + supp[elig])
+        m = scores.min()
+        tied = elig[scores == m]
+        worst = int(tied[np.argmax(codes[tied])])
+        active[worst] = False
+        mi = int(ment_a[worst])
+        counts[mi] -= 1
+        if counts[mi] == 1:
+            n_multi -= 1
+        mask = active & (sites_a != sites_a[worst])
+        supp[mask] -= S[inv[mask], inv[worst]] * p[worst]
+    return supp, active
+
+
 def _resolve_conv(
     conv_id: str,
     lo: int,
@@ -394,67 +479,73 @@ def _resolve_conv(
             d = cen[rl] - cen[r2l]
             return 0.2 + exp(-d * d / 50.0)
 
-    supp = [0.0] * (hi - lo)
-    for r in range(lo, hi):
-        s = 0.0
-        gr = topic_gid[r]
-        sr = row_site[r - lo]
-        if dw is None:
-            for r2 in range(lo, hi):
-                if row_site[r2 - lo] == sr:
-                    continue  # same-site exclusion (AmbiguityForest.scala:783-784)
-                s += sim(gr, topic_gid[r2]) * prior[r2]
-        else:
-            for r2 in range(lo, hi):
-                if row_site[r2 - lo] == sr:
-                    continue
-                s += sim(gr, topic_gid[r2]) * prior[r2] * dw(r - lo, r2 - lo)
-        supp[r - lo] = s
-
-    # --- greedy elimination with peer down-weighting -----------------------
-    # The reference's pruneOutAlternatives topic loop
-    # (AmbiguityForest.scala:948-981): a priority queue pops the globally
-    # LOWEST-weight candidate; it is removed unless it is its mention's
-    # last (removeTopic, :207-217), and its contribution is subtracted
-    # from every peer's weight (downWeightPeers, :220-250). Repeating to
-    # one candidate per mention propagates corrections through CHAINS of
-    # ambiguity (A's winner depends on B's, B's on C's) — a fixed number
-    # of rescoring rounds cannot. Candidate score = prior * (eps +
-    # remaining support), the same scoring shape both phases here use.
-    active = [True] * (hi - lo)
-    n_active = [m_first[i + 1] - m_first[i] for i in range(n)]
-    n_multi = sum(1 for c in n_active if c > 1)
-    while n_multi > 0:
-        # globally lowest-scored candidate among multi-candidate
-        # mentions; ties remove the LARGER topic code so the smallest
-        # name survives (reference name-ordered tie-break)
-        worst_r, worst_key = -1, None
+    if dw is None and hi - lo >= _DENSE_MIN_ROWS:
+        supp, active = _dense_support_and_prune(
+            lo, hi, topic_code, topic_gid, prior,
+            row_site, row_mention, m_first, ctx,
+        )
+    else:
+        supp = [0.0] * (hi - lo)
         for r in range(lo, hi):
-            rl = r - lo
-            if not active[rl] or n_active[row_mention[rl]] < 2:
-                continue
-            key = (prior[r] * (_EPS + supp[rl]), -topic_code[r])
-            if worst_key is None or key < worst_key:
-                worst_key, worst_r = key, r
-        rl = worst_r - lo
-        active[rl] = False
-        mi = row_mention[rl]
-        n_active[mi] -= 1
-        if n_active[mi] == 1:
-            n_multi -= 1
-        gw, pw, sw = topic_gid[worst_r], prior[worst_r], row_site[rl]
-        if dw is None:
-            for r2 in range(lo, hi):
-                r2l = r2 - lo
-                if not active[r2l] or row_site[r2l] == sw:
+            s = 0.0
+            gr = topic_gid[r]
+            sr = row_site[r - lo]
+            if dw is None:
+                for r2 in range(lo, hi):
+                    if row_site[r2 - lo] == sr:
+                        continue  # same-site exclusion (AmbiguityForest.scala:783-784)
+                    s += sim(gr, topic_gid[r2]) * prior[r2]
+            else:
+                for r2 in range(lo, hi):
+                    if row_site[r2 - lo] == sr:
+                        continue
+                    s += sim(gr, topic_gid[r2]) * prior[r2] * dw(r - lo, r2 - lo)
+            supp[r - lo] = s
+
+        # --- greedy elimination with peer down-weighting -------------------
+        # The reference's pruneOutAlternatives topic loop
+        # (AmbiguityForest.scala:948-981): a priority queue pops the globally
+        # LOWEST-weight candidate; it is removed unless it is its mention's
+        # last (removeTopic, :207-217), and its contribution is subtracted
+        # from every peer's weight (downWeightPeers, :220-250). Repeating to
+        # one candidate per mention propagates corrections through CHAINS of
+        # ambiguity (A's winner depends on B's, B's on C's) — a fixed number
+        # of rescoring rounds cannot. Candidate score = prior * (eps +
+        # remaining support), the same scoring shape both phases here use.
+        active = [True] * (hi - lo)
+        n_active = [m_first[i + 1] - m_first[i] for i in range(n)]
+        n_multi = sum(1 for c in n_active if c > 1)
+        while n_multi > 0:
+            # globally lowest-scored candidate among multi-candidate
+            # mentions; ties remove the LARGER topic code so the smallest
+            # name survives (reference name-ordered tie-break)
+            worst_r, worst_key = -1, None
+            for r in range(lo, hi):
+                rl = r - lo
+                if not active[rl] or n_active[row_mention[rl]] < 2:
                     continue
-                supp[r2l] -= sim(topic_gid[r2], gw) * pw
-        else:
-            for r2 in range(lo, hi):
-                r2l = r2 - lo
-                if not active[r2l] or row_site[r2l] == sw:
-                    continue
-                supp[r2l] -= sim(topic_gid[r2], gw) * pw * dw(r2l, rl)
+                key = (prior[r] * (_EPS + supp[rl]), -topic_code[r])
+                if worst_key is None or key < worst_key:
+                    worst_key, worst_r = key, r
+            rl = worst_r - lo
+            active[rl] = False
+            mi = row_mention[rl]
+            n_active[mi] -= 1
+            if n_active[mi] == 1:
+                n_multi -= 1
+            gw, pw, sw = topic_gid[worst_r], prior[worst_r], row_site[rl]
+            if dw is None:
+                for r2 in range(lo, hi):
+                    r2l = r2 - lo
+                    if not active[r2l] or row_site[r2l] == sw:
+                        continue
+                    supp[r2l] -= sim(topic_gid[r2], gw) * pw
+            else:
+                for r2 in range(lo, hi):
+                    r2l = r2 - lo
+                    if not active[r2l] or row_site[r2l] == sw:
+                        continue
+                    supp[r2l] -= sim(topic_gid[r2], gw) * pw * dw(r2l, rl)
 
     final_code = [0] * n
     final_score = [0.0] * n

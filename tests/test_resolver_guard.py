@@ -131,6 +131,66 @@ def test_pathological_conversation_bounded():
     assert wall < 60.0, f"guarded resolve took {wall:.1f}s"
 
 
+def test_dense_path_matches_scalar_path():
+    """The vectorized large-window path (_dense_support_and_prune) picks
+    the same winners and scores as the scalar loops on a mixed window
+    with nontrivial sims, priors, multi-candidate mentions, and
+    overlap sites."""
+    import careers_spark.operators.coherence as CO
+
+    ctx = InternedContexts(
+        {
+            f"T{i:02d}": {
+                f"C{i % 10}": 0.5 + 0.02 * i,
+                f"C{(i * 3) % 10}": 0.3,
+                f"C{(i * 7 + 1) % 10}": 0.15,
+            }
+            for i in range(30)
+        }
+    )
+    tid = ctx.tid
+    turn, start, end, surf, code, gid, prior = [], [], [], [], [], [], []
+    for t in range(10):
+        for m in range(10):
+            s = 3 * m
+            e = s + (1 if (t + m) % 4 == 0 else 0)  # some 2-token spans
+            k = 2 + (t + m) % 3
+            names = sorted({f"T{(t * 7 + m * 3 + j * 5) % 30:02d}" for j in range(k)})
+            for j, name in enumerate(names):
+                turn.append(t)
+                start.append(s)
+                end.append(e)
+                surf.append(0)
+                code.append(tid[name])
+                gid.append(tid[name])
+                prior.append(round(1.0 / (1 + j) - 0.07 * ((t + j) % 3), 3))
+    n = len(turn)
+    assert n >= CO._DENSE_MIN_ROWS  # the default run takes the dense path
+
+    def run():
+        rows = []
+        _resolve_conv(
+            "c0", 0, n, turn, start, end, surf, code, gid, prior, {}, ctx, rows
+        )
+        return rows
+
+    dense = run()
+    saved = CO._DENSE_MIN_ROWS
+    try:
+        CO._DENSE_MIN_ROWS = 10**9
+        scalar = run()
+    finally:
+        CO._DENSE_MIN_ROWS = saved
+
+    assert len(dense) == len(scalar)
+    d = {(r[1], r[3], r[4]): (r[6], r[7]) for r in dense if r[2] == "link"}
+    s = {(r[1], r[3], r[4]): (r[6], r[7]) for r in scalar if r[2] == "link"}
+    assert set(d) == set(s)
+    for k2 in d:
+        assert d[k2][0] == s[k2][0], k2  # identical winner
+        assert abs(d[k2][1] - s[k2][1]) < 1e-9  # score within float-order noise
+
+
 def test_windowed_output_matches_unwindowed_when_coherence_is_turn_local():
     """When no cross-turn support exists (per-turn topic universes with
     zero cross-turn sim), turn-boundary windows change nothing: one-turn
