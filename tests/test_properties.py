@@ -86,3 +86,68 @@ def test_tokenize_total_and_idempotent_normal_form(s):
     norm = normalize_sf_py(s)
     # normal form is a fixpoint: normalizing again changes nothing
     assert normalize_sf_py(norm) == norm
+
+
+# --- resolver guard windows (r4) -------------------------------------------
+
+conv_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),   # turn
+        st.integers(0, 20),  # start
+        st.integers(0, 3),   # length - 1
+        st.integers(1, 4),   # candidates per mention
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(conv_strategy, st.integers(2, 25))
+@settings(max_examples=200, deadline=None)
+def test_conv_windows_partition_and_site_integrity(mentions, cap):
+    from careers_spark.operators.coherence import _conv_windows
+
+    turn, start, end = [], [], []
+    for t, s, ln, nc in sorted(mentions):
+        for _ in range(nc):
+            turn.append(t)
+            start.append(s)
+            end.append(s + ln)
+    n = len(turn)
+    wins = _conv_windows(0, n, turn, start, end, cap)
+
+    # exact partition of [0, n)
+    assert wins[0][0] == 0 and wins[-1][1] == n
+    for (a, b), (c, d) in zip(wins, wins[1:]):
+        assert b == c
+    assert all(a < b for a, b in wins)
+
+    # no window boundary splits an overlap site: at every interior cut,
+    # either the turn changes or the span at the cut starts past every
+    # earlier end within the same turn (i.e. a new site begins)
+    for a, _b in wins[1:]:
+        if turn[a] == turn[a - 1]:
+            prev_ends = [
+                end[r]
+                for r in range(a - 1, -1, -1)
+                if turn[r] == turn[a]
+            ]
+            assert start[a] > max(prev_ends)
+
+    # cap respected unless a single site alone exceeds it
+    for a, b in wins:
+        if b - a > cap:
+            spans = sorted({(turn[r], start[r], end[r]) for r in range(a, b)})
+            rows_per_span = {
+                sp: sum(
+                    1
+                    for r in range(a, b)
+                    if (turn[r], start[r], end[r]) == sp
+                )
+                for sp in spans
+            }
+            site_rows = [
+                sum(rows_per_span[spans[i]] for i in site)
+                for site in _build_sites(spans)
+            ]
+            assert max(site_rows) > cap
