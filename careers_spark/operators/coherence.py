@@ -318,7 +318,19 @@ def _conv_windows(
     return windows
 
 
-_DENSE_MIN_ROWS = 192  # window size where the dense path overtakes the loop
+# Window size where the dense sim-matrix path replaces the scalar loop.
+# Deployment knob (KG_DENSE_MIN_ROWS): the dense path trades python-op
+# count for MEMORY BANDWIDTH (matvecs + gathers stream G^2 floats), so
+# its win depends on topology — on an executor with its own socket it
+# is strictly faster (2x at 90 rows to 25x at 3000, measured), while on
+# a single shared-socket host running many executors the bandwidth is
+# contended and the scalar loop's cache-friendly probes can match it
+# (observed: E=4 x 2-core on one socket, resolved 148s scalar vs 160s
+# dense at 16.4M turns). Raise the threshold on bandwidth-starved
+# shared hosts; the default favors real multi-node clusters.
+import os as _os
+
+_DENSE_MIN_ROWS = int(_os.environ.get("KG_DENSE_MIN_ROWS", "192"))
 
 
 def _dense_support_and_prune(

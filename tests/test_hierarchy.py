@@ -212,3 +212,19 @@ def test_indegree_hub_guard(spark):
         for r in H.category_closure(edges, seeds, max_parent_indegree=3).collect()
     }
     assert got == {("c0", "ok")}
+
+
+def test_scc_raises_on_nonconvergence(spark):
+    """ADVICE r3: a cycle core whose diameter exceeds the doubling
+    budget must RAISE (refusing beats silently splitting the SCC). An
+    8-cycle at max_doublings=1 (reach <= 4 hops after one doubling)
+    cannot reach fixpoint; the same graph converges at the default
+    budget into one component."""
+    import pytest
+
+    rows = [(f"n{i}", f"n{(i + 1) % 8}") for i in range(8)]
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["child", "parent"]))
+    with pytest.raises(RuntimeError, match="did not reach"):
+        H.strongly_connected_components(edges, max_doublings=1)
+    scc = H.strongly_connected_components(edges)
+    assert len({r.scc for r in scc.collect()}) == 1
