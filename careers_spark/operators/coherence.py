@@ -170,9 +170,19 @@ def build_id_dims(spark, surface_names: list[str], topic_names: list[str]):
     return surface_dim, topic_dim
 
 
-def _build_sites(spans: list[tuple[int, int, int]]) -> list[list[int]]:
-    """Group mention indices into overlap sites. spans: (turn, start, end)."""
-    order = sorted(range(len(spans)), key=lambda i: (spans[i][0], spans[i][1], spans[i][2]))
+def _build_sites(
+    spans: list[tuple[int, int, int]], presorted: bool = False
+) -> list[list[int]]:
+    """Group mention indices into overlap sites. spans: (turn, start, end).
+    presorted=True skips the sort when the caller built spans in
+    (turn, start, end) order already (the resolver does — mention
+    boundaries come from rows sorted on exactly that key)."""
+    if presorted:
+        order: "range | list[int]" = range(len(spans))
+    else:
+        order = sorted(
+            range(len(spans)), key=lambda i: (spans[i][0], spans[i][1], spans[i][2])
+        )
     sites: list[list[int]] = []
     cur: list[int] = []
     cur_turn, cur_end = None, -1
@@ -195,6 +205,18 @@ def _alternatives(site: list[int], spans: list[tuple[int, int, int]]) -> list[li
     """Enumerate maximal non-overlapping segmentations of one site
     (the gap-free alternative enumeration of Disambiguator.scala:126-206,
     golden-tested in the reference at testDisambiguator.scala:565-630)."""
+    if len(site) == 1:
+        # singleton site: the only segmentation is the mention itself.
+        # The overwhelmingly common case (most mentions overlap nothing)
+        # — profiled at a third of the resolve stage when it went
+        # through the recursive enumeration below.
+        return [list(site)]
+    if len(site) == 2:
+        # two members of one site overlap by construction, so the only
+        # maximal segmentations are the two singletons (same output,
+        # ordering included, as the enumeration below)
+        a, b = sorted(site)
+        return [[a], [b]]
     members = sorted(site, key=lambda i: (spans[i][1], -spans[i][2]))
     alts: list[list[int]] = []
 
@@ -382,16 +404,26 @@ def _dense_support_and_prune(
                 row[j] = s
                 S[j, i] = s
 
-    # support = full-window total minus the same-site contribution
-    # (AmbiguityForest.scala:783-784); S's zero diagonal makes the
-    # r2 == r and same-topic terms vanish exactly as sim(a, a) == 0 does
+    # support state is PER-TOPIC, not per-row: supp[r] == tot[inv[r]] -
+    # corr[r], where tot = S @ (per-topic prior mass) over the whole
+    # window and corr[r] is r's own site's contribution — the same-site
+    # exclusion of AmbiguityForest.scala:783-784. S's zero diagonal
+    # makes the r2 == r and same-topic terms vanish exactly as
+    # sim(a, a) == 0 does. An elimination then writes O(G + site)
+    # floats (tot -= S[:, w]*p_w; the worst's own site's corr likewise)
+    # instead of O(rows) — the per-row write stream was the dense
+    # path's memory-bandwidth hot spot under executor concurrency.
     q = np.bincount(inv, weights=p, minlength=G)
-    supp = (S @ q)[inv]
+    tot = S @ q
+    corr = np.zeros(hi - lo, np.float64)
     order = np.argsort(sites_a, kind="stable")
     bounds = np.flatnonzero(np.diff(sites_a[order])) + 1
-    for seg in np.split(order, bounds):
+    segs = np.split(order, bounds)
+    site_rows = {}
+    for seg in segs:
         inv_s = inv[seg]
-        supp[seg] -= S[np.ix_(inv_s, inv_s)] @ p[seg]
+        corr[seg] = S[np.ix_(inv_s, inv_s)] @ p[seg]
+        site_rows[int(sites_a[seg[0]])] = seg
 
     # greedy elimination, same key as the scalar loop:
     # min (prior * (eps + supp)), ties remove the LARGER topic code
@@ -401,7 +433,7 @@ def _dense_support_and_prune(
     n_multi = int(np.sum(counts > 1))
     while n_multi > 0:
         elig = np.flatnonzero(active & (counts[ment_a] > 1))
-        scores = p[elig] * (_EPS + supp[elig])
+        scores = p[elig] * (_EPS + tot[inv[elig]] - corr[elig])
         m = scores.min()
         tied = elig[scores == m]
         worst = int(tied[np.argmax(codes[tied])])
@@ -410,9 +442,13 @@ def _dense_support_and_prune(
         counts[mi] -= 1
         if counts[mi] == 1:
             n_multi -= 1
-        mask = active & (sites_a != sites_a[worst])
-        supp[mask] -= S[inv[mask], inv[worst]] * p[worst]
-    return supp, active
+        iw, pw_ = inv[worst], p[worst]
+        tot -= S[:, iw] * pw_
+        # same-site rows never saw the worst's support, so their corr
+        # drops in lock-step with tot and their supp stays put
+        seg = site_rows[int(sites_a[worst])]
+        corr[seg] -= S[inv[seg], iw] * pw_
+    return tot[inv] - corr, active
 
 
 def _resolve_conv(
@@ -454,7 +490,7 @@ def _resolve_conv(
 
     spans = [(turn[m_first[i]], start[m_first[i]], end[m_first[i]])
              for i in range(n)]
-    sites = _build_sites(spans)
+    sites = _build_sites(spans, presorted=True)
     site_of = [0] * n
     for si, site in enumerate(sites):
         for i in site:
@@ -571,6 +607,9 @@ def _resolve_conv(
     # --- pick best alternative per site (coverage, then score) ------------
     chosen: list[int] = []
     for site in sites:
+        if len(site) == 1:
+            chosen.append(site[0])  # only one segmentation exists
+            continue
         alts = _alternatives(site, spans)
         best_alt, best_key = None, None
         for alt in alts:
