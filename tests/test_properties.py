@@ -151,3 +151,39 @@ def test_conv_windows_partition_and_site_integrity(mentions, cap):
                 for site in _build_sites(spans)
             ]
             assert max(site_rows) > cap
+
+
+@given(spans_strategy)
+@settings(max_examples=200, deadline=None)
+def test_alternatives_shortcuts_equal_full_enumeration(spans):
+    """The r4 singleton/pair site shortcuts in _alternatives must return
+    exactly what the recursive gap-free enumeration returns — pinned by
+    comparing against a naive maximal-antichain enumeration for every
+    site the strategy generates (sizes 1..10)."""
+    from itertools import combinations
+
+    def naive(site):
+        # all maximal non-overlapping subsets, in the enumeration's
+        # sorted-dedup order
+        def ok(subset):
+            s = sorted(subset, key=lambda i: spans[i][1])
+            return all(spans[b][1] > spans[a][2] for a, b in zip(s, s[1:]))
+
+        subsets = [
+            list(c)
+            for k in range(1, len(site) + 1)
+            for c in combinations(sorted(site), k)
+            if ok(c)
+        ]
+        maximal = [
+            s
+            for s in subsets
+            if not any(set(s) < set(t) for t in subsets if len(t) > len(s))
+        ]
+        return sorted({tuple(sorted(m)) for m in maximal})
+
+    for site in _build_sites(spans):
+        if len(site) > 10:
+            continue  # the >12 greedy fallback is out of scope here
+        got = sorted({tuple(sorted(a)) for a in _alternatives(site, spans)})
+        assert got == naive(site), (site, [spans[i] for i in site])
