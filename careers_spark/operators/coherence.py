@@ -466,6 +466,7 @@ def _resolve_conv(
     ctx: InternedContexts,
     out_rows: list[tuple],
     distance_weighting: bool = False,
+    dense_min_rows: int | None = None,
 ) -> None:
     """Resolve one conversation from the batch's presorted column LISTS
     (rows [lo, hi)). Plain-python lists, not numpy slices — per-element
@@ -527,7 +528,9 @@ def _resolve_conv(
             d = cen[rl] - cen[r2l]
             return 0.2 + exp(-d * d / 50.0)
 
-    if dw is None and hi - lo >= _DENSE_MIN_ROWS:
+    if dense_min_rows is None:
+        dense_min_rows = _DENSE_MIN_ROWS
+    if dw is None and hi - lo >= dense_min_rows:
         supp, active = _dense_support_and_prune(
             lo, hi, topic_code, topic_gid, prior,
             row_site, row_mention, m_first, ctx,
@@ -722,6 +725,7 @@ def resolve(
     topic_names: list[str] | None = None,
     max_rows_per_conv: int = 3000,
     distance_weighting: bool = False,
+    dense_min_rows: int | None = None,
 ) -> DataFrame:
     """Cogrouped per-conversation resolution, bucket-batched.
 
@@ -764,6 +768,12 @@ def resolve(
     link weighting (AmbiguityForest.scala:806-811). Default OFF for
     parity: the reference computes the weight but multiplies it out
     (`linkWeight //* distanceWeight`, :811).
+
+    dense_min_rows: window size where the dense sim-matrix path
+    replaces the scalar loop (None -> the module default / the
+    KG_DENSE_MIN_ROWS env knob). Pickled into the UDF closure, so it
+    reaches python workers regardless of their import-time env —
+    tests use it to pin dense == scalar through the real stage.
     """
     from pyspark.sql import functions as F
 
@@ -909,6 +919,7 @@ def resolve(
                     ctx,
                     rows,
                     distance_weighting=distance_weighting,
+                    dense_min_rows=dense_min_rows,
                 )
         if coded:
             return _rows_to_pdf_coded(rows)

@@ -126,3 +126,61 @@ def test_triple_extraction_gap_patterns(spark):
     preds = {r.pred for r in triples.collect()}
     assert preds <= {"works_at", "located_in", "studied_at", "founded", "uses", "acquired"}
     assert "works_at" in preds
+
+
+def test_dense_path_through_spark_stage(spark):
+    """The >=192-row dense sim-matrix path through the FULL cogrouped
+    applyInPandas stage (not just the pure-python helper): a synthetic
+    conversation with ~100 ambiguous mentions (2 candidates each, >=
+    the dense threshold) must resolve identically whether the dense
+    path is allowed (threshold 0) or suppressed (threshold huge)."""
+    import careers_spark.operators.coherence as comod
+
+    n_m = 100
+    rows = []
+    for m in range(n_m):
+        t, s = divmod(m, 10)
+        for topic, pr in (("Main:TA", 0.6), ("Main:TB", 0.4)):
+            rows.append(("c1", t, 3 * s, 3 * s, f"s{m}", topic, pr))
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "start", "end",
+                     "surface", "topic", "prior"],
+        )
+    )
+    transcripts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1"] * 10,
+                "turn_idx": pd.array(range(10), dtype="int32"),
+                "role": ["user"] * 10,
+                "text": ["x " * 40] * 10,
+                "tool": [""] * 10,
+                "ts": pd.to_datetime([i * 60 for i in range(10)], unit="s"),
+            }
+        ),
+        schema=S.TRANSCRIPTS,
+    )
+    ctx = {"Main:TA": {"cx": 1.0}, "Main:TB": {"cx": 0.4, "cy": 0.6}}
+
+    def run(dense_min_rows):
+        # the threshold rides the UDF closure (resolve's dense_min_rows
+        # param), so it reaches the python WORKER processes — a module
+        # monkeypatch would not (workers re-import the module)
+        out = CO.resolve(cands, transcripts, ctx, dense_min_rows=dense_min_rows)
+        return sorted(
+            (r.turn_idx, r.start, r.topic, round(r.score, 9))
+            for r in CO.links_of(out).collect()
+        )
+
+    dense = run(1)
+    scalar = run(10**9)
+    assert len(dense) == n_m
+    assert dense == scalar
+    # every per-peer contribution ties exactly (0.6*0.4*0.4 ==
+    # 0.4*0.4*0.6), so each elimination is decided by the tie-break and
+    # its down-weighting flips later mentions — a 100-step cascade both
+    # paths must walk identically; the mixed winner set shows the
+    # cascade genuinely propagated rather than one topic sweeping
+    assert {t for (_, _, t, _) in dense} == {"Main:TA", "Main:TB"}
