@@ -99,3 +99,51 @@ def test_flag_on_cross_turn_takes_floor():
     assert topic == tid["B"]  # 1.0*0.2 < 0.5*(0.2+exp(-4/50))
     want = 0.5 * (_EPS + 0.5 * (0.2 + math.exp(-4.0 / 50.0)))
     assert abs(score - want) < 1e-12
+
+
+def test_flag_through_spark_stage(spark):
+    """W2 through the real cogrouped stage: the flag rides the UDF
+    closure (same plumbing concern as dense_min_rows — workers
+    re-import the module, so a module flag would not reach them). Same
+    near/far fixture as the pure-python golden: flag off -> far
+    supporter wins; flag on -> near supporter wins."""
+    import pandas as pd
+
+    from careers_spark import schema as S
+    from careers_spark.operators import coherence as CO
+
+    rows = [
+        ("c1", 0, 0, 0, "x", "A", 0.5),
+        ("c1", 0, 0, 0, "x", "B", 0.5),
+        ("c1", 0, 2, 2, "p1", "P1", 1.0),
+        ("c1", 0, 40, 40, "p2", "P2", 1.0),
+    ]
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "start", "end",
+                     "surface", "topic", "prior"],
+        )
+    )
+    transcripts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": ["y " * 50],
+                "tool": [""],
+                "ts": pd.to_datetime([0], unit="s"),
+            }
+        ),
+        schema=S.TRANSCRIPTS,
+    )
+    ctx = {"A": {"cx": 1.0}, "P2": {"cx": 1.0}, "B": {"cy": 1.0}, "P1": {"cy": 0.5}}
+
+    def winner(flag):
+        out = CO.resolve(cands, transcripts, ctx, distance_weighting=flag)
+        links = {(r.turn_idx, r.start): r.topic for r in CO.links_of(out).collect()}
+        return links[(0, 0)]
+
+    assert winner(False) == "A"
+    assert winner(True) == "B"
