@@ -94,6 +94,15 @@ def stream_kg_incremental(
     (the reference's unit of arrival is a complete CV); turns of a
     conv_id seen in an earlier batch are dropped by the gate.
 
+    Delivery semantics: the streaming checkpoint replays a failed batch
+    whole, and the gate (written AFTER the resolved append, mirroring
+    the reference's cursor-after-processing order at
+    WebCVProcess.scala:226-298) then skips conversations whose resolve
+    landed — so a crash BETWEEN the resolved append and the gate write
+    can duplicate that batch's resolved rows on replay: at-least-once
+    per conversation, deduplicable downstream on (conv_id, turn_idx,
+    kind, start, end).
+
     Gated end-to-end by tests/test_incremental_loop.py: two-batch ingest
     == cold batch run, second batch touches only fresh conv_ids.
     """
