@@ -272,3 +272,27 @@ def test_modularity_level_invariance_with_loops(spark):
         for r in modularity(contracted, ident, weight="w", loops=True).collect()
     )
     assert abs(q_orig - q_contr) < 1e-9
+
+
+def test_louvain_partition_invariants_adversarial_shapes(spark):
+    """Every node keeps exactly one label through arbitrary contraction
+    depths, on the shapes that have historically lost nodes: disconnected
+    components, input self-loops, isolated dumbbells, and a star."""
+    from careers_spark.operators.communities import louvain
+
+    shapes = {
+        "disconnected_triangles": [("a", "b"), ("b", "c"), ("a", "c"),
+                                   ("x", "y"), ("y", "z"), ("x", "z")],
+        "self_loops_and_bridge": [("a", "a"), ("a", "b"), ("b", "b")],
+        "dumbbell": _clique(1) + _clique(5) + [("n01", "n05")],
+        "star": [("hub", f"leaf{i}") for i in range(6)],
+    }
+    for name, pairs in shapes.items():
+        nodes = {u for u, v in pairs} | {v for u, v in pairs}
+        got = {
+            r.node: r.community
+            for r in louvain(_edges(spark, pairs), levels=3).collect()
+        }
+        assert set(got) == nodes, name  # no node lost, none invented
+        # labels are usable as a partition key: every community non-empty
+        assert all(c is not None for c in got.values()), name
