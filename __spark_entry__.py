@@ -273,6 +273,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf_dir, "embeddings"), k=5, n_planes=6,
         query_pred="vec_id % 50 = 0", dim=64,
     )
+    # IVF at nprobe == nlist probes every inverted list, so the result
+    # EQUALS brute force exactly — the oracle is the brute-force SQL,
+    # which makes the whole coarse-quantizer train / assign / list-join
+    # machinery exactly checkable. The nprobe < nlist recall trade is
+    # pytest-gated on clustered data (tests/test_similarity_textstats).
+    q["ivf_ann_topk"] = lambda spark, sf_dir: SIM.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, nlist=8, nprobe=8, iters=3,
+        query_pred="vec_id % 50 = 0",
+    )
 
     # ---- text analysis ----
     q["token_counts"] = lambda spark, sf_dir: TS.token_counts(
@@ -827,6 +836,10 @@ def oracle_sql() -> dict[str, str]:
           FROM s
         ) WHERE rk <= 5
     """
+
+    # ivf_ann_topk runs with nprobe == nlist (every list probed), which
+    # provably equals the exact baseline — same oracle as embedding_topk
+    o["ivf_ann_topk"] = o["embedding_topk"]
 
     o["embedding_near_dups"] = f"""
         WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v

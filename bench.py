@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "simhash",
     "embedding_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "sessionize",
     "top_orders_per_cust",
     "link_weights_nation",

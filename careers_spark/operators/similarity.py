@@ -187,6 +187,154 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_pred: str | None = None,
+) -> list[list[float]]:
+    """Deterministic spherical k-means coarse quantizer for IVF.
+
+    Init is Forgy-on-sorted-ids (the `nlist` smallest ids' unit
+    vectors) — fully reproducible, no RNG. Each Lloyd iteration
+    assigns every (optionally sampled) vector to its max-dot centroid
+    JVM-side (broadcast nlist-row dim + window argmax), then recomputes
+    per-dimension means with a posexplode aggregation and renormalizes.
+    Centroids are an nlist x dim dim table collected to the driver per
+    iteration (same bounded-dimension contract as the LSH hyperplanes);
+    at 100 TB pass `sample_pred` so training touches a sample while
+    search still assigns the full corpus.
+
+    Returns the centroid list (index == list id), unit-normalized.
+    nlist is effectively capped at the training-set size (Forgy cannot
+    seed more centroids than it has points).
+    """
+    base = with_unit_norm(
+        embeddings.filter(sample_pred) if sample_pred else embeddings, vec_col
+    ).select(F.col(id_col).alias("vid"), "unit")
+    seed_rows = base.orderBy("vid").limit(nlist).select("unit").collect()
+    cents = [list(r.unit) for r in seed_rows]
+
+    for _ in range(iters):
+        cdf = F.broadcast(
+            base.sparkSession.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "list_id int, cvec array<double>",
+            )
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.desc("dot"), F.asc("list_id")
+        )
+        assigned = (
+            base.crossJoin(cdf)
+            .withColumn("dot", F.expr(_dot("unit", "cvec")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+        )
+        means = (
+            assigned.select("list_id", F.posexplode("unit").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("list_id", F.expr("transform(pm, e -> e.m)").alias("mean"))
+            .collect()
+        )
+        new_cents = list(cents)  # empty clusters keep their centroid
+        for r in means:
+            v = r.mean
+            n = sum(x * x for x in v) ** 0.5 or 1.0
+            new_cents[r.list_id] = [x / n for x in v]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    query_pred: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_pred: str | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantizer bucket join + exact
+    re-rank — the inverted-file counterpart to lsh_bucketed_topk.
+
+    Every corpus vector lands in ONE inverted list (its nearest
+    centroid); each query probes its `nprobe` nearest lists, so the
+    candidate join is list-local (shuffle key = list_id, expected list
+    size N / nlist — salt or split hot lists if the quantizer is badly
+    skewed). With nprobe == nlist every list is probed and the result
+    EQUALS brute_force_topk exactly — the driver query runs that
+    configuration against the brute-force SQL oracle, making the whole
+    train/assign/probe machinery exactly checkable; recall at
+    nprobe < nlist is the standard IVF trade, gated in pytest on
+    clustered data.
+
+    Output: (query_id, neighbor_id, sim, rk) — same schema and 6dp
+    rounding as the other top-k operators.
+    """
+    spark = embeddings.sparkSession
+    cents = ivf_train_centroids(
+        embeddings, nlist=nlist, iters=iters,
+        id_col=id_col, vec_col=vec_col, sample_pred=train_sample_pred,
+    )
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "list_id int, cvec array<double>",
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, out: str, n: int) -> DataFrame:
+        w = Window.partitionBy(idc).orderBy(F.desc("dot"), F.asc("list_id"))
+        return (
+            with_unit_norm(df, vec_col)
+            .crossJoin(cdf)
+            .withColumn("dot", F.expr(_dot("unit", "cvec")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= n)
+            .select(
+                F.col(idc).alias(out),
+                F.col(vec_col).alias(f"{out[:1]}vec"),
+                "list_id",
+            )
+        )
+
+    base = assign(embeddings, id_col, "nid", 1)
+    queries = assign(embeddings.filter(query_pred), id_col, "query_id", nprobe)
+    sims = (
+        queries.join(base, "list_id")
+        .filter(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(
+                F.expr(_dot("qvec", "nvec"))
+                / (F.expr(_norm("qvec")) * F.expr(_norm("nvec"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -131,3 +131,83 @@ def test_resize_real_is_stubbed(spark, documents):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+# --- IVF (r4) ---------------------------------------------------------------
+
+
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    """nprobe == nlist probes every inverted list, so IVF must equal the
+    exact baseline row-for-row — this is the property the driver oracle
+    checks, and it exercises train + assign + the bucket join."""
+    k = 3
+    exact = sorted(
+        map(
+            tuple,
+            SIM.brute_force_topk(
+                embeddings, k=k, query_pred="vec_id % 100 = 0"
+            ).collect(),
+        )
+    )
+    ivf = sorted(
+        map(
+            tuple,
+            SIM.ivf_topk(
+                embeddings, k=k, nlist=8, nprobe=8, iters=3,
+                query_pred="vec_id % 100 = 0",
+            ).collect(),
+        )
+    )
+    assert ivf == exact
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """On genuinely clustered vectors the coarse quantizer finds the
+    clusters and nprobe=1 already recovers the true neighbors (they
+    share the query's list)."""
+    import pandas as pd
+
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for j in range(20):
+            off = [((vid * 7 + d * 3 + j) % 5) * 0.1 for d in range(3)]
+            rows.append((vid, [c[d] + off[d] for d in range(3)]))
+            vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    k = 3
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(
+            df, k=k, query_pred="vec_id % 20 = 0"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_topk(
+            df, k=k, nlist=3, nprobe=1, iters=4, query_pred="vec_id % 20 = 0"
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.99
+
+
+def test_ivf_centroids_deterministic_and_padded(spark):
+    """Training is RNG-free (two runs identical); nlist caps at the
+    training-set size (Forgy cannot seed more centroids than points)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, [float(i), 1.0]) for i in range(3)],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    a = SIM.ivf_train_centroids(df, nlist=4, iters=2)
+    b = SIM.ivf_train_centroids(df, nlist=4, iters=2)
+    assert a == b
+    assert len(a) == 3  # capped at the 3-point corpus
+    for c in a:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9  # unit-normalized
