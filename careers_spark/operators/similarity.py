@@ -298,12 +298,36 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, idc: str, out: str, n: int) -> DataFrame:
-        w = Window.partitionBy(idc).orderBy(F.desc("dot"), F.asc("list_id"))
-        return (
+        scored = (
             with_unit_norm(df, vec_col)
             .crossJoin(cdf)
             .withColumn("dot", F.expr(_dot("unit", "cvec")))
-            .withColumn("rk", F.row_number().over(w))
+        )
+        if n == 1:
+            # corpus-side single-list assignment: algebraic max(struct)
+            # (map-side combinable — no row_number sort shuffle over
+            # N x nlist rows; the 100 TB path). max of (dot, -list_id)
+            # reproduces the (desc dot, asc list_id) tie-break.
+            return (
+                scored.groupBy(idc)
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("dot"), (-F.col("list_id")).alias("neg")
+                        )
+                    ).alias("m"),
+                    # every row of a vec_id carries the same vector
+                    F.first(vec_col).alias(f"{out[:1]}vec"),
+                )
+                .select(
+                    F.col(idc).alias(out),
+                    f"{out[:1]}vec",
+                    (-F.col("m.neg")).cast("int").alias("list_id"),
+                )
+            )
+        w = Window.partitionBy(idc).orderBy(F.desc("dot"), F.asc("list_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= n)
             .select(
                 F.col(idc).alias(out),
