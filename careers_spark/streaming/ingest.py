@@ -60,6 +60,129 @@ def turn_rate_by_window(stream: DataFrame, window: str = "5 minutes") -> DataFra
     )
 
 
+def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a per-epoch partitioned store; None only when the path does
+    not exist yet (the first poll). Genuine IO errors PROPAGATE so the
+    micro-batch retries instead of treating the whole history as fresh
+    and corrupting the stores (r4 ADVICE: the old bare `except` made a
+    transient read hiccup reset prev_max to 0 and re-resolve
+    everything)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
+def make_incremental_sink(
+    spark: SparkSession,
+    out_dir: str,
+    automaton,
+    surface_forms: DataFrame,
+    context_vectors,
+    min_similarity: float = 0.1,
+):
+    """The foreachBatch sink of stream_kg_incremental, exposed so tests
+    can drive it directly (replay a batch, simulate partial crashes).
+    See stream_kg_incremental for semantics; invariant: calling
+    sink(df, epoch) any number of times, from any partially-written
+    state of that epoch, converges to the same store contents."""
+    import os
+
+    from pyspark.sql import Window
+
+    from careers_spark.operators.coherence import links_of, resolve
+    from careers_spark.operators.digests import (
+        document_digests,
+        incremental_digest_pairs,
+    )
+    from careers_spark.operators.linking import attach_candidates
+    from careers_spark.operators.mentions import detect_mentions
+
+    processed_dir = os.path.join(out_dir, "processed")
+    resolved_dir = os.path.join(out_dir, "resolved")
+    digests_dir = os.path.join(out_dir, "digests")
+    matches_dir = os.path.join(out_dir, "matches")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ep = int(epoch_id)
+        # replay safety: a replayed epoch's own (possibly partial)
+        # registry rows must not gate away its recomputation
+        seen = _read_store(spark, processed_dir)
+        fresh = batch_df
+        if seen is not None:
+            fresh = batch_df.join(
+                seen.filter(F.col("epoch") != ep)
+                .select("conv_id")
+                .dropDuplicates(),
+                "conv_id",
+                "left_anti",
+            )
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return
+
+        # -- processCVs ---------------------------------------------------
+        mentions = detect_mentions(spark, fresh, automaton)
+        cands = attach_candidates(mentions, surface_forms)
+        out = resolve(cands, fresh, context_vectors).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(f"{resolved_dir}/epoch={ep}")
+
+        # -- processMatches -----------------------------------------------
+        # prev_max likewise excludes this epoch: a replay that already
+        # wrote partial digests must re-derive the SAME vec_ids
+        old_dg = _read_store(spark, digests_dir)
+        if old_dg is not None:
+            old_dg = (
+                old_dg.filter(F.col("epoch") != ep)
+                .drop("epoch")
+                .localCheckpoint(eager=True)
+            )
+            if old_dg.isEmpty():
+                old_dg = None
+        prev_max = 0
+        if old_dg is not None:
+            prev_max = old_dg.agg(F.max("vec_id")).collect()[0][0] or 0
+        dg = document_digests(links_of(out))
+        ids = (
+            dg.select("conv_id")
+            .dropDuplicates()
+            .withColumn(
+                "vec_id",
+                F.lit(int(prev_max))
+                + F.dense_rank().over(Window.orderBy("conv_id")),
+            )
+        )
+        new_dg = dg.join(ids, "conv_id").localCheckpoint(eager=True)
+        all_dg = (
+            new_dg
+            if old_dg is None
+            else old_dg.unionByName(new_dg).localCheckpoint(eager=True)
+        )
+        matches = incremental_digest_pairs(
+            all_dg.selectExpr("vec_id as id_a", "topic", "weight"),
+            all_dg.selectExpr("vec_id as id_b", "topic", "weight"),
+            prev_max,
+            prev_max,
+            min_similarity=min_similarity,
+        ).filter(F.col("id_a") < F.col("id_b"))
+        matches.write.mode("overwrite").parquet(f"{matches_dir}/epoch={ep}")
+        new_dg.write.mode("overwrite").parquet(f"{digests_dir}/epoch={ep}")
+        # the freshness gate is written LAST: its presence certifies the
+        # epoch's data writes all landed (r4 ADVICE ordering)
+        fresh.select("conv_id").dropDuplicates().write.mode(
+            "overwrite"
+        ).parquet(f"{processed_dir}/epoch={ep}")
+
+    return sink
+
+
 def stream_kg_incremental(
     spark: SparkSession,
     in_path: str,
@@ -94,94 +217,27 @@ def stream_kg_incremental(
     (the reference's unit of arrival is a complete CV); turns of a
     conv_id seen in an earlier batch are dropped by the gate.
 
-    Delivery semantics: the streaming checkpoint replays a failed batch
-    whole, and the gate (written AFTER the resolved append, mirroring
-    the reference's cursor-after-processing order at
-    WebCVProcess.scala:226-298) then skips conversations whose resolve
-    landed — so a crash BETWEEN the resolved append and the gate write
-    can duplicate that batch's resolved rows on replay: at-least-once
-    per conversation, deduplicable downstream on (conv_id, turn_idx,
-    kind, start, end).
+    Delivery semantics (r5: EXACTLY-once per conversation): every store
+    is laid out as per-epoch partition directories
+    (`<store>/epoch=<id>/`) written with mode("overwrite"), so a
+    replayed epoch overwrites its own partial output instead of
+    appending duplicates; the freshness-gate registry is written LAST
+    (after resolved, matches, and digests — the r4 ADVICE ordering fix:
+    a crash between the gate write and the data writes can no longer
+    orphan a batch's digests/matches), and every read that feeds a
+    batch's computation EXCLUDES the batch's own epoch, so a replay
+    recomputes from exactly the pre-batch state (same prev_max, same
+    vec_ids — the sink is deterministic). Net: a crash at ANY point in
+    the sink replays to a byte-identical store, gated by
+    tests/test_incremental_loop.py::test_replay_is_idempotent.
 
     Gated end-to-end by tests/test_incremental_loop.py: two-batch ingest
     == cold batch run, second batch touches only fresh conv_ids.
     """
-    import os
-
-    from pyspark.sql import Window
-
-    from careers_spark.operators.coherence import links_of, resolve
-    from careers_spark.operators.digests import (
-        document_digests,
-        incremental_digest_pairs,
+    sink = make_incremental_sink(
+        spark, out_dir, automaton, surface_forms, context_vectors,
+        min_similarity=min_similarity,
     )
-    from careers_spark.operators.linking import attach_candidates
-    from careers_spark.operators.mentions import detect_mentions
-
-    processed_dir = os.path.join(out_dir, "processed")
-    resolved_dir = os.path.join(out_dir, "resolved")
-    digests_dir = os.path.join(out_dir, "digests")
-    matches_dir = os.path.join(out_dir, "matches")
-
-    def _read_or_none(path: str) -> DataFrame | None:
-        try:
-            return spark.read.parquet(path)
-        except Exception:
-            return None  # first poll: store not created yet
-
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        seen = _read_or_none(processed_dir)
-        fresh = batch_df
-        if seen is not None:
-            fresh = batch_df.join(
-                seen.select("conv_id").dropDuplicates(), "conv_id", "left_anti"
-            )
-        fresh = fresh.localCheckpoint(eager=True)
-        if fresh.isEmpty():
-            return
-
-        # -- processCVs ---------------------------------------------------
-        mentions = detect_mentions(spark, fresh, automaton)
-        cands = attach_candidates(mentions, surface_forms)
-        out = resolve(cands, fresh, context_vectors).localCheckpoint(eager=True)
-        out.write.mode("append").parquet(resolved_dir)
-        fresh.select("conv_id").dropDuplicates().withColumn(
-            "epoch", F.lit(int(epoch_id))
-        ).write.mode("append").parquet(processed_dir)
-
-        # -- processMatches -----------------------------------------------
-        old_dg = _read_or_none(digests_dir)
-        prev_max = 0
-        if old_dg is not None:
-            prev_max = old_dg.agg(F.max("vec_id")).collect()[0][0] or 0
-        dg = document_digests(links_of(out))
-        ids = (
-            dg.select("conv_id")
-            .dropDuplicates()
-            .withColumn(
-                "vec_id",
-                F.lit(int(prev_max))
-                + F.dense_rank().over(Window.orderBy("conv_id")),
-            )
-        )
-        new_dg = dg.join(ids, "conv_id").localCheckpoint(eager=True)
-        all_dg = (
-            new_dg
-            if old_dg is None
-            else old_dg.unionByName(new_dg).localCheckpoint(eager=True)
-        )
-        matches = incremental_digest_pairs(
-            all_dg.selectExpr("vec_id as id_a", "topic", "weight"),
-            all_dg.selectExpr("vec_id as id_b", "topic", "weight"),
-            prev_max,
-            prev_max,
-            min_similarity=min_similarity,
-        ).filter(F.col("id_a") < F.col("id_b"))
-        matches.write.mode("append").parquet(matches_dir)
-        new_dg.write.mode("append").parquet(digests_dir)
-
     stream = dedup_late_turns(read_transcript_stream(spark, in_path))
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

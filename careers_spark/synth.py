@@ -353,6 +353,132 @@ def gen_conv(
     return turns, gold
 
 
+# long-conversation profile (r4 verdict #4): conversation lengths cycle
+# through this schedule by conv_idx, so a corpus mixes mid-size windows
+# (dense-path threshold region), large windows, and cap-exceeding
+# conversations that exercise _conv_windows turn-aligned splitting
+LONG_TURN_CYCLE = (120, 300, 600, 1500)
+
+
+def gen_long_conv(
+    kb_domains: list[Domain],
+    canonical: dict[str, str],
+    conv_idx: int,
+    seed: int,
+    n_turns: int,
+) -> tuple[list[tuple], list[tuple]]:
+    """One LONG conversation: the same fact-sentence templates as
+    gen_conv (so the same dictionary/automaton applies) cycled for
+    n_turns turns. At ~1-3 candidate rows per fact turn this puts whole
+    conversations into the dense resolver regime (windows >= 192
+    candidate rows; >3000 rows split into turn-aligned coherence
+    windows), which the short-conversation bench corpus never reaches
+    (r4: p50=3 rows/conv)."""
+    rng = random.Random((seed << 21) ^ (conv_idx * 2654435761 % (1 << 31)))
+    d = kb_domains[conv_idx % len(kb_domains)]
+    conv_id = f"lconv{conv_idx:08d}"
+    turns: list[tuple] = []
+    gold: list[tuple] = []
+
+    def add_turn(role: str, text: str, tool: str = "") -> int:
+        ti = len(turns)
+        turns.append(
+            (conv_id, ti, role, text, tool,
+             EPOCH0 + (conv_idx % 1_000_000) * 3600 + ti * 60)
+        )
+        return ti
+
+    def filler(n: int) -> str:
+        return " ".join(rng.choice(_FILLER) for _ in range(n))
+
+    can = lambda t: canonical.get(t, t)  # noqa: E731
+    add_turn("user", f"hello can you tell me about {_pick_alias(rng, d.org)} and its team")
+    while len(turns) < n_turns:
+        r = rng.random()
+        person_a = _pick_alias(rng, d.person, prefer=d.person_ambiguous_alias)
+        org_a = _pick_alias(rng, d.org)
+        if r < 0.45:
+            ti = add_turn(
+                "assistant", f"sure {person_a} works at {org_a} these days"
+            )
+            gold.append(
+                (conv_id, ti, can(d.person.topic), "works_at", can(d.org.topic))
+            )
+        elif r < 0.70:
+            city_a = _pick_alias(rng, d.city)
+            ti = add_turn(
+                "assistant", f"{org_a} is located in {city_a} right now"
+            )
+            gold.append(
+                (conv_id, ti, can(d.org.topic), "located_in", can(d.city.topic))
+            )
+        elif r < 0.85:
+            univ_a = d.univ.aliases[0][0]
+            ti = add_turn(
+                "user", f"and {person_a} studied at {univ_a} i believe"
+            )
+            gold.append(
+                (conv_id, ti, can(d.person.topic), "studied_at", can(d.univ.topic))
+            )
+        elif r < 0.95:
+            add_turn("user", filler(rng.randrange(5, 12)))
+        else:
+            add_turn("tool", f"search results for {org_a} {filler(4)}", tool="search")
+    return turns, gold
+
+
+def gen_long_transcripts(
+    spark,
+    kb: KB,
+    n_convs: int,
+    seed: int = 42,
+    parallelism: int | None = None,
+    turn_cycle: tuple[int, ...] = LONG_TURN_CYCLE,
+):
+    """Distributed long-conversation corpus — same determinism contract
+    as gen_transcripts (RNG keyed on conv_idx, not partition)."""
+    domains = kb.domains
+    canonical = kb.canonical_map()
+    bc = spark.sparkContext.broadcast((domains, canonical, seed, turn_cycle))
+
+    def gen(batches):
+        doms, canon, sd, cyc = bc.value
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                t, _ = gen_long_conv(doms, canon, int(i), sd, cyc[int(i) % len(cyc)])
+                rows.extend(t)
+            yield _turns_to_pdf(rows)
+
+    n_parts = parallelism or spark.sparkContext.defaultParallelism
+    return (
+        spark.range(0, n_convs, numPartitions=n_parts)
+        .mapInPandas(gen, schema=S.TRANSCRIPTS)
+    )
+
+
+def gen_long_expected_triples(spark, kb: KB, n_convs: int, seed: int = 42,
+                              turn_cycle: tuple[int, ...] = LONG_TURN_CYCLE):
+    domains = kb.domains
+    canonical = kb.canonical_map()
+    bc = spark.sparkContext.broadcast((domains, canonical, seed, turn_cycle))
+
+    def gen(batches):
+        doms, canon, sd, cyc = bc.value
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                _, g = gen_long_conv(doms, canon, int(i), sd, cyc[int(i) % len(cyc)])
+                rows.extend(g)
+            out = pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj"]
+            )
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    return spark.range(0, n_convs).mapInPandas(gen, schema=S.TRIPLES)
+
+
 # ---------------------------------------------------------------------------
 # Spark-facing constructors
 # ---------------------------------------------------------------------------

@@ -105,3 +105,58 @@ def test_two_batch_incremental_equals_cold_run(spark, corpus, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_replay_is_idempotent(spark, corpus, tmp_path):
+    """Exactly-once: replaying a batch from ANY partially-written state
+    (the streaming checkpoint replays a failed batch whole) converges to
+    the same store contents — per-epoch overwrite writes + gate-written-
+    last + epoch-excluding reads (r4 ADVICE medium)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    sf, ctx, transcripts, ac = corpus
+    convs = sorted(
+        r.conv_id for r in transcripts.select("conv_id").distinct().collect()
+    )
+    half = set(convs[: len(convs) // 2])
+    out_dir = str(tmp_path / "out")
+    sink = ingest.make_incremental_sink(
+        spark, out_dir, ac, sf, ctx, min_similarity=MIN_SIM
+    )
+    b1 = transcripts.filter(F.col("conv_id").isin(list(half)))
+    b2 = transcripts  # full corpus re-delivered; second half is fresh
+
+    def snapshot():
+        return {
+            store: sorted(
+                spark.read.parquet(f"{out_dir}/{store}").collect(), key=repr
+            )
+            for store in ("resolved", "digests", "matches", "processed")
+        }
+
+    sink(b1, 0)
+    sink(b2, 1)
+    want = snapshot()
+    assert want["resolved"]  # non-trivial corpus
+
+    # full replay of the last epoch: byte-identical, no duplicates
+    sink(b2, 1)
+    assert snapshot() == want
+
+    # crash AFTER the data writes but BEFORE the gate write: the replay
+    # must not be gated away by a stale registry (none exists) and must
+    # overwrite, not duplicate, the epoch's data rows
+    shutil.rmtree(f"{out_dir}/processed/epoch=1")
+    sink(b2, 1)
+    assert snapshot() == want
+
+    # crash after the resolved write only — the r4 ADVICE scenario that
+    # used to permanently lose the batch's digests and matches: replay
+    # must restore them with the SAME vec_ids (prev_max excludes the
+    # replayed epoch) and leave resolved duplicate-free
+    for store in ("digests", "matches", "processed"):
+        shutil.rmtree(f"{out_dir}/{store}/epoch=1")
+    sink(b2, 1)
+    assert snapshot() == want

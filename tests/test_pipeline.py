@@ -141,3 +141,18 @@ def test_model_build_heap_guard(spark):
             KGModel.build(sf, cv)
     finally:
         KGModel.MAX_CONTEXT_TOPICS = old
+
+
+def test_empty_stage_output_records_zero_rows(spark, tmp_path):
+    """A legitimately empty stage output (only _SUCCESS, no part files)
+    records rows=0 in lineage instead of crashing the pipeline — the
+    n_files==0 RuntimeError fires only when the _SUCCESS marker is
+    missing too (r4 ADVICE low)."""
+    from careers_spark.plans.pipeline import KGPipeline, PipelineRun
+
+    p = KGPipeline(spark, str(tmp_path / "w"))
+    run = PipelineRun()
+    out = p.stage(run, "empty_stage", lambda: spark.range(1).filter("id < 0"))
+    assert out.count() == 0
+    assert run.stages[-1].rows == 0
+    assert not run.stages[-1].resumed

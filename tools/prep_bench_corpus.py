@@ -16,16 +16,32 @@ def main():
     ap.add_argument("--n-convs", type=int, default=40000)
     ap.add_argument("--n-domains", type=int, default=0, help="0 = n_convs//50")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--profile",
+        choices=("short", "long"),
+        default="short",
+        help="'short' = the 3-7 turn gen_conv corpus; 'long' = "
+        "gen_long_transcripts (120-1500 turns/conv, the dense-resolver "
+        "regime)",
+    )
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
     n_domains = args.n_domains or max(8, args.n_convs // 50)
     spark = get_spark("prep_bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     kb = synth.build_kb(n_domains, seed=args.seed)
-    synth.gen_transcripts(spark, kb, args.n_convs, seed=args.seed).write.mode(
+    gen_t = (
+        synth.gen_long_transcripts if args.profile == "long"
+        else synth.gen_transcripts
+    )
+    gen_e = (
+        synth.gen_long_expected_triples if args.profile == "long"
+        else synth.gen_expected_triples
+    )
+    gen_t(spark, kb, args.n_convs, seed=args.seed).write.mode(
         "overwrite"
     ).parquet(f"{args.out}/transcripts")
-    synth.gen_expected_triples(spark, kb, args.n_convs, seed=args.seed).write.mode(
+    gen_e(spark, kb, args.n_convs, seed=args.seed).write.mode(
         "overwrite"
     ).parquet(f"{args.out}/expected_triples")
     for name, df in synth.kb_tables(spark, kb).items():
