@@ -74,6 +74,24 @@ def main() -> None:
         },
     )
 
+    # session warmup (r5): python-worker spin-up, codegen JIT, and
+    # parquet footer/page-cache first-touch are ONE-TIME session costs
+    # (a long-lived cluster pays them once, not per query) — unwarmed,
+    # whichever query runs first absorbs ~10-18s of them and the
+    # per-query numbers measure run ORDER, not query cost (the r5
+    # same-session A/B measured tpch_q1 at 18.8s cold vs 0.41s warm,
+    # identical plan). BENCH_r05+ is therefore the warmed protocol;
+    # tools/bench_ab.py holds the cold-vs-warm bridge tables.
+    n = spark.sparkContext.defaultParallelism
+    spark.range(n * 4, numPartitions=n * 4).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

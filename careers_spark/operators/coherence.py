@@ -350,9 +350,18 @@ def _conv_windows(
 # (observed: E=4 x 2-core on one socket, resolved 148s scalar vs 160s
 # dense at 16.4M turns). Raise the threshold on bandwidth-starved
 # shared hosts; the default favors real multi-node clusters.
+#
+# Default 64 since r5, lowered from 192 on corpus evidence (BENCH/
+# BASELINE.md "Dense-resolver study"): on a 30-60-turn-conversation
+# corpus whose windows sit exactly in the 64-192-row band the dense
+# path is 2.3x on the resolved stage (21.3 -> 9.2 s, E=4, 540k turns)
+# with order-insensitive-identical triples; on the 120-1500-turn
+# corpus it is 22-25x. Windows below 64 rows stay on the scalar loop —
+# the bit-exact reference path every golden conversation rides
+# (goldens are all far below 64 candidate rows).
 import os as _os
 
-_DENSE_MIN_ROWS = int(_os.environ.get("KG_DENSE_MIN_ROWS", "192"))
+_DENSE_MIN_ROWS = int(_os.environ.get("KG_DENSE_MIN_ROWS", "64"))
 
 
 def _dense_support_and_prune(

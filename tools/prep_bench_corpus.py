@@ -24,24 +24,33 @@ def main():
         "gen_long_transcripts (120-1500 turns/conv, the dense-resolver "
         "regime)",
     )
+    ap.add_argument(
+        "--turn-cycle",
+        default="",
+        help="long profile only: comma-separated conversation lengths "
+        "cycled by conv_idx (default: synth.LONG_TURN_CYCLE); e.g. "
+        "'30,60' targets the 64-192 candidate-row band the dense "
+        "threshold decision needs",
+    )
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
     n_domains = args.n_domains or max(8, args.n_convs // 50)
     spark = get_spark("prep_bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     kb = synth.build_kb(n_domains, seed=args.seed)
-    gen_t = (
-        synth.gen_long_transcripts if args.profile == "long"
-        else synth.gen_transcripts
-    )
-    gen_e = (
-        synth.gen_long_expected_triples if args.profile == "long"
-        else synth.gen_expected_triples
-    )
-    gen_t(spark, kb, args.n_convs, seed=args.seed).write.mode(
+    kw = {}
+    if args.profile == "long":
+        gen_t, gen_e = synth.gen_long_transcripts, synth.gen_long_expected_triples
+        if args.turn_cycle:
+            kw["turn_cycle"] = tuple(
+                int(x) for x in args.turn_cycle.split(",") if x
+            )
+    else:
+        gen_t, gen_e = synth.gen_transcripts, synth.gen_expected_triples
+    gen_t(spark, kb, args.n_convs, seed=args.seed, **kw).write.mode(
         "overwrite"
     ).parquet(f"{args.out}/transcripts")
-    gen_e(spark, kb, args.n_convs, seed=args.seed).write.mode(
+    gen_e(spark, kb, args.n_convs, seed=args.seed, **kw).write.mode(
         "overwrite"
     ).parquet(f"{args.out}/expected_triples")
     for name, df in synth.kb_tables(spark, kb).items():
