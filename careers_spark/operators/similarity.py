@@ -212,9 +212,18 @@ def ivf_train_centroids(
     nlist is effectively capped at the training-set size (Forgy cannot
     seed more centroids than it has points).
     """
-    base = with_unit_norm(
-        embeddings.filter(sample_pred) if sample_pred else embeddings, vec_col
-    ).select(F.col(id_col).alias("vid"), "unit")
+    base = (
+        with_unit_norm(
+            embeddings.filter(sample_pred) if sample_pred else embeddings,
+            vec_col,
+        )
+        .select(F.col(id_col).alias("vid"), "unit")
+        # materialized once: every Lloyd iteration re-reads the training
+        # set (plus the seed collect), so without this the source scan +
+        # normalization re-run iters+1 times; the training set is the
+        # sampled slice (`sample_pred` bounds it at scale)
+        .localCheckpoint(eager=True)
+    )
     seed_rows = base.orderBy("vid").limit(nlist).select("unit").collect()
     cents = [list(r.unit) for r in seed_rows]
 

@@ -75,6 +75,15 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
             return None
+        if "UNABLE_TO_INFER_SCHEMA" in msg:
+            # the store exists but holds no data files — possible only
+            # when every epoch so far produced zero rows (the sink skips
+            # empty writes, but an all-empty store can still arise from
+            # epoch dirs holding just _SUCCESS markers). Semantically
+            # "no data yet"; it cannot mask a partial epoch because the
+            # sink re-derives a replayed epoch from scratch anyway
+            # (every read excludes the batch's own epoch).
+            return None
         raise
 
 
@@ -132,7 +141,14 @@ def make_incremental_sink(
         mentions = detect_mentions(spark, fresh, automaton)
         cands = attach_candidates(mentions, surface_forms)
         out = resolve(cands, fresh, context_vectors).localCheckpoint(eager=True)
-        out.write.mode("overwrite").parquet(f"{resolved_dir}/epoch={ep}")
+        # empty outputs are SKIPPED, not written: an epoch dir holding
+        # only a _SUCCESS marker would later fail schema inference on
+        # the store read and poison every subsequent batch (a batch of
+        # conversations with zero dictionary hits is legitimate).
+        # Replay-consistent: recomputation is deterministic, so a
+        # skipped write is skipped again.
+        if not out.isEmpty():
+            out.write.mode("overwrite").parquet(f"{resolved_dir}/epoch={ep}")
 
         # -- processMatches -----------------------------------------------
         # prev_max likewise excludes this epoch: a replay that already
@@ -172,8 +188,10 @@ def make_incremental_sink(
             prev_max,
             min_similarity=min_similarity,
         ).filter(F.col("id_a") < F.col("id_b"))
-        matches.write.mode("overwrite").parquet(f"{matches_dir}/epoch={ep}")
-        new_dg.write.mode("overwrite").parquet(f"{digests_dir}/epoch={ep}")
+        if not matches.isEmpty():
+            matches.write.mode("overwrite").parquet(f"{matches_dir}/epoch={ep}")
+        if not new_dg.isEmpty():
+            new_dg.write.mode("overwrite").parquet(f"{digests_dir}/epoch={ep}")
         # the freshness gate is written LAST: its presence certifies the
         # epoch's data writes all landed (r4 ADVICE ordering)
         fresh.select("conv_id").dropDuplicates().write.mode(

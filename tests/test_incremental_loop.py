@@ -160,3 +160,34 @@ def test_replay_is_idempotent(spark, corpus, tmp_path):
         shutil.rmtree(f"{out_dir}/{store}/epoch=1")
     sink(b2, 1)
     assert snapshot() == want
+
+
+def test_zero_hit_batch_does_not_poison_stores(spark, corpus, tmp_path):
+    """A batch whose conversations contain no dictionary hits must flow
+    through (registry written, no data rows) and must NOT leave the
+    stores unreadable for later batches: empty outputs are skipped, so
+    no epoch dir holds only a _SUCCESS marker, and an all-empty store
+    reads as 'no data yet' rather than a schema-inference error."""
+    from pyspark.sql import functions as F
+
+    sf, ctx, transcripts, ac = corpus
+    out_dir = str(tmp_path / "out")
+    sink = ingest.make_incremental_sink(
+        spark, out_dir, ac, sf, ctx, min_similarity=MIN_SIM
+    )
+    # batch 0: same schema, filler-only text -> zero mentions
+    blank = transcripts.limit(40).withColumn(
+        "text", F.lit("nothing relevant here at all")
+    ).localCheckpoint(eager=True)
+    sink(blank, 0)
+    processed = spark.read.parquet(f"{out_dir}/processed")
+    assert processed.filter("epoch = 0").count() > 0
+    import os
+
+    assert not os.path.exists(f"{out_dir}/resolved")  # skipped, not empty-written
+
+    # batch 1: real content must process normally on top of the
+    # all-empty data stores
+    sink(transcripts, 1)
+    assert spark.read.parquet(f"{out_dir}/resolved").count() > 0
+    assert spark.read.parquet(f"{out_dir}/digests").count() > 0
