@@ -187,6 +187,34 @@ def lsh_bucketed_topk(
     )
 
 
+def _lloyd_driver(rows, nlist: int, iters: int) -> list[list[float]]:
+    """Driver-side Lloyd loop over a collected (vid, unit) sample.
+
+    Same semantics as the distributed loop: Forgy-on-sorted-ids seed,
+    argmax assignment with (desc dot, asc list_id) tie-break (numpy
+    argmax keeps the FIRST max, i.e. the lowest list id), per-cluster
+    mean + renormalize, empty clusters keep their centroid, early stop
+    on an unchanged centroid set.
+    """
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    units = np.asarray([r[1] for r in rows], dtype=np.float64)
+    cents = units[: min(nlist, len(rows))].copy()
+    for _ in range(iters):
+        labels = np.argmax(units @ cents.T, axis=1)
+        new = cents.copy()
+        for li in range(len(cents)):
+            members = units[labels == li]
+            if len(members):
+                m = members.mean(axis=0)
+                new[li] = m / (np.linalg.norm(m) or 1.0)
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return [list(map(float, c)) for c in cents]
+
+
 def ivf_train_centroids(
     embeddings: DataFrame,
     nlist: int = 16,
@@ -194,36 +222,59 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_pred: str | None = None,
+    driver_train_max: int = 100_000,
 ) -> list[list[float]]:
     """Deterministic spherical k-means coarse quantizer for IVF.
 
     Init is Forgy-on-sorted-ids (the `nlist` smallest ids' unit
-    vectors) — fully reproducible, no RNG. Each Lloyd iteration
-    assigns every (optionally sampled) vector to its max-dot centroid
-    JVM-side (broadcast nlist-row dim + algebraic max(struct) argmax —
-    map-side combinable, no per-iteration sort shuffle), then recomputes
-    per-dimension means with a posexplode aggregation and renormalizes.
-    Centroids are an nlist x dim dim table collected to the driver per
-    iteration (same bounded-dimension contract as the LSH hyperplanes);
-    at 100 TB pass `sample_pred` so training touches a sample while
-    search still assigns the full corpus.
+    vectors) — fully reproducible, no RNG.
+
+    Two training paths, identical semantics:
+
+    - **Driver path** (training set <= `driver_train_max` rows): the
+      (optionally `sample_pred`-sampled) unit vectors are collected
+      ONCE and all Lloyd iterations run in numpy — one Spark job
+      instead of one per iteration. This is the faiss/MLlib-style
+      train-on-an-in-RAM-sample pattern; the collect is bounded by
+      `driver_train_max` (same bounded-collect contract as the
+      redirect dim table's <=2M driver path).
+    - **Distributed path** (bigger training sets, or
+      `driver_train_max=0`): each Lloyd iteration assigns vectors to
+      their max-dot centroid JVM-side (broadcast nlist-row dim +
+      algebraic max(struct) argmax — map-side combinable, no
+      per-iteration sort shuffle), then recomputes per-dimension means
+      with a posexplode aggregation and renormalizes; only the
+      nlist x dim centroid table hits the driver per iteration.
+
+    At 100 TB pass `sample_pred` so training touches a sample while
+    search still assigns the full corpus; if the sample still exceeds
+    `driver_train_max`, the distributed loop is the fallback. Both
+    paths are individually deterministic (the driver path sorts by id
+    after collect); cross-path centroids agree to float rounding
+    (summation order differs), and assignments agree wherever the
+    argmax margin exceeds ~1 ulp — pinned by test_ivf_driver_vs_
+    distributed_training.
 
     Returns the centroid list (index == list id), unit-normalized.
     nlist is effectively capped at the training-set size (Forgy cannot
     seed more centroids than it has points).
     """
-    base = (
-        with_unit_norm(
-            embeddings.filter(sample_pred) if sample_pred else embeddings,
-            vec_col,
-        )
-        .select(F.col(id_col).alias("vid"), "unit")
-        # materialized once: every Lloyd iteration re-reads the training
-        # set (plus the seed collect), so without this the source scan +
-        # normalization re-run iters+1 times; the training set is the
-        # sampled slice (`sample_pred` bounds it at scale)
-        .localCheckpoint(eager=True)
-    )
+    base = with_unit_norm(
+        embeddings.filter(sample_pred) if sample_pred else embeddings,
+        vec_col,
+    ).select(F.col(id_col).alias("vid"), "unit")
+    if driver_train_max:
+        # limit(max+1) caps the collect: <= max rows back means we hold
+        # the WHOLE training set and can run every iteration driver-side
+        probe = base.limit(driver_train_max + 1).collect()
+        if len(probe) <= driver_train_max:
+            return _lloyd_driver([(r.vid, list(r.unit)) for r in probe],
+                                 nlist, iters)
+    # materialized once: every Lloyd iteration re-reads the training
+    # set (plus the seed collect), so without this the source scan +
+    # normalization re-run iters+1 times; the training set is the
+    # sampled slice (`sample_pred` bounds it at scale)
+    base = base.localCheckpoint(eager=True)
     seed_rows = base.orderBy("vid").limit(nlist).select("unit").collect()
     cents = [list(r.unit) for r in seed_rows]
 
@@ -288,6 +339,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample_pred: str | None = None,
+    driver_train_max: int = 100_000,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantizer bucket join + exact
     re-rank — the inverted-file counterpart to lsh_bucketed_topk.
@@ -310,6 +362,7 @@ def ivf_topk(
     cents = ivf_train_centroids(
         embeddings, nlist=nlist, iters=iters,
         id_col=id_col, vec_col=vec_col, sample_pred=train_sample_pred,
+        driver_train_max=driver_train_max,
     )
     cdf = F.broadcast(
         spark.createDataFrame(

@@ -194,6 +194,29 @@ def test_ivf_recall_on_clustered_data(spark):
     assert len(got & exact) / len(exact) >= 0.99
 
 
+def test_ivf_driver_vs_distributed_training(spark, embeddings):
+    """The driver-side numpy Lloyd loop (default for training sets
+    <= driver_train_max) and the distributed loop (driver_train_max=0)
+    implement the same algorithm: seeds identical, centroids equal to
+    float rounding (summation order differs), and the resulting
+    inverted-list search at nprobe=1 returns the same rows on this
+    corpus (argmax margins far exceed a ulp)."""
+    import numpy as np
+
+    kw = dict(nlist=6, iters=3)
+    drv = SIM.ivf_train_centroids(embeddings, **kw)
+    dist = SIM.ivf_train_centroids(embeddings, driver_train_max=0, **kw)
+    assert len(drv) == len(dist) == 6
+    assert np.allclose(np.array(drv), np.array(dist), atol=1e-9)
+    a = sorted(map(tuple, SIM.ivf_topk(
+        embeddings, k=3, nlist=6, nprobe=1, iters=3,
+        query_pred="vec_id % 100 = 0").collect()))
+    b = sorted(map(tuple, SIM.ivf_topk(
+        embeddings, k=3, nlist=6, nprobe=1, iters=3,
+        query_pred="vec_id % 100 = 0", driver_train_max=0).collect()))
+    assert a == b
+
+
 def test_ivf_centroids_deterministic_and_padded(spark):
     """Training is RNG-free (two runs identical); nlist caps at the
     training-set size (Forgy cannot seed more centroids than points)."""
