@@ -198,6 +198,8 @@ def _lloyd_driver(rows, nlist: int, iters: int) -> list[list[float]]:
     """
     import numpy as np
 
+    if not rows:
+        return []
     rows = sorted(rows, key=lambda r: r[0])
     units = np.asarray([r[1] for r in rows], dtype=np.float64)
     cents = units[: min(nlist, len(rows))].copy()
