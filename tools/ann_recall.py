@@ -16,7 +16,18 @@ Sanity invariants asserted in-run: IVF at nprobe == nlist and LSH
 candidate sets are subsets of the exact universe; full-probe IVF
 recall == 1.0.
 
-Usage: python tools/ann_recall.py   (honors SPARK_GRAFT_SF_DIR / _CPUS)
+Two corpora, because the recall/cost trade depends on neighborhood
+structure:
+
+- default: the sf embeddings table (near-random synthetic vectors —
+  the WORST case for ANN; recall can't much exceed the candidate
+  fraction when there is no cluster structure to exploit);
+- --clustered: a deterministic clustered corpus (64 hash-generated
+  unit centers, 2000 points at small offsets — the realistic regime
+  for real embedding models, where IVF lists align with clusters).
+
+Usage: python tools/ann_recall.py [--clustered]
+(honors SPARK_GRAFT_SF_DIR / _CPUS)
 Writes a markdown table to stdout and JSON to /tmp/ann_recall.json.
 """
 
@@ -36,12 +47,49 @@ K = 10
 QPRED = "vec_id % 50 = 0"
 
 
+def clustered_corpus(spark, n=2000, n_centers=64, dim=16, spread=0.15):
+    """Deterministic clustered vectors, RNG-free: center components and
+    point offsets come from a multiplicative integer hash (same recipe
+    family as the LSH hyperplane table)."""
+    import numpy as np
+
+    def h(*ks):
+        # splitmix64 finalizer per key — a bare multiply leaves small
+        # keys in the low bits (every component near-identical)
+        x = 0x9E3779B97F4A7C15
+        for k in ks:
+            x = (x ^ int(k)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+            x ^= x >> 30
+            x = x * 0x94D049BB133111EB % (1 << 64)
+            x ^= x >> 31
+        return (x >> 16) / float(1 << 48) - 0.5
+
+    centers = np.array(
+        [[h(c, d) for d in range(dim)] for c in range(n_centers)]
+    )
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        c = i % n_centers
+        v = centers[c] + spread * np.array(
+            [h(1_000_003, i, d) for d in range(dim)]
+        )
+        rows.append((i, [float(x) for x in v]))
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+
+
 def main():
+    clustered = "--clustered" in sys.argv
     spark = get_spark(
         "ann_recall", cpus=CPUS,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = (clustered_corpus(spark) if clustered
+           else spark.read.parquet(f"{SF}/embeddings.parquet"))
     n = emb.count()
     q = emb.filter(QPRED).count()
     exact = {
@@ -80,14 +128,16 @@ def main():
     assert full_probe and full_probe[0]["recall_at_k"] == 1.0, \
         "nprobe==nlist must equal brute force"
 
-    print(f"\nN={n} Q={q} K={K} sf={SF}\n")
+    corpus = "clustered-synthetic" if clustered else SF
+    print(f"\nN={n} Q={q} K={K} corpus={corpus}\n")
     print("| config | recall@10 | candidate frac | warm wall s |")
     print("|---|---|---|---|")
     for r in rows:
         print(f"| {r['config']} | {r['recall_at_k']:.3f} "
               f"| {r['cand_frac']:.3f} | {r['warm_wall_s']} |")
-    out = {"sf": SF, "n": n, "q": q, "k": K, "rows": rows}
-    with open("/tmp/ann_recall.json", "w") as f:
+    out = {"corpus": corpus, "n": n, "q": q, "k": K, "rows": rows}
+    suffix = "_clustered" if clustered else ""
+    with open(f"/tmp/ann_recall{suffix}.json", "w") as f:
         json.dump(out, f, indent=1)
     spark.stop()
 
