@@ -259,6 +259,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda spark, sf_dir: DD.simhash(
         _t(spark, sf_dir, "documents"), bits=32
     )
+    # near-dup canonicalization: LSH-verified pairs as edges ->
+    # connected components -> min doc_id per cluster kept. The exact
+    # oracle unrolls the min-label propagation to fixed depth (a
+    # converged synchronous iteration is a fixpoint, so fixed depth
+    # equals the early-stopped Spark loop — the LPA-oracle recipe).
+    q["near_dup_canonical"] = lambda spark, sf_dir: DD.near_dup_canonical(
+        _t(spark, sf_dir, "documents"), num_hashes=12, band_size=3,
+        threshold=0.2
+    )
 
     # ---- similarity search ----
     q["embedding_topk"] = lambda spark, sf_dir: SIM.brute_force_topk(
@@ -806,6 +815,61 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.doc_id = doc_a
         JOIN sz sb ON sb.doc_id = doc_b
         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """
+
+    # near_dup_canonical: the lsh_verified_pairs edge set (threshold
+    # 0.2), undirected, then min-label propagation unrolled to fixed
+    # depth. 8 rounds >> the near-dup clusters' diameter at sf0.01;
+    # converged synchronous propagation is a fixpoint, so the
+    # unconditional unroll equals Spark's early-stopped loop. Every
+    # label CTE is MATERIALIZED (referenced twice per round — DuckDB
+    # would otherwise inline and re-evaluate exponentially).
+    _cc_rounds = ""
+    for _i in range(1, 9):
+        _cc_rounds += f""",
+        l{_i} AS MATERIALIZED (
+          SELECT d.doc_id,
+                 least(d.label, coalesce(min(nb.label), d.label)) AS label
+          FROM l{_i - 1} d
+          LEFT JOIN cc_edges e ON e.u = d.doc_id
+          LEFT JOIN l{_i - 1} nb ON nb.doc_id = e.v
+          GROUP BY d.doc_id, d.label
+        )"""
+    o["near_dup_canonical"] = f"""
+        WITH {_shingle_cte},
+        wide AS (SELECT doc_id, {mh12_cols} FROM sh GROUP BY doc_id),
+        sigs AS ({mh12_unpivot}),
+        bands AS (
+          SELECT doc_id, h_idx // 3 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_key
+          FROM sigs GROUP BY doc_id, h_idx // 3
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2
+        ),
+        verified AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        ),
+        cc_edges AS MATERIALIZED (
+          SELECT doc_a AS u, doc_b AS v FROM verified
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM verified
+        ),
+        l0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM documents){_cc_rounds}
+        SELECT doc_id, label AS canonical_id, (doc_id = label) AS is_kept
+        FROM l8
     """
 
     o["simhash"] = f"""

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "bigram_doc_freq",
     "minhash_signatures",
     "lsh_verified_pairs",
+    "near_dup_canonical",
     "ngram_jaccard_pairs",
     "simhash",
     "embedding_topk",

@@ -223,3 +223,44 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def near_dup_canonical(
+    documents: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup canonicalization: one row per document with its duplicate
+    cluster's canonical id — the standard corpus-dedup output (keep one
+    representative per near-dup cluster, drop the rest).
+
+    Composition of two existing scale paths: MinHash-LSH verified pairs
+    (banded bucket equi-join, never all-pairs) are the edges of a
+    near-dup graph; `canonicalize.connected_components` (salted min-label
+    propagation, O(diameter) iterations) assigns each cluster its min
+    doc_id as canonical. Documents with no near-dup edge are their own
+    canonical. `is_kept` marks the representative, so the dedup filter
+    downstream is `WHERE is_kept`.
+
+    Output: (doc_id, canonical_id, is_kept) — one row per input doc.
+    """
+    from careers_spark.operators.canonicalize import connected_components
+
+    pairs = lsh_verified_pairs(documents, num_hashes, band_size, threshold, n)
+    comp = connected_components(
+        pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b",
+        max_iter=max_iter,
+    ).withColumnRenamed("node", "doc_id")
+    canon = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            canon.alias("canonical_id"),
+            (F.col("doc_id") == canon).alias("is_kept"),
+        )
+    )

@@ -79,3 +79,48 @@ def test_minhash_signature_stability(spark, docs):
     s1 = DD.minhash_signatures(docs, num_hashes=4).collect()
     s2 = DD.minhash_signatures(docs, num_hashes=4).collect()
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+def test_near_dup_canonical(spark, docs):
+    """Docs 1/2/4 form one near-dup cluster (exact dup + one-word edit)
+    -> canonical = min doc_id 1; 3 and 5 are their own canonicals."""
+    got = {
+        r.doc_id: (r.canonical_id, r.is_kept)
+        for r in DD.near_dup_canonical(docs, threshold=0.5).collect()
+    }
+    assert len(got) == 5  # one row per input doc
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[4] == (1, False)
+    assert got[3] == (3, True)
+    assert got[5] == (5, True)
+    # the dedup filter: exactly one kept doc per cluster
+    kept = {cid for d, (cid, k) in got.items() if k}
+    assert kept == {1, 3, 5}
+
+
+def test_near_dup_canonical_chain(spark):
+    """Transitive chain a~b, b~c (a never pairs with c directly) still
+    collapses to ONE cluster via connected components."""
+    import pandas as pd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = {
+        10: base,
+        11: base.replace("alpha", "omega"),
+        12: base.replace("alpha", "omega").replace("upsilon", "phi"),
+        13: "unrelated words entirely disjoint from the chain cluster",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    # trigram jaccard: 10~11 and 11~12 are one edit apart (15/21 = 0.71
+    # >= 0.6) but 10~12 is two edits (12/24 = 0.5 < 0.6) — only CC
+    # joins 10 and 12, through 11
+    got = {
+        r.doc_id: r.canonical_id
+        for r in DD.near_dup_canonical(df, threshold=0.6).collect()
+    }
+    assert got[10] == got[11] == got[12] == 10
+    assert got[13] == 13
