@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from careers_spark.operators import dedup as DD  # noqa: E402
 from careers_spark.operators import dictionary as D  # noqa: E402
 from careers_spark.operators import multimodal as MM  # noqa: E402
+from careers_spark.operators import sampling as SMP  # noqa: E402
 from careers_spark.operators import similarity as SIM  # noqa: E402
 from careers_spark.operators import textstats as TS  # noqa: E402
 from careers_spark.plans import flagship  # noqa: E402
@@ -259,6 +260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda spark, sf_dir: DD.simhash(
         _t(spark, sf_dir, "documents"), bits=32
     )
+    # SimHash near-dup pairs: 64-bit signature, pigeonhole band blocking
+    # (Manku/Jain/Sarma WWW'07) — hamming <= 3 implies exact agreement on
+    # >= 1 of 4 16-bit bands, so candidates come from an equi-join and
+    # recall is guaranteed, not probabilistic. Verify = exact hamming via
+    # sum(bit_count(xor)) over aligned bands.
+    q["simhash_near_dups"] = lambda spark, sf_dir: DD.simhash_near_dups(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
     # near-dup canonicalization: LSH-verified pairs as edges ->
     # connected components -> min doc_id per cluster kept. The exact
     # oracle unrolls the min-label propagation to fixed depth (a
@@ -300,6 +309,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf_dir, "documents")
     )
     q["lang_id"] = lambda spark, sf_dir: TS.lang_id(_t(spark, sf_dir, "documents"))
+    # per-doc top-5 keywords, smoothed TF-IDF; rounded-then-ranked so the
+    # (score desc, term asc) tie-break is engine-identical
+    q["tfidf_top_terms"] = lambda spark, sf_dir: TS.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), k=5
+    )
+    # deterministic md5-bucket stratified sampling (the language-
+    # rebalancing step of an LLM data pipeline): keep 50% of en, 20% of
+    # zh, 10% of everything else — same rows every run, every engine
+    q["stratified_sample"] = lambda spark, sf_dir: SMP.stratified_hash_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 50, "zh": 20}, default_pct=10, salt="r5",
+    )
     q["doc_fingerprint"] = lambda spark, sf_dir: TS.doc_fingerprint(
         _t(spark, sf_dir, "documents")
     )
@@ -886,6 +907,45 @@ def oracle_sql() -> dict[str, str]:
         FROM votes GROUP BY doc_id
     """
 
+    # simhash_near_dups oracle: same two md5-derived 32-bit halves,
+    # 64-bit majority vote, 4x16-bit bands, pigeonhole candidate join,
+    # exact hamming verify. All-integer arithmetic — bit-identical to
+    # the Spark operator by construction.
+    o["simhash_near_dups"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+        h AS (SELECT doc_id,
+                {_DUCK_H64.format(c='tok')} AS h_lo,
+                ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi
+              FROM tok),
+        votes AS (
+          SELECT doc_id, b,
+                 sum((((CASE WHEN b < 32 THEN h_lo ELSE h_hi END) >> (b % 32)) & 1) * 2 - 1) AS v
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+          GROUP BY doc_id, b
+        ),
+        bandvals AS MATERIALIZED (
+          SELECT doc_id, CAST(b // 16 AS INT) AS band,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (b % 16)) ELSE 0 END) AS BIGINT) AS band_val
+          FROM votes GROUP BY 1, 2
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandvals a JOIN bandvals b
+            ON a.band = b.band AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        ),
+        ham AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(sum(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
+          FROM cands c
+          JOIN bandvals a ON a.doc_id = c.doc_a
+          JOIN bandvals b ON b.doc_id = c.doc_b AND b.band = a.band
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+    """
+
     _cos = (
         "round(list_dot_product(qv, nv) / "
         "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6)"
@@ -1157,6 +1217,41 @@ def oracle_sql() -> dict[str, str]:
     """
 
     stop_sql = TS.STOPWORDS_SQL
+    # tfidf_top_terms: same smoothed idf, scores rounded BEFORE the
+    # rank order-by so the (score desc, term asc) tie-break is
+    # engine-identical
+    o["tfidf_top_terms"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf,
+                 round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 5
+    """
+
+    # stratified_sample: md5-bucket keep decision, identical hash both
+    # engines (same recipe as the dedup/minhash hashes)
+    o["stratified_sample"] = """
+        WITH b AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), 'r5')), 1, 8))::BIGINT % 100 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, lang, bucket FROM b
+        WHERE bucket < (CASE WHEN lang = 'en' THEN 50
+                             WHEN lang = 'zh' THEN 20 ELSE 10 END)
+    """
+
     o["quality_score"] = f"""
         WITH x AS (
           SELECT doc_id, strlen(text) AS n_chars,

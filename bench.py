@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "near_dup_canonical",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_near_dups",
     "embedding_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",

@@ -225,6 +225,108 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
+def simhash_bands(documents: DataFrame, bands: int = 4) -> DataFrame:
+    """64-bit SimHash, emitted as `bands` fixed-width band values.
+
+    The 64 signature bits come from two md5-derived 32-bit token hashes
+    (hex chars 1-8 and 9-16) so both engines compute identical values
+    without ever shifting into a bigint's sign bit. Bit b of the
+    signature is a majority vote of bit b across the document's
+    DISTINCT token hashes; band j packs bits [j*w, (j+1)*w) with
+    w = 64 // bands (the last band absorbs any remainder).
+
+    Output: (doc_id, band int, band_val bigint) — `bands` rows per doc.
+    Emitting bands instead of one packed bigint is deliberate: it is
+    exactly the join key layout `simhash_near_dups` needs, and it
+    avoids `1 << 63` sign-bit traps in both Spark and DuckDB.
+    """
+    width = 64 // bands
+    toks = (
+        documents.select("doc_id", tokens_col("text").alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .dropDuplicates()
+        .selectExpr(
+            "doc_id",
+            f"{_hash64_expr('tok')} as h_lo",
+            "cast(conv(substr(md5(tok), 9, 8), 16, 10) as bigint) as h_hi",
+        )
+    )
+
+    # All 64 bit-votes as parallel aggregates of ONE groupBy(doc_id) —
+    # no 64x bit explode, no (doc_id, bit) shuffle; partial aggregation
+    # combines map-side so the shuffle carries one 64-column row per doc.
+    def vote(b: int):
+        half, off = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        return F.sum(F.expr(f"(shiftright({half}, {off}) & 1) * 2 - 1"))
+
+    votes = toks.groupBy("doc_id").agg(
+        *[vote(b).alias(f"v{b}") for b in range(64)]
+    )
+
+    def band_expr(j: int) -> str:
+        lo = j * width
+        hi = 64 if j == bands - 1 else lo + width
+        # bit 63 of a bigint is the sign bit: its two's-complement weight
+        # is -2^63 (only reachable when bands == 1)
+        weight = lambda s: -(1 << 63) if s == 63 else (1 << s)
+        terms = " + ".join(
+            f"if(v{b} > 0, cast({weight(b - lo)} as bigint), cast(0 as bigint))"
+            for b in range(lo, hi)
+        )
+        return f"{j}, ({terms})"
+
+    stack = ", ".join(band_expr(j) for j in range(bands))
+    return votes.select(
+        "doc_id",
+        F.expr(f"stack({bands}, {stack}) as (band, band_val)"),
+    )
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming(sig_a, sig_b) <= max_hamming
+    over 64-bit signatures.
+
+    Scale path is the pigeonhole band blocking of Manku/Jain/Sarma
+    (WWW'07, the Google simhash dedup paper): split the signature into
+    max_hamming+1 bands — any pair within hamming distance max_hamming
+    differs in at most max_hamming bands, so it agrees EXACTLY on at
+    least one. Candidate generation is therefore an equi-join on
+    (band, band_val), never an all-pairs product, and the verify step
+    computes the exact hamming distance as sum(bit_count(xor)) over the
+    pair's aligned bands. With 4 bands of 16 bits each key space is
+    4 * 65536 buckets; at larger corpora widen the signature (more
+    md5 chunks) before narrowing bands. Recall is EXACT (pigeonhole is
+    a guarantee, not a probability), unlike MinHash-LSH.
+
+    Output: (doc_a, doc_b, hamming bigint), doc_a < doc_b.
+    """
+    bands = simhash_bands(documents, bands=max_hamming + 1)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cands.join(
+            bands.selectExpr("doc_id as doc_a", "band", "band_val as ba"), "doc_a"
+        )
+        .join(
+            bands.selectExpr("doc_id as doc_b", "band", "band_val as bb"),
+            ["doc_b", "band"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.expr("sum(bit_count(ba ^ bb))").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def near_dup_canonical(
     documents: DataFrame,
     num_hashes: int = 12,

@@ -118,3 +118,41 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", F.md5("text").alias("text_md5")).join(
         sh5, "doc_id"
     )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF
+    (sklearn convention: idf = ln((N+1)/(df+1)) + 1).
+
+    Pure Catalyst: one token explode -> (doc, term) count -> term
+    document-frequency -> score -> per-doc row_number window. The
+    window partitions BY DOCUMENT (a document's distinct-term set is
+    small and bounded), so no global sort exists anywhere; the df
+    aggregation is partial-agg friendly and the corpus size N is one
+    bounded count() job. Scores are rounded to 6 places BEFORE the
+    ranking order-by so the (score desc, term asc) tie-break is
+    engine-identical in the DuckDB oracle.
+
+    Output: (doc_id, term, tf, score, rank), rank 1..k per doc.
+    """
+    from pyspark.sql import Window
+
+    n_docs = documents.count()
+    tf = (
+        documents.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.expr(f"round(tf * (ln(({n_docs} + 1.0) / (df + 1)) + 1), 6)"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )

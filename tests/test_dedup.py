@@ -124,3 +124,49 @@ def test_near_dup_canonical_chain(spark):
     }
     assert got[10] == got[11] == got[12] == 10
     assert got[13] == 13
+
+
+def _all_pairs_hamming(bands_rows, n_bands=4):
+    """Exact 64-bit hamming for every doc pair, from collected band rows."""
+    sigs = {}
+    for r in bands_rows:
+        sigs.setdefault(r.doc_id, {})[r.band] = r.band_val
+    ids = sorted(sigs)
+    mask = (1 << 64) - 1  # band_val may be negative when bands == 1
+    return {
+        (a, b): sum(
+            bin((sigs[a][j] ^ sigs[b][j]) & mask).count("1")
+            for j in range(n_bands)
+        )
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+    }
+
+
+def test_simhash_bands_identical_docs(spark, docs):
+    """Identical text -> identical 64-bit signature -> identical bands;
+    every 16-bit band value stays inside [0, 2^16)."""
+    bands = {(r.doc_id, r.band): r.band_val
+             for r in DD.simhash_bands(docs, bands=4).collect()}
+    for j in range(4):
+        assert bands[(1, j)] == bands[(4, j)]
+        assert 0 <= bands[(1, j)] < (1 << 16)
+
+
+def test_simhash_near_dups_equals_bruteforce(spark, docs):
+    """Pigeonhole banding is EXACT recall: for several thresholds the
+    banded operator returns precisely the pairs whose true 64-bit
+    hamming distance is <= k (hamming is band-partition-invariant, so
+    the 4-band recompute is the ground truth for every k)."""
+    exact = _all_pairs_hamming(DD.simhash_bands(docs, bands=4).collect())
+    for k in (0, 3, 12):
+        got = {(r.doc_a, r.doc_b): r.hamming
+               for r in DD.simhash_near_dups(docs, max_hamming=k).collect()}
+        assert got == {p: h for p, h in exact.items() if h <= k}, k
+
+
+def test_simhash_near_dups_identical_pair(spark, docs):
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in DD.simhash_near_dups(docs, max_hamming=3).collect()}
+    assert got[(1, 4)] == 0
+    assert all(h <= 3 for h in got.values())

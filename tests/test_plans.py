@@ -199,3 +199,16 @@ def test_coded_candidates_shuffle_carries_no_strings(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     row = out.collect()[0]
     assert (row.surf_id, row.topic_id) == (0, 0)
+
+
+def test_simhash_near_dups_no_cartesian(spark):
+    """SimHash near-dup candidates must come from the (band, band_val)
+    pigeonhole equi-join — never an all-pairs product; the verify join
+    is likewise an equi-join on (doc, band)."""
+    from careers_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(DD.simhash_near_dups(docs, max_hamming=3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_val" in plan

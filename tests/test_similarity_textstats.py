@@ -234,3 +234,88 @@ def test_ivf_centroids_deterministic_and_padded(spark):
     assert len(a) == 3  # capped at the 3-point corpus
     for c in a:
         assert abs(sum(x * x for x in c) - 1.0) < 1e-9  # unit-normalized
+
+
+def test_tfidf_top_terms_golden(spark):
+    """Hand-computed smoothed TF-IDF on a 3-doc corpus.
+
+    N=3; df(apple)=3, df(red)=2, df(pie)=1.
+    idf = ln((N+1)/(df+1)) + 1 -> apple 1.0, red ln(4/3)+1, pie ln(2)+1.
+    Doc 1 'apple apple red': apple tf=2 score=2.0, red 1.287682
+    -> rank 1 apple, 2 red."""
+    docs = spark.createDataFrame(
+        [(1, "apple apple red"), (2, "apple red pie pie pie"), (3, "apple")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.score)
+        for r in TS.tfidf_top_terms(docs, k=2).collect()
+    }
+    assert got[(1, 1)] == ("apple", 2, 2.0)
+    assert got[(1, 2)] == ("red", 1, 1.287682)
+    assert got[(2, 1)] == ("pie", 3, 5.079442)
+    assert got[(2, 2)] == ("red", 1, 1.287682)
+    assert got[(3, 1)] == ("apple", 1, 1.0)
+    assert (3, 2) not in got  # only one distinct term in doc 3
+
+
+def test_tfidf_top_terms_tiebreak_and_shape(spark, documents):
+    """On the driver corpus: ranks are dense 1..<=k per doc, scores
+    non-increasing within a doc, and equal scores break ties by term
+    ascending (the engine-identical ordering the oracle relies on)."""
+    rows = TS.tfidf_top_terms(documents, k=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == documents.count()
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.score > b.score or (
+                a.score == b.score and a.term < b.term
+            ), (doc, a, b)
+
+
+def test_stratified_sample_deterministic_and_correct(spark, documents):
+    """Same rows on every run; membership matches a per-row recompute of
+    the md5 bucket rule; rates actually stratify."""
+    from careers_spark.operators import sampling as SMP
+
+    rates = {"en": 50, "zh": 20}
+    kept1 = SMP.stratified_hash_sample(
+        documents, rates=rates, default_pct=10, salt="r5"
+    ).collect()
+    kept2 = SMP.stratified_hash_sample(
+        documents, rates=rates, default_pct=10, salt="r5"
+    ).collect()
+    assert sorted(r.doc_id for r in kept1) == sorted(r.doc_id for r in kept2)
+
+    import hashlib
+
+    def bucket(doc_id, salt):
+        return int(hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:8], 16) % 100
+
+    expect = {
+        (r.doc_id, r.lang)
+        for r in documents.select("doc_id", "lang").collect()
+        if bucket(r.doc_id, "r5") < rates.get(r.lang, 10)
+    }
+    assert {(r.doc_id, r.lang) for r in kept1} == expect
+    for r in kept1:
+        assert r.bucket == bucket(r.doc_id, "r5")
+
+
+def test_stratified_sample_salt_changes_composition(spark, documents):
+    """Different salt -> different (re-seedable) sample; rate=100 keeps
+    everything, rate=0 keeps nothing."""
+    from careers_spark.operators import sampling as SMP
+
+    a = {r.doc_id for r in SMP.stratified_hash_sample(documents, salt="a").collect()}
+    b = {r.doc_id for r in SMP.stratified_hash_sample(documents, salt="b").collect()}
+    assert a != b
+    n = documents.count()
+    full = SMP.stratified_hash_sample(documents, default_pct=100, salt="x")
+    assert full.count() == n
+    none = SMP.stratified_hash_sample(documents, default_pct=0, salt="x")
+    assert none.count() == 0
