@@ -277,6 +277,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf_dir, "documents"), num_hashes=12, band_size=3,
         threshold=0.2
     )
+    # benchmark decontamination: doc_id % 97 == 0 stands in for the
+    # held-out eval split; train docs sharing >= 5% of their trigram
+    # shingles with it are flagged. Eval shingle set is broadcast — the
+    # screen is one map-side pass over the train side at scale.
+    q["decontamination"] = lambda spark, sf_dir: DD.contamination_flags(
+        _t(spark, sf_dir, "documents"), eval_pred="doc_id % 97 = 0",
+        n=3, threshold=0.05,
+    )
+    # suffix-array-style duplicated-span signal: fraction of each doc's
+    # distinct 4-gram shingles that occur in >= 1 other document.
+    q["dup_span_fraction"] = lambda spark, sf_dir: DD.dup_span_fraction(
+        _t(spark, sf_dir, "documents"), n=4
+    )
 
     # ---- similarity search ----
     q["embedding_topk"] = lambda spark, sf_dir: SIM.brute_force_topk(
@@ -322,6 +335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rates={"en": 50, "zh": 20}, default_pct=10, salt="r5",
     )
     q["doc_fingerprint"] = lambda spark, sf_dir: TS.doc_fingerprint(
+        _t(spark, sf_dir, "documents")
+    )
+    # Gopher-style repetition filters (Rae et al. 2021 table A1):
+    # top-2-gram occupancy + duplicated-3-gram occupancy per doc
+    q["gopher_repetition"] = lambda spark, sf_dir: TS.gopher_repetition(
         _t(spark, sf_dir, "documents")
     )
 
@@ -606,6 +624,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return louvain(edges, weight="n_obs", levels=2, rounds=4)
 
     q["louvain_communities"] = louvain_communities
+
+    def _entity_edges(spark, sf_dir, min_obs):
+        """Token co-occurrence entity graph (same construction as the
+        community queries above): doc-sampled, undirected-as-src<dst,
+        weighted by co-occurrence count, thresholded."""
+        docs = _t(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+        toks = docs.select(
+            "doc_id", F.explode(F.array_distinct(DD.tokens_col("text"))).alias("tok")
+        )
+        a = toks.selectExpr("doc_id", "tok as src")
+        b = toks.selectExpr("doc_id as d2", "tok as dst")
+        return (
+            a.join(b, (a.doc_id == b.d2) & (F.col("src") < F.col("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n_obs"))
+            .filter(f"n_obs >= {min_obs}")
+        )
+
+    def entity_pagerank(spark, sf_dir):
+        """PageRank salience over the sparser (min_obs=35) entity graph,
+        directed as the canonical src<dst edge set so dangling nodes
+        (sinks with no outgoing edge) genuinely exercise the
+        dangling-mass redistribution. 6 synchronous iterations, d=0.85,
+        per-iteration rounding to 10 dp for engine-lockstep (see
+        graph.pagerank); the oracle unrolls the identical recurrence."""
+        from careers_spark.operators.graph import pagerank
+
+        return pagerank(
+            _entity_edges(spark, sf_dir, 35), iterations=6, damping=0.85
+        )
+
+    q["entity_pagerank"] = entity_pagerank
+
+    def graph_triangles(spark, sf_dir):
+        """Per-node triangle counts + clustering coefficient on the
+        denser (min_obs=20) entity graph — the standard cohesion
+        diagnostic for a freshly built KG (canonical a<b<c wedge-join
+        enumeration; Suri & Vassilvitskii WWW'11)."""
+        from careers_spark.operators.graph import triangle_stats
+
+        return triangle_stats(_entity_edges(spark, sf_dir, 20))
+
+    q["graph_triangles"] = graph_triangles
 
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
@@ -946,6 +1007,88 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
     """
 
+    # decontamination: distinct trigram shingles, eval split = doc_id %
+    # 97 == 0, per-train-doc overlap with the eval shingle set. Division
+    # is int/int -> double in both engines; `contaminated` compares the
+    # UNROUNDED fraction (both engines compute the identical nearest
+    # double for the rational n/m and the 0.05 literal).
+    o["decontamination"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest({_duck_trigrams()}) AS sh FROM t
+        ),
+        ev AS MATERIALIZED (
+          SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               round(sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS overlap_frac,
+               (sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END)
+                / count(*) >= 0.05) AS contaminated
+        FROM sh s LEFT JOIN ev ON ev.sh = s.sh
+        WHERE s.doc_id % 97 <> 0
+        GROUP BY s.doc_id
+    """
+
+    _duck_4grams = (
+        "case when len(toks) >= 4 then "
+        "list_transform(range(1, len(toks) - 2), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) "
+        "else [] end"
+    )
+    o["dup_span_fraction"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest({_duck_4grams}) AS sh FROM t
+        ),
+        dc AS MATERIALIZED (
+          SELECT sh, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY sh
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN dc.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               round(sum(CASE WHEN dc.n_docs > 1 THEN 1 ELSE 0 END)
+                     / count(*), 6) AS dup_frac
+        FROM sh s JOIN dc ON dc.sh = s.sh
+        GROUP BY s.doc_id
+    """
+
+    # gopher_repetition: n-gram OCCURRENCES (not distinct shingles);
+    # keep-thresholds compare unrounded fractions, same literal-double
+    # argument as above
+    o["gopher_repetition"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        bg AS MATERIALIZED (
+          SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(
+              CASE WHEN len(toks) >= 2 THEN
+                list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END) AS g
+            FROM t
+          ) GROUP BY doc_id, g
+        ),
+        bga AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM bg GROUP BY doc_id),
+        tg AS MATERIALIZED (
+          SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest({_duck_trigrams()}) AS g FROM t
+          ) GROUP BY doc_id, g
+        ),
+        tga AS (
+          SELECT doc_id,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                 sum(c) AS total
+          FROM tg GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               round(b.top * 1.0 / b.total, 6) AS top_bigram_frac,
+               round(t.dup * 1.0 / t.total, 6) AS dup_trigram_frac,
+               (b.top * 1.0 / b.total <= 0.20
+                AND t.dup * 1.0 / t.total <= 0.18) AS keep
+        FROM bga b JOIN tga t ON t.doc_id = b.doc_id
+    """
+
     _cos = (
         "round(list_dot_product(qv, nv) / "
         "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6)"
@@ -1207,6 +1350,102 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN mb2_{_LOU_ROUNDS} r2 ON r2.node = r1.community
     """
     )
+
+    # entity_pagerank: the directed src<dst entity edge set (min_obs=35),
+    # PageRank recurrence unrolled 6 iterations. Per-iteration
+    # round(..., 10) keeps both engines in decimal lockstep: pre-round
+    # engine deltas are IEEE addition-order noise (~1e-16), 6 orders
+    # below the rounded digit (same unroll-a-fixpoint recipe as the LPA /
+    # Louvain oracles, adapted for fractional values). (1 - 0.85) is
+    # written as the expression, not 0.15, so both engines use the
+    # identical IEEE double.
+    _pr_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst, CAST(count(*) AS BIGINT) AS w
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        base AS MATERIALIZED (
+          SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
+          FROM nodes n LEFT JOIN (
+            SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src
+          ) od ON od.node = n.node
+        ),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+        p0 AS MATERIALIZED (
+          SELECT node, outdeg, 1.0 / nn.n AS pr FROM base CROSS JOIN nn
+        )"""
+    ]
+    for _k in range(1, 7):
+        _pr_chain.append(
+            f"""p{_k} AS MATERIALIZED (
+          SELECT b.node, b.outdeg,
+                 round((1.0 - 0.85) / nn.n
+                       + 0.85 * (coalesce(inf.inflow, 0.0) + dang.d / nn.n),
+                       10) AS pr
+          FROM base b
+          CROSS JOIN nn
+          CROSS JOIN (
+            SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN pr END), 0.0) AS d
+            FROM p{_k - 1}
+          ) dang
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr / p.outdeg) AS inflow
+            FROM e JOIN p{_k - 1} p ON p.node = e.src
+            GROUP BY e.dst
+          ) inf ON inf.node = b.node
+        )"""
+        )
+    o["entity_pagerank"] = (
+        "WITH " + ",\n".join(_pr_chain) + "\nSELECT node, pr FROM p6"
+    )
+
+    # graph_triangles: canonical a<b<c wedge-join enumeration over the
+    # min_obs=20 entity graph; integer counts are exact, coeff is a
+    # rounded rational
+    o["graph_triangles"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        und AS MATERIALIZED (
+          SELECT a.tok AS a, b.tok AS b
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        ),
+        degt AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node
+        ),
+        tri AS MATERIALIZED (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        pn AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) GROUP BY node
+        )
+        SELECT d.node, d.degree,
+               CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+               round(CASE WHEN d.degree >= 2
+                     THEN 2.0 * coalesce(pn.triangles, 0)
+                          / (d.degree * (d.degree - 1.0))
+                     ELSE 0.0 END, 6) AS coeff
+        FROM degt d LEFT JOIN pn ON pn.node = d.node
+    """
 
     o["token_counts"] = f"""
         SELECT doc_id,

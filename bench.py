@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "lsh_verified_pairs",
     "near_dup_canonical",
+    "decontamination",
+    "dup_span_fraction",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dups",
@@ -45,6 +47,7 @@ BENCH_QUERIES = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "gopher_repetition",
     "frame_sample_plan",
     "multimodal_features",
     "digest_grouped_ranks",
@@ -53,6 +56,8 @@ BENCH_QUERIES = [
     "community_modularity",
     "entity_communities",
     "louvain_communities",
+    "entity_pagerank",
+    "graph_triangles",
 ]
 
 

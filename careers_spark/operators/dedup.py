@@ -366,3 +366,91 @@ def near_dup_canonical(
             (F.col("doc_id") == canon).alias("is_kept"),
         )
     )
+
+
+def contamination_flags(
+    documents: DataFrame,
+    eval_pred: str,
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-gram shingles overlap an eval/benchmark split.
+
+    The standard pretraining hygiene step (GPT-3 appendix C / PaLM /
+    Llama all ship a variant): any train document sharing too many
+    n-grams with an evaluation set is excluded so benchmark numbers
+    measure generalization, not memorization. `eval_pred` is a SQL
+    predicate over the documents table selecting the eval split;
+    everything else is the training split being screened.
+
+    At 100 TB the eval split is tiny (benchmarks are ~1e5 docs), so its
+    distinct-shingle set is broadcast — the screen is then a single
+    map-side hash-join pass over the exploded train shingles with no
+    shuffle on the (huge) train side, followed by a partial-agg-friendly
+    per-doc count. No all-pairs anything.
+
+    Output: (doc_id, n_shingles, n_shared, overlap_frac, contaminated)
+    — one row per TRAIN document with >= n tokens.
+    """
+    sh = doc_shingles(documents, n)
+    eval_ids = documents.filter(eval_pred).select("doc_id")
+    eval_sh = (
+        sh.join(F.broadcast(eval_ids), "doc_id", "left_semi")
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    per = (
+        train.join(F.broadcast(eval_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared") / F.col("n_shingles")
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.round(frac, 6).alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
+def dup_span_fraction(documents: DataFrame, n: int = 4) -> DataFrame:
+    """Corpus-internal duplicated-span signal: per document, the fraction
+    of its distinct word n-gram shingles that occur in at least one OTHER
+    document.
+
+    The cheap distributed stand-in for suffix-array substring dedup
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): a high fraction means the document is largely assembled
+    from text that exists elsewhere in the corpus (boilerplate, mirrors,
+    licenses), even when no single whole-document near-dup exists.
+
+    Shape at scale: explode to (doc_id, shingle) — ~n x input tokens —
+    then one partial-agg groupBy(shingle) for document counts and one
+    shuffle-on-shingle join back; both partial-agg friendly, no
+    quadratic step. Shingle-frequency skew ("the end of the" appears
+    everywhere) is absorbed by map-side combine in the count and by AQE
+    skew-split in the join.
+
+    Output: (doc_id, n_shingles, n_dup, dup_frac) — one row per document
+    with >= n tokens.
+    """
+    sh = doc_shingles(documents, n)
+    counts = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        sh.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup") / F.col("n_shingles"), 6)
+        )
+    )

@@ -39,3 +39,144 @@ def build_edges(triples: DataFrame) -> DataFrame:
     return triples.groupBy("subj", "pred", "obj").agg(
         F.count("*").alias("n_obs"), F.min("conv_id").alias("first_conv")
     ).selectExpr("subj as src", "pred", "obj as dst", "n_obs", "first_conv")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+    damping: float = 0.85,
+    precision: int = 10,
+) -> DataFrame:
+    """PageRank entity salience over the KG edge table — the standard
+    "which entities matter" score for a freshly constructed graph
+    (the reference ranks topics by aggregated link weight instead,
+    AmbiguityForest.scala:1093-1441; PageRank is the
+    graph-native generalization of that salience ordering).
+
+    Fixed-iteration synchronous power method with dangling-mass
+    redistribution:
+
+        pr_{t+1}(v) = (1-d)/N + d * (sum_{u->v} pr_t(u)/outdeg(u)
+                                     + dangling_t / N)
+
+    Every iteration is one join + one partial-agg-friendly groupBy(dst)
+    plus a single-row dangling aggregate (broadcast, not collected to a
+    python scalar — the loop stays on the cluster; only the final frame
+    returns). No window, no global sort. At 10^12 edges the join
+    shuffles on dst — hub skew is AQE-split, and the contribution sum is
+    algebraic so map-side combine absorbs most of it.
+
+    Determinism across engines/partitionings: pr is rounded to
+    `precision` decimals at every iteration boundary, so the IEEE
+    addition-order noise (~1e-16 per sum) never accumulates into a
+    visible digit and the unrolled-SQL oracle reproduces the values
+    hash-exactly (same recipe as the Louvain oracle's integer-weight
+    argument, adapted for genuinely fractional values).
+
+    Output: (node, pr) — pr rounded to `precision` decimals.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    base = nodes.join(outdeg, "node", "left").select(
+        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+    ).localCheckpoint(eager=True)
+    n_nodes = F.lit(base.count())
+
+    pr = base.select("node", "outdeg", (F.lit(1.0) / n_nodes).alias("pr"))
+    for _ in range(iterations):
+        dangling = pr.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg") == 0, F.col("pr"))), F.lit(0.0)
+            ).alias("dang")
+        )
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("inflow"))
+        )
+        pr = (
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                F.round(
+                    (1.0 - damping) / n_nodes
+                    + damping
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dang") / n_nodes),
+                    precision,
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", "pr")
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected simple graph of `edges`.
+
+    Canonical-ordering enumeration: every triangle {a<b<c} is produced
+    exactly once by joining its two wedge edges (a,b),(b,c) with the
+    closing edge (a,c). Two equi-joins, no all-pairs step; the classic
+    MapReduce formulation (Suri & Vassilvitskii, WWW'11) — at scale the
+    wedge join is the expensive shuffle and is dominated by high-degree
+    hubs, which AQE skew-splits; count aggregates are algebraic.
+
+    coeff = 2*T / (deg*(deg-1)) for deg >= 2 else 0, rounded to 6.
+
+    Output: (node, degree, triangles, coeff) — one row per node.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    e1 = und.selectExpr("a as x", "b as y")
+    e2 = und.selectExpr("a as y", "b as z")
+    e3 = und.selectExpr("a as x", "b as z")
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])  # x < y < z by construction
+    per_node = (
+        tris.selectExpr("x as node")
+        .union(tris.selectExpr("y as node"))
+        .union(tris.selectExpr("z as node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("coeff"),
+        )
+    )

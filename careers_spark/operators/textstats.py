@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from careers_spark.operators.dedup import tokens_col, _hash64_expr
+from careers_spark.operators.dedup import tokens_col, _hash64_expr, shingles_expr
 
 # compact per-language function-word lists for the n-gram/stopword
 # language heuristic (deterministic, SQL-expressible)
@@ -155,4 +155,55 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+def gopher_repetition(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    table A1): the fraction of the document occupied by its most common
+    2-gram, and the fraction occupied by duplicated 3-grams. Highly
+    repetitive documents (keyword stuffing, scraped navigation, looping
+    generations) fail both.
+
+    This is the token-OCCURRENCE analogue of the paper's
+    character-fraction rules (the corpus here is single-line synthetic
+    text with uniform token lengths, so occurrence fraction == char
+    fraction up to a constant): for each n, explode the document into
+    n-gram occurrences, count per (doc, gram) — one partial-agg-friendly
+    groupBy, map-side combinable, no window and no per-doc sort — then
+    reduce to per-doc (max count, duplicated count, total). `keep`
+    applies the paper's thresholds (top-2-gram <= 0.20, dup-3-gram
+    <= 0.18).
+
+    Output: (doc_id, top_bigram_frac, dup_trigram_frac, keep), one row
+    per document with >= 3 tokens.
+    """
+
+    def per_doc(n: int, prefix: str) -> DataFrame:
+        occ = (
+            documents.select("doc_id", tokens_col("text").alias("toks"))
+            .select("doc_id", F.explode(F.expr(shingles_expr(n))).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        return occ.groupBy("doc_id").agg(
+            F.max("c").alias(f"{prefix}_top"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                f"{prefix}_dup"
+            ),
+            F.sum("c").alias(f"{prefix}_total"),
+        )
+
+    bg = per_doc(2, "bg")
+    tg = per_doc(3, "tg")
+    top2 = F.col("bg_top") / F.col("bg_total")
+    dup3 = F.col("tg_dup") / F.col("tg_total")
+    return (
+        bg.join(tg, "doc_id")
+        .select(
+            "doc_id",
+            F.round(top2, 6).alias("top_bigram_frac"),
+            F.round(dup3, 6).alias("dup_trigram_frac"),
+            ((top2 <= 0.20) & (dup3 <= 0.18)).alias("keep"),
+        )
     )

@@ -170,3 +170,53 @@ def test_simhash_near_dups_identical_pair(spark, docs):
            for r in DD.simhash_near_dups(docs, max_hamming=3).collect()}
     assert got[(1, 4)] == 0
     assert all(h <= 3 for h in got.values())
+
+
+# ---- decontamination ----------------------------------------------------
+def test_contamination_flags_golden(spark):
+    """Hand-checked: eval doc 0 has trigrams {a b c, b c d}; train doc 1
+    shares both of its 2 trigrams (frac 1.0 -> contaminated), doc 2
+    shares 1 of 4 (0.25 -> contaminated at 0.05), doc 3 shares none."""
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b c d",          # eval (pred doc_id = 0)
+                "a b c",            # shares 'a b c'  (and only has 1)
+                "x a b c d y",      # trigrams: x a b/a b c/b c d/c d y
+                "p q r s",          # disjoint
+            ],
+        })
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.overlap_frac, r.contaminated)
+        for r in DD.contamination_flags(df, "doc_id = 0", n=3).collect()
+    }
+    assert 0 not in got  # eval docs are screened, not returned
+    assert got[1] == (1, 1, 1.0, True)
+    assert got[2] == (4, 2, 0.5, True)
+    assert got[3] == (2, 0, 0.0, False)
+
+
+def test_contamination_zero_eval_split(spark, docs):
+    """An empty eval split flags nothing and keeps every train doc row
+    (docs with >= n tokens)."""
+    out = DD.contamination_flags(docs, "doc_id < 0", n=3).collect()
+    assert all(r.n_shared == 0 and not r.contaminated for r in out)
+    assert {r.doc_id for r in out} == {1, 2, 3, 4}  # doc 5 has 1 token
+
+
+# ---- duplicated-span fraction -------------------------------------------
+def test_dup_span_fraction_golden(spark, docs):
+    """docs 1 and 4 are exact dups -> every 4-gram shared (frac 1.0);
+    doc 2 differs only in the last word -> shares all but its final
+    4-gram (5 of 6); doc 3 is unique -> 0.0."""
+    got = {
+        r.doc_id: (r.n_shingles, r.n_dup, r.dup_frac)
+        for r in DD.dup_span_fraction(docs, n=4).collect()
+    }
+    assert got[1] == (6, 6, 1.0)
+    assert got[4] == (6, 6, 1.0)
+    assert got[3][1] == 0 and got[3][2] == 0.0
+    assert got[2] == (6, 5, 0.833333)
+    assert 5 not in got  # below n tokens -> no row

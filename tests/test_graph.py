@@ -1,0 +1,99 @@
+"""PageRank + triangle-count operators (graph.py).
+
+PageRank is pinned against an independent pure-python unroll of the
+identical recurrence (dangling redistribution included), and triangles
+against hand-countable shapes (K4, pendant, path).
+"""
+
+import pytest
+
+from careers_spark.operators.graph import pagerank, triangle_stats
+
+
+@pytest.fixture(scope="module")
+def diamond(spark):
+    # 1 -> {2,3}, 2 -> 3, 3 -> 1, 4 -> 3 ; node 2? has out; 4 is a source,
+    # and there is NO sink-free guarantee: add 5 as a pure sink (dangling)
+    return spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)],
+        "src int, dst int",
+    )
+
+
+def _python_pagerank(edges, iterations=6, d=0.85, precision=10):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {n: 0 for n in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    n = len(nodes)
+    pr = {x: 1.0 / n for x in nodes}
+    for _ in range(iterations):
+        dang = sum(pr[x] for x in nodes if out[x] == 0)
+        inflow = {x: 0.0 for x in nodes}
+        for u, v in edges:
+            inflow[v] += pr[u] / out[u]
+        pr = {
+            x: round((1.0 - d) / n + d * (inflow[x] + dang / n), precision)
+            for x in nodes
+        }
+    return pr
+
+
+def test_pagerank_matches_python_unroll(spark, diamond):
+    edges = [(r.src, r.dst) for r in diamond.collect()]
+    want = _python_pagerank(edges)
+    got = {r.node: r.pr for r in pagerank(diamond).collect()}
+    assert got == want
+
+
+def test_pagerank_dangling_mass_conserved(spark, diamond):
+    """With dangling redistribution the ranks stay a probability
+    distribution (sum == 1 up to rounding residue)."""
+    got = pagerank(diamond, iterations=8).collect()
+    assert abs(sum(r.pr for r in got) - 1.0) < 1e-8
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    """On a directed cycle every node has the same rank at every
+    iteration -> exactly 1/N each."""
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+    )
+    got = {r.node: r.pr for r in pagerank(cyc, iterations=5).collect()}
+    assert set(got.values()) == {0.25}
+
+
+def test_triangles_k4_plus_pendant(spark):
+    """K4: every node in 3 triangles, coeff 1.0; a pendant attached to
+    node 4 raises its degree to 4 -> coeff 2*3/(4*3) = 0.5."""
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src int, dst int",
+    )
+    got = {r.node: (r.degree, r.triangles, r.coeff)
+           for r in triangle_stats(e).collect()}
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    assert got[4] == (4, 3, 0.5)
+    assert got[5] == (1, 0, 0.0)
+
+
+def test_triangles_path_has_none(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    got = triangle_stats(e).collect()
+    assert all(r.triangles == 0 and r.coeff == 0.0 for r in got)
+
+
+def test_triangles_direction_and_dup_invariant(spark):
+    """Reversed / duplicated directed edges collapse to the same simple
+    undirected graph -> identical counts."""
+    a = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src int, dst int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 1), (1, 2), (1, 3)], "src int, dst int"
+    )
+    ga = sorted(map(tuple, triangle_stats(a).collect()))
+    gb = sorted(map(tuple, triangle_stats(b).collect()))
+    assert ga == gb and ga[0][2] == 1

@@ -319,3 +319,36 @@ def test_stratified_sample_salt_changes_composition(spark, documents):
     assert full.count() == n
     none = SMP.stratified_hash_sample(documents, default_pct=0, salt="x")
     assert none.count() == 0
+
+
+# ---- gopher repetition ---------------------------------------------------
+def test_gopher_repetition_golden(spark):
+    """Hand-computed: 'a b a b a b c' has bigrams [ab, ba, ab, ba, bc]
+    -> top 'a b' 2/6... recomputed below; trigrams [aba, bab, aba, bab,
+    abc] -> 4 of 5 occurrences duplicated."""
+    df = spark.createDataFrame(
+        [(0, "a b a b a b c"), (1, "u v w x y z q r")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.top_bigram_frac, r.dup_trigram_frac, r.keep)
+        for r in TS.gopher_repetition(df).collect()
+    }
+    # doc 0: 6 bigram occurrences [ab,ba,ab,ba,ab,bc] -> top 'a b' = 3/6;
+    # 5 trigram occurrences [aba,bab,aba,bab,abc] -> dup = 4/5
+    assert got[0] == (0.5, 0.8, False)
+    # doc 1: all 7 bigrams distinct -> 1/7; all trigrams unique -> 0.0
+    assert got[1] == (0.142857, 0.0, True)
+
+
+def test_gopher_keep_thresholds(spark):
+    """keep flips exactly at the paper thresholds (0.20 top-bigram)."""
+    # 10 tokens: 'x y' appears twice among 9 bigram occurrences (0.222 > 0.2)
+    over = "x y a b c d e f x y"
+    # 'x y' twice among 10 occurrences of an 11-token doc (0.2 <= 0.2)
+    at = "x y a b c d e f g x y"
+    df = spark.createDataFrame(
+        [(0, over), (1, at)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.keep for r in TS.gopher_repetition(df).collect()}
+    assert got[0] is False and got[1] is True
