@@ -343,6 +343,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf_dir, "documents")
     )
 
+    # sequence packing: concatenate-and-chunk into window=64 token
+    # sequences, 4 md5 shards per lang stream (packing is stream-local,
+    # so every sort is partition-local — no global sort at any scale)
+    def pack_sequences(spark, sf_dir):
+        from careers_spark.operators.packing import pack_sequences as PK
+
+        return PK(
+            _t(spark, sf_dir, "documents"), window=64, strata="lang", shards=4
+        )
+
+    q["pack_sequences"] = pack_sequences
+
+    # the whole curation chain composed declaratively: Gopher repetition
+    # keep AND not decontamination-flagged AND near-dup cluster
+    # representative AND stratified-sample member. Three legs fuse into
+    # one Catalyst plan (no materialization between steps); the near-dup
+    # leg is the iterative CC operator whose per-round checkpoints are
+    # its own declared scale path.
+    def curated_corpus(spark, sf_dir):
+        from careers_spark.operators import sampling as _SMP
+
+        docs = _t(spark, sf_dir, "documents")
+        g = TS.gopher_repetition(docs).select(
+            "doc_id", F.col("keep").alias("keep_repetition")
+        )
+        d = DD.contamination_flags(
+            docs, eval_pred="doc_id % 97 = 0", n=3, threshold=0.05
+        ).select("doc_id", (~F.col("contaminated")).alias("keep_decontam"))
+        nd = DD.near_dup_canonical(
+            docs, num_hashes=12, band_size=3, threshold=0.2
+        ).select("doc_id", F.col("is_kept").alias("keep_dedup"))
+        s = _SMP.stratified_hash_sample(
+            docs, rates={"en": 50, "zh": 20}, default_pct=10, salt="r5"
+        ).select("doc_id", F.lit(True).alias("keep_sample"))
+        out = (
+            d.join(g, "doc_id")
+            .join(nd, "doc_id")
+            .join(s, "doc_id", "left")
+            .select(
+                "doc_id",
+                "keep_repetition",
+                "keep_decontam",
+                "keep_dedup",
+                F.coalesce("keep_sample", F.lit(False)).alias("keep_sample"),
+            )
+        )
+        return out.withColumn(
+            "selected",
+            F.col("keep_repetition")
+            & F.col("keep_decontam")
+            & F.col("keep_dedup")
+            & F.col("keep_sample"),
+        )
+
+    q["curated_corpus"] = curated_corpus
+
     # ---- digests + incremental matching (TopicVector / WebCVProcess) ----
     def doc_topic_digests(spark, sf_dir):
         from careers_spark.operators import digests as DG
@@ -1793,6 +1849,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS asset_id,
                unnest(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000)) AS frame_ts_ms
         FROM documents WHERE doc_id % 3 = 2
+    """
+
+    # pack_sequences: window=64, 4 md5 shards per lang stream; the
+    # exclusive running-sum window is the identical frame both engines
+    o["pack_sequences"] = f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 {_DUCK_H64.format(c="concat(CAST(doc_id AS VARCHAR))")} % 4 AS shard,
+                 CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens
+          FROM documents
+        ),
+        pos AS (
+          SELECT *, coalesce(sum(n_tokens) OVER (
+                      PARTITION BY lang, shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS p
+          FROM toks
+        )
+        SELECT doc_id, lang, shard, n_tokens,
+               CAST(p // 64 AS BIGINT) AS seq_id,
+               CAST(p % 64 AS BIGINT) AS "offset",
+               ((p % 64) + n_tokens > 64) AS straddles
+        FROM pos
+    """
+
+    # curated_corpus: the four already-oracled curation legs composed
+    # verbatim as CTEs (nested WITH) — exactly the composition the Spark
+    # query expresses as one Catalyst plan
+    o["curated_corpus"] = f"""
+        WITH d AS ({o["decontamination"]}),
+        g AS ({o["gopher_repetition"]}),
+        nd AS ({o["near_dup_canonical"]}),
+        s AS ({o["stratified_sample"]})
+        SELECT d.doc_id,
+               g.keep AS keep_repetition,
+               NOT d.contaminated AS keep_decontam,
+               nd.is_kept AS keep_dedup,
+               (s.doc_id IS NOT NULL) AS keep_sample,
+               (g.keep AND NOT d.contaminated AND nd.is_kept
+                AND s.doc_id IS NOT NULL) AS selected
+        FROM d
+        JOIN g ON g.doc_id = d.doc_id
+        JOIN nd ON nd.doc_id = d.doc_id
+        LEFT JOIN s ON s.doc_id = d.doc_id
     """
 
     return o

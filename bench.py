@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "near_dup_canonical",
     "decontamination",
     "dup_span_fraction",
+    "curated_corpus",
+    "pack_sequences",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dups",

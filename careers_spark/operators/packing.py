@@ -1,0 +1,68 @@
+"""Sequence packing for LLM pretraining batches.
+
+The sample-packing step of a training-data pipeline: documents are
+concatenated in a deterministic order into fixed token-budget training
+sequences ("concatenate and chunk" — every pretraining stack does a
+variant of this so short documents don't waste context-window slots).
+
+Packing needs only LOCAL contiguity — a document's sequence assignment
+depends on the docs before it in ITS stream, not on any global order —
+so the stream is sharded: each (stratum, shard) pair is packed
+independently with one in-partition window. At 100 TB you raise
+`shards` into the thousands and every sort stays partition-local and
+bounded; there is no global sort anywhere. Shard assignment is
+md5-derived (same engine-identical hash family as sampling.py), so the
+layout is deterministic across runs, engines, and parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from careers_spark.operators.dedup import _hash64_expr, tokens_col
+
+
+def pack_sequences(
+    documents: DataFrame,
+    window: int = 512,
+    strata: str = "lang",
+    shards: int = 1,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a (stream, seq_id, offset) packing position.
+
+    Within each (strata, shard) stream, documents are ordered by `key`
+    and laid head-to-tail; position = exclusive running token count.
+    seq_id = position // window (which training sequence the document
+    STARTS in), offset = position % window, straddles = the document
+    crosses its sequence's right boundary (it will be split across two
+    training sequences — the metric packing efficiency studies track).
+
+    Output: (doc_id, <strata>, shard, n_tokens, seq_id, offset,
+    straddles).
+    """
+    shard = F.expr(
+        f"{_hash64_expr(f'cast({key} as string)')} % {int(shards)}"
+    ).alias("shard")
+    toks = documents.select(
+        F.col(key).alias("doc_id"),
+        F.col(strata).alias(strata),
+        shard,
+        F.size(tokens_col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(strata, "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        strata,
+        "shard",
+        "n_tokens",
+        F.floor(pos / window).cast("bigint").alias("seq_id"),
+        (pos % window).cast("bigint").alias("offset"),
+        ((pos % window) + F.col("n_tokens") > window).alias("straddles"),
+    )

@@ -212,3 +212,43 @@ def test_simhash_near_dups_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "band_val" in plan
+
+
+def test_contamination_eval_side_is_broadcast(spark):
+    """The decontamination screen must never shuffle the (huge) train
+    side on the shingle key: the eval shingle set rides a broadcast
+    hash join, and no sort-merge join or cartesian appears."""
+    from careers_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(DD.contamination_flags(docs, "doc_id % 97 = 0", n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Packing sorts only within (strata, shard) window partitions —
+    a global ordering would appear as a 'Sort [' with a preceding
+    rangepartitioning Exchange; assert the exchange hashes on the
+    stream keys instead."""
+    from careers_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_sequences(docs, window=64, shards=4))
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning" in plan.lower()
+
+
+def test_pagerank_iteration_is_partial_agg(spark):
+    """One PageRank iteration's inflow groupBy must carry map-side
+    partial aggregation (HashAggregate appears above AND below its
+    exchange), and the dangling scalar joins back as a broadcast."""
+    from careers_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(23)], "src int, dst int"
+    )
+    plan = _plan(pagerank(edges, iterations=1))
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
