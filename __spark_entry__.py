@@ -724,6 +724,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_triangles"] = graph_triangles
 
+    def graph_kcore(spark, sf_dir):
+        """8-core of the min_obs=35 entity graph — a real peel cascade
+        at sf0.01 (13 -> 10 -> 9 nodes over 3 rounds before fixpoint),
+        so the oracle's fixed-depth unroll is exercised, not vacuous."""
+        from careers_spark.operators.graph import kcore
+
+        return kcore(_entity_edges(spark, sf_dir, 35), k=8)
+
+    q["graph_kcore"] = graph_kcore
+
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
         MM.synth_assets(_t(spark, sf_dir, "documents"))
@@ -1502,6 +1512,38 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 6) AS coeff
         FROM degt d LEFT JOIN pn ON pn.node = d.node
     """
+
+    # graph_kcore: iterative peel unrolled to fixed depth (6 rounds >=
+    # the 3-round cascade at sf0.01; a converged peel is a fixpoint, so
+    # the unconditional unroll equals Spark's early-stopped loop — the
+    # LPA/Louvain/relaxation oracle recipe; degrees are integers, exact)
+    _kc_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e0 AS MATERIALIZED (
+          SELECT a.tok AS a, b.tok AS b
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        )"""
+    ]
+    for _k in range(1, 7):
+        _kc_chain.append(
+            f"""d{_k} AS MATERIALIZED (
+          SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM e{_k - 1} UNION ALL SELECT b FROM e{_k - 1}
+          ) GROUP BY node HAVING count(*) >= 8
+        ),
+        e{_k} AS MATERIALIZED (
+          SELECT t.a, t.b FROM e{_k - 1} t
+          JOIN d{_k} x ON x.node = t.a
+          JOIN d{_k} y ON y.node = t.b
+        )"""
+        )
+    o["graph_kcore"] = (
+        "WITH " + ",\n".join(_kc_chain) + "\nSELECT node, degree FROM d6"
+    )
 
     o["token_counts"] = f"""
         SELECT doc_id,

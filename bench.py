@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "louvain_communities",
     "entity_pagerank",
     "graph_triangles",
+    "graph_kcore",
 ]
 
 

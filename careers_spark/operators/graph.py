@@ -180,3 +180,62 @@ def triangle_stats(
             ).alias("coeff"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove
+    nodes with degree < k (in the surviving subgraph) until fixpoint.
+    The k-core is the standard "dense backbone" extraction for a
+    freshly built KG — nodes outside it are leaves/tendrils that
+    coherence scoring and community detection both treat as noise.
+
+    Each round is one degree aggregation (algebraic, map-side
+    combinable) + one semi-join filter of the edge set; the graph only
+    shrinks, so per-round cost is monotone non-increasing. Rounds are
+    localCheckpoint'ed (lineage would otherwise double per round) and
+    the loop early-stops on a driver-side count fixpoint — a converged
+    peel is invariant under further rounds, which is what lets the SQL
+    oracle unroll it to fixed depth.
+
+    Output: (node, degree) — nodes in the k-core with their core degree.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = -1
+    for _ in range(max_iter):
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .union(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+        alive = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
+        n = alive.count()
+        if n == n_prev:
+            break
+        n_prev = n
+        und = (
+            und.join(alive.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # silent under-peeling would return a superset of the k-core;
+        # raise instead (same convention as hierarchy.py's SCC loop)
+        raise RuntimeError(
+            f"kcore did not reach a fixpoint in {max_iter} rounds"
+        )
+    return alive

@@ -97,3 +97,52 @@ def test_triangles_direction_and_dup_invariant(spark):
     ga = sorted(map(tuple, triangle_stats(a).collect()))
     gb = sorted(map(tuple, triangle_stats(b).collect()))
     assert ga == gb and ga[0][2] == 1
+
+
+# ---- k-core ---------------------------------------------------------------
+def test_kcore_peels_tail_cascade(spark):
+    """K4 with a 3-node tail hanging off node 4: at k=2 the tail peels
+    one node per round (7->6->5->4, a real cascade), leaving exactly
+    the K4 with within-core degree 3."""
+    from careers_spark.operators.graph import kcore
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (6, 7)],
+        "src int, dst int",
+    )
+    got = {r.node: r.degree for r in kcore(e, k=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_above_max_degree_is_empty(spark):
+    from careers_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src int, dst int")
+    assert kcore(e, k=3).count() == 0
+
+
+def test_kcore_whole_graph_when_already_core(spark):
+    """A clique at k <= n-1 survives intact with original degrees."""
+    from careers_spark.operators.graph import kcore
+
+    edges = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.degree for r in kcore(e, k=4).collect()}
+    assert got == {i: 4 for i in range(1, 6)}
+
+
+def test_kcore_raises_without_fixpoint_budget(spark):
+    """max_iter smaller than the cascade depth must raise loudly, never
+    return an under-peeled superset."""
+    import pytest as _pytest
+
+    from careers_spark.operators.graph import kcore
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (6, 7)],
+        "src int, dst int",
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(e, k=2, max_iter=1)
