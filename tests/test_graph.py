@@ -146,3 +146,86 @@ def test_kcore_raises_without_fixpoint_budget(spark):
     )
     with _pytest.raises(RuntimeError, match="fixpoint"):
         kcore(e, k=2, max_iter=1)
+
+
+# ---- seeded randomized cross-checks (Spark vs independent python) ---------
+def _rand_graph(seed, n=14, density=4):
+    """Deterministic pseudo-random edge list (no RNG at test time —
+    md5-derived, so failures reproduce byte-identically)."""
+    import hashlib
+
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+            if int(h[:4], 16) % 10 < density:
+                edges.append((i, j))
+    return edges
+
+
+def _python_kcore(edges, k):
+    nodes = {u for e in edges for u in e}
+    alive = set(nodes)
+    while True:
+        deg = {x: 0 for x in alive}
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] += 1
+                deg[v] += 1
+        nxt = {x for x in alive if deg[x] >= k}
+        if nxt == alive:
+            return {x: deg[x] for x in alive}
+        alive = nxt
+
+
+def _python_triangles(edges):
+    nodes = {u for e in edges for u in e}
+    adj = {x: set() for x in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = {x: 0 for x in nodes}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            # each triangle is visited once per its 3 edges, and every
+            # visit credits all 3 corners -> each node +3 per triangle
+            tri[u] += 1
+            tri[v] += 1
+            tri[w] += 1
+    return {x: t // 3 for x, t in tri.items()}
+
+
+def test_kcore_matches_python_on_random_graphs(spark):
+    from careers_spark.operators.graph import kcore
+
+    for seed in (0, 1, 2):
+        edges = _rand_graph(seed)
+        df = spark.createDataFrame(edges, "src int, dst int")
+        for k in (2, 3):
+            want = _python_kcore(edges, k)
+            got = {r.node: r.degree for r in kcore(df, k=k).collect()}
+            assert got == want, (seed, k)
+
+
+def test_triangles_match_python_on_random_graphs(spark):
+    from careers_spark.operators.graph import triangle_stats
+
+    for seed in (0, 1, 2):
+        edges = _rand_graph(seed)
+        df = spark.createDataFrame(edges, "src int, dst int")
+        want = _python_triangles(edges)
+        got = {r.node: r.triangles for r in triangle_stats(df).collect()}
+        assert got == want, seed
+
+
+def test_pagerank_matches_python_on_random_digraphs(spark):
+    from careers_spark.operators.graph import pagerank
+
+    for seed in (3, 4):
+        # directed: keep the canonical pairs as-is (sources/sinks arise
+        # naturally, exercising the dangling term)
+        edges = _rand_graph(seed, n=12, density=3)
+        df = spark.createDataFrame(edges, "src int, dst int")
+        want = _python_pagerank(edges)
+        got = {r.node: r.pr for r in pagerank(df).collect()}
+        assert got == want, seed

@@ -119,3 +119,51 @@ def test_curated_corpus_equals_leg_conjunction(spark):
         )
     assert any(r.selected for r in cur.values())
     assert any(not r.selected for r in cur.values())
+
+
+def test_pack_matches_python_recompute_random(spark):
+    """Full independent python recompute of the packing layout
+    (tokenize, md5 shard, per-stream exclusive cumsum) on seeded
+    pseudo-random corpora — broader than the hand goldens."""
+    import hashlib
+    import re
+
+    def recompute(rows, window, shards):
+        toks = {
+            d: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+            for d, txt, _ in rows
+        }
+        shard = {
+            d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % shards
+            for d, _, _ in rows
+        }
+        out = {}
+        streams = {}
+        for d, txt, lang in sorted(rows):
+            streams.setdefault((lang, shard[d]), []).append(d)
+        for (lang, sh), ids in streams.items():
+            pos = 0
+            for d in ids:
+                n = len(toks[d])
+                out[d] = (lang, sh, n, pos // window, pos % window,
+                          pos % window + n > window)
+                pos += n
+        return out
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    for seed in (0, 1):
+        rows = []
+        for d in range(40):
+            h = int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:8], 16)
+            n = 1 + h % 9
+            lang = ["en", "de", "fr"][h % 3]
+            text = " ".join(words[(h + i) % len(words)] for i in range(n))
+            rows.append((d, text, lang))
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        want = recompute(rows, window=16, shards=3)
+        got = {
+            r.doc_id: (r.lang, r.shard, r.n_tokens, r.seq_id, r.offset,
+                       r.straddles)
+            for r in pack_sequences(df, window=16, shards=3).collect()
+        }
+        assert got == want, seed
