@@ -399,6 +399,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curated_corpus"] = curated_corpus
 
+    # curate -> pack, composed: pack only the docs the curation chain
+    # selected. The selection is a left-semi join (nothing from the
+    # curation side widens the pack rows), then the identical packing
+    # layout over the surviving stream.
+    def training_manifest(spark, sf_dir):
+        from careers_spark.operators.packing import pack_sequences as PK
+
+        docs = _t(spark, sf_dir, "documents")
+        sel = (
+            curated_corpus(spark, sf_dir)
+            .filter(F.col("selected"))
+            .select("doc_id")
+        )
+        return PK(
+            docs.join(sel, "doc_id", "left_semi"),
+            window=64,
+            strata="lang",
+            shards=2,
+        )
+
+    q["training_manifest"] = training_manifest
+
     # ---- digests + incremental matching (TopicVector / WebCVProcess) ----
     def doc_topic_digests(spark, sf_dir):
         from careers_spark.operators import digests as DG
@@ -1893,14 +1915,17 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id % 3 = 2
     """
 
-    # pack_sequences: window=64, 4 md5 shards per lang stream; the
-    # exclusive running-sum window is the identical frame both engines
-    o["pack_sequences"] = f"""
+    # pack_sequences: window=64 token sequences, md5 shards per lang
+    # stream; the exclusive running-sum window is the identical frame in
+    # both engines. Parameterized over the source relation so the
+    # training_manifest composition below reuses it verbatim.
+    def _pack_sql(source: str, window: int, shards: int) -> str:
+        return f"""
         WITH toks AS (
           SELECT doc_id, lang,
-                 {_DUCK_H64.format(c="concat(CAST(doc_id AS VARCHAR))")} % 4 AS shard,
+                 {_DUCK_H64.format(c="concat(CAST(doc_id AS VARCHAR))")} % {shards} AS shard,
                  CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens
-          FROM documents
+          FROM {source}
         ),
         pos AS (
           SELECT *, coalesce(sum(n_tokens) OVER (
@@ -1910,11 +1935,13 @@ def oracle_sql() -> dict[str, str]:
           FROM toks
         )
         SELECT doc_id, lang, shard, n_tokens,
-               CAST(p // 64 AS BIGINT) AS seq_id,
-               CAST(p % 64 AS BIGINT) AS "offset",
-               ((p % 64) + n_tokens > 64) AS straddles
+               CAST(p // {window} AS BIGINT) AS seq_id,
+               CAST(p % {window} AS BIGINT) AS "offset",
+               ((p % {window}) + n_tokens > {window}) AS straddles
         FROM pos
     """
+
+    o["pack_sequences"] = _pack_sql("documents", 64, 4)
 
     # curated_corpus: the four already-oracled curation legs composed
     # verbatim as CTEs (nested WITH) — exactly the composition the Spark
@@ -1936,5 +1963,19 @@ def oracle_sql() -> dict[str, str]:
         JOIN nd ON nd.doc_id = d.doc_id
         LEFT JOIN s ON s.doc_id = d.doc_id
     """
+
+    # training_manifest: pack ONLY the curated-selected docs — the
+    # end-to-end "what enters training" composition (curate -> pack).
+    # The pack SQL is reused verbatim with the curated selection as its
+    # source relation.
+    o["training_manifest"] = _pack_sql(
+        f"""(
+          SELECT doc.* FROM documents doc
+          JOIN (SELECT doc_id FROM ({o["curated_corpus"]}) WHERE selected) keep
+            ON keep.doc_id = doc.doc_id
+        ) src""",
+        64,
+        2,
+    )
 
     return o

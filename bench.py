@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "dup_span_fraction",
     "curated_corpus",
     "pack_sequences",
+    "training_manifest",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dups",

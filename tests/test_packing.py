@@ -167,3 +167,30 @@ def test_pack_matches_python_recompute_random(spark):
             for r in pack_sequences(df, window=16, shards=3).collect()
         }
         assert got == want, seed
+
+
+def test_training_manifest_packs_selected_only(spark):
+    """The manifest contains exactly the curated-selected docs, and
+    their packing positions are recomputed over the FILTERED stream
+    (not inherited from the full-corpus layout)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    qs = e.queries()
+    selected = {
+        r.doc_id
+        for r in qs["curated_corpus"](spark, sf).collect()
+        if r.selected
+    }
+    manifest = {r.doc_id: r for r in qs["training_manifest"](spark, sf).collect()}
+    assert set(manifest) == selected and selected
+    # within each (lang, shard) stream positions start at 0 and are a
+    # gapless exclusive cumsum of the surviving docs
+    streams = {}
+    for r in sorted(manifest.values(), key=lambda r: r.doc_id):
+        streams.setdefault((r.lang, r.shard), []).append(r)
+    for rows in streams.values():
+        pos = 0
+        for r in rows:
+            assert r.seq_id * 64 + r.offset == pos
+            pos += r.n_tokens
