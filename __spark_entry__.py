@@ -735,6 +735,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_pagerank"] = entity_pagerank
 
+    def entity_pagerank_weighted(spark, sf_dir):
+        """Weighted variant: edge mass proportional to the integer
+        co-occurrence count (pr * w / outw) — the natural salience for
+        KG edges carrying observation counts."""
+        from careers_spark.operators.graph import pagerank
+
+        return pagerank(
+            _entity_edges(spark, sf_dir, 35),
+            iterations=6,
+            damping=0.85,
+            weight="n_obs",
+        )
+
+    q["entity_pagerank_weighted"] = entity_pagerank_weighted
+
     def graph_triangles(spark, sf_dir):
         """Per-node triangle counts + clustering coefficient on the
         denser (min_obs=20) entity graph — the standard cohesion
@@ -1493,6 +1508,61 @@ def oracle_sql() -> dict[str, str]:
         )
     o["entity_pagerank"] = (
         "WITH " + ",\n".join(_pr_chain) + "\nSELECT node, pr FROM p6"
+    )
+
+    # entity_pagerank_weighted: identical recurrence with edge mass
+    # distributed proportionally to the integer co-occurrence weight
+    # (contribution pr * w / outw, outw = summed outgoing weight).
+    # Integer-valued weights sum exactly in doubles regardless of order
+    # (the Louvain-oracle argument), so only the pr sums need the
+    # per-iteration rounding — same lockstep guarantee as unweighted.
+    _prw_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst, CAST(count(*) AS BIGINT) AS w
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        base AS MATERIALIZED (
+          SELECT n.node, coalesce(od.outw, 0.0) AS outw
+          FROM nodes n LEFT JOIN (
+            SELECT src AS node, sum(CAST(w AS DOUBLE)) AS outw FROM e GROUP BY src
+          ) od ON od.node = n.node
+        ),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+        p0 AS MATERIALIZED (
+          SELECT node, outw, 1.0 / nn.n AS pr FROM base CROSS JOIN nn
+        )"""
+    ]
+    for _k in range(1, 7):
+        _prw_chain.append(
+            f"""p{_k} AS MATERIALIZED (
+          SELECT b.node, b.outw,
+                 round((1.0 - 0.85) / nn.n
+                       + 0.85 * (coalesce(inf.inflow, 0.0) + dang.d / nn.n),
+                       10) AS pr
+          FROM base b
+          CROSS JOIN nn
+          CROSS JOIN (
+            SELECT coalesce(sum(CASE WHEN outw = 0 THEN pr END), 0.0) AS d
+            FROM p{_k - 1}
+          ) dang
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum(p.pr * CAST(e.w AS DOUBLE) / p.outw) AS inflow
+            FROM e JOIN p{_k - 1} p ON p.node = e.src
+            GROUP BY e.dst
+          ) inf ON inf.node = b.node
+        )"""
+        )
+    o["entity_pagerank_weighted"] = (
+        "WITH " + ",\n".join(_prw_chain) + "\nSELECT node, pr FROM p6"
     )
 
     # graph_triangles: canonical a<b<c wedge-join enumeration over the

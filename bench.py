@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "entity_communities",
     "louvain_communities",
     "entity_pagerank",
+    "entity_pagerank_weighted",
     "graph_triangles",
     "graph_kcore",
 ]

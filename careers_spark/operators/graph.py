@@ -48,6 +48,7 @@ def pagerank(
     iterations: int = 6,
     damping: float = 0.85,
     precision: int = 10,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank entity salience over the KG edge table — the standard
     "which entities matter" score for a freshly constructed graph
@@ -75,9 +76,30 @@ def pagerank(
     hash-exactly (same recipe as the Louvain oracle's integer-weight
     argument, adapted for genuinely fractional values).
 
+    With `weight` set, edge mass is distributed proportionally to edge
+    weight (contribution pr * w / outw, outw = summed outgoing weight) —
+    the natural form for KG edges carrying observation counts. Integer-
+    valued weights keep the per-edge ratios engine-identical; the
+    per-iteration rounding covers the sums as in the unweighted case.
+    The unweighted path is bit-identical to weight=None's original form
+    (w == 1.0 multiplies out exactly).
+
     Output: (node, pr) — pr rounded to `precision` decimals.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    if weight is None:
+        e = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).distinct().withColumn("w", F.lit(1.0))
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("u"),
+                F.col(dst).alias("v"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+        )
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -85,10 +107,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     outdeg = e.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").alias("outdeg")
+        F.sum("w").alias("outdeg")
     )
     base = nodes.join(outdeg, "node", "left").select(
-        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+        "node", F.coalesce("outdeg", F.lit(0.0)).alias("outdeg")
     ).localCheckpoint(eager=True)
     n_nodes = F.lit(base.count())
 
@@ -102,7 +124,7 @@ def pagerank(
         contrib = (
             e.join(pr.withColumnRenamed("node", "u"), "u")
             .groupBy(F.col("v").alias("node"))
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("inflow"))
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("outdeg")).alias("inflow"))
         )
         pr = (
             base.join(contrib, "node", "left")

@@ -6,6 +6,7 @@ against hand-countable shapes (K4, pendant, path).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from careers_spark.operators.graph import pagerank, triangle_stats
 
@@ -229,3 +230,59 @@ def test_pagerank_matches_python_on_random_digraphs(spark):
         want = _python_pagerank(edges)
         got = {r.node: r.pr for r in pagerank(df).collect()}
         assert got == want, seed
+
+
+def _python_pagerank_weighted(edges, iterations=6, d=0.85, precision=10):
+    """edges: (u, v, w) triples."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    outw = {n: 0.0 for n in nodes}
+    for u, _, w in edges:
+        outw[u] += w
+    n = len(nodes)
+    pr = {x: 1.0 / n for x in nodes}
+    for _ in range(iterations):
+        dang = sum(pr[x] for x in nodes if outw[x] == 0)
+        inflow = {x: 0.0 for x in nodes}
+        for u, v, w in edges:
+            inflow[v] += pr[u] * w / outw[u]
+        pr = {
+            x: round((1.0 - d) / n + d * (inflow[x] + dang / n), precision)
+            for x in nodes
+        }
+    return pr
+
+
+def test_weighted_pagerank_matches_python(spark):
+    from careers_spark.operators.graph import pagerank
+
+    edges = [(1, 2, 3), (1, 3, 1), (2, 3, 5), (3, 1, 2), (4, 3, 7)]
+    df = spark.createDataFrame(edges, "src int, dst int, n_obs int")
+    want = _python_pagerank_weighted(edges)
+    got = {r.node: r.pr for r in pagerank(df, weight="n_obs").collect()}
+    assert got == want
+
+
+def test_weighted_pagerank_uniform_weights_equals_unweighted(spark):
+    """Constant weights cancel (w/outw == 1/outdeg) -> identical ranks."""
+    from careers_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int").withColumn(
+        "n_obs", F.lit(7)
+    )
+    a = {r.node: r.pr for r in pagerank(df, weight="n_obs").collect()}
+    b = {r.node: r.pr for r in pagerank(df).collect()}
+    assert a == b
+
+
+def test_weighted_pagerank_heavy_edge_dominates(spark):
+    """Two targets from one source; the heavier edge's target must rank
+    strictly higher."""
+    from careers_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1)],
+        "src int, dst int, n_obs int",
+    )
+    got = {r.node: r.pr for r in pagerank(df, weight="n_obs").collect()}
+    assert got[2] > got[3]
