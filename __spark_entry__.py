@@ -25,6 +25,7 @@ from careers_spark.operators import dictionary as D  # noqa: E402
 from careers_spark.operators import multimodal as MM  # noqa: E402
 from careers_spark.operators import sampling as SMP  # noqa: E402
 from careers_spark.operators import similarity as SIM  # noqa: E402
+from careers_spark.operators import sketches as SK  # noqa: E402
 from careers_spark.operators import textstats as TS  # noqa: E402
 from careers_spark.plans import flagship  # noqa: E402
 
@@ -770,6 +771,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kcore(_entity_edges(spark, sf_dir, 35), k=8)
 
     q["graph_kcore"] = graph_kcore
+
+    def entity_hits(spark, sf_dir):
+        """HITS hubs/authorities on the min_obs=35 entity graph — the
+        bipartite complement of PageRank salience (subjects that point
+        at everything vs objects everything points at). 6 synchronous
+        L1-normalized iterations, per-iteration round(,10) for the
+        engine-lockstep unrolled oracle (graph.hits)."""
+        from careers_spark.operators.graph import hits
+
+        return hits(_entity_edges(spark, sf_dir, 35), iterations=6)
+
+    q["entity_hits"] = entity_hits
+
+    # ---- temporal joins / rollups (operators Spark's surface lacks) ----
+    def asof_last_click(spark, sf_dir):
+        """Point-in-time (as-of) join: each purchase event enriched with
+        the most recent STRICTLY earlier click by the same user —
+        sort-based union-window implementation, one shuffle on user_id,
+        no range join (temporal.asof_join)."""
+        from careers_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf_dir, "events")
+        purchases = ev.filter("event_type = 'purchase'").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter("event_type = 'click'").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        j = asof_join(
+            purchases, clicks, key="user_id", ts="ts",
+            tiebreak="event_id", payload=["event_id", "ts", "value"],
+            strict=True,
+        )
+        us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        return j.select(
+            "event_id",
+            "user_id",
+            us("ts").alias("ts_us"),
+            F.col("event_id_asof").alias("click_id"),
+            F.col("value_asof").alias("click_value"),
+            (us("ts") - us("ts_asof")).alias("gap_us"),
+        )
+
+    q["asof_last_click"] = asof_last_click
+
+    def clicks_before_purchase(spark, sf_dir):
+        """Bounded range join: per purchase, the count of same-user
+        clicks in the trailing hour [ts-1h, ts) — band-bucketed
+        equi-join, never an inequality join (temporal.windowed_count_join)."""
+        from careers_spark.operators.temporal import windowed_count_join
+
+        ev = _t(spark, sf_dir, "events")
+        purchases = ev.filter("event_type = 'purchase'").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+        return windowed_count_join(
+            purchases, clicks, key="user_id", ts="ts",
+            window_us=3_600_000_000, out="n_clicks_1h",
+        ).select("event_id", "user_id", "n_clicks_1h")
+
+    q["clicks_before_purchase"] = clicks_before_purchase
+
+    def event_rollup_hourly(spark, sf_dir):
+        """Hypertable-style continuous aggregate: 5-min grain from raw,
+        1-h grain FROM THE 5-MIN GRAIN (exact integer-cent re-aggregation
+        — the oracle computes both grains from raw, proving
+        rollup-of-rollup == rollup-of-raw; temporal.time_bucket_rollup)."""
+        from careers_spark.operators.temporal import time_bucket_rollup
+
+        return time_bucket_rollup(
+            _t(spark, sf_dir, "events"), dims=["event_type"]
+        )
+
+    q["event_rollup_hourly"] = event_rollup_hourly
+
+    def distinct_sketch(spark, sf_dir):
+        """k-independent-minimums cardinality sketch (k=64) vs exact
+        count(distinct) per event_type over (user_id, value-cents) keys
+        — a deterministic, oracle-checkable stand-in for HLL whose whole
+        cost is one partial-agg groupBy (sketches.distinct_sketch)."""
+        from careers_spark.operators.sketches import distinct_sketch as dsk
+
+        key = (
+            "concat(cast(user_id as string), ':', "
+            "cast(cast(round(value * 100, 0) as bigint) as string))"
+        )
+        return dsk(_t(spark, sf_dir, "events"), "event_type", key, k=64)
+
+    q["distinct_sketch"] = distinct_sketch
 
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
@@ -1636,6 +1727,147 @@ def oracle_sql() -> dict[str, str]:
     o["graph_kcore"] = (
         "WITH " + ",\n".join(_kc_chain) + "\nSELECT node, degree FROM d6"
     )
+
+    # entity_hits: the HITS recurrence unrolled 6 iterations — per-
+    # iteration round(,10) on both scores keeps the engines in decimal
+    # lockstep (the entity_pagerank recipe; the L1-normalizing division
+    # divides two near-identical doubles, leaving relative noise at
+    # ~1e-16, six orders below the rounded digit)
+    _hits_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS u, b.tok AS v
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        h0 AS MATERIALIZED (
+          SELECT node, 1.0 / nn.n AS hub FROM nodes CROSS JOIN nn
+        )"""
+    ]
+    for _k in range(1, 7):
+        _hits_chain.append(
+            f"""afull{_k} AS MATERIALIZED (
+          SELECT n.node, coalesce(ar.raw, 0.0) AS raw
+          FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, sum(h.hub) AS raw
+            FROM e JOIN h{_k - 1} h ON h.node = e.u GROUP BY e.v
+          ) ar ON ar.node = n.node
+        ),
+        a{_k} AS MATERIALIZED (
+          SELECT f.node, round(f.raw / s.s, 10) AS auth
+          FROM afull{_k} f CROSS JOIN (SELECT sum(raw) AS s FROM afull{_k}) s
+        ),
+        hfull{_k} AS MATERIALIZED (
+          SELECT n.node, coalesce(hr.raw, 0.0) AS raw
+          FROM nodes n LEFT JOIN (
+            SELECT e.u AS node, sum(a.auth) AS raw
+            FROM e JOIN a{_k} a ON a.node = e.v GROUP BY e.u
+          ) hr ON hr.node = n.node
+        ),
+        h{_k} AS MATERIALIZED (
+          SELECT f.node, round(f.raw / s.s, 10) AS hub
+          FROM hfull{_k} f CROSS JOIN (SELECT sum(raw) AS s FROM hfull{_k}) s
+        )"""
+        )
+    o["entity_hits"] = (
+        "WITH "
+        + ",\n".join(_hits_chain)
+        + "\nSELECT h.node, h.hub, a.auth FROM h6 h JOIN a6 a ON a.node = h.node"
+    )
+
+    # asof_last_click: the identical union-window form (qualifying click
+    # rows sort strictly before the purchase row under (ts_us, side, tb);
+    # strict `<` puts equal-ts clicks AFTER the purchase, excluding them)
+    o["asof_last_click"] = """
+        WITH u AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, 0 AS side, event_id AS tb,
+                 CAST(NULL AS BIGINT) AS p_eid, CAST(NULL AS BIGINT) AS p_ts,
+                 CAST(NULL AS DOUBLE) AS p_val, event_id AS l_eid
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, epoch_us(ts), 1, event_id,
+                 event_id, epoch_us(ts), value, CAST(NULL AS BIGINT)
+          FROM events WHERE event_type = 'click'
+        ),
+        w AS (
+          SELECT l_eid, user_id, ts_us,
+                 last_value(p_eid IGNORE NULLS) OVER win AS click_id,
+                 last_value(p_ts IGNORE NULLS) OVER win AS click_ts,
+                 last_value(p_val IGNORE NULLS) OVER win AS click_value
+          FROM u
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, tb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_eid AS event_id, user_id, ts_us, click_id, click_value,
+               ts_us - click_ts AS gap_us
+        FROM w WHERE l_eid IS NOT NULL
+    """
+
+    # clicks_before_purchase: the oracle states the range join directly
+    # (LEFT JOIN keeps zero-click purchases); Spark's band-bucketed
+    # equi-join must reproduce it exactly
+    o["clicks_before_purchase"] = """
+        SELECT p.event_id, p.user_id,
+               CAST(count(c.user_id) AS BIGINT) AS n_clicks_1h
+        FROM events p LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+         AND epoch_us(c.ts) < epoch_us(p.ts)
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+    """
+
+    # event_rollup_hourly: BOTH grains computed from raw — Spark's
+    # coarse grain aggregates from its fine grain, so a hash match
+    # proves rollup-of-rollup == rollup-of-raw (integer cents make the
+    # re-aggregation exact in any order)
+    o["event_rollup_hourly"] = """
+        WITH c AS (
+          SELECT event_type, epoch_us(ts) AS us,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT 'fine' AS grain, event_type,
+               (us // 300000000) * 300000000 AS bucket_us,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM c GROUP BY event_type, bucket_us
+        UNION ALL
+        SELECT 'coarse', event_type,
+               (us // 3600000000) * 3600000000,
+               CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        FROM c GROUP BY event_type, (us // 3600000000) * 3600000000
+    """
+
+    # distinct_sketch: the k=64 independent-minimums sketch — same
+    # md5-affine hash family as the MinHash oracles, estimator folded in
+    # fixed index order so both engines evaluate the identical doubles
+    _sk_key = (
+        "concat(cast(user_id as string), ':', "
+        "cast(cast(round(value * 100, 0) as bigint) as string))"
+    )
+    _sk_h = _DUCK_H64.format(c=_sk_key)
+    _sk_terms = ", ".join(
+        f"min(({_sk_h} * {DD.MINHASH_A0 + _j * DD.MINHASH_A_STEP}"
+        f" + {DD.MINHASH_B0 + _j * DD.MINHASH_B_STEP}) % {DD.MINHASH_P}) AS m{_j}"
+        for _j in range(64)
+    )
+    o["distinct_sketch"] = f"""
+        WITH m AS (
+          SELECT event_type, {_sk_terms},
+                 CAST(count(distinct {_sk_key}) AS BIGINT) AS n_exact
+          FROM events GROUP BY event_type
+        ),
+        e AS (SELECT event_type, n_exact, {SK.kmin_estimate_sql(64)} AS n_est FROM m)
+        SELECT event_type, n_exact, n_est,
+               round(abs(n_est - n_exact) / n_exact, 4) AS rel_err
+        FROM e
+    """
 
     o["token_counts"] = f"""
         SELECT doc_id,

@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "sessionize",
+    "asof_last_click",
+    "clicks_before_purchase",
+    "event_rollup_hourly",
+    "distinct_sketch",
     "top_orders_per_cust",
     "link_weights_nation",
     "redirect_fixpoint",
@@ -61,6 +65,7 @@ BENCH_QUERIES = [
     "louvain_communities",
     "entity_pagerank",
     "entity_pagerank_weighted",
+    "entity_hits",
     "graph_triangles",
     "graph_kcore",
 ]

@@ -261,3 +261,82 @@ def kcore(
             f"kcore did not reach a fixpoint in {max_iter} rounds"
         )
     return alive
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+    precision: int = 10,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the directed edge
+    set — the bipartite complement of PageRank's salience: authorities
+    are entities many strong hubs point AT, hubs are entities pointing
+    at many strong authorities. On a KG whose directed edges run
+    subject -> object, authorities surface the heavily-referenced
+    objects and hubs the prolific subjects.
+
+    Synchronous power iteration with L1 (sum) normalization — the norm
+    choice only rescales, never reorders, and avoiding sqrt keeps every
+    step a join + algebraic sum + one division:
+
+        a_{t+1}(v) = sum_{u->v} h_t(u)     / S_a
+        h_{t+1}(u) = sum_{u->v} a_{t+1}(v) / S_h
+
+    Physical shape per iteration: two edge joins, two partial-agg
+    groupBys, two single-row normalizer aggregates kept as broadcast
+    crossJoins (never collected — the loop stays on the cluster). Same
+    scale posture as pagerank() above: shuffles on the edge endpoint,
+    hub skew AQE-split, algebraic sums map-side combined.
+
+    Engine lockstep for the unrolled-SQL oracle: both scores are rounded
+    to `precision` decimals every iteration (pre-round IEEE noise
+    ~1e-16 relative sits 6 orders below the rounded digit — the
+    pagerank() argument verbatim; the normalizing division divides two
+    near-identical doubles, leaving relative noise unchanged).
+
+    Output: (node, hub, auth), both rounded to `precision`.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = F.lit(nodes.count())
+    hub = nodes.select("node", (F.lit(1.0) / n_nodes).alias("hub"))
+    auth = nodes.select("node", (F.lit(1.0) / n_nodes).alias("auth"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        a_full = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        s_a = a_full.agg(F.sum("raw").alias("s"))
+        auth = a_full.crossJoin(F.broadcast(s_a)).select(
+            "node", F.round(F.col("raw") / F.col("s"), precision).alias("auth")
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("auth").alias("raw"))
+        )
+        h_full = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        s_h = h_full.agg(F.sum("raw").alias("s"))
+        hub = h_full.crossJoin(F.broadcast(s_h)).select(
+            "node", F.round(F.col("raw") / F.col("s"), precision).alias("hub")
+        )
+        # truncate lineage each iteration: HITS stacks 2 joins + 2 aggs
+        # + 2 crossJoins per step and the final hub⋈auth join doubles
+        # the chain — the un-checkpointed 6-deep plan OOMs the driver in
+        # plan/codegen string building (the kcore convention)
+        auth = auth.localCheckpoint(eager=True)
+        hub = hub.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select("node", "hub", "auth")

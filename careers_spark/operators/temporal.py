@@ -1,0 +1,228 @@
+"""Temporal joins and time-bucket rollups.
+
+Three operators Spark's built-in surface lacks, expressed so Catalyst
+keeps the scale-friendly physical plan:
+
+- ``asof_join``: for every left row, the most recent right row at/before
+  (or strictly before) its timestamp — the classic point-in-time join
+  (market data, attribution). Implemented SORT-BASED, not join-based:
+  tag the two sides, union, and take a running ``last`` over a single
+  (key, ts) window. ONE shuffle on the key, no range-predicate join
+  (Spark would execute that as a broadcast-nested-loop or an exploding
+  inequality sort-merge), no per-left-row probe. This is exactly how a
+  distributed as-of join is built at scale (the union-window form of
+  the merge in pandas.merge_asof / QuestDB ASF joins).
+
+- ``windowed_count_join``: per left row, count right rows of the same
+  key in the trailing interval ``(ts - window, ts)`` — a bounded range
+  join. Implemented with the band-bucketing trick: both sides bucket
+  ts into ``window``-sized bands; every qualifying right row is in the
+  left row's band or the one before, so the candidate set comes from an
+  EQUI-join on (key, bucket) after exploding the left side to its two
+  covering buckets, and the exact interval predicate filters the
+  residue. Shuffle is on (key, bucket) — never a cartesian, never an
+  unbounded inequality join.
+
+- ``time_bucket_rollup``: multi-resolution continuous aggregates in the
+  TimescaleDB hypertable style — the fine grain aggregates from raw,
+  every coarser grain aggregates FROM THE NEXT FINER GRAIN (counts and
+  integer-cent sums are algebraic, so re-aggregation is exact). At
+  10^12 rows the hour grain reads the 5-minute aggregate (~5 orders of
+  magnitude smaller), not the raw table.
+
+The reference's analogue is the per-day/per-week activity rollups its
+report layer derives from event timestamps; these operators are the
+Spark-native generalization.
+
+All money/value sums ride integer cents (``round(value * 100)`` as
+BIGINT): integer sums are exact in any addition order, so rollup-of-
+rollup equals rollup-of-raw bit-for-bit and the DuckDB oracles hash-
+match without tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _us(ts: str) -> Column:
+    """Epoch microseconds as BIGINT (DuckDB twin: epoch_us(ts)).
+
+    Parquet timestamps load as TIMESTAMP_NTZ, which unix_micros rejects;
+    the cast to TIMESTAMP interprets the wall-clock in the session
+    timezone (pinned to UTC in session.py:44), matching DuckDB's
+    epoch_us on the same naive value. On an already-tz'd TIMESTAMP the
+    cast is a no-op.
+    """
+    return F.unix_micros(F.col(ts).cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    payload: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """Point-in-time join: enrich each left row with the payload of the
+    most recent right row whose ``ts`` is before (``strict=True``) or
+    at-or-before (``strict=False``) the left row's ``ts``.
+
+    "Most recent" ties on equal right-side ``ts`` break toward the
+    larger ``tiebreak`` (which must be unique within the right side for
+    a deterministic result; an id column is the natural choice).
+
+    Physical shape: union both sides with a side tag, ONE window over
+    (key) ordered by (ts_us, side_order, tiebreak), running
+    ``last(payload, ignorenulls)`` with an UNBOUNDED PRECEDING .. CURRENT
+    ROW frame. Right rows carry the payload, left rows carry null; the
+    side order places qualifying right rows before the left row (strict:
+    equal-ts right rows sort AFTER the left row, so they are excluded;
+    non-strict: before, so included). One hash shuffle on ``key``, one
+    partition-local sort — the sort-merge as-of, with no join operator
+    at all.
+
+    Output: all left columns plus ``<p>_asof`` for each payload column
+    (null when no right row qualifies).
+    """
+    side_right = F.lit(1) if strict else F.lit(0)
+    side_left = F.lit(0) if strict else F.lit(1)
+    lcols = left.columns
+    l = (
+        left.withColumn("_side", side_left)
+        .withColumn("_ts_us", _us(ts))
+        .select(
+            key, "_ts_us", "_side", F.col(tiebreak).alias("_tb"),
+            *[F.lit(None).cast(right.schema[p].dataType).alias(f"_p_{p}") for p in payload],
+            F.struct(*lcols).alias("_row"),
+        )
+    )
+    r = (
+        right.withColumn("_side", side_right)
+        .withColumn("_ts_us", _us(ts))
+        .select(
+            key, "_ts_us", "_side", F.col(tiebreak).alias("_tb"),
+            *[F.col(p).alias(f"_p_{p}") for p in payload],
+            F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts_us", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = l.unionByName(r).select(
+        "_row",
+        *[F.last(f"_p_{p}", ignorenulls=True).over(w).alias(f"{p}_asof") for p in payload],
+    )
+    return enriched.filter(F.col("_row").isNotNull()).select(
+        *[F.col(f"_row.{c}").alias(c) for c in lcols],
+        *[f"{p}_asof" for p in payload],
+    )
+
+
+def windowed_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    window_us: int,
+    out: str = "n_in_window",
+) -> DataFrame:
+    """Per left row, the number of right rows with the same ``key`` in
+    the half-open trailing interval ``[ts - window_us, ts)``.
+
+    Band bucketing: with bucket width == window width, every qualifying
+    right row lands in bucket(left) or bucket(left)-1, so candidates
+    come from an equi-join on (key, bucket) against the left side
+    exploded to those two buckets — 2x the left rows, never a range
+    join. Left rows with zero matches are recovered by a final left
+    join of the (small, one-row-per-left-key) counts back onto left.
+
+    Output: all left columns plus ``out`` (BIGINT, 0 when none).
+    """
+    # integer division (`div` / DuckDB `//`), never float floor: epoch
+    # micros are ~2^51, where double division error is the same order as
+    # a 1-us remainder — exact integer buckets cost nothing and remove
+    # the boundary hazard entirely
+    lb = left.withColumn("_ts_us", _us(ts))
+    rb = (
+        right.withColumn("_ts_us", _us(ts))
+        .withColumn("_bkt", F.expr(f"_ts_us div {window_us}"))
+        .select(F.col(key).alias("_rk"), "_bkt", F.col("_ts_us").alias("_rts"))
+    )
+    # probe on DISTINCT (key, ts) pairs: left rows sharing a timestamp
+    # would otherwise explode duplicate probes and double-count; the
+    # per-pair counts join back onto every left row at the end
+    probes = (
+        lb.select(key, "_ts_us")
+        .distinct()
+        .select(
+            key,
+            F.col("_ts_us").alias("_lts"),
+            F.explode(
+                F.array(
+                    F.expr(f"_ts_us div {window_us} - 1"),
+                    F.expr(f"_ts_us div {window_us}"),
+                )
+            ).alias("_bkt"),
+        )
+    )
+    hits = (
+        probes.join(rb, (probes[key] == rb._rk) & (probes._bkt == rb._bkt))
+        .filter((F.col("_rts") >= F.col("_lts") - F.lit(window_us)) & (F.col("_rts") < F.col("_lts")))
+        .groupBy(probes[key].alias("_k"), "_lts")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        lb.join(hits, (lb[key] == hits._k) & (lb._ts_us == hits._lts), "left")
+        .select(*left.columns, F.coalesce("_n", F.lit(0)).alias(out))
+    )
+
+
+def time_bucket_rollup(
+    events: DataFrame,
+    dims: list[str],
+    ts: str = "ts",
+    value: str = "value",
+    fine_us: int = 300_000_000,
+    coarse_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Hypertable-style two-grain continuous aggregate.
+
+    The fine grain (default 5 min) aggregates from raw; the coarse grain
+    (default 1 h; must be a multiple of ``fine_us``) aggregates FROM THE
+    FINE GRAIN — count and integer-cent sum are algebraic, so the
+    re-aggregation is exact and the coarse pass reads a table ~
+    ``coarse_us/fine_us`` times smaller than raw. Value sums ride
+    integer cents for addition-order-independent exactness.
+
+    Output: (grain, <dims...>, bucket_us, n, sum_cents) — the union of
+    both grains, ``grain`` in {'fine', 'coarse'}, ``bucket_us`` the
+    bucket start in epoch microseconds.
+    """
+    if coarse_us % fine_us != 0:
+        raise ValueError("coarse_us must be a multiple of fine_us")
+    cents = F.expr(f"cast(round({value} * 100, 0) as bigint)")
+    fine = (
+        events.withColumn("_us", _us(ts))
+        .groupBy(
+            *dims,
+            F.expr(f"(_us div {fine_us}) * {fine_us}").alias("bucket_us"),
+        )
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+    )
+    coarse = (
+        fine.groupBy(
+            *dims,
+            F.expr(f"(bucket_us div {coarse_us}) * {coarse_us}").alias("bucket_us"),
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    return fine.select(F.lit("fine").alias("grain"), *dims, "bucket_us", "n", "sum_cents").unionByName(
+        coarse.select(F.lit("coarse").alias("grain"), *dims, "bucket_us", "n", "sum_cents")
+    )

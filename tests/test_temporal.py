@@ -1,0 +1,253 @@
+"""Temporal operators (temporal.py): as-of join, bounded range join,
+hypertable rollup — plus the k-minimums sketch (sketches.py) and HITS
+(graph.py).
+
+Each operator is pinned by a hand-computed golden covering its boundary
+semantics (strict vs non-strict ties, window edges, bucket boundaries)
+and, where the operator has an obvious brute force, a seeded randomized
+cross-check against it.
+"""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from careers_spark.operators.graph import hits
+from careers_spark.operators.sketches import distinct_sketch
+from careers_spark.operators.temporal import (
+    asof_join,
+    time_bucket_rollup,
+    windowed_count_join,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def clickstream(spark):
+    # user 1: clicks at 10, 20, 20 (two ids share ts=20), purchase at 20
+    #   (strict: the ts=20 clicks must NOT qualify; last prior is ts=10)
+    #   and purchase at 30 (qualifies: ts=20, tie -> larger event_id 103)
+    # user 2: purchase at 5 with NO prior click; click at 7; purchase at 8
+    purchases = [(201, 1, _ts(20)), (202, 1, _ts(30)), (203, 2, _ts(5)), (204, 2, _ts(8))]
+    clicks = [
+        (101, 1, _ts(10), 1.5),
+        (102, 1, _ts(20), 2.5),
+        (103, 1, _ts(20), 3.5),
+        (104, 2, _ts(7), 4.5),
+    ]
+    p = spark.createDataFrame(purchases, "event_id long, user_id long, ts timestamp")
+    c = spark.createDataFrame(clicks, "event_id long, user_id long, ts timestamp, value double")
+    return p, c
+
+
+def test_asof_strict_golden(spark, clickstream):
+    p, c = clickstream
+    got = {
+        r.event_id: (r.event_id_asof, r.value_asof)
+        for r in asof_join(
+            p, c, key="user_id", ts="ts", tiebreak="event_id",
+            payload=["event_id", "value"], strict=True,
+        ).collect()
+    }
+    assert got == {
+        201: (101, 1.5),   # equal-ts clicks excluded under strict
+        202: (103, 3.5),   # ts tie between 102/103 -> larger event_id
+        203: (None, None), # no prior click
+        204: (104, 4.5),
+    }
+
+
+def test_asof_nonstrict_includes_equal_ts(spark, clickstream):
+    p, c = clickstream
+    got = {
+        r.event_id: r.event_id_asof
+        for r in asof_join(
+            p, c, key="user_id", ts="ts", tiebreak="event_id",
+            payload=["event_id"], strict=False,
+        ).collect()
+    }
+    assert got[201] == 103  # ts=20 clicks now qualify, tie -> 103
+
+
+def test_asof_randomized_vs_bruteforce(spark):
+    rng = random.Random(7)
+    lefts, rights = [], []
+    for i in range(120):
+        lefts.append((1000 + i, rng.randrange(5), _ts(rng.randrange(50))))
+    for j in range(200):
+        rights.append((j, rng.randrange(5), _ts(rng.randrange(50)), float(j)))
+    p = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp")
+    c = spark.createDataFrame(rights, "event_id long, user_id long, ts timestamp, value double")
+    got = {
+        r.event_id: r.event_id_asof
+        for r in asof_join(
+            p, c, key="user_id", ts="ts", tiebreak="event_id",
+            payload=["event_id"], strict=True,
+        ).collect()
+    }
+    for eid, u, ts in lefts:
+        cand = [(r_ts, rid) for rid, ru, r_ts, _ in rights if ru == u and r_ts < ts]
+        want = max(cand)[1] if cand else None
+        assert got[eid] == want, eid
+
+
+def test_windowed_count_boundaries(spark):
+    # window = 10s: click at exactly ts-10 counts (>=), click at exactly
+    # ts does not (<); clicks land in both the same and the previous band
+    p = spark.createDataFrame(
+        [(1, 7, _ts(100)), (2, 7, _ts(25)), (3, 8, _ts(40))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    c = spark.createDataFrame(
+        [(7, _ts(90)), (7, _ts(95)), (7, _ts(100)), (7, _ts(89)),
+         (7, _ts(16)), (7, _ts(24))],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        r.event_id: r.n
+        for r in windowed_count_join(
+            p, c, key="user_id", ts="ts", window_us=10_000_000, out="n"
+        ).collect()
+    }
+    # event 1: 90 (== ts-10, in) + 95 in; 100 (== ts) out; 89 out -> 2
+    # event 2: 16 (== ts-9, prev band) + 24 in -> 2 ; event 3: no user-8 clicks
+    assert got == {1: 2, 2: 2, 3: 0}
+
+
+def test_windowed_count_randomized_vs_bruteforce(spark):
+    rng = random.Random(11)
+    lefts = [(i, rng.randrange(4), _ts(rng.randrange(300))) for i in range(100)]
+    rights = [(rng.randrange(4), _ts(rng.randrange(300))) for _ in range(300)]
+    p = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp")
+    c = spark.createDataFrame(rights, "user_id long, ts timestamp")
+    w = 37_000_000  # a window that is NOT a divisor of anything round
+    got = {
+        r.event_id: r.n
+        for r in windowed_count_join(p, c, key="user_id", ts="ts", window_us=w, out="n").collect()
+    }
+    for eid, u, ts in lefts:
+        lo = ts - dt.timedelta(microseconds=w)
+        want = sum(1 for ru, rts in rights if ru == u and lo <= rts < ts)
+        assert got[eid] == want, eid
+
+
+def test_rollup_coarse_equals_raw(spark):
+    rows = [
+        ("click", _ts(0), 1.11),          # exact hour boundary
+        ("click", _ts(299), 2.22),        # same 5-min bucket
+        ("click", _ts(300), 3.33),        # next 5-min bucket, same hour
+        ("click", _ts(3600), 4.44),       # next hour
+        ("error", _ts(10), 5.555),        # cents rounding: 555.5 -> 556? no: 5.555*100
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = time_bucket_rollup(ev, dims=["event_type"]).collect()
+    fine = {(r.event_type, r.bucket_us): (r.n, r.sum_cents) for r in out if r.grain == "fine"}
+    coarse = {(r.event_type, r.bucket_us): (r.n, r.sum_cents) for r in out if r.grain == "coarse"}
+    base = int(T0.timestamp()) * 1_000_000
+    assert fine[("click", base)] == (2, 111 + 222)
+    assert fine[("click", base + 300_000_000)] == (1, 333)
+    assert fine[("click", base + 3_600_000_000)] == (1, 444)
+    # coarse re-aggregates the fine rows exactly
+    assert coarse[("click", base)] == (3, 111 + 222 + 333)
+    assert coarse[("click", base + 3_600_000_000)] == (1, 444)
+    # raw-vs-rollup identity on the whole frame
+    raw_coarse = {}
+    for et, ts, v in rows:
+        b = (int(ts.timestamp() * 1_000_000) // 3_600_000_000) * 3_600_000_000
+        n, s = raw_coarse.get((et, b), (0, 0))
+        raw_coarse[(et, b)] = (n + 1, s + round(v * 100))
+    assert coarse == raw_coarse
+
+
+def test_sketch_estimates_and_python_lockstep(spark):
+    # 3 groups with known cardinalities; estimator must match a pure-
+    # python recompute of the identical hash/fold arithmetic exactly
+    import hashlib
+
+    from careers_spark.operators.dedup import (
+        MINHASH_A0, MINHASH_A_STEP, MINHASH_B0, MINHASH_B_STEP, MINHASH_P,
+    )
+
+    rows = [(f"g{i % 3}", f"k{i % (200 * (1 + i % 3))}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    got = {r.grp: (r.n_exact, r.n_est, r.rel_err) for r in
+           distinct_sketch(df, "grp", "key", k=64).collect()}
+
+    by_grp = {}
+    for g, kv in rows:
+        by_grp.setdefault(g, set()).add(kv)
+    for g, keys in by_grp.items():
+        mins = [MINHASH_P] * 64
+        for kv in keys:
+            h = int(hashlib.md5(kv.encode()).hexdigest()[:8], 16)
+            for j in range(64):
+                a = MINHASH_A0 + j * MINHASH_A_STEP
+                b = MINHASH_B0 + j * MINHASH_B_STEP
+                mins[j] = min(mins[j], (h * a + b) % MINHASH_P)
+        s = 0.0
+        for j in range(64):  # fixed fold order, as in the SQL
+            s += mins[j] / float(MINHASH_P)
+        est = round(64.0 / s - 1.0, 4)
+        n = len(keys)
+        assert got[g] == (n, est, round(abs(est - n) / n, 4))
+        assert abs(est - n) / n < 0.5  # k=64 -> ~12% stderr; 4 sigma
+
+
+def test_hits_star_golden(spark):
+    # a -> {b, c, d}: a is the only hub (hub=1), b/c/d equal authorities
+    e = spark.createDataFrame([("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string")
+    got = {r.node: (r.hub, r.auth) for r in hits(e).collect()}
+    assert got["a"] == (1.0, 0.0)
+    for n in "bcd":
+        assert got[n] == (0.0, pytest.approx(1 / 3, abs=1e-9))
+
+
+def test_hits_matches_python_unroll(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)]
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    hub = {x: 1.0 / n for x in nodes}
+    for _ in range(6):
+        raw = {x: 0.0 for x in nodes}
+        for u, v in edges:
+            raw[v] += hub[u]
+        s = sum(raw[x] for x in nodes)
+        auth = {x: round(raw[x] / s, 10) for x in nodes}
+        raw = {x: 0.0 for x in nodes}
+        for u, v in edges:
+            raw[u] += auth[v]
+        s = sum(raw[x] for x in nodes)
+        hub = {x: round(raw[x] / s, 10) for x in nodes}
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: (r.hub, r.auth) for r in hits(df).collect()}
+    assert got == {x: (hub[x], auth[x]) for x in nodes}
+
+
+def test_temporal_plan_shapes(spark):
+    # the scale contracts: as-of is sort-based (NO join operator at
+    # all); the range join is a band-bucketed equi-join (no cartesian,
+    # no nested-loop range probe)
+    p = spark.createDataFrame(
+        [(1, 1, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    c = spark.createDataFrame(
+        [(2, 1, _ts(5), 1.0)], "event_id long, user_id long, ts timestamp, value double"
+    )
+    asof_plan = asof_join(
+        p, c, key="user_id", ts="ts", tiebreak="event_id", payload=["event_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in asof_plan, asof_plan
+    assert "Union" in asof_plan and "Window" in asof_plan
+
+    rj_plan = windowed_count_join(
+        p, c.select("user_id", "ts"), key="user_id", ts="ts", window_us=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rj_plan, rj_plan
+    assert "BroadcastNestedLoopJoin" not in rj_plan, rj_plan
