@@ -862,6 +862,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distinct_sketch"] = distinct_sketch
 
+    def token_pmi(spark, sf_dir):
+        """Doc-level token-pair PMI (Church & Hanks collocations) —
+        pair counts from the canonical a<b self-join, unigram counts
+        and N as broadcast joins (textstats.token_pmi)."""
+        return TS.token_pmi(_t(spark, sf_dir, "documents"), min_pairs=20)
+
+    q["token_pmi"] = token_pmi
+
+    def doc_length_histogram(spark, sf_dir):
+        """Fixed-width (100-char) length histogram per lang with
+        in-stratum shares — two algebraic aggregations + a broadcast
+        totals join, no window (textstats.length_histogram)."""
+        return TS.length_histogram(_t(spark, sf_dir, "documents"))
+
+    q["doc_length_histogram"] = doc_length_histogram
+
+    def length_quantiles(spark, sf_dir):
+        """Exact per-lang length quartiles/p90 via percentile() —
+        linear interpolation, same convention as DuckDB quantile_cont;
+        approx_percentile is the documented high-cardinality scale path
+        (textstats.length_quantiles)."""
+        return TS.length_quantiles(_t(spark, sf_dir, "documents"))
+
+    q["length_quantiles"] = length_quantiles
+
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
         MM.synth_assets(_t(spark, sf_dir, "documents"))
@@ -1867,6 +1892,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, n_exact, n_est,
                round(abs(n_est - n_exact) / n_exact, 4) AS rel_err
         FROM e
+    """
+
+    # token_pmi: identical arithmetic shape (n_ab * N / (n_a * n_b));
+    # ln-lockstep cross-engine is already pinned by the tfidf oracle
+    o["token_pmi"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents
+        ),
+        uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM tokd GROUP BY tok),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        pairs AS (
+          SELECT x.tok AS a, y.tok AS b, CAST(count(*) AS BIGINT) AS n_ab
+          FROM tokd x JOIN tokd y ON x.doc_id = y.doc_id AND x.tok < y.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        )
+        SELECT p.a, p.b, p.n_ab,
+               round(ln(CAST(p.n_ab AS DOUBLE) * nd.n_docs
+                        / (CAST(ua.n_tok AS DOUBLE) * ub.n_tok)), 6) AS pmi
+        FROM pairs p
+        JOIN uni ua ON ua.tok = p.a
+        JOIN uni ub ON ub.tok = p.b
+        CROSS JOIN nd
+    """
+
+    o["doc_length_histogram"] = """
+        WITH b AS (
+          SELECT lang, (n_chars // 100) * 100 AS bucket_lo,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2
+        ),
+        t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+              FROM documents GROUP BY lang)
+        SELECT b.lang, b.bucket_lo, b.n,
+               round(b.n / CAST(t.n_total AS DOUBLE), 6) AS share
+        FROM b JOIN t USING (lang)
+    """
+
+    # length_quantiles: quantile_cont is the same linear interpolation
+    # as Spark's percentile(); q literals carry e0 so both engines emit
+    # doubles, not decimals
+    o["length_quantiles"] = """
+        WITH q AS (
+          SELECT lang,
+                 quantile_cont(n_chars, 0.25) AS q25,
+                 quantile_cont(n_chars, 0.50) AS q50,
+                 quantile_cont(n_chars, 0.75) AS q75,
+                 quantile_cont(n_chars, 0.90) AS q90
+          FROM documents GROUP BY lang
+        )
+        SELECT lang, q, value FROM (
+          SELECT lang, 0.25e0 AS q, round(q25, 6) AS value FROM q
+          UNION ALL SELECT lang, 0.5e0, round(q50, 6) FROM q
+          UNION ALL SELECT lang, 0.75e0, round(q75, 6) FROM q
+          UNION ALL SELECT lang, 0.9e0, round(q90, 6) FROM q
+        )
     """
 
     o["token_counts"] = f"""

@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "token_pmi",
+    "doc_length_histogram",
+    "length_quantiles",
     "gopher_repetition",
     "frame_sample_plan",
     "multimodal_features",

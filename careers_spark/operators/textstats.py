@@ -207,3 +207,129 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
             ((top2 <= 0.20) & (dup3 <= 0.18)).alias("keep"),
         )
     )
+
+
+def token_pmi(documents: DataFrame, min_pairs: int = 20) -> DataFrame:
+    """Pointwise mutual information over document-level token
+    co-occurrence — the classic collocation / related-term statistic
+    (Church & Hanks 1990), and the salience score behind the KG edge
+    weights' "observed together more than chance" intuition:
+
+        pmi(a, b) = ln( n_ab * N / (n_a * n_b) )
+
+    with doc-level counts (a token counts once per document, mirroring
+    the dictionary's WordInTopicCounter convention).
+
+    Physical shape: one distinct-token explode, a doc_id self-join for
+    pair counts (a < b canonical order — the entity-graph construction's
+    shuffle shape, AQE-split on hub tokens), then TWO BROADCAST joins
+    against the unigram count table (vocabulary-sized, tiny relative to
+    the pair table) and a broadcast 1-row N. Everything aggregating is
+    algebraic; ln is applied once per surviving pair and rounded to 6 —
+    both engines' libm ln is correctly rounded, and the tfidf oracle
+    already pins ln-lockstep cross-engine.
+
+    Output: (a, b, n_ab, pmi) for pairs with n_ab >= min_pairs.
+    """
+    from careers_spark.operators.dedup import tokens_col
+
+    tokd = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
+    )
+    uni = tokd.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    n_docs = documents.select(F.count("*").alias("n_docs"))
+    a = tokd.selectExpr("doc_id", "tok as a")
+    b = tokd.selectExpr("doc_id as d2", "tok as b")
+    pairs = (
+        a.join(b, (a.doc_id == b.d2) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    return (
+        pairs.join(F.broadcast(uni.selectExpr("tok as a", "n_tok as n_a")), "a")
+        .join(F.broadcast(uni.selectExpr("tok as b", "n_tok as n_b")), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def length_histogram(
+    documents: DataFrame,
+    strata: str = "lang",
+    col: str = "n_chars",
+    width: int = 100,
+) -> DataFrame:
+    """Fixed-width histogram of ``col`` per stratum with in-stratum
+    shares — the corpus length-distribution report every curation run
+    starts from.
+
+    One algebraic groupBy for the bins plus a broadcast join against
+    the per-stratum totals (stratum-count-sized). Integer bucket edges
+    via `div`; share rounded to 6. Scales as a pure two-pass
+    aggregation — no window, no sort.
+
+    Output: (<strata>, bucket_lo, n, share).
+    """
+    bins = (
+        documents.groupBy(
+            strata, F.expr(f"({col} div {width}) * {width}").alias("bucket_lo")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    totals = documents.groupBy(strata).agg(F.count("*").alias("n_total"))
+    return (
+        bins.join(F.broadcast(totals), strata)
+        .select(
+            strata,
+            "bucket_lo",
+            "n",
+            F.expr("round(n / cast(n_total as double), 6)").alias("share"),
+        )
+    )
+
+
+def length_quantiles(
+    documents: DataFrame,
+    strata: str = "lang",
+    col: str = "n_chars",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum length quantiles.
+
+    exact=True uses Spark's `percentile` (linear interpolation on the
+    sorted values — the same convention as DuckDB's quantile_cont, so
+    the oracle is hash-exact). Exact percentile buffers each group's
+    values in the aggregation state, which is fine for per-language
+    corpus reports (languages are few) but NOT for high-cardinality
+    strata at 10^12 rows — there, pass exact=False for
+    `approx_percentile` (GK sketch, bounded state; no cross-engine
+    oracle, hence not the driver-query default).
+
+    Output: (<strata>, q, value) — one row per (stratum, quantile).
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    arr = "array(" + ", ".join(f"{q}d" for q in qs) + ")"
+    agg = documents.groupBy(strata).agg(
+        F.expr(f"{fn}({col}, {arr})").alias("vals")
+    )
+    pos = ", ".join(
+        f"struct({q}d as q, round(vals[{i}], 6) as value)"
+        for i, q in enumerate(qs)
+    )
+    return agg.select(
+        strata, F.explode(F.expr(f"array({pos})")).alias("s")
+    ).select(strata, F.col("s.q").alias("q"), F.col("s.value").alias("value"))

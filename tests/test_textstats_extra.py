@@ -1,0 +1,72 @@
+"""PMI, length histogram, and exact quantiles (textstats.py additions)."""
+
+import math
+
+import pytest
+
+from careers_spark.operators.textstats import (
+    length_histogram,
+    length_quantiles,
+    token_pmi,
+)
+
+
+def test_token_pmi_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "b c")],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b): (r.n_ab, r.pmi) for r in token_pmi(docs, min_pairs=2).collect()}
+    # only (a,b) survives min_pairs=2: n_ab=2, n_a=3, n_b=3, N=4
+    assert got == {("a", "b"): (2, round(math.log(2 * 4 / (3 * 3)), 6))}
+
+
+def test_token_pmi_repeated_token_counts_once_per_doc(spark):
+    # doc-level counting: "a a b" contributes ONE (a,b) observation
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {(r.a, r.b): r.n_ab for r in token_pmi(docs, min_pairs=1).collect()}
+    assert got == {("a", "b"): 2}
+
+
+def test_length_histogram_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", 50), (2, "en", 99), (3, "en", 100), (4, "zh", 250)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = {(r.lang, r.bucket_lo): (r.n, r.share) for r in length_histogram(docs).collect()}
+    assert got == {
+        ("en", 0): (2, round(2 / 3, 6)),
+        ("en", 100): (1, round(1 / 3, 6)),
+        ("zh", 200): (1, 1.0),
+    }
+
+
+def test_length_quantiles_linear_interpolation(spark):
+    vals = [10, 20, 30, 40, 50]
+    docs = spark.createDataFrame(
+        [(i, "en", v) for i, v in enumerate(vals)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = {r.q: r.value for r in length_quantiles(docs).collect()}
+
+    def interp(q):
+        pos = q * (len(vals) - 1)
+        lo, frac = int(pos), pos - int(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        return round(vals[lo] + (vals[hi] - vals[lo]) * frac, 6)
+
+    assert got == {q: interp(q) for q in (0.25, 0.5, 0.75, 0.9)}
+
+
+def test_length_quantiles_approx_path_runs(spark):
+    docs = spark.createDataFrame(
+        [(i, "en", i * 7 % 100) for i in range(200)],
+        "doc_id long, lang string, n_chars long",
+    )
+    exact = {r.q: r.value for r in length_quantiles(docs, exact=True).collect()}
+    approx = {r.q: r.value for r in length_quantiles(docs, exact=False).collect()}
+    assert set(approx) == set(exact)
+    for q in exact:
+        assert abs(approx[q] - exact[q]) <= 5  # GK sketch, loose band
