@@ -847,6 +847,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_rollup_hourly"] = event_rollup_hourly
 
+    def rolling_revenue(spark, sf_dir):
+        """Trailing 7-day rolling order count + revenue per customer —
+        RANGE frame over integer days-since-epoch, one shuffle on
+        o_custkey, integer-cent sums (temporal.rolling_window_agg)."""
+        from careers_spark.operators.temporal import rolling_window_agg
+
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        )
+        r = rolling_window_agg(
+            o, key="o_custkey", ts="o_orderdate", value="o_totalprice",
+            days=7,
+        )
+        return r.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("roll_n").alias("n_orders_7d"),
+            F.col("roll_cents").alias("rev_cents_7d"),
+        )
+
+    q["rolling_revenue"] = rolling_revenue
+
     def distinct_sketch(spark, sf_dir):
         """k-independent-minimums cardinality sketch (k=64) vs exact
         count(distinct) per event_type over (user_id, value-cents) keys
@@ -1867,6 +1889,23 @@ def oracle_sql() -> dict[str, str]:
                (us // 3600000000) * 3600000000,
                CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
         FROM c GROUP BY event_type, (us // 3600000000) * 3600000000
+    """
+
+    # rolling_revenue: the identical RANGE frame over integer days —
+    # same-day rows are peers in both engines, integer cents make the
+    # rolling sum addition-order exact
+    o["rolling_revenue"] = """
+        SELECT o_orderkey, o_custkey,
+               CAST(count(*) OVER w AS BIGINT) AS n_orders_7d,
+               CAST(sum(cents) OVER w AS BIGINT) AS rev_cents_7d
+        FROM (
+          SELECT o_orderkey, o_custkey,
+                 epoch_us(o_orderdate) // 86400000000 AS day,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders
+        )
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """
 
     # distinct_sketch: the k=64 independent-minimums sketch — same

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "asof_last_click",
     "clicks_before_purchase",
     "event_rollup_hourly",
+    "rolling_revenue",
     "distinct_sketch",
     "top_orders_per_cust",
     "link_weights_nation",

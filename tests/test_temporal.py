@@ -166,6 +166,58 @@ def test_rollup_coarse_equals_raw(spark):
     assert coarse == raw_coarse
 
 
+def test_rolling_window_boundaries_and_peers(spark):
+    from careers_spark.operators.temporal import rolling_window_agg
+
+    day = lambda d: T0 + dt.timedelta(days=d)  # noqa: E731
+    # cust 1: orders on days 0, 5, 6, 7, 7 — the 7-day frame [d-6, d]
+    # at day 6 includes day 0 (exactly 6 back) but at day 7 drops it;
+    # the two day-7 orders are RANGE peers and share one rolling value
+    rows = [
+        (10, 1, day(0), 1.00),
+        (11, 1, day(5), 2.00),
+        (12, 1, day(6), 4.00),
+        (13, 1, day(7), 8.00),
+        (14, 1, day(7), 16.00),
+        (15, 2, day(6), 32.00),  # other key: isolated
+    ]
+    o = spark.createDataFrame(
+        rows, "k long, cust long, d timestamp, price double"
+    )
+    got = {
+        r.k: (r.roll_n, r.roll_cents)
+        for r in rolling_window_agg(
+            o, key="cust", ts="d", value="price", days=7
+        ).collect()
+    }
+    assert got[10] == (1, 100)
+    assert got[11] == (2, 300)
+    assert got[12] == (3, 700)                  # day 0 still inside
+    assert got[13] == (4, 3000)                 # day 0 dropped; peers
+    assert got[14] == (4, 3000)                 # identical peer value
+    assert got[15] == (1, 3200)
+
+
+def test_rolling_window_randomized_vs_bruteforce(spark):
+    from careers_spark.operators.temporal import rolling_window_agg
+
+    rng = random.Random(23)
+    rows = [
+        (i, rng.randrange(3), T0 + dt.timedelta(days=rng.randrange(20)),
+         round(rng.uniform(1, 50), 2))
+        for i in range(120)
+    ]
+    o = spark.createDataFrame(rows, "k long, cust long, d timestamp, price double")
+    got = {
+        r.k: (r.roll_n, r.roll_cents)
+        for r in rolling_window_agg(o, key="cust", ts="d", value="price", days=7).collect()
+    }
+    for k, cust, d, price in rows:
+        lo = d - dt.timedelta(days=6)
+        matches = [r for r in rows if r[1] == cust and lo <= r[2] <= d]
+        assert got[k] == (len(matches), sum(round(p * 100) for *_, p in matches)), k
+
+
 def test_sketch_estimates_and_python_lockstep(spark):
     # 3 groups with known cardinalities; estimator must match a pure-
     # python recompute of the identical hash/fold arithmetic exactly
