@@ -286,6 +286,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf_dir, "documents"), eval_pred="doc_id % 97 = 0",
         n=3, threshold=0.05,
     )
+    def bloom_decontamination(spark, sf_dir):
+        """The same decontamination screen routed through a k=4, m=4096
+        Bloom filter (Kirsch-Mitzenmacher double hashing) instead of the
+        exact eval-shingle set — constant-memory broadcast state bounded
+        by the FILTER size, guaranteed no false negatives, and the FP
+        overcount exhibited next to the exact count
+        (sketches.bloom_contamination_screen)."""
+        from careers_spark.operators.sketches import bloom_contamination_screen
+
+        return bloom_contamination_screen(
+            _t(spark, sf_dir, "documents"), eval_pred="doc_id % 97 = 0",
+            n=3, k=4, m=4096, threshold=0.05,
+        )
+
+    q["bloom_decontamination"] = bloom_decontamination
+
     # suffix-array-style duplicated-span signal: fraction of each doc's
     # distinct 4-gram shingles that occur in >= 1 other document.
     q["dup_span_fraction"] = lambda spark, sf_dir: DD.dup_span_fraction(
@@ -1269,6 +1285,51 @@ def oracle_sql() -> dict[str, str]:
                (sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END)
                 / count(*) >= 0.05) AS contaminated
         FROM sh s LEFT JOIN ev ON ev.sh = s.sh
+        WHERE s.doc_id % 97 <> 0
+        GROUP BY s.doc_id
+    """
+
+    # bloom_decontamination: identical Kirsch-Mitzenmacher positions
+    # (md5 halves, h2 forced odd) — integer arithmetic end-to-end, so
+    # the Bloom decision reproduces bit-for-bit; `contaminated` compares
+    # the unrounded fraction like the exact screen above
+    from careers_spark.operators.sketches import bloom_position_exprs
+
+    _bpos = ", ".join(bloom_position_exprs("sh", 4, 4096, duck=True))
+    o["bloom_decontamination"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest({_duck_trigrams()}) AS sh FROM t
+        ),
+        ev AS MATERIALIZED (
+          SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+        ),
+        evpos AS MATERIALIZED (
+          SELECT DISTINCT unnest([{_bpos}]) AS bit FROM ev
+        ),
+        vocab AS MATERIALIZED (
+          SELECT DISTINCT sh FROM sh WHERE doc_id % 97 <> 0
+        ),
+        probes AS (SELECT sh, unnest([{_bpos}]) AS bit FROM vocab),
+        vb AS MATERIALIZED (
+          SELECT p.sh,
+                 (sum(CASE WHEN e.bit IS NOT NULL THEN 1 ELSE 0 END) = 4)
+                   AS bloom_hit
+          FROM probes p LEFT JOIN evpos e USING (bit) GROUP BY p.sh
+        ),
+        vf AS (
+          SELECT v.sh, vb.bloom_hit, (ev.sh IS NOT NULL) AS exact_hit
+          FROM vocab v JOIN vb USING (sh) LEFT JOIN ev ON ev.sh = v.sh
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+               CAST(sum(CASE WHEN f.exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN f.bloom_hit THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN f.exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_fp,
+               (sum(CASE WHEN f.bloom_hit THEN 1 ELSE 0 END)
+                / count(*) >= 0.05) AS contaminated
+        FROM sh s JOIN vf f USING (sh)
         WHERE s.doc_id % 97 <> 0
         GROUP BY s.doc_id
     """

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "lsh_verified_pairs",
     "near_dup_canonical",
     "decontamination",
+    "bloom_decontamination",
     "dup_span_fraction",
     "curated_corpus",
     "pack_sequences",

@@ -1,4 +1,7 @@
-"""Deterministic cardinality sketches.
+"""Deterministic probabilistic sketches: k-minimums cardinality
+estimation and a Bloom-filter membership screen — both built on the
+md5 hash family shared with MinHash so every output is oracle-checkable
+hash-exactly.
 
 ``approx_count_distinct`` (Spark's HLL++) and DuckDB's ``approx_distinct``
 are different sketches with different estimates, so an HLL query can
@@ -62,6 +65,104 @@ def kmin_estimate_sql(k: int) -> str:
     """
     s = " + ".join(f"(m{j} / {MINHASH_P}e0)" for j in range(k))
     return f"round({k}e0 / ({s}) - 1e0, 4)"
+
+
+def bloom_position_exprs(col_sql: str, k: int, m: int, duck: bool = False) -> list[str]:
+    """The k Bloom bit positions of a key — Kirsch-Mitzenmacher double
+    hashing, ``pos_j = (h1 + j * h2) mod m``, which provably preserves
+    the Bloom false-positive bound with only TWO base hashes (Kirsch &
+    Mitzenmacher 2006). h1/h2 are the first/second 32-bit halves of the
+    md5 (h2 forced odd so the probe stride never degenerates), identical
+    in Spark and DuckDB, so the screen below is oracle-checkable
+    hash-exactly."""
+    if duck:
+        h1 = f"('0x' || substr(md5({col_sql}), 1, 8))::BIGINT"
+        h2 = f"(('0x' || substr(md5({col_sql}), 9, 8))::BIGINT * 2 + 1)"
+    else:
+        h1 = f"cast(conv(substr(md5({col_sql}), 1, 8), 16, 10) as bigint)"
+        h2 = f"(cast(conv(substr(md5({col_sql}), 9, 8), 16, 10) as bigint) * 2 + 1)"
+    return [f"(({h1} + {j} * {h2}) % {m})" for j in range(k)]
+
+
+def bloom_contamination_screen(
+    documents: DataFrame,
+    eval_pred: str,
+    n: int = 3,
+    k: int = 4,
+    m: int = 4096,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of the
+    exact eval-shingle set (dedup.contamination_flags) — the constant-
+    memory screen used when the eval suite is too large to broadcast as
+    strings.
+
+    The filter state is the set of SET BIT POSITIONS of the eval
+    split's n-gram shingles: at most ``m`` integers no matter how many
+    eval shingles exist — that bound, not the eval corpus size, is what
+    ships to every executor (at real scale: m ~ 10 bits per eval
+    shingle gives ~1% FP; 10^8 eval shingles -> a 125 MB bitset, still
+    a broadcast). A shingle screens "possibly contaminated" iff ALL k
+    probe positions are set: misses are impossible (every inserted
+    shingle set exactly those bits — the Bloom no-false-negative
+    theorem), false positives happen when k independent collisions
+    line up, at rate (1 - e^(-k*n_eval/m))^k.
+
+    Physical shape: the k-probe explode runs over the train VOCABULARY
+    (distinct shingles), not the (doc, shingle) pair table; position
+    membership is a broadcast join; everything aggregating is
+    partial-agg friendly. The exact screen rides along per distinct
+    shingle so the output machine-exhibits the FP overcount
+    (n_bloom >= n_exact always; `bloom_fp` counts the overshoot).
+
+    Output per TRAIN doc: (doc_id, n_shingles, n_bloom, n_exact,
+    bloom_fp, contaminated) — `contaminated` is the Bloom decision
+    (the deployable one; conservative by construction).
+    """
+    from careers_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(documents, n)
+    eval_ids = documents.filter(eval_pred).select("doc_id")
+    eval_sh = (
+        sh.join(F.broadcast(eval_ids), "doc_id", "left_semi")
+        .select("sh").distinct()
+    )
+    pos = bloom_position_exprs("sh", k, m)
+    eval_pos = (
+        eval_sh.select(F.explode(F.array(*[F.expr(p) for p in pos])).alias("bit"))
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    train = sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    vocab = train.select("sh").distinct()
+    vocab_bloom = (
+        vocab.select("sh", F.posexplode(F.array(*[F.expr(p) for p in pos])).alias("j", "bit"))
+        .join(F.broadcast(eval_pos), "bit", "left")
+        .groupBy("sh")
+        .agg((F.sum(F.coalesce("set_", F.lit(0))) == k).alias("bloom_hit"))
+    )
+    vocab_flags = vocab_bloom.join(
+        F.broadcast(eval_sh.withColumn("exact_hit", F.lit(True))), "sh", "left"
+    ).select(
+        "sh", "bloom_hit", F.coalesce("exact_hit", F.lit(False)).alias("exact_hit")
+    )
+    per = (
+        train.join(vocab_flags, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom"),
+            F.sum(F.col("exact_hit").cast("long")).alias("n_exact"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom",
+        "n_exact",
+        (F.col("n_bloom") - F.col("n_exact")).alias("bloom_fp"),
+        (F.col("n_bloom") / F.col("n_shingles") >= threshold).alias("contaminated"),
+    )
 
 
 def distinct_sketch(

@@ -206,6 +206,68 @@ def test_contamination_zero_eval_split(spark, docs):
     assert {r.doc_id for r in out} == {1, 2, 3, 4}  # doc 5 has 1 token
 
 
+# ---- Bloom decontamination screen ----------------------------------------
+def test_bloom_screen_no_false_negatives_and_exact_at_large_m(spark):
+    """The Bloom theorem half: n_bloom >= n_exact on EVERY doc at any
+    filter size (misses are impossible); and at a collision-free m the
+    screen equals the exact one bit-for-bit."""
+    from careers_spark.operators.sketches import bloom_contamination_screen
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c d", "a b c", "x a b c d y", "p q r s"],
+        })
+    )
+    exact = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.contaminated)
+        for r in DD.contamination_flags(df, "doc_id = 0", n=3).collect()
+    }
+    for m in (4, 1 << 20):
+        got = {
+            r.doc_id: r
+            for r in bloom_contamination_screen(
+                df, "doc_id = 0", n=3, k=4, m=m
+            ).collect()
+        }
+        assert set(got) == set(exact)
+        for d, (n_sh, n_ex, contam) in exact.items():
+            r = got[d]
+            assert (r.n_shingles, r.n_exact) == (n_sh, n_ex)
+            assert r.n_bloom >= r.n_exact          # no false negatives
+            assert r.bloom_fp == r.n_bloom - r.n_exact >= 0
+            if contam:
+                assert r.contaminated              # conservative screen
+    # collision-free regime: bloom == exact everywhere
+    big = {
+        r.doc_id: (r.n_shingles, r.n_bloom, r.contaminated)
+        for r in bloom_contamination_screen(
+            df, "doc_id = 0", n=3, k=4, m=1 << 20
+        ).collect()
+    }
+    assert big == {d: (v[0], v[1], v[2]) for d, v in exact.items()}
+
+
+def test_bloom_screen_forced_false_positive(spark):
+    """m=1 collapses every position to bit 0: one inserted eval shingle
+    sets the whole filter, so a fully DISJOINT train doc still screens
+    contaminated — the overcount shows up in bloom_fp, never in a miss."""
+    from careers_spark.operators.sketches import bloom_contamination_screen
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 3],
+            "text": ["a b c d", "p q r s"],
+        })
+    )
+    r = bloom_contamination_screen(df, "doc_id = 0", n=3, k=1, m=1).collect()
+    (row,) = [x for x in r if x.doc_id == 3]
+    assert row.n_exact == 0
+    assert row.n_bloom == row.n_shingles == 2
+    assert row.bloom_fp == 2
+    assert row.contaminated
+
+
 # ---- duplicated-span fraction -------------------------------------------
 def test_dup_span_fraction_golden(spark, docs):
     """docs 1 and 4 are exact dups -> every 4-gram shared (frac 1.0);
