@@ -925,6 +925,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["length_quantiles"] = length_quantiles
 
+    def source_reputation(spark, sf_dir):
+        """Per-source curation dashboard: volume, mean quality
+        (integer-micro-unit sums for order-independent exactness),
+        exact-dup share, Gopher keep share
+        (textstats.source_reputation)."""
+        return TS.source_reputation(_t(spark, sf_dir, "documents"))
+
+    q["source_reputation"] = source_reputation
+
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
         MM.synth_assets(_t(spark, sf_dir, "documents"))
@@ -2115,6 +2124,39 @@ def oracle_sql() -> dict[str, str]:
                  + 0.3 * greatest(0.0, 1 - punct_ratio * 4)
                  + 0.4 * least(1.0, stop_ratio * 2))) AS DOUBLE), 6) AS quality
         FROM y
+    """
+
+    # source_reputation: nests the quality and gopher leg oracles
+    # verbatim (the curated_corpus recipe); the per-source quality mean
+    # rides integer micro-units so addition order can't leak IEEE noise
+    o["source_reputation"] = f"""
+        WITH q AS ({o["quality_score"]}),
+        g AS ({o["gopher_repetition"]}),
+        h AS (SELECT doc_id, md5(text) AS th, source FROM documents),
+        hc AS (SELECT th, count(*) AS n_same FROM h GROUP BY th),
+        j AS (
+          SELECT h.source,
+                 CAST(round(q.quality * 1000000, 0) AS BIGINT) AS qmu,
+                 CASE WHEN hc.n_same > 1 THEN 1 ELSE 0 END AS dup,
+                 COALESCE(CASE WHEN g.keep THEN 1 ELSE 0 END, 0) AS gk
+          FROM h
+          JOIN q ON q.doc_id = h.doc_id
+          JOIN hc ON hc.th = h.th
+          LEFT JOIN g ON g.doc_id = h.doc_id
+        ),
+        per AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+                 CAST(sum(gk) AS BIGINT) AS n_gopher_keep,
+                 CAST(sum(qmu) AS BIGINT) AS q_sum
+          FROM j GROUP BY source
+        )
+        SELECT source, n_docs, n_dup_docs, n_gopher_keep,
+               round(q_sum / (n_docs * 1000000e0), 6) AS mean_quality,
+               round(n_dup_docs / CAST(n_docs AS DOUBLE), 6) AS dup_frac,
+               round(n_gopher_keep / CAST(n_docs AS DOUBLE), 6) AS keep_frac
+        FROM per
     """
 
     lang_cases = []

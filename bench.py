@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "token_pmi",
     "doc_length_histogram",
+    "source_reputation",
     "length_quantiles",
     "gopher_repetition",
     "frame_sample_plan",

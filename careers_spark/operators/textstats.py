@@ -266,6 +266,63 @@ def token_pmi(documents: DataFrame, min_pairs: int = 20) -> DataFrame:
     )
 
 
+def source_reputation(documents: DataFrame, strata: str = "source") -> DataFrame:
+    """Per-source curation dashboard — the domain-reputation table a
+    web-scale pipeline ranks its crawl sources by (the CCNet /
+    RefinedWeb "which domains are worth keeping" step): volume, mean
+    quality, exact-duplicate share, and Gopher-repetition keep share.
+
+    Engine-exactness: the per-source quality MEAN rides integer
+    micro-units (round(quality * 1e6) as BIGINT — quality is already
+    6-dp-rounded, so the micro value is exact), because summing doubles
+    across a group is addition-order dependent while integer sums are
+    not; the mean divides once at the end. Dup/keep shares are integer
+    count ratios.
+
+    Physical shape: one corpus-wide groupBy(text_hash) for dup counts
+    joined back on the hash, 1:1 doc_id joins for the quality/gopher
+    legs (co-partitioned on doc_id at scale), then ONE algebraic
+    groupBy(source). Nothing here is more than a partial-agg shuffle.
+
+    Output: (source, n_docs, n_dup_docs, n_gopher_keep, mean_quality,
+    dup_frac, keep_frac).
+    """
+    q = quality_score(documents).select(
+        "doc_id",
+        F.expr("cast(round(quality * 1000000, 0) as bigint)").alias("_qmu"),
+    )
+    g = gopher_repetition(documents).select(
+        "doc_id", F.col("keep").cast("long").alias("_gk")
+    )
+    h = documents.select("doc_id", F.md5("text").alias("_th"))
+    hc = h.groupBy("_th").agg(F.count("*").alias("_n_same"))
+    dup = h.join(hc, "_th").select(
+        "doc_id", (F.col("_n_same") > 1).cast("long").alias("_dup")
+    )
+    per = (
+        documents.select("doc_id", strata)
+        .join(q, "doc_id")
+        .join(dup, "doc_id")
+        .join(g, "doc_id", "left")
+        .groupBy(strata)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_dup").alias("n_dup_docs"),
+            F.sum(F.coalesce("_gk", F.lit(0))).alias("n_gopher_keep"),
+            F.sum("_qmu").alias("_q_sum"),
+        )
+    )
+    return per.select(
+        strata,
+        "n_docs",
+        "n_dup_docs",
+        "n_gopher_keep",
+        F.expr("round(_q_sum / (n_docs * 1000000e0), 6)").alias("mean_quality"),
+        F.expr("round(n_dup_docs / cast(n_docs as double), 6)").alias("dup_frac"),
+        F.expr("round(n_gopher_keep / cast(n_docs as double), 6)").alias("keep_frac"),
+    )
+
+
 def length_histogram(
     documents: DataFrame,
     strata: str = "lang",

@@ -70,3 +70,53 @@ def test_length_quantiles_approx_path_runs(spark):
     assert set(approx) == set(exact)
     for q in exact:
         assert abs(approx[q] - exact[q]) <= 5  # GK sketch, loose band
+
+
+def test_source_reputation_composition(spark):
+    """source_reputation == an independent python recomputation from its
+    three legs (quality_score, gopher_repetition, md5 dup counts) on a
+    fixture with a cross-source duplicate pair and a repetitive doc."""
+    from collections import Counter
+
+    from careers_spark.operators.textstats import (
+        gopher_repetition,
+        quality_score,
+        source_reputation,
+    )
+
+    rows = [
+        (1, "srcA", "the quick brown fox jumps over the lazy dog"),
+        (2, "srcA", "copy copy copy copy copy copy copy copy"),   # repetitive
+        (3, "srcA", "shared text between two sources here"),
+        (4, "srcB", "shared text between two sources here"),      # dup of 3
+        (5, "srcB", "another perfectly ordinary document with words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    qual = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    keep = {r.doc_id: r.keep for r in gopher_repetition(docs).collect()}
+    texts = Counter(t for *_, t in rows)
+
+    want = {}
+    for src in ("srcA", "srcB"):
+        ds = [r for r in rows if r[1] == src]
+        n = len(ds)
+        n_dup = sum(1 for r in ds if texts[r[2]] > 1)
+        n_keep = sum(1 for r in ds if keep.get(r[0], False))
+        q_sum = sum(round(qual[r[0]] * 1_000_000) for r in ds)
+        want[src] = (
+            n, n_dup, n_keep,
+            round(q_sum / (n * 1_000_000), 6),
+            round(n_dup / n, 6), round(n_keep / n, 6),
+        )
+
+    got = {
+        r.source: (r.n_docs, r.n_dup_docs, r.n_gopher_keep,
+                   r.mean_quality, r.dup_frac, r.keep_frac)
+        for r in source_reputation(docs).collect()
+    }
+    assert got == want
+    # the hand-checkable bits: the dup pair spans both sources, and the
+    # repetitive doc fails the Gopher keep
+    assert got["srcA"][1] == 1 and got["srcB"][1] == 1
+    assert not keep[2]
