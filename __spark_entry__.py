@@ -800,6 +800,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_hits"] = entity_hits
 
+    def entity_distances(spark, sf_dir):
+        """Bellman-Ford single-source shortest paths from the
+        lexicographically smallest entity over the min_obs=35 graph,
+        edge length greatest(1, 50 - n_obs) (strong co-occurrence =
+        short) — integer path sums, synchronous relaxation, early-stop
+        on a (count, total) fixpoint; the oracle unrolls the identical
+        recurrence to fixed depth (graph.sssp)."""
+        from careers_spark.operators.graph import sssp
+
+        e = _entity_edges(spark, sf_dir, 35).localCheckpoint(eager=True)
+        s = e.agg(F.least(F.min("src"), F.min("dst")).alias("s")).collect()[0].s
+        return sssp(e, s, weight="greatest(1, 50 - n_obs)")
+
+    q["entity_distances"] = entity_distances
+
     # ---- temporal joins / rollups (operators Spark's surface lacks) ----
     def asof_last_click(spark, sf_dir):
         """Point-in-time (as-of) join: each purchase event enriched with
@@ -1895,6 +1910,48 @@ def oracle_sql() -> dict[str, str]:
         "WITH "
         + ",\n".join(_hits_chain)
         + "\nSELECT h.node, h.hub, a.auth FROM h6 h JOIN a6 a ON a.node = h.node"
+    )
+
+    # entity_distances: Bellman-Ford unrolled to fixed depth 10 — the
+    # relaxation is a synchronous fixpoint (rounds past convergence are
+    # verbatim no-ops, so the unconditional unroll equals Spark's
+    # early-stopped loop), and integer path lengths sum exactly in any
+    # order, so no rounding is needed anywhere
+    _bf_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst,
+                 greatest(1, 50 - CAST(count(*) AS BIGINT)) AS w
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        bidir AS MATERIALIZED (
+          SELECT src AS u, dst AS v, w FROM e
+          UNION ALL SELECT dst, src, w FROM e
+        ),
+        d0 AS MATERIALIZED (
+          SELECT least(min(src), min(dst)) AS node, CAST(0 AS BIGINT) AS dist
+          FROM e
+        )"""
+    ]
+    for _k in range(1, 11):
+        _bf_chain.append(
+            f"""d{_k} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{_k - 1}
+            UNION ALL
+            SELECT b.v AS node, d.dist + b.w AS dist
+            FROM d{_k - 1} d JOIN bidir b ON b.u = d.node
+          ) GROUP BY node
+        )"""
+        )
+    o["entity_distances"] = (
+        "WITH "
+        + ",\n".join(_bf_chain)
+        + "\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d10"
     )
 
     # asof_last_click: the identical union-window form (qualifying click

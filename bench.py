@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "entity_hits",
     "graph_triangles",
     "graph_kcore",
+    "entity_distances",
 ]
 
 

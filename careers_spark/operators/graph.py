@@ -340,3 +340,77 @@ def hits(
         auth = auth.localCheckpoint(eager=True)
         hub = hub.localCheckpoint(eager=True)
     return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def sssp(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Single-source shortest paths by synchronous Bellman-Ford over the
+    undirected (bidirectional) edge set — "how far is every entity from
+    this hub" distances, the remaining primitive of the graph-analytics
+    family (CC, LPA, Louvain, modularity, PageRank, HITS, triangles,
+    k-core all ship already).
+
+    ``weight`` is an integer SQL expression over the edge columns
+    (None -> 1 per edge, i.e. BFS hop count). Integer path lengths sum
+    exactly in any order, so the result is engine- and
+    partitioning-independent, and the loop is a SYNCHRONOUS fixpoint
+    iteration: round t+1's frontier relaxation
+
+        dist'(v) = min(dist(v), min_{(u,v) in E} dist(u) + w(u,v))
+
+    is joins + an algebraic min — once a round changes nothing, every
+    further round is a verbatim no-op, which is what lets the DuckDB
+    oracle unroll the loop to a fixed depth >= the convergence round
+    (the Louvain/LPA oracle recipe).
+
+    Per round: one equi-join of the current distances against the edge
+    list (shuffle on node id; hub skew AQE-split) + one
+    partial-agg-friendly min. Rounds are localCheckpoint'ed (lineage
+    doubles per round otherwise) and the loop early-stops on a
+    (node-count, total-distance) fixpoint — the node set only grows and
+    each distance only shrinks, so that pair is invariant iff the round
+    changed nothing. Raises on budget exhaustion instead of returning
+    half-relaxed distances (kcore/hierarchy convention). Bellman-Ford
+    needs at most |V|-1 rounds, so max_iter bounds the reachable
+    diameter this operator accepts.
+
+    Unreachable nodes are absent from the output (infinite distance).
+
+    Output: (node, dist) — BIGINT exact shortest distance.
+    """
+    w = F.expr(weight) if weight else F.lit(1)
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.cast("long").alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), w.cast("long").alias("w")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], ["node", "dist"]).select(
+        F.col("node").cast(bidir.schema["u"].dataType), F.col("dist").cast("long")
+    )
+    prev = (-1, -1)
+    for _ in range(max_iter):
+        cand = dist.join(bidir, dist.node == bidir.u).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        row = dist.agg(
+            F.count("*").alias("n"), F.sum("dist").alias("t")
+        ).collect()[0]
+        cur = (row.n, row.t)
+        if cur == prev:
+            return dist
+        prev = cur
+    raise RuntimeError(f"sssp did not reach a fixpoint in {max_iter} rounds")

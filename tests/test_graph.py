@@ -286,3 +286,67 @@ def test_weighted_pagerank_heavy_edge_dominates(spark):
     )
     got = {r.node: r.pr for r in pagerank(df, weight="n_obs").collect()}
     assert got[2] > got[3]
+
+
+# ---- single-source shortest paths (Bellman-Ford) --------------------------
+def test_sssp_relaxation_beats_direct_edge(spark):
+    """The defining Bellman-Ford case: a 2-hop path (1+2=3) undercuts
+    the direct weight-10 edge, and the relaxation must propagate it."""
+    from careers_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [("s", "b", 10), ("s", "a", 1), ("a", "b", 2), ("b", "c", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r.node: r.dist for r in sssp(e, "s", weight="w").collect()}
+    assert got == {"s": 0, "a": 1, "b": 3, "c": 4}
+
+
+def test_sssp_unreachable_absent_and_undirected(spark):
+    from careers_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [("a", "s", 5), ("x", "y", 1)],  # edge INTO s still works (undirected)
+        "src string, dst string, w long",
+    )
+    got = {r.node: r.dist for r in sssp(e, "s", weight="w").collect()}
+    assert got == {"s": 0, "a": 5}  # x, y unreachable -> absent
+
+
+def test_sssp_hops_match_python_bfs_on_random_graphs(spark):
+    import random as _r
+    from collections import deque
+
+    from careers_spark.operators.graph import sssp
+
+    rng = _r.Random(7)
+    for trial in range(3):
+        n = 14
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(30)}
+        edges = [(a, b) for a, b in edges if a != b]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.dist for r in sssp(e, 0).collect()}
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want, q = {0: 0}, deque([0])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = want[u] + 1
+                    q.append(v)
+        assert got == want, trial
+
+
+def test_sssp_raises_without_fixpoint_budget(spark):
+    from careers_spark.operators.graph import sssp
+
+    # a 6-node line needs 5 relaxation rounds + 1 quiet round to prove
+    # the fixpoint; max_iter=3 must raise, never return partial dists
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        sssp(e, 0, max_iter=3)
