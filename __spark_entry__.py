@@ -900,6 +900,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rolling_revenue"] = rolling_revenue
 
+    def funnel_view_click_purchase(spark, sf_dir):
+        """Ordered funnel view -> click -> purchase: per-stage reach,
+        conversion, and total lag — conditional min-aggs chained per
+        stage, no window over the event stream (funnel.funnel_summary)."""
+        from careers_spark.operators.funnel import funnel_summary
+
+        return funnel_summary(
+            _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+        )
+
+    q["funnel_view_click_purchase"] = funnel_view_click_purchase
+
+    def cohort_retention(spark, sf_dir):
+        """Weekly cohort-retention grid — cohort = integer epoch-week of
+        each user's first event; one distinct + two algebraic groupBys
+        (funnel.cohort_retention)."""
+        from careers_spark.operators.funnel import cohort_retention as cr
+
+        return cr(_t(spark, sf_dir, "events"))
+
+    q["cohort_retention"] = cohort_retention
+
     def distinct_sketch(spark, sf_dir):
         """k-independent-minimums cardinality sketch (k=64) vs exact
         count(distinct) per event_type over (user_id, value-cents) keys
@@ -2033,6 +2055,65 @@ def oracle_sql() -> dict[str, str]:
         )
         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+    # funnel: stage s = min event time STRICTLY after stage s-1 — the
+    # identical chained conditional-min construction; every value is an
+    # integer epoch-us / count, conv is one final round of an int ratio
+    o["funnel_view_click_purchase"] = """
+        WITH t1 AS (
+          SELECT user_id AS k, min(epoch_us(ts)) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        t2 AS (
+          SELECT e.user_id AS k, min(epoch_us(e.ts)) AS t2
+          FROM events e JOIN t1 ON t1.k = e.user_id
+           AND epoch_us(e.ts) > t1.t1
+          WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        t3 AS (
+          SELECT e.user_id AS k, min(epoch_us(e.ts)) AS t3
+          FROM events e JOIN t2 ON t2.k = e.user_id
+           AND epoch_us(e.ts) > t2.t2
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        ),
+        u AS (
+          SELECT t1.k, t1.t1, t2.t2, t3.t3
+          FROM t1 LEFT JOIN t2 USING (k) LEFT JOIN t3 ON t3.k = t1.k
+        ),
+        w AS (
+          SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3,
+                 coalesce(sum(t1 - t1), 0) AS lag1,
+                 coalesce(sum(t2 - t1), 0) AS lag2,
+                 coalesce(sum(t3 - t1), 0) AS lag3
+          FROM u
+        )
+        SELECT 1 AS stage_idx, 'view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+               1.0e0 AS conv_from_prev, CAST(lag1 AS BIGINT) AS total_lag_us
+        FROM w
+        UNION ALL
+        SELECT 2, 'click', CAST(n2 AS BIGINT),
+               CASE WHEN n1 = 0 THEN NULL
+                    ELSE round(n2 / CAST(n1 AS DOUBLE), 6) END,
+               CAST(lag2 AS BIGINT) FROM w
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+               CASE WHEN n2 = 0 THEN NULL
+                    ELSE round(n3 / CAST(n2 AS DOUBLE), 6) END,
+               CAST(lag3 AS BIGINT) FROM w
+    """
+
+    o["cohort_retention"] = """
+        WITH wk AS (
+          SELECT DISTINCT user_id AS k,
+                 epoch_us(ts) // 604800000000 AS w
+          FROM events
+        ),
+        f AS (SELECT k, min(w) AS cohort_week FROM wk GROUP BY k)
+        SELECT f.cohort_week, wk.w - f.cohort_week AS offset_weeks,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM wk JOIN f USING (k)
+        GROUP BY 1, 2
     """
 
     # distinct_sketch: the k=64 independent-minimums sketch — same

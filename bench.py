@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "clicks_before_purchase",
     "event_rollup_hourly",
     "rolling_revenue",
+    "funnel_view_click_purchase",
+    "cohort_retention",
     "distinct_sketch",
     "top_orders_per_cust",
     "link_weights_nation",

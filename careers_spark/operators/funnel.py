@@ -1,0 +1,140 @@
+"""Product-analytics operators over event streams: ordered funnels and
+cohort retention.
+
+The reference's report layer derives per-user activity summaries from
+event timestamps (the per-day/per-week rollups its serving pages show);
+these are the two standard distributed generalizations every event
+warehouse ships (Amplitude/Mixpanel-style funnels, cohort grids).
+
+Both are pure conditional aggregations — no window over the full event
+stream, no per-user sort, no explode:
+
+- ``funnel_user_stages``: stage s's per-user timestamp is the MIN event
+  time of stage s STRICTLY AFTER the user's stage s-1 timestamp — one
+  (join + conditional min-agg) pass per stage, S small and fixed. Each
+  pass shuffles on the user key only; the frontier frames are
+  one-row-per-user (bounded by distinct users, far smaller than
+  events).
+
+- ``cohort_retention``: cohort = integer week of the user's first
+  event; the (cohort, offset) grid is one distinct + two algebraic
+  groupBys. Weeks are exact integer ``div`` buckets of epoch-us.
+
+Engine-exactness: every value is an integer (epoch-us mins, counts,
+week indices) or a final single round() of an integer ratio, so the
+DuckDB oracles hash-match with no tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from careers_spark.operators.temporal import _us
+
+WEEK_US = 7 * 86_400_000_000
+
+
+def funnel_user_stages(
+    events: DataFrame,
+    stages: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered-funnel timestamps: ``t1`` is the user's earliest
+    stage-1 event; ``t{s}`` the earliest stage-s event STRICTLY after
+    ``t{s-1}`` (simultaneous cross-stage events do not chain — the
+    conservative ordering). A user appears iff they reached stage 1;
+    unreached later stages are NULL.
+
+    Output: (<key>, t1, t2, ..., t{S}) — epoch-us BIGINTs.
+    """
+    ev = events.select(
+        F.col(key).alias("_k"), F.col(type_col).alias("_et"), _us(ts).alias("_t")
+    )
+    cur = (
+        ev.filter(F.col("_et") == stages[0])
+        .groupBy("_k")
+        .agg(F.min("_t").alias("t1"))
+    )
+    for i, st in enumerate(stages[1:], start=2):
+        nxt = (
+            ev.filter(F.col("_et") == st)
+            .join(cur.select("_k", F.col(f"t{i-1}").alias("_prev")), "_k")
+            .filter(F.col("_t") > F.col("_prev"))
+            .groupBy("_k")
+            .agg(F.min("_t").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "_k", "left")
+    return cur.withColumnRenamed("_k", key)
+
+
+def funnel_summary(
+    events: DataFrame,
+    stages: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-stage funnel report: users reaching each stage in order,
+    conversion from the previous stage, and the total lag from stage 1
+    (integer microseconds — exact in any addition order).
+
+    Output: (stage_idx, stage, n_users, conv_from_prev, total_lag_us).
+    """
+    per_user = funnel_user_stages(events, stages, key, ts, type_col)
+    aggs = []
+    for i in range(1, len(stages) + 1):
+        aggs.append(F.count(f"t{i}").alias(f"n{i}"))
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"t{i}").isNotNull(), F.col(f"t{i}") - F.col("t1"))
+            ).alias(f"lag{i}")
+        )
+    wide = per_user.agg(*aggs)
+    rows = []
+    for i, st in enumerate(stages, start=1):
+        # conversion out of an empty stage is undefined, not 0/0: NULL
+        # (ANSI division would raise; DuckDB doubles would emit inf/nan)
+        conv = (
+            F.lit(1.0)
+            if i == 1
+            else F.expr(
+                f"case when n{i-1} = 0 then null "
+                f"else round(n{i} / cast(n{i-1} as double), 6) end"
+            )
+        )
+        rows.append(
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(st).alias("stage"),
+                F.col(f"n{i}").alias("n_users"),
+                conv.alias("conv_from_prev"),
+                F.coalesce(F.col(f"lag{i}"), F.lit(0)).alias("total_lag_us"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention grid: users are cohorted by the integer
+    epoch-week of their FIRST event; for every later week they were
+    active, the (cohort, offset) cell counts them.
+
+    Output: (cohort_week, offset_weeks, n_active) — offset 0 is the
+    cohort's own week, so its n_active is the cohort size.
+    """
+    wk = events.select(
+        F.col(key).alias("_k"), F.expr(f"unix_micros(cast({ts} as timestamp)) div {WEEK_US}").alias("_w")
+    ).distinct()
+    first = wk.groupBy("_k").agg(F.min("_w").alias("cohort_week"))
+    return (
+        wk.join(first, "_k")
+        .groupBy("cohort_week", (F.col("_w") - F.col("cohort_week")).alias("offset_weeks"))
+        .agg(F.count("*").alias("n_active"))
+    )

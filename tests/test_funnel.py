@@ -1,0 +1,84 @@
+"""Ordered funnel + cohort retention (funnel.py)."""
+
+import datetime as dt
+
+from careers_spark.operators.funnel import (
+    WEEK_US,
+    cohort_retention,
+    funnel_summary,
+    funnel_user_stages,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_ordering_golden(spark):
+    """Strict ordering: pre-stage events, same-timestamp chains, and
+    out-of-order later stages must all be excluded."""
+    ev = _ev(spark, [
+        # user 1: clean full funnel
+        (1, "view", _ts(10)), (1, "click", _ts(20)), (1, "purchase", _ts(30)),
+        # user 2: click BEFORE the view doesn't count; click AT the view
+        # ts doesn't chain (strict >); purchase at 12 precedes t2=15
+        (2, "click", _ts(5)), (2, "view", _ts(10)), (2, "click", _ts(10)),
+        (2, "click", _ts(15)), (2, "purchase", _ts(12)),
+        # user 3: purchase first, then view, never clicks
+        (3, "purchase", _ts(1)), (3, "view", _ts(2)),
+        # user 4: never views -> not in the funnel at all
+        (4, "click", _ts(1)), (4, "purchase", _ts(2)),
+    ])
+    base = int(T0.timestamp()) * 1_000_000
+    got = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in funnel_user_stages(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (base + 10e6, base + 20e6, base + 30e6)
+    assert got[2] == (base + 10e6, base + 15e6, None)
+    assert got[3] == (base + 2e6, None, None)
+
+    s = {
+        r.stage: (r.stage_idx, r.n_users, r.conv_from_prev, r.total_lag_us)
+        for r in funnel_summary(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert s["view"] == (1, 3, 1.0, 0)
+    assert s["click"] == (2, 2, round(2 / 3, 6), 10_000_000 + 5_000_000)
+    assert s["purchase"] == (3, 1, 0.5, 20_000_000)
+
+
+def test_funnel_empty_later_stage(spark):
+    ev = _ev(spark, [(1, "view", _ts(1))])
+    s = {r.stage: (r.n_users, r.conv_from_prev, r.total_lag_us) for r in
+         funnel_summary(ev, ["view", "click", "purchase"]).collect()}
+    assert s["view"] == (1, 1.0, 0)
+    assert s["click"] == (0, 0.0, 0)
+    # conversion OUT of an empty stage is undefined -> NULL, not 0/0
+    assert s["purchase"] == (0, None, 0)
+
+
+def test_cohort_retention_grid(spark):
+    wk = lambda w, s=0: T0 + dt.timedelta(days=7 * w, seconds=s)  # noqa: E731
+    ev = _ev(spark, [
+        (1, "view", wk(0)), (1, "click", wk(1)), (1, "view", wk(3)),
+        (2, "view", wk(1)), (2, "click", wk(1, 30)), (2, "view", wk(2)),
+        (3, "view", wk(0, 5)),
+    ])
+    w0 = (int(T0.timestamp()) * 1_000_000) // WEEK_US
+    got = {
+        (r.cohort_week, r.offset_weeks): r.n_active
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        (w0, 0): 2, (w0, 1): 1, (w0, 3): 1,     # users 1, 3
+        (w0 + 1, 0): 1, (w0 + 1, 1): 1,         # user 2 (dup week deduped)
+    }
