@@ -971,6 +971,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_reputation"] = source_reputation
 
+    def bm25_search(spark, sf_dir):
+        """Okapi BM25 top-10 for the fixed query {spark, join, window} —
+        Lucene idf variant, integer aggregates under every double,
+        fixed-query-order score chain, TakeOrdered top-k (no full sort;
+        retrieval.bm25_topk)."""
+        from careers_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(
+            _t(spark, sf_dir, "documents"), ["spark", "join", "window"], k=10
+        )
+
+    q["bm25_search"] = bm25_search
+
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
         MM.synth_assets(_t(spark, sf_dir, "documents"))
@@ -2262,6 +2275,55 @@ def oracle_sql() -> dict[str, str]:
                  + 0.3 * greatest(0.0, 1 - punct_ratio * 4)
                  + 0.4 * least(1.0, stop_ratio * 2))) AS DOUBLE), 6) AS quality
         FROM y
+    """
+
+    # bm25_search: identical expression text per (doc, term), integer
+    # tf/df/dl/N under every double, fixed-order c0+c1+c2 chain, score
+    # rounded before the (score desc, doc_id) rank
+    _bm_terms = ["spark", "join", "window"]
+    _bm_in = ", ".join(f"'{t}'" for t in _bm_terms)
+    _bm_piv = ",\n                 ".join(
+        f"max(CASE WHEN term = '{t}' THEN c END) AS c{i}"
+        for i, t in enumerate(_bm_terms)
+    )
+    _bm_chain = " + ".join(f"coalesce(c{i}, 0e0)" for i in range(len(_bm_terms)))
+    o["bm25_search"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        corpus AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS dl_sum
+          FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS term FROM t
+          ) WHERE term IN ({_bm_in})
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        c AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+                   * tf * (1.2e0 + 1e0)
+                   / (tf + 1.2e0 * (1e0 - 0.75e0
+                      + 0.75e0 * dl / (dl_sum / CAST(n_docs AS DOUBLE)))) AS c
+          FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN corpus
+        ),
+        p AS (
+          SELECT doc_id,
+                 {_bm_piv}
+          FROM c GROUP BY doc_id
+        ),
+        s AS (SELECT doc_id, round({_bm_chain}, 6) AS score FROM p),
+        r AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM s
+        )
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 10
     """
 
     # source_reputation: nests the quality and gopher leg oracles

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "lang_id",
     "doc_fingerprint",
     "token_pmi",
+    "bm25_search",
     "doc_length_histogram",
     "source_reputation",
     "length_quantiles",

@@ -1,0 +1,102 @@
+"""Text retrieval scoring: BM25 top-k over the documents table.
+
+The Okapi BM25 ranking function (Robertson & Walker; the Lucene
+`BM25Similarity` variant whose idf is ln(1 + (N - df + 0.5)/(df + 0.5)),
+always positive):
+
+    score(d, Q) = sum_{t in Q} idf(t) * tf * (k1 + 1)
+                                / (tf + k1 * (1 - b + b * dl/avgdl))
+
+This is the standard lexical-retrieval primitive a corpus engine pairs
+with the ANN operators (similarity.py) for hybrid search.
+
+Engine-exactness (why the DuckDB oracle hash-matches with no
+tolerance):
+
+- every aggregate feeding a double is an INTEGER (tf, df, dl, N,
+  sum(dl)) — addition order can't perturb them;
+- each per-(doc, term) contribution is then ONE scalar double
+  expression evaluated once, identical text in both engines (k1/b
+  literals carry e0 so neither engine lifts them to DECIMAL; both
+  libm lns are correctly rounded — pinned cross-engine by the tfidf /
+  PMI oracles);
+- the per-doc score sums the per-term contributions in FIXED QUERY
+  ORDER (an explicit c1 + c2 + ... chain over pivoted conditional
+  aggregates, the distinct_sketch recipe), never a double `sum()`
+  aggregate, and is rounded BEFORE the rank order-by so the
+  (score desc, doc_id asc) tie-break is engine-identical.
+
+Physical shape at scale: the token explode filters to the query's
+terms IMMEDIATELY (a pushed-down isin over the exploded column —
+candidate set shrinks to docs containing >= 1 query term); df/idf is a
+query-terms-sized broadcast; avgdl/N a broadcast 1-row aggregate; and
+the global top-k is orderBy(...).limit(k), which Spark executes as
+TakeOrdered (per-partition partial top-k + driver merge of k-row
+heads) — NOT a full sort shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from careers_spark.operators.dedup import tokens_col
+
+K1 = "1.2e0"
+B = "0.75e0"
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents by BM25 for a fixed bag of query terms.
+
+    Output: (doc_id, score, rank) — rank 1..k by (score desc, doc_id).
+    """
+    toks = documents.select("doc_id", tokens_col("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "c",
+            F.expr(
+                f"ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))"
+                f" * tf * ({K1} + 1e0)"
+                f" / (tf + {K1} * (1e0 - {B} + {B} * dl / (dl_sum / cast(n_docs as double))))"
+            ),
+        )
+    )
+    # fixed-order pivot sum: one conditional max per query term (a
+    # (doc, term) contribution is unique), chained c1 + c2 + ... so both
+    # engines add the identical doubles in the identical order
+    pivots = [
+        F.max(F.when(F.col("term") == t, F.col("c"))).alias(f"_c{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    chain = " + ".join(f"coalesce(_c{i}, 0e0)" for i in range(len(query_terms)))
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(*pivots)
+        .withColumn("score", F.expr(f"round({chain}, 6)"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )
