@@ -922,6 +922,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cohort_retention"] = cohort_retention
 
+    def event_anomalies(spark, sf_dir):
+        """Hourly volume-anomaly flags per event_type vs the trailing
+        24 buckets — the anomaly decision is pure integer arithmetic
+        ((x*n - s)^2 > 9*(n*q - s^2)), so it can never flip on IEEE
+        noise (temporal.rollup_anomalies)."""
+        from careers_spark.operators.temporal import rollup_anomalies
+
+        return rollup_anomalies(_t(spark, sf_dir, "events"), dims=["event_type"])
+
+    q["event_anomalies"] = event_anomalies
+
     def distinct_sketch(spark, sf_dir):
         """k-independent-minimums cardinality sketch (k=64) vs exact
         count(distinct) per event_type over (user_id, value-cents) keys
@@ -2114,6 +2125,35 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n2 = 0 THEN NULL
                     ELSE round(n3 / CAST(n2 AS DOUBLE), 6) END,
                CAST(lag3 AS BIGINT) FROM w
+    """
+
+    # event_anomalies: identical RANGE frame (gaps excluded by value
+    # range), integer decision inequality, z the single sqrt double
+    o["event_anomalies"] = """
+        WITH b AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS bkt,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        st AS (
+          SELECT event_type, bkt, n_events,
+                 count(n_events) OVER w AS n,
+                 sum(n_events) OVER w AS s,
+                 sum(n_events * n_events) OVER w AS q
+          FROM b
+          WINDOW w AS (PARTITION BY event_type ORDER BY bkt
+                       RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, bkt * 3600000000 AS bucket_us, n_events,
+               CAST(coalesce(n, 0) AS BIGINT) AS baseline_n,
+               CASE WHEN n >= 12 AND n * q - s * s > 0
+                    THEN round((n_events * n - s) / sqrt(n * q - s * s), 6)
+               END AS z,
+               CASE WHEN n >= 12
+                    THEN (n_events * n - s) * (n_events * n - s)
+                         > 9 * (n * q - s * s)
+                    ELSE FALSE END AS is_anomaly
+        FROM st
     """
 
     o["cohort_retention"] = """

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "rolling_revenue",
     "funnel_view_click_purchase",
     "cohort_retention",
+    "event_anomalies",
     "distinct_sketch",
     "top_orders_per_cust",
     "link_weights_nation",

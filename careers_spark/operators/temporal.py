@@ -234,6 +234,75 @@ def rolling_window_agg(
     )
 
 
+def rollup_anomalies(
+    events: DataFrame,
+    dims: list[str],
+    ts: str = "ts",
+    bucket_us: int = 3_600_000_000,
+    baseline: int = 24,
+    min_baseline: int = 12,
+    z_threshold: int = 3,
+) -> DataFrame:
+    """Volume-anomaly detection over a time-bucket rollup — the
+    monitoring query a hypertable feeds ("did error volume spike this
+    hour vs the trailing day"): each bucket's event count is compared
+    to the mean/std of the TRAILING ``baseline`` buckets (current
+    excluded; gaps handled by a RANGE frame over the integer bucket
+    index, so missing buckets simply don't contribute).
+
+    The anomaly DECISION is pure integer arithmetic: with x the current
+    count and (n, s, q) the frame's count/sum/sum-of-squares,
+
+        |x - s/n| > z * std   <=>   (x*n - s)^2 > z^2 * (n*q - s^2)
+
+    — both sides exact BIGINTs, so the flag can never flip on IEEE
+    noise and the DuckDB oracle hash-matches. The reported z itself is
+    the one scalar double  (x*n - s) / sqrt(n*q - s^2),  rounded to 6
+    (NULL when the frame is degenerate: fewer than ``min_baseline``
+    buckets or zero variance).
+
+    Physical shape: one algebraic groupBy to the bucket grain (the
+    hypertable fine-grain pass), then ONE window per dims-key over the
+    tiny bucket table — at 10^12 raw rows the window input is ~6 orders
+    of magnitude smaller than raw.
+
+    Output: (<dims...>, bucket_us, n_events, baseline_n, z, is_anomaly).
+    """
+    buckets = (
+        events.withColumn("_us", _us(ts))
+        .groupBy(*dims, F.expr(f"_us div {bucket_us}").alias("_bkt"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy(*dims)
+        .orderBy("_bkt")
+        .rangeBetween(-baseline, -1)
+    )
+    st = (
+        buckets.withColumn("_n", F.count("n_events").over(w))
+        .withColumn("_s", F.sum("n_events").over(w))
+        .withColumn("_q", F.sum(F.expr("n_events * n_events")).over(w))
+    )
+    lhs = F.expr("(n_events * _n - _s) * (n_events * _n - _s)")
+    rhs = F.expr(f"{z_threshold * z_threshold} * (_n * _q - _s * _s)")
+    enough = F.col("_n") >= min_baseline
+    # the integer inequality handles a ZERO-VARIANCE baseline naturally:
+    # rhs is 0, so any deviation from the constant (lhs > 0) flags — the
+    # most obvious anomaly shape must not be suppressed; only the
+    # REPORTED z needs the var > 0 guard (it would divide by zero)
+    return st.select(
+        *dims,
+        F.expr(f"_bkt * {bucket_us}").alias("bucket_us"),
+        "n_events",
+        F.coalesce("_n", F.lit(0)).alias("baseline_n"),
+        F.when(
+            enough & (F.expr("_n * _q - _s * _s") > 0),
+            F.expr("round((n_events * _n - _s) / sqrt(_n * _q - _s * _s), 6)"),
+        ).alias("z"),
+        F.when(enough, lhs > rhs).otherwise(F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def time_bucket_rollup(
     events: DataFrame,
     dims: list[str],

@@ -303,3 +303,53 @@ def test_temporal_plan_shapes(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in rj_plan, rj_plan
     assert "BroadcastNestedLoopJoin" not in rj_plan, rj_plan
+
+
+def test_rollup_anomalies_golden(spark):
+    """Constant baseline -> zero variance: a spike must STILL flag (the
+    integer inequality's rhs is 0) with z NULL; the spike then inflates
+    the next bucket's baseline variance; short baselines never flag."""
+    import math
+
+    from careers_spark.operators.temporal import rollup_anomalies
+
+    H = 3600
+    rows = []
+    for b in range(24):                      # buckets 0..23: 3 events each
+        rows += [("e", _ts(b * H + i)) for i in range(3)]
+    rows += [("e", _ts(24 * H + i)) for i in range(15)]   # spike: 15
+    rows += [("e", _ts(25 * H + i)) for i in range(3)]    # back to normal
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        int(r.bucket_us // (H * 1_000_000)) - int(T0.timestamp()) // H:
+            (r.n_events, r.baseline_n, r.z, r.is_anomaly)
+        for r in rollup_anomalies(ev, dims=["event_type"]).collect()
+    }
+    # first 12 buckets: baseline too short -> never anomalous, z NULL
+    for b in range(12):
+        assert out[b][1] == b and out[b][2] is None and not out[b][3]
+    # bucket 23: 23-bucket constant baseline, zero variance, x == mean
+    assert out[23] == (3, 23, None, False)
+    # bucket 24 (the spike): zero-variance baseline, x != mean -> flags
+    assert out[24] == (15, 24, None, True)
+    # bucket 25: baseline now holds the spike; hand-computed z
+    n, s, q, x = 24, 23 * 3 + 15, 23 * 9 + 225, 3
+    z = round((x * n - s) / math.sqrt(n * q - s * s), 6)
+    assert out[25] == (3, 24, z, False)
+    assert (x * n - s) ** 2 <= 9 * (n * q - s * s)
+
+
+def test_rollup_anomalies_gap_resets_baseline(spark):
+    """RANGE frame over bucket values: a gap wider than the baseline
+    leaves the frame empty, so the resumed bucket has baseline_n 0."""
+    from careers_spark.operators.temporal import rollup_anomalies
+
+    H = 3600
+    rows = [("e", _ts(b * H)) for b in range(14)] + [("e", _ts(60 * H))]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        int(r.bucket_us // (H * 1_000_000)) - int(T0.timestamp()) // H:
+            (r.baseline_n, r.is_anomaly)
+        for r in rollup_anomalies(ev, dims=["event_type"]).collect()
+    }
+    assert got[60] == (0, False)
