@@ -995,6 +995,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_search"] = bm25_search
 
+    def unigram_logloss(spark, sf_dir):
+        """Per-doc average NLL under the corpus's own unigram LM — the
+        CCNet perplexity-filter stand-in; per-token log-probs are
+        fixed-point quantized (1e-9) so the per-doc reduction is an
+        exact integer sum (textstats.unigram_logloss)."""
+        return TS.unigram_logloss(_t(spark, sf_dir, "documents"))
+
+    q["unigram_logloss"] = unigram_logloss
+
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
         MM.synth_assets(_t(spark, sf_dir, "documents"))
@@ -2364,6 +2373,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
         FROM r WHERE rank <= 10
+    """
+
+    # unigram_logloss: identical fixed-point quantization — ln lockstep
+    # is pinned, round(x*1e9) is exact in both engines, the per-doc sum
+    # is pure BIGINT
+    o["unigram_logloss"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS term FROM t
+          ) GROUP BY doc_id, term
+        ),
+        counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n_term FROM tf GROUP BY term),
+        total AS (SELECT CAST(sum(n_term) AS BIGINT) AS n_total FROM counts),
+        c AS (
+          SELECT tf.doc_id, tf.tf,
+                 tf.tf * CAST(round(ln(n_term / CAST(n_total AS DOUBLE))
+                                    * 1000000000e0, 0) AS BIGINT) AS fp
+          FROM tf JOIN counts USING (term) CROSS JOIN total
+        )
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               round(-sum(fp) / (sum(tf) * 1000000000e0), 6) AS avg_nll
+        FROM c GROUP BY doc_id
     """
 
     # source_reputation: nests the quality and gopher leg oracles

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "token_pmi",
     "bm25_search",
+    "unigram_logloss",
     "doc_length_histogram",
     "source_reputation",
     "length_quantiles",

@@ -266,6 +266,54 @@ def token_pmi(documents: DataFrame, min_pairs: int = 20) -> DataFrame:
     )
 
 
+def unigram_logloss(documents: DataFrame) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram language model — the distributed stand-in for the
+    perplexity filter (CCNet / Wenzek et al. 2020 score documents with
+    a KenLM model and keep the low-perplexity band; with no external
+    model in this environment, the corpus unigram MLE plays that role:
+    unusual token distributions score high).
+
+    Determinism: a per-doc SUM of ln() doubles would be addition-order
+    dependent, so each token's log-probability is FIXED-POINT QUANTIZED
+    first — contribution = tf * round(ln(count/N) * 1e9) as BIGINT —
+    and the per-doc reduction is an exact integer sum (the documented
+    1e-9 quantization is ~7 orders below the reported 6-dp rounding).
+    ln itself is cross-engine lockstep (pinned by the tfidf/PMI
+    oracles); no OOV exists because the model IS the corpus.
+
+    Physical shape: one token explode -> (doc, term) tf groupBy, one
+    vocabulary-sized count table broadcast back onto it, one 1-row
+    total broadcast, one per-doc integer-sum groupBy. All partial-agg
+    friendly; no window, no sort.
+
+    Output: (doc_id, n_tokens, avg_nll) — avg_nll in nats/token,
+    higher = more surprising under the corpus distribution.
+    """
+    tf = (
+        documents.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("n_term"))
+    total = counts.agg(F.sum("n_term").alias("n_total"))
+    return (
+        tf.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_c",
+            F.expr("tf * cast(round(ln(n_term / cast(n_total as double)) * 1000000000e0, 0) as bigint)"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("_c").alias("_nll_fp"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("round(-_nll_fp / (n_tokens * 1000000000e0), 6)").alias("avg_nll"),
+        )
+    )
+
+
 def source_reputation(documents: DataFrame, strata: str = "source") -> DataFrame:
     """Per-source curation dashboard — the domain-reputation table a
     web-scale pipeline ranks its crawl sources by (the CCNet /

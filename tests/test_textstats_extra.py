@@ -120,3 +120,41 @@ def test_source_reputation_composition(spark):
     # repetitive doc fails the Gopher keep
     assert got["srcA"][1] == 1 and got["srcB"][1] == 1
     assert not keep[2]
+
+
+def test_unigram_logloss_python_lockstep(spark):
+    """Exact fixed-point lockstep with a pure-python recompute, and the
+    semantic property: a doc of rare tokens is more surprising than a
+    doc of the corpus's common tokens."""
+    import math
+    from collections import Counter
+
+    from careers_spark.operators.textstats import unigram_logloss
+
+    rows = [
+        (1, "the the the cat"),
+        (2, "the cat sat"),
+        (3, "zyx qwv"),           # rare tokens -> highest avg_nll
+        (4, "the the the the"),   # the most common token -> lowest
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toked = {d: t.split() for d, t in rows}
+    counts = Counter(t for toks in toked.values() for t in toks)
+    n_total = sum(counts.values())
+
+    want = {}
+    for d, toks in toked.items():
+        tf = Counter(toks)
+        fp = sum(
+            c * round(math.log(counts[t] / n_total) * 1e9)
+            for t, c in tf.items()
+        )
+        want[d] = (len(toks), round(-fp / (len(toks) * 1e9), 6))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_nll)
+        for r in unigram_logloss(docs).collect()
+    }
+    assert got == want
+    assert got[3][1] == max(v[1] for v in got.values())
+    assert got[4][1] == min(v[1] for v in got.values())
