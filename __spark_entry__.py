@@ -1031,6 +1031,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal_features
 
+    # ---- hybrid retrieval / chunking / link prediction / balancing ----
+    def hybrid_rrf_search(spark, sf_dir):
+        """Reciprocal-rank fusion of the BM25 lexical top-20 and the
+        dense cosine top-20 for query vector vec_id=0 (doc_id and
+        vec_id are the id-aligned synthetic corpus convention) —
+        hybrid search, the standard production retrieval combiner
+        (retrieval.rrf_fuse)."""
+        from careers_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+        lex = bm25_topk(
+            _t(spark, sf_dir, "documents"), ["spark", "join", "window"], k=20
+        ).select("doc_id", "rank")
+        dense = SIM.brute_force_topk(
+            _t(spark, sf_dir, "embeddings"), k=20, query_pred="vec_id = 0"
+        ).select(
+            F.col("neighbor_id").alias("doc_id"), F.col("rk").alias("rank")
+        )
+        return rrf_fuse([lex, dense], k_const=60, k=10)
+
+    q["hybrid_rrf_search"] = hybrid_rrf_search
+
+    def doc_chunks(spark, sf_dir):
+        """Sliding-window RAG chunking: size-64 token windows at stride
+        48, md5-fingerprinted — pure projection + explode, zero
+        shuffles at any scale (packing.chunk_tokens)."""
+        from careers_spark.operators.packing import chunk_tokens
+
+        return chunk_tokens(_t(spark, sf_dir, "documents"), size=64, stride=48)
+
+    q["doc_chunks"] = doc_chunks
+
+    def predicted_links(spark, sf_dir):
+        """Common-neighbor link prediction (common count / Jaccard /
+        Adamic-Adar) over the min_obs=35 entity graph — candidates from
+        the wedge join only, existing edges anti-joined away
+        (graph.link_prediction)."""
+        from careers_spark.operators.graph import link_prediction
+
+        return link_prediction(_entity_edges(spark, sf_dir, 35), min_common=2)
+
+    q["predicted_links"] = predicted_links
+
+    def lang_temperature_weights(spark, sf_dir):
+        """Temperature (alpha=0.5) language-sampling weights — the
+        mT5/XLM-R multilingual rebalancing table; sqrt keeps the
+        cross-engine doubles identical (sampling.temperature_weights)."""
+        from careers_spark.operators.sampling import temperature_weights
+
+        return temperature_weights(_t(spark, sf_dir, "documents"), "lang")
+
+    q["lang_temperature_weights"] = lang_temperature_weights
+
+    def gap_filled_hourly(spark, sf_dir):
+        """Dense gap-filled hourly series per event_type with zero-fill
+        + forward-filled last active hour — the time_bucket_gapfill /
+        locf primitive (temporal.gap_fill_hourly)."""
+        from careers_spark.operators.temporal import gap_fill_hourly
+
+        return gap_fill_hourly(_t(spark, sf_dir, "events"))
+
+    q["gap_filled_hourly"] = gap_filled_hourly
+
+    def quality_percentile_gate(spark, sf_dir):
+        """Per-language percentile quality gate: keep docs at or above
+        their language's q25 quality — the adaptive per-stratum
+        curation cut (textstats.quality_percentile_filter)."""
+        return TS.quality_percentile_filter(
+            _t(spark, sf_dir, "documents"), "lang", q=0.25
+        )
+
+    q["quality_percentile_gate"] = quality_percentile_gate
+
     return q
 
 
@@ -2774,5 +2846,218 @@ def oracle_sql() -> dict[str, str]:
         64,
         2,
     )
+
+    # hybrid_rrf_search: BM25 top-20 (the bm25_search SQL with the rank
+    # bound at 20) full-outer-joined with the dense cosine top-20 for
+    # query vec_id=0; each RRF term is 1/(60+rank) with an INTEGER
+    # denominator and the two-term sum is fixed-order, so the fused
+    # doubles are engine-identical (rounded to 9 before the final rank)
+    o["hybrid_rrf_search"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        corpus AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS dl_sum
+          FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS term FROM t
+          ) WHERE term IN ({_bm_in})
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        c AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+                   * tf * (1.2e0 + 1e0)
+                   / (tf + 1.2e0 * (1e0 - 0.75e0
+                      + 0.75e0 * dl / (dl_sum / CAST(n_docs AS DOUBLE)))) AS c
+          FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN corpus
+        ),
+        p AS (
+          SELECT doc_id,
+                 {_bm_piv}
+          FROM c GROUP BY doc_id
+        ),
+        s AS (SELECT doc_id, round({_bm_chain}, 6) AS score FROM p),
+        lex AS (
+          SELECT doc_id, rank FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM s
+          ) WHERE rank <= 20
+        ),
+        qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        ds AS (
+          SELECT vec_id AS doc_id, {_cos} AS sim
+          FROM qv CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS nv FROM embeddings)
+          WHERE vec_id <> 0
+        ),
+        den AS (
+          SELECT doc_id, rank FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+            FROM ds
+          ) WHERE rank <= 20
+        ),
+        u AS (
+          SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+                 round(coalesce(1e0 / (60 + lex.rank), 0e0)
+                       + coalesce(1e0 / (60 + den.rank), 0e0), 9) AS score
+          FROM lex FULL JOIN den ON den.doc_id = lex.doc_id
+        )
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM u
+        ) WHERE rank <= 10
+    """
+
+    # doc_chunks: identical integer chunk-count/start arithmetic; DuckDB
+    # list_slice clamps at the tail exactly like Spark slice, and the
+    # chunk fingerprint is md5 of the space-joined tokens in both
+    o["doc_chunks"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        ch AS (
+          SELECT doc_id, toks,
+                 CASE WHEN n <= 64 THEN 1
+                      ELSE 1 + ((n - 64) + 48 - 1) // 48 END AS n_chunks
+          FROM n
+        ),
+        e AS (
+          SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM ch
+        ),
+        s AS (
+          SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+                 list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64) AS chunk
+          FROM e
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(len(chunk) AS BIGINT) AS chunk_len,
+               md5(array_to_string(chunk, ' ')) AS chunk_hash
+        FROM s
+    """
+
+    # predicted_links: the pagerank edge CTE (tokd + e, min_obs=35) as
+    # the undirected simple graph; candidates from the wedge self-join
+    # of the bidirectional adjacency (pa < pb) minus existing edges;
+    # cn/degree are integers, jaccard one division rounded to 6, and
+    # Adamic-Adar rides fixed-point BIGINT contributions
+    # (round(1e9/ln(deg)); wedge centers always have deg >= 2)
+    o["predicted_links"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        adj AS (
+          SELECT src AS node, dst AS nbr FROM e
+          UNION ALL SELECT dst, src FROM e
+        ),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY node),
+        center AS (
+          SELECT node AS z,
+                 CAST(round(1000000000e0 / ln(CAST(degree AS DOUBLE)), 0) AS BIGINT) AS aa_fp
+          FROM deg WHERE degree >= 2
+        ),
+        wedges AS (
+          SELECT w1.nbr AS pa, w2.nbr AS pb, w1.node AS z
+          FROM adj w1 JOIN adj w2 ON w1.node = w2.node AND w1.nbr < w2.nbr
+        ),
+        cand AS (
+          SELECT pa, pb, z FROM wedges w
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.src = w.pa AND e.dst = w.pb
+          )
+        ),
+        scored AS (
+          SELECT pa, pb, CAST(count(*) AS BIGINT) AS common,
+                 CAST(sum(aa_fp) AS BIGINT) AS aa_sum
+          FROM cand JOIN center USING (z)
+          GROUP BY pa, pb HAVING count(*) >= 2
+        )
+        SELECT s.pa AS src, s.pb AS dst, s.common,
+               round(CAST(s.common AS DOUBLE) / (da.degree + db.degree - s.common), 6)
+                 AS jaccard,
+               round(aa_sum / 1000000000e0, 6) AS adamic_adar
+        FROM scored s
+        JOIN deg da ON da.node = s.pa
+        JOIN deg db ON db.node = s.pb
+    """
+
+    # lang_temperature_weights: sqrt is IEEE-correctly-rounded in both
+    # engines; the normalizer is an integer sum of fixed-point weights
+    # and every output is a fixed single expression over integers
+    o["lang_temperature_weights"] = """
+        WITH per AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per),
+        wfp AS (
+          SELECT lang, n_docs, n_total,
+                 CAST(round(sqrt(n_docs / CAST(n_total AS DOUBLE))
+                            * 1000000000000e0, 0) AS BIGINT) AS w_fp
+          FROM per CROSS JOIN tot
+        ),
+        z AS (SELECT CAST(sum(w_fp) AS BIGINT) AS z FROM wfp)
+        SELECT lang, n_docs,
+               round(n_docs / CAST(n_total AS DOUBLE), 6) AS share,
+               round(CAST(w_fp AS DOUBLE) / z, 6) AS weight,
+               round(CAST(w_fp AS DOUBLE) / z * n_total / n_docs, 6) AS boost
+        FROM wfp CROSS JOIN z
+    """
+
+    # gap_filled_hourly: all-integer hour arithmetic (epoch_us // 3600e6
+    # == Spark's `div` on positive epochs); forward fill is a running
+    # MAX of hour-when-active — algebraic in both engines
+    o["gap_filled_hourly"] = """
+        WITH h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events
+        ),
+        c AS (
+          SELECT event_type, hour, CAST(count(*) AS BIGINT) AS cnt
+          FROM h GROUP BY 1, 2
+        ),
+        b AS (SELECT min(hour) AS hmin, max(hour) AS hmax FROM c),
+        k AS (SELECT DISTINCT event_type FROM c),
+        g AS (
+          SELECT event_type, unnest(range(hmin, hmax + 1)) AS hour
+          FROM k CROSS JOIN b
+        ),
+        f AS (
+          SELECT g.event_type, g.hour,
+                 CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+                 c.cnt IS NULL AS is_gap
+          FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour
+        )
+        SELECT event_type, hour, cnt, is_gap,
+               max(CASE WHEN cnt > 0 THEN hour END)
+                 OVER (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_active_hour
+        FROM f
+    """
+
+    # quality_percentile_gate: nests the quality oracle verbatim; the
+    # threshold is quantile_cont (the Spark `percentile` convention
+    # pinned by length_quantiles) over the already-rounded quality
+    o["quality_percentile_gate"] = f"""
+        WITH q AS ({o["quality_score"]}),
+        d AS (SELECT doc_id, lang FROM documents),
+        j AS (SELECT d.doc_id, d.lang, q.quality FROM d JOIN q USING (doc_id)),
+        t AS (
+          SELECT lang, round(quantile_cont(quality, 0.25e0), 6) AS thr
+          FROM j GROUP BY lang
+        )
+        SELECT j.doc_id, j.lang, j.quality, t.thr,
+               j.quality >= t.thr AS keep
+        FROM j JOIN t USING (lang)
+    """
 
     return o

@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "token_pmi",
     "bm25_search",
+    "hybrid_rrf_search",
+    "doc_chunks",
+    "predicted_links",
+    "lang_temperature_weights",
+    "gap_filled_hourly",
+    "quality_percentile_gate",
     "unigram_logloss",
     "doc_length_histogram",
     "source_reputation",

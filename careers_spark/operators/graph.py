@@ -342,6 +342,87 @@ def hits(
     return hub.join(auth, "node").select("node", "hub", "auth")
 
 
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected simple graph:
+    for every NON-adjacent pair (a < b) sharing >= `min_common`
+    neighbors, the three classic scores (Liben-Nowell & Kleinberg 2003)
+    — common-neighbor count, neighborhood Jaccard, and Adamic-Adar
+    sum_{z in N(a) ∩ N(b)} 1/ln(deg(z)). On a freshly built KG these
+    rank the missing edges worth surfacing (entities that co-occur with
+    the same things but were never observed together).
+
+    Physical shape: candidate pairs come ONLY from the wedge join
+    (adjacency self-joined on the shared center z, a < b) — never
+    all-pairs — then existing edges are removed with a left-anti join.
+    Same shuffle shape as triangle_stats; hub-center skew is AQE-split
+    and every aggregate is algebraic (count / integer sum).
+
+    Engine exactness: cn, degrees are integers; jaccard is ONE division
+    of integers rounded to 6; Adamic-Adar per-center contributions are
+    fixed-point quantized (round(1e9/ln(deg_z)) as BIGINT — wedge
+    centers have deg >= 2 so ln > 0) and integer-summed, the
+    unigram_logloss recipe, so addition order can't leak IEEE noise.
+
+    Output: (src, dst, common, jaccard, adamic_adar) with src < dst.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.selectExpr("a as node", "b as nbr").union(
+        und.selectExpr("b as node", "a as nbr")
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+    # per-center fixed-point Adamic-Adar contribution, shared by every
+    # wedge through z; a wedge center always has deg >= 2, and deg-1
+    # nodes must be dropped BEFORE the expression (ln(1) = 0 divides by
+    # zero under ANSI mode even though those rows never join)
+    center = deg.filter(F.col("degree") >= 2).select(
+        F.col("node").alias("z"),
+        F.expr(
+            "cast(round(1000000000e0 / ln(cast(degree as double)), 0) as bigint)"
+        ).alias("aa_fp"),
+    )
+    w1 = adj.selectExpr("node as z", "nbr as pa")
+    w2 = adj.selectExpr("node as z2", "nbr as pb")
+    wedges = w1.join(w2, (w1.z == w2.z2) & (F.col("pa") < F.col("pb"))).select(
+        "pa", "pb", "z"
+    )
+    cand = wedges.join(
+        und.selectExpr("a as pa", "b as pb"), ["pa", "pb"], "left_anti"
+    )
+    scored = (
+        cand.join(center, "z")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("common"), F.sum("aa_fp").alias("aa_sum"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.selectExpr("node as pa", "degree as deg_a")
+    db = deg.selectExpr("node as pb", "degree as deg_b")
+    return (
+        scored.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.col("pa").alias("src"),
+            F.col("pb").alias("dst"),
+            F.col("common"),
+            F.expr(
+                "round(cast(common as double) / (deg_a + deg_b - common), 6)"
+            ).alias("jaccard"),
+            F.expr("round(aa_sum / 1000000000e0, 6)").alias("adamic_adar"),
+        )
+    )
+
+
 def sssp(
     edges: DataFrame,
     source,

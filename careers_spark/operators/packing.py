@@ -66,3 +66,58 @@ def pack_sequences(
         (pos % window).cast("bigint").alias("offset"),
         ((pos % window) + F.col("n_tokens") > window).alias("straddles"),
     )
+
+
+def chunk_tokens(
+    documents: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG-ingestion primitive
+    that splits every document into fixed-size token windows with
+    `size - stride` tokens of overlap (the complement of
+    pack_sequences: packing fills training sequences, chunking feeds a
+    retrieval index).
+
+    Chunk starts sit at 0, stride, 2*stride, ...; the count is chosen so
+    the final window always covers the document tail:
+    n <= size -> 1 chunk, else 1 + ceil((n - size)/stride) via integer
+    division. A zero-token document still yields one (empty) chunk so
+    every doc_id survives into the index.
+
+    Physical shape at 100 TB: pure projection + per-row explode — NO
+    shuffle at any scale; chunk rows inherit the scan's partitioning
+    and the expected fan-out is n/stride rows per document.
+
+    Engine exactness: starts/lengths are integer arithmetic and the
+    chunk content is fingerprinted as md5 of the space-joined token
+    slice — Spark `slice`/`array_join` and DuckDB list slicing /
+    `array_to_string` clamp identically at the tail.
+
+    Output: (doc_id, chunk_id, start_tok, chunk_len, chunk_hash).
+    """
+    size, stride = int(size), int(stride)
+    t = documents.select(
+        F.col(key).alias("doc_id"), tokens_col("text").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    t = t.withColumn(
+        "n_chunks",
+        F.expr(
+            f"case when n <= {size} then 1"
+            f" else 1 + ((n - {size}) + {stride} - 1) div {stride} end"
+        ),
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_id"),
+    ).withColumn("start_tok", (F.col("chunk_id") * stride).cast("bigint"))
+    chunk = F.expr(f"slice(toks, start_tok + 1, {size})")
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "start_tok",
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )

@@ -100,3 +100,46 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "score", "rank"
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked retrieval lists — the standard hybrid-search combiner for a
+    lexical (BM25) list and a dense (embedding ANN) list:
+
+        rrf(d) = sum_i 1 / (k_const + rank_i(d))
+
+    with a document absent from list i contributing 0 from it.
+
+    Each input must carry (doc_id, rank). The fusion is a chain of
+    full-outer joins over lists that are ALREADY top-k truncated (a few
+    dozen rows per query) — at scale this join is a per-query
+    driver-free merge of k-row heads, trivially broadcastable; all the
+    heavy lifting happened inside the upstream retrieval operators.
+
+    Engine exactness: every term is 1/(k_const + rank) with an INTEGER
+    denominator, the per-doc score is an explicit fixed-order
+    t0 + t1 + ... chain (the bm25/distinct_sketch recipe, never a
+    double sum aggregate), rounded to 9 before the final rank.
+
+    Output: (doc_id, score, rank) — rank 1..k by (score desc, doc_id).
+    """
+    from pyspark.sql import Window
+
+    fused = None
+    for i, df in enumerate(ranked):
+        cur = df.select("doc_id", F.col("rank").alias(f"_r{i}"))
+        fused = cur if fused is None else fused.join(cur, "doc_id", "full_outer")
+    chain = " + ".join(
+        f"coalesce(1e0 / ({int(k_const)} + _r{i}), 0e0)" for i in range(len(ranked))
+    )
+    scored = fused.withColumn("score", F.expr(f"round({chain}, 9)"))
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )

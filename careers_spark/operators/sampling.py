@@ -54,3 +54,51 @@ def stratified_hash_sample(
         .filter(F.expr(f"bucket < ({pct})"))
         .select(key, strata, "bucket")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    strata: str = "lang",
+    alpha_sqrt: bool = True,
+) -> DataFrame:
+    """Temperature-based stratum sampling weights — the multilingual
+    rebalancing step of mT5/XLM-R-style pretraining: sample stratum l
+    with probability q_l ∝ p_l^alpha where p_l is its natural share,
+    flattening the head and boosting the tail.
+
+    alpha is fixed at 0.5 (T = 2), computed as sqrt(p): IEEE requires
+    sqrt to be correctly rounded, so BOTH engines produce the identical
+    double — pow/exp/ln chains would not carry that guarantee for
+    arbitrary alpha. The normalizer is an integer sum of fixed-point
+    quantized weights (round(sqrt(p)*1e12) as BIGINT — the
+    unigram_logloss recipe), so addition order can't perturb it.
+
+    Physical shape: ONE algebraic groupBy over the corpus + a broadcast
+    1-row total + a broadcast normalizer — the per-stratum table is
+    dimension-sized at any corpus scale.
+
+    Output: (<strata>, n_docs, share, weight, boost) where share = p_l,
+    weight = q_l (sums to ~1), boost = q_l/p_l (the up/down-sampling
+    factor a sampler applies per stratum).
+    """
+    if not alpha_sqrt:
+        raise NotImplementedError("only alpha = 0.5 (sqrt) is exactness-safe")
+    per = df.groupBy(strata).agg(F.count("*").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    wfp = per.crossJoin(F.broadcast(tot)).withColumn(
+        "w_fp",
+        F.expr(
+            "cast(round(sqrt(n_docs / cast(n_total as double)) * 1000000000000e0, 0)"
+            " as bigint)"
+        ),
+    )
+    z = wfp.agg(F.sum("w_fp").alias("z"))
+    return wfp.crossJoin(F.broadcast(z)).select(
+        strata,
+        "n_docs",
+        F.expr("round(n_docs / cast(n_total as double), 6)").alias("share"),
+        F.expr("round(cast(w_fp as double) / z, 6)").alias("weight"),
+        F.expr(
+            "round(cast(w_fp as double) / z * n_total / n_docs, 6)"
+        ).alias("boost"),
+    )

@@ -345,3 +345,68 @@ def time_bucket_rollup(
     return fine.select(F.lit("fine").alias("grain"), *dims, "bucket_us", "n", "sum_cents").unionByName(
         coarse.select(F.lit("coarse").alias("grain"), *dims, "bucket_us", "n", "sum_cents")
     )
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+) -> DataFrame:
+    """Gap-filled dense hourly series per key — the time_bucket_gapfill
+    / densify primitive of a hypertable layer: every (key, hour) cell of
+    the global [min, max] hour range exists in the output, with cnt = 0
+    and is_gap = true where the raw stream had no rows, plus a
+    forward-filled last_active_hour (the most recent hour <= h with
+    activity — locf on the time axis).
+
+    Physical shape: the raw stream collapses to hourly counts FIRST
+    (one algebraic groupBy, ~4-6 orders smaller than raw), the hour
+    grid is a broadcast 1-row bounds aggregate exploded per key (grid
+    size = n_keys x n_hours, dimension-sized), and the forward fill is
+    a running MAX of hour-when-active — algebraic, no last(ignorenulls)
+    state — over the per-key window.
+
+    Everything is integer arithmetic (epoch-hours via integer division
+    of epoch-us), so the DuckDB oracle hash-matches with no tolerance.
+
+    Output: (<key>, hour, cnt, is_gap, last_active_hour) — hour is
+    hours-since-epoch BIGINT; last_active_hour NULL before the key's
+    first activity.
+    """
+    # integer `div` (not `/`, which is double division in Spark SQL);
+    # event epochs are positive so Spark's truncating div == DuckDB's
+    # floor //
+    hours = events.select(
+        F.col(key).alias("k"),
+        F.expr(
+            f"unix_micros(cast({ts} as timestamp)) div 3600000000"
+        ).alias("hour"),
+    )
+    counts = hours.groupBy("k", "hour").agg(F.count("*").alias("cnt"))
+    bounds = counts.agg(
+        F.min("hour").alias("hmin"), F.max("hour").alias("hmax")
+    )
+    keys = counts.select("k").distinct()
+    grid = keys.crossJoin(F.broadcast(bounds)).select(
+        "k", F.explode(F.expr("sequence(hmin, hmax)")).alias("hour")
+    )
+    filled = grid.join(counts, ["k", "hour"], "left").select(
+        "k",
+        "hour",
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+        F.col("cnt").isNull().alias("is_gap"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        F.col("k").alias(key),
+        "hour",
+        "cnt",
+        "is_gap",
+        F.max(F.when(F.col("cnt") > 0, F.col("hour"))).over(w).alias(
+            "last_active_hour"
+        ),
+    )

@@ -438,3 +438,40 @@ def length_quantiles(
     return agg.select(
         strata, F.explode(F.expr(f"array({pos})")).alias("s")
     ).select(strata, F.col("s.q").alias("q"), F.col("s.value").alias("value"))
+
+
+def quality_percentile_filter(
+    documents: DataFrame,
+    strata: str = "lang",
+    q: float = 0.25,
+) -> DataFrame:
+    """Per-stratum percentile quality gate: keep a document iff its
+    quality_score is >= its stratum's q-quantile — the adaptive
+    "drop the worst quartile of every language" curation step (a fixed
+    global threshold over-prunes low-resource strata whose score
+    distribution sits lower; CCNet cuts per-language for the same
+    reason).
+
+    The threshold is Spark `percentile` per stratum (linear
+    interpolation, the DuckDB quantile_cont convention pinned by
+    length_quantiles) over the ALREADY-ROUNDED quality column, rounded
+    to 6 — both engines compare the identical doubles, so the boundary
+    decision is engine-exact. The per-stratum threshold table is
+    dimension-sized and broadcast; exact percentile buffers per-group
+    values, fine for per-language groups (see length_quantiles for the
+    high-cardinality caveat).
+
+    Output: (doc_id, <strata>, quality, thr, keep).
+    """
+    scored = quality_score(documents).select("doc_id", "quality")
+    with_lang = documents.select("doc_id", strata).join(scored, "doc_id")
+    thr = with_lang.groupBy(strata).agg(
+        F.expr(f"round(percentile(quality, {q}d), 6)").alias("thr")
+    )
+    return with_lang.join(F.broadcast(thr), strata).select(
+        "doc_id",
+        strata,
+        "quality",
+        "thr",
+        (F.col("quality") >= F.col("thr")).alias("keep"),
+    )
