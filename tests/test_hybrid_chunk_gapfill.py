@@ -231,3 +231,13 @@ def test_quality_percentile_filter_lockstep(spark, sf_docs=None):
     for lang, vals in by_lang.items():
         kept = sum(1 for r in out if r.lang == lang and r.keep)
         assert kept >= 0.70 * len(vals)
+
+
+def test_chunk_tokens_plan_has_no_shuffle(spark):
+    """The no-shuffle claim is the operator's scale story — pin it."""
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(10)], "doc_id long, text string"
+    )
+    plan = chunk_tokens(df, size=4, stride=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
