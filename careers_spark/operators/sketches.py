@@ -200,3 +200,72 @@ def distinct_sketch(
         )
         .select(group, "n_exact", "n_est", "rel_err")
     )
+
+
+def count_min_heavy_hitters(
+    documents: DataFrame,
+    d: int = 4,
+    w: int = 1024,
+    threshold: int = 100,
+) -> DataFrame:
+    """Heavy-hitter detection through a Count-Min sketch (Cormode &
+    Muthukrishnan 2005) — the bounded-memory "which tokens are hot"
+    screen a streaming/low-memory path uses instead of the exact
+    word-count table. d rows x w cells; every cell holds the sum of the
+    counts of all terms hashing into it, so
+
+        est(t) = min_j sketch[j][cell_j(t)]  >=  true(t)
+
+    — one-sided error (the CM theorem): a true heavy hitter can NEVER
+    be missed, and overcounts are collision mass bounded by
+    N/w per row w.h.p. The output machine-exhibits both halves:
+    ``est >= threshold`` is the deployable screen, ``is_true_heavy``
+    and ``overcount`` show its precision on this corpus.
+
+    Cell positions reuse the Kirsch-Mitzenmacher double-hash family
+    (bloom_position_exprs with m=w) — two md5 halves, engine-identical,
+    so the whole sketch is oracle-checkable hash-exactly; every
+    quantity is an integer count.
+
+    Physical shape at scale: ONE partial-agg token count (the word_count
+    shuffle — the sketch is built FROM the term-count table, which is
+    vocabulary-sized, not corpus-sized); the d-row explode, the
+    (j, cell) aggregation (d*w cells), and the probe join are all
+    vocabulary-bounded; the d*w sketch is a broadcast. In a genuinely
+    streaming setting the same cell expressions fold into
+    one groupBy(j, cell) directly over the stream with no vocabulary
+    table at all — the operator keeps the exact counts only to exhibit
+    the error bound.
+
+    Output: (term, est, true_cnt, overcount, is_true_heavy) for terms
+    with est >= threshold, est/true_cnt BIGINT.
+    """
+    from careers_spark.operators.dedup import tokens_col
+
+    counts = (
+        documents.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pos = bloom_position_exprs("term", d, w)
+    cells = counts.select(
+        "cnt", F.posexplode(F.array(*[F.expr(p) for p in pos])).alias("j", "cell")
+    )
+    sketch = cells.groupBy("j", "cell").agg(F.sum("cnt").alias("cell_sum"))
+    probes = counts.select(
+        "term",
+        "cnt",
+        F.posexplode(F.array(*[F.expr(p) for p in pos])).alias("j", "cell"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("term", "cnt")
+        .agg(F.min("cell_sum").alias("est"))
+    )
+    return est.filter(F.col("est") >= threshold).select(
+        "term",
+        "est",
+        F.col("cnt").alias("true_cnt"),
+        (F.col("est") - F.col("cnt")).alias("overcount"),
+        (F.col("cnt") >= threshold).alias("is_true_heavy"),
+    )

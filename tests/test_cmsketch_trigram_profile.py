@@ -1,0 +1,104 @@
+"""Count-Min heavy hitters, trigram substring search, column profile."""
+
+import pytest
+
+from careers_spark.operators.profiling import column_profile
+from careers_spark.operators.retrieval import trigram_substring_search
+from careers_spark.operators.sketches import count_min_heavy_hitters
+
+
+# ------------------------------------------------------------ count-min
+
+def _corpus(spark):
+    rows = []
+    for i in range(30):
+        rows.append((i, "hot " * 10 + "warm " * 3 + f"rare{i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_count_min_exact_when_collision_free(spark):
+    # w large vs vocabulary -> no collisions, est == true everywhere
+    out = {
+        r.term: r
+        for r in count_min_heavy_hitters(
+            _corpus(spark), d=4, w=4096, threshold=50
+        ).collect()
+    }
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"].est == out["hot"].true_cnt == 300
+    assert out["warm"].est == out["warm"].true_cnt == 90
+    assert all(r.overcount == 0 and r.is_true_heavy for r in out.values())
+
+
+def test_count_min_no_false_negatives_and_overcount_one_sided(spark):
+    # w=2 forces heavy collisions: every estimate >= its true count and
+    # every true heavy hitter still screens in (the CM theorem)
+    out = count_min_heavy_hitters(_corpus(spark), d=2, w=2, threshold=90).collect()
+    terms = {r.term for r in out}
+    assert {"hot", "warm"} <= terms  # true counts 300 / 90 both >= 90
+    assert all(r.overcount >= 0 for r in out)
+
+
+def test_count_min_threshold_screens(spark):
+    out = count_min_heavy_hitters(
+        _corpus(spark), d=4, w=4096, threshold=100
+    ).collect()
+    assert {r.term for r in out} == {"hot"}  # warm=90 < 100, collision-free
+
+
+# ------------------------------------------------------ trigram search
+
+def test_trigram_search_matches_python(spark):
+    docs = [
+        (1, "Distributed query engines SHUFFLE data between stages"),
+        (2, "the quick brown fox"),
+        (3, "no shuffling here, only shuffle boards"),
+        (4, "ab"),          # shorter than a trigram
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.first_pos
+        for r in trigram_substring_search(df, "shuffle").collect()
+    }
+    exp = {
+        d: t.lower().index("shuffle") + 1
+        for d, t in docs
+        if "shuffle" in t.lower()
+    }
+    assert got == exp and set(got) == {1, 3}
+
+
+def test_trigram_search_prunes_collision_doc(spark):
+    # contains every trigram of "abcdef" (abc,bcd,cde,def) but not the
+    # string itself -> candidate by pruning, removed by the verify
+    df = spark.createDataFrame(
+        [(1, "abcdxcdef"), (2, "xxabcdefyy")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.first_pos for r in
+           trigram_substring_search(df, "abcdef").collect()}
+    assert got == {2: 3}
+
+
+def test_trigram_search_rejects_short_query(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        trigram_substring_search(df, "ab")
+
+
+# ------------------------------------------------------------- profile
+
+def test_column_profile_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2), (2, "a", 10), (3, None, None), (4, "b", 10)],
+        "id long, s string, v long",
+    )
+    got = {r.column: r for r in column_profile(df, ["id", "s", "v"]).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["id"].n_nulls, got["id"].n_distinct) == (0, 4)
+    assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 2)
+    assert (got["v"].n_nulls, got["v"].n_distinct) == (1, 2)
+    # numeric extrema compare numerically BEFORE the string cast
+    assert (got["v"].min_str, got["v"].max_str) == ("2", "10")
+    assert (got["s"].min_str, got["s"].max_str) == ("a", "b")
