@@ -1140,6 +1140,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["documents_profile"] = documents_profile
 
+    def prefix_jaccard_pairs(spark, sf_dir):
+        """EXACT shingle-set Jaccard >= 1/2 join via prefix filtering
+        (Chaudhuri/Bayardo all-pairs) — the guaranteed-complete third
+        candidate strategy next to shared-shingle blocking and LSH;
+        rational threshold keeps every decision integer
+        (dedup.prefix_filter_jaccard_pairs)."""
+        return DD.prefix_filter_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), 1, 2, n=3
+        )
+
+    q["prefix_jaccard_pairs"] = prefix_jaccard_pairs
+
+    def vocab_coverage_curve(spark, sf_dir):
+        """Vocabulary size vs corpus coverage at frequency floors
+        1..32 — the tokenizer-design curve; one word-count shuffle +
+        a broadcast threshold dimension (textstats.vocab_coverage)."""
+        return TS.vocab_coverage(_t(spark, sf_dir, "documents"))
+
+    q["vocab_coverage_curve"] = vocab_coverage_curve
+
     return q
 
 
@@ -3136,6 +3156,50 @@ def oracle_sql() -> dict[str, str]:
         for c in _prof_cols
     )
     o["documents_profile"] = _prof_legs
+
+    # prefix_jaccard_pairs: the oracle is GROUND TRUTH (shared-shingle
+    # brute force — complete, since J > 0 requires a shared element)
+    # with the identical integer predicate 2*inter >= union, so the
+    # hash match machine-proves the prefix-filter candidates are
+    # lossless at J >= 1/2
+    o["prefix_jaccard_pairs"] = f"""
+        WITH {_shingle_cte},
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE 2 * n_inter >= 1 * (sa.n_sh + sb.n_sh - n_inter)
+    """
+
+    # vocab_coverage_curve: integers everywhere, one division per row
+    o["vocab_coverage_curve"] = f"""
+        WITH counts AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest({_DUCK_TOKS}) AS term FROM documents
+          ) GROUP BY term
+        ),
+        thr AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS min_count),
+        agg AS (
+          SELECT CAST(min_count AS BIGINT) AS min_count,
+                 CAST(sum(CASE WHEN cnt >= min_count THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vocab_size,
+                 CAST(sum(CASE WHEN cnt >= min_count THEN cnt ELSE 0 END) AS BIGINT)
+                   AS covered,
+                 CAST(sum(cnt) AS BIGINT) AS total
+          FROM counts CROSS JOIN thr GROUP BY 1
+        )
+        SELECT min_count, vocab_size, covered, total,
+               round(covered / CAST(total AS DOUBLE), 6) AS coverage
+        FROM agg
+    """
 
     # quality_percentile_gate: nests the quality oracle verbatim; the
     # threshold is quantile_cont (the Spark `percentile` convention

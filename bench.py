@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "token_pmi",
     "bm25_search",
     "hybrid_rrf_search",
+    "prefix_jaccard_pairs",
+    "vocab_coverage_curve",
     "substring_search",
     "token_heavy_hitters",
     "documents_profile",

@@ -454,3 +454,101 @@ def dup_span_fraction(documents: DataFrame, n: int = 4) -> DataFrame:
             "dup_frac", F.round(F.col("n_dup") / F.col("n_shingles"), 6)
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    documents: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    n: int | None = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard >= t join via prefix filtering
+    (Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo/Ma/Srikant WWW'07 "all
+    pairs") — the guaranteed-complete counterpart of the LSH and
+    shared-shingle blocking paths: candidates come only from a join on
+    PREFIX tokens, yet no qualifying pair can be missed.
+
+    The filter: order every doc's distinct tokens by the global
+    (df asc, token asc) rarity order and keep the first
+    p = n - ceil(t*n) + 1 as its prefix. J(A,B) >= t implies
+    |A∩B| >= ceil(t*max(|A|,|B|)), and two sets overlapping that much
+    must share at least one PREFIX token (else each could exclude too
+    few tokens) — so the (prefix-token) equi-join sees every qualifying
+    pair, and rare-token-first ordering keeps the join fan-out minimal
+    (the hottest tokens never enter prefixes of large sets).
+
+    t is a RATIONAL num/den: prefix lengths and the verify predicate
+    `den * inter >= num * (union)` are pure integer arithmetic — no
+    float boundary can disagree between engines.
+
+    Physical shape at scale: one token-count aggregation (vocabulary-
+    sized), one per-doc window for rank positions, an equi-join on
+    prefix tokens (bounded fan-out, never all-pairs; the plan test
+    pins no CartesianProduct), and a candidate-bounded intersection
+    count. A size filter (den*n_b >= num*n_a for n_a <= n_b) prunes
+    length-incompatible candidates before the verify.
+
+    With ``n`` set, the set elements are word n-gram shingles instead of
+    tokens — the same verification semantics as jaccard_pairs /
+    lsh_verified_pairs, making this the third candidate-generation
+    strategy (prefix-exact vs shared-element vs LSH-probabilistic) over
+    one near-dup definition.
+
+    Output: (doc_a, doc_b, jaccard) for exact J >= num/den, doc_a < doc_b.
+    """
+    num, den = int(threshold_num), int(threshold_den)
+    if n is None:
+        tok = documents.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens_col("text"))).alias("tok"),
+        )
+    else:
+        tok = doc_shingles(documents, n).withColumnRenamed("sh", "tok")
+    size = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        tok.join(dfreq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .join(size, "doc_id")
+    )
+    # p = n - ceil(t*n) + 1 with integer ceil: (num*n + den - 1) div den
+    prefix = ranked.filter(
+        F.expr(f"pos <= n_tok - ((({num}) * n_tok + {den} - 1) div {den}) + 1")
+    ).select("doc_id", "tok", "n_tok")
+    pa = prefix.selectExpr("doc_id as doc_a", "tok", "n_tok as n_a")
+    pb = prefix.selectExpr("doc_id as doc_b", "tok", "n_tok as n_b")
+    cand = (
+        pa.join(pb, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter: J >= t forces den*min >= num*max
+        .filter(
+            F.expr(
+                f"{den} * least(n_a, n_b) >= {num} * greatest(n_a, n_b)"
+            )
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    ta = tok.selectExpr("doc_id as doc_a", "tok")
+    tb = tok.selectExpr("doc_id as doc_b", "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.filter(
+            F.expr(f"{den} * n_inter >= {num} * (n_a + n_b - n_inter)")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "round(cast(n_inter as double) / (n_a + n_b - n_inter), 6)"
+            ).alias("jaccard"),
+        )
+    )

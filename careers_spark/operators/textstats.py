@@ -475,3 +475,51 @@ def quality_percentile_filter(
         "thr",
         (F.col("quality") >= F.col("thr")).alias("keep"),
     )
+
+
+def vocab_coverage(
+    documents: DataFrame,
+    min_counts: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+) -> DataFrame:
+    """Vocabulary-size vs corpus-coverage curve — the tokenizer-design
+    primitive: for each candidate frequency floor, how many distinct
+    tokens survive and what fraction of all token OCCURRENCES they
+    cover (the complement is the OOV mass a vocab truncated at that
+    floor would map to <unk>).
+
+    ONE token-count aggregation (the word-count shuffle), then a
+    vocabulary-sized cross join against the tiny threshold dimension
+    and one algebraic groupBy — integers throughout, one final division
+    per row.
+
+    Output: (min_count, vocab_size, covered, total, coverage).
+    """
+    counts = (
+        documents.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    spark = documents.sparkSession
+    thr = spark.createDataFrame(
+        [(int(m),) for m in min_counts], "min_count long"
+    )
+    return (
+        counts.crossJoin(F.broadcast(thr))
+        .groupBy("min_count")
+        .agg(
+            F.sum(F.expr("case when cnt >= min_count then 1 else 0 end")).alias(
+                "vocab_size"
+            ),
+            F.sum(F.expr("case when cnt >= min_count then cnt else 0 end")).alias(
+                "covered"
+            ),
+            F.sum("cnt").alias("total"),
+        )
+        .select(
+            "min_count",
+            "vocab_size",
+            "covered",
+            "total",
+            F.expr("round(covered / cast(total as double), 6)").alias("coverage"),
+        )
+    )
