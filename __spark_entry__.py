@@ -1160,6 +1160,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_coverage_curve"] = vocab_coverage_curve
 
+    def source_overlap(spark, sf_dir):
+        """Inter-source near-dup matrix: LSH-verified pairs rolled up
+        by unordered source pair — the mirror-feed diagnostic
+        (dedup.source_overlap_matrix)."""
+        return DD.source_overlap_matrix(
+            _t(spark, sf_dir, "documents"), threshold=0.5
+        )
+
+    q["source_overlap"] = source_overlap
+
+    def incremental_near_dup_pairs(spark, sf_dir):
+        """Near-dups of the 'new crawl' slice (doc_id % 5 = 0) against
+        the existing corpus ONLY — old x old and new x new pairs are
+        never generated, so per-ingest cost scales with the new slice
+        (dedup.incremental_near_dups)."""
+        return DD.incremental_near_dups(
+            _t(spark, sf_dir, "documents"), "doc_id % 5 = 0", threshold=0.5
+        )
+
+    q["incremental_near_dup_pairs"] = incremental_near_dup_pairs
+
+    def embedding_projection(spark, sf_dir):
+        """Signed random projection (JL / Achlioptas +-1) of every
+        embedding onto 8 md5-derived directions, integer-exact via
+        round(v * 1e6) quantization (similarity.random_projection)."""
+        return SIM.random_projection(
+            _t(spark, sf_dir, "embeddings"), out_dims=8
+        )
+
+    q["embedding_projection"] = embedding_projection
+
     return q
 
 
@@ -3199,6 +3230,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT min_count, vocab_size, covered, total,
                round(covered / CAST(total AS DOUBLE), 6) AS coverage
         FROM agg
+    """
+
+    # source_overlap: nests the lsh_verified_pairs oracle verbatim and
+    # rolls it up by unordered source pair — all integers
+    o["source_overlap"] = f"""
+        WITH p AS ({o["lsh_verified_pairs"]})
+        SELECT least(sa.source, sb.source) AS src_a,
+               greatest(sa.source, sb.source) AS src_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p
+        JOIN documents sa ON sa.doc_id = p.doc_a
+        JOIN documents sb ON sb.doc_id = p.doc_b
+        GROUP BY 1, 2
+    """
+
+    # incremental_near_dup_pairs: the shared-shingle join stated with
+    # the (new x old) restriction directly
+    o["incremental_near_dup_pairs"] = f"""
+        WITH {_shingle_cte},
+        inter AS (
+          SELECT a.doc_id AS new_doc, b.doc_id AS old_doc,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+          GROUP BY 1, 2
+        )
+        SELECT new_doc, old_doc,
+               round(CAST(n_inter AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = new_doc
+        JOIN sz sb ON sb.doc_id = old_doc
+        WHERE round(CAST(n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """
+
+    # embedding_projection: identical quantization (round(v*1e6) BIGINT
+    # on the float32->double widened value) and md5-parity signs; each
+    # output is an integer sum, so no float-order tolerance is needed
+    o["embedding_projection"] = f"""
+        WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        ix AS (SELECT vec_id, unnest(range(0, len(emb))) AS i, emb FROM x),
+        iv AS (
+          SELECT vec_id, i,
+                 CAST(round(emb[i + 1] * 1000000e0, 0) AS BIGINT) AS q
+          FROM ix
+        ),
+        pj AS (SELECT vec_id, i, q, unnest(range(0, 8)) AS dim FROM iv),
+        s AS (
+          SELECT vec_id, dim, q,
+                 1 - 2 * ((('0x' || substr(md5(CAST(i AS VARCHAR) || '_'
+                            || CAST(dim AS VARCHAR)), 1, 8))::BIGINT) % 2) AS sgn
+          FROM pj
+        )
+        SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+               CAST(sum(sgn * q) AS BIGINT) AS proj_fp
+        FROM s GROUP BY vec_id, dim
     """
 
     # quality_percentile_gate: nests the quality oracle verbatim; the

@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "bm25_search",
     "hybrid_rrf_search",
     "prefix_jaccard_pairs",
+    "source_overlap",
+    "incremental_near_dup_pairs",
+    "embedding_projection",
     "vocab_coverage_curve",
     "substring_search",
     "token_heavy_hitters",

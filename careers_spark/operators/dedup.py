@@ -552,3 +552,84 @@ def prefix_filter_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def source_overlap_matrix(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Inter-source duplication matrix: LSH-verified near-dup pairs
+    rolled up by unordered source pair — the "which feeds mirror each
+    other" diagnostic that decides source-level dedup order in a
+    multi-feed corpus (mirror sites, syndication, re-crawls).
+
+    Pure composition of two existing scale paths: the banded LSH
+    candidate/verify join (never all-pairs) and two 1:1 doc_id joins
+    against the dimension-sized (doc_id, source) projection, then one
+    algebraic groupBy. src_a <= src_b so each unordered pair appears
+    once.
+
+    Output: (src_a, src_b, n_pairs) — near-dup pair count per source
+    pair (diagonal = within-source duplication).
+    """
+    pairs = lsh_verified_pairs(documents, threshold=threshold, n=n)
+    src = documents.select("doc_id", "source")
+    return (
+        pairs.join(src.selectExpr("doc_id as doc_a", "source as sa"), "doc_a")
+        .join(src.selectExpr("doc_id as doc_b", "source as sb"), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def incremental_near_dups(
+    documents: DataFrame,
+    new_pred: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dups of NEW documents against the EXISTING corpus only —
+    the "dedup this crawl against all previous crawls" step (CCNet
+    dedups each snapshot against earlier ones; the same shape serves
+    any append-only ingest).
+
+    The shared-shingle blocking join is RESTRICTED to (new x old):
+    old x old pairs — the quadratically dominant part a full re-dedup
+    would recompute every ingest — are never generated, so per-ingest
+    cost scales with the new slice, not the corpus. New x new pairs are
+    also excluded (they belong to the batch-internal dedup pass,
+    dedup.jaccard_pairs on the slice).
+
+    Output: (new_doc, old_doc, jaccard) with jaccard >= threshold.
+    """
+    sh = doc_shingles(documents, n)
+    is_new = documents.select(
+        "doc_id", F.expr(new_pred).alias("_new")
+    )
+    tagged = sh.join(is_new, "doc_id")
+    new_sh = tagged.filter("_new").select("doc_id", "sh")
+    old_sh = tagged.filter("NOT _new").select("doc_id", "sh")
+    size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        new_sh.selectExpr("doc_id as new_doc", "sh")
+        .join(old_sh.selectExpr("doc_id as old_doc", "sh"), "sh")
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(size.selectExpr("doc_id as new_doc", "n_sh as n_a"), "new_doc")
+        .join(size.selectExpr("doc_id as old_doc", "n_sh as n_b"), "old_doc")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "old_doc", "jaccard")
+    )

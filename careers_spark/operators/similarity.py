@@ -503,3 +503,55 @@ def embedding_near_dup_pairs(
     return cands.select("id_a", "id_b", _sim("va", "vb").alias("sim")).filter(
         F.col("sim") >= threshold
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dims: int = 8,
+    quant: int = 1000000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed random projection (the Johnson-Lindenstrauss / Achlioptas
+    +-1 sketch): project each embedding onto `out_dims` pseudo-random
+    +-1 directions — the cheap dimensionality reduction that feeds
+    bit-sampling LSH, coarse filters, and telemetry at a fraction of
+    full-vector cost. sign(i, j) derives from md5(i || '_' || j), so
+    the projection matrix is deterministic across runs, engines, and
+    parallelism with zero stored state.
+
+    Integer-exact: components quantize to round(v * quant) BIGINT
+    first, and each output coordinate is an integer sum of +-q terms —
+    addition order cannot perturb it, so the oracle hash-matches with
+    no tolerance (float accumulation would be order-dependent).
+
+    Physical shape: one per-row double explode (dim x out_dims rows)
+    into a partial-agg-friendly groupBy(vec_id, dim) integer sum — no
+    join at all; the sign is computed inline from the indices. At 10^9
+    vectors this is a single map+combine pass.
+
+    Output: (vec_id, dim, proj_fp) — proj_fp = sum_i sign(i,dim) *
+    round(v_i * quant), BIGINT.
+    """
+    from careers_spark.operators.dedup import _hash64_expr
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("i", "v"),
+    ).withColumn(
+        "q",
+        F.expr(f"cast(round(cast(v as double) * {int(quant)}e0, 0) as bigint)"),
+    )
+    sgn = _hash64_expr("concat(cast(i as string), '_', cast(dim as string))")
+    return (
+        base.select(
+            "vec_id",
+            "i",
+            "q",
+            F.explode(F.expr(f"sequence(0, {int(out_dims) - 1})")).alias("dim"),
+        )
+        .withColumn("sgn", F.expr(f"1 - 2 * ({sgn} % 2)"))
+        .groupBy("vec_id", "dim")
+        .agg(F.sum(F.col("sgn") * F.col("q")).alias("proj_fp"))
+        .select("vec_id", F.col("dim").cast("int").alias("dim"), "proj_fp")
+    )
