@@ -1163,9 +1163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def source_overlap(spark, sf_dir):
         """Inter-source near-dup matrix: LSH-verified pairs rolled up
         by unordered source pair — the mirror-feed diagnostic
-        (dedup.source_overlap_matrix)."""
+        (dedup.source_overlap_matrix). threshold=0.2 matches the
+        lsh_verified_pairs oracle this one nests verbatim."""
         return DD.source_overlap_matrix(
-            _t(spark, sf_dir, "documents"), threshold=0.5
+            _t(spark, sf_dir, "documents"), threshold=0.2
         )
 
     q["source_overlap"] = source_overlap
@@ -1190,6 +1191,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_projection"] = embedding_projection
+
+    def hard_negative_topk(spark, sf_dir):
+        """Hard-negative mining: per query, the top-5 most-similar
+        vectors BELOW the near-dup cut (cos < 0.98) — the contrastive
+        batch-construction step (similarity.hard_negatives)."""
+        return SIM.hard_negatives(
+            _t(spark, sf_dir, "embeddings"),
+            k=5,
+            query_pred="vec_id % 50 = 0",
+            dup_threshold=0.98,
+        )
+
+    q["hard_negative_topk"] = hard_negative_topk
+
+    def minhash_jaccard_calibration(spark, sf_dir):
+        """MinHash estimate vs exact Jaccard over the LSH candidate
+        pairs — the num_hashes/banding design diagnostic
+        (dedup.minhash_calibration)."""
+        return DD.minhash_calibration(_t(spark, sf_dir, "documents"))
+
+    q["minhash_jaccard_calibration"] = minhash_jaccard_calibration
+
+    def decayed_revenue(spark, sf_dir):
+        """Half-life (1-day) time-decayed value per event_type — the
+        feature-store recency aggregate; decay is an exact power of two
+        (shiftleft, no libm pow) and contributions are fixed-point
+        integers (temporal.time_decayed_agg)."""
+        from careers_spark.operators.temporal import time_decayed_agg
+
+        return time_decayed_agg(_t(spark, sf_dir, "events"))
+
+    q["decayed_revenue"] = decayed_revenue
 
     return q
 
@@ -3287,6 +3320,94 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(dim AS INTEGER) AS dim,
                CAST(sum(sgn * q) AS BIGINT) AS proj_fp
         FROM s GROUP BY vec_id, dim
+    """
+
+    # hard_negative_topk: the brute-force cosine SQL with the near-dup
+    # cut applied to the SAME rounded sim used for ranking
+    o["hard_negative_topk"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        s AS (
+          SELECT query_id, vec_id AS neighbor_id, {_cos} AS sim
+          FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS nv FROM embeddings)
+          WHERE vec_id <> query_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rk
+          FROM s WHERE sim < 0.98
+        ) WHERE rk <= 5
+    """
+
+    # minhash_jaccard_calibration: the lsh band/candidate CTEs verbatim,
+    # plus per-pair signature agreement (integers) and the exact verify;
+    # est/jaccard/abs_err are the identical expression text in Spark
+    o["minhash_jaccard_calibration"] = f"""
+        WITH {_shingle_cte},
+        wide AS (SELECT doc_id, {mh12_cols} FROM sh GROUP BY doc_id),
+        sigs AS ({mh12_unpivot}),
+        bands AS (
+          SELECT doc_id, h_idx // 3 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_key
+          FROM sigs GROUP BY doc_id, h_idx // 3
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        agree AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_agree
+          FROM cands c
+          JOIN sigs a ON a.doc_id = c.doc_a
+          JOIN sigs b ON b.doc_id = c.doc_b AND b.h_idx = a.h_idx
+          GROUP BY 1, 2
+        ),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2
+        )
+        SELECT g.doc_a, g.doc_b, g.n_agree,
+               round(g.n_agree / 12e0, 6) AS est,
+               round(coalesce(i.n_inter, 0)
+                     / CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)
+                            AS DOUBLE), 6) AS jaccard,
+               round(abs(g.n_agree / 12e0
+                     - coalesce(i.n_inter, 0)
+                       / CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)
+                              AS DOUBLE)), 6) AS abs_err
+        FROM agree g
+        LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+        JOIN sz sa ON sa.doc_id = g.doc_a
+        JOIN sz sb ON sb.doc_id = g.doc_b
+    """
+
+    # decayed_revenue: integer day ages, decay an exact power of two
+    # via << (no libm pow), contributions fixed-point BIGINT
+    o["decayed_revenue"] = """
+        WITH base AS (
+          SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ),
+        ref AS (SELECT max(day) AS ref_day FROM base),
+        c AS (
+          SELECT k,
+                 CAST(round(cents * 1000000e0
+                      / (CAST(1 AS BIGINT)
+                         << CAST(least((ref_day - day) // 1, 62) AS INTEGER)),
+                      0) AS BIGINT) AS fp
+          FROM base CROSS JOIN ref
+        )
+        SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(fp) AS BIGINT) AS decayed_fp,
+               round(sum(fp) / 1000000e0, 6) AS decayed
+        FROM c GROUP BY k
     """
 
     # quality_percentile_gate: nests the quality oracle verbatim; the

@@ -65,7 +65,10 @@ BENCH_QUERIES = [
     "prefix_jaccard_pairs",
     "source_overlap",
     "incremental_near_dup_pairs",
+    "minhash_jaccard_calibration",
     "embedding_projection",
+    "hard_negative_topk",
+    "decayed_revenue",
     "vocab_coverage_curve",
     "substring_search",
     "token_heavy_hitters",

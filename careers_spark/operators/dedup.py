@@ -633,3 +633,62 @@ def incremental_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("new_doc", "old_doc", "jaccard")
     )
+
+
+def minhash_calibration(
+    documents: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-estimate vs exact-Jaccard calibration over the LSH
+    candidate pairs — the design diagnostic for choosing num_hashes /
+    banding: E[fraction of agreeing minhashes] = J, so `est` should
+    track `jaccard` within ~1/sqrt(num_hashes).
+
+    Agreement counts are integers (signature equality per hash index);
+    est = round(agree / num_hashes, 6) is one division. Candidates come
+    from the banded join (never all-pairs) and the exact verify is the
+    lsh_verified_pairs intersection shape.
+
+    Output: (doc_a, doc_b, n_agree, est, jaccard, abs_err).
+    """
+    sigs = minhash_signatures(documents, num_hashes, n)
+    cands = lsh_candidate_pairs(documents, num_hashes, band_size, n)
+    agree = (
+        cands.join(sigs.selectExpr("doc_id as doc_a", "h_idx", "minhash as ma"), "doc_a")
+        .join(
+            sigs.selectExpr("doc_id as doc_b", "h_idx", "minhash as mb"),
+            ["doc_b", "h_idx"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.expr("case when ma = mb then 1 else 0 end")).alias("n_agree"))
+    )
+    sh = doc_shingles(documents, n)
+    size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.selectExpr("doc_id as doc_a", "sh"), "doc_a")
+        .join(sh.selectExpr("doc_id as doc_b", "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(size.selectExpr("doc_id as doc_a", "n_sh as n_a"), "doc_a")
+        .join(size.selectExpr("doc_id as doc_b", "n_sh as n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.expr(f"round(n_agree / {int(num_hashes)}e0, 6)").alias("est"),
+            F.expr(
+                "round(coalesce(n_inter, 0) / cast(n_a + n_b - coalesce(n_inter, 0)"
+                " as double), 6)"
+            ).alias("jaccard"),
+            F.expr(
+                f"round(abs(n_agree / {int(num_hashes)}e0"
+                " - coalesce(n_inter, 0) / cast(n_a + n_b - coalesce(n_inter, 0)"
+                " as double)), 6)"
+            ).alias("abs_err"),
+        )
+    )

@@ -555,3 +555,53 @@ def random_projection(
         .agg(F.sum(F.col("sgn") * F.col("q")).alias("proj_fp"))
         .select("vec_id", F.col("dim").cast("int").alias("dim"), "proj_fp")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id % 50 = 0",
+    dup_threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    query, the top-k most-similar vectors that are NOT near-duplicates
+    (cosine < dup_threshold) — similar enough to be informative
+    negatives, distinct enough not to be false negatives (the
+    batch-construction step of every dual-encoder recipe; near-dups
+    would poison the loss as mislabeled negatives).
+
+    Same physical shape as brute_force_topk (declared-exact baseline;
+    compose with the IVF/LSH candidate paths at scale): cosine rounded
+    to 6 before BOTH the dup cut and the rank, so every decision is
+    engine-identical.
+
+    Output: (query_id, neighbor_id, sim, rk).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    )
+    queries = embeddings.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    sims = (
+        queries.crossJoin(base)
+        .filter(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(
+                F.expr(_dot("qvec", "nvec"))
+                / (F.expr(_norm("qvec")) * F.expr(_norm("nvec"))),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") < dup_threshold)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )

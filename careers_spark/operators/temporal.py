@@ -410,3 +410,61 @@ def gap_fill_hourly(
             "last_active_hour"
         ),
     )
+
+
+def time_decayed_agg(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    half_life_days: int = 1,
+) -> DataFrame:
+    """Half-life time-decayed aggregate — the feature-store recency
+    primitive ("revenue decayed at half-life h"): every event
+    contributes value * 2^(-age/h), so yesterday counts half of today
+    (with h = 1 day).
+
+    Exactness without float traps: ages are INTEGER day buckets
+    (epoch-us div), the decay 2^-n comes from `1 / shiftleft(1, n)` —
+    an exact power of two, no libm pow — and each event's contribution
+    is fixed-point quantized round(cents * 1e6 / 2^n) BIGINT, so the
+    per-key reduction is an exact integer sum (the unigram_logloss
+    recipe). The reference day is the corpus max (broadcast 1-row
+    aggregate), making the output a deterministic function of the
+    data alone.
+
+    Physical shape: one projection + one broadcast crossJoin + one
+    partial-agg groupBy — a single pass at any scale.
+
+    Output: (<key>, n_events, decayed_fp, decayed) — decayed =
+    decayed_fp / 1e6 in value units x100 (cents), rounded to 6.
+    """
+    h = int(half_life_days)
+    base = events.select(
+        F.col(key).alias("k"),
+        F.expr(f"unix_micros(cast({ts} as timestamp)) div 86400000000").alias("day"),
+        F.expr(f"cast(round({value} * 100, 0) as bigint)").alias("cents"),
+    )
+    ref = base.agg(F.max("day").alias("ref_day"))
+    # integer `div` for the age (never float /); shift capped at 62 so a
+    # stray ancient event can't overflow the BIGINT power of two (its
+    # contribution is already sub-fixed-point at that age)
+    contrib = base.crossJoin(F.broadcast(ref)).withColumn(
+        "fp",
+        F.expr(
+            f"cast(round(cents * 1000000e0"
+            f" / shiftleft(cast(1 as bigint),"
+            f" cast(least((ref_day - day) div {h}, 62) as int)), 0)"
+            " as bigint)"
+        ),
+    )
+    return (
+        contrib.groupBy(F.col("k").alias(key))
+        .agg(F.count("*").alias("n_events"), F.sum("fp").alias("decayed_fp"))
+        .select(
+            key,
+            "n_events",
+            "decayed_fp",
+            F.expr("round(decayed_fp / 1000000e0, 6)").alias("decayed"),
+        )
+    )

@@ -1,0 +1,110 @@
+"""Hard-negative mining, MinHash calibration, time-decayed aggregate."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from careers_spark.operators.dedup import jaccard_pairs, minhash_calibration
+from careers_spark.operators.similarity import brute_force_topk, hard_negatives
+from careers_spark.operators.temporal import time_decayed_agg
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.001]),   # near-dup of 0 (cos ~ 1.0)
+        (2, [0.9, 0.5]),     # similar, not a dup
+        (3, [0.0, 1.0]),     # orthogonal
+        (4, [-1.0, 0.0]),    # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_hard_negatives_excludes_near_dups(spark):
+    got = {
+        r.rk: (r.neighbor_id, r.sim)
+        for r in hard_negatives(
+            _vecs(spark), k=3, query_pred="vec_id = 0", dup_threshold=0.98
+        ).collect()
+    }
+    # vec 1 (cos ~ 1.0) must be gone; ranking = 2, 3, 4
+    assert [got[i][0] for i in (1, 2, 3)] == [2, 3, 4]
+    assert all(s < 0.98 for _, s in got.values())
+
+
+def test_hard_negatives_equals_topk_below_threshold(spark):
+    # with a threshold above every non-self cosine, hard_negatives is
+    # exactly brute_force_topk
+    full = brute_force_topk(_vecs(spark), k=4, query_pred="vec_id = 3").collect()
+    hn = hard_negatives(
+        _vecs(spark), k=4, query_pred="vec_id = 3", dup_threshold=1.01
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, hn))
+
+
+def test_minhash_calibration_tracks_exact_jaccard(spark):
+    base = "one two three four five six seven eight nine ten " * 3
+    docs = [(0, base), (1, base), (2, base.replace("ten", "zzz")),
+            (3, "totally different words appear in this document here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = minhash_calibration(df, num_hashes=12).collect()
+    by_pair = {(r.doc_a, r.doc_b): r for r in rows}
+    # identical docs: every minhash agrees, est == jaccard == 1
+    r01 = by_pair[(0, 1)]
+    assert r01.n_agree == 12 and r01.est == 1.0 and r01.jaccard == 1.0
+    assert r01.abs_err == 0.0
+    # est is the agreement fraction and abs_err is consistent
+    for r in rows:
+        assert r.est == round(r.n_agree / 12, 6)
+        assert abs(r.abs_err - abs(r.est - r.jaccard)) < 2e-6
+    # exact jaccard column agrees with the standalone exact operator
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.0).collect()
+    }
+    for (a, b), r in by_pair.items():
+        if (a, b) in exact:
+            assert r.jaccard == exact[(a, b)]
+
+
+def test_time_decayed_agg_hand_golden(spark):
+    d0 = dt.datetime(2024, 3, 10, 12, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, d0, "buy", 10.0),                      # today: full weight
+            (2, d0 - dt.timedelta(days=1), "buy", 10.0),   # 1/2
+            (3, d0 - dt.timedelta(days=2), "buy", 10.0),   # 1/4
+            (4, d0 - dt.timedelta(days=1), "view", 4.0),   # other key, 1/2
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r.event_type: r for r in time_decayed_agg(ev).collect()}
+    # cents=1000; fp = 1000e6, 500e6, 250e6 -> 1750e6
+    assert got["buy"].decayed_fp == 1_750_000_000
+    assert got["buy"].decayed == 1750.0
+    assert got["buy"].n_events == 3
+    assert got["view"].decayed_fp == 200_000_000  # 400 cents / 2
+    assert got["view"].n_events == 1
+
+
+def test_time_decayed_agg_half_life_parameter(spark):
+    d0 = dt.datetime(2024, 3, 10)
+    ev = spark.createDataFrame(
+        [(1, d0, "k", 8.0), (2, d0 - dt.timedelta(days=4), "k", 8.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    # half-life 2 days: age 4 -> weight 1/4
+    got = time_decayed_agg(ev, half_life_days=2).collect()[0]
+    assert got.decayed_fp == 800 * 1_000_000 + 200 * 1_000_000
+
+
+def test_time_decayed_ancient_event_capped_not_overflowed(spark):
+    d0 = dt.datetime(2024, 3, 10)
+    ev = spark.createDataFrame(
+        [(1, d0, "k", 1.0), (2, d0 - dt.timedelta(days=365 * 200), "k", 1.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    got = time_decayed_agg(ev).collect()[0]
+    # the ancient event contributes ~0 (capped shift), not an overflow
+    assert got.decayed_fp == 100 * 1_000_000
+    assert got.n_events == 2
