@@ -1224,6 +1224,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decayed_revenue"] = decayed_revenue
 
+    def eval_sample(spark, sf_dir):
+        """Exactly-20-per-language deterministic sample by md5 rank —
+        the fixed-budget eval-set constructor
+        (sampling.hash_topn_sample)."""
+        from careers_spark.operators.sampling import hash_topn_sample
+
+        return hash_topn_sample(_t(spark, sf_dir, "documents"), n=20)
+
+    q["eval_sample"] = eval_sample
+
+    def train_val_test_split(spark, sf_dir):
+        """Deterministic 90/5/5 split assignment by md5 bucket — a pure
+        function of the example's identity, so membership never
+        migrates across runs or corpus growth
+        (sampling.dataset_split)."""
+        from careers_spark.operators.sampling import dataset_split
+
+        return dataset_split(_t(spark, sf_dir, "documents"))
+
+    q["train_val_test_split"] = train_val_test_split
+
     return q
 
 
@@ -2494,6 +2515,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, bucket FROM b
         WHERE bucket < (CASE WHEN lang = 'en' THEN 50
                              WHEN lang = 'zh' THEN 20 ELSE 10 END)
+    """
+
+    # eval_sample: identical md5 rank order (hash, then key) per lang
+    o["eval_sample"] = """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), 's0')), 1, 8))::BIGINT AS hv
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+          FROM h
+        )
+        SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 20
+    """
+
+    # train_val_test_split: pure bucket function of the key
+    o["train_val_test_split"] = """
+        WITH b AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), 'split0')), 1, 8))::BIGINT % 100 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, lang, bucket,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        FROM b
     """
 
     o["quality_score"] = f"""

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "embedding_projection",
     "hard_negative_topk",
     "decayed_revenue",
+    "eval_sample",
+    "train_val_test_split",
     "vocab_coverage_curve",
     "substring_search",
     "token_heavy_hitters",

@@ -102,3 +102,70 @@ def temperature_weights(
             "round(cast(w_fp as double) / z * n_total / n_docs, 6)"
         ).alias("boost"),
     )
+
+
+def hash_topn_sample(
+    df: DataFrame,
+    n: int,
+    key: str = "doc_id",
+    strata: str = "lang",
+    salt: str = "s0",
+) -> DataFrame:
+    """EXACTLY-n-per-stratum deterministic sample: rows rank by their
+    md5 hash (then key) within the stratum and the first n win — the
+    fixed-budget counterpart of the rate-based stratified_hash_sample
+    (eval-set construction wants "500 docs per language", not "0.1%"):
+    hash-ordering makes the pick uniform-ish yet reproducible across
+    runs/engines/parallelism, and re-seedable by salt.
+
+    One window per stratum (hash shuffle on strata + partition-local
+    sort). Strata must individually fit a partition's sort — true for
+    per-language corpus work; at extreme stratum sizes pre-filter with
+    the rate-based sampler first (hybrid: rate-sample to ~10n, then
+    exact-n — the standard two-phase trick).
+
+    Output: (<key>, <strata>, rk) for kept rows, rk in 1..n.
+    """
+    from pyspark.sql import Window
+
+    h = _hash64_expr(f"concat(cast({key} as string), '{salt}')")
+    w = Window.partitionBy(strata).orderBy(F.expr(h), F.col(key))
+    return (
+        df.select(key, strata)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(n))
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    strata: str = "lang",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket — the
+    split must be a pure function of the example's identity (never of
+    row order or run) so that re-runs, engine ports, and incremental
+    ingests all agree on membership and no example migrates between
+    splits across snapshots (the classic leakage bug).
+
+    Pure projection — zero shuffles; the bucket predicate pushes into
+    any downstream scan.
+
+    Output: (<key>, <strata>, bucket, split) with split in
+    {train, val, test} at train_pct / val_pct / remainder.
+    """
+    t, v = int(train_pct), int(val_pct)
+    return df.select(
+        key,
+        strata,
+        F.expr(bucket_expr(key, salt)).alias("bucket"),
+    ).withColumn(
+        "split",
+        F.expr(
+            f"case when bucket < {t} then 'train'"
+            f" when bucket < {t + v} then 'val' else 'test' end"
+        ),
+    )
