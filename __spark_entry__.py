@@ -1245,6 +1245,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_val_test_split"] = train_val_test_split
 
+    def cdc_latest_state(spark, sf_dir):
+        """Changelog compaction: the most-recent event per user (ts
+        desc, event_id desc) — the Delta/Hudi merge-latest snapshot
+        read (temporal.latest_state)."""
+        from careers_spark.operators.temporal import latest_state
+
+        return latest_state(_t(spark, sf_dir, "events"))
+
+    q["cdc_latest_state"] = cdc_latest_state
+
     return q
 
 
@@ -2543,6 +2553,15 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN bucket < 90 THEN 'train'
                     WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         FROM b
+    """
+
+    # cdc_latest_state: the identical (ts desc, tiebreak desc) window
+    o["cdc_latest_state"] = """
+        SELECT event_id, ts, user_id, event_type, value, props FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+          FROM events
+        ) WHERE rk = 1
     """
 
     o["quality_score"] = f"""

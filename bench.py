@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "hard_negative_topk",
     "decayed_revenue",
     "eval_sample",
+    "cdc_latest_state",
     "train_val_test_split",
     "vocab_coverage_curve",
     "substring_search",

@@ -468,3 +468,34 @@ def time_decayed_agg(
             F.expr("round(decayed_fp / 1000000e0, 6)").alias("decayed"),
         )
     )
+
+
+def latest_state(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """CDC / changelog compaction: the single most-recent row per key —
+    the "merge latest state" every table-format upsert (Delta MERGE,
+    Hudi snapshot read, Kafka compacted topic) performs. Most-recent =
+    max (ts, tiebreak); the tiebreak must be unique per key so the
+    winner is deterministic under equal timestamps.
+
+    One shuffle on the key; the rank is a partition-local sort. An
+    algebraic max(struct(ts_us, tiebreak, payload)) form exists (the
+    IVF-assignment trick) and avoids the sort entirely — kept as a
+    window here because payload-through-struct changes column
+    nullability; swap at billion-key scale.
+
+    Output: all event columns for the winning row per key.
+    """
+    cols = events.columns
+    w = Window.partitionBy(key).orderBy(
+        _us(ts).desc(), F.col(tiebreak).desc()
+    )
+    return (
+        events.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(*cols)
+    )

@@ -108,3 +108,23 @@ def test_time_decayed_ancient_event_capped_not_overflowed(spark):
     # the ancient event contributes ~0 (capped shift), not an overflow
     assert got.decayed_fp == 100 * 1_000_000
     assert got.n_events == 2
+
+
+def test_latest_state_cdc_compaction(spark):
+    from careers_spark.operators.temporal import latest_state
+
+    d0 = dt.datetime(2024, 5, 1, 10, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, d0, 7, "a", 1.0),
+            (2, d0 + dt.timedelta(hours=1), 7, "b", 2.0),   # winner for 7
+            (3, d0, 8, "c", 3.0),
+            (4, d0, 8, "d", 4.0),                            # equal ts: id wins
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r.user_id: r for r in latest_state(ev).collect()}
+    assert got[7].event_id == 2 and got[7].event_type == "b"
+    assert got[8].event_id == 4  # tiebreak toward larger event_id
+    assert set(got) == {7, 8}
+    assert latest_state(ev).columns == ev.columns
