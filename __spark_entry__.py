@@ -1255,6 +1255,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_latest_state"] = cdc_latest_state
 
+    def lsh_blocking_quality(spark, sf_dir):
+        """Reduction ratio + pair completeness of the MinHash-LSH
+        blocking vs the exact Jaccard >= 1/2 truth set — the standard
+        ER blocking evaluation, one integer row
+        (dedup.blocking_quality)."""
+        return DD.blocking_quality(_t(spark, sf_dir, "documents"), 1, 2)
+
+    q["lsh_blocking_quality"] = lsh_blocking_quality
+
     return q
 
 
@@ -2553,6 +2562,58 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN bucket < 90 THEN 'train'
                     WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         FROM b
+    """
+
+    # lsh_blocking_quality: band/candidate CTEs verbatim; truth set via
+    # the integer rational predicate; one row of integers + two fixed
+    # single divisions
+    o["lsh_blocking_quality"] = f"""
+        WITH {_shingle_cte},
+        wide AS (SELECT doc_id, {mh12_cols} FROM sh GROUP BY doc_id),
+        sigs AS ({mh12_unpivot}),
+        bands AS (
+          SELECT doc_id, h_idx // 3 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_key
+          FROM sigs GROUP BY doc_id, h_idx // 3
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        true_pairs AS (
+          SELECT i.doc_a, i.doc_b
+          FROM inter i
+          JOIN sz sa ON sa.doc_id = i.doc_a
+          JOIN sz sb ON sb.doc_id = i.doc_b
+          WHERE 2 * i.n_inter >= 1 * (sa.n_sh + sb.n_sh - i.n_inter)
+        ),
+        found AS (
+          SELECT t.doc_a FROM true_pairs t
+          WHERE EXISTS (SELECT 1 FROM cands c
+                        WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+        ),
+        m AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM sz) AS n_docs,
+                 (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidates,
+                 (SELECT CAST(count(*) AS BIGINT) FROM true_pairs) AS n_true,
+                 (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found
+        )
+        SELECT n_docs, CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_all_pairs,
+               n_candidates, n_true, n_found,
+               round(1e0 - n_candidates
+                     / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE), 6)
+                 AS reduction_ratio,
+               round(CASE WHEN n_true = 0 THEN 1e0
+                          ELSE n_found / CAST(n_true AS DOUBLE) END, 6)
+                 AS pair_completeness
+        FROM m
     """
 
     # cdc_latest_state: the identical (ts desc, tiebreak desc) window

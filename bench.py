@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "incremental_near_dup_pairs",
     "minhash_jaccard_calibration",
+    "lsh_blocking_quality",
     "embedding_projection",
     "hard_negative_topk",
     "decayed_revenue",

@@ -692,3 +692,73 @@ def minhash_calibration(
             ).alias("abs_err"),
         )
     )
+
+
+def blocking_quality(
+    documents: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """Blocking-quality metrics for the MinHash-LSH candidate
+    generator — the two numbers every entity-resolution/dedup paper
+    reports (Christen 2012):
+
+      reduction_ratio   = 1 - |candidates| / |all pairs|   (work saved)
+      pair_completeness = |true ∩ candidates| / |true|     (recall)
+
+    "True" pairs are the exact shingle-Jaccard >= num/den set (the
+    rational integer predicate — no float boundary). n_docs counts
+    docs WITH at least one shingle (others can never pair). The output
+    is ONE row of integers + two fixed single-division ratios, so the
+    whole evaluation is oracle-checkable hash-exactly.
+
+    Physical shape: the candidate count is the banded equi-join, the
+    truth set the shared-shingle join (ground truth generation is the
+    expensive exact path — this operator exists to certify the cheap
+    one), and the intersection a broadcast-size semi-join.
+
+    Output: (n_docs, n_all_pairs, n_candidates, n_true, n_found,
+    reduction_ratio, pair_completeness).
+    """
+    num, den = int(threshold_num), int(threshold_den)
+    sh = doc_shingles(documents, n)
+    size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cands = lsh_candidate_pairs(documents, num_hashes, band_size, n)
+    inter = (
+        sh.selectExpr("doc_id as doc_a", "sh")
+        .join(sh.selectExpr("doc_id as doc_b", "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    true_pairs = (
+        inter.join(size.selectExpr("doc_id as doc_a", "n_sh as n_a"), "doc_a")
+        .join(size.selectExpr("doc_id as doc_b", "n_sh as n_b"), "doc_b")
+        .filter(F.expr(f"{den} * n_inter >= {num} * (n_a + n_b - n_inter)"))
+        .select("doc_a", "doc_b")
+    )
+    found = true_pairs.join(cands, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        size.agg(F.count("*").alias("n_docs"))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(true_pairs.agg(F.count("*").alias("n_true")))
+        .crossJoin(found.agg(F.count("*").alias("n_found")))
+    )
+    return counts.select(
+        "n_docs",
+        F.expr("n_docs * (n_docs - 1) div 2").alias("n_all_pairs"),
+        "n_candidates",
+        "n_true",
+        "n_found",
+        F.expr(
+            "round(1e0 - n_candidates / cast(n_docs * (n_docs - 1) div 2"
+            " as double), 6)"
+        ).alias("reduction_ratio"),
+        F.expr(
+            "round(case when n_true = 0 then 1e0"
+            " else n_found / cast(n_true as double) end, 6)"
+        ).alias("pair_completeness"),
+    )

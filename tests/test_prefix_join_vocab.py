@@ -129,3 +129,28 @@ def test_prefix_join_shingles_matches_shared_element_path(spark):
         for r in jaccard_pairs(df, threshold=0.5, n=3).collect()
     }
     assert got == ref and len(got) > 0
+
+
+def test_blocking_quality_golden(spark):
+    from careers_spark.operators.dedup import (
+        blocking_quality,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(0, base), (1, base), (2, base.replace("dog", "cat")),
+            (3, "completely different text with many unrelated words here"),
+            (4, "ab")]  # shingle-free: must not count in n_docs
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = blocking_quality(df, 1, 2).collect()[0]
+    assert row.n_docs == 4 and row.n_all_pairs == 6
+    n_cand = lsh_candidate_pairs(df).count()
+    n_true = jaccard_pairs(df, threshold=0.5).count()
+    assert row.n_candidates == n_cand
+    assert row.n_true == n_true
+    assert row.n_found <= row.n_true and row.n_found <= row.n_candidates
+    assert row.reduction_ratio == round(1 - n_cand / 6, 6)
+    assert row.pair_completeness == round(row.n_found / n_true, 6)
+    # identical docs land in the same bands: (0,1) must be found
+    assert row.n_found >= 1
