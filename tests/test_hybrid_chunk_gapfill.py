@@ -241,3 +241,39 @@ def test_chunk_tokens_plan_has_no_shuffle(spark):
     plan = chunk_tokens(df, size=4, stride=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_tokens_randomized_config_sweep(spark):
+    """Coverage/position invariants over random (n, size, stride)."""
+    import random
+
+    rng = random.Random(3)
+    for _ in range(8):
+        n = rng.randint(0, 200)
+        size = rng.randint(1, 40)
+        stride = rng.randint(1, size)
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(n)))],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            chunk_tokens(df, size=size, stride=stride).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        cfg = (n, size, stride)
+        # starts are exactly 0, stride, 2*stride, ...
+        assert [r.start_tok for r in rows] == [
+            i * stride for i in range(len(rows))
+        ], cfg
+        # every token covered exactly by the union; no phantom tokens
+        covered = set()
+        for r in rows:
+            assert r.chunk_len == min(size, n - r.start_tok), cfg
+            covered.update(range(r.start_tok, r.start_tok + r.chunk_len))
+        assert covered == set(range(n)), cfg
+        # the final window reaches the tail; no chunk starts past it
+        if n > 0:
+            assert rows[-1].start_tok + rows[-1].chunk_len == n, cfg
+            assert all(r.start_tok < n for r in rows), cfg
+        else:
+            assert len(rows) == 1 and rows[0].chunk_len == 0, cfg
