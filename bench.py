@@ -104,11 +104,30 @@ BENCH_QUERIES = [
 ]
 
 
+def _host_weather() -> dict:
+    """Inline two-regime host probe (see tools/weather_probe.py): the
+    driver's BENCH_r{N}.json then carries the regime it was measured
+    under, so a 2-4x wide-steal window (single-thread quiet, parallel
+    throughput collapsed) is visible in the artifact itself instead of
+    needing a side-channel probe file."""
+    from tools.weather_probe import probe_once, wide_probe
+
+    single = min(probe_once() for _ in range(2))
+    wide = wide_probe()
+    return {
+        "probe_s": single,
+        "wide_s": wide,
+        "wide_ratio": round(wide / single, 2),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from careers_spark import synth
     from careers_spark.plans.pipeline import KGPipeline
     from careers_spark.session import get_spark
+
+    weather_before = _host_weather()
 
     # tmpfs for shuffle + stage checkpoints: the host's single 250 MB/s
     # virtual disk is a shared-serial artifact a real cluster doesn't have
@@ -191,6 +210,7 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
     print(
         json.dumps(
             {
@@ -201,10 +221,13 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "kg": kg,
+                "host": {
+                    "before": weather_before,
+                    "after": _host_weather(),
+                },
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
