@@ -1264,6 +1264,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_blocking_quality"] = lsh_blocking_quality
 
+    def entity_ppr(spark, sf_dir):
+        """Personalized PageRank anchored at entity 'batch' (teleport
+        AND dangling mass return to the anchor — Haveliwala 2002):
+        salience relative to one entity, the entity-centric
+        recommendation ranking (graph.pagerank(personalize=...))."""
+        from careers_spark.operators.graph import pagerank
+
+        return pagerank(
+            _entity_edges(spark, sf_dir, 35),
+            iterations=6,
+            damping=0.85,
+            personalize="batch",
+        )
+
+    q["entity_ppr"] = entity_ppr
+
     return q
 
 
@@ -2563,6 +2579,59 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         FROM b
     """
+
+    # entity_ppr: the entity_pagerank unroll with the personalized
+    # teleport/dangling terms — (1.0 - 0.85) stays an expression and the
+    # anchor indicator is the identical CASE in both engines
+    _src_case = "(CASE WHEN b.node = 'batch' THEN 1.0 ELSE 0.0 END)"
+    _ppr_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst, CAST(count(*) AS BIGINT) AS w
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        base AS MATERIALIZED (
+          SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
+          FROM nodes n LEFT JOIN (
+            SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src
+          ) od ON od.node = n.node
+        ),
+        pp0 AS MATERIALIZED (
+          SELECT node, outdeg,
+                 CASE WHEN node = 'batch' THEN 1.0 ELSE 0.0 END AS pr
+          FROM base
+        )"""
+    ]
+    for _k in range(1, 7):
+        _ppr_chain.append(
+            f"""pp{_k} AS MATERIALIZED (
+          SELECT b.node, b.outdeg,
+                 round((1.0 - 0.85) * {_src_case}
+                       + 0.85 * (coalesce(inf.inflow, 0.0)
+                                 + dang.d * {_src_case}),
+                       10) AS pr
+          FROM base b
+          CROSS JOIN (
+            SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN pr END), 0.0) AS d
+            FROM pp{_k - 1}
+          ) dang
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr / p.outdeg) AS inflow
+            FROM e JOIN pp{_k - 1} p ON p.node = e.src
+            GROUP BY e.dst
+          ) inf ON inf.node = b.node
+        )"""
+        )
+    o["entity_ppr"] = (
+        "WITH " + ",\n".join(_ppr_chain) + "\nSELECT node, pr FROM pp6"
+    )
 
     # lsh_blocking_quality: band/candidate CTEs verbatim; truth set via
     # the integer rational predicate; one row of integers + two fixed

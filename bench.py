@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "louvain_communities",
     "entity_pagerank",
     "entity_pagerank_weighted",
+    "entity_ppr",
     "entity_hits",
     "graph_triangles",
     "graph_kcore",

@@ -49,6 +49,7 @@ def pagerank(
     damping: float = 0.85,
     precision: int = 10,
     weight: str | None = None,
+    personalize=None,
 ) -> DataFrame:
     """PageRank entity salience over the KG edge table — the standard
     "which entities matter" score for a freshly constructed graph
@@ -84,6 +85,13 @@ def pagerank(
     The unweighted path is bit-identical to weight=None's original form
     (w == 1.0 multiplies out exactly).
 
+    With `personalize` set to a node id, the teleport AND dangling mass
+    both return to that node instead of spreading uniformly —
+    personalized PageRank (Haveliwala 2002), the "salience relative to
+    this anchor entity" ranking used for entity-centric
+    recommendations. The global path is untouched (personalize=None
+    keeps the uniform terms verbatim).
+
     Output: (node, pr) — pr rounded to `precision` decimals.
     """
     if weight is None:
@@ -114,7 +122,22 @@ def pagerank(
     ).localCheckpoint(eager=True)
     n_nodes = F.lit(base.count())
 
-    pr = base.select("node", "outdeg", (F.lit(1.0) / n_nodes).alias("pr"))
+    if personalize is None:
+        init = (F.lit(1.0) / n_nodes).alias("pr")
+        teleport = (1.0 - damping) / n_nodes
+
+        def dang_share(dang_col):
+            return dang_col / n_nodes
+
+    else:
+        is_src = F.when(F.col("node") == F.lit(personalize), 1.0).otherwise(0.0)
+        init = is_src.alias("pr")
+        teleport = F.lit(1.0 - damping) * is_src
+
+        def dang_share(dang_col):
+            return dang_col * is_src
+
+    pr = base.select("node", "outdeg", init)
     for _ in range(iterations):
         dangling = pr.agg(
             F.coalesce(
@@ -133,9 +156,9 @@ def pagerank(
                 "node",
                 "outdeg",
                 F.round(
-                    (1.0 - damping) / n_nodes
+                    teleport
                     + damping
-                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dang") / n_nodes),
+                    * (F.coalesce("inflow", F.lit(0.0)) + dang_share(F.col("dang"))),
                     precision,
                 ).alias("pr"),
             )

@@ -128,3 +128,51 @@ def test_latest_state_cdc_compaction(spark):
     assert got[8].event_id == 4  # tiebreak toward larger event_id
     assert set(got) == {7, 8}
     assert latest_state(ev).columns == ev.columns
+
+
+def test_personalized_pagerank_python_lockstep(spark):
+    from careers_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (4, 1)], "src long, dst long"
+    )
+    got = {r.node: r.pr for r in
+           pagerank(edges, iterations=6, personalize=1).collect()}
+
+    # python unroll of the identical recurrence (round 10 per iteration)
+    nodes = [1, 2, 3, 4]
+    out = {1: [2, 3], 2: [1], 4: [1]}
+    pr = {n: 1.0 if n == 1 else 0.0 for n in nodes}
+    d = 0.85
+    for _ in range(6):
+        dang = sum(p for n, p in pr.items() if n not in out)
+        inflow = {n: 0.0 for n in nodes}
+        for u, vs in out.items():
+            for v in vs:
+                inflow[v] += pr[u] / len(vs)
+        pr = {
+            n: round((1.0 - d) * (1.0 if n == 1 else 0.0)
+                     + d * (inflow[n] + dang * (1.0 if n == 1 else 0.0)), 10)
+            for n in nodes
+        }
+    # python's addition order differs from Spark's aggregate order by
+    # ~1e-16 pre-round; when that noise sits on a round-half boundary
+    # the 10th decimal can differ by one ulp (the documented limit of
+    # the round-per-iteration recipe) — assert within one rounded digit
+    assert set(got) == set(pr)
+    assert all(abs(got[n] - pr[n]) <= 5e-10 for n in pr), (got, pr)
+    # teleport concentrates mass at/near the anchor; 2 and 3 are
+    # symmetric receivers; 4 (never pointed at) gets nothing
+    assert got[1] > got[2] == got[3] > got[4] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_personalized_none_matches_global(spark):
+    from careers_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    a = sorted(map(tuple, pagerank(edges, iterations=4).collect()))
+    b = sorted(map(tuple, pagerank(edges, iterations=4, personalize=None).collect()))
+    assert a == b
