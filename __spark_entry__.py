@@ -1280,6 +1280,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_ppr"] = entity_ppr
 
+    def basket_rules(spark, sf_dir):
+        """Market-basket association rules over order/lineitem —
+        support / confidence / lift per co-ordered part pair in >= 3
+        orders (basket.association_rules)."""
+        from careers_spark.operators.basket import association_rules
+
+        return association_rules(
+            _t(spark, sf_dir, "lineitem"), min_pair_orders=3
+        )
+
+    q["basket_rules"] = basket_rules
+
     return q
 
 
@@ -2632,6 +2644,31 @@ def oracle_sql() -> dict[str, str]:
     o["entity_ppr"] = (
         "WITH " + ",\n".join(_ppr_chain) + "\nSELECT node, pr FROM pp6"
     )
+
+    # basket_rules: integer counts + single divisions; lift one fixed
+    # expression
+    o["basket_rules"] = """
+        WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                   FROM lineitem),
+        n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_orders FROM b),
+        ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item),
+        p AS (
+          SELECT a.item AS item_a, c.item AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        )
+        SELECT item_a, item_b, n_ab,
+               round(n_ab / CAST(n_orders AS DOUBLE), 6) AS support,
+               round(n_ab / CAST(na.n_item AS DOUBLE), 6) AS conf_a_to_b,
+               round(n_ab / CAST(nb.n_item AS DOUBLE), 6) AS conf_b_to_a,
+               round(n_ab * CAST(n_orders AS DOUBLE)
+                     / (na.n_item * nb.n_item), 6) AS lift
+        FROM p
+        JOIN ic na ON na.item = p.item_a
+        JOIN ic nb ON nb.item = p.item_b
+        CROSS JOIN n
+    """
 
     # lsh_blocking_quality: band/candidate CTEs verbatim; truth set via
     # the integer rational predicate; one row of integers + two fixed

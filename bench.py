@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "event_anomalies",
     "distinct_sketch",
     "top_orders_per_cust",
+    "basket_rules",
     "link_weights_nation",
     "redirect_fixpoint",
     "quality_score",

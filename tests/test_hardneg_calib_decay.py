@@ -176,3 +176,34 @@ def test_personalized_none_matches_global(spark):
     a = sorted(map(tuple, pagerank(edges, iterations=4).collect()))
     b = sorted(map(tuple, pagerank(edges, iterations=4, personalize=None).collect()))
     assert a == b
+
+
+def test_association_rules_hand_golden(spark):
+    from careers_spark.operators.basket import association_rules
+
+    # baskets: {1:(a,b,c)}, {2:(a,b)}, {3:(a,b)}, {4:(c)}
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"), (4, "c"), (3, "a")]  # dup line: distinct
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey string")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in association_rules(df, min_pair_orders=2).collect()
+    }
+    assert set(got) == {("a", "b")}  # (a,c)/(b,c) co-occur once only
+    r = got[("a", "b")]
+    # n_ab=3, n_a=3, n_b=3, N=4
+    assert r.n_ab == 3
+    assert r.support == round(3 / 4, 6)
+    assert r.conf_a_to_b == 1.0 and r.conf_b_to_a == 1.0
+    assert r.lift == round(3 * 4 / 9, 6)
+    assert r.lift > 1.0  # co-occur more than independence predicts
+
+
+def test_association_rules_independent_items_lift_one(spark):
+    from careers_spark.operators.basket import association_rules
+
+    # x and y appear in every basket -> P(x,y)=P(x)P(y) -> lift 1
+    rows = [(i, v) for i in range(6) for v in ("x", "y")]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey string")
+    r = association_rules(df, min_pair_orders=2).collect()[0]
+    assert r.lift == 1.0 and r.support == 1.0
