@@ -1292,6 +1292,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["basket_rules"] = basket_rules
 
+    def event_transition_matrix(spark, sf_dir):
+        """First-order Markov transitions over per-user event streams —
+        P(next | current), the user-journey complement of the ordered
+        funnel (funnel.event_transitions)."""
+        from careers_spark.operators.funnel import event_transitions
+
+        return event_transitions(_t(spark, sf_dir, "events"))
+
+    q["event_transition_matrix"] = event_transition_matrix
+
     return q
 
 
@@ -2644,6 +2654,24 @@ def oracle_sql() -> dict[str, str]:
     o["entity_ppr"] = (
         "WITH " + ",\n".join(_ppr_chain) + "\nSELECT node, pr FROM pp6"
     )
+
+    # event_transition_matrix: the identical (ts, event_id) lead window
+    o["event_transition_matrix"] = """
+        WITH h AS (
+          SELECT event_type AS from_event,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_event
+          FROM events
+        ),
+        c AS (
+          SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS n
+          FROM h WHERE to_event IS NOT NULL GROUP BY 1, 2
+        ),
+        t AS (SELECT from_event, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        SELECT c.from_event, c.to_event, c.n,
+               round(c.n / CAST(t.n_from AS DOUBLE), 6) AS p
+        FROM c JOIN t USING (from_event)
+    """
 
     # basket_rules: integer counts + single divisions; lift one fixed
     # expression

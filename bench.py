@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "event_rollup_hourly",
     "rolling_revenue",
     "funnel_view_click_purchase",
+    "event_transition_matrix",
     "cohort_retention",
     "event_anomalies",
     "distinct_sketch",

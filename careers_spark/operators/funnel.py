@@ -138,3 +138,51 @@ def cohort_retention(
         .groupBy("cohort_week", (F.col("_w") - F.col("cohort_week")).alias("offset_weeks"))
         .agg(F.count("*").alias("n_active"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    event: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next = b | current = a) — the user-journey summary that
+    complements the ordered funnel (funnel counts one prescribed path;
+    this measures every observed hop).
+
+    Each user's events order by (ts, tiebreak) — the tiebreak makes
+    same-timestamp ordering deterministic — and every consecutive pair
+    (a -> b) counts once. One key shuffle + partition-local sort for
+    the lead(), then an algebraic pair count; per-source totals join
+    back broadcast-sized (the event vocabulary). Integer counts, one
+    division, rounded to 6.
+
+    Output: (from_event, to_event, n, p) — p sums to 1 per from_event.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(
+        F.col("t").cast("timestamp"), F.col("tb")
+    )
+    hops = (
+        events.select(
+            F.col(key).alias("k"),
+            F.col(ts).alias("t"),
+            F.col(event).alias("from_event"),
+            F.col(tiebreak).alias("tb"),
+        )
+        .withColumn("to_event", F.lead("from_event").over(w))
+        .filter(F.col("to_event").isNotNull())
+    )
+    counts = hops.groupBy("from_event", "to_event").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("from_event").agg(F.sum("n").alias("n_from"))
+    return counts.join(F.broadcast(totals), "from_event").select(
+        "from_event",
+        "to_event",
+        "n",
+        F.expr("round(n / cast(n_from as double), 6)").alias("p"),
+    )

@@ -82,3 +82,50 @@ def test_cohort_retention_grid(spark):
         (w0, 0): 2, (w0, 1): 1, (w0, 3): 1,     # users 1, 3
         (w0 + 1, 0): 1, (w0 + 1, 1): 1,         # user 2 (dup week deduped)
     }
+
+
+def test_event_transitions_hand_golden(spark):
+    import datetime as dt
+
+    from careers_spark.operators.funnel import event_transitions
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return d0 + dt.timedelta(minutes=m)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: view -> click -> view   user 2: view -> view
+            (1, t(0), 10, "view"), (2, t(1), 10, "click"), (3, t(2), 10, "view"),
+            (4, t(0), 20, "view"), (5, t(1), 20, "view"),
+            # user 3: single event -> no hop
+            (6, t(0), 30, "click"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        (r.from_event, r.to_event): (r.n, r.p)
+        for r in event_transitions(ev).collect()
+    }
+    # hops: view->click (u1), click->view (u1), view->view (u2)
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
+
+
+def test_event_transitions_tiebreak_deterministic(spark):
+    import datetime as dt
+
+    from careers_spark.operators.funnel import event_transitions
+
+    d0 = dt.datetime(2024, 1, 1)
+    # equal timestamps: order by event_id -> a(1) -> b(2) -> c(3)
+    ev = spark.createDataFrame(
+        [(1, d0, 5, "a"), (2, d0, 5, "b"), (3, d0, 5, "c")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {(r.from_event, r.to_event) for r in event_transitions(ev).collect()}
+    assert got == {("a", "b"), ("b", "c")}
