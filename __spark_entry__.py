@@ -1302,6 +1302,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_transition_matrix"] = event_transition_matrix
 
+    def conversion_latency_quantiles(spark, sf_dir):
+        """Per-hop funnel conversion-latency quantiles (integer-second
+        delays, percentile/quantile_cont pinned convention) for the
+        view->click->purchase funnel (funnel.conversion_latency)."""
+        from careers_spark.operators.funnel import conversion_latency
+
+        return conversion_latency(
+            _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+        )
+
+    q["conversion_latency_quantiles"] = conversion_latency_quantiles
+
     return q
 
 
@@ -2671,6 +2683,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.from_event, c.to_event, c.n,
                round(c.n / CAST(t.n_from AS DOUBLE), 6) AS p
         FROM c JOIN t USING (from_event)
+    """
+
+    # conversion_latency_quantiles: the funnel stage chain verbatim,
+    # integer-second delays, quantile_cont == percentile convention
+    o["conversion_latency_quantiles"] = """
+        WITH t1 AS (
+          SELECT user_id AS k, min(epoch_us(ts)) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        t2 AS (
+          SELECT e.user_id AS k, min(epoch_us(e.ts)) AS t2
+          FROM events e JOIN t1 ON t1.k = e.user_id
+           AND epoch_us(e.ts) > t1.t1
+          WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        t3 AS (
+          SELECT e.user_id AS k, min(epoch_us(e.ts)) AS t3
+          FROM events e JOIN t2 ON t2.k = e.user_id
+           AND epoch_us(e.ts) > t2.t2
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        ),
+        d1 AS (
+          SELECT (t2.t2 - t1.t1) // 1000000 AS lat_s
+          FROM t2 JOIN t1 USING (k)
+        ),
+        d2 AS (
+          SELECT (t3.t3 - t2.t2) // 1000000 AS lat_s
+          FROM t3 JOIN t2 USING (k)
+        ),
+        q1 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 [round(quantile_cont(lat_s, 0.25e0), 6),
+                  round(quantile_cont(lat_s, 0.5e0), 6),
+                  round(quantile_cont(lat_s, 0.75e0), 6),
+                  round(quantile_cont(lat_s, 0.9e0), 6)] AS vals
+          FROM d1
+        ),
+        q2 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 [round(quantile_cont(lat_s, 0.25e0), 6),
+                  round(quantile_cont(lat_s, 0.5e0), 6),
+                  round(quantile_cont(lat_s, 0.75e0), 6),
+                  round(quantile_cont(lat_s, 0.9e0), 6)] AS vals
+          FROM d2
+        ),
+        qq AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0]) AS q,
+                      unnest([1, 2, 3, 4]) AS qi)
+        SELECT 'view->click' AS hop, q1.n_users, qq.q, q1.vals[qq.qi] AS latency_s
+        FROM q1 CROSS JOIN qq
+        UNION ALL
+        SELECT 'click->purchase', q2.n_users, qq.q, q2.vals[qq.qi]
+        FROM q2 CROSS JOIN qq
     """
 
     # basket_rules: integer counts + single divisions; lift one fixed

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "rolling_revenue",
     "funnel_view_click_purchase",
     "event_transition_matrix",
+    "conversion_latency_quantiles",
     "cohort_retention",
     "event_anomalies",
     "distinct_sketch",

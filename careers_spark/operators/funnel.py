@@ -186,3 +186,55 @@ def event_transitions(
         "n",
         F.expr("round(n / cast(n_from as double), 6)").alias("p"),
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    stages: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Latency distribution between consecutive funnel stages: for every
+    user who chained stage s-1 -> s (funnel_user_stages semantics), the
+    s-1 -> s delay in whole seconds, summarized as exact quantiles — the
+    "how long does conversion take" report that pairs with the funnel's
+    "how many convert".
+
+    Delays are INTEGER seconds (epoch-us difference div 1e6); the
+    quantile is Spark `percentile` (linear interpolation == DuckDB
+    quantile_cont, the pinned length_quantiles convention). Per-hop
+    converter counts ride along so the quantiles are interpretable.
+
+    Output: (hop, n_users, q, latency_s) — one row per (stage hop,
+    quantile); hop = '<from>-><to>'.
+    """
+    st = funnel_user_stages(events, stages, key, ts, type_col)
+    arr = "array(" + ", ".join(f"{q}d" for q in qs) + ")"
+    hops = []
+    for i in range(2, len(stages) + 1):
+        d = st.filter(F.col(f"t{i}").isNotNull()).select(
+            F.expr(f"(t{i} - t{i-1}) div 1000000").alias("lat_s")
+        )
+        pos = ", ".join(
+            f"struct({q}d as q, round(vals[{j}], 6) as latency_s)"
+            for j, q in enumerate(qs)
+        )
+        agg = (
+            d.agg(
+                F.count("*").alias("n_users"),
+                F.expr(f"percentile(lat_s, {arr})").alias("vals"),
+            )
+            .select(
+                F.lit(f"{stages[i-2]}->{stages[i-1]}").alias("hop"),
+                "n_users",
+                F.explode(F.expr(f"array({pos})")).alias("s"),
+            )
+            .select("hop", "n_users", F.col("s.q"), F.col("s.latency_s"))
+        )
+        hops.append(agg)
+    out = hops[0]
+    for h in hops[1:]:
+        out = out.unionByName(h)
+    return out

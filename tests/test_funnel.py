@@ -129,3 +129,33 @@ def test_event_transitions_tiebreak_deterministic(spark):
     )
     got = {(r.from_event, r.to_event) for r in event_transitions(ev).collect()}
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_conversion_latency_hand_golden(spark):
+    import datetime as dt
+
+    from careers_spark.operators.funnel import conversion_latency
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return d0 + dt.timedelta(seconds=s)
+
+    # delays view->click: u1=10s, u2=20s, u3=40s; u4 never clicks
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), 1, "view"), (2, t(10), 1, "click"),
+            (3, t(0), 2, "view"), (4, t(20), 2, "click"),
+            (5, t(0), 3, "view"), (6, t(40), 3, "click"),
+            (7, t(0), 4, "view"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    rows = conversion_latency(ev, ["view", "click"]).collect()
+    got = {r.q: (r.n_users, r.latency_s) for r in rows}
+    assert all(r.hop == "view->click" for r in rows)
+    # sorted delays [10, 20, 40]: p25=15, p50=20, p75=30, p90=36
+    assert got[0.25] == (3, 15.0)
+    assert got[0.5] == (3, 20.0)
+    assert got[0.75] == (3, 30.0)
+    assert got[0.9] == (3, 36.0)
