@@ -1314,6 +1314,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conversion_latency_quantiles"] = conversion_latency_quantiles
 
+    def top_user_journeys(spark, sf_dir):
+        """Top-20 most common user journeys (event-type paths in
+        (ts, event_id) order, truncated at 20 hops) — journey
+        analytics beside the funnel/transition views
+        (funnel.top_journeys)."""
+        from careers_spark.operators.funnel import top_journeys
+
+        return top_journeys(_t(spark, sf_dir, "events"), k=20)
+
+    q["top_user_journeys"] = top_user_journeys
+
     return q
 
 
@@ -2683,6 +2694,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.from_event, c.to_event, c.n,
                round(c.n / CAST(t.n_from AS DOUBLE), 6) AS p
         FROM c JOIN t USING (from_event)
+    """
+
+    # top_user_journeys: identical (ts, event_id) ordered path strings
+    o["top_user_journeys"] = """
+        WITH p AS (
+          SELECT user_id,
+                 array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:20], '>')
+                 AS journey
+          FROM events GROUP BY user_id
+        ),
+        c AS (
+          SELECT journey, CAST(count(*) AS BIGINT) AS n_users
+          FROM p GROUP BY journey
+        )
+        SELECT journey, n_users, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT journey, n_users,
+                 row_number() OVER (ORDER BY n_users DESC, journey) AS rank
+          FROM c
+        ) WHERE rank <= 20
     """
 
     # conversion_latency_quantiles: the funnel stage chain verbatim,

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "funnel_view_click_purchase",
     "event_transition_matrix",
     "conversion_latency_quantiles",
+    "top_user_journeys",
     "cohort_retention",
     "event_anomalies",
     "distinct_sketch",

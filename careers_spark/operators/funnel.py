@@ -238,3 +238,53 @@ def conversion_latency(
     for h in hops[1:]:
         out = out.unionByName(h)
     return out
+
+
+def top_journeys(
+    events: DataFrame,
+    k: int = 20,
+    key: str = "user_id",
+    ts: str = "ts",
+    event: str = "event_type",
+    tiebreak: str = "event_id",
+    max_steps: int = 20,
+) -> DataFrame:
+    """Top-k most-common user journeys: each user's event types in
+    (ts, tiebreak) order concatenated into a path string ('a>b>c'),
+    truncated to the first `max_steps` hops (unbounded paths make the
+    journey table as big as the user table is long-tailed — every
+    journey study truncates), counted, and ranked.
+
+    Physical shape: one groupBy(key) with sort_array(collect_list(
+    struct(...))) — per-user state bounded by that user's event count
+    (truncate upstream for pathological keys); then an algebraic path
+    count and a TakeOrdered top-k (no full sort). Deterministic: the
+    struct sort carries the unique tiebreak.
+
+    Output: (journey, n_users, rank) — rank by (n_users desc, journey).
+    """
+    from pyspark.sql import Window
+
+    paths = (
+        events.select(
+            F.col(key).alias("k"),
+            F.struct(
+                F.col(ts).cast("timestamp").alias("t"),
+                F.col(tiebreak).alias("tb"),
+                F.col(event).alias("et"),
+            ).alias("s"),
+        )
+        .groupBy("k")
+        .agg(
+            F.expr(
+                f"concat_ws('>', slice(transform(sort_array(collect_list(s)),"
+                f" x -> x.et), 1, {int(max_steps)}))"
+            ).alias("journey")
+        )
+    )
+    counts = paths.groupBy("journey").agg(F.count("*").alias("n_users"))
+    top = counts.orderBy(F.desc("n_users"), F.col("journey")).limit(int(k))
+    w = Window.orderBy(F.desc("n_users"), F.col("journey"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "journey", "n_users", "rank"
+    )

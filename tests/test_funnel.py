@@ -159,3 +159,42 @@ def test_conversion_latency_hand_golden(spark):
     assert got[0.5] == (3, 20.0)
     assert got[0.75] == (3, 30.0)
     assert got[0.9] == (3, 36.0)
+
+
+def test_top_journeys_golden(spark):
+    import datetime as dt
+
+    from careers_spark.operators.funnel import top_journeys
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return d0 + dt.timedelta(minutes=m)
+
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), 1, "view"), (2, t(1), 1, "click"),
+            (3, t(0), 2, "view"), (4, t(1), 2, "click"),
+            (5, t(0), 3, "view"),
+            # user 4: same-ts ordering by event_id -> view>click
+            (7, t(0), 4, "click"), (6, t(0), 4, "view"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = [(r.journey, r.n_users, r.rank) for r in top_journeys(ev).collect()]
+    # user 4: equal ts -> event_id order = (6 view, 7 click) = view>click
+    assert got == [("view>click", 3, 1), ("view", 1, 2)]
+
+
+def test_top_journeys_truncates_max_steps(spark):
+    import datetime as dt
+
+    from careers_spark.operators.funnel import top_journeys
+
+    d0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, d0 + dt.timedelta(minutes=i), 1, f"e{i}") for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = top_journeys(ev, max_steps=3).collect()[0]
+    assert got.journey == "e0>e1>e2"
