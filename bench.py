@@ -117,7 +117,7 @@ def _host_weather() -> dict:
     needing a side-channel probe file."""
     from tools.weather_probe import probe_once, wide_probe
 
-    single = min(probe_once() for _ in range(2))
+    single = min(probe_once() for _ in range(3))
     wide = wide_probe()
     return {
         "probe_s": single,

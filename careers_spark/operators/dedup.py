@@ -82,10 +82,15 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(
-    documents: DataFrame, num_hashes: int = 12, n: int = 3
+    documents: DataFrame, num_hashes: int = 12, n: int = 3, sh: DataFrame | None = None
 ) -> DataFrame:
-    """Long-form minhash signatures: (doc_id, h_idx, minhash)."""
-    sh = doc_shingles(documents, n)
+    """Long-form minhash signatures: (doc_id, h_idx, minhash).
+
+    Pass a precomputed (ideally checkpointed) `sh` shingle frame to
+    avoid re-deriving the shingle explode when several consumers share
+    it (minhash_calibration / blocking_quality do)."""
+    if sh is None:
+        sh = doc_shingles(documents, n)
     sigs = [
         F.expr(minhash_expr(j)).alias(f"mh{j}") for j in range(num_hashes)
     ]
@@ -97,15 +102,24 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    documents: DataFrame, num_hashes: int = 12, band_size: int = 3, n: int = 3
+    documents: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing at least one band bucket.
 
     band key = concatenated minhashes of the band; the bucket join is an
     equi-join on (band, key) — linear in corpus size for non-pathological
     data instead of the quadratic all-pairs comparison.
+
+    Pass precomputed `sigs` (minhash_signatures output, ideally
+    checkpointed) when the caller also consumes the signatures — else
+    Spark recomputes the full shingle+minhash aggregation per consumer.
     """
-    sigs = minhash_signatures(documents, num_hashes, n)
+    if sigs is None:
+        sigs = minhash_signatures(documents, num_hashes, n)
     bands = (
         sigs.withColumn("band", (F.col("h_idx") / band_size).cast("int"))
         .groupBy("doc_id", "band")
@@ -607,8 +621,12 @@ def incremental_near_dups(
     Output: (new_doc, old_doc, jaccard) with jaccard >= threshold.
     """
     sh = doc_shingles(documents, n)
+    # a NULL predicate result must not silently drop the doc from the
+    # comparison universe — treat NULL as "existing" so it is still
+    # dedup-checked (as the old side)
     is_new = documents.select(
-        "doc_id", F.expr(new_pred).alias("_new")
+        "doc_id",
+        F.coalesce(F.expr(new_pred).cast("boolean"), F.lit(False)).alias("_new"),
     )
     tagged = sh.join(is_new, "doc_id")
     new_sh = tagged.filter("_new").select("doc_id", "sh")
@@ -653,8 +671,15 @@ def minhash_calibration(
 
     Output: (doc_a, doc_b, n_agree, est, jaccard, abs_err).
     """
-    sigs = minhash_signatures(documents, num_hashes, n)
-    cands = lsh_candidate_pairs(documents, num_hashes, band_size, n)
+    # one checkpointed shingle frame + one checkpointed signature frame
+    # feed candidates, agreement, AND the exact verify — without this,
+    # Spark lineage recomputes the shingle explode 3x and the 12-hash
+    # aggregation 2x (code-review finding, r5)
+    sh = doc_shingles(documents, n).localCheckpoint(eager=True)
+    sigs = minhash_signatures(
+        documents, num_hashes, n, sh=sh
+    ).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(documents, num_hashes, band_size, n, sigs=sigs)
     agree = (
         cands.join(sigs.selectExpr("doc_id as doc_a", "h_idx", "minhash as ma"), "doc_a")
         .join(
@@ -664,7 +689,6 @@ def minhash_calibration(
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.expr("case when ma = mb then 1 else 0 end")).alias("n_agree"))
     )
-    sh = doc_shingles(documents, n)
     size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cands.join(sh.selectExpr("doc_id as doc_a", "sh"), "doc_a")
@@ -724,9 +748,12 @@ def blocking_quality(
     reduction_ratio, pair_completeness).
     """
     num, den = int(threshold_num), int(threshold_den)
-    sh = doc_shingles(documents, n)
+    sh = doc_shingles(documents, n).localCheckpoint(eager=True)
     size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cands = lsh_candidate_pairs(documents, num_hashes, band_size, n)
+    cands = lsh_candidate_pairs(
+        documents, num_hashes, band_size, n,
+        sigs=minhash_signatures(documents, num_hashes, n, sh=sh),
+    )
     inter = (
         sh.selectExpr("doc_id as doc_a", "sh")
         .join(sh.selectExpr("doc_id as doc_b", "sh"), "sh")

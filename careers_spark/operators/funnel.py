@@ -210,6 +210,8 @@ def conversion_latency(
     Output: (hop, n_users, q, latency_s) — one row per (stage hop,
     quantile); hop = '<from>-><to>'.
     """
+    if len(stages) < 2:
+        raise ValueError("conversion_latency needs >= 2 funnel stages")
     st = funnel_user_stages(events, stages, key, ts, type_col)
     arr = "array(" + ", ".join(f"{q}d" for q in qs) + ")"
     hops = []

@@ -98,6 +98,11 @@ def chunk_tokens(
     Output: (doc_id, chunk_id, start_tok, chunk_len, chunk_hash).
     """
     size, stride = int(size), int(stride)
+    if not (1 <= stride <= size):
+        raise ValueError(
+            f"stride must be in [1, size]; stride={stride} > size={size}"
+            " would leave tokens covered by no chunk"
+        )
     t = documents.select(
         F.col(key).alias("doc_id"), tokens_col("text").alias("toks")
     ).withColumn("n", F.size("toks"))

@@ -37,6 +37,8 @@ heads) — NOT a full sort shuffle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -130,6 +132,8 @@ def rrf_fuse(
     """
     from pyspark.sql import Window
 
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     fused = None
     for i, df in enumerate(ranked):
         cur = df.select("doc_id", F.col("rank").alias(f"_r{i}"))
@@ -178,6 +182,14 @@ def trigram_substring_search(
     q = query.lower()
     if len(q) < 3:
         raise ValueError("trigram search needs a query of >= 3 chars")
+    # the query is interpolated into SQL string literals in BOTH engines,
+    # whose escape rules differ (Spark honors backslash escapes, DuckDB
+    # does not) — restrict to characters that are literal in both rather
+    # than attempting double-dialect escaping
+    if not re.fullmatch(r"[a-z0-9 .,+_-]+", q):
+        raise ValueError(
+            "query may contain only [a-z0-9 .,+_-] (got %r)" % query
+        )
     trigrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
     tg_list = ", ".join("'" + t.replace("'", "''") + "'" for t in trigrams)
     doc_tg = documents.select(

@@ -22,9 +22,20 @@ from pyspark.sql import functions as F
 from careers_spark.operators.dedup import _hash64_expr
 
 
+def _check_salt(salt: str) -> str:
+    """Salts are interpolated into SQL string literals in BOTH engines,
+    whose escape rules differ (Spark honors backslash escapes, DuckDB
+    does not) — restrict to characters that are literal in both."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_.-]*", salt):
+        raise ValueError(f"salt may contain only [A-Za-z0-9_.-] (got {salt!r})")
+    return salt
+
+
 def bucket_expr(key: str, salt: str) -> str:
     """md5-derived bucket in [0, 100) — engine-identical SQL both sides."""
-    keyed = f"concat(cast({key} as string), '{salt}')"
+    keyed = f"concat(cast({key} as string), '{_check_salt(salt)}')"
     return f"{_hash64_expr(keyed)} % 100"
 
 
@@ -128,7 +139,7 @@ def hash_topn_sample(
     """
     from pyspark.sql import Window
 
-    h = _hash64_expr(f"concat(cast({key} as string), '{salt}')")
+    h = _hash64_expr(f"concat(cast({key} as string), '{_check_salt(salt)}')")
     w = Window.partitionBy(strata).orderBy(F.expr(h), F.col(key))
     return (
         df.select(key, strata)

@@ -44,8 +44,14 @@ def brute_force_topk(
     query_pred: str = "vec_id % 50 = 0",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_sim: float | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for the query subset against the full corpus.
+
+    With ``max_sim`` set, neighbors at or above that cosine are excluded
+    BEFORE ranking (the hard-negative near-dup cut); the cut compares
+    the same rounded sim used for the rank, so the decision is
+    engine-identical. max_sim=None leaves the original plan untouched.
 
     Output: (query_id, neighbor_id, sim, rk). Cosine is rounded to 6dp
     before ranking so the ordering is reproducible across engines.
@@ -69,6 +75,8 @@ def brute_force_topk(
             ).alias("sim"),
         )
     )
+    if max_sim is not None:
+        sims = sims.filter(F.col("sim") < max_sim)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rk", F.row_number().over(w))
@@ -572,36 +580,18 @@ def hard_negatives(
     batch-construction step of every dual-encoder recipe; near-dups
     would poison the loss as mislabeled negatives).
 
-    Same physical shape as brute_force_topk (declared-exact baseline;
-    compose with the IVF/LSH candidate paths at scale): cosine rounded
-    to 6 before BOTH the dup cut and the rank, so every decision is
-    engine-identical.
+    A thin delegation to brute_force_topk(max_sim=dup_threshold) — the
+    declared-exact baseline and the miner share ONE cosine/tie-break
+    implementation by construction, so they cannot silently diverge;
+    compose with the IVF/LSH candidate paths at scale.
 
     Output: (query_id, neighbor_id, sim, rk).
     """
-    base = embeddings.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
-    )
-    queries = embeddings.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    sims = (
-        queries.crossJoin(base)
-        .filter(F.col("query_id") != F.col("nid"))
-        .select(
-            "query_id",
-            F.col("nid").alias("neighbor_id"),
-            F.round(
-                F.expr(_dot("qvec", "nvec"))
-                / (F.expr(_norm("qvec")) * F.expr(_norm("nvec"))),
-                6,
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") < dup_threshold)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "sim", "rk")
+    return brute_force_topk(
+        embeddings,
+        k=k,
+        query_pred=query_pred,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_sim=dup_threshold,
     )

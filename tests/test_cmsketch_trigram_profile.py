@@ -102,3 +102,22 @@ def test_column_profile_golden(spark):
     # numeric extrema compare numerically BEFORE the string cast
     assert (got["v"].min_str, got["v"].max_str) == ("2", "10")
     assert (got["s"].min_str, got["s"].max_str) == ("a", "b")
+
+
+def test_column_profile_awkward_column_names(spark):
+    df = (
+        spark.createDataFrame([(1, 2), (3, None)], "a long, b long")
+        .withColumnRenamed("a", "n-chars")
+        .withColumnRenamed("b", "order date")
+    )
+    got = {r.column: r for r in
+           column_profile(df, ["n-chars", "order date"]).collect()}
+    assert got["n-chars"].n_nulls == 0 and got["n-chars"].n_distinct == 2
+    assert got["order date"].n_nulls == 1 and got["order date"].n_distinct == 1
+
+
+def test_trigram_search_rejects_unescapable_query(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    for bad in ("a\\nb", "o'brien"):
+        with pytest.raises(ValueError):
+            trigram_substring_search(df, bad)

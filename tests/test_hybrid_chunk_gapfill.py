@@ -277,3 +277,11 @@ def test_chunk_tokens_randomized_config_sweep(spark):
             assert all(r.start_tok < n for r in rows), cfg
         else:
             assert len(rows) == 1 and rows[0].chunk_len == 0, cfg
+
+
+def test_chunk_tokens_rejects_stride_above_size(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_tokens(df, size=4, stride=5)

@@ -59,3 +59,13 @@ def test_dataset_split_stable_under_corpus_growth(spark):
     small = {r.doc_id: r.split for r in dataset_split(_docs(spark, 50)).collect()}
     big = {r.doc_id: r.split for r in dataset_split(_docs(spark, 200)).collect()}
     assert all(big[i] == s for i, s in small.items())
+
+
+def test_salt_charset_rejected(spark):
+    import pytest
+
+    df = _docs(spark, 10)
+    with pytest.raises(ValueError):
+        hash_topn_sample(df, 2, salt="o'brien").collect()
+    with pytest.raises(ValueError):
+        dataset_split(df, salt="s\\n0").collect()
