@@ -1325,6 +1325,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_user_journeys"] = top_user_journeys
 
+    def bigram_lm_filter(spark, sf_dir):
+        """CCNet-style perplexity filter proper: add-one-smoothed BIGRAM
+        LM trained on the reference slice (doc_id % 97 == 0, the
+        decontamination eval-split convention), every document scored
+        with real OOV handling; keep = avg_nll <= 3.5 nats/bigram
+        (textstats.bigram_ref_nll; fixed-point ln contributions, pure
+        integer per-doc sums)."""
+        return TS.bigram_ref_nll(
+            _t(spark, sf_dir, "documents"), ref_pred="doc_id % 97 = 0",
+            nll_keep_max=3.5,
+        )
+
+    q["bigram_lm_filter"] = bigram_lm_filter
+
+    def ngram_novelty(spark, sf_dir):
+        """Per-document trigram novelty vs all earlier documents (corpus
+        order = doc_id) — the marginal-contribution curve of the crawl
+        (textstats.ngram_novelty)."""
+        return TS.ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+    q["ngram_novelty"] = ngram_novelty
+
     return q
 
 
@@ -3782,6 +3804,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT j.doc_id, j.lang, j.quality, t.thr,
                j.quality >= t.thr AS keep
         FROM j JOIN t USING (lang)
+    """
+
+    # bigram_lm_filter: the add-one-smoothed reference bigram model.
+    # All counts are integers (num/den an exact double ratio), ln is
+    # cross-engine lockstep, each bigram TYPE's log-prob is fixed-point
+    # quantized once (round * 1e9 as BIGINT, the unigram_logloss
+    # recipe), and the per-doc reduction is a pure integer sum. Bigrams
+    # come from a positional self-join here vs an array transform in
+    # Spark — same pairs. Vocabulary = union of reference bigram sides
+    # (docs with < 2 tokens carry no bigrams on either side, in both
+    # engines). keep compares the 6-dp-rounded double to the literal
+    # 3.5e0 (a double in both engines).
+    o["bigram_lm_filter"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        bgl AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> {{'a': toks[i], 'b': toks[i + 1]}})
+                 ELSE [] END) AS g
+          FROM t
+        ),
+        bg AS MATERIALIZED (SELECT doc_id, g.a AS a, g.b AS b FROM bgl),
+        rbg AS MATERIALIZED (SELECT a, b FROM bg WHERE doc_id % 97 = 0),
+        vocab AS MATERIALIZED (
+          SELECT a AS term FROM rbg UNION SELECT b FROM rbg
+        ),
+        vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM rbg GROUP BY a, b),
+        ca AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM rbg GROUP BY a),
+        m AS (
+          SELECT bg.doc_id,
+                 CASE WHEN va.term IS NULL THEN '<unk>' ELSE bg.a END AS a,
+                 CASE WHEN vb.term IS NULL THEN '<unk>' ELSE bg.b END AS b
+          FROM bg
+          LEFT JOIN vocab va ON va.term = bg.a
+          LEFT JOIN vocab vb ON vb.term = bg.b
+        ),
+        tf AS (
+          SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf
+          FROM m GROUP BY doc_id, a, b
+        ),
+        types AS (SELECT DISTINCT a, b FROM tf),
+        scored AS (
+          SELECT types.a, types.b,
+                 CAST(round(ln((COALESCE(cab, 0) + 1)
+                               / CAST(COALESCE(ca, 0) + v + 1 AS DOUBLE))
+                            * 1000000000e0, 0) AS BIGINT) AS fp
+          FROM types
+          LEFT JOIN cab USING (a, b)
+          LEFT JOIN ca USING (a)
+          CROSS JOIN vn
+        ),
+        c AS (
+          SELECT tf.doc_id, tf.tf, tf.tf * fp AS fpc
+          FROM tf JOIN scored USING (a, b)
+        )
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               round(-sum(fpc) / (sum(tf) * 1000000000e0), 6) AS avg_nll,
+               (round(-sum(fpc) / (sum(tf) * 1000000000e0), 6) <= 3.5e0) AS keep
+        FROM c GROUP BY doc_id
+    """
+
+    # ngram_novelty: integer counts + one rounded division; min(doc_id)
+    # per shingle is the global first occurrence in both engines
+    o["ngram_novelty"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest({_duck_trigrams()}) AS sh FROM t
+        ),
+        first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN first_doc = s.doc_id THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS novel_frac
+        FROM sh s JOIN first USING (sh)
+        GROUP BY s.doc_id
     """
 
     return o

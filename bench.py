@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "gap_filled_hourly",
     "quality_percentile_gate",
     "unigram_logloss",
+    "bigram_lm_filter",
+    "ngram_novelty",
     "doc_length_histogram",
     "source_reputation",
     "length_quantiles",

@@ -523,3 +523,152 @@ def vocab_coverage(
             F.expr("round(covered / cast(total as double), 6)").alias("coverage"),
         )
     )
+
+
+def bigram_ref_nll(
+    documents: DataFrame,
+    ref_pred: str = "doc_id % 97 = 0",
+    nll_keep_max: float = 4.5,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed BIGRAM
+    language model trained on a REFERENCE slice — the CCNet / Wenzek
+    et al. 2020 perplexity filter proper (train on the trusted slice,
+    score the crawl, keep the low-perplexity band). `unigram_logloss`
+    scores a document against the corpus's own unigram distribution;
+    this one scores against a held-out model with real OOV handling,
+    which is what the published filter actually does.
+
+    Model: tokens outside the reference vocabulary map to '<unk>';
+    P(b|a) = (C(a,b) + 1) / (C(a) + V + 1) where C are reference-slice
+    bigram/context counts and V the reference vocabulary size (so the
+    '<unk>'-extended vocabulary has V+1 types and an unseen context
+    scores uniform 1/(V+1)). An EMPTY reference slice degenerates to
+    V=0 and every document scoring 0 nats — callers own a non-empty
+    reference. Documents with fewer than 2 tokens have no bigrams and
+    are absent from the output (documented, matches the oracle).
+
+    Engine-exactness: all counts are integers, so num/den is a ratio of
+    exact doubles and ln is cross-engine lockstep (pinned by the
+    tfidf/PMI oracles); each distinct bigram TYPE's log-probability is
+    fixed-point quantized ONCE (round(ln * 1e9) as BIGINT, the
+    unigram_logloss recipe) and the per-doc reduction is a pure integer
+    sum, so addition order cannot leak IEEE noise. keep compares the
+    6-dp-rounded value, identical in both engines.
+
+    Physical shape: one token explode; bigrams from an array transform
+    (no positional self-join); the reference model (vocab, bigram
+    counts, context counts, V) is dictionary-sized and broadcast — the
+    scoring pass over the big side is map-side joins plus one per-doc
+    partial-agg groupBy. No window, no sort.
+
+    Output: (doc_id, n_bigrams, avg_nll, keep) — avg_nll in nats per
+    bigram, keep = avg_nll <= nll_keep_max.
+    """
+    t = documents.select("doc_id", tokens_col("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] as a, toks[i] as b))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+    is_ref = f"({ref_pred})"
+    ref_docs = documents.filter(is_ref).select("doc_id")
+    ref_bg = bg.join(F.broadcast(ref_docs), "doc_id").select("a", "b")
+    vocab = ref_bg.select(F.col("a").alias("term")).union(
+        ref_bg.select(F.col("b").alias("term"))
+    ).distinct()
+    vn = vocab.agg(F.count("*").alias("v"))
+    cab = ref_bg.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ca = ref_bg.groupBy("a").agg(F.count("*").alias("ca"))
+
+    mapped = (
+        bg.join(
+            F.broadcast(vocab.select(F.col("term").alias("a"), F.lit(1).alias("_ka"))),
+            "a",
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("b"), F.lit(1).alias("_kb"))),
+            "b",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_ka").isNull(), F.lit("<unk>")).otherwise(F.col("a")).alias("a"),
+            F.when(F.col("_kb").isNull(), F.lit("<unk>")).otherwise(F.col("b")).alias("b"),
+        )
+    )
+    tf = mapped.groupBy("doc_id", "a", "b").agg(F.count("*").alias("tf"))
+    types = tf.select("a", "b").distinct()
+    scored = (
+        types.join(F.broadcast(cab), ["a", "b"], "left")
+        .join(F.broadcast(ca), "a", "left")
+        .crossJoin(F.broadcast(vn))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "cast(round(ln((coalesce(cab, 0) + 1)"
+                " / cast(coalesce(ca, 0) + v + 1 as double))"
+                " * 1000000000e0, 0) as bigint)"
+            ).alias("fp"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(scored), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum(F.expr("tf * fp")).alias("_fp"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("round(-_fp / (n_bigrams * 1000000000e0), 6)").alias("avg_nll"),
+        )
+        .withColumn("keep", F.col("avg_nll") <= F.lit(float(nll_keep_max)))
+    )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word-n-gram shingles that NO earlier document (smaller
+    doc_id — corpus order) contains. The dataset-ordering /
+    marginal-contribution curve: late near-duplicate documents score
+    near 0, genuinely fresh content near 1 (the quantity suffix-array
+    dedup studies plot as "fraction of novel text" over crawl order).
+
+    Engine-exactness: integer counts and one final division rounded to
+    6 — nothing else.
+
+    Physical shape: the doc_shingles explode, one partial-agg
+    groupBy(sh) for the global first-occurrence (min doc_id is
+    algebraic), one shuffle-on-shingle join back, one per-doc count
+    aggregation. Same scale posture as dup_span_fraction.
+
+    Output: (doc_id, n_shingles, n_novel, novel_frac).
+    """
+    from careers_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(documents, n)
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.expr("case when first_doc = doc_id then 1 else 0 end")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("round(n_novel / cast(n_shingles as double), 6)").alias(
+                "novel_frac"
+            ),
+        )
+    )
