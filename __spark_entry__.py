@@ -1347,6 +1347,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_novelty"] = ngram_novelty
 
+    def kmeans_clusters(spark, sf_dir):
+        """SemDeDup-style semantic clustering: Lloyd k-means (k=8,
+        3 iterations, deterministic smallest-id seeds) on the 1e-6
+        integer lattice — every distance and centroid update is
+        integer-exact, so the full iterative loop is reproducible by
+        an unrolled DuckDB oracle (clustering.kmeans_assign)."""
+        from careers_spark.operators.clustering import kmeans_assign
+
+        return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+    q["kmeans_clusters"] = kmeans_clusters
+
+    def scd2_history(spark, sf_dir):
+        """SCD Type-2 dimension build from the events changelog: each
+        change row becomes a [valid_from, valid_to) interval via one
+        per-key lead window; NULL valid_to marks the current version
+        (temporal.scd2_history) — the batch complement of
+        cdc_latest_state."""
+        from careers_spark.operators.temporal import scd2_history as _scd2
+
+        return _scd2(_t(spark, sf_dir, "events"))
+
+    q["scd2_history"] = scd2_history
+
     return q
 
 
@@ -3882,6 +3906,84 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(count(*) AS DOUBLE), 6) AS novel_frac
         FROM sh s JOIN first USING (sh)
         GROUP BY s.doc_id
+    """
+
+    # kmeans_clusters: the ENTIRE k=8 x 3-iteration Lloyd loop unrolled
+    # into CTEs. Sound because every quantity is integer-exact on the
+    # 1e-6 lattice (distances are integer sums of squares; centroid
+    # updates are round(int_sum / n) — one correctly-rounded double
+    # division + the shared away-from-zero tie rule), so both engines
+    # compute the identical values at every step — the same
+    # unroll-a-fixpoint recipe as louvain/pagerank, with NO per-round
+    # rounding tolerance needed at all.
+    def _km_assign(src: str, csrc: str, dim: int) -> str:
+        return f"""(
+          SELECT id, cluster, dist FROM (
+            SELECT id, cid AS cluster, dist,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY dist, cid) AS rk
+            FROM (
+              SELECT q.id, c.cid,
+                     CAST(list_sum(list_transform(range(1, {dim + 1}),
+                          i -> (q.x[i] - c.x[i]) * (q.x[i] - c.x[i])))
+                       AS BIGINT) AS dist
+              FROM {src} q CROSS JOIN {csrc} c
+            )
+          ) WHERE rk = 1
+        )"""
+
+    def _km_update(asrc: str, psrc: str, dim: int) -> str:
+        return f"""(
+          SELECT p.cid, coalesce(u.x, p.x) AS x FROM {psrc} p LEFT JOIN (
+            SELECT cluster AS cid, list(comp ORDER BY i) AS x FROM (
+              SELECT a.cluster, g.i,
+                     CAST(round(sum(q.x[g.i]) / CAST(count(*) AS DOUBLE))
+                       AS BIGINT) AS comp
+              FROM {asrc} a JOIN q ON q.id = a.id
+              CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) g
+              GROUP BY a.cluster, g.i
+            ) GROUP BY cluster
+          ) u USING (cid)
+        )"""
+
+    _km_k, _km_iters, _km_dim = 8, 3, 64
+    _km_ctes = [
+        f"""q AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 list_transform(embedding::DOUBLE[],
+                     v -> CAST(round(v * 1000000e0) AS BIGINT)) AS x
+          FROM embeddings
+        )""",
+        f"""c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, x
+          FROM (SELECT id, x FROM q ORDER BY id LIMIT {_km_k})
+        )""",
+    ]
+    for _it in range(_km_iters):
+        _km_ctes.append(
+            f"a{_it} AS MATERIALIZED {_km_assign('q', f'c{_it}', _km_dim)}"
+        )
+        _km_ctes.append(
+            f"c{_it + 1} AS MATERIALIZED "
+            f"{_km_update(f'a{_it}', f'c{_it}', _km_dim)}"
+        )
+    o["kmeans_clusters"] = (
+        "WITH "
+        + ",\n".join(_km_ctes)
+        + f"""
+        SELECT id AS vec_id, cluster, dist
+        FROM {_km_assign('q', f'c{_km_iters}', _km_dim)}"""
+    )
+
+    # scd2_history: the identical per-key lead window; ties ordered by
+    # the unique tiebreak in both engines
+    o["scd2_history"] = """
+        SELECT user_id, event_id, event_type, value,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     """
 
     return o

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "kmeans_clusters",
     "sessionize",
     "asof_last_click",
     "clicks_before_purchase",
@@ -76,6 +77,7 @@ BENCH_QUERIES = [
     "decayed_revenue",
     "eval_sample",
     "cdc_latest_state",
+    "scd2_history",
     "train_val_test_split",
     "vocab_coverage_curve",
     "substring_search",

@@ -1,0 +1,133 @@
+"""K-means clustering over embedding columns — the SemDeDup-style
+semantic-clustering primitive (Abbas et al. 2023 cluster, then dedup
+within clusters; also the coarse quantizer family IVF training belongs
+to, similarity.py:198-340).
+
+Exactness design (the integer-lattice recipe): embeddings are quantized
+once to a 1e-6 integer lattice (``round(v * 1e6)`` as BIGINT — the
+embedding_projection convention), and EVERY Lloyd quantity stays
+integer-exact from there:
+
+- distances are integer sums of squares — order-independent, no IEEE
+  noise, so the argmin (dist, then smaller cluster id) can never flip
+  between engines or partitionings;
+- centroid updates are ``round(int_sum / n)`` back onto the lattice —
+  ONE double division of exact integers per component, the identical
+  correctly-rounded double in Spark and DuckDB, then the shared
+  away-from-zero tie rule. Centroids being lattice points keeps the
+  next iteration's distances integer-exact too.
+
+This makes the full ``iters``-deep Lloyd loop reproducible bit-exactly
+by an unrolled DuckDB oracle (the pagerank/louvain fixpoint-unroll
+recipe, __spark_entry__.py), which a float-centroid k-means (MLlib's
+included) can never be. The lattice perturbs each coordinate by
+<= 5e-7 — far below any clustering-relevant structure at embedding
+scale (unit-norm coords are O(1/sqrt(dim))).
+
+Init is deterministic: the k rows with smallest id are the seeds
+(cluster id = seed rank). No RNG anywhere.
+
+Physical shape per iteration (the ivf_train_centroids shape,
+similarity.py:228-340):
+- assignment: centroids are LITERALS in the plan (k x dim bigints) —
+  zero joins, zero broadcast; dist is a Catalyst ``zip_with`` +
+  ``aggregate`` fold, argmin is ``least`` over structs. Pure map work.
+- update: ONE algebraic groupBy(cluster) with dim ``sum`` columns +
+  count — map-side combinable, one shuffle of k x (dim+1) partials.
+- k rows collect to the driver per iteration (k*dim ints — the
+  centroid table is tiny BY DEFINITION, that's what makes it k-means).
+
+At 10^12 rows the cost is iters map passes + iters k-row shuffles; no
+step grows super-linearly in N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT = "1000000e0"  # 1e-6 lattice; e0 so both engines parse a DOUBLE
+
+
+def _quantize(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, "
+            f"v -> cast(round(cast(v as double) * {QUANT}, 0) as bigint))"
+        ).alias("x"),
+    )
+
+
+def _dist_expr(centroid: list[int]) -> str:
+    arr = "array(" + ",".join(f"{int(c)}L" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with(x, {arr}, (a, b) -> (a - b) * (a - b)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
+def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(id, x, cluster, dist) under literal centroids: argmin by
+    (dist, cluster id) via least-over-structs — no join, no shuffle."""
+    structs = [
+        F.struct(
+            F.expr(_dist_expr(c)).alias("d"), F.lit(j).cast("long").alias("j")
+        )
+        for j, c in enumerate(centroids)
+    ]
+    best = F.least(*structs) if len(structs) > 1 else structs[0]
+    return q.withColumn("_b", best).select(
+        "id",
+        "x",
+        F.col("_b.j").alias("cluster"),
+        F.col("_b.d").alias("dist"),
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means on the 1e-6 integer lattice; returns the FINAL
+    assignment (id, cluster, dist) after ``iters`` full
+    assign-then-update rounds plus one closing assignment.
+
+    dist is the exact integer squared distance on the lattice
+    (value units: (coordinate * 1e6)^2).
+    """
+    q = _quantize(embeddings, id_col, vec_col).cache()
+    dim = len(q.select("x").first()["x"])
+
+    # seeds: the k smallest ids, cluster id = seed rank
+    seeds = q.orderBy("id").limit(int(k)).collect()
+    centroids = [list(r["x"]) for r in seeds]
+
+    sums = [F.sum(F.element_at("x", i + 1)).alias(f"s{i}") for i in range(dim)]
+    for _ in range(int(iters)):
+        a = _assign(q, centroids)
+        upd = a.groupBy("cluster").agg(F.count("*").alias("n"), *sums)
+        # round(int_sum / n) back onto the lattice IN SPARK SQL (not
+        # python round(), which is banker's) so the oracle's identical
+        # expression yields the identical component
+        mean_cols = [
+            F.expr(f"cast(round(s{i} / cast(n as double), 0) as bigint)")
+            for i in range(dim)
+        ]
+        got = {
+            r["cluster"]: list(r["c"])
+            for r in upd.select(
+                "cluster", F.array(*mean_cols).alias("c")
+            ).collect()
+        }
+        # an emptied cluster keeps its previous centroid
+        centroids = [got.get(j, centroids[j]) for j in range(len(centroids))]
+
+    out = _assign(q, centroids).select(
+        F.col("id").alias(id_col), "cluster", "dist"
+    )
+    q.unpersist()
+    return out

@@ -499,3 +499,46 @@ def latest_state(
         .filter(F.col("_rk") == 1)
         .select(*cols)
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """SCD Type-2 dimension build from a changelog: every change row
+    becomes a validity interval — ``valid_from`` is the row's own
+    timestamp, ``valid_to`` the NEXT change's timestamp for the same
+    key (exclusive upper bound, the [from, to) convention), NULL for
+    the key's current version (``is_current``). This is the history
+    table a warehouse MERGE maintains incrementally, stated as one
+    declarative pass over the log — the batch complement of
+    ``latest_state`` (which keeps only the last interval's row).
+
+    Ordering inside a key is (ts, tiebreak); the tiebreak must be
+    unique per key so interval boundaries are deterministic. Rows
+    sharing a timestamp produce zero-length intervals for all but the
+    last — the standard convention (an interval query ``from <= t < to``
+    never returns them, and the audit trail keeps every version).
+
+    Physical shape: ONE window (= one hash shuffle on the key + a
+    partition-local sort). ``lead`` is partition-local; nothing global.
+    At 10^12 rows this is the same cost as any per-key ordering pass,
+    and the key-hash partitioning it produces is exactly how the
+    history table should be laid out for point-in-time probes anyway.
+
+    Output: (key, tiebreak, <attrs...>, valid_from, valid_to,
+    is_current).
+    """
+    attrs = ["event_type", "value"] if attrs is None else attrs
+    w = Window.partitionBy(key).orderBy(_us(ts), F.col(tiebreak))
+    return events.select(
+        key,
+        tiebreak,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.lead(ts).over(w).isNull().alias("is_current"),
+    )

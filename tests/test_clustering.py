@@ -1,0 +1,122 @@
+"""K-means on the integer lattice: hand golden, python-lockstep unroll,
+empty-cluster retention, and parallelism invariance."""
+
+import pandas as pd
+import pytest
+
+from careers_spark.operators.clustering import kmeans_assign
+
+SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _df(spark, vecs, parallelism=None):
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(len(vecs))), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf, schema=SCHEMA)
+    return df.repartition(parallelism) if parallelism else df
+
+
+def test_two_obvious_clusters(spark):
+    # seeds are ids 0 and 1 — one in each blob, so one iteration suffices
+    vecs = [
+        [0.0, 0.0], [10.0, 10.0],          # seeds
+        [0.1, -0.1], [0.2, 0.0],           # blob around origin
+        [9.9, 10.1], [10.2, 9.8],          # blob around (10, 10)
+    ]
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(_df(spark, vecs), k=2, iters=2).collect()
+    }
+    assert got == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+
+
+def _py_lloyd(vecs, k, iters):
+    """Independent python unroll of the lattice Lloyd loop (banker's
+    rounding avoided the same way: round-half-away via the decimal
+    trick on the exact integer/size division)."""
+    import math
+
+    def away(x):
+        f = math.floor(x)
+        r = x - f
+        if r > 0.5:
+            return f + 1
+        if r < 0.5:
+            return f
+        return f + 1 if x >= 0 else f  # .5 away from zero (positive sums here)
+
+    q = [[int(round_half(v)) for v in vec] for vec in vecs]
+    cents = [list(q[i]) for i in range(k)]
+    for _ in range(iters):
+        assign = [
+            min(
+                range(k),
+                key=lambda j: (sum((a - b) ** 2 for a, b in zip(x, cents[j])), j),
+            )
+            for x in q
+        ]
+        for j in range(k):
+            members = [q[i] for i in range(len(q)) if assign[i] == j]
+            if members:
+                cents[j] = [
+                    away(sum(col) / len(members)) for col in zip(*members)
+                ]
+    return [
+        min(
+            range(k),
+            key=lambda j: (sum((a - b) ** 2 for a, b in zip(x, cents[j])), j),
+        )
+        for x in q
+    ]
+
+
+def round_half(v):
+    # mirror cast(round(v * 1e6, 0) as bigint): away-from-zero ties
+    import math
+
+    x = float(v) * 1e6
+    f = math.floor(abs(x))
+    r = abs(x) - f
+    m = f + 1 if r >= 0.5 else f
+    return m if x >= 0 else -m
+
+
+def test_python_lockstep(spark):
+    # deterministic ragged points: three loose groups, ties possible
+    vecs = [
+        [((i * 37 + d * 11) % 29) / 7.0 + (i % 3) * 40 for d in range(5)]
+        for i in range(40)
+    ]
+    k, iters = 3, 3
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(_df(spark, vecs), k=k, iters=iters).collect()
+    }
+    want = dict(enumerate(_py_lloyd(vecs, k, iters)))
+    assert got == want
+
+
+def test_empty_cluster_keeps_seed(spark):
+    # seeds 0 and 1 are adjacent; every point is nearer seed 0's side,
+    # so cluster 1 empties on iteration 1 — its centroid must persist
+    # (not crash, not NaN) and the final assignment still references it
+    vecs = [[0.0], [0.4], [0.1], [0.05], [0.2]]
+    out = kmeans_assign(_df(spark, vecs), k=2, iters=2).collect()
+    assert {r.cluster for r in out} <= {0, 1}
+    assert len(out) == 5
+
+
+def test_parallelism_invariance(spark):
+    vecs = [[float((i * 13) % 17), float((i * 7) % 11)] for i in range(30)]
+    a = kmeans_assign(_df(spark, vecs, parallelism=1), k=4, iters=3)
+    b = kmeans_assign(_df(spark, vecs, parallelism=8), k=4, iters=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dist_is_exact_integer(spark):
+    vecs = [[0.25, -0.5], [1.25, 0.5]]
+    rows = {r.vec_id: r for r in kmeans_assign(_df(spark, vecs), k=2, iters=1).collect()}
+    # each point is its own seed: dist 0, integer type
+    assert rows[0].dist == 0 and rows[1].dist == 0
+    assert isinstance(rows[0].dist, int)

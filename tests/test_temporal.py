@@ -353,3 +353,63 @@ def test_rollup_anomalies_gap_resets_baseline(spark):
         for r in rollup_anomalies(ev, dims=["event_type"]).collect()
     }
     assert got[60] == (0, False)
+
+
+def test_scd2_history_golden(spark):
+    from careers_spark.operators.temporal import scd2_history
+
+    rows = [
+        # user 1: three versions; middle two share a timestamp
+        (1, 1, _ts(0), "a"),
+        (2, 1, _ts(10), "b"),
+        (3, 1, _ts(10), "c"),   # same ts as event 2 -> zero-length for 2
+        (4, 1, _ts(30), "d"),
+        # user 2: single version, current from the start
+        (5, 2, _ts(5), "x"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, ts, uid, et, 0.0, "{}") for eid, uid, ts, et in rows],
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {
+        r.event_id: (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(ev).collect()
+    }
+    assert got == {
+        1: (_ts(0), _ts(10), False),
+        2: (_ts(10), _ts(10), False),  # zero-length: superseded same-ts
+        3: (_ts(10), _ts(30), False),
+        4: (_ts(30), None, True),
+        5: (_ts(5), None, True),
+    }
+    # intervals chain gaplessly per key: each valid_to IS the next
+    # version's valid_from, and exactly one current row per key
+    assert sum(1 for v in got.values() if v[2]) == 2
+
+
+def test_scd2_point_in_time_probe(spark):
+    """The defining SCD2 property: for any probe instant, from <= t < to
+    selects EXACTLY ONE version per key that has started."""
+    from careers_spark.operators.temporal import scd2_history
+
+    random.seed(11)
+    rows = [
+        (i, i % 7, _ts(random.randrange(0, 1000)))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        [(eid, ts, uid, "t", 0.0, "{}") for eid, uid, ts in rows],
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    hist = scd2_history(ev).collect()
+    for probe_s in (0, 137, 500, 999):
+        t = _ts(probe_s)
+        per_key = {}
+        for r in hist:
+            if r.valid_from <= t and (r.valid_to is None or t < r.valid_to):
+                per_key.setdefault(r.user_id, []).append(r.event_id)
+        started = {u for _, u, ts in rows if ts <= t}
+        assert set(per_key) == started
+        assert all(len(v) == 1 for v in per_key.values())
