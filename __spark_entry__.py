@@ -1371,6 +1371,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scd2_history"] = scd2_history
 
+    def revenue_cube(spark, sf_dir):
+        """CUBE rollup over (returnflag, linestatus): all four grouping
+        sets in one pass (Spark plans a single expand + aggregate, not
+        four scans). grouping() flags disambiguate subtotal rows from
+        genuine NULL dimension values; revenue rides exact integer
+        cents."""
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.withColumn(
+                "cents",
+                F.expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
+            )
+            .cube("l_returnflag", "l_linestatus")
+            .agg(
+                F.grouping("l_returnflag").alias("g_flag"),
+                F.grouping("l_linestatus").alias("g_status"),
+                F.count("*").alias("n_items"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+        )
+
+    q["revenue_cube"] = revenue_cube
+
+    def event_type_pivot(spark, sf_dir):
+        """Per-user event-type counts pivoted to columns — the wide
+        feature table a per-user model consumes. The value list is
+        explicit, so the pivot is ONE groupBy with conditional
+        aggregates (no extra distinct pass, deterministic columns)."""
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.groupBy("user_id")
+            .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+            .count()
+            .na.fill(0)
+        )
+
+    q["event_type_pivot"] = event_type_pivot
+
+    def fuzzy_part_match(spark, sf_dir):
+        """Blocked fuzzy string matching (ER verify stage): distinct
+        part names blocked by product noun, levenshtein <= 4 keeps
+        adjective variants (dedup.fuzzy_name_pairs). Candidates come
+        from the block equi-join, never all-pairs."""
+        names = (
+            _t(spark, sf_dir, "part")
+            .groupBy("p_name")
+            .agg(F.min("p_partkey").alias("name_id"))
+        )
+        return DD.fuzzy_name_pairs(
+            names, "name_id", "p_name", "split(p_name, ' ')[1]", max_dist=4
+        )
+
+    q["fuzzy_part_match"] = fuzzy_part_match
+
+    def constraint_audit(spark, sf_dir):
+        """Deequ-style data-quality audit: uniqueness, non-null,
+        referential-integrity, and range constraints over the warehouse
+        tables, one integer-count row per check (audit.constraint_audit)."""
+        from careers_spark.operators.audit import constraint_audit as _audit
+
+        return _audit(
+            spark,
+            {
+                t: _t(spark, sf_dir, t)
+                for t in ("customer", "orders", "lineitem", "documents", "events")
+            },
+        )
+
+    q["constraint_audit"] = constraint_audit
+
     return q
 
 
@@ -3984,6 +4054,97 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """
+
+    # revenue_cube: identical grouping sets; GROUPING() flags carry the
+    # same 0/1 convention in both engines; integer cents sum exactly
+    o["revenue_cube"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    # event_type_pivot: explicit-value pivot == conditional counts
+    o["event_type_pivot"] = """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'view') AS "view",
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'error') AS error
+        FROM events GROUP BY user_id
+    """
+
+    # fuzzy_part_match: both engines implement unit-cost Levenshtein;
+    # the blocked join is the operator's stated semantics
+    o["fuzzy_part_match"] = """
+        WITH nm AS (SELECT p_name, min(p_partkey) AS name_id
+                    FROM part GROUP BY p_name),
+        s AS (SELECT name_id, p_name, split_part(p_name, ' ', 2) AS blk
+              FROM nm WHERE split_part(p_name, ' ', 2) IS NOT NULL)
+        SELECT a.name_id AS id_a, b.name_id AS id_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM s a JOIN s b ON a.blk = b.blk AND a.name_id < b.name_id
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """
+
+    # constraint_audit: every check restated; all counts integer
+    o["constraint_audit"] = """
+        SELECT 'customer.c_custkey unique' AS check_name,
+               count(*) AS n_checked,
+               count(*) - count(DISTINCT c_custkey) AS n_violations,
+               count(*) = count(DISTINCT c_custkey) AS ok
+        FROM customer WHERE c_custkey IS NOT NULL
+        UNION ALL
+        SELECT 'orders.o_orderkey unique', count(*),
+               count(*) - count(DISTINCT o_orderkey),
+               count(*) = count(DISTINCT o_orderkey)
+        FROM orders WHERE o_orderkey IS NOT NULL
+        UNION ALL
+        SELECT 'documents.doc_id unique', count(*),
+               count(*) - count(DISTINCT doc_id),
+               count(*) = count(DISTINCT doc_id)
+        FROM documents WHERE doc_id IS NOT NULL
+        UNION ALL
+        SELECT 'orders.o_custkey not_null', count(*),
+               count(*) FILTER (o_custkey IS NULL),
+               count(*) FILTER (o_custkey IS NULL) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'events.ts not_null', count(*),
+               count(*) FILTER (ts IS NULL),
+               count(*) FILTER (ts IS NULL) = 0
+        FROM events
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               (SELECT count(*) FROM orders),
+               count(*), count(*) = 0
+        FROM orders o WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem.l_orderkey -> orders',
+               (SELECT count(*) FROM lineitem),
+               count(*), count(*) = 0
+        FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem.l_quantity positive', count(*),
+               count(*) FILTER (NOT (l_quantity > 0)),
+               count(*) FILTER (NOT (l_quantity > 0)) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'documents.n_chars non_negative', count(*),
+               count(*) FILTER (NOT (n_chars >= 0)),
+               count(*) FILTER (NOT (n_chars >= 0)) = 0
+        FROM documents
     """
 
     return o

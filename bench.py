@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "hybrid_rrf_search",
     "prefix_jaccard_pairs",
+    "fuzzy_part_match",
     "source_overlap",
     "incremental_near_dup_pairs",
     "minhash_jaccard_calibration",
@@ -78,6 +79,9 @@ BENCH_QUERIES = [
     "eval_sample",
     "cdc_latest_state",
     "scd2_history",
+    "event_type_pivot",
+    "revenue_cube",
+    "constraint_audit",
     "train_val_test_split",
     "vocab_coverage_curve",
     "substring_search",

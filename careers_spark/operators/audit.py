@@ -1,0 +1,128 @@
+"""Declarative data-quality audit — the Deequ/dbt-test family: a set of
+named constraints (uniqueness, non-null, referential integrity, value
+ranges) evaluated in one pass each, emitted as one row per constraint
+with checked/violation counts and a pass flag.
+
+Why first-class: a 100 TB ingest without a constraint gate ships silent
+corruption downstream (duplicate keys double-count in every join;
+dangling foreign keys drop rows in inner joins); running the audit as
+part of the pipeline makes data contracts testable exactly like code.
+
+Physical shape per constraint family:
+- non-null / range: one scan, two conditional counts — map-side only.
+- uniqueness: one partial-agg groupBy(key) counting rows and distinct
+  keys via the algebraic (count(*), count(key)) pair — violations =
+  rows - distinct keys, no self-join.
+- referential: LEFT ANTI join child->parent on the key (broadcast when
+  the parent is a dimension; Spark picks that automatically under AQE
+  for the small side).
+
+All counts are integers, so the audit is oracle-checkable hash-exactly.
+Output: (check_name, n_checked, n_violations, ok).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _row(spark: SparkSession, name: str, checked, violations) -> DataFrame:
+    """One (check_name, n_checked, n_violations, ok) row from two
+    already-aggregated 1-row frames (kept lazy: crossJoin of scalars)."""
+    return (
+        checked.crossJoin(violations)
+        .select(
+            F.lit(name).alias("check_name"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("ok"),
+        )
+    )
+
+
+def not_null(spark, df: DataFrame, col: str, name: str) -> DataFrame:
+    agg = df.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_violations"),
+    )
+    return agg.select(
+        F.lit(name).alias("check_name"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+        (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("ok"),
+    )
+
+
+def unique_key(spark, df: DataFrame, col: str, name: str) -> DataFrame:
+    # violations = rows - distinct keys (null keys are their own
+    # violation class, counted by a not_null check, not here)
+    agg = df.filter(F.col(col).isNotNull()).agg(
+        F.count("*").alias("_n"), F.countDistinct(col).alias("_d")
+    )
+    return agg.select(
+        F.lit(name).alias("check_name"),
+        F.col("_n").cast("long").alias("n_checked"),
+        (F.col("_n") - F.col("_d")).cast("long").alias("n_violations"),
+        ((F.col("_n") - F.col("_d")) == 0).alias("ok"),
+    )
+
+
+def references(
+    spark, child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str
+) -> DataFrame:
+    n = child.agg(F.count("*").alias("n_checked"))
+    dangling = (
+        child.select(ckey)
+        .filter(F.col(ckey).isNotNull())
+        .join(parent.select(F.col(pkey).alias(ckey)), on=ckey, how="left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    return _row(spark, name, n, dangling)
+
+
+def in_range(
+    spark, df: DataFrame, predicate: str, name: str
+) -> DataFrame:
+    """predicate is the PASSING condition (SQL expression)."""
+    agg = df.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(F.when(~F.expr(predicate), 1).otherwise(0)).alias("n_violations"),
+    )
+    return agg.select(
+        F.lit(name).alias("check_name"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+        (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("ok"),
+    )
+
+
+def constraint_audit(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
+    """The driver audit suite over the warehouse tables: key uniqueness,
+    non-null keys, referential integrity along the star schema, and
+    domain ranges. Each check is one scan or one anti-join; the union
+    is a single result table of integer counts."""
+    c, o, li, d, ev = (
+        tables["customer"],
+        tables["orders"],
+        tables["lineitem"],
+        tables["documents"],
+        tables["events"],
+    )
+    checks = [
+        unique_key(spark, c, "c_custkey", "customer.c_custkey unique"),
+        unique_key(spark, o, "o_orderkey", "orders.o_orderkey unique"),
+        unique_key(spark, d, "doc_id", "documents.doc_id unique"),
+        not_null(spark, o, "o_custkey", "orders.o_custkey not_null"),
+        not_null(spark, ev, "ts", "events.ts not_null"),
+        references(spark, o, "o_custkey", c, "c_custkey",
+                   "orders.o_custkey -> customer"),
+        references(spark, li, "l_orderkey", o, "o_orderkey",
+                   "lineitem.l_orderkey -> orders"),
+        in_range(spark, li, "l_quantity > 0", "lineitem.l_quantity positive"),
+        in_range(spark, d, "n_chars >= 0", "documents.n_chars non_negative"),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out

@@ -789,3 +789,50 @@ def blocking_quality(
             " else n_found / cast(n_true as double) end, 6)"
         ).alias("pair_completeness"),
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_expr: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Blocked fuzzy string matching — the edit-distance verify stage of
+    entity resolution (Magellan / Dedupe-style): candidate pairs come
+    from an EQUI-join on a blocking key (never all-pairs), then
+    ``levenshtein(name_a, name_b) <= max_dist`` keeps the matches.
+
+    ``block_expr`` is a SQL expression over the input row producing the
+    blocking key (e.g. a token, a phonetic code, an LSH bucket). The
+    operator's recall is the blocking function's recall — standard ER;
+    measure it with blocking_quality-style diagnostics if the key is
+    heuristic.
+
+    Scale: one shuffle on the block key; within-block pairing is
+    quadratic in BLOCK size only, the same bound as every blocked
+    similarity join here (LSH bands, shared shingles, prefix filter).
+    Levenshtein runs JVM-side (Catalyst builtin) on candidates only.
+
+    Output: (id_a, id_b, name_a, name_b, dist), id_a < id_b, integer
+    dist — oracle-checkable exactly (both engines implement unit-cost
+    edit distance).
+    """
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_nm"),
+        F.expr(block_expr).alias("_blk"),
+    ).filter(F.col("_blk").isNotNull())
+    a = side.select(
+        F.col("_id").alias("id_a"), F.col("_nm").alias("name_a"), "_blk"
+    )
+    b = side.select(
+        F.col("_id").alias("id_b"), F.col("_nm").alias("name_b"), "_blk"
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= int(max_dist))
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
