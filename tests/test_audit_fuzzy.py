@@ -111,3 +111,31 @@ def test_cube_subtotals(spark):
     assert got[(None, "F", 1, 0)] == (2, 1500)   # subtotal over flags
     assert got[(None, None, 1, 1)] == (3, 3500)  # grand total
     assert len(got) == 3 + 2 + 2 + 1  # populated cells + marginals + total
+
+
+def test_new_op_plan_shapes(spark):
+    """Scale-property regression guards: the fuzzy join is an equi-join
+    on the block key (never a cartesian / nested-loop), and the k-means
+    assignment stage is pure map work (no Join operator at all —
+    centroids are literals in the plan)."""
+    from careers_spark.operators.clustering import _assign, _quantize
+
+    df = spark.createDataFrame(
+        [(i, f"name {i % 3}") for i in range(20)], schema="id long, name string"
+    )
+    fz = fuzzy_name_pairs(df, "id", "name", "split(name, ' ')[1]", max_dist=2)
+    fz_plan = fz._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in fz_plan, fz_plan
+    assert "BroadcastNestedLoopJoin" not in fz_plan, fz_plan
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 5)]) for i in range(10)],
+        schema="vec_id long, embedding array<float>",
+    )
+    q = _quantize(emb, "vec_id", "embedding")
+    a_plan = (
+        _assign(q, [[0, 0], [1_000_000, 2_000_000]])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in a_plan, a_plan
+    assert "Exchange" not in a_plan, a_plan
