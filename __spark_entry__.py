@@ -1441,6 +1441,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["constraint_audit"] = constraint_audit
 
+    def weekly_active_users(spark, sf_dir):
+        """Exact trailing-7-day distinct users per observed day (WAU) —
+        rolling COUNT DISTINCT via the presence-explode restructuring
+        (distinct (user, day) first, then explode each presence to the
+        7 report days it supports), never per-window set state
+        (temporal.rolling_active_users)."""
+        from careers_spark.operators.temporal import rolling_active_users
+
+        return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+    q["weekly_active_users"] = weekly_active_users
+
     return q
 
 
@@ -4145,6 +4157,21 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (NOT (n_chars >= 0)),
                count(*) FILTER (NOT (n_chars >= 0)) = 0
         FROM documents
+    """
+
+    # weekly_active_users: the oracle states the rolling distinct as a
+    # range join over the presence table — same semantics, integer day
+    # buckets, exact counts
+    o["weekly_active_users"] = """
+        WITH presence AS (
+          SELECT DISTINCT user_id AS k, epoch_us(ts) // 86400000000 AS d
+          FROM events
+        ),
+        days AS (SELECT DISTINCT d AS rd FROM presence)
+        SELECT rd * 86400000000 AS day_us,
+               CAST(count(DISTINCT k) AS BIGINT) AS n_active
+        FROM days JOIN presence p ON p.d BETWEEN rd - 6 AND rd
+        GROUP BY rd
     """
 
     return o

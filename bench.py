@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "top_user_journeys",
     "cohort_retention",
     "event_anomalies",
+    "weekly_active_users",
     "distinct_sketch",
     "top_orders_per_cust",
     "basket_rules",

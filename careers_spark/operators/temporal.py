@@ -542,3 +542,67 @@ def scd2_history(
         F.lead(ts).over(w).alias("valid_to"),
         F.lead(ts).over(w).isNull().alias("is_current"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Exact sliding-window distinct actors per day — the DAU/WAU/MAU
+    family. Rolling COUNT DISTINCT does not decompose algebraically
+    (distinct is not re-aggregable across overlapping windows), so the
+    standard window-function formulation either keeps whole sets in
+    window state or falls back to sketches. This stays exact by
+    restructuring:
+
+      1. collapse raw events to the DISTINCT (key, day) presence table
+         — one partial-agg pass; at most users x active-days rows,
+         orders of magnitude below raw events;
+      2. explode each presence row to the ``window_days`` report days
+         it supports (a presence on day d makes the user active on
+         report days d .. d+w-1);
+      3. one countDistinct(key) per report day.
+
+    The explode factor is the window length (7 for WAU, 30 for MAU) on
+    the ALREADY-COLLAPSED presence table, so total work is
+    O(presence x w) — the exact-answer price, linear and shuffle-
+    friendly (partial-agg on (day, key) pairs), with no per-window set
+    state anywhere. For w beyond ~90 switch to a sketch; below that
+    this is cheaper than it looks because presence << events.
+
+    Report days with zero active users don't appear (no gap-fill here;
+    compose with gap_fill_hourly's grid pattern if needed). Days at the
+    corpus tail still report (partial windows), matching the SQL
+    RANGE-frame semantics on the dense day grid.
+
+    Output: (day_us, n_active) — day bucket start in epoch-us, exact
+    distinct count, only for days with >= 1 event (report day must
+    itself be an observed day: we count a day as reportable when ANY
+    user was present that day, the DAU grid).
+    """
+    day_us = 86_400_000_000
+    presence = (
+        events.select(
+            F.col(key).alias("_k"),
+            F.expr(f"unix_micros(cast({ts} as timestamp)) div {day_us}").alias("_d"),
+        )
+        .distinct()
+    )
+    observed = presence.select(F.col("_d").alias("_rd")).distinct()
+    exploded = presence.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_d"), F.col("_d") + F.lit(int(window_days) - 1))
+        ).alias("_rd"),
+    )
+    return (
+        exploded.join(observed, "_rd")
+        .groupBy("_rd")
+        .agg(F.countDistinct("_k").alias("n_active"))
+        .select(
+            F.expr(f"_rd * {day_us}").alias("day_us"),
+            F.col("n_active").cast("long").alias("n_active"),
+        )
+    )

@@ -413,3 +413,73 @@ def test_scd2_point_in_time_probe(spark):
         started = {u for _, u, ts in rows if ts <= t}
         assert set(per_key) == started
         assert all(len(v) == 1 for v in per_key.values())
+
+
+def test_rolling_active_users_golden(spark):
+    from careers_spark.operators.temporal import rolling_active_users
+
+    day = 86_400
+    rows = [
+        # (user, day): u1 on days 0, 1; u2 on day 1 (twice -> one
+        # presence); u3 on day 10 (isolated)
+        (1, 0 * day), (1, 1 * day + 5),
+        (2, 1 * day), (2, 1 * day + 99),
+        (3, 10 * day),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, _ts(s)) for i, (u, s) in enumerate(rows)],
+        schema="event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.day_us // 86_400_000_000: r.n_active
+        for r in rolling_active_users(ev, window_days=7).collect()
+    }
+    # observed days are 0, 1 (plus the T0 offset) and 10; day 1's
+    # trailing week covers both users' presences; day 10's window
+    # [4, 10] contains only u3
+    base = next(iter(sorted(got)))
+    rel = {d - base: n for d, n in got.items()}
+    assert rel == {0: 1, 1: 2, 10: 1}
+
+
+def test_rolling_active_users_window_edges(spark):
+    from careers_spark.operators.temporal import rolling_active_users
+
+    day = 86_400
+    # u1 active day 0 only; u2 active on day 6 and day 7:
+    # day 6 window [0,6] sees u1+u2; day 7 window [1,7] sees u2 only
+    ev = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 2, _ts(6 * day)), (3, 2, _ts(7 * day))],
+        schema="event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.day_us // 86_400_000_000: r.n_active
+        for r in rolling_active_users(ev, window_days=7).collect()
+    }
+    base = min(got)
+    rel = {d - base: n for d, n in got.items()}
+    assert rel == {0: 1, 6: 2, 7: 1}
+
+
+def test_rolling_active_users_equals_bruteforce(spark):
+    from careers_spark.operators.temporal import rolling_active_users
+
+    random.seed(23)
+    day = 86_400
+    rows = [
+        (i, random.randrange(1, 12), _ts(random.randrange(0, 40) * day + random.randrange(day)))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r.day_us // 86_400_000_000: r.n_active
+        for r in rolling_active_users(ev, window_days=7).collect()
+    }
+    pres = {(u, int(ts.timestamp()) // day) for _, u, ts in rows}
+    obs_days = sorted({d for _, d in pres})
+    want = {
+        d: len({u for u, pd in pres if d - 6 <= pd <= d}) for d in obs_days
+    }
+    assert got == want
