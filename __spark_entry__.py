@@ -1453,6 +1453,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weekly_active_users"] = weekly_active_users
 
+    def event_trend_slopes(spark, sf_dir):
+        """Per-event-type least-squares trend of daily volume — the
+        closed-form regression on exact integer sums; slope NULL for
+        degenerate single-day groups (temporal.trend_slopes)."""
+        from careers_spark.operators.temporal import trend_slopes
+
+        return trend_slopes(_t(spark, sf_dir, "events"))
+
+    q["event_trend_slopes"] = event_trend_slopes
+
     return q
 
 
@@ -4172,6 +4182,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT k) AS BIGINT) AS n_active
         FROM days JOIN presence p ON p.d BETWEEN rd - 6 AND rd
         GROUP BY rd
+    """
+
+    # event_trend_slopes: all five regression sums are exact integers
+    # (x rebased to the group min day), one identical double division
+    o["event_trend_slopes"] = """
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                 count(*) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        rb AS (
+          SELECT event_type,
+                 d - min(d) OVER (PARTITION BY event_type) AS x, y
+          FROM daily
+        ),
+        s AS (
+          SELECT event_type, count(*) AS n_days, sum(y) AS total_events,
+                 sum(x) AS sx, sum(x * x) AS sxx,
+                 sum(x * y) AS sxy, sum(y) AS sy
+          FROM rb GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(total_events AS BIGINT) AS total_events,
+               CASE WHEN n_days * sxx - sx * sx <> 0
+                    THEN round((n_days * sxy - sx * sy)
+                               / CAST(n_days * sxx - sx * sx AS DOUBLE), 9)
+               END AS slope_per_day
+        FROM s
     """
 
     return o

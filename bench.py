@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "event_anomalies",
     "weekly_active_users",
+    "event_trend_slopes",
     "distinct_sketch",
     "top_orders_per_cust",
     "basket_rules",

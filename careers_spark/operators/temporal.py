@@ -606,3 +606,64 @@ def rolling_active_users(
             F.col("n_active").cast("long").alias("n_active"),
         )
     )
+
+
+def trend_slopes(
+    events: DataFrame,
+    dims: list[str] | None = None,
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-group least-squares trend of daily volume — "is error volume
+    growing?" as a closed-form regression, no ML library: with x the
+    integer day and y the day's event count,
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+
+    Every S-term is a BIGINT sum of integer products, so numerator and
+    denominator are EXACT in both engines regardless of aggregation
+    order — the one double division is correctly rounded and identical,
+    then rounded to 9. Degenerate groups (single day: denominator 0)
+    report NULL slope rather than infinity.
+
+    Days are re-based to the group's min day before the quadratic
+    sums: slope is shift-invariant, and rebasing keeps n*Sxx bounded by
+    n * span^2 instead of n * epoch_day^2 (overflow headroom at
+    century-long spans and billion-row days alike).
+
+    Physical shape: one algebraic groupBy to the (dims, day) grain,
+    one window-free second groupBy for the five sums (the rebase min
+    rides along as a group-side min + join-free subtraction via a
+    two-level aggregate). At 10^12 raw rows the regression input is
+    the tiny bucket table.
+
+    Output: (<dims...>, n_days, total_events, slope_per_day).
+    """
+    dims = ["event_type"] if dims is None else dims
+    day_us = 86_400_000_000
+    daily = (
+        events.withColumn("_d", F.expr(f"unix_micros(cast({ts} as timestamp)) div {day_us}"))
+        .groupBy(*dims, "_d")
+        .agg(F.count("*").alias("_y"))
+    )
+    # rebase x to the group's min day: two-level aggregate (min rides
+    # the same shuffle partitioning, so no extra exchange)
+    w_min = daily.groupBy(*dims).agg(F.min("_d").alias("_d0"))
+    rb = daily.join(w_min, dims).withColumn("_x", F.col("_d") - F.col("_d0"))
+    sums = rb.groupBy(*dims).agg(
+        F.count("*").alias("n_days"),
+        F.sum("_y").alias("total_events"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.expr("_x * _x")).alias("_sxx"),
+        F.sum(F.expr("_x * _y")).alias("_sxy"),
+        F.sum("_y").alias("_sy"),
+    )
+    den = F.expr("n_days * _sxx - _sx * _sx")
+    num = F.expr("n_days * _sxy - _sx * _sy")
+    return sums.select(
+        *dims,
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("total_events").cast("long").alias("total_events"),
+        F.when(den != 0, F.round(num / den.cast("double"), 9)).alias(
+            "slope_per_day"
+        ),
+    )

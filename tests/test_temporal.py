@@ -483,3 +483,57 @@ def test_rolling_active_users_equals_bruteforce(spark):
         d: len({u for u, pd in pres if d - 6 <= pd <= d}) for d in obs_days
     }
     assert got == want
+
+
+def test_trend_slopes_golden(spark):
+    from careers_spark.operators.temporal import trend_slopes
+
+    day = 86_400
+    rows = []
+    eid = 0
+    # 'up': counts 1, 2, 3 on consecutive days -> slope exactly 1.0
+    for d, n in [(0, 1), (1, 2), (2, 3)]:
+        for _ in range(n):
+            rows.append((eid, "up", _ts(d * day + eid))); eid += 1
+    # 'flat': 2, 2 on days 5, 9 -> slope 0.0 (gap doesn't matter)
+    for d in (5, 5, 9, 9):
+        rows.append((eid, "flat", _ts(d * day + eid))); eid += 1
+    # 'single': one day only -> NULL slope
+    rows.append((eid, "single", _ts(100 * day)))
+    ev = spark.createDataFrame(
+        rows, schema="event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.event_type: (r.n_days, r.total_events, r.slope_per_day)
+        for r in trend_slopes(ev).collect()
+    }
+    assert got["up"] == (3, 6, 1.0)
+    assert got["flat"] == (2, 4, 0.0)
+    assert got["single"] == (1, 1, None)
+
+
+def test_trend_slopes_shift_invariant(spark):
+    from careers_spark.operators.temporal import trend_slopes
+
+    day = 86_400
+    def build(offset_days):
+        rows = []
+        eid = 0
+        for d, n in [(0, 5), (3, 2), (7, 9), (11, 1)]:
+            for _ in range(n):
+                rows.append((eid, "t", _ts((d + offset_days) * day + eid)))
+                eid += 1
+        return spark.createDataFrame(
+            rows, schema="event_id long, event_type string, ts timestamp"
+        )
+
+    a = trend_slopes(build(0)).collect()[0]
+    b = trend_slopes(build(5000)).collect()[0]
+    assert a.slope_per_day == b.slope_per_day
+    # cross-check against numpy polyfit
+    import numpy as np
+
+    x = np.array([0, 3, 7, 11], dtype=float)
+    y = np.array([5, 2, 9, 1], dtype=float)
+    want = np.polyfit(x, y, 1)[0]
+    assert abs(a.slope_per_day - want) < 1e-9
