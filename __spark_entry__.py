@@ -1463,6 +1463,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_trend_slopes"] = event_trend_slopes
 
+    def key_skew_report(spark, sf_dir):
+        """Key-skew diagnostic over lineitem.l_orderkey — top-10
+        heaviest keys with corpus share and the max/mean skew factor;
+        the measure-before-salting step (skew.key_skew_report)."""
+        from careers_spark.operators.skew import key_skew_report as _skew
+
+        return _skew(_t(spark, sf_dir, "lineitem"), "l_orderkey", top_k=10)
+
+    q["key_skew_report"] = key_skew_report
+
     return q
 
 
@@ -4211,6 +4221,31 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(n_days * sxx - sx * sx AS DOUBLE), 9)
                END AS slope_per_day
         FROM s
+    """
+
+    # key_skew_report: identical top-k by (count desc, key asc) with
+    # integer counts; share/skew_factor are single rounded divisions
+    o["key_skew_report"] = """
+        WITH counts AS (
+          SELECT CAST(l_orderkey AS VARCHAR) AS key_value,
+                 count(*) AS n_rows
+          FROM lineitem GROUP BY 1
+        ),
+        tot AS (
+          SELECT sum(n_rows) AS total, count(*) AS n_keys,
+                 max(n_rows) AS mx
+          FROM counts
+        )
+        SELECT key_value, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(rk AS INTEGER) AS rank,
+               round(n_rows / CAST(total AS DOUBLE), 6) AS share,
+               CAST(n_keys AS BIGINT) AS n_keys_total,
+               round(mx * n_keys / CAST(total AS DOUBLE), 6) AS skew_factor
+        FROM (
+          SELECT *, row_number() OVER (ORDER BY n_rows DESC, key_value) AS rk
+          FROM counts
+        ) CROSS JOIN tot
+        WHERE rk <= 10
     """
 
     return o

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "event_anomalies",
     "weekly_active_users",
     "event_trend_slopes",
+    "key_skew_report",
     "distinct_sketch",
     "top_orders_per_cust",
     "basket_rules",

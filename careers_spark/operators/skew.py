@@ -1,0 +1,62 @@
+"""Key-skew diagnostic — the report you run BEFORE a big join or
+aggregation to decide whether a key needs salting / AQE skew handling:
+per-key row counts summarized as total/distinct/max plus the top-k
+heaviest keys with their corpus share.
+
+Why first-class: at 100 TB the difference between a 2-hour and a
+2-day job is usually ONE skewed key (the null user, the bot account,
+the empty-string source). This operator is the measurement step of the
+salting recipe used throughout this repo (canonicalize's salted CC,
+AQE skew-join notes): measure, THEN salt the keys that need it.
+
+Physical shape: one partial-agg groupBy(key) (map-side combinable —
+the count table is at most distinct-keys large), then a TakeOrdered
+top-k (never a global sort) plus one 1-row algebraic rollup broadcast
+back onto the top rows for the share division. Integer counts; the
+share is one rounded division — oracle-checkable exactly.
+
+Output: top-k rows (key_value string, n_rows, share, rank) — rank by
+(count desc, key asc), deterministic under ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    counts = (
+        df.select(F.col(key).cast("string").alias("key_value"))
+        .groupBy("key_value")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("n_keys"),
+        F.max("n_rows").alias("_max"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k merged on the driver — no global sort, no single-partition
+    # window over the counts table); the rank window then runs over
+    # just the k surviving rows
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), "key_value")
+        .limit(int(top_k))
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "key_value",
+            "n_rows",
+            F.col("rank").cast("integer").alias("rank"),
+            F.expr("round(n_rows / cast(_total as double), 6)").alias("share"),
+            F.col("n_keys").cast("long").alias("n_keys_total"),
+            F.expr("round(_max * n_keys / cast(_total as double), 6)").alias(
+                "skew_factor"
+            ),
+        )
+    )
