@@ -1473,6 +1473,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["key_skew_report"] = key_skew_report
 
+    def merge_incremental_snapshot(spark, sf_dir):
+        """MERGE INTO invariant, machine-proved: snapshot built from
+        events <= Jan 15 then merge_upsert'ed with the later changelog
+        must equal the latest-state recompute over ALL events — the
+        oracle IS that recompute, so the hash match proves incremental
+        MERGE == full rebuild (temporal.merge_upsert)."""
+        from careers_spark.operators.temporal import latest_state, merge_upsert
+
+        ev = _t(spark, sf_dir, "events")
+        cut = "2024-01-16 00:00:00"
+        base = latest_state(ev.filter(F.col("ts") < cut))
+        changes = ev.filter(F.col("ts") >= cut)
+        return merge_upsert(base, changes, key="user_id")
+
+    q["merge_incremental_snapshot"] = merge_incremental_snapshot
+
     return q
 
 
@@ -4246,6 +4262,16 @@ def oracle_sql() -> dict[str, str]:
           FROM counts
         ) CROSS JOIN tot
         WHERE rk <= 10
+    """
+
+    # merge_incremental_snapshot: the oracle is the FULL recompute —
+    # the hash match proves incremental MERGE == rebuild-from-scratch
+    o["merge_incremental_snapshot"] = """
+        SELECT event_id, ts, user_id, event_type, value, props FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+          FROM events
+        ) WHERE rk = 1
     """
 
     return o

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "eval_sample",
     "cdc_latest_state",
     "scd2_history",
+    "merge_incremental_snapshot",
     "event_type_pivot",
     "revenue_cube",
     "constraint_audit",

@@ -667,3 +667,47 @@ def trend_slopes(
             "slope_per_day"
         ),
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Apply a changelog to a base snapshot — the Delta/Hudi/Iceberg
+    MERGE INTO stated as plain relational algebra: the new snapshot is
+    (a) the winning change row per key (most recent by (ts, tiebreak),
+    via latest_state), optionally dropping rows whose winner is a
+    delete marker, unioned with (b) base rows whose key has no change
+    (left anti join).
+
+    Columns must match between base and changes (plus the optional
+    boolean ``delete_col`` on changes). Updates and inserts need no
+    distinction — a winner whose key exists in base replaces it, a new
+    key appends.
+
+    Physical shape: one key shuffle for the per-key winner (the
+    latest_state rank), one anti-join base->changes on the key. The
+    changelog is normally orders of magnitude smaller than the base,
+    so the anti-join broadcasts the compacted change-key set under AQE
+    and the base is never shuffled — the property that makes MERGE
+    cheap on a 100 TB table.
+
+    Output: the new snapshot, same schema as base.
+    """
+    winners = latest_state(changes, key=key, ts=ts, tiebreak=tiebreak)
+    if delete_col is not None:
+        surviving = winners.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+        change_keys = winners.select(key)  # deletes still mask base rows
+    else:
+        surviving = winners
+        change_keys = winners.select(key)
+    untouched = base.join(change_keys, on=key, how="left_anti").select(
+        *base.columns
+    )
+    return untouched.unionByName(surviving.select(*base.columns))

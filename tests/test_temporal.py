@@ -537,3 +537,68 @@ def test_trend_slopes_shift_invariant(spark):
     y = np.array([5, 2, 9, 1], dtype=float)
     want = np.polyfit(x, y, 1)[0]
     assert abs(a.slope_per_day - want) < 1e-9
+
+
+def test_merge_upsert_golden(spark):
+    from careers_spark.operators.temporal import merge_upsert
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    base = spark.createDataFrame(
+        [(1, _ts(0), 1, "a"), (2, _ts(0), 2, "b"), (3, _ts(0), 3, "c")],
+        schema=schema,
+    )
+    changes = spark.createDataFrame(
+        [
+            (10, _ts(100), 1, "a2"),   # update u1
+            (11, _ts(200), 1, "a3"),   # later update u1 wins
+            (12, _ts(100), 4, "new"),  # insert u4
+        ],
+        schema=schema,
+    )
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in merge_upsert(base, changes, key="user_id").collect()
+    }
+    assert got == {
+        1: (11, "a3"),   # latest change wins
+        2: (2, "b"),     # untouched
+        3: (3, "c"),     # untouched
+        4: (12, "new"),  # inserted
+    }
+
+
+def test_merge_upsert_delete_marker(spark):
+    from careers_spark.operators.temporal import merge_upsert
+
+    schema = "event_id long, ts timestamp, user_id long"
+    base = spark.createDataFrame([(1, _ts(0), 1), (2, _ts(0), 2)], schema=schema)
+    changes = spark.createDataFrame(
+        [
+            (10, _ts(100), 1, True),    # delete u1
+            (11, _ts(100), 2, False),   # update u2
+            (12, _ts(200), 2, True),    # ...then delete u2: winner deletes
+        ],
+        schema=schema + ", is_delete boolean",
+    )
+    got = merge_upsert(
+        base, changes, key="user_id", delete_col="is_delete"
+    ).collect()
+    assert got == []  # both keys deleted; delete winners mask base rows
+
+
+def test_merge_equals_full_recompute(spark):
+    """The MERGE invariant on seeded data: split at any cut, apply the
+    late slice to the early snapshot, get the full-history compaction."""
+    from careers_spark.operators.temporal import latest_state, merge_upsert
+
+    random.seed(31)
+    schema = "event_id long, ts timestamp, user_id long"
+    rows = [(i, _ts(random.randrange(0, 10_000)), random.randrange(1, 20))
+            for i in range(400)]
+    ev = spark.createDataFrame(rows, schema=schema)
+    for cut_s in (0, 5_000, 10_001):
+        cut = _ts(cut_s)
+        base = latest_state(ev.filter(F.col("ts") < cut))
+        merged = merge_upsert(base, ev.filter(F.col("ts") >= cut), key="user_id")
+        want = sorted(map(tuple, latest_state(ev).collect()))
+        assert sorted(map(tuple, merged.collect())) == want
