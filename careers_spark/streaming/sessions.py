@@ -44,8 +44,22 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "start long, end long, n long"
 
 
-def _session_fn(gap_us: int):
+def _session_fn(gap_us: int, timeout: bool):
     def fn(key: Any, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if timeout and state.hasTimedOut:
+            # the watermark passed this open session's gap horizon: no
+            # in-order event can extend it any more — flush and clear
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "session_start": pd.to_datetime([start], unit="us"),
+                    "session_end": pd.to_datetime([end], unit="us"),
+                    "n_events": [n],
+                }
+            )
+            return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts_us", "event_id"])
         if state.exists:
@@ -69,6 +83,9 @@ def _session_fn(gap_us: int):
                     )
                 end, n = ts, n + 1
         state.update((start, end, n))
+        if timeout:
+            # flush when the event-time watermark passes end + gap (ms)
+            state.setTimeoutTimestamp((end + gap_us) // 1000 + 1)
         if closed:
             yield pd.DataFrame(
                 {
@@ -86,21 +103,40 @@ def _session_fn(gap_us: int):
     return fn
 
 
-def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, gap_s: int = 1800, watermark: str | None = None
+) -> DataFrame:
     """Closed gap-sessions from a streaming events frame.
 
     `events` needs (user_id, event_id, ts); output one row per CLOSED
     session: (user_id, session_start, session_end, n_events).
+
+    With ``watermark`` set (e.g. "10 minutes"), open sessions ALSO
+    flush via event-time timeout once the watermark passes their gap
+    horizon (end + gap) — the full sessionization semantics: every
+    session eventually emits, idle users cost no state forever
+    (state.remove() on flush), and no sentinel close-out events are
+    needed. Without it, behavior is as before: only gap-proven closes
+    emit and the open tail waits in state.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    use_timeout = watermark is not None
+    # the watermarked event-time column must survive into the grouped
+    # input, so keep `ts` alongside the integer ts_us the fn consumes
     prepped = events.select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us")
     )
+    if use_timeout:
+        prepped = prepped.withWatermark("ts", watermark)
     return prepped.groupBy("user_id").applyInPandasWithState(
-        _session_fn(int(gap_s) * 1_000_000),
+        _session_fn(int(gap_s) * 1_000_000, use_timeout),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

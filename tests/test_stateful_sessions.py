@@ -103,3 +103,45 @@ def test_stateful_sessions_rejects_time_regression(spark, tmp_path):
     _write(spark, in_path, [(7, 2, 4000)])
     with pytest.raises(Exception):
         _drain(spark, in_path, out, ckpt)
+
+
+def test_event_time_timeout_flushes_open_sessions(spark, tmp_path):
+    """With a watermark, an open session flushes once the watermark
+    passes its gap horizon — no sentinel event for that user needed."""
+    in_path = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions")
+
+    def drain():
+        stream = (
+            spark.readStream.format("parquet").schema(SCHEMA).load(in_path)
+        )
+        from careers_spark.streaming.sessions import sessionize_stream
+
+        q = (
+            sessionize_stream(stream, gap_s=1800, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch A: u1's session (stays open); watermark ends at 1200
+    _write(spark, in_path, [(1, 10, 1000), (1, 11, 1200)])
+    drain()
+    assert _sessions(spark, out) == set()
+
+    # batch B: a different user far in the future advances the
+    # watermark beyond u1's horizon (1200 + 1800) at batch END
+    _write(spark, in_path, [(9, 90, 1_000_000)])
+    drain()
+
+    # batch C: timeouts are evaluated against the NEW watermark -> u1's
+    # open session flushes even though u1 sent nothing since batch A
+    _write(spark, in_path, [(9, 91, 1_000_001)])
+    drain()
+    got = _sessions(spark, out)
+    assert (1, 1000, 1200, 2) in got
