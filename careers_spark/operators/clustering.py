@@ -100,10 +100,16 @@ def kmeans_assign(
     (value units: (coordinate * 1e6)^2).
     """
     q = _quantize(embeddings, id_col, vec_col).cache()
-    dim = len(q.select("x").first()["x"])
 
     # seeds: the k smallest ids, cluster id = seed rank
     seeds = q.orderBy("id").limit(int(k)).collect()
+    if not seeds:
+        return q.select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("long").alias("dist"),
+        )
+    dim = len(seeds[0]["x"])
     centroids = [list(r["x"]) for r in seeds]
 
     sums = [F.sum(F.element_at("x", i + 1)).alias(f"s{i}") for i in range(dim)]

@@ -120,3 +120,10 @@ def test_dist_is_exact_integer(spark):
     # each point is its own seed: dist 0, integer type
     assert rows[0].dist == 0 and rows[1].dist == 0
     assert isinstance(rows[0].dist, int)
+
+
+def test_empty_input_returns_empty(spark):
+    df = spark.createDataFrame([], schema=SCHEMA)
+    out = kmeans_assign(df, k=4, iters=2)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster", "dist"]
