@@ -1489,6 +1489,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_incremental_snapshot"] = merge_incremental_snapshot
 
+    def corpus_snapshot_diff(spark, sf_dir):
+        """Recrawl diff: old = crawl missing doc_id % 11 == 0, new =
+        crawl missing doc_id % 13 == 0 with doc_id % 17 == 0 texts
+        re-extracted ('+v2') — classify every doc added / removed /
+        changed / unchanged by content md5 (versioning.snapshot_diff)."""
+        from careers_spark.operators.versioning import snapshot_diff
+
+        docs = _t(spark, sf_dir, "documents")
+        old = docs.filter("doc_id % 11 != 0")
+        new = docs.filter("doc_id % 13 != 0").withColumn(
+            "text",
+            F.expr(
+                "case when doc_id % 17 = 0 then concat(text, ' v2') else text end"
+            ),
+        )
+        return snapshot_diff(old, new, key="doc_id", content="text")
+
+    q["corpus_snapshot_diff"] = corpus_snapshot_diff
+
     return q
 
 
@@ -4272,6 +4291,28 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
           FROM events
         ) WHERE rk = 1
+    """
+
+    # corpus_snapshot_diff: md5 is engine-identical; the same full
+    # outer join + four-way CASE
+    o["corpus_snapshot_diff"] = """
+        WITH old AS (
+          SELECT doc_id, md5(text) AS old_fp FROM documents
+          WHERE doc_id % 11 != 0
+        ),
+        new AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                          ELSE text END) AS new_fp
+          FROM documents WHERE doc_id % 13 != 0
+        )
+        SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'removed'
+                    WHEN old_fp = new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               old_fp, new_fp
+        FROM old FULL OUTER JOIN new USING (doc_id)
     """
 
     return o

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "cdc_latest_state",
     "scd2_history",
     "merge_incremental_snapshot",
+    "corpus_snapshot_diff",
     "event_type_pivot",
     "revenue_cube",
     "constraint_audit",
