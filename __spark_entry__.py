@@ -1508,6 +1508,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_snapshot_diff"] = corpus_snapshot_diff
 
+    def semantic_dedup(spark, sf_dir):
+        """SemDeDup: k-means cluster the embeddings, then cosine
+        near-dup pairs ONLY within clusters — O(sum cluster^2) pair
+        work instead of O(N^2) (clustering.semantic_dedup_pairs)."""
+        from careers_spark.operators.clustering import semantic_dedup_pairs
+
+        return semantic_dedup_pairs(
+            _t(spark, sf_dir, "embeddings"), k=8, iters=3, threshold=0.35
+        )
+
+    q["semantic_dedup"] = semantic_dedup
+
     return q
 
 
@@ -4313,6 +4325,27 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'changed' END AS status,
                old_fp, new_fp
         FROM old FULL OUTER JOIN new USING (doc_id)
+    """
+
+    # semantic_dedup: nests the full unrolled k-means oracle as the
+    # assignment CTE, then the identical within-cluster cosine pairs
+    # (index-order dot folds, round-6-before-threshold)
+    o["semantic_dedup"] = f"""
+        WITH assign AS (
+          {o["kmeans_clusters"]}
+        ),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT a.vec_id AS id, a.cluster, v
+          FROM assign a JOIN vecs USING (vec_id)
+        )
+        SELECT id_a, id_b, cluster, sim FROM (
+          SELECT x.id AS id_a, y.id AS id_b, x.cluster,
+                 round(list_dot_product(x.v, y.v)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+          FROM s x JOIN s y ON x.cluster = y.cluster AND x.id < y.id
+        ) WHERE sim >= 0.35e0
     """
 
     return o

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "kmeans_clusters",
+    "semantic_dedup",
     "sessionize",
     "asof_last_click",
     "clicks_before_purchase",

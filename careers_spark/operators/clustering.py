@@ -137,3 +137,56 @@ def kmeans_assign(
     )
     q.unpersist()
     return out
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023): cluster the embedding space
+    with k-means, then find near-duplicate pairs ONLY within clusters —
+    the cosine self-join restricted to cluster-local candidates, which
+    is the whole point of the method: pair work drops from O(N^2) to
+    O(sum of cluster sizes squared), and clusters are balanced-ish by
+    construction.
+
+    Recall caveat (stated, as for every blocked similarity op here): a
+    near-dup pair split across cluster boundaries is missed — SemDeDup
+    accepts this because near-dups are near in embedding space and
+    overwhelmingly co-cluster; raise k for tighter clusters, or use the
+    LSH path (similarity.embedding_near_dup_pairs) for probabilistic
+    guarantees.
+
+    sim is rounded to 6 BEFORE the threshold compare (the repo-wide
+    engine-identical decision rule). Output: (id_a, id_b, cluster,
+    sim), id_a < id_b.
+    """
+    from careers_spark.operators.similarity import _dot, _norm
+
+    assign = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("_id"), "cluster")
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    side = assign.join(vecs, "_id")
+    a = side.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "cluster"
+    )
+    b = side.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "cluster"
+    )
+    sim = F.expr(
+        f"round({_dot('_va', '_vb')} / ({_norm('_va')} * {_norm('_vb')}), 6)"
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= float(threshold))
+        .select("id_a", "id_b", "cluster", "sim")
+    )

@@ -127,3 +127,39 @@ def test_empty_input_returns_empty(spark):
     out = kmeans_assign(df, k=4, iters=2)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cluster", "dist"]
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    from careers_spark.operators.clustering import semantic_dedup_pairs
+
+    # two tight blobs far apart; seeds (ids 0, 1) one in each.
+    # near-identical pairs exist in both blobs; the cross-blob pairs
+    # have cosine ~0 and would fail the threshold anyway — also they
+    # are never even CANDIDATES (different clusters)
+    vecs = [
+        [1.0, 0.0], [0.0, 1.0],            # seeds
+        [0.99, 0.01], [0.98, 0.02],        # blob A dups
+        [0.01, 0.99],                      # blob B dup
+    ]
+    out = semantic_dedup_pairs(
+        _df(spark, vecs), k=2, iters=2, threshold=0.9
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert pairs == {(0, 2), (0, 3), (2, 3), (1, 4)}
+    assert all(r.sim >= 0.9 for r in out)
+    # cluster-local: every pair's members share the pair's cluster id
+    clusters = {r.vec_id: r.cluster for r in
+                __import__("careers_spark.operators.clustering",
+                           fromlist=["kmeans_assign"]).kmeans_assign(
+                    _df(spark, vecs), k=2, iters=2).collect()}
+    for r in out:
+        assert clusters[r.id_a] == clusters[r.id_b] == r.cluster
+
+
+def test_semantic_dedup_threshold_rounds_first(spark):
+    from careers_spark.operators.clustering import semantic_dedup_pairs
+
+    # identical vectors: sim rounds to exactly 1.0 — kept at t=1.0
+    vecs = [[0.6, 0.8], [0.6, 0.8]]
+    out = semantic_dedup_pairs(_df(spark, vecs), k=1, iters=1, threshold=1.0)
+    assert out.count() == 1
