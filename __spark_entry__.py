@@ -1520,6 +1520,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semantic_dedup"] = semantic_dedup
 
+    def json_field_stats(spark, sf_dir):
+        """Semi-structured surface: extract the integer field $.k from
+        the JSON props payload (get_json_object — no schema declared,
+        the schema-on-read path) and aggregate per event type; avg is
+        one exact-integer division rounded to 6."""
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.withColumn(
+                "k", F.get_json_object("props", "$.k").cast("long")
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                    "n_missing"
+                ),
+                F.sum("k").alias("sum_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+            .withColumn(
+                "avg_k",
+                F.expr(
+                    "round(sum_k / cast(n_events - n_missing as double), 6)"
+                ),
+            )
+        )
+
+    q["json_field_stats"] = json_field_stats
+
     return q
 
 
@@ -4346,6 +4376,25 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
           FROM s x JOIN s y ON x.cluster = y.cluster AND x.id < y.id
         ) WHERE sim >= 0.35e0
+    """
+
+    # json_field_stats: schema-on-read JSON path extraction; integer
+    # sums + one rounded division
+    o["json_field_stats"] = """
+        WITH x AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(count(*) FILTER (k IS NULL) AS BIGINT) AS n_missing,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k,
+               round(sum(k) / CAST(count(*) - count(*) FILTER (k IS NULL)
+                              AS DOUBLE), 6) AS avg_k
+        FROM x GROUP BY event_type
     """
 
     return o

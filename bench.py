@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "merge_incremental_snapshot",
     "corpus_snapshot_diff",
     "event_type_pivot",
+    "json_field_stats",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",
