@@ -1550,6 +1550,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["json_field_stats"] = json_field_stats
 
+    def bpe_merge_pairs(spark, sf_dir):
+        """BPE first-merge statistics (Sennrich 2016): adjacent
+        character-pair counts over the corpus vocabulary weighted by
+        word frequency, end-of-word marker included — the table a
+        tokenizer designer reads before picking merges
+        (tokenizer.bpe_pair_counts). All integers."""
+        from careers_spark.operators.tokenizer import bpe_pair_counts
+
+        return bpe_pair_counts(_t(spark, sf_dir, "documents"), min_count=2)
+
+    q["bpe_merge_pairs"] = bpe_merge_pairs
+
+    def golden_records(spark, sf_dir):
+        """ER survivorship: one golden record per near-dup cluster with
+        deterministic attribute rules — richest-member survivor
+        (max n_chars, tie min doc_id), modal lang (tie smallest), plus
+        member/source/char tallies (dedup.golden_records over the
+        near_dup_canonical clusters)."""
+        return DD.golden_records(_t(spark, sf_dir, "documents"))
+
+    q["golden_records"] = golden_records
+
+    def dedup_cluster_sizes(spark, sf_dir):
+        """Near-dup cluster-size histogram — clusters and documents per
+        size, singletons included (dedup.cluster_size_histogram)."""
+        return DD.cluster_size_histogram(_t(spark, sf_dir, "documents"))
+
+    q["dedup_cluster_sizes"] = dedup_cluster_sizes
+
     return q
 
 
@@ -4395,6 +4424,82 @@ def oracle_sql() -> dict[str, str]:
                round(sum(k) / CAST(count(*) - count(*) FILTER (k IS NULL)
                               AS DOUBLE), 6) AS avg_k
         FROM x GROUP BY event_type
+    """
+
+    # bpe_merge_pairs: vocabulary word-frequency pass, then adjacent
+    # char pairs of word||'_' (every position counts — the Sennrich
+    # statistic); all-integer aggregates. DuckDB slice s[i:i+1] is the
+    # 1-based INCLUSIVE 2-char window matching Spark substring(s, i, 2).
+    o["bpe_merge_pairs"] = f"""
+        WITH toks AS (
+          SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+        w AS (SELECT tok, freq, tok || '_' AS sym FROM freq),
+        p AS (
+          SELECT tok, freq,
+                 unnest(list_transform(range(1, strlen(sym)),
+                                       i -> sym[i:i+1])) AS pair
+          FROM w
+        )
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_words
+        FROM p GROUP BY pair HAVING sum(freq) >= 2
+    """
+
+    # golden_records / dedup_cluster_sizes: both nest the full
+    # near_dup_canonical chain (LSH verified pairs -> 8-round
+    # MATERIALIZED min-label propagation) as their cluster source, so
+    # the hash match covers clustering AND survivorship end-to-end.
+    # Survivorship ranks are total orders (explicit tie-breaks), so
+    # row_number here equals Spark's algebraic struct-min/max argmaxes.
+    o["golden_records"] = f"""
+        WITH nd AS MATERIALIZED ({o["near_dup_canonical"]}),
+        m AS MATERIALIZED (
+          SELECT d.doc_id, d.lang, d.source, d.n_chars, nd.canonical_id
+          FROM documents d JOIN nd ON nd.doc_id = d.doc_id
+        ),
+        lc AS (
+          SELECT canonical_id, lang, count(*) AS cnt
+          FROM m GROUP BY canonical_id, lang
+        ),
+        lang_mode AS (
+          SELECT canonical_id, lang AS lang_mode FROM (
+            SELECT canonical_id, lang,
+                   row_number() OVER (PARTITION BY canonical_id
+                                      ORDER BY cnt DESC, lang) AS rk
+            FROM lc
+          ) WHERE rk = 1
+        ),
+        surv AS (
+          SELECT canonical_id, survivor_doc FROM (
+            SELECT canonical_id, doc_id AS survivor_doc,
+                   row_number() OVER (PARTITION BY canonical_id
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM m
+          ) WHERE rk = 1
+        )
+        SELECT m.canonical_id, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(s.survivor_doc AS BIGINT) AS survivor_doc,
+               CAST(count(DISTINCT m.source) AS BIGINT) AS n_sources,
+               CAST(sum(m.n_chars) AS BIGINT) AS total_chars,
+               lm.lang_mode
+        FROM m
+        JOIN surv s ON s.canonical_id = m.canonical_id
+        JOIN lang_mode lm ON lm.canonical_id = m.canonical_id
+        GROUP BY m.canonical_id, s.survivor_doc, lm.lang_mode
+    """
+
+    o["dedup_cluster_sizes"] = f"""
+        WITH nd AS MATERIALIZED ({o["near_dup_canonical"]}),
+        cs AS (
+          SELECT canonical_id, count(*) AS cluster_size
+          FROM nd GROUP BY canonical_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        FROM cs GROUP BY cluster_size
     """
 
     return o

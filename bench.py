@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "corpus_snapshot_diff",
     "event_type_pivot",
     "json_field_stats",
+    "bpe_merge_pairs",
+    "golden_records",
+    "dedup_cluster_sizes",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

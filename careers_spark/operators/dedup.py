@@ -836,3 +836,112 @@ def fuzzy_name_pairs(
         .filter(F.col("dist") <= int(max_dist))
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+def golden_records(
+    documents: DataFrame,
+    clusters: DataFrame | None = None,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Entity-resolution survivorship: merge every near-dup cluster into
+    ONE golden record with deterministic per-attribute survivorship
+    rules — the step after `near_dup_canonical` that record-linkage
+    systems call golden-record construction.
+
+    Rules (all deterministic, all algebraic):
+      - survivor_doc: the richest member — max n_chars, tie -> min
+        doc_id — via one max(struct(n_chars, -doc_id)) aggregate;
+      - lang_mode: most frequent lang in the cluster, tie -> smallest
+        lang string — via min(struct(-cnt, lang)) over per-(cluster,
+        lang) counts;
+      - n_members / n_sources / total_chars: plain counts and sums.
+
+    `clusters` (doc_id, canonical_id) may be injected for testing;
+    by default it is `near_dup_canonical` over the same documents.
+
+    Scale: two partial-agg groupBys on canonical_id plus the cluster
+    chain itself — no window over the full corpus, no per-row Python.
+    Singleton documents are their own golden record, so the output has
+    one row per CLUSTER (including singletons).
+
+    Output: (canonical_id, n_members, survivor_doc, n_sources,
+    total_chars, lang_mode).
+    """
+    if clusters is None:
+        clusters = near_dup_canonical(
+            documents, num_hashes, band_size, threshold, n
+        ).select("doc_id", "canonical_id")
+    m = documents.select("doc_id", "lang", "source", "n_chars").join(
+        clusters.select("doc_id", "canonical_id"), "doc_id"
+    )
+    lang_mode = (
+        m.groupBy("canonical_id", "lang")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("canonical_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("lang"))
+            ).alias("s")
+        )
+        .select("canonical_id", F.col("s.lang").alias("lang_mode"))
+    )
+    agg = (
+        m.groupBy("canonical_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("sv"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "canonical_id",
+            "n_members",
+            (-F.col("sv.neg_id")).cast("long").alias("survivor_doc"),
+            "n_sources",
+            "total_chars",
+        )
+    )
+    return agg.join(lang_mode, "canonical_id")
+
+
+def cluster_size_histogram(
+    documents: DataFrame,
+    clusters: DataFrame | None = None,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup diagnostic read
+    before choosing a keep policy: how many clusters of each size, and
+    how many documents they hold (n_docs = cluster_size * n_clusters;
+    the size-1 row counts the untouched singletons).
+
+    Two algebraic groupBys over the cluster labels; the heavy work is
+    the cluster chain itself (shared with `near_dup_canonical`).
+
+    Output: (cluster_size, n_clusters, n_docs).
+    """
+    if clusters is None:
+        clusters = near_dup_canonical(
+            documents, num_hashes, band_size, threshold, n
+        ).select("doc_id", "canonical_id")
+    return (
+        clusters.groupBy("canonical_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
