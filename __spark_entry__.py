@@ -1579,6 +1579,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_cluster_sizes"] = dedup_cluster_sizes
 
+    def mmr_diverse_topk(spark, sf_dir):
+        """Diversity-aware re-rank: greedy maximal marginal relevance
+        (Carbonell & Goldstein) over each query's exact top-20 cosine
+        candidates — k=5 picks, lambda 0.7/0.3 passed as the literal
+        pair the oracle uses (retrieval.mmr_topk; greedy selection runs
+        per-query-group in one applyInPandas pass)."""
+        from careers_spark.operators.retrieval import mmr_topk
+
+        return mmr_topk(
+            _t(spark, sf_dir, "embeddings"),
+            k=5,
+            n_cands=20,
+            lam=0.7,
+            lam_comp=0.3,
+        )
+
+    q["mmr_diverse_topk"] = mmr_diverse_topk
+
     return q
 
 
@@ -4500,6 +4518,93 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_clusters,
                CAST(cluster_size * count(*) AS BIGINT) AS n_docs
         FROM cs GROUP BY cluster_size
+    """
+
+    # mmr_diverse_topk: greedy MMR unrolled — the selection at each of
+    # the 5 steps is a deterministic argmax (score desc, id asc) over
+    # already-rounded doubles, so the unconditional step-by-step unroll
+    # reproduces the greedy loop exactly (the louvain/pagerank recipe,
+    # here with NO per-step rounding drift: rel and pairwise sims are
+    # round-6 inputs shared with the embedding family, and each score
+    # is ONE lam*rel - lam_comp*maxsim expression rounded to 9).
+    _mmr_cos = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    _mmr_steps = ""
+    for _t_ in range(2, 6):
+        _mmr_steps += f""",
+        p{_t_} AS MATERIALIZED (
+          SELECT query_id, neighbor_id, mmr FROM (
+            SELECT query_id, neighbor_id, mmr,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY mmr DESC, neighbor_id) AS rk
+            FROM (
+              SELECT c.query_id, c.neighbor_id,
+                     round(0.7e0 * c.rel - 0.3e0 * ms.m, 9) AS mmr
+              FROM cand c
+              JOIN (
+                SELECT pw.query_id, pw.ca AS neighbor_id, max(pw.s) AS m
+                FROM pw JOIN sel{_t_ - 1} s
+                  ON s.query_id = pw.query_id AND s.neighbor_id = pw.cb
+                GROUP BY pw.query_id, pw.ca
+              ) ms ON ms.query_id = c.query_id
+                  AND ms.neighbor_id = c.neighbor_id
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sel{_t_ - 1} s2
+                WHERE s2.query_id = c.query_id
+                  AND s2.neighbor_id = c.neighbor_id)
+            )
+          ) WHERE rk = 1
+        ),
+        sel{_t_} AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM sel{_t_ - 1}
+          UNION ALL SELECT query_id, neighbor_id FROM p{_t_}
+        )"""
+    _mmr_final = " UNION ALL ".join(
+        f"SELECT query_id, {_t_} AS pr, neighbor_id, mmr FROM p{_t_}"
+        for _t_ in range(1, 6)
+    )
+    o["mmr_diverse_topk"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        s0 AS (
+          SELECT query_id, vec_id AS neighbor_id, {_cos} AS sim
+          FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS nv
+                             FROM embeddings)
+          WHERE vec_id <> query_id
+        ),
+        cand AS MATERIALIZED (
+          SELECT query_id, neighbor_id, sim AS rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rk
+            FROM s0
+          ) WHERE rk <= 20
+        ),
+        cv AS MATERIALIZED (
+          SELECT c.query_id, c.neighbor_id, c.rel,
+                 e.embedding::DOUBLE[] AS v
+          FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+        ),
+        pw AS MATERIALIZED (
+          SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+                 {_mmr_cos} AS s
+          FROM cv a JOIN cv b ON a.query_id = b.query_id
+                             AND a.neighbor_id <> b.neighbor_id
+        ),
+        p1 AS MATERIALIZED (
+          SELECT query_id, neighbor_id, mmr FROM (
+            SELECT query_id, neighbor_id, round(0.7e0 * rel, 9) AS mmr,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round(0.7e0 * rel, 9) DESC,
+                                               neighbor_id) AS rk
+            FROM cand
+          ) WHERE rk = 1
+        ),
+        sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM p1){_mmr_steps}
+        SELECT query_id, CAST(pr AS INTEGER) AS pick_rank, neighbor_id,
+               mmr AS mmr_score
+        FROM ({_mmr_final})
     """
 
     return o

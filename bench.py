@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "bpe_merge_pairs",
     "golden_records",
     "dedup_cluster_sizes",
+    "mmr_diverse_topk",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

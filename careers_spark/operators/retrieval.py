@@ -218,3 +218,124 @@ def trigram_substring_search(
         .filter(F.col("first_pos") > 0)
         .select("doc_id", F.col("first_pos").cast("bigint").alias("first_pos"))
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cands: int = 20,
+    lam: float = 0.7,
+    lam_comp: float = 0.3,
+    query_pred: str = "vec_id % 50 = 0",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick k results per query maximizing
+
+        mmr(c) = lam * rel(c) - lam_comp * max_{s in selected} sim(c, s)
+
+    (first pick is argmax of lam * rel alone). The diversity-aware
+    re-rank layered over ANN/BM25 retrieval — near-duplicate hits are
+    penalized by their similarity to already-selected results.
+
+    `lam_comp` is passed explicitly rather than computed as 1 - lam:
+    the oracle writes both as SQL literals, and `1 - 0.7` in IEEE
+    doubles is NOT the double `0.3` — the caller keeps the pair in
+    sync with the literals.
+
+    Engine-exactness: candidate relevance and pairwise candidate sims
+    are both JVM-side index-order folds rounded to 6dp (the
+    embedding_topk convention), so both engines see identical doubles;
+    the greedy loop then only evaluates `lam*rel - lam_comp*maxsim`
+    (same two multiplies and subtract as the oracle's SQL text) and
+    rounds to 9dp via decimal HALF_UP — the same rule as Spark/DuckDB
+    `round()` on doubles. Selection order is (score desc, id asc).
+
+    Physical shape at scale: per-query work is n_cands^2 pairwise sims
+    (the inherent MMR cost) computed as one self-equi-join on query_id
+    over the candidate table — never over the corpus — and the greedy
+    selection runs per-query-group in ONE applyInPandas pass,
+    vectorized across queries. State per group is O(n_cands^2), bounded
+    and tiny; no driver-side loop, no per-row Python UDF.
+
+    Output: (query_id, pick_rank, neighbor_id, mmr_score).
+    """
+    import pandas as pd
+
+    from careers_spark.operators.similarity import (
+        _dot,
+        _norm,
+        brute_force_topk,
+    )
+
+    cand = brute_force_topk(
+        embeddings, k=n_cands, query_pred=query_pred
+    ).select("query_id", "neighbor_id", F.col("sim").alias("rel"))
+    vecs = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v")
+    )
+    cv = cand.join(vecs, "neighbor_id")
+    a = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("ca"),
+        F.col("rel").alias("rel_a"),
+        F.col("v").alias("va"),
+    )
+    b = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("cb"),
+        F.col("v").alias("vb"),
+    )
+    pw = (
+        a.join(b, "query_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "query_id",
+            "ca",
+            "rel_a",
+            "cb",
+            F.round(
+                F.expr(_dot("va", "vb"))
+                / (F.expr(_norm("va")) * F.expr(_norm("vb"))),
+                6,
+            ).alias("s"),
+        )
+    )
+
+    kk, ll, lc = int(k), float(lam), float(lam_comp)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r9(x: float) -> float:
+            return float(
+                Decimal(x).quantize(Decimal("1E-9"), rounding=ROUND_HALF_UP)
+            )
+
+        qid = pdf["query_id"].iloc[0]
+        rel = dict(zip(pdf["ca"], pdf["rel_a"]))
+        sim = dict(zip(zip(pdf["ca"], pdf["cb"]), pdf["s"]))
+        selected: list[int] = []
+        out = []
+        while len(selected) < kk and len(selected) < len(rel):
+            best = None
+            for c, r in rel.items():
+                if c in selected:
+                    continue
+                if selected:
+                    ms = max(sim[(c, s_)] for s_ in selected)
+                    score = r9(ll * r - lc * ms)
+                else:
+                    score = r9(ll * r)
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            selected.append(best[1])
+            out.append((qid, len(selected), best[1], best[2]))
+        return pd.DataFrame(
+            out, columns=["query_id", "pick_rank", "neighbor_id", "mmr_score"]
+        )
+
+    return pw.groupBy("query_id").applyInPandas(
+        _greedy,
+        "query_id long, pick_rank int, neighbor_id long, mmr_score double",
+    )
