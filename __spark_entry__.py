@@ -1597,6 +1597,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mmr_diverse_topk"] = mmr_diverse_topk
 
+    def touch_attribution(spark, sf_dir):
+        """Multi-touch attribution: each purchase's value distributed
+        over the user's clicks in the trailing 24 h under first-touch,
+        last-touch, and linear models at once — band-bucketed equi-join
+        candidates, algebraic first/last argmaxes, integer cents
+        (funnel.multi_touch_attribution)."""
+        from careers_spark.operators.funnel import multi_touch_attribution
+
+        return multi_touch_attribution(_t(spark, sf_dir, "events"))
+
+    q["touch_attribution"] = touch_attribution
+
+    def rfm_segments(spark, sf_dir):
+        """RFM segmentation of purchasers: per-user recency/frequency/
+        monetary metrics scored 1-4 against corpus quartiles — VALUE
+        cuts from one broadcast percentile row, no rank window
+        (funnel.rfm_segments)."""
+        from careers_spark.operators.funnel import rfm_segments as rfm
+
+        return rfm(_t(spark, sf_dir, "events"))
+
+    q["rfm_segments"] = rfm_segments
+
     return q
 
 
@@ -4605,6 +4628,95 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, CAST(pr AS INTEGER) AS pick_rank, neighbor_id,
                mmr AS mmr_score
         FROM ({_mmr_final})
+    """
+
+    # touch_attribution: the oracle states the trailing-window range
+    # join directly (ground truth for the band-bucketed equi-join) and
+    # ranks first/last via row_number over the same (ts, id) total
+    # order as Spark's struct argmaxes; linear credit is one double
+    # division of integer cents, rounded to 6 in both engines.
+    o["touch_attribution"] = """
+        WITH c AS (
+          SELECT event_id AS conv_id, user_id, epoch_us(ts) AS cts,
+                 CAST(round(value * 100, 0) AS BIGINT) AS vc
+          FROM events WHERE event_type = 'purchase'
+        ),
+        t AS (
+          SELECT event_id AS touch_id, user_id, epoch_us(ts) AS tts
+          FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT c.conv_id, c.vc, t.touch_id, t.tts
+          FROM c JOIN t ON t.user_id = c.user_id
+           AND t.tts >= c.cts - 86400000000 AND t.tts < c.cts
+        ),
+        r AS (
+          SELECT conv_id, vc, touch_id,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY tts, touch_id) AS rf,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY tts DESC, touch_id DESC) AS rl,
+                 count(*) OVER (PARTITION BY conv_id) AS n
+          FROM p
+        )
+        SELECT conv_id, touch_id,
+               CAST(CASE WHEN rf = 1 THEN vc ELSE 0 END AS BIGINT)
+                 AS credit_first_cents,
+               CAST(CASE WHEN rl = 1 THEN vc ELSE 0 END AS BIGINT)
+                 AS credit_last_cents,
+               round(vc / CAST(n AS DOUBLE), 6) AS credit_linear
+        FROM r
+    """
+
+    # rfm_segments: value-based quartile scoring — quantile_cont is the
+    # same interpolation convention as Spark percentile() (pinned by
+    # length_quantiles), rounded to 6 before every comparison; all
+    # other values are integers.
+    o["rfm_segments"] = """
+        WITH conv AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CAST(round(value * 100, 0) AS BIGINT) AS vc
+          FROM events WHERE event_type = 'purchase'
+        ),
+        ref AS (SELECT max(ts_us) AS r FROM conv),
+        pu AS (
+          SELECT user_id,
+                 (ref.r - max(ts_us)) // 86400000000 AS recency_days,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(vc) AS BIGINT) AS monetary_cents
+          FROM conv, ref GROUP BY user_id, ref.r
+        ),
+        q AS (
+          SELECT round(quantile_cont(recency_days, 0.25e0), 6) AS rq25,
+                 round(quantile_cont(recency_days, 0.5e0), 6) AS rq50,
+                 round(quantile_cont(recency_days, 0.75e0), 6) AS rq75,
+                 round(quantile_cont(frequency, 0.25e0), 6) AS fq25,
+                 round(quantile_cont(frequency, 0.5e0), 6) AS fq50,
+                 round(quantile_cont(frequency, 0.75e0), 6) AS fq75,
+                 round(quantile_cont(monetary_cents, 0.25e0), 6) AS mq25,
+                 round(quantile_cont(monetary_cents, 0.5e0), 6) AS mq50,
+                 round(quantile_cont(monetary_cents, 0.75e0), 6) AS mq75
+          FROM pu
+        ),
+        s AS (
+          SELECT user_id, recency_days, frequency, monetary_cents,
+                 CAST(1 + CASE WHEN recency_days <= rq25 THEN 1 ELSE 0 END
+                        + CASE WHEN recency_days <= rq50 THEN 1 ELSE 0 END
+                        + CASE WHEN recency_days <= rq75 THEN 1 ELSE 0 END
+                      AS INTEGER) AS r_score,
+                 CAST(1 + CASE WHEN frequency >= fq75 THEN 1 ELSE 0 END
+                        + CASE WHEN frequency >= fq50 THEN 1 ELSE 0 END
+                        + CASE WHEN frequency >= fq25 THEN 1 ELSE 0 END
+                      AS INTEGER) AS f_score,
+                 CAST(1 + CASE WHEN monetary_cents >= mq75 THEN 1 ELSE 0 END
+                        + CASE WHEN monetary_cents >= mq50 THEN 1 ELSE 0 END
+                        + CASE WHEN monetary_cents >= mq25 THEN 1 ELSE 0 END
+                      AS INTEGER) AS m_score
+          FROM pu, q
+        )
+        SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
+                    AS segment
+        FROM s
     """
 
     return o

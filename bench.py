@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "golden_records",
     "dedup_cluster_sizes",
     "mmr_diverse_topk",
+    "touch_attribution",
+    "rfm_segments",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

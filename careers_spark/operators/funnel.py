@@ -290,3 +290,192 @@ def top_journeys(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "journey", "n_users", "rank"
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    window_us: int = 86_400_000_000,
+    touch_type: str = "click",
+    conv_type: str = "purchase",
+) -> DataFrame:
+    """Multi-touch attribution: distribute each conversion's value over
+    the same user's touch events in the trailing half-open window
+    ``[conv_ts - window_us, conv_ts)`` under the three standard models
+    at once — first-touch, last-touch, and linear.
+
+    First/last are (ts, event_id) total orders computed as algebraic
+    min/max(struct) aggregates (ties: the earlier model takes the
+    smaller event_id, the later the larger). Linear credit is ONE
+    double division of integer cents by the touch count, rounded to 6.
+    Conversions with zero in-window touches have nothing to attribute
+    and are absent (the unattributed remainder is the complement of
+    this output against the conversions table).
+
+    Physical shape: the candidate pairs come from the same band-bucket
+    equi-join as `temporal.windowed_count_join` (bucket width == window
+    width, probes exploded to two buckets, DISTINCT (user, ts) probes)
+    — never an inequality join; credit assignment is one groupBy over
+    conversions plus a broadcastable per-conversion stats join back
+    onto the pairs.
+
+    Output: (conv_id, touch_id, credit_first_cents, credit_last_cents,
+    credit_linear).
+    """
+    w = int(window_us)
+    conv = events.filter(F.col("event_type") == conv_type).select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        _us("ts").alias("_cts"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("_vc"),
+    )
+    touch = (
+        events.filter(F.col("event_type") == touch_type)
+        .select(
+            F.col("event_id").alias("touch_id"),
+            F.col("user_id").alias("_tu"),
+            _us("ts").alias("_tts"),
+        )
+        .withColumn("_bkt", F.expr(f"_tts div {w}"))
+    )
+    probes = (
+        conv.select("user_id", "_cts")
+        .distinct()
+        .select(
+            "user_id",
+            "_cts",
+            F.explode(
+                F.array(
+                    F.expr(f"_cts div {w} - 1"), F.expr(f"_cts div {w}")
+                )
+            ).alias("_bkt"),
+        )
+    )
+    pairs = (
+        probes.join(
+            touch,
+            (probes.user_id == touch._tu) & (probes._bkt == touch._bkt),
+        )
+        .filter(
+            (F.col("_tts") >= F.col("_cts") - F.lit(w))
+            & (F.col("_tts") < F.col("_cts"))
+        )
+        .select("user_id", "_cts", "touch_id", "_tts")
+    )
+    cp = conv.join(pairs, ["user_id", "_cts"]).select(
+        "conv_id", "_vc", "touch_id", "_tts"
+    )
+    stats = cp.groupBy("conv_id").agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct(F.col("_tts"), F.col("touch_id"))).alias("_first"),
+        F.max(F.struct(F.col("_tts"), F.col("touch_id"))).alias("_last"),
+    )
+    is_first = (F.col("_tts") == F.col("_first._tts")) & (
+        F.col("touch_id") == F.col("_first.touch_id")
+    )
+    is_last = (F.col("_tts") == F.col("_last._tts")) & (
+        F.col("touch_id") == F.col("_last.touch_id")
+    )
+    return (
+        cp.join(stats, "conv_id")
+        .select(
+            "conv_id",
+            "touch_id",
+            F.when(is_first, F.col("_vc"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("credit_first_cents"),
+            F.when(is_last, F.col("_vc"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("credit_last_cents"),
+            F.round(F.col("_vc") / F.col("_n"), 6).alias("credit_linear"),
+        )
+    )
+
+
+def rfm_segments(events: DataFrame, conv_type: str = "purchase") -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    the conversion events — the classic warehouse marketing rollup.
+
+    Each per-user metric is scored 1-4 against the corpus quartiles of
+    that metric (VALUE-based cuts, not rank-based ntile): score 4 is
+    the best quartile — most recent, most frequent, highest spend. The
+    reference timestamp is the corpus max event time (deterministic —
+    no wall clock), recency in whole integer days via `div`.
+
+    Boundary semantics (documented, engine-identical): for recency
+    (low is good) score = 1 + [v <= q25] + [v <= q50] + [v <= q75];
+    for frequency/monetary (high is good) score = 1 + [v >= q75] +
+    [v >= q50] + [v >= q25]; quartiles are interpolated percentiles
+    rounded to 6dp before the comparisons. ``segment`` packs the three
+    digits as r*100 + f*10 + m.
+
+    Physical shape at scale: one partial-agg groupBy(user) over the
+    conversions, one 1-row global aggregate for the reference ts and
+    one for the quartiles (both broadcast via crossJoin) — NO global
+    window or sort anywhere, unlike rank-based ntile scoring; ties
+    share a bucket deterministically.
+
+    Output: (user_id, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score, segment).
+    """
+    conv = events.filter(F.col("event_type") == conv_type).select(
+        "user_id",
+        _us("ts").alias("_ts"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("_vc"),
+    )
+    ref = conv.agg(F.max("_ts").alias("_ref"))
+    pu = (
+        conv.groupBy("user_id")
+        .agg(
+            F.max("_ts").alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum("_vc").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.expr("(_ref - _last) div 86400000000").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    qs = pu.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {p}e0)"), 6).alias(
+                f"_{c[0]}q{int(p * 100)}"
+            )
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+    scored = pu.crossJoin(F.broadcast(qs))
+    low_good = (
+        "cast(1 + if(recency_days <= _rq25, 1, 0)"
+        " + if(recency_days <= _rq50, 1, 0)"
+        " + if(recency_days <= _rq75, 1, 0) as int)"
+    )
+    f_hi = (
+        "cast(1 + if(frequency >= _fq75, 1, 0)"
+        " + if(frequency >= _fq50, 1, 0)"
+        " + if(frequency >= _fq25, 1, 0) as int)"
+    )
+    m_hi = (
+        "cast(1 + if(monetary_cents >= _mq75, 1, 0)"
+        " + if(monetary_cents >= _mq50, 1, 0)"
+        " + if(monetary_cents >= _mq25, 1, 0) as int)"
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.expr(low_good).alias("r_score"),
+        F.expr(f_hi).alias("f_score"),
+        F.expr(m_hi).alias("m_score"),
+    ).withColumn(
+        "segment",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    )
