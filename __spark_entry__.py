@@ -1620,6 +1620,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rfm_segments"] = rfm_segments
 
+    def label_noise_audit(spark, sf_dir):
+        """Label-noise screen: integer-lattice per-label centroids, a
+        point is flagged when another label's centroid is closer than
+        its own — centroid-form confident learning, all quantities
+        integer-exact (clustering.label_noise_audit)."""
+        from careers_spark.operators.clustering import label_noise_audit as lna
+
+        return lna(_t(spark, sf_dir, "embeddings"))
+
+    q["label_noise_audit"] = label_noise_audit
+
+    def kg_negative_samples(spark, sf_dir):
+        """Deterministic filtered negative sampling over the min_obs=35
+        entity graph — md5-drawn corrupted tails, endpoint and
+        existing-edge collisions dropped (graph.negative_samples with
+        m=2): the KG-embedding training-data prep step."""
+        from careers_spark.operators.graph import negative_samples
+
+        return negative_samples(_entity_edges(spark, sf_dir, 35), m=2)
+
+    q["kg_negative_samples"] = kg_negative_samples
+
     return q
 
 
@@ -4717,6 +4739,82 @@ def oracle_sql() -> dict[str, str]:
         SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
                     AS segment
         FROM s
+    """
+
+    # label_noise_audit: one-pass centroid form of the kmeans lattice
+    # recipe — per-label centroids are round(int_sum/n) lattice points,
+    # distances integer sums of squares; zero rounding tolerance.
+    o["label_noise_audit"] = """
+        WITH v AS MATERIALIZED (
+          SELECT vec_id, label,
+                 list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x * 1000000e0) AS BIGINT)) AS x
+          FROM embeddings
+        ),
+        cent AS MATERIALIZED (
+          SELECT label AS clab, list(comp ORDER BY i) AS cx FROM (
+            SELECT label, g.i,
+                   CAST(round(sum(x[g.i]) / CAST(count(*) AS DOUBLE))
+                     AS BIGINT) AS comp
+            FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i) g
+            GROUP BY label, g.i
+          ) GROUP BY label
+        ),
+        d AS MATERIALIZED (
+          SELECT v.vec_id, v.label, c.clab,
+                 CAST(list_sum(list_transform(range(1, 65),
+                      i -> (v.x[i] - c.cx[i]) * (v.x[i] - c.cx[i])))
+                   AS BIGINT) AS dist
+          FROM v CROSS JOIN cent c
+        ),
+        own AS (SELECT vec_id, label, dist AS d_own FROM d WHERE clab = label),
+        oth AS (
+          SELECT vec_id, CAST(clab AS INTEGER) AS best_other_label,
+                 dist AS d_other
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, clab) AS rk
+            FROM d WHERE clab <> label
+          ) WHERE rk = 1
+        )
+        SELECT o2.vec_id, CAST(o2.label AS INTEGER) AS label, o2.d_own,
+               t.best_other_label, t.d_other,
+               o2.d_own - t.d_other AS margin,
+               (o2.d_own > t.d_other) AS flagged
+        FROM own o2 JOIN oth t USING (vec_id)
+    """
+
+    # kg_negative_samples: the pagerank edge CTE as the positive set;
+    # proposals from the shared md5-affine hash over the row_number
+    # entity dim (tokens are [a-z0-9]+, so string ordering is
+    # collation-independent); filtered by endpoint and either-
+    # orientation edge collisions — identical predicate both engines.
+    o["kg_negative_samples"] = f"""
+        WITH {_lpa_chain(35)[0]},
+        nodes AS MATERIALIZED (
+          SELECT ent, row_number() OVER (ORDER BY ent) - 1 AS idx FROM (
+            SELECT src AS ent FROM e UNION SELECT dst FROM e
+          )
+        ),
+        cand AS (
+          SELECT e.src, e.dst, g.j,
+                 ('0x' || substr(md5(e.src || '|' || e.dst || '|'
+                     || CAST(g.j AS VARCHAR) || '|' || 'neg'), 1, 8))::BIGINT
+                   % (SELECT count(*) FROM nodes) AS idx
+          FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS j) g
+        ),
+        prop AS (
+          SELECT c.src, c.dst, CAST(c.j AS INTEGER) AS j, nd.ent AS neg_dst
+          FROM cand c JOIN nodes nd ON nd.idx = c.idx
+          WHERE nd.ent <> c.src AND nd.ent <> c.dst
+        )
+        SELECT p.src, p.dst, p.j, p.neg_dst
+        FROM prop p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e x
+          WHERE x.src = least(p.src, p.neg_dst)
+            AND x.dst = greatest(p.src, p.neg_dst)
+        )
     """
 
     return o

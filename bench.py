@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "mmr_diverse_topk",
     "touch_attribution",
     "rfm_segments",
+    "label_noise_audit",
+    "kg_negative_samples",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

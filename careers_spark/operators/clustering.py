@@ -190,3 +190,85 @@ def semantic_dedup_pairs(
         .filter(F.col("sim") >= float(threshold))
         .select("id_a", "id_b", "cluster", "sim")
     )
+
+
+def label_noise_audit(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise screening over a labeled embedding table (the
+    confident-learning intuition, Northcutt et al. 2021, reduced to its
+    distributed-friendly centroid form): a point whose own-label
+    centroid is FARTHER than some other label's centroid is a
+    mislabeling suspect.
+
+    Every quantity rides the integer lattice (module docstring):
+    per-label centroids are round(int_sum / n) lattice points, and all
+    distances are exact integer sums of squares, so margins and flags
+    are engine- and parallelism-exact with zero tolerance.
+
+    Physical shape at scale: ONE algebraic groupBy(label) builds the
+    centroids (label cardinality is tiny by definition — they collect
+    to the driver like k-means seeds); per-point distances to the L
+    literal centroids are pure map work (zip_with folds, argmin via
+    array_min over structs) — no join, no window, no shuffle after the
+    centroid pass.
+
+    Output: (id, label, d_own, best_other_label, d_other, margin,
+    flagged) with margin = d_own - d_other and flagged = margin > 0.
+    """
+    q = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("int").alias("label"),
+        F.expr(
+            f"transform({vec_col}, "
+            f"v -> cast(round(cast(v as double) * {QUANT}, 0) as bigint))"
+        ).alias("x"),
+    )
+    first = q.select(F.size("x").alias("d")).first()
+    if first is None:
+        return q.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, label int, d_own long, best_other_label int,"
+            " d_other long, margin long, flagged boolean",
+        )
+    dim = first["d"]
+    sums = [F.sum(F.element_at("x", i + 1)).alias(f"s{i}") for i in range(dim)]
+    mean_cols = [
+        F.expr(f"cast(round(s{i} / cast(n as double), 0) as bigint)")
+        for i in range(dim)
+    ]
+    cent = {
+        r["label"]: list(r["c"])
+        for r in q.groupBy("label")
+        .agg(F.count("*").alias("n"), *sums)
+        .select("label", F.array(*mean_cols).alias("c"))
+        .collect()
+    }
+    if len(cent) < 2:
+        raise ValueError("label_noise_audit needs >= 2 distinct labels")
+    arr = F.array(
+        *[
+            F.struct(
+                F.expr(_dist_expr(c)).alias("d"),
+                F.lit(lab).cast("int").alias("lab"),
+            )
+            for lab, c in sorted(cent.items())
+        ]
+    )
+    with_d = q.withColumn(
+        "_own", F.element_at(F.filter(arr, lambda s: s["lab"] == F.col("label")), 1)
+    ).withColumn(
+        "_oth", F.array_min(F.filter(arr, lambda s: s["lab"] != F.col("label")))
+    )
+    return with_d.select(
+        F.col("id").alias(id_col),
+        "label",
+        F.col("_own.d").alias("d_own"),
+        F.col("_oth.lab").alias("best_other_label"),
+        F.col("_oth.d").alias("d_other"),
+        (F.col("_own.d") - F.col("_oth.d")).alias("margin"),
+        (F.col("_own.d") > F.col("_oth.d")).alias("flagged"),
+    )

@@ -518,3 +518,74 @@ def sssp(
             return dist
         prev = cur
     raise RuntimeError(f"sssp did not reach a fixpoint in {max_iter} rounds")
+
+
+def negative_samples(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    m: int = 2,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding
+    training (the tail-corruption scheme of TransE, Bordes et al.
+    2013): for every positive edge, propose ``m`` corrupted tails drawn
+    by an md5 hash of (src, dst, j, salt) over the entity dimension,
+    then drop proposals that hit the edge's own endpoints or collide
+    with an EXISTING edge in either orientation (filtered sampling —
+    output has at most m rows per edge).
+
+    Determinism: the draw is the shared md5-affine family
+    (`dedup._hash64_expr`), so negatives are reproducible across runs,
+    engines, and parallelism, and re-seedable by salt.
+
+    Physical shape at scale: the entity index is a row_number over the
+    ENTITY dimension (bounded, far smaller than the edge set — the
+    vec-id-assignment precedent); proposals are an equi-join of the
+    m-exploded edges against that dim on the hashed index; the
+    existing-edge filter is one anti-join on the canonical (lo, hi)
+    pair. No inequality joins, no per-row Python.
+
+    Output: (src, dst, j, neg_dst).
+    """
+    from pyspark.sql import Window
+
+    from careers_spark.operators.dedup import _hash64_expr
+
+    nodes = (
+        edges.select(F.col(src).alias("e"))
+        .union(edges.select(F.col(dst).alias("e")))
+        .distinct()
+    )
+    dim = nodes.withColumn(
+        "idx", F.row_number().over(Window.orderBy("e")) - 1
+    )
+    n = dim.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], f"{src} string, {dst} string, j int, neg_dst string"
+        )
+    keyed = (
+        f"concat(cast({src} as string), '|', cast({dst} as string), "
+        f"'|', cast(j as string), '|', '{salt}')"
+    )
+    cand = (
+        edges.select(src, dst)
+        .withColumn("j", F.explode(F.expr(f"sequence(0, {int(m) - 1})")))
+        .withColumn("j", F.col("j").cast("int"))
+        .withColumn("idx", F.expr(f"{_hash64_expr(keyed)} % {n}"))
+        .join(F.broadcast(dim.withColumnRenamed("e", "neg_dst")), "idx")
+        .drop("idx")
+        .filter(
+            (F.col("neg_dst") != F.col(src)) & (F.col("neg_dst") != F.col(dst))
+        )
+    )
+    existing = edges.select(
+        F.least(src, dst).alias("_lo"), F.greatest(src, dst).alias("_hi")
+    )
+    return (
+        cand.withColumn("_lo", F.least(src, "neg_dst"))
+        .withColumn("_hi", F.greatest(src, "neg_dst"))
+        .join(existing, ["_lo", "_hi"], "left_anti")
+        .select(src, dst, "j", "neg_dst")
+    )
