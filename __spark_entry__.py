@@ -1642,6 +1642,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_negative_samples"] = kg_negative_samples
 
+    def doc_containment(spark, sf_dir):
+        """Directed containment near-dups: >= 9/10 of the contained
+        doc's distinct trigram shingles appear in the container —
+        integer cross-multiplied rational threshold, the crawl case
+        Jaccard misses (dedup.containment_pairs)."""
+        return DD.containment_pairs(_t(spark, sf_dir, "documents"))
+
+    q["doc_containment"] = doc_containment
+
     return q
 
 
@@ -4815,6 +4824,35 @@ def oracle_sql() -> dict[str, str]:
           WHERE x.src = least(p.src, p.neg_dst)
             AND x.dst = greatest(p.src, p.neg_dst)
         )
+    """
+
+    # doc_containment: the shared-shingle intersection table read in
+    # both directions; keep decision by integer cross-multiplication,
+    # reported coefficient one rounded division.
+    o["doc_containment"] = f"""
+        WITH {_shingle_cte},
+        inter AS MATERIALIZED (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_inter, min(sa.n_sh) AS n_a, min(sb.n_sh) AS n_b
+          FROM sh a
+          JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          JOIN sz sa ON sa.doc_id = a.doc_id
+          JOIN sz sb ON sb.doc_id = b.doc_id
+          GROUP BY 1, 2
+        ),
+        both_dirs AS (
+          SELECT doc_a AS contained_id, doc_b AS container_id,
+                 n_inter, n_a AS n_contained
+          FROM inter WHERE n_inter * 10 >= 9 * n_a
+          UNION ALL
+          SELECT doc_b, doc_a, n_inter, n_b
+          FROM inter WHERE n_inter * 10 >= 9 * n_b
+        )
+        SELECT contained_id, container_id,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(n_contained AS BIGINT) AS n_contained,
+               round(n_inter / CAST(n_contained AS DOUBLE), 6) AS containment
+        FROM both_dirs
     """
 
     return o

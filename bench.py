@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "rfm_segments",
     "label_noise_audit",
     "kg_negative_samples",
+    "doc_containment",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -945,3 +945,66 @@ def cluster_size_histogram(
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
     )
+
+
+def containment_pairs(
+    documents: DataFrame, num: int = 9, den: int = 10, n: int = 3
+) -> DataFrame:
+    """Directed near-dup containment (Broder's containment coefficient
+    C(A,B) = |A n B| / |A|): emits (contained, container) pairs where
+    at least ``num/den`` of the contained document's distinct shingles
+    appear in the container — the crawl-dedup case Jaccard MISSES (a
+    short doc fully embedded in a long one has tiny Jaccard but
+    containment 1.0).
+
+    The threshold is a rational ``num/den`` compared by integer
+    cross-multiplication (``n_inter * den >= num * n_contained``) — the
+    prefix_filter_jaccard_pairs convention — so the keep decision is
+    exact in both engines; the reported coefficient is one rounded
+    division for display only.
+
+    Physical shape: the shared-shingle equi-join IS the blocking (pairs
+    with no common shingle never materialize), one partial-agg count
+    per surviving pair, sizes joined from a doc-keyed dimension; both
+    directions come from the same undirected intersection table.
+
+    Output: (contained_id, container_id, n_inter, n_contained,
+    containment).
+    """
+    num, den = int(num), int(den)
+    sh = doc_shingles(documents, n)
+    size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+        .join(size.selectExpr("doc_id as doc_a", "n_sh as n_a"), "doc_a")
+        .join(size.selectExpr("doc_id as doc_b", "n_sh as n_b"), "doc_b")
+    )
+    d1 = inter.filter(
+        F.col("n_inter") * den >= num * F.col("n_a")
+    ).select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        "n_inter",
+        F.col("n_a").alias("n_contained"),
+    )
+    d2 = inter.filter(
+        F.col("n_inter") * den >= num * F.col("n_b")
+    ).select(
+        F.col("doc_b").alias("contained_id"),
+        F.col("doc_a").alias("container_id"),
+        "n_inter",
+        F.col("n_b").alias("n_contained"),
+    )
+    return d1.union(d2).withColumn(
+        "containment", F.round(F.col("n_inter") / F.col("n_contained"), 6)
+    )
