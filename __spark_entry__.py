@@ -1651,6 +1651,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_containment"] = doc_containment
 
+    def rake_keywords(spark, sf_dir):
+        """RAKE keyword extraction: stopword-free phrase runs scored by
+        summed deg/freq of member words — fixed-point BIGINT phrase
+        sums so addition order never matters; top-5 per document
+        (textstats.rake_keywords)."""
+        return TS.rake_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+    q["rake_keywords"] = rake_keywords
+
     return q
 
 
@@ -4853,6 +4862,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_contained AS BIGINT) AS n_contained,
                round(n_inter / CAST(n_contained AS DOUBLE), 6) AS containment
         FROM both_dirs
+    """
+
+    # rake_keywords: phrase segmentation by a per-doc running stopword
+    # count (zipped unnest keeps token order); word scores fixed-point
+    # BIGINT so phrase sums are exact integers; (score desc, phrase)
+    # rank over [a-z0-9 ] strings is collation-independent.
+    o["rake_keywords"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                 unnest(toks) AS w
+          FROM t
+        ),
+        seg AS (
+          SELECT doc_id, pos, w,
+                 CASE WHEN w IN {TS.STOPWORDS_SQL} THEN 1 ELSE 0 END AS is_stop,
+                 sum(CASE WHEN w IN {TS.STOPWORDS_SQL} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+          FROM tok
+        ),
+        mem AS MATERIALIZED (
+          SELECT doc_id, phrase_id, pos, w FROM seg WHERE is_stop = 0
+        ),
+        plen AS (
+          SELECT doc_id, phrase_id, count(*) AS L
+          FROM mem GROUP BY doc_id, phrase_id
+        ),
+        wsf AS MATERIALIZED (
+          SELECT doc_id, w,
+                 CAST(round(1000000000e0 * sum(L) / count(*), 0) AS BIGINT)
+                   AS score_fp
+          FROM mem JOIN plen USING (doc_id, phrase_id)
+          GROUP BY doc_id, w
+        ),
+        ph AS (
+          SELECT m.doc_id, m.phrase_id,
+                 CAST(sum(score_fp) AS BIGINT) AS fp,
+                 string_agg(m.w, ' ' ORDER BY m.pos) AS phrase
+          FROM mem m JOIN wsf USING (doc_id, w)
+          GROUP BY m.doc_id, m.phrase_id
+        ),
+        dd AS (SELECT doc_id, phrase, min(fp) AS fp FROM ph GROUP BY 1, 2)
+        SELECT doc_id, phrase,
+               round(fp / 1000000000e0, 6) AS rake_score,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY fp DESC, phrase) AS rk
+          FROM dd
+        ) WHERE rk <= 5
     """
 
     return o

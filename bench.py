@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "label_noise_audit",
     "kg_negative_samples",
     "doc_containment",
+    "rake_keywords",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -672,3 +672,81 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
             ),
         )
     )
+
+
+def rake_keywords(documents: DataFrame, k: int = 5) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    deg(w)/freq(w) within its document (deg = summed lengths of the
+    phrases its occurrences sit in), and a phrase scores the sum of its
+    member word scores. Top-k phrases per document.
+
+    Engine-exactness: deg and freq are integers, so the word score is
+    ONE double division — then converted to FIXED-POINT BIGINT
+    (round(1e9 * deg / freq), the bigram_lm_filter recipe) so the
+    phrase score is an exact integer SUM, immune to addition order;
+    the reported score is one final rounded division. The rank
+    tie-break is (score desc, phrase asc) over [a-z0-9 ] strings —
+    collation-independent.
+
+    Physical shape at scale: phrase segmentation is one per-DOCUMENT
+    running sum window (partition = doc, bounded by document length —
+    the digest-family shape, never a global sort); everything else is
+    partial-agg groupBys and a doc-keyed join. Identical duplicate
+    phrases within a document merge (identical members -> identical
+    score).
+
+    Output: (doc_id, phrase, rake_score, rk).
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "w")
+    ).withColumn("is_stop", F.col("w").isin(STOP_LIST).cast("int"))
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mem = (
+        toks.withColumn("phrase_id", F.sum("is_stop").over(run))
+        .filter("is_stop = 0")
+        .select("doc_id", "phrase_id", "pos", "w")
+    )
+    plen = mem.groupBy("doc_id", "phrase_id").agg(F.count("*").alias("L"))
+    ws = (
+        mem.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("freq"), F.sum("L").alias("deg"))
+        .select(
+            "doc_id",
+            "w",
+            F.expr(
+                "cast(round(1000000000e0 * deg / freq, 0) as bigint)"
+            ).alias("score_fp"),
+        )
+    )
+    ph = (
+        mem.join(ws, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum("score_fp").alias("fp"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+    )
+    dd = ph.groupBy("doc_id", "phrase").agg(F.min("fp").alias("fp"))
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("fp"), F.asc("phrase"))
+    return (
+        dd.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            "doc_id",
+            "phrase",
+            F.round(F.col("fp") / F.lit(1000000000.0), 6).alias("rake_score"),
+            "rk",
+        )
+    )
