@@ -252,3 +252,44 @@ def test_pagerank_iteration_is_partial_agg(spark):
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session6_join_ops_have_no_cartesian(spark):
+    """The session-6 join-heavy operators must keep their blocked /
+    equi-join shapes: no CartesianProduct or nested-loop cross join in
+    any executed plan."""
+    from careers_spark.operators.dedup import (
+        containment_pairs,
+        golden_records,
+    )
+    from careers_spark.operators.funnel import multi_touch_attribution
+    from careers_spark.operators.graph import negative_samples
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src string, dst string, n_obs int"
+    )
+    for df in (
+        containment_pairs(docs),
+        golden_records(docs),
+        multi_touch_attribution(events),
+        negative_samples(edges, m=2),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rake_window_is_doc_partitioned(spark):
+    """RAKE's only window runs per document — the plan must show a
+    partitioned Window (never an empty PARTITION BY, which would be a
+    single-partition global sort)."""
+    from careers_spark.operators.textstats import rake_keywords
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(rake_keywords(docs))
+    import re
+
+    for spec in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
+        assert spec.strip(), plan
