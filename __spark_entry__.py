@@ -1660,6 +1660,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rake_keywords"] = rake_keywords
 
+    def robust_length_stats(spark, sf_dir):
+        """Winsorized per-lang length stats: raw mean beside the mean
+        after clamping into the [p05, p95] band — integer clamp bounds
+        keep both sums exact (textstats.robust_length_stats)."""
+        return TS.robust_length_stats(_t(spark, sf_dir, "documents"))
+
+    q["robust_length_stats"] = robust_length_stats
+
+    def term_index_summary(spark, sf_dir):
+        """Inverted-index head rows: per term df, cf, and the top
+        posting via one algebraic max(struct); df >= 5 floor — all
+        integers (textstats.term_index_summary)."""
+        return TS.term_index_summary(_t(spark, sf_dir, "documents"))
+
+    q["term_index_summary"] = term_index_summary
+
     return q
 
 
@@ -4912,6 +4928,54 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY fp DESC, phrase) AS rk
           FROM dd
         ) WHERE rk <= 5
+    """
+
+    # robust_length_stats: integer clamp bounds from rounded
+    # percentiles keep both sums exact; means are single rounded
+    # divisions.
+    o["robust_length_stats"] = """
+        WITH b AS (
+          SELECT lang,
+                 round(quantile_cont(n_chars, 0.05e0), 6) AS plo,
+                 round(quantile_cont(n_chars, 0.95e0), 6) AS phi
+          FROM documents GROUP BY lang
+        ),
+        bb AS (
+          SELECT lang, plo, phi,
+                 CAST(round(plo, 0) AS BIGINT) AS lo_i,
+                 CAST(round(phi, 0) AS BIGINT) AS hi_i
+          FROM b
+        )
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+               round(sum(CAST(d.n_chars AS BIGINT))
+                     / CAST(count(*) AS DOUBLE), 6) AS mean_raw,
+               min(bb.plo) AS p_lo, min(bb.phi) AS p_hi,
+               round(sum(least(greatest(CAST(d.n_chars AS BIGINT), lo_i), hi_i))
+                     / CAST(count(*) AS DOUBLE), 6) AS winsorized_mean
+        FROM documents d JOIN bb ON bb.lang = d.lang
+        GROUP BY d.lang
+    """
+
+    o["term_index_summary"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT term, doc_id AS top_doc, tf AS top_tf FROM (
+            SELECT *, row_number() OVER (PARTITION BY term
+                                         ORDER BY tf DESC, doc_id) AS rk
+            FROM tf
+          ) WHERE rk = 1
+        )
+        SELECT t.term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(t.tf) AS BIGINT) AS cf,
+               min(top.top_doc) AS top_doc,
+               CAST(min(top.top_tf) AS BIGINT) AS top_tf
+        FROM tf t JOIN top ON top.term = t.term
+        GROUP BY t.term HAVING count(*) >= 5
     """
 
     return o

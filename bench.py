@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "kg_negative_samples",
     "doc_containment",
     "rake_keywords",
+    "robust_length_stats",
+    "term_index_summary",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -750,3 +750,94 @@ def rake_keywords(documents: DataFrame, k: int = 5) -> DataFrame:
             "rk",
         )
     )
+
+
+def robust_length_stats(
+    documents: DataFrame,
+    group: str = "lang",
+    val: str = "n_chars",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized robust statistics per group: the plain mean next to a
+    mean computed after clamping values into the [p05, p95] band — the
+    outlier-robust summary a corpus report shows beside raw averages.
+
+    Exactness: percentile bounds follow the pinned percentile /
+    quantile_cont convention, are rounded to 6dp and then to INTEGER
+    clamp bounds (round half-up, identical in both engines), so every
+    clamped value is an integer, both sums are exact BIGINTs, and each
+    mean is ONE rounded division.
+
+    Physical shape: one groupBy(group) computing raw aggregates and
+    percentiles, then a second conditional-sum pass with the bounds
+    joined back (broadcast — group cardinality is tiny). No windows.
+
+    Output: (group, n, mean_raw, p_lo, p_hi, winsorized_mean).
+    """
+    bounds = documents.groupBy(group).agg(
+        F.round(F.expr(f"percentile({val}, {lo}e0)"), 6).alias("_plo"),
+        F.round(F.expr(f"percentile({val}, {hi}e0)"), 6).alias("_phi"),
+    ).select(
+        group,
+        "_plo",
+        "_phi",
+        F.expr("cast(round(_plo, 0) as bigint)").alias("_lo_i"),
+        F.expr("cast(round(_phi, 0) as bigint)").alias("_hi_i"),
+    )
+    return (
+        documents.select(group, F.col(val).cast("long").alias("_v"))
+        .join(F.broadcast(bounds), group)
+        .groupBy(group)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("_v") / F.count("*"), 6).alias("mean_raw"),
+            F.min("_plo").alias("p_lo"),
+            F.min("_phi").alias("p_hi"),
+            F.round(
+                F.sum(F.expr("least(greatest(_v, _lo_i), _hi_i)"))
+                / F.count("*"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+def term_index_summary(documents: DataFrame, min_df: int = 5) -> DataFrame:
+    """Inverted-index construction summary: per term, document
+    frequency, collection frequency, and the top-scoring posting (max
+    tf, tie -> smaller doc_id, via one algebraic max(struct)) — the
+    statistics row a search index keeps at the head of each posting
+    list.
+
+    Two partial-agg groupBys ((doc, term) then term); the min_df floor
+    prunes the hapax tail before output. All integers — hash-exact
+    with no rounding anywhere.
+
+    Output: (term, df, cf, top_doc, top_tf).
+    """
+    tf = (
+        documents.select(
+            "doc_id", F.explode(tokens_col("text")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max(
+                F.struct(F.col("tf"), (-F.col("doc_id")).alias("nd"))
+            ).alias("_top"),
+        )
+        .filter(F.col("df") >= int(min_df))
+        .select(
+            "term",
+            "df",
+            "cf",
+            (-F.col("_top.nd")).cast("long").alias("top_doc"),
+            F.col("_top.tf").alias("top_tf"),
+        )
+    )
