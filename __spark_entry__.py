@@ -1676,6 +1676,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_index_summary"] = term_index_summary
 
+    def graph_assortativity(spark, sf_dir):
+        """Newman degree assortativity of the min_obs=20 entity graph —
+        exact BIGINT S-sums, one deterministic double combination
+        (graph.assortativity)."""
+        from careers_spark.operators.graph import assortativity
+
+        return assortativity(_entity_edges(spark, sf_dir, 20))
+
+    q["graph_assortativity"] = graph_assortativity
+
+    def reciprocal_best_match(spark, sf_dir):
+        """Mutual-nearest-neighbor ER pairing over the LSH-verified
+        near-dup graph: keep pairs where each doc is the other's single
+        best match (dedup.reciprocal_best_pairs)."""
+        return DD.reciprocal_best_pairs(_t(spark, sf_dir, "documents"))
+
+    q["reciprocal_best_match"] = reciprocal_best_match
+
     return q
 
 
@@ -4976,6 +4994,74 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(top.top_tf) AS BIGINT) AS top_tf
         FROM tf t JOIN top ON top.term = t.term
         GROUP BY t.term HAVING count(*) >= 5
+    """
+
+    # graph_assortativity: min_obs=20 entity edges; S1/S2/S3 are exact
+    # BIGINT sums (DuckDB's HUGEINT sum cast back down), the final r is
+    # ONE double combination written with the identical expression text
+    # as the Spark side, rounded to 9 (same determinism argument as the
+    # trend_slopes / modularity oracles).
+    _asrt_num = (
+        "4e0 * CAST(n_edges AS DOUBLE) * CAST(s_jk AS DOUBLE)"
+        " - CAST(s_j_plus_k AS DOUBLE) * CAST(s_j_plus_k AS DOUBLE)"
+    )
+    _asrt_den = (
+        "2e0 * CAST(n_edges AS DOUBLE) * CAST(s_sq AS DOUBLE)"
+        " - CAST(s_j_plus_k AS DOUBLE) * CAST(s_j_plus_k AS DOUBLE)"
+    )
+    o["graph_assortativity"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        ),
+        deg AS MATERIALIZED (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+          ) GROUP BY node
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                 CAST(sum(dj.deg * dk.deg) AS BIGINT) AS s_jk,
+                 CAST(sum(dj.deg + dk.deg) AS BIGINT) AS s_j_plus_k,
+                 CAST(sum(dj.deg * dj.deg + dk.deg * dk.deg) AS BIGINT) AS s_sq
+          FROM e
+          JOIN deg dj ON dj.node = e.src
+          JOIN deg dk ON dk.node = e.dst
+        )
+        SELECT n_edges, s_jk, s_j_plus_k, s_sq,
+               CASE WHEN ({_asrt_den}) = 0e0 THEN NULL
+                    ELSE round(({_asrt_num}) / ({_asrt_den}), 9) END
+                 AS assortativity
+        FROM s
+    """
+
+    # reciprocal_best_match: nests the lsh_verified_pairs oracle
+    # verbatim; best match per doc is a deterministic row_number
+    # (jaccard desc, other asc — the same tie-break the Spark
+    # max(struct(jaccard, -other)) encodes), mutuality a self-join.
+    o["reciprocal_best_match"] = f"""
+        WITH p AS MATERIALIZED ({o["lsh_verified_pairs"]}),
+        d AS (
+          SELECT doc_a AS me, doc_b AS other, jaccard FROM p
+          UNION ALL
+          SELECT doc_b AS me, doc_a AS other, jaccard FROM p
+        ),
+        best AS MATERIALIZED (
+          SELECT me, other AS best_other, jaccard AS best_j FROM (
+            SELECT *, row_number() OVER (PARTITION BY me
+                                         ORDER BY jaccard DESC, other) AS rk
+            FROM d
+          ) WHERE rk = 1
+        )
+        SELECT a.me AS doc_a, b.me AS doc_b, a.best_j AS jaccard
+        FROM best a
+        JOIN best b ON a.best_other = b.me AND b.best_other = a.me
+                   AND a.me < b.me
     """
 
     return o

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "rake_keywords",
     "robust_length_stats",
     "term_index_summary",
+    "graph_assortativity",
+    "reciprocal_best_match",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -1008,3 +1008,59 @@ def containment_pairs(
     return d1.union(d2).withColumn(
         "containment", F.round(F.col("n_inter") / F.col("n_contained"), 6)
     )
+
+
+def reciprocal_best_pairs(
+    documents: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    threshold: float = 0.2,
+    n: int = 3,
+) -> DataFrame:
+    """Reciprocal best match over the LSH-verified near-dup graph: keep
+    a pair only when EACH document is the other's single best match —
+    the classic high-precision ER pairing rule (mutual nearest
+    neighbor).
+
+    Best match per document is one algebraic max(struct(jaccard,
+    -other_id)) over the directed view of the verified pairs (ties:
+    higher jaccard, then smaller id); mutuality is a self-join of the
+    one-row-per-doc bests — never a second pass over the pair table.
+
+    Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    pairs = lsh_verified_pairs(documents, num_hashes, band_size, threshold, n)
+    directed = pairs.selectExpr(
+        "doc_a as me", "doc_b as other", "jaccard"
+    ).union(pairs.selectExpr("doc_b as me", "doc_a as other", "jaccard"))
+    best = (
+        directed.groupBy("me")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard").alias("j"), (-F.col("other")).alias("no")
+                )
+            ).alias("b")
+        )
+        .select(
+            "me",
+            (-F.col("b.no")).cast("long").alias("best_other"),
+            F.col("b.j").alias("best_j"),
+        )
+    )
+    b2 = best.selectExpr(
+        "me as me2", "best_other as best_other2"
+    )
+    return (
+        best.join(
+            b2,
+            (F.col("best_other") == F.col("me2"))
+            & (F.col("best_other2") == F.col("me"))
+            & (F.col("me") < F.col("me2")),
+        )
+        .select(
+            F.col("me").alias("doc_a"),
+            F.col("me2").alias("doc_b"),
+            F.col("best_j").alias("jaccard"),
+        )
+    )

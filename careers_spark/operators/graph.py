@@ -589,3 +589,70 @@ def negative_samples(
         .join(existing, ["_lo", "_hi"], "left_anti")
         .select(src, dst, "j", "neg_dst")
     )
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    graph — one number answering "do hubs link to hubs?", the standard
+    summary beside degree distribution and clustering coefficient.
+
+    With per-edge endpoint degrees (j, k) and M edges, the integer
+    sums S1 = sum(j*k), S2 = sum(j+k), S3 = sum(j^2+k^2) give
+
+        r = (4*M*S1 - S2^2) / (2*M*S3 - S2^2)
+
+    Every S-term is an exact BIGINT (the trend_slopes recipe); the
+    final combination is evaluated in DOUBLE with the identical
+    expression text in both engines (S2^2 in BIGINT could overflow at
+    billion-edge scale — the double combination is deterministic and
+    engine-identical on the exact inputs), rounded to 9. A degenerate
+    graph (all degrees equal: denominator 0) reports NULL.
+
+    Physical shape: one degree groupBy over the bidirectional edge
+    list, two broadcast-sized joins onto the edges, one global
+    aggregate row. Output: (n_edges, s_jk, s_j_plus_k, s_sq,
+    assortativity).
+    """
+    deg = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        edges.select(src, dst)
+        .join(
+            deg.select(F.col("node").alias(src), F.col("deg").alias("dj")),
+            src,
+        )
+        .join(
+            deg.select(F.col("node").alias(dst), F.col("deg").alias("dk")),
+            dst,
+        )
+    )
+    sums = e.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.expr("dj * dk")).alias("s_jk"),
+        F.sum(F.expr("dj + dk")).alias("s_j_plus_k"),
+        F.sum(F.expr("dj * dj + dk * dk")).alias("s_sq"),
+    )
+    num = (
+        "4e0 * cast(n_edges as double) * cast(s_jk as double)"
+        " - cast(s_j_plus_k as double) * cast(s_j_plus_k as double)"
+    )
+    den = (
+        "2e0 * cast(n_edges as double) * cast(s_sq as double)"
+        " - cast(s_j_plus_k as double) * cast(s_j_plus_k as double)"
+    )
+    return sums.select(
+        "n_edges",
+        "s_jk",
+        "s_j_plus_k",
+        "s_sq",
+        F.expr(
+            f"case when ({den}) = 0e0 then null "
+            f"else round(({num}) / ({den}), 9) end"
+        ).alias("assortativity"),
+    )

@@ -282,3 +282,60 @@ def test_dup_span_fraction_golden(spark, docs):
     assert got[3][1] == 0 and got[3][2] == 0.0
     assert got[2] == (6, 5, 0.833333)
     assert 5 not in got  # below n tokens -> no row
+
+
+def test_reciprocal_best_pairs_mutual_only(spark):
+    """1<->4 exact dups are mutual bests; 2 (near-dup of 1) points at
+    1 but 1's best is 4 -> 2 never pairs, whether or not LSH surfaces
+    the probabilistic 0.75 candidate."""
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "completely different text about spark engines here",
+        4: "the quick brown fox jumps over the lazy dog",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.reciprocal_best_pairs(docs).collect()
+    }
+    assert got == {(1, 4): 1.0}
+
+
+def test_reciprocal_best_pairs_tie_break_smaller_id(spark):
+    """Three identical docs: every best-match is a jaccard-1.0 tie, so
+    the smaller-id rule decides — 9's best is 10, 10's and 11's best is
+    9 -> the single mutual pair is (9, 10); 11 is excluded."""
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9, 10, 11], "text": [t, t, t]})
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.reciprocal_best_pairs(docs).collect()
+    }
+    assert got == {(9, 10): 1.0}
+
+
+def test_reciprocal_best_pairs_two_islands(spark):
+    """Two disjoint exact-dup pairs both survive as mutual bests."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [5, 6, 7, 8],
+                "text": [
+                    "red orange yellow green blue indigo violet",
+                    "red orange yellow green blue indigo violet",
+                    "one two three four five six seven eight nine",
+                    "one two three four five six seven eight nine",
+                ],
+            }
+        )
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.reciprocal_best_pairs(docs).collect()
+    }
+    assert got == {(5, 6): 1.0, (7, 8): 1.0}

@@ -350,3 +350,60 @@ def test_sssp_raises_without_fixpoint_budget(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         sssp(e, 0, max_iter=3)
+
+
+def _python_assortativity(edges):
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m = len(edges)
+    s1 = sum(deg[u] * deg[v] for u, v in edges)
+    s2 = sum(deg[u] + deg[v] for u, v in edges)
+    s3 = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in edges)
+    num = 4e0 * float(m) * float(s1) - float(s2) * float(s2)
+    den = 2e0 * float(m) * float(s3) - float(s2) * float(s2)
+    return None if den == 0e0 else round(num / den, 9)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from careers_spark.operators.graph import assortativity
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    row = assortativity(e).collect()[0]
+    # star: every edge pairs a hub (deg 3) with a leaf (deg 1) -> r = -1
+    assert row.n_edges == 3 and row.s_jk == 9
+    assert row.s_j_plus_k == 12 and row.s_sq == 30
+    assert row.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from careers_spark.operators.graph import assortativity
+
+    # C4 cycle: every degree 2 -> zero variance -> NULL, never 0/0
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    assert assortativity(e).collect()[0].assortativity is None
+
+
+def test_assortativity_matches_python_on_random_graphs(spark):
+    from careers_spark.operators.graph import assortativity
+
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    sorted(rng.sample(range(12), 2)) for _ in range(25)
+                )
+            }
+        )
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = assortativity(e).collect()[0].assortativity
+        assert got == _python_assortativity(edges), trial
