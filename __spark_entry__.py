@@ -1694,6 +1694,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["reciprocal_best_match"] = reciprocal_best_match
 
+    def pii_scrub(spark, sf_dir):
+        """C4/CCNet-style PII scrub (operators/privacy.py): counts +
+        redacted-text fingerprint per document. The synthetic corpus
+        carries no PII, so the query plants deterministic email/IP/
+        phone spans (pure doc_id arithmetic, identical expression in
+        the oracle) — the hash match then proves the regex DETECTION
+        and REDACTION agree across engines on text that actually
+        contains PII, not just on all-zero rows."""
+        from careers_spark.operators.privacy import pii_scrub as _scrub
+
+        d = _t(spark, sf_dir, "documents")
+        aug = d.select(
+            "doc_id",
+            F.expr(
+                "text"
+                " || case when doc_id % 7 = 0 then"
+                "   ' reach user' || cast(doc_id as string)"
+                "   || '@mail.example.com' else '' end"
+                " || case when doc_id % 11 = 0 then"
+                "   ' from host ' || cast(doc_id % 224 + 16 as string)"
+                "   || '.0.' || cast(doc_id % 256 as string)"
+                "   || '.' || cast(doc_id % 100 as string) else '' end"
+                " || case when doc_id % 13 = 0 then"
+                "   ' call 555-010-'"
+                "   || lpad(cast(doc_id % 10000 as string), 4, '0')"
+                "   else '' end"
+            ).alias("text"),
+        )
+        return _scrub(aug)
+
+    q["pii_scrub"] = pii_scrub
+
     return q
 
 
@@ -5062,6 +5094,49 @@ def oracle_sql() -> dict[str, str]:
         FROM best a
         JOIN best b ON a.best_other = b.me AND b.best_other = a.me
                    AND a.me < b.me
+    """
+
+    # pii_scrub: identical deterministic PII planting (doc_id
+    # arithmetic), detection via regexp_extract_all length, redaction
+    # via the same email -> ip -> phone chain with the 'g' flag; the
+    # patterns live in the Java-regex/RE2 common subset so the
+    # redacted md5 is engine-exact.
+    from careers_spark.operators.privacy import PII_PATTERNS as _PII
+
+    _pii_red = "text"
+    for _k, _tok in (("email", "<EMAIL>"), ("ip", "<IP>"), ("phone", "<PHONE>")):
+        _pii_red = f"regexp_replace({_pii_red}, '{_PII[_k]}', '{_tok}', 'g')"
+    o["pii_scrub"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0 THEN
+                      ' reach user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN
+                      ' from host ' || CAST(doc_id % 224 + 16 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0 THEN
+                      ' call 555-010-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+                 AS text
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '{_PII["ip"]}')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(text, '{_PII["phone"]}')) AS BIGINT) AS n_phones,
+                 md5({_pii_red}) AS redacted_fp
+          FROM aug
+        )
+        SELECT doc_id, n_emails, n_ips, n_phones,
+               n_emails + n_ips + n_phones AS n_pii,
+               (n_emails + n_ips + n_phones) = 0 AS is_clean,
+               redacted_fp
+        FROM c
     """
 
     return o

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "term_index_summary",
     "graph_assortativity",
     "reciprocal_best_match",
+    "pii_scrub",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -1,0 +1,75 @@
+"""PII scrub goldens: hand-placed spans, overlap semantics, clean-doc
+identity, and python-re lockstep of the redaction chain."""
+
+import hashlib
+import re
+
+import pandas as pd
+import pytest
+
+from careers_spark.operators.privacy import (
+    PII_PATTERNS,
+    PII_TOKENS,
+    _REDACT_ORDER,
+    pii_scrub,
+)
+
+
+def _py_redact(text):
+    for k in _REDACT_ORDER:
+        text = re.sub(PII_PATTERNS[k], PII_TOKENS[k], text)
+    return text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    texts = {
+        1: "write to alice.smith+x@mail.example.co.uk for details",
+        2: "server at 192.168.0.17 answered, backup 10.0.0.1 did not",
+        3: "call 555-012-3456 or 555 987 6543 after hours",
+        4: "no personal data in this row at all",
+        5: "bob@ex.com pinged 8.8.8.8 then dialed 555-000-1111",
+        6: "",
+    }
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+
+
+def test_counts_golden(spark, docs):
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (1, 0, 0)
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 2, 0)
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 2)
+    assert got[4].n_pii == 0 and got[4].is_clean
+    assert (got[5].n_emails, got[5].n_ips, got[5].n_phones) == (1, 1, 1)
+    assert got[5].n_pii == 3 and not got[5].is_clean
+    assert got[6].n_pii == 0 and got[6].is_clean
+
+
+def test_redaction_matches_python_re(spark, docs):
+    """Spark's Java-regex redaction chain equals python re on the same
+    patterns — the cross-dialect-safe subset claim, checked."""
+    rows = {r.doc_id: r.redacted_fp for r in pii_scrub(docs).collect()}
+    for r in docs.collect():
+        want = hashlib.md5(_py_redact(r.text).encode()).hexdigest()
+        assert rows[r.doc_id] == want, r.doc_id
+
+
+def test_clean_doc_fingerprint_is_identity(spark, docs):
+    got = {r.doc_id: r.redacted_fp for r in pii_scrub(docs).collect()}
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    assert got[4] == hashlib.md5(raw[4].encode()).hexdigest()
+    # and a redacted doc's fp differs from its raw fp
+    assert got[5] != hashlib.md5(raw[5].encode()).hexdigest()
+
+
+def test_phone_not_counted_inside_ip(spark):
+    """The \\b guards keep an IP's octets from reading as a phone, and
+    a full redact leaves no digits behind."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["octets 123.456.789.012 end"]})
+    )
+    r = pii_scrub(docs).collect()[0]
+    assert (r.n_ips, r.n_phones) == (1, 0)
+    assert r.redacted_fp == hashlib.md5(b"octets <IP> end").hexdigest()
