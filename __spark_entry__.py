@@ -1726,6 +1726,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = pii_scrub
 
+    def entity_closeness(spark, sf_dir):
+        """Closeness + harmonic centrality of the min_obs=35 entity
+        graph by exact multi-source BFS (graph.closeness_centrality) —
+        integer distances and fixed-point harmonic sums, two final
+        rounded divisions. max_iter=11 caps the accepted diameter at
+        10, the oracle's unroll depth: a deeper graph makes the query
+        RAISE rather than silently diverge from the oracle."""
+        from careers_spark.operators.graph import closeness_centrality
+
+        return closeness_centrality(
+            _entity_edges(spark, sf_dir, 35), max_iter=11
+        )
+
+    q["entity_closeness"] = entity_closeness
+
     return q
 
 
@@ -5138,5 +5153,60 @@ def oracle_sql() -> dict[str, str]:
                redacted_fp
         FROM c
     """
+
+    # entity_closeness: multi-source BFS min-union unrolled to depth 10
+    # (the Bellman-Ford recipe over (source, node) pairs; a pair's
+    # distance never changes once set, so rounds past the diameter are
+    # verbatim no-ops — and the Spark query's max_iter=11 RAISES if the
+    # diameter could exceed the unroll). Harmonic sums are fixed-point
+    # BIGINTs (1e9 // d), closeness one rounded double division.
+    _clo_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        bidir AS MATERIALIZED (
+          SELECT src AS u, dst AS v FROM e
+          UNION ALL SELECT dst, src FROM e
+        ),
+        r0 AS MATERIALIZED (
+          SELECT DISTINCT u AS s, u AS n, CAST(0 AS BIGINT) AS d FROM bidir
+        )"""
+    ]
+    for _k in range(1, 11):
+        _clo_chain.append(
+            f"""r{_k} AS MATERIALIZED (
+          SELECT s, n, min(d) AS d FROM (
+            SELECT s, n, d FROM r{_k - 1}
+            UNION ALL
+            SELECT r.s, b.v AS n, r.d + 1 AS d
+            FROM r{_k - 1} r JOIN bidir b ON b.u = r.n
+          ) GROUP BY s, n
+        )"""
+        )
+    o["entity_closeness"] = (
+        "WITH "
+        + ",\n".join(_clo_chain)
+        + """,
+        agg AS (
+          SELECT s AS node, CAST(count(*) AS BIGINT) AS n_reach,
+                 CAST(sum(d) AS BIGINT) AS sum_d,
+                 CAST(sum(CASE WHEN d > 0 THEN 1000000000 // d ELSE 0 END)
+                      AS BIGINT) AS hfp
+          FROM r10 GROUP BY s
+        )
+        SELECT node, n_reach, sum_d,
+               round(CAST(hfp AS DOUBLE) / 1000000000e0, 6) AS harmonic,
+               CASE WHEN sum_d = 0 THEN NULL
+                    ELSE round(CAST(n_reach - 1 AS DOUBLE)
+                               / CAST(sum_d AS DOUBLE), 9) END AS closeness
+        FROM agg
+    """
+    )
 
     return o

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "reciprocal_best_match",
     "pii_scrub",
+    "entity_closeness",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

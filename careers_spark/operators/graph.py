@@ -656,3 +656,90 @@ def assortativity(
             f"else round(({num}) / ({den}), 9) end"
         ).alias("assortativity"),
     )
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Closeness + harmonic centrality by multi-source BFS — the
+    distance-based member of the centrality family (degree, PageRank,
+    HITS, PPR, assortativity ship already): which entities sit at the
+    center of the graph, not merely at high degree.
+
+    The frontier iteration carries (source, node, hops) triples; a node
+    pair enters the table at its FIRST discovery round, which in
+    unweighted BFS is its exact shortest distance, so the table only
+    ever GROWS — a row-count fixpoint is a convergence proof, and the
+    DuckDB oracle's fixed-depth min-union unroll is equivalent (extra
+    rounds are verbatim no-ops). Raises on budget exhaustion rather
+    than returning truncated distances (kcore/hierarchy convention).
+
+    Everything is integer until two final single divisions: harmonic
+    contributions are fixed-point BIGINTs (1e9 div d — exact integer
+    division, order-free summation; the RAKE/bigram_lm recipe), and
+    closeness = (n_reach - 1) / sum_d is one rounded double per node.
+
+    State is O(sum of reachable pairs) — quadratic on one giant
+    component. That is the honest cost of exact all-sources distances
+    (Brandes-style sampling is the approximation path); the intended
+    input is a THRESHOLDED entity graph (min_obs floor), whose node
+    count is vocabulary-bounded, orders below the corpus row count.
+
+    Output: (node, n_reach, sum_d, harmonic, closeness); n_reach
+    counts the node itself, isolated-in-graph nodes report NULL
+    closeness (sum_d = 0).
+    """
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = bidir.select(F.col("u").alias("node")).distinct()
+    dist = nodes.select(
+        F.col("node").alias("s"),
+        F.col("node").alias("n"),
+        F.lit(0).cast("long").alias("d"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(bidir, frontier.n == bidir.u)
+            .select("s", F.col("v").alias("n"), (F.col("d") + 1).alias("d"))
+            .groupBy("s", "n")
+            .agg(F.min("d").alias("d"))
+        )
+        new = cand.join(dist.select("s", "n"), ["s", "n"], "left_anti")
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        dist = dist.union(new).localCheckpoint(eager=True)
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"closeness_centrality: no fixpoint within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the budget); refusing to "
+            "return truncated distances"
+        )
+    per = dist.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("n_reach"),
+        F.sum("d").alias("sum_d"),
+        F.sum(F.expr("case when d > 0 then 1000000000 div d else 0 end")).alias(
+            "_hfp"
+        ),
+    )
+    return per.select(
+        "node",
+        "n_reach",
+        "sum_d",
+        F.expr("round(cast(_hfp as double) / 1000000000e0, 6)").alias(
+            "harmonic"
+        ),
+        F.expr(
+            "case when sum_d = 0 then null else "
+            "round(cast(n_reach - 1 as double) / cast(sum_d as double), 9) end"
+        ).alias("closeness"),
+    )

@@ -407,3 +407,89 @@ def test_assortativity_matches_python_on_random_graphs(spark):
         e = spark.createDataFrame(edges, "src long, dst long")
         got = assortativity(e).collect()[0].assortativity
         assert got == _python_assortativity(edges), trial
+
+
+def _python_closeness(edges):
+    from collections import deque
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for s in adj:
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in d:
+                    d[y] = d[x] + 1
+                    q.append(y)
+        sum_d = sum(d.values())
+        hfp = sum(1000000000 // v for v in d.values() if v > 0)
+        out[s] = (
+            len(d),
+            sum_d,
+            round(hfp / 1e9, 6),
+            None if sum_d == 0 else round((len(d) - 1) / sum_d, 9),
+        )
+    return out
+
+
+def test_closeness_path_golden(spark):
+    from careers_spark.operators.graph import closeness_centrality
+
+    # path 1-2-3: center reaches both at d=1 (closeness 1.0, harmonic
+    # 2.0); ends reach at 1+2 (closeness 2/3, harmonic 1.5)
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r.node: (r.n_reach, r.sum_d, r.harmonic, r.closeness)
+        for r in closeness_centrality(e).collect()
+    }
+    assert got[2] == (3, 2, 2.0, 1.0)
+    assert got[1] == (3, 3, 1.5, round(2 / 3, 9))
+    assert got[3] == got[1]
+
+
+def test_closeness_disconnected_components(spark):
+    from careers_spark.operators.graph import closeness_centrality
+
+    # two disjoint edges: each node reaches only its partner
+    e = spark.createDataFrame([(1, 2), (7, 8)], "src long, dst long")
+    got = {
+        r.node: (r.n_reach, r.sum_d, r.closeness)
+        for r in closeness_centrality(e).collect()
+    }
+    assert all(v == (2, 1, 1.0) for v in got.values()) and len(got) == 4
+
+
+def test_closeness_matches_python_on_random_graphs(spark):
+    from careers_spark.operators.graph import closeness_centrality
+
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(10), 2)))
+                for _ in range(14)
+            }
+        )
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: (r.n_reach, r.sum_d, r.harmonic, r.closeness)
+            for r in closeness_centrality(e).collect()
+        }
+        assert got == _python_closeness(edges), trial
+
+
+def test_closeness_raises_without_fixpoint_budget(spark):
+    from careers_spark.operators.graph import closeness_centrality
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        closeness_centrality(e, max_iter=3)
