@@ -1741,6 +1741,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_closeness"] = entity_closeness
 
+    def ohlc_daily(spark, sf_dir):
+        """Daily OHLC bars per event_type (temporal.ohlc_bars):
+        open/close via ONE algebraic min/max(struct(ts, tiebreak,
+        value)) — no window, no sort; volume in integer cents."""
+        from careers_spark.operators.temporal import ohlc_bars
+
+        return ohlc_bars(_t(spark, sf_dir, "events"), ["event_type"])
+
+    q["ohlc_daily"] = ohlc_daily
+
     return q
 
 
@@ -5208,5 +5218,34 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
     )
+
+    # ohlc_daily: open/close are first/last VALUES under the total
+    # order (ts_us, event_id) — expressed here as two row_numbers so
+    # the tie-break is explicit; high/low/volume plain aggregates
+    # (volume in integer cents, values copied not computed).
+    o["ohlc_daily"] = """
+        WITH b AS (
+          SELECT event_type,
+                 epoch_us(ts) // 86400000000 AS bkt,
+                 epoch_us(ts) AS t, event_id AS tb, value AS v,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, bkt, v, cents,
+                 row_number() OVER (PARTITION BY event_type, bkt
+                                    ORDER BY t, tb) AS rf,
+                 row_number() OVER (PARTITION BY event_type, bkt
+                                    ORDER BY t DESC, tb DESC) AS rl
+          FROM b
+        )
+        SELECT event_type, bkt * 86400000000 AS bucket_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(CASE WHEN rf = 1 THEN v END) AS open,
+               max(v) AS high, min(v) AS low,
+               min(CASE WHEN rl = 1 THEN v END) AS close,
+               CAST(sum(cents) AS BIGINT) AS vol_cents
+        FROM r GROUP BY event_type, bkt
+    """
 
     return o

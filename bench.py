@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "reciprocal_best_match",
     "pii_scrub",
     "entity_closeness",
+    "ohlc_daily",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -711,3 +711,72 @@ def merge_upsert(
         *base.columns
     )
     return untouched.unionByName(surviving.select(*base.columns))
+
+
+def ohlc_bars(
+    events: DataFrame,
+    dims: list[str],
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """OHLC candlestick bars — open/high/low/close + volume per
+    (dims, bucket), the canonical financial/metrics time-series rollup
+    every hypertable engine ships beside the plain rollup.
+
+    Open and close are the VALUES AT the bucket's first/last event,
+    which is not an algebraic min/max of the value itself — the
+    standard trap is a window sort per bucket. Here they ride ONE
+    algebraic aggregation via the max(struct(...)) argmax recipe:
+    min/max over struct((ts_us, tiebreak, value)) orders
+    lexicographically by time then tiebreak, so the struct's value
+    field IS the first/last value, deterministic under duplicate
+    timestamps, map-side combinable, no window and no sort anywhere.
+
+    High/low are plain min/max of the raw double (no arithmetic —
+    comparing doubles is exact); volume sums ride integer cents (the
+    module convention) so the only non-integer outputs are copied
+    input values.
+
+    Output: (<dims...>, bucket_us, n_events, open, high, low, close,
+    vol_cents).
+    """
+    cents = F.expr(f"cast(round({value} * 100, 0) as bigint)")
+    first = F.min(
+        F.struct(
+            F.col("_us").alias("t"),
+            F.col(tiebreak).alias("tb"),
+            F.col(value).alias("v"),
+        )
+    )
+    last = F.max(
+        F.struct(
+            F.col("_us").alias("t"),
+            F.col(tiebreak).alias("tb"),
+            F.col(value).alias("v"),
+        )
+    )
+    return (
+        events.withColumn("_us", _us(ts))
+        .withColumn("_cents", cents)
+        .groupBy(*dims, F.expr(f"_us div {bucket_us}").alias("_bkt"))
+        .agg(
+            F.count("*").alias("n_events"),
+            first.alias("_o"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            last.alias("_c"),
+            F.sum("_cents").alias("vol_cents"),
+        )
+        .select(
+            *dims,
+            F.expr(f"_bkt * {bucket_us}").alias("bucket_us"),
+            "n_events",
+            F.col("_o.v").alias("open"),
+            "high",
+            "low",
+            F.col("_c.v").alias("close"),
+            "vol_cents",
+        )
+    )

@@ -602,3 +602,78 @@ def test_merge_equals_full_recompute(spark):
         merged = merge_upsert(base, ev.filter(F.col("ts") >= cut), key="user_id")
         want = sorted(map(tuple, latest_state(ev).collect()))
         assert sorted(map(tuple, merged.collect())) == want
+
+
+def test_ohlc_golden(spark):
+    from careers_spark.operators.temporal import ohlc_bars
+
+    # one symbol, one day: open = value at earliest ts, close = value
+    # at latest; a second day and a second symbol isolate the grouping
+    rows = [
+        (1, "a", _ts(100), 5.0),
+        (2, "a", _ts(10), 2.0),   # earliest -> open
+        (3, "a", _ts(500), 1.0),  # low
+        (4, "a", _ts(900), 4.0),  # latest -> close
+        (5, "a", _ts(300), 9.0),  # high
+        (6, "a", _ts(86400 + 50), 7.25),  # next day: single event
+        (7, "b", _ts(60), 3.5),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, sym string, ts timestamp, value double"
+    )
+    got = {
+        (r.sym, r.bucket_us): r
+        for r in ohlc_bars(e, ["sym"], tiebreak="event_id").collect()
+    }
+    base = int(
+        (T0 - dt.datetime(1970, 1, 1)).total_seconds()
+    ) * 1_000_000  # 2024-01-01 is UTC midnight, so it IS a bucket edge
+    d0 = got[("a", base)]
+    assert (d0.open, d0.high, d0.low, d0.close) == (2.0, 9.0, 1.0, 4.0)
+    assert d0.n_events == 5 and d0.vol_cents == 2100
+    d1 = got[("a", base + 86400 * 1_000_000)]
+    assert (d1.open, d1.close, d1.vol_cents) == (7.25, 7.25, 725)
+    b = got[("b", base)]
+    assert (b.open, b.high, b.low, b.close) == (3.5, 3.5, 3.5, 3.5)
+
+
+def test_ohlc_duplicate_ts_tiebreak(spark):
+    from careers_spark.operators.temporal import ohlc_bars
+
+    # all three events share one timestamp: open is the smallest
+    # event_id's value, close the largest's — never partition order
+    rows = [(10, _ts(5), 1.0), (11, _ts(5), 2.0), (12, _ts(5), 3.0)]
+    e = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    r = ohlc_bars(e, [], tiebreak="event_id").collect()[0]
+    assert (r.open, r.close, r.high, r.low) == (1.0, 3.0, 3.0, 1.0)
+
+
+def test_ohlc_equals_bruteforce(spark):
+    from careers_spark.operators.temporal import ohlc_bars
+
+    rng = random.Random(3)
+    rows = [
+        (i, rng.choice("xy"), _ts(rng.randrange(0, 3 * 86400)),
+         round(rng.uniform(0.5, 99.5), 2))
+        for i in range(300)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, sym string, ts timestamp, value double"
+    )
+    got = {
+        (r.sym, r.bucket_us): (r.n_events, r.open, r.high, r.low, r.close,
+                               r.vol_cents)
+        for r in ohlc_bars(e, ["sym"]).collect()
+    }
+    want = {}
+    day_us = 86_400_000_000
+    by_key = {}
+    for eid, sym, ts, v in rows:
+        us = int((ts - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        by_key.setdefault((sym, us // day_us * day_us), []).append((us, eid, v))
+    for k, evs in by_key.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        want[k] = (len(evs), evs[0][2], max(vals), min(vals), evs[-1][2],
+                   sum(round(v * 100) for v in vals))
+    assert got == want
