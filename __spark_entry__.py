@@ -1751,6 +1751,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ohlc_daily"] = ohlc_daily
 
+    def bitext_pairs(spark, sf_dir):
+        """Margin-based bitext mining (Artetxe & Schwenk; the
+        LASER/CCMatrix miner) across the label-parity split of the
+        embeddings table: mutual best under the kNN-margin score,
+        k=4, min_margin=1.0 (similarity.bitext_margin_pairs)."""
+        from careers_spark.operators.similarity import bitext_margin_pairs
+
+        return bitext_margin_pairs(
+            _t(spark, sf_dir, "embeddings"), side_expr="label % 2", k=4
+        )
+
+    q["bitext_pairs"] = bitext_pairs
+
     return q
 
 
@@ -5246,6 +5259,67 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN rl = 1 THEN v END) AS close,
                CAST(sum(cents) AS BIGINT) AS vol_cents
         FROM r GROUP BY event_type, bkt
+    """
+
+    # bitext_pairs: cosines rounded-6 then fixed-point BIGINT, exact
+    # integer kNN sums, one margin expression with identical text,
+    # mutual best via explicit (margin desc, id asc) row_numbers.
+    _bt_fp = (
+        "CAST(round(round(list_dot_product(xv, yv) / "
+        "(sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))), 6)"
+        " * 1000000, 0) AS BIGINT)"
+    )
+    o["bitext_pairs"] = f"""
+        WITH a AS (SELECT vec_id AS xid, embedding::DOUBLE[] AS xv
+                   FROM embeddings WHERE label % 2 = 0),
+        b AS (SELECT vec_id AS yid, embedding::DOUBLE[] AS yv
+              FROM embeddings WHERE label % 2 = 1),
+        p AS MATERIALIZED (
+          SELECT xid, yid, {_bt_fp} AS fp FROM a CROSS JOIN b
+        ),
+        kx AS (
+          SELECT xid, CAST(sum(fp) AS BIGINT) AS sum_x,
+                 CAST(count(*) AS BIGINT) AS k_x FROM (
+            SELECT *, row_number() OVER (PARTITION BY xid
+                                         ORDER BY fp DESC, yid) AS rk
+            FROM p
+          ) WHERE rk <= 4 GROUP BY xid
+        ),
+        ky AS (
+          SELECT yid, CAST(sum(fp) AS BIGINT) AS sum_y,
+                 CAST(count(*) AS BIGINT) AS k_y FROM (
+            SELECT *, row_number() OVER (PARTITION BY yid
+                                         ORDER BY fp DESC, xid) AS rk
+            FROM p
+          ) WHERE rk <= 4 GROUP BY yid
+        ),
+        m AS MATERIALIZED (
+          SELECT p.xid, p.yid, p.fp,
+                 round(2e0 * CAST(p.fp AS DOUBLE)
+                       / (CAST(sum_x AS DOUBLE) / CAST(k_x AS DOUBLE)
+                          + CAST(sum_y AS DOUBLE) / CAST(k_y AS DOUBLE)),
+                       9) AS margin
+          FROM p JOIN kx ON kx.xid = p.xid JOIN ky ON ky.yid = p.yid
+        ),
+        fwd AS (
+          SELECT xid, yid AS best_y, margin, fp FROM (
+            SELECT *, row_number() OVER (PARTITION BY xid
+                                         ORDER BY margin DESC, yid) AS rk
+            FROM m
+          ) WHERE rk = 1
+        ),
+        bwd AS (
+          SELECT yid, xid AS best_x FROM (
+            SELECT *, row_number() OVER (PARTITION BY yid
+                                         ORDER BY margin DESC, xid) AS rk
+            FROM m
+          ) WHERE rk = 1
+        )
+        SELECT f.xid AS src_id, f.best_y AS dst_id,
+               round(CAST(f.fp AS DOUBLE) / 1000000e0, 6) AS sim,
+               f.margin
+        FROM fwd f JOIN bwd bw ON bw.yid = f.best_y AND bw.best_x = f.xid
+        WHERE f.margin >= 1.0e0
     """
 
     return o

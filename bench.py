@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "entity_closeness",
     "ohlc_daily",
+    "bitext_pairs",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -595,3 +595,117 @@ def hard_negatives(
         vec_col=vec_col,
         max_sim=dup_threshold,
     )
+
+
+def bitext_margin_pairs(
+    embeddings: DataFrame,
+    side_expr: str = "label % 2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    min_margin: float = 1.0,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-corpus miner): across two sides (e.g. two
+    languages), pair x with y when each is the other's best match under
+    the MARGIN score
+
+        margin(x, y) = cos(x, y) / ((avg_kNN(x) + avg_kNN(y)) / 2)
+
+    — raw cosine divided by the average similarity of each vector's
+    k-nearest cross-side neighborhood, which suppresses hubs (vectors
+    close to everything) that plain mutual-cosine-best mining pairs
+    wrongly. Mutuality is required under the margin, not the cosine.
+
+    Determinism: cosines are rounded to 6 then lifted to fixed-point
+    BIGINTs, so the k-neighborhood sums are exact integers in any
+    order; each pair's margin is computed from those integers by one
+    fixed expression and rounded to 9, so ranking and the min_margin
+    cut are engine-identical. Best-per-vector is the algebraic
+    max(struct(margin, -other)) — ties to smaller id; the kNN
+    selection itself ranks (fp desc, other asc).
+
+    Scale: the pair table here is the exact cross-side product —
+    correct at dictionary scale and the correctness oracle for the
+    composed path; at corpus scale feed the same margin/mutuality
+    stages from ANN candidates (lsh_topk / ivf_topk) instead of the
+    cross join, exactly as hard-negative mining already does.
+
+    Output: (src_id, dst_id, sim, margin) — src from side 0, dst from
+    side 1, both mutual margin-bests, margin >= min_margin.
+    """
+    sided = embeddings.withColumn("_side", F.expr(side_expr))
+    a = sided.filter("_side = 0").select(
+        F.col(id_col).alias("xid"), F.col(vec_col).alias("xv")
+    )
+    b = sided.filter("_side = 1").select(
+        F.col(id_col).alias("yid"), F.col(vec_col).alias("yv")
+    )
+    pairs = a.crossJoin(b).select(
+        "xid",
+        "yid",
+        F.expr(
+            f"cast(round(round({_dot('xv', 'yv')} / ({_norm('xv')} * {_norm('yv')}), 6)"
+            " * 1000000, 0) as bigint)"
+        ).alias("fp"),
+    )
+    wx = Window.partitionBy("xid").orderBy(F.desc("fp"), F.asc("yid"))
+    wy = Window.partitionBy("yid").orderBy(F.desc("fp"), F.asc("xid"))
+    kx = (
+        pairs.withColumn("_rk", F.row_number().over(wx))
+        .filter(F.col("_rk") <= k)
+        .groupBy("xid")
+        .agg(F.sum("fp").alias("sum_x"), F.count("*").alias("k_x"))
+    )
+    ky = (
+        pairs.withColumn("_rk", F.row_number().over(wy))
+        .filter(F.col("_rk") <= k)
+        .groupBy("yid")
+        .agg(F.sum("fp").alias("sum_y"), F.count("*").alias("k_y"))
+    )
+    m = (
+        pairs.join(kx, "xid")
+        .join(ky, "yid")
+        .select(
+            "xid",
+            "yid",
+            "fp",
+            F.expr(
+                "round(2e0 * cast(fp as double)"
+                " / (cast(sum_x as double) / cast(k_x as double)"
+                "    + cast(sum_y as double) / cast(k_y as double)), 9)"
+            ).alias("margin"),
+        )
+    )
+    fwd = (
+        m.groupBy("xid")
+        .agg(
+            F.max(
+                F.struct("margin", (-F.col("yid")).alias("ny"), "fp")
+            ).alias("b")
+        )
+        .select(
+            "xid",
+            (-F.col("b.ny")).cast("long").alias("best_y"),
+            F.col("b.margin").alias("margin"),
+            F.col("b.fp").alias("fp"),
+        )
+    )
+    bwd = (
+        m.groupBy("yid")
+        .agg(F.max(F.struct("margin", (-F.col("xid")).alias("nx"))).alias("b"))
+        .select("yid", (-F.col("b.nx")).cast("long").alias("best_x"))
+    )
+    return (
+        fwd.join(
+            bwd,
+            (fwd.best_y == bwd.yid) & (bwd.best_x == fwd.xid),
+        )
+        .filter(F.col("margin") >= min_margin)
+        .select(
+            F.col("xid").alias("src_id"),
+            F.col("yid").alias("dst_id"),
+            F.expr("round(cast(fp as double) / 1000000e0, 6)").alias("sim"),
+            "margin",
+        )
+    )
