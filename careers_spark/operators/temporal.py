@@ -732,7 +732,10 @@ def ohlc_bars(
     min/max over struct((ts_us, tiebreak, value)) orders
     lexicographically by time then tiebreak, so the struct's value
     field IS the first/last value, deterministic under duplicate
-    timestamps, map-side combinable, no window and no sort anywhere.
+    timestamps. No window and no GLOBAL sort anywhere: struct
+    aggregates plan as partial SortAggregate — partition-local sorts
+    that still combine map-side, so the only exchange is the hash
+    shuffle on the grouping key (plan-asserted).
 
     High/low are plain min/max of the raw double (no arithmetic —
     comparing doubles is exact); volume sums ride integer cents (the

@@ -293,3 +293,47 @@ def test_rake_window_is_doc_partitioned(spark):
 
     for spec in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
         assert spec.strip(), plan
+
+
+def test_ohlc_has_no_window_or_global_sort(spark):
+    """OHLC's open/close ride the struct-argmax aggregation — no
+    Window and no range-partitioned (global) sort; the struct
+    min/max plans as partial SortAggregate, whose sorts are
+    partition-local and combine map-side, so the only exchange is
+    the hash shuffle on the grouping key."""
+    from careers_spark.operators.temporal import ohlc_bars
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(ohlc_bars(events, ["event_type"]))
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "PartialMerge" in plan or "partial_" in plan.lower(), plan
+
+
+def test_session7_ops_have_no_cartesian(spark):
+    """Assortativity and reciprocal-best keep equi-join shapes (the
+    bitext miner's cross-side product is its DOCUMENTED exact path, so
+    it is exempt by design)."""
+    from careers_spark.operators.dedup import reciprocal_best_pairs
+    from careers_spark.operators.graph import assortativity
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    for df in (assortativity(edges), reciprocal_best_pairs(docs)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pii_scrub_is_pure_map(spark):
+    """PII scrubbing is one project over the scan: no Exchange, no
+    Join, no aggregation anywhere in the executed plan."""
+    from careers_spark.operators.privacy import pii_scrub
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pii_scrub(docs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Aggregate" not in plan, plan
