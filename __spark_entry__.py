@@ -1764,6 +1764,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bitext_pairs"] = bitext_pairs
 
+    def deepwalk_walks(spark, sf_dir):
+        """DeepWalk corpus over the min_obs=35 entity graph
+        (graph.deepwalk_corpus): 2 derandomized uniform walks of
+        length 6 from every node, md5-indexed neighbor picks over a
+        pinned per-node adjacency order."""
+        from careers_spark.operators.graph import deepwalk_corpus
+
+        return deepwalk_corpus(
+            _entity_edges(spark, sf_dir, 35), n_walks=2, walk_len=6
+        )
+
+    q["deepwalk_walks"] = deepwalk_walks
+
     return q
 
 
@@ -5321,5 +5334,62 @@ def oracle_sql() -> dict[str, str]:
         FROM fwd f JOIN bwd bw ON bw.yid = f.best_y AND bw.best_x = f.xid
         WHERE f.margin >= 1.0e0
     """
+
+    # deepwalk_walks: the walk loop unrolled 6 steps — each step is a
+    # degree lookup + an indexed-adjacency equi-join with the neighbor
+    # index drawn by the shared md5 family on (start|j|t|salt); the
+    # per-node adjacency order is the same row_number both engines pin.
+    _dw_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        bidir AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM e
+            UNION ALL SELECT dst, src FROM e
+          )
+        ),
+        adj AS MATERIALIZED (
+          SELECT u, v,
+                 row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS nbr_idx
+          FROM bidir
+        ),
+        dg AS MATERIALIZED (
+          SELECT u, CAST(count(*) AS BIGINT) AS deg FROM bidir GROUP BY u
+        ),
+        w0 AS MATERIALIZED (
+          SELECT u AS start, j, u AS cur
+          FROM dg CROSS JOIN (SELECT unnest([0, 1]) AS j)
+        )"""
+    ]
+    for _t_ in range(1, 7):
+        _dw_key = (
+            f"s.start || '|' || CAST(s.j AS VARCHAR) || '|' || '{_t_}'"
+            " || '|' || 'walk'"
+        )
+        _dw_chain.append(
+            f"""w{_t_} AS MATERIALIZED (
+          SELECT s.start, s.j, a.v AS cur
+          FROM w{_t_ - 1} s
+          JOIN dg d ON d.u = s.cur
+          JOIN adj a ON a.u = s.cur
+           AND a.nbr_idx = ({_DUCK_H64.format(c=_dw_key)} % d.deg)
+        )"""
+        )
+    o["deepwalk_walks"] = (
+        "WITH "
+        + ",\n".join(_dw_chain)
+        + "\n"
+        + "\nUNION ALL ".join(
+            f"SELECT start, j, {_t_} AS step, cur AS node FROM w{_t_}"
+            for _t_ in range(0, 7)
+        )
+    )
 
     return o

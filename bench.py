@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "entity_closeness",
     "ohlc_daily",
     "bitext_pairs",
+    "deepwalk_walks",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

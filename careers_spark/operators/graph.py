@@ -743,3 +743,95 @@ def closeness_centrality(
             "round(cast(n_reach - 1 as double) / cast(sum_d as double), 9) end"
         ).alias("closeness"),
     )
+
+
+def deepwalk_corpus(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_walks: int = 2,
+    walk_len: int = 6,
+    salt: str = "walk",
+) -> DataFrame:
+    """DeepWalk random-walk corpus generation (Perozzi et al. 2014;
+    node2vec at p=q=1) — the sentence-corpus prep step of every
+    skip-gram graph-embedding pipeline: fixed-length uniform random
+    walks from every node, emitted as flat (start, j, step, node) rows
+    ready to window into skip-gram pairs.
+
+    The walk is DERANDOMIZED the way every sampler in this repo is
+    (negative_samples, stratified_hash_sample): step t of walk (start,
+    j) picks neighbor index  md5(start|j|t|salt) mod deg(cur)  over a
+    per-node neighbor ordering pinned by a row_number window
+    (partition by node, order by neighbor) — reproducible across runs,
+    engines, and parallelism, re-seedable by salt, and oracle-able as
+    a fixed unroll. The step index in the key means revisiting a node
+    later in the same walk draws a fresh index, as a real sampler
+    would.
+
+    Physical shape: the adjacency index is built once (one partitioned
+    window over the edge list — per-node partitions, never global);
+    each step is two equi-joins (degree lookup + indexed-neighbor
+    lookup) over a state table of n_nodes x n_walks rows, constant in
+    walk length. No inequality joins, no Python, no driver loop state
+    beyond the fixed step count.
+
+    Output: (start, j, step, node) — step 0 is the start node itself;
+    isolated nodes (absent from the edge list) produce no walks.
+    """
+    from pyspark.sql import Window
+
+    from careers_spark.operators.dedup import _hash64_expr
+
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    adj = bidir.withColumn(
+        "nbr_idx",
+        F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1,
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    state = (
+        deg.select(F.col("u").alias("start"))
+        .withColumn("j", F.explode(F.expr(f"sequence(0, {int(n_walks) - 1})")))
+        .withColumn("j", F.col("j").cast("int"))
+        .withColumn("cur", F.col("start"))
+    )
+    steps = [
+        state.select(
+            "start", "j", F.lit(0).alias("step"), F.col("cur").alias("node")
+        )
+    ]
+    for t in range(1, int(walk_len) + 1):
+        keyed = (
+            "concat(cast(start as string), '|', cast(j as string), '|', "
+            f"'{t}', '|', '{salt}')"
+        )
+        state = (
+            state.join(deg, state.cur == deg.u)
+            .withColumn("pick", F.expr(f"{_hash64_expr(keyed)} % deg"))
+            .join(
+                adj.select(
+                    F.col("u").alias("_au"),
+                    F.col("v").alias("_av"),
+                    "nbr_idx",
+                ),
+                (F.col("cur") == F.col("_au"))
+                & (F.col("pick") == F.col("nbr_idx")),
+            )
+            .select("start", "j", F.col("_av").alias("cur"))
+        )
+        steps.append(
+            state.select(
+                "start",
+                "j",
+                F.lit(t).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.union(s)
+    return out

@@ -493,3 +493,81 @@ def test_closeness_raises_without_fixpoint_budget(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         closeness_centrality(e, max_iter=3)
+
+
+def _py_deepwalk(edges, n_walks, walk_len, salt):
+    import hashlib
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    adj = {u: sorted(vs) for u, vs in adj.items()}
+    rows = set()
+    for start in adj:
+        for j in range(n_walks):
+            cur = start
+            rows.add((start, j, 0, cur))
+            for t in range(1, walk_len + 1):
+                key = f"{start}|{j}|{t}|{salt}"
+                h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+                cur = adj[cur][h % len(adj[cur])]
+                rows.add((start, j, t, cur))
+    return rows
+
+
+def test_deepwalk_matches_python_lockstep(spark):
+    from careers_spark.operators.graph import deepwalk_corpus
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (2, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.start, r.j, r.step, r.node)
+        for r in deepwalk_corpus(e, n_walks=2, walk_len=5).collect()
+    }
+    assert got == _py_deepwalk(edges, 2, 5, "walk")
+
+
+def test_deepwalk_steps_are_edges_and_shape(spark):
+    from careers_spark.operators.graph import deepwalk_corpus
+
+    import random
+
+    rng = random.Random(13)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(9), 2))) for _ in range(14)}
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = deepwalk_corpus(e, n_walks=3, walk_len=4).collect()
+    und = {frozenset(p) for p in edges}
+    nodes = {x for p in edges for x in p}
+    # shape: every (reachable) node starts n_walks walks of walk_len+1
+    assert len(rows) == len(nodes) * 3 * 5
+    # every consecutive step is a real edge
+    walks = {}
+    for r in rows:
+        walks.setdefault((r.start, r.j), {})[r.step] = r.node
+    for (start, _), path in walks.items():
+        assert path[0] == start
+        for t in range(1, 5):
+            assert frozenset((path[t - 1], path[t])) in und, (start, path)
+
+
+def test_deepwalk_salt_reseeds(spark):
+    from careers_spark.operators.graph import deepwalk_corpus
+
+    edges = [(i, i + 1) for i in range(8)] + [(0, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = {
+        (r.start, r.j, r.step, r.node)
+        for r in deepwalk_corpus(e, salt="a").collect()
+    }
+    b = {
+        (r.start, r.j, r.step, r.node)
+        for r in deepwalk_corpus(e, salt="b").collect()
+    }
+    a2 = {
+        (r.start, r.j, r.step, r.node)
+        for r in deepwalk_corpus(e, salt="a").collect()
+    }
+    assert a == a2 and a != b
