@@ -1777,6 +1777,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["deepwalk_walks"] = deepwalk_walks
 
+    def skipgram_counts(spark, sf_dir):
+        """Skip-gram (center, context) pair counts over the deepwalk
+        corpus — word2vec/SGNS training input; the +-2 window is an
+        offset-explode EQUI-join, never an inequality join
+        (graph.skipgram_pairs)."""
+        from careers_spark.operators.graph import (
+            deepwalk_corpus,
+            skipgram_pairs,
+        )
+
+        walks = deepwalk_corpus(
+            _entity_edges(spark, sf_dir, 35), n_walks=2, walk_len=6
+        )
+        return skipgram_pairs(walks, window=2)
+
+    q["skipgram_counts"] = skipgram_counts
+
     return q
 
 
@@ -5391,5 +5408,21 @@ def oracle_sql() -> dict[str, str]:
             for _t_ in range(0, 7)
         )
     )
+
+    # skipgram_counts: the walk oracle nested verbatim; the +-2 window
+    # is an offset unnest + equi-join on (start, j, step + off) —
+    # boundary offsets find no partner, word2vec's truncated window.
+    o["skipgram_counts"] = f"""
+        WITH walks AS MATERIALIZED ({o["deepwalk_walks"]}),
+        l AS (
+          SELECT start, j, step, node AS center, off
+          FROM walks CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS off)
+        )
+        SELECT l.center, r.node AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM l JOIN walks r
+          ON r.start = l.start AND r.j = l.j AND r.step = l.step + l.off
+        GROUP BY 1, 2
+    """
 
     return o

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "ohlc_daily",
     "bitext_pairs",
     "deepwalk_walks",
+    "skipgram_counts",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

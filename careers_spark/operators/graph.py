@@ -835,3 +835,41 @@ def deepwalk_corpus(
     for s in steps[1:]:
         out = out.union(s)
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts from a walk corpus —
+    the step that turns `deepwalk_corpus` output into word2vec/SGNS
+    training data (DeepWalk sec. 4.2; identical to text skip-grams
+    with walks as sentences).
+
+    The +-window co-occurrence is NOT an inequality join: each walk
+    row explodes its non-zero offsets in [-window, window] and the
+    context is fetched by an EQUI-join on (start, j, step + offset) —
+    walk-boundary offsets simply find no partner (inner join), which
+    is exactly the truncated-window semantics word2vec uses at
+    sentence edges. One join + one count groupBy; everything integer.
+
+    Input: (start, j, step, node) as produced by deepwalk_corpus.
+    Output: (center, context, n_pairs) — directed (the pair (a, b)
+    from a's perspective and (b, a) from b's are separate rows, as in
+    word2vec); n_pairs sums over all walks and offsets.
+    """
+    offs = [o for o in range(-int(window), int(window) + 1) if o != 0]
+    left = walks.select(
+        "start",
+        "j",
+        "step",
+        F.col("node").alias("center"),
+        F.explode(F.array(*[F.lit(o) for o in offs])).alias("off"),
+    ).withColumn("t_step", F.col("step") + F.col("off"))
+    right = walks.select(
+        "start", "j", F.col("step").alias("t_step"), F.col("node").alias("context")
+    )
+    return (
+        left.join(right, ["start", "j", "t_step"])
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+    )

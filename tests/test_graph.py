@@ -571,3 +571,58 @@ def test_deepwalk_salt_reseeds(spark):
         for r in deepwalk_corpus(e, salt="a").collect()
     }
     assert a == a2 and a != b
+
+
+def test_skipgram_pairs_hand_golden(spark):
+    from careers_spark.operators.graph import skipgram_pairs
+
+    # one walk a-b-c-d, window 1: adjacent pairs only, both directions
+    rows = [(9, 0, t, n) for t, n in enumerate(["a", "b", "c", "d"])]
+    w = spark.createDataFrame(rows, "start long, j int, step int, node string")
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(w, window=1).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1, ("c", "b"): 1,
+        ("c", "d"): 1, ("d", "c"): 1,
+    }
+
+
+def test_skipgram_pairs_window_and_boundaries(spark):
+    from careers_spark.operators.graph import skipgram_pairs
+
+    # window 2 over a-b-c: ends see 2 contexts, middle sees 2; a repeat
+    # node accumulates counts rather than deduping
+    rows = [(1, 0, 0, "a"), (1, 0, 1, "b"), (1, 0, 2, "a")]
+    w = spark.createDataFrame(rows, "start long, j int, step int, node string")
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(w, window=2).collect()
+    }
+    # center a (step0): contexts b, a(step2); center b: a, a; center
+    # a (step2): b, a(step0)
+    assert got == {("a", "b"): 2, ("a", "a"): 2, ("b", "a"): 2}
+
+
+def test_skipgram_matches_python_on_walk_corpus(spark):
+    from careers_spark.operators.graph import deepwalk_corpus, skipgram_pairs
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (2, 5), (4, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    walks = deepwalk_corpus(e, n_walks=2, walk_len=4)
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    paths = {}
+    for r in walks.collect():
+        paths.setdefault((r.start, r.j), {})[r.step] = r.node
+    want = {}
+    for path in paths.values():
+        for t, c in path.items():
+            for o in (-2, -1, 1, 2):
+                if t + o in path:
+                    k = (c, path[t + o])
+                    want[k] = want.get(k, 0) + 1
+    assert got == want
