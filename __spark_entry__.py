@@ -1794,6 +1794,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skipgram_counts"] = skipgram_counts
 
+    def entity_betweenness(spark, sf_dir):
+        """Brandes betweenness over the min_obs=35 entity graph
+        (graph.betweenness_centrality): exact integer path counts,
+        fixed-point dependency accumulation (scale 1e9), undirected
+        halving; max_depth=10 matches the oracle's unroll and RAISES
+        on deeper graphs."""
+        from careers_spark.operators.graph import betweenness_centrality
+
+        return betweenness_centrality(
+            _entity_edges(spark, sf_dir, 35), max_depth=10
+        )
+
+    q["entity_betweenness"] = entity_betweenness
+
     return q
 
 
@@ -5424,5 +5438,91 @@ def oracle_sql() -> dict[str, str]:
           ON r.start = l.start AND r.j = l.j AND r.step = l.step + l.off
         GROUP BY 1, 2
     """
+
+    # entity_betweenness: Brandes unrolled — 10 forward BFS levels
+    # carrying exact integer sigma (sum of predecessor sigmas at the
+    # discovery level, anti-joined against already-discovered pairs),
+    # then 10 backward dependency levels in the same fixed-point
+    # integer arithmetic as the Spark side (floor division on positive
+    # operands is identical in both engines). Rounds past convergence
+    # add nothing: forward finds no new pairs, backward levels are
+    # empty.
+    _bw_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        bidir AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM e
+            UNION ALL SELECT dst, src FROM e
+          )
+        ),
+        f0 AS MATERIALIZED (
+          SELECT DISTINCT u AS s, u AS n, CAST(0 AS BIGINT) AS d,
+                 CAST(1 AS BIGINT) AS sigma
+          FROM bidir
+        )"""
+    ]
+    for _t_ in range(1, 11):
+        _bw_chain.append(
+            f"""f{_t_} AS MATERIALIZED (
+          SELECT s, n, d, sigma FROM f{_t_ - 1}
+          UNION ALL
+          SELECT c.s, c.n, CAST({_t_} AS BIGINT) AS d, c.sigma
+          FROM (
+            SELECT f.s, b.v AS n, CAST(sum(f.sigma) AS BIGINT) AS sigma
+            FROM f{_t_ - 1} f JOIN bidir b ON b.u = f.n
+            WHERE f.d = {_t_ - 1}
+            GROUP BY f.s, b.v
+          ) c
+          LEFT JOIN f{_t_ - 1} p ON p.s = c.s AND p.n = c.n
+          WHERE p.s IS NULL
+        )"""
+        )
+    _bw_chain.append(
+        """g10 AS MATERIALIZED (
+          SELECT s, n, d, sigma, CAST(0 AS BIGINT) AS dfp
+          FROM f10 WHERE d = 10
+        )"""
+    )
+    for _lev in range(10, 0, -1):
+        _bw_chain.append(
+            f"""g{_lev - 1} AS MATERIALIZED (
+          SELECT s, n, d, sigma, dfp FROM g{_lev}
+          UNION ALL
+          SELECT p.s, p.n, p.d, p.sigma,
+                 CAST(coalesce(c.dfp, 0) AS BIGINT) AS dfp
+          FROM (SELECT * FROM f10 WHERE d = {_lev - 1}) p
+          LEFT JOIN (
+            SELECT p2.s, p2.n,
+                   CAST(sum(p2.sigma * (1000000000 + u.dfp) // u.sigma)
+                        AS BIGINT) AS dfp
+            FROM (SELECT * FROM f10 WHERE d = {_lev - 1}) p2
+            JOIN bidir b ON b.u = p2.n
+            JOIN (SELECT * FROM g{_lev} WHERE d = {_lev}) u
+              ON u.s = p2.s AND u.n = b.v
+            GROUP BY p2.s, p2.n
+          ) c ON c.s = p.s AND c.n = p.n
+        )"""
+        )
+    o["entity_betweenness"] = (
+        "WITH "
+        + ",\n".join(_bw_chain)
+        + """
+        SELECT n AS node,
+               CAST(coalesce(sum(CASE WHEN s <> n THEN dfp END), 0)
+                    AS BIGINT) AS bc_fp,
+               round(CAST(coalesce(sum(CASE WHEN s <> n THEN dfp END), 0)
+                          AS DOUBLE) / (2e0 * 1000000000e0), 6)
+                 AS betweenness
+        FROM g0 GROUP BY n
+    """
+    )
 
     return o

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "bitext_pairs",
     "deepwalk_walks",
     "skipgram_counts",
+    "entity_betweenness",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -873,3 +873,142 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 10,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Betweenness centrality by a distributed Brandes (2001) — the
+    broker/bottleneck score completing the centrality family: which
+    entities the shortest paths flow THROUGH (PageRank/closeness say
+    who is important/central; betweenness says who is irreplaceable).
+
+    Forward pass: the multi-source BFS of `closeness_centrality`
+    extended with shortest-path COUNTS — sigma(s, v) is the integer
+    sum of predecessor sigmas at discovery level, exact in any order.
+
+    Backward pass: Brandes' dependency accumulation
+    delta(v) += sigma_v / sigma_w * (1 + delta(w)) runs level-by-level
+    inward, in FIXED-POINT: delta is a BIGINT scaled by ``scale`` and
+    each contribution is  sigma_v * (scale + delta_fp(w)) div sigma_w
+    — integer division, so every sum is order-free and both engines
+    truncate identically; the result matches float Brandes to ~1/scale
+    per level (goldens pin exact small-graph values, the lockstep test
+    pins the fixed-point arithmetic itself). A level is one equi-join
+    between adjacent BFS levels + one algebraic sum — never a global
+    sort.
+
+    Overflow guard: a contribution is bounded by
+    max_sigma * scale * (1 + max_delta/scale) <= max_sigma * scale *
+    n_nodes; the operator RAISES if max_sigma * n_nodes could overflow
+    int64 against ``scale`` rather than wrapping silently.
+
+    Like closeness, state is O(reachable pairs) — intended for
+    thresholded, vocabulary-bounded entity graphs; sampling sources is
+    the documented approximation path at larger node counts.
+
+    Output: (node, bc_fp, betweenness) — bc_fp the exact BIGINT
+    fixed-point sum over sources, betweenness = bc_fp / (2 * scale)
+    rounded to 6 (undirected halving).
+    """
+    from pyspark.sql import Window as _W  # noqa: F401  (parity with siblings)
+
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = bidir.select(F.col("u").alias("node")).distinct()
+    dist = nodes.select(
+        F.col("node").alias("s"),
+        F.col("node").alias("n"),
+        F.lit(0).cast("long").alias("d"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    max_lev = 0
+    for t in range(1, max_depth + 1):
+        cand = (
+            frontier.join(bidir, frontier.n == bidir.u)
+            .select("s", F.col("v").alias("n"), "sigma")
+        )
+        nxt = (
+            cand.join(dist.select("s", "n"), ["s", "n"], "left_anti")
+            .groupBy("s", "n")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("s", "n", F.lit(t).cast("long").alias("d"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        max_lev = t
+    else:
+        raise RuntimeError(
+            f"betweenness_centrality: BFS did not converge within "
+            f"max_depth={max_depth}; refusing truncated dependencies"
+        )
+    stats = dist.agg(
+        F.max("sigma").alias("ms"), F.countDistinct("n").alias("nn")
+    ).collect()[0]
+    if stats.ms * stats.nn > (2**62) // scale:
+        raise RuntimeError(
+            "betweenness_centrality: sigma * n_nodes would overflow the "
+            f"fixed-point range at scale={scale}; reduce scale or sample "
+            "sources"
+        )
+    # backward: delta finalized level-by-level inward; levels join only
+    # with the level above, so each (s, n) delta is written exactly once
+    delta = (
+        dist.filter(F.col("d") == max_lev)
+        .select("s", "n", "d", "sigma", F.lit(0).cast("long").alias("dfp"))
+        .localCheckpoint(eager=True)
+    )
+    for lev in range(max_lev, 0, -1):
+        upper = delta.filter(F.col("d") == lev).select(
+            F.col("s").alias("_s"),
+            F.col("n").alias("_w"),
+            F.col("sigma").alias("_sw"),
+            F.col("dfp").alias("_dw"),
+        )
+        prev = dist.filter(F.col("d") == lev - 1)
+        contrib = (
+            prev.join(bidir, prev.n == bidir.u)
+            .join(
+                upper,
+                (F.col("s") == F.col("_s")) & (F.col("v") == F.col("_w")),
+            )
+            .select(
+                "s",
+                "n",
+                F.expr(f"sigma * ({scale} + _dw) div _sw").alias("c"),
+            )
+            .groupBy("s", "n")
+            .agg(F.sum("c").alias("dfp"))
+        )
+        newrows = (
+            prev.join(contrib, ["s", "n"], "left")
+            .select(
+                "s", "n", "d", "sigma",
+                F.coalesce("dfp", F.lit(0)).cast("long").alias("dfp"),
+            )
+        )
+        delta = delta.union(newrows).localCheckpoint(eager=True)
+    per = (
+        delta.filter(F.col("s") != F.col("n"))
+        .groupBy(F.col("n").alias("node"))
+        .agg(F.sum("dfp").alias("bc_fp"))
+    )
+    return nodes.join(per, "node", "left").select(
+        "node",
+        F.coalesce("bc_fp", F.lit(0)).cast("long").alias("bc_fp"),
+        F.expr(
+            f"round(cast(coalesce(bc_fp, 0) as double) / (2e0 * {scale}e0), 6)"
+        ).alias("betweenness"),
+    )

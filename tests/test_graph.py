@@ -626,3 +626,109 @@ def test_skipgram_matches_python_on_walk_corpus(spark):
                     k = (c, path[t + o])
                     want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def _py_betweenness(edges, scale=1_000_000_000):
+    """Fixed-point Brandes replicating the operator's integer
+    arithmetic exactly (BFS sigma, level-inward delta, floor div)."""
+    from collections import deque
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    bc = {n: 0 for n in adj}
+    for s in adj:
+        d = {s: 0}
+        sigma = {s: 1}
+        q = deque([s])
+        order = [s]
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in d:
+                    d[y] = d[x] + 1
+                    q.append(y)
+                    order.append(y)
+        for y in order:
+            if y == s:
+                continue
+            sigma[y] = sum(
+                sigma[p] for p in adj[y] if d.get(p) == d[y] - 1
+            )
+        dfp = {n: 0 for n in d}
+        for n in sorted(d, key=lambda x: -d[x]):
+            dfp[n] = sum(
+                sigma[n] * (scale + dfp[w]) // sigma[w]
+                for w in adj[n]
+                if d.get(w) == d[n] + 1
+            )
+        for n, v in dfp.items():
+            if n != s:
+                bc[n] += v
+    return {
+        n: (v, round(v / (2 * scale), 6)) for n, v in bc.items()
+    }
+
+
+def test_betweenness_path_and_star(spark):
+    from careers_spark.operators.graph import betweenness_centrality
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r.node: r.betweenness for r in betweenness_centrality(path).collect()
+    }
+    assert got == {1: 0.0, 2: 1.0, 3: 0.0}
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    got = {
+        r.node: r.betweenness for r in betweenness_centrality(star).collect()
+    }
+    assert got == {0: 3.0, 1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_betweenness_complete_graph_is_zero(spark):
+    from careers_spark.operators.graph import betweenness_centrality
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.betweenness for r in betweenness_centrality(k4).collect()
+    }
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_betweenness_matches_python_on_random_graphs(spark):
+    from careers_spark.operators.graph import betweenness_centrality
+
+    import random
+
+    rng = random.Random(17)
+    for trial in range(3):
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(9), 2))) for _ in range(12)}
+        )
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: (r.bc_fp, r.betweenness)
+            for r in betweenness_centrality(e).collect()
+        }
+        assert got == _py_betweenness(edges), trial
+
+
+def test_betweenness_diamond_split_paths(spark):
+    from careers_spark.operators.graph import betweenness_centrality
+
+    # 1-2, 1-3, 2-4, 3-4: two equal shortest paths 1->4 split the
+    # dependency — bc(2) = bc(3) = 0.5 each (sigma division exercised)
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r.node: r.betweenness for r in betweenness_centrality(e).collect()
+    }
+    assert got == {1: 0.5, 2: 0.5, 3: 0.5, 4: 0.5}
