@@ -1808,6 +1808,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_betweenness"] = entity_betweenness
 
+    def source_kl_divergence(spark, sf_dir):
+        """Per-source unigram KL divergence from the corpus token
+        distribution — feed-drift diagnostic; fixed-point ln
+        contributions, exact integer sums (textstats.source_kl)."""
+        return TS.source_kl(_t(spark, sf_dir, "documents"))
+
+    q["source_kl_divergence"] = source_kl_divergence
+
     return q
 
 
@@ -5524,5 +5532,42 @@ def oracle_sql() -> dict[str, str]:
         FROM g0 GROUP BY n
     """
     )
+
+    # source_kl_divergence: per-term ln rounded to 6 (the tfidf
+    # ln-lockstep recipe) then 1e6 fixed-point BIGINT times the
+    # integer count — order-free sums, one final division.
+    o["source_kl_divergence"] = f"""
+        WITH tok AS (
+          SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        per AS MATERIALIZED (
+          SELECT source, tok, CAST(count(*) AS BIGINT) AS c_s
+          FROM tok GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s,
+                 CAST(count(*) AS BIGINT) AS n_terms
+          FROM per GROUP BY source
+        ),
+        corp AS (
+          SELECT tok, CAST(sum(c_s) AS BIGINT) AS c_all FROM per GROUP BY tok
+        ),
+        na AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_all FROM per),
+        contrib AS (
+          SELECT p.source, t.n_s, t.n_terms,
+                 p.c_s * CAST(round(round(ln(CAST(p.c_s AS DOUBLE)
+                     * CAST(na.n_all AS DOUBLE)
+                     / (CAST(t.n_s AS DOUBLE) * CAST(c.c_all AS DOUBLE))), 6)
+                     * 1000000, 0) AS BIGINT) AS fp
+          FROM per p
+          JOIN tot t ON t.source = p.source
+          JOIN corp c ON c.tok = p.tok
+          CROSS JOIN na
+        )
+        SELECT source, n_s AS n_tokens, n_terms,
+               round(CAST(sum(fp) AS DOUBLE)
+                     / (CAST(n_s AS DOUBLE) * 1000000e0), 6) AS kl
+        FROM contrib GROUP BY source, n_s, n_terms
+    """
 
     return o

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "deepwalk_walks",
     "skipgram_counts",
     "entity_betweenness",
+    "source_kl_divergence",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

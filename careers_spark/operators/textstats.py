@@ -841,3 +841,69 @@ def term_index_summary(documents: DataFrame, min_df: int = 5) -> DataFrame:
             F.col("_top.tf").alias("top_tf"),
         )
     )
+
+
+def source_kl(documents: DataFrame, strata: str = "source") -> DataFrame:
+    """Per-source unigram KL divergence from the whole-corpus token
+    distribution — the drift/contamination diagnostic for multi-feed
+    corpora ("which crawl feed stopped looking like the corpus"), the
+    distributional complement of `source_reputation`'s quality view:
+
+        KL(P_s || Q) = sum_t p_t ln(p_t / q_t),   p = in-source freq,
+                                                  q = corpus freq
+
+    Exactness: with integer counts, KL = (1/n_s) * sum_t c_st *
+    ln(ratio_t) where ratio = (c_st * N) / (n_s * c_t). The ln is
+    applied once per (source, term), rounded to 6 (the tfidf-pinned
+    ln-lockstep recipe), lifted to a 1e6 fixed-point BIGINT and
+    multiplied by the integer count — so the sum over terms is exact
+    in any order and the one final division is engine-identical.
+    Terms absent from a source contribute 0 (their p_t is 0); every
+    source term exists in the corpus, so q_t > 0 always.
+
+    Physical shape: one token explode, one (strata, term) groupBy
+    (partial-agg), then broadcast joins against the vocabulary-sized
+    corpus table and two 1-row/stratum aggregates. No windows.
+
+    Output: (<strata>, n_tokens, n_terms, kl).
+    """
+    from careers_spark.operators.dedup import tokens_col
+
+    tok = documents.select(
+        F.col(strata), F.explode(tokens_col("text")).alias("tok")
+    )
+    per = tok.groupBy(strata, "tok").agg(F.count("*").alias("c_s"))
+    totals = per.groupBy(strata).agg(
+        F.sum("c_s").alias("n_s"), F.count("*").alias("n_terms")
+    )
+    corpus = per.groupBy("tok").agg(F.sum("c_s").alias("c_all"))
+    n_all = per.agg(F.sum("c_s").alias("n_all"))
+    contrib = (
+        per.join(totals, strata)
+        .join(F.broadcast(corpus), "tok")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            strata,
+            "n_s",
+            "n_terms",
+            F.expr(
+                "c_s * cast(round(round(ln(cast(c_s as double)"
+                " * cast(n_all as double)"
+                " / (cast(n_s as double) * cast(c_all as double))), 6)"
+                " * 1000000, 0) as bigint)"
+            ).alias("fp"),
+        )
+    )
+    return (
+        contrib.groupBy(strata, "n_s", "n_terms")
+        .agg(F.sum("fp").alias("sum_fp"))
+        .select(
+            strata,
+            F.col("n_s").alias("n_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.expr(
+                "round(cast(sum_fp as double)"
+                " / (cast(n_s as double) * 1000000e0), 6)"
+            ).alias("kl"),
+        )
+    )

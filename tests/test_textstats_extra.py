@@ -2,6 +2,7 @@
 
 import math
 
+import pandas as pd
 import pytest
 
 from careers_spark.operators.textstats import (
@@ -158,3 +159,78 @@ def test_unigram_logloss_python_lockstep(spark):
     assert got == want
     assert got[3][1] == max(v[1] for v in got.values())
     assert got[4][1] == min(v[1] for v in got.values())
+
+
+def _py_source_kl(docs):
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r(x, nd):
+        return float(
+            Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP)
+        )
+
+    per = {}
+    for src, text in docs:
+        for t in re.findall(r"[a-z0-9]+", text.lower()):
+            per[(src, t)] = per.get((src, t), 0) + 1
+    n_s, n_terms, c_all = {}, {}, {}
+    for (s, t), c in per.items():
+        n_s[s] = n_s.get(s, 0) + c
+        n_terms[s] = n_terms.get(s, 0) + 1
+        c_all[t] = c_all.get(t, 0) + c
+    n_all = sum(c_all.values())
+    out = {}
+    for s in n_s:
+        fp = sum(
+            c * int(r(r(math.log(c * n_all / (n_s[s] * c_all[t])), 6) * 1e6, 0))
+            for (s2, t), c in per.items()
+            if s2 == s
+        )
+        out[s] = (n_s[s], n_terms[s], r(fp / (n_s[s] * 1e6), 6))
+    return out
+
+
+def test_source_kl_identical_distribution_is_zero(spark):
+    from careers_spark.operators.textstats import source_kl
+
+    # both sources emit the same multiset of tokens -> p == q -> KL 0
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "source": ["a", "b"],
+                "text": ["x x y z", "x x y z"],
+            }
+        )
+    )
+    got = {r.source: r.kl for r in source_kl(docs).collect()}
+    assert got == {"a": 0.0, "b": 0.0}
+
+
+def test_source_kl_matches_python_lockstep(spark):
+    from careers_spark.operators.textstats import source_kl
+
+    rows = [
+        ("a", "x x x y"),
+        ("a", "y z"),
+        ("b", "z z z w w q"),
+        ("c", "x y z w"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "source": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        )
+    )
+    got = {
+        r.source: (r.n_tokens, r.n_terms, r.kl)
+        for r in source_kl(docs).collect()
+    }
+    assert got == _py_source_kl(rows)
+    # the skewed source diverges more than the near-uniform one
+    assert got["b"][2] > got["c"][2] >= 0.0
