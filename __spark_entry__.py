@@ -1816,6 +1816,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_kl_divergence"] = source_kl_divergence
 
+    def sq8_ann_topk(spark, sf_dir):
+        """SQ8 scalar-quantized nearest neighbors (faiss SQ8 path):
+        per-dim [0,255] codes against corpus min/max, EXACT integer
+        squared-code distances, ties to smaller id
+        (similarity.sq8_topk)."""
+        from careers_spark.operators.similarity import sq8_topk
+
+        return sq8_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+    q["sq8_ann_topk"] = sq8_ann_topk
+
     return q
 
 
@@ -5568,6 +5579,40 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(fp) AS DOUBLE)
                      / (CAST(n_s AS DOUBLE) * 1000000e0), 6) AS kl
         FROM contrib GROUP BY source, n_s, n_terms
+    """
+
+    # sq8_ann_topk: the same affine quantization stated relationally
+    # (per-dim rows via WITH ORDINALITY), then EXACT integer code
+    # distances — the only double expression is the quantization
+    # itself, identical text; everything downstream is BIGINT.
+    o["sq8_ann_topk"] = """
+        WITH pd AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        ),
+        st AS MATERIALIZED (
+          SELECT d, min(v) AS mn, max(v) AS mx FROM pd GROUP BY d
+        ),
+        code AS MATERIALIZED (
+          SELECT pd.vec_id, pd.d,
+                 CAST(round(CASE WHEN st.mx = st.mn THEN 0e0
+                            ELSE (pd.v - st.mn) / (st.mx - st.mn) * 255e0
+                            END, 0) AS BIGINT) AS c
+          FROM pd JOIN st ON st.d = pd.d
+        ),
+        dist AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 CAST(sum((q.c - n.c) * (q.c - n.c)) AS BIGINT) AS qdist
+          FROM (SELECT * FROM code WHERE vec_id % 50 = 0) q
+          JOIN code n ON n.d = q.d AND n.vec_id <> q.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, qdist, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qdist, neighbor_id) AS rk
+          FROM dist
+        ) WHERE rk <= 5
     """
 
     return o

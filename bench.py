@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "skipgram_counts",
     "entity_betweenness",
     "source_kl_divergence",
+    "sq8_ann_topk",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

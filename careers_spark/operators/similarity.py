@@ -709,3 +709,86 @@ def bitext_margin_pairs(
             "margin",
         )
     )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) nearest neighbors — the faiss
+    ScalarQuantizer path: each dimension is affinely mapped to an
+    integer code in [0, 255] against per-dimension corpus min/max, and
+    search ranks by squared L2 over the CODES. A float32 corpus
+    shrinks 4x and, more importantly here, the distance becomes a sum
+    of integer squares — EXACT in any order, so ranking is
+    deterministic across engines and parallelism with no rounding
+    recipe needed at all (the one double expression is the
+    quantization itself, identical text in both engines).
+
+    Physical shape: per-dim min/max from one posexplode + groupBy over
+    the corpus (dim-sized result, broadcast back as two aligned
+    arrays); codes via one indexed transform (no shuffle); the
+    query x corpus scan is the exact-path cross join like
+    brute_force_topk — feed candidates from lsh/ivf at corpus scale.
+    Quantization error makes this an APPROXIMATION of float cosine/L2
+    ranking (that is the point of SQ8) — the operator's own ranking is
+    exact and oracle-checkable; recall vs the float baseline is the
+    ann_recall-style measurement, not a correctness property.
+
+    Output: (query_id, neighbor_id, qdist, rk) — qdist the exact
+    BIGINT squared code distance, ties to smaller neighbor id.
+    """
+    dims = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("d", "v")
+    ).groupBy("d").agg(
+        F.min(F.col("v").cast("double")).alias("mn"),
+        F.max(F.col("v").cast("double")).alias("mx"),
+    )
+    stats = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, mn))), s -> s.mn)"
+        ).alias("mn_arr"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)"
+        ).alias("mx_arr"),
+    )
+    quant = (
+        "transform({col}, (x, i) -> cast(round(case when mx_arr[i] = mn_arr[i] "
+        "then 0e0 else (cast(x as double) - mn_arr[i]) "
+        "/ (mx_arr[i] - mn_arr[i]) * 255e0 end, 0) as bigint))"
+    )
+    coded = embeddings.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("nid"),
+        F.expr(quant.format(col=vec_col)).alias("ncode"),
+    )
+    qcoded = (
+        embeddings.filter(query_pred)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.expr(quant.format(col=vec_col)).alias("qcode"),
+        )
+    )
+    dist = (
+        qcoded.crossJoin(coded)
+        .filter(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qcode, ncode, (a, b) -> (a - b) * (a - b)), "
+                "cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("qdist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("qdist"), F.asc("neighbor_id")
+    )
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "qdist", "rk")
+    )

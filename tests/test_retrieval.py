@@ -73,3 +73,99 @@ def test_bm25_plan_is_take_ordered(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def _py_sq8(rows, k, qpred):
+    """rows: (vec_id, [floats]). Replicates quantization + integer
+    distance + (dist asc, id asc) ranking."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r0(x):
+        return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    dims = len(rows[0][1])
+    mn = [min(float(v[d]) for _, v in rows) for d in range(dims)]
+    mx = [max(float(v[d]) for _, v in rows) for d in range(dims)]
+    code = {
+        i: [
+            0 if mx[d] == mn[d]
+            else r0((float(v[d]) - mn[d]) / (mx[d] - mn[d]) * 255.0)
+            for d in range(dims)
+        ]
+        for i, v in rows
+    }
+    out = {}
+    for qi in (i for i, _ in rows if qpred(i)):
+        ds = sorted(
+            (sum((a - b) ** 2 for a, b in zip(code[qi], code[ni])), ni)
+            for ni, _ in rows
+            if ni != qi
+        )
+        for rk, (d, ni) in enumerate(ds[:k], 1):
+            out[(qi, ni)] = (d, rk)
+    return out
+
+
+def test_sq8_identical_vector_is_rank_one_at_zero(spark):
+    import pandas as pd
+
+    from careers_spark.operators.similarity import sq8_topk
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (7, [1.0, 2.0, 3.0]),   # exact copy of the query
+        (8, [1.0, 2.0, 4.0]),
+        (9, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    got = {
+        (r.query_id, r.neighbor_id): (r.qdist, r.rk)
+        for r in sq8_topk(df, k=2, query_pred="vec_id = 0").collect()
+    }
+    assert got[(0, 7)] == (0, 1)
+    assert got[(0, 8)][1] == 2
+
+
+def test_sq8_matches_python_lockstep(spark):
+    import random
+
+    import pandas as pd
+
+    from careers_spark.operators.similarity import sq8_topk
+
+    rng = random.Random(23)
+    rows = [
+        (i, [round(rng.uniform(-2, 2), 3) for _ in range(6)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    got = {
+        (r.query_id, r.neighbor_id): (r.qdist, r.rk)
+        for r in sq8_topk(df, k=4, query_pred="vec_id % 10 = 0").collect()
+    }
+    assert got == _py_sq8(rows, 4, lambda i: i % 10 == 0)
+
+
+def test_sq8_constant_dimension_is_ignored(spark):
+    import pandas as pd
+
+    from careers_spark.operators.similarity import sq8_topk
+
+    # dim 1 is constant across the corpus: it must quantize to 0
+    # everywhere and contribute nothing (no divide-by-zero)
+    rows = [(0, [0.0, 5.0]), (1, [1.0, 5.0]), (2, [0.5, 5.0])]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    got = {
+        (r.query_id, r.neighbor_id): r.qdist
+        for r in sq8_topk(df, k=2, query_pred="vec_id = 0").collect()
+    }
+    assert got == {(0, 2): 128 * 128, (0, 1): 255 * 255}
