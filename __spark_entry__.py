@@ -1827,6 +1827,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sq8_ann_topk"] = sq8_ann_topk
 
+    def corpus_zipf_alpha(spark, sf_dir):
+        """Power-law exponent of the token frequency distribution via
+        the Clauset-Shalizi-Newman MLE — no rank variable, no global
+        sort (textstats.zipf_alpha)."""
+        return TS.zipf_alpha(_t(spark, sf_dir, "documents"), min_count=5)
+
+    q["corpus_zipf_alpha"] = corpus_zipf_alpha
+
     return q
 
 
@@ -5613,6 +5621,32 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY qdist, neighbor_id) AS rk
           FROM dist
         ) WHERE rk <= 5
+    """
+
+    # corpus_zipf_alpha: per-term ln rounded-6 -> 1e6 fixed point (the
+    # source_kl recipe), one final division; no rank, no sort.
+    o["corpus_zipf_alpha"] = f"""
+        WITH tokc AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+          ) GROUP BY tok
+        ),
+        ag AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                 CAST(sum(CASE WHEN c >= 5 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_tail_terms,
+                 CAST(sum(CASE WHEN c >= 5 THEN
+                       CAST(round(round(ln(CAST(c AS DOUBLE) / 5e0), 6)
+                                  * 1000000, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sfp
+          FROM tokc
+        )
+        SELECT n_terms, n_tail_terms,
+               CASE WHEN sfp = 0 THEN NULL
+                    ELSE round(1e0 + CAST(n_tail_terms AS DOUBLE)
+                               / (CAST(sfp AS DOUBLE) / 1000000e0), 6) END
+                 AS alpha
+        FROM ag
     """
 
     return o

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "entity_betweenness",
     "source_kl_divergence",
     "sq8_ann_topk",
+    "corpus_zipf_alpha",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -907,3 +907,59 @@ def source_kl(documents: DataFrame, strata: str = "source") -> DataFrame:
             ).alias("kl"),
         )
     )
+
+
+def zipf_alpha(
+    documents: DataFrame, min_count: int = 5, strata: str | None = None
+) -> DataFrame:
+    """Power-law (Zipf) exponent of the token frequency distribution —
+    the corpus-health scalar every tokenizer/vocabulary design doc
+    quotes (natural corpora sit near alpha ~ 2 for token frequencies;
+    synthetic or templated corpora drift visibly).
+
+    Estimated by the continuous MLE of Clauset-Shalizi-Newman (2009)
+    over term counts c >= min_count:
+
+        alpha = 1 + n / sum_t ln(c_t / min_count)
+
+    which needs NO rank variable at all — unlike the regress-on-ln-rank
+    textbook fit, there is no global sort or window anywhere: one
+    vocabulary groupBy, per-term ln rounded to 6 and lifted to 1e6
+    fixed-point BIGINT (the source_kl recipe) so the sum is exact in
+    any order, one final division. Terms at exactly min_count
+    contribute ln(1) = 0, as the estimator requires.
+
+    Output: one row (n_terms, n_tail_terms, alpha) — n_tail_terms the
+    terms above the floor that actually inform the estimate.
+    """
+    from careers_spark.operators.dedup import tokens_col
+
+    counts = (
+        documents.select(F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.agg(
+            F.count("*").alias("n_terms"),
+            F.sum(
+                F.expr(f"case when c >= {min_count} then 1 else 0 end")
+            ).alias("n_tail_terms"),
+            F.sum(
+                F.expr(
+                    f"case when c >= {min_count} then "
+                    f"cast(round(round(ln(cast(c as double) / {min_count}e0), 6)"
+                    " * 1000000, 0) as bigint) else 0 end"
+                )
+            ).alias("_sfp"),
+        )
+        .select(
+            "n_terms",
+            F.col("n_tail_terms").cast("long").alias("n_tail_terms"),
+            F.expr(
+                "case when _sfp = 0 then null else "
+                "round(1e0 + cast(n_tail_terms as double)"
+                " / (cast(_sfp as double) / 1000000e0), 6) end"
+            ).alias("alpha"),
+        )
+    )

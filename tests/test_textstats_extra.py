@@ -234,3 +234,34 @@ def test_source_kl_matches_python_lockstep(spark):
     assert got == _py_source_kl(rows)
     # the skewed source diverges more than the near-uniform one
     assert got["b"][2] > got["c"][2] >= 0.0
+
+
+def test_zipf_alpha_hand_value(spark):
+    from careers_spark.operators.textstats import zipf_alpha
+
+    # counts: a=8, b=4, c=2 with min_count=2 -> n=3,
+    # sum ln(c/2) = ln4 + ln2 + ln1; alpha = 1 + 3/sum
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "text": [" ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2)]}
+        )
+    )
+    r = zipf_alpha(docs, min_count=2).collect()[0]
+    fp = lambda x: int(
+        __import__("decimal").Decimal(
+            repr(round(math.log(x), 6))
+        ).scaleb(6).to_integral_value(rounding="ROUND_HALF_UP")
+    )
+    want = round(1.0 + 3.0 / ((fp(4) + fp(2) + fp(1)) / 1e6), 6)
+    assert (r.n_terms, r.n_tail_terms, r.alpha) == (3, 3, want)
+
+
+def test_zipf_alpha_degenerate_is_null(spark):
+    from careers_spark.operators.textstats import zipf_alpha
+
+    # every surviving term at exactly the floor: sum ln = 0 -> NULL
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a a b b"]})
+    )
+    r = zipf_alpha(docs, min_count=2).collect()[0]
+    assert r.alpha is None and r.n_tail_terms == 2
