@@ -1835,6 +1835,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_zipf_alpha"] = corpus_zipf_alpha
 
+    def knn_label_spread(spark, sf_dir):
+        """Semi-supervised label propagation over the embedding kNN
+        graph, seeds clamped (vec_id % 5 = 0), 3 synchronous majority
+        rounds (clustering.knn_label_propagation)."""
+        from careers_spark.operators.clustering import knn_label_propagation
+
+        return knn_label_propagation(
+            _t(spark, sf_dir, "embeddings"), k=5, iterations=3
+        )
+
+    q["knn_label_spread"] = knn_label_spread
+
     return q
 
 
@@ -5648,5 +5660,62 @@ def oracle_sql() -> dict[str, str]:
                  AS alpha
         FROM ag
     """
+
+    # knn_label_spread: the all-queries kNN edge set (the embedding_topk
+    # cosine/tie-break, no query filter), then 3 unrolled clamped
+    # majority-vote rounds (count desc, label asc — the Spark
+    # max(struct(cnt, -label)) argmax).
+    _lp_chain = [
+        f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings),
+        s AS (
+          SELECT query_id, vec_id AS neighbor_id, {_cos} AS sim
+          FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS nv
+                             FROM embeddings)
+          WHERE vec_id <> query_id
+        ),
+        e AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rk
+            FROM s
+          ) WHERE rk <= 5
+        ),
+        base AS MATERIALIZED (
+          SELECT vec_id, (vec_id % 5 = 0) AS is_seed,
+                 CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) END
+                   AS seed_label
+          FROM embeddings
+        ),
+        l0 AS MATERIALIZED (
+          SELECT vec_id, is_seed, seed_label, seed_label AS label FROM base
+        )"""
+    ]
+    for _r_ in range(1, 4):
+        _lp_chain.append(
+            f"""l{_r_} AS MATERIALIZED (
+          SELECT b.vec_id, b.is_seed, b.seed_label,
+                 CASE WHEN b.is_seed THEN b.seed_label ELSE v.maj END AS label
+          FROM base b LEFT JOIN (
+            SELECT query_id, maj FROM (
+              SELECT query_id, nlabel AS maj,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cnt DESC, nlabel) AS rk
+              FROM (
+                SELECT e.query_id, l.label AS nlabel,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM e JOIN l{_r_ - 1} l ON l.vec_id = e.neighbor_id
+                WHERE l.label IS NOT NULL
+                GROUP BY 1, 2
+              )
+            ) WHERE rk = 1
+          ) v ON v.query_id = b.vec_id
+        )"""
+        )
+    o["knn_label_spread"] = (
+        "WITH "
+        + ",\n".join(_lp_chain)
+        + "\nSELECT vec_id, label, is_seed FROM l3"
+    )
 
     return o

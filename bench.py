@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "source_kl_divergence",
     "sq8_ann_topk",
     "corpus_zipf_alpha",
+    "knn_label_spread",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

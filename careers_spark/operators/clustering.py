@@ -272,3 +272,84 @@ def label_noise_audit(
         (F.col("_own.d") - F.col("_oth.d")).alias("margin"),
         (F.col("_own.d") > F.col("_oth.d")).alias("flagged"),
     )
+
+
+def knn_label_propagation(
+    embeddings: DataFrame,
+    k: int = 5,
+    labeled_pred: str = "vec_id % 5 = 0",
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation over the embedding kNN graph
+    (Zhu & Ghahramani 2002 with clamped seeds) — the
+    spread-scarce-labels step of a weakly-labeled corpus: every
+    unlabeled point takes the majority label of its k nearest
+    neighbors, iterated synchronously; seed points never change.
+
+    Determinism: the kNN edge set is `brute_force_topk`'s rounded-6
+    cosine ranking (ties to smaller id); each round's majority vote is
+    integer counts with the algebraic max(struct(cnt, -label)) argmax
+    (ties: higher count, then smaller label). A node with no labeled
+    neighbor stays NULL and retries next round. A fixed iteration
+    count unrolls directly into the oracle — a converged round is a
+    fixpoint (votes cannot change if no label changed), so extra
+    rounds are no-ops.
+
+    Scale: the exact kNN build is the documented dictionary-scale
+    path (one cross join, as embedding_topk); at corpus scale feed
+    the identical vote rounds from ANN candidates. Votes shuffle on
+    the neighbor id — k-bounded fan-in, partial-agg counts.
+
+    Output: (vec_id, label, is_seed) — label NULL if unreached.
+    """
+    from careers_spark.operators.similarity import brute_force_topk
+
+    edges = brute_force_topk(
+        embeddings, k=k, query_pred="true", id_col=id_col
+    ).select("query_id", "neighbor_id")
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(labeled_pred).alias("is_seed"),
+        F.when(F.expr(labeled_pred), F.col(label_col))
+        .cast("long")
+        .alias("seed_label"),
+    ).localCheckpoint(eager=True)
+    cur = base.select(
+        "vec_id", "is_seed", "seed_label", F.col("seed_label").alias("label")
+    )
+    for _ in range(int(iterations)):
+        votes = (
+            edges.join(
+                cur.filter(F.col("label").isNotNull()).select(
+                    F.col("vec_id").alias("nid"),
+                    F.col("label").alias("nlabel"),
+                ),
+                F.col("neighbor_id") == F.col("nid"),
+            )
+            .groupBy("query_id", "nlabel")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct("cnt", (-F.col("nlabel")).alias("nl"))
+                ).alias("b")
+            )
+            .select(
+                "query_id", (-F.col("b.nl")).cast("long").alias("maj")
+            )
+        )
+        cur = (
+            base.join(votes, base.vec_id == votes.query_id, "left")
+            .select(
+                "vec_id",
+                "is_seed",
+                "seed_label",
+                F.when(F.col("is_seed"), F.col("seed_label"))
+                .otherwise(F.col("maj"))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur.select("vec_id", "label", "is_seed")

@@ -163,3 +163,74 @@ def test_semantic_dedup_threshold_rounds_first(spark):
     vecs = [[0.6, 0.8], [0.6, 0.8]]
     out = semantic_dedup_pairs(_df(spark, vecs), k=1, iters=1, threshold=1.0)
     assert out.count() == 1
+
+
+def _lp_df(spark, rows):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [[float(x) for x in r[1]] for r in rows],
+                "label": [r[2] for r in rows],
+            }
+        )
+    )
+
+
+def test_label_propagation_two_clusters(spark):
+    from careers_spark.operators.clustering import knn_label_propagation
+
+    # two tight clusters on orthogonal axes; one seed each — every
+    # member must adopt its cluster's seed label, seeds stay clamped
+    rows = [
+        (0, [1.0, 0.02, 0.0], 7),    # seed (vec_id % 5 == 0), label 7
+        (1, [1.0, 0.01, 0.0], 99),   # unlabeled (label ignored)
+        (2, [0.99, 0.03, 0.0], 99),
+        (5, [0.0, 0.01, 1.0], 3),    # seed, label 3
+        (6, [0.0, 0.02, 1.0], 99),
+        (7, [0.02, 0.0, 0.98], 99),
+    ]
+    got = {
+        r.vec_id: (r.label, r.is_seed)
+        for r in knn_label_propagation(
+            _lp_df(spark, rows), k=2, iterations=3
+        ).collect()
+    }
+    assert got[0] == (7, True) and got[5] == (3, True)
+    assert got[1][0] == 7 and got[2][0] == 7
+    assert got[6][0] == 3 and got[7][0] == 3
+
+
+def test_label_propagation_unreachable_stays_null(spark):
+    from careers_spark.operators.clustering import knn_label_propagation
+
+    # no seeds at all (no vec_id % 5 == 0): everything stays NULL
+    rows = [(1, [1.0, 0.0], 9), (2, [0.9, 0.1], 9), (3, [0.0, 1.0], 9)]
+    got = {
+        r.vec_id: r.label
+        for r in knn_label_propagation(
+            _lp_df(spark, rows), k=1, iterations=2
+        ).collect()
+    }
+    assert got == {1: None, 2: None, 3: None}
+
+
+def test_label_propagation_majority_and_tiebreak(spark):
+    from careers_spark.operators.clustering import knn_label_propagation
+
+    # node 1's two nearest neighbors are seeds with labels 5 and 2 at
+    # equal counts -> tie breaks to the SMALLER label id (2)
+    rows = [
+        (0, [1.0, 0.0, 0.0], 5),    # seed label 5
+        (10, [0.0, 1.0, 0.0], 2),   # seed label 2
+        (1, [0.7, 0.7, 0.0], 99),   # equidistant-ish; k=2 sees both
+    ]
+    got = {
+        r.vec_id: r.label
+        for r in knn_label_propagation(
+            _lp_df(spark, rows), k=2, iterations=1
+        ).collect()
+    }
+    assert got[1] == 2
