@@ -1847,6 +1847,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_label_spread"] = knn_label_spread
 
+    def graph_ktruss(spark, sf_dir):
+        """4-truss of the min_obs=20 entity graph (graph.ktruss):
+        every surviving edge closes >= 2 triangles — the corroborated
+        KG backbone; max_iter=8 bounds the peel to the oracle's
+        unroll depth."""
+        from careers_spark.operators.graph import ktruss
+
+        return ktruss(_entity_edges(spark, sf_dir, 20), k=4, max_iter=8)
+
+    q["graph_ktruss"] = graph_ktruss
+
     return q
 
 
@@ -5716,6 +5727,50 @@ def oracle_sql() -> dict[str, str]:
         "WITH "
         + ",\n".join(_lp_chain)
         + "\nSELECT vec_id, label, is_seed FROM l3"
+    )
+
+    # graph_ktruss: the peel unrolled 8 rounds — support is the
+    # common-neighbor count via two adjacency joins; edges with zero
+    # common neighbors vanish from the support subquery, which at
+    # k >= 3 is exactly the peel rule. Rounds past convergence delete
+    # nothing (removal-only monotonicity), matching the Spark loop's
+    # max_iter=8 raise bound.
+    _kt_adj = "SELECT a AS u, b AS v FROM {t} UNION ALL SELECT b, a FROM {t}"
+    _kt_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        t0 AS MATERIALIZED (
+          SELECT a.tok AS a, b.tok AS b
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        )"""
+    ]
+    for _i_ in range(1, 9):
+        _n1 = _kt_adj.format(t=f"t{_i_ - 1}")
+        _kt_chain.append(
+            f"""t{_i_} AS MATERIALIZED (
+          SELECT a, b FROM (
+            SELECT c.a, c.b, count(*) AS sup
+            FROM t{_i_ - 1} c
+            JOIN ({_n1}) n1 ON n1.u = c.a
+            JOIN ({_n1}) n2 ON n2.u = c.b AND n2.v = n1.v
+            GROUP BY c.a, c.b
+          ) WHERE sup >= 2
+        )"""
+        )
+    _n8 = _kt_adj.format(t="t8")
+    o["graph_ktruss"] = (
+        "WITH "
+        + ",\n".join(_kt_chain)
+        + f"""
+        SELECT c.a AS src, c.b AS dst, CAST(count(*) AS BIGINT) AS support
+        FROM t8 c
+        JOIN ({_n8}) n1 ON n1.u = c.a
+        JOIN ({_n8}) n2 ON n2.u = c.b AND n2.v = n1.v
+        GROUP BY c.a, c.b
+    """
     )
 
     return o

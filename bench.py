@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "sq8_ann_topk",
     "corpus_zipf_alpha",
     "knn_label_spread",
+    "graph_ktruss",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -1012,3 +1012,83 @@ def betweenness_centrality(
             f"round(cast(coalesce(bc_fp, 0) as double) / (2e0 * {scale}e0), 6)"
         ).alias("betweenness"),
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """k-truss decomposition — the edge-level analogue of k-core
+    (Cohen 2008): the maximal subgraph in which every EDGE closes at
+    least k-2 triangles. Stricter than k-core (every k-truss edge sits
+    in a (k-1)-core) and the standard cohesive-community backbone for
+    KG cleanup: an edge that never triangulates is un-corroborated.
+
+    Peeling loop: per-edge support = common-neighbor count (two
+    equi-joins against the bidirectional adjacency — the
+    triangle_stats shuffle shape, AQE-split on hubs), drop edges with
+    support < k-2, repeat. Support only shrinks as edges leave, so an
+    unchanged edge COUNT is a fixpoint proof (removal-only
+    monotonicity — the kcore argument), and the DuckDB oracle's
+    fixed-depth unroll is equivalent: rounds past convergence
+    recompute identical supports and delete nothing. RAISES on budget
+    exhaustion rather than returning an under-peeled superset.
+
+    Output: (src, dst, support) — the surviving canonical a<b edges
+    with their final support (>= k-2); empty when no k-truss exists.
+    """
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = -1
+    for _ in range(max_iter):
+        n = cur.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        bidir = cur.selectExpr("a as u", "b as v").union(
+            cur.selectExpr("b as u", "a as v")
+        )
+        sup = (
+            cur.join(bidir.selectExpr("u as a", "v as c"), "a")
+            .join(bidir.selectExpr("u as b", "v as c"), ["b", "c"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+        )
+        cur = (
+            cur.join(sup, ["a", "b"], "left")
+            .select(
+                "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+            )
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"ktruss: peeling did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds"
+        )
+    bidir = cur.selectExpr("a as u", "b as v").union(
+        cur.selectExpr("b as u", "a as v")
+    )
+    final = (
+        cur.join(bidir.selectExpr("u as a", "v as c"), "a")
+        .join(bidir.selectExpr("u as b", "v as c"), ["b", "c"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+    )
+    return cur.join(final, ["a", "b"], "left").select(
+        F.col("a").alias(src),
+        F.col("b").alias(dst),
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )

@@ -732,3 +732,73 @@ def test_betweenness_diamond_split_paths(spark):
         r.node: r.betweenness for r in betweenness_centrality(e).collect()
     }
     assert got == {1: 0.5, 2: 0.5, 3: 0.5, 4: 0.5}
+
+
+def _py_ktruss(edges, k):
+    cur = {tuple(sorted(e)) for e in edges}
+    while True:
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in cur
+        }
+        nxt = {e for e in cur if sup[e] >= k - 2}
+        if nxt == cur:
+            return {e: sup[e] for e in cur}
+        cur = nxt
+
+
+def test_ktruss_k4_peels_to_clique(spark):
+    from careers_spark.operators.graph import ktruss
+
+    # K4 plus a pendant triangle: the 4-truss is exactly the K4 (every
+    # K4 edge closes 2 triangles; the pendant triangle's edges close 1)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(3, 10), (3, 11), (10, 11)]
+    e = spark.createDataFrame(k4 + extra, "src long, dst long")
+    got = {(r.src, r.dst): r.support for r in ktruss(e, k=4).collect()}
+    assert got == {e: 2 for e in k4}
+
+
+def test_ktruss_cascade_after_removal(spark):
+    from careers_spark.operators.graph import ktruss
+
+    # two triangles sharing edge (1,2): each edge of either triangle
+    # closes 1 triangle except the shared one (closes 2). 4-truss needs
+    # support >= 2: after the outer edges fall, the shared edge's
+    # support collapses too -> empty (the multi-round cascade)
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "src long, dst long"
+    )
+    assert ktruss(e, k=4).count() == 0
+    # while the 3-truss keeps everything (support >= 1)
+    got = {(r.src, r.dst) for r in ktruss(e, k=3).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)}
+
+
+def test_ktruss_matches_python_on_random_graphs(spark):
+    from careers_spark.operators.graph import ktruss
+
+    import random
+
+    rng = random.Random(29)
+    for trial, k in [(0, 3), (1, 4), (2, 4)]:
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(10), 2))) for _ in range(24)}
+        )
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r.src, r.dst): r.support for r in ktruss(e, k=k).collect()}
+        assert got == _py_ktruss(edges, k), (trial, k)
+
+
+def test_ktruss_raises_without_budget(spark):
+    from careers_spark.operators.graph import ktruss
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],
+        "src long, dst long",
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        ktruss(e, k=4, max_iter=1)
