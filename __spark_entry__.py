@@ -1858,6 +1858,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_ktruss"] = graph_ktruss
 
+    def pq_encoding(spark, sf_dir):
+        """Product-quantization codes + exact reconstruction error
+        (clustering.pq_codes): 4 subspaces x 16 dims, k=8 lattice
+        k-means per subspace, 2 Lloyd rounds — the faiss IVF-PQ
+        compressed representation."""
+        from careers_spark.operators.clustering import pq_codes
+
+        return pq_codes(
+            _t(spark, sf_dir, "embeddings"), m=4, k=8, iters=2
+        )
+
+    q["pq_encoding"] = pq_encoding
+
     return q
 
 
@@ -5770,6 +5783,85 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({_n8}) n1 ON n1.u = c.a
         JOIN ({_n8}) n2 ON n2.u = c.b AND n2.v = n1.v
         GROUP BY c.a, c.b
+    """
+    )
+
+    # pq_encoding: m=4 independent unrolled lattice k-means chains
+    # (the kmeans_clusters recipe per 16-dim slice; integer-exact, no
+    # tolerance), joined on id with the reconstruction error summed.
+    def _pq_assign(srcq: str, csrc: str, dim: int) -> str:
+        return f"""(
+          SELECT id, cluster, dist FROM (
+            SELECT id, cid AS cluster, dist,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY dist, cid) AS rk
+            FROM (
+              SELECT qq.id, c.cid,
+                     CAST(list_sum(list_transform(range(1, {dim + 1}),
+                          i -> (qq.x[i] - c.x[i]) * (qq.x[i] - c.x[i])))
+                       AS BIGINT) AS dist
+              FROM {srcq} qq CROSS JOIN {csrc} c
+            )
+          ) WHERE rk = 1
+        )"""
+
+    def _pq_update(asrc: str, psrc: str, srcq: str, dim: int) -> str:
+        return f"""(
+          SELECT p.cid, coalesce(u.x, p.x) AS x FROM {psrc} p LEFT JOIN (
+            SELECT cluster AS cid, list(comp ORDER BY i) AS x FROM (
+              SELECT a.cluster, g.i,
+                     CAST(round(sum(qq.x[g.i]) / CAST(count(*) AS DOUBLE))
+                       AS BIGINT) AS comp
+              FROM {asrc} a JOIN {srcq} qq ON qq.id = a.id
+              CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) g
+              GROUP BY a.cluster, g.i
+            ) GROUP BY cluster
+          ) u USING (cid)
+        )"""
+
+    _pq_sub, _pq_m, _pq_k, _pq_iters = 16, 4, 8, 2
+    _pq_ctes = []
+    for _j in range(_pq_m):
+        _lo = _j * _pq_sub + 1
+        _hi = (_j + 1) * _pq_sub
+        _pq_ctes.append(
+            f"""pq{_j} AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 list_transform((embedding::DOUBLE[])[{_lo}:{_hi}],
+                     v -> CAST(round(v * 1000000e0) AS BIGINT)) AS x
+          FROM embeddings
+        )"""
+        )
+        _pq_ctes.append(
+            f"""pc{_j}_0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, x
+          FROM (SELECT id, x FROM pq{_j} ORDER BY id LIMIT {_pq_k})
+        )"""
+        )
+        for _it in range(_pq_iters):
+            _pq_ctes.append(
+                f"pa{_j}_{_it} AS MATERIALIZED "
+                f"{_pq_assign(f'pq{_j}', f'pc{_j}_{_it}', _pq_sub)}"
+            )
+            _pq_ctes.append(
+                f"pc{_j}_{_it + 1} AS MATERIALIZED "
+                f"{_pq_update(f'pa{_j}_{_it}', f'pc{_j}_{_it}', f'pq{_j}', _pq_sub)}"
+            )
+        _pq_ctes.append(
+            f"pf{_j} AS MATERIALIZED "
+            f"{_pq_assign(f'pq{_j}', f'pc{_j}_{_pq_iters}', _pq_sub)}"
+        )
+    o["pq_encoding"] = (
+        "WITH "
+        + ",\n".join(_pq_ctes)
+        + """
+        SELECT pf0.id AS vec_id,
+               pf0.cluster AS code_0, pf1.cluster AS code_1,
+               pf2.cluster AS code_2, pf3.cluster AS code_3,
+               CAST(pf0.dist + pf1.dist + pf2.dist + pf3.dist AS BIGINT)
+                 AS recon_err
+        FROM pf0
+        JOIN pf1 USING (id) JOIN pf2 USING (id) JOIN pf3 USING (id)
     """
     )
 

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "corpus_zipf_alpha",
     "knn_label_spread",
     "graph_ktruss",
+    "pq_encoding",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -353,3 +353,57 @@ def knn_label_propagation(
             .localCheckpoint(eager=True)
         )
     return cur.select("vec_id", "label", "is_seed")
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011, the faiss PQ
+    path): split each vector into ``m`` contiguous subvectors, run the
+    integer-lattice Lloyd k-means independently per subspace, and emit
+    each vector's m-tuple of codebook indices plus its exact
+    reconstruction error — the compressed representation an IVF-PQ
+    index stores (log2(k)*m bits per vector; 12 bits here vs 2048 for
+    float32x64).
+
+    Everything inherits `kmeans_assign`'s exactness: subvectors live
+    on the 1e-6 integer lattice, distances are integer sums of
+    squares, centroid updates round back onto the lattice — so codes
+    AND the reconstruction error are engine-exact with no tolerance,
+    and the oracle nests m unrolled k-means chains. Per-subspace
+    assignment is pure map work against literal centroids (no join);
+    the m runs share one corpus scan shape.
+
+    Output: (vec_id, code_0..code_{m-1}, recon_err) — recon_err the
+    exact BIGINT sum of per-subspace squared distances (lattice
+    units), i.e. the full-vector distance to the implicit PQ
+    reconstruction, since subspaces are disjoint.
+    """
+    dim = embeddings.select(F.size(F.col(vec_col))).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"pq_codes: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out = None
+    for j in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        a = kmeans_assign(
+            sliced, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        ).select(
+            id_col,
+            F.col("cluster").alias(f"code_{j}"),
+            F.col("dist").alias(f"_d{j}"),
+        )
+        out = a if out is None else out.join(a, id_col)
+    return out.select(
+        id_col,
+        *[f"code_{j}" for j in range(m)],
+        sum(F.col(f"_d{j}") for j in range(m)).cast("long").alias("recon_err"),
+    )

@@ -3,6 +3,7 @@ empty-cluster retention, and parallelism invariance."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from careers_spark.operators.clustering import kmeans_assign
 
@@ -234,3 +235,74 @@ def test_label_propagation_majority_and_tiebreak(spark):
         ).collect()
     }
     assert got[1] == 2
+
+
+def test_pq_codes_lockstep_with_per_subspace_kmeans(spark):
+    """PQ codes == kmeans_assign run per slice, and recon_err == the
+    sum of per-subspace distances (disjoint subspaces)."""
+    import random
+
+    import pandas as pd
+
+    from careers_spark.operators.clustering import kmeans_assign, pq_codes
+
+    rng = random.Random(31)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    got = {
+        r.vec_id: (r.code_0, r.code_1, r.recon_err)
+        for r in pq_codes(df, m=2, k=4, iters=2).collect()
+    }
+    want = {}
+    for j in range(2):
+        sl = df.select(
+            "vec_id", F.slice("embedding", j * 4 + 1, 4).alias("embedding")
+        )
+        for r in kmeans_assign(sl, k=4, iters=2).collect():
+            want.setdefault(r.vec_id, {})[j] = (r.cluster, r.dist)
+    assert got == {
+        i: (w[0][0], w[1][0], w[0][1] + w[1][1]) for i, w in want.items()
+    }
+
+
+def test_pq_codes_identical_subvectors_share_codes(spark):
+    import pandas as pd
+
+    from careers_spark.operators.clustering import pq_codes
+
+    # vectors 1 and 2 share subspace 0 exactly but differ in subspace 1
+    rows = [
+        (1, [1.0, 0.0, 5.0, 5.0]),
+        (2, [1.0, 0.0, -5.0, -5.0]),
+        (3, [0.0, 1.0, 5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    got = {
+        r.vec_id: (r.code_0, r.code_1)
+        for r in pq_codes(df, m=2, k=3, iters=2).collect()
+    }
+    assert got[1][0] == got[2][0] and got[1][1] != got[2][1]
+    assert got[1][1] == got[3][1]
+
+
+def test_pq_codes_rejects_indivisible_dim(spark):
+    import pandas as pd
+
+    import pytest as _pt
+
+    from careers_spark.operators.clustering import pq_codes
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 2.0, 3.0]]})
+    )
+    with _pt.raises(ValueError, match="divisible"):
+        pq_codes(df, m=2)
