@@ -1871,6 +1871,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_encoding"] = pq_encoding
 
+    def ab_conversion(spark, sf_dir):
+        """Two-proportion z-test over md5-bucketed experiment arms,
+        user-level conversion (funnel.ab_conversion_test)."""
+        from careers_spark.operators.funnel import ab_conversion_test
+
+        return ab_conversion_test(_t(spark, sf_dir, "events"))
+
+    q["ab_conversion"] = ab_conversion
+
     return q
 
 
@@ -5864,5 +5873,43 @@ def oracle_sql() -> dict[str, str]:
         JOIN pf1 USING (id) JOIN pf2 USING (id) JOIN pf3 USING (id)
     """
     )
+
+    # ab_conversion: identical md5 bucketing, user-level conversion,
+    # one pooled-z double expression over exact integer counts.
+    _ab_key = "concat(CAST(user_id AS VARCHAR), '|', 'ab')"
+    o["ab_conversion"] = f"""
+        WITH pu AS (
+          SELECT user_id, {_DUCK_H64.format(c=_ab_key)} % 2 AS variant,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM events GROUP BY 1, 2
+        ),
+        w AS (
+          SELECT
+            CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+            CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_0,
+            CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_1
+          FROM pu
+        )
+        SELECT n_0, c_0, n_1, c_1,
+          CASE WHEN n_0 = 0 THEN NULL ELSE
+            round(CAST(c_0 AS DOUBLE) / CAST(n_0 AS DOUBLE), 6) END AS rate_0,
+          CASE WHEN n_1 = 0 THEN NULL ELSE
+            round(CAST(c_1 AS DOUBLE) / CAST(n_1 AS DOUBLE), 6) END AS rate_1,
+          CASE WHEN n_0 = 0 OR n_1 = 0 OR c_0 = 0 THEN NULL ELSE
+            round((CAST(c_1 AS DOUBLE) / CAST(n_1 AS DOUBLE))
+                  / (CAST(c_0 AS DOUBLE) / CAST(n_0 AS DOUBLE)) - 1e0, 6)
+          END AS lift,
+          CASE WHEN n_0 = 0 OR n_1 = 0 THEN NULL ELSE
+            (CASE WHEN (c_0 + c_1) = 0 OR (c_0 + c_1) = (n_0 + n_1) THEN NULL
+             ELSE round((CAST(c_1 AS DOUBLE) / CAST(n_1 AS DOUBLE)
+                  - CAST(c_0 AS DOUBLE) / CAST(n_0 AS DOUBLE))
+                  / sqrt((CAST(c_0 + c_1 AS DOUBLE) / CAST(n_0 + n_1 AS DOUBLE))
+                  * (1e0 - CAST(c_0 + c_1 AS DOUBLE) / CAST(n_0 + n_1 AS DOUBLE))
+                  * (1e0 / CAST(n_0 AS DOUBLE) + 1e0 / CAST(n_1 AS DOUBLE))), 6)
+             END) END AS z
+        FROM w
+    """
 
     return o

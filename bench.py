@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "knn_label_spread",
     "graph_ktruss",
     "pq_encoding",
+    "ab_conversion",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -479,3 +479,84 @@ def rfm_segments(events: DataFrame, conv_type: str = "purchase") -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int"),
     )
+
+
+def ab_conversion_test(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    key: str = "user_id",
+    type_col: str = "event_type",
+    salt: str = "ab",
+) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment over the event
+    stream — the ship/no-ship statistic of every growth experiment:
+    did variant B's user-level conversion rate beat variant A's beyond
+    sampling noise?
+
+    Variant assignment is the repo's deterministic md5-affine draw on
+    (user, salt) — reproducible across engines/runs and re-seedable,
+    exactly how real experiment frameworks bucket users. Conversion is
+    user-level (>= 1 conv_type event), so the unit of analysis matches
+    the randomization unit — the classic A/B pitfall (event-level
+    rates on user-level assignment) is structurally impossible here.
+
+    All counts are exact integers from two distinct-aggregations; the
+    pooled z statistic
+
+        z = (p1 - p0) / sqrt(p * (1-p) * (1/n0 + 1/n1))
+
+    is ONE double expression over those integers (sqrt is
+    IEEE-correctly-rounded — the lang_temperature_weights argument),
+    rounded to 6. Degenerate pools (p in {0, 1} or an empty arm)
+    report NULL z rather than dividing by zero.
+
+    Output: one row (n_0, c_0, n_1, c_1, rate_0, rate_1, lift, z).
+    """
+    from careers_spark.operators.dedup import _hash64_expr
+
+    keyed = f"concat(cast({key} as string), '|', '{salt}')"
+    per_user = (
+        events.select(
+            F.col(key),
+            F.expr(f"{_hash64_expr(keyed)} % 2").alias("variant"),
+            F.when(F.col(type_col) == conv_type, 1).otherwise(0).alias("cv"),
+        )
+        .groupBy(key, "variant")
+        .agg(F.max("cv").alias("converted"))
+    )
+    wide = per_user.agg(
+        F.sum(F.expr("case when variant = 0 then 1 else 0 end")).alias("n_0"),
+        F.sum(F.expr("case when variant = 0 then converted else 0 end")).alias("c_0"),
+        F.sum(F.expr("case when variant = 1 then 1 else 0 end")).alias("n_1"),
+        F.sum(F.expr("case when variant = 1 then converted else 0 end")).alias("c_1"),
+    )
+    z = (
+        "case when n_0 = 0 or n_1 = 0 then null else "
+        "(case when (c_0 + c_1) = 0 or (c_0 + c_1) = (n_0 + n_1) then null "
+        "else round((cast(c_1 as double) / cast(n_1 as double)"
+        " - cast(c_0 as double) / cast(n_0 as double))"
+        " / sqrt((cast(c_0 + c_1 as double) / cast(n_0 + n_1 as double))"
+        " * (1e0 - cast(c_0 + c_1 as double) / cast(n_0 + n_1 as double))"
+        " * (1e0 / cast(n_0 as double) + 1e0 / cast(n_1 as double))), 6)"
+        " end) end"
+    )
+    return wide.select(
+        "n_0",
+        "c_0",
+        "n_1",
+        "c_1",
+        F.expr(
+            "case when n_0 = 0 then null else "
+            "round(cast(c_0 as double) / cast(n_0 as double), 6) end"
+        ).alias("rate_0"),
+        F.expr(
+            "case when n_1 = 0 then null else "
+            "round(cast(c_1 as double) / cast(n_1 as double), 6) end"
+        ).alias("rate_1"),
+        F.expr(
+            "case when n_0 = 0 or n_1 = 0 or c_0 = 0 then null else "
+            "round((cast(c_1 as double) / cast(n_1 as double))"
+            " / (cast(c_0 as double) / cast(n_0 as double)) - 1e0, 6) end"
+        ).alias("lift"),
+        F.expr(z).alias("z"),
+    )

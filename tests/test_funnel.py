@@ -198,3 +198,65 @@ def test_top_journeys_truncates_max_steps(spark):
     )
     got = top_journeys(ev, max_steps=3).collect()[0]
     assert got.journey == "e0>e1>e2"
+
+
+def test_ab_conversion_known_counts(spark):
+    """Hand-assigned variants (salt-pinned md5 draw replicated in
+    python) with known conversions; z cross-checked against the
+    textbook pooled formula."""
+    import hashlib
+    import math
+
+    from careers_spark.operators.funnel import ab_conversion_test
+
+    def variant(u, salt="ab"):
+        return int(
+            hashlib.md5(f"{u}|{salt}".encode()).hexdigest()[:8], 16
+        ) % 2
+
+    rows = []
+    eid = 0
+    for u in range(40):
+        rows.append((eid, u, "view")); eid += 1
+        # variant-1 users convert twice as often
+        if (variant(u) == 1 and u % 2 == 0) or (variant(u) == 0 and u % 4 == 0):
+            rows.append((eid, u, "purchase")); eid += 1
+    e = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    r = ab_conversion_test(e).collect()[0]
+
+    n = {0: 0, 1: 0}
+    c = {0: 0, 1: 0}
+    conv = {u for _, u, t in rows if t == "purchase"}
+    for u in range(40):
+        v = variant(u)
+        n[v] += 1
+        c[v] += u in conv
+    assert (r.n_0, r.c_0, r.n_1, r.c_1) == (n[0], c[0], n[1], c[1])
+    p = (c[0] + c[1]) / (n[0] + n[1])
+    z = (c[1] / n[1] - c[0] / n[0]) / math.sqrt(
+        p * (1 - p) * (1 / n[0] + 1 / n[1])
+    )
+    assert r.z == round(z, 6)
+    assert r.rate_0 == round(c[0] / n[0], 6)
+    assert r.lift == round((c[1] / n[1]) / (c[0] / n[0]) - 1, 6)
+
+
+def test_ab_conversion_user_level_not_event_level(spark):
+    """A user purchasing 5 times converts ONCE — the unit of analysis
+    is the randomization unit."""
+    from careers_spark.operators.funnel import ab_conversion_test
+
+    rows = [(i, 1, "purchase") for i in range(5)] + [(10, 2, "view")]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    r = ab_conversion_test(e).collect()[0]
+    assert r.c_0 + r.c_1 == 1 and r.n_0 + r.n_1 == 2
+
+
+def test_ab_conversion_degenerate_pool_is_null(spark):
+    from careers_spark.operators.funnel import ab_conversion_test
+
+    # nobody converts -> pooled p = 0 -> z NULL, never 0/0
+    rows = [(i, i, "view") for i in range(10)]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    r = ab_conversion_test(e).collect()[0]
+    assert r.z is None and r.c_0 == 0 and r.c_1 == 0
