@@ -1880,6 +1880,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ab_conversion"] = ab_conversion
 
+    def contrastive_triplets(spark, sf_dir):
+        """Contrastive training triples per anchor: best non-dup
+        positive (>= 0.3 — the corpus's real similarity band; see the
+        anchor max-sim survey in NOTES_r5), hardest below-band
+        negative, md5-drawn easy
+        negative (similarity.triplet_mining)."""
+        from careers_spark.operators.similarity import triplet_mining
+
+        return triplet_mining(
+            _t(spark, sf_dir, "embeddings"), pos_threshold=0.3
+        )
+
+    q["contrastive_triplets"] = contrastive_triplets
+
     return q
 
 
@@ -5910,6 +5924,58 @@ def oracle_sql() -> dict[str, str]:
                   * (1e0 / CAST(n_0 AS DOUBLE) + 1e0 / CAST(n_1 AS DOUBLE))), 6)
              END) END AS z
         FROM w
+    """
+
+    # contrastive_triplets: the topk cosine SQL at two max_sim cuts
+    # (one shared sim table), plus the md5 random draw over the
+    # row_number entity dim (the negative_samples recipe; the modulus
+    # is a scalar subquery where Spark uses the counted literal).
+    _tri_key = "concat(CAST(anchor_id AS VARCHAR), '|', 'trineg')"
+    o["contrastive_triplets"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        s AS MATERIALIZED (
+          SELECT query_id, vec_id AS neighbor_id, {_cos} AS sim
+          FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS nv
+                             FROM embeddings)
+          WHERE vec_id <> query_id
+        ),
+        pos AS (
+          SELECT query_id AS anchor_id, neighbor_id AS pos_id,
+                 sim AS pos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rk
+            FROM s WHERE sim < 0.98e0
+          ) WHERE rk = 1 AND sim >= 0.3e0
+        ),
+        hard AS (
+          SELECT query_id AS anchor_id, neighbor_id AS hard_neg_id,
+                 sim AS hard_neg_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rk
+            FROM s WHERE sim < 0.3e0
+          ) WHERE rk = 1
+        ),
+        dim AS MATERIALIZED (
+          SELECT vec_id AS e,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS idx
+          FROM (SELECT DISTINCT vec_id FROM embeddings)
+        ),
+        rnd AS (
+          SELECT p.anchor_id, d.e AS rand_neg_id
+          FROM (SELECT anchor_id,
+                       {_DUCK_H64.format(c=_tri_key)}
+                         % (SELECT count(*) FROM dim) AS idx
+                FROM pos) p
+          JOIN dim d ON d.idx = p.idx
+          WHERE d.e <> p.anchor_id
+        )
+        SELECT p.anchor_id, p.pos_id, p.pos_sim,
+               h.hard_neg_id, h.hard_neg_sim, r.rand_neg_id
+        FROM pos p
+        JOIN hard h ON h.anchor_id = p.anchor_id
+        JOIN rnd r ON r.anchor_id = p.anchor_id
+        WHERE r.rand_neg_id <> p.pos_id
     """
 
     return o

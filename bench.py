@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "graph_ktruss",
     "pq_encoding",
     "ab_conversion",
+    "contrastive_triplets",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

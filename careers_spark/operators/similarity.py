@@ -792,3 +792,89 @@ def sq8_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "qdist", "rk")
     )
+
+
+def triplet_mining(
+    embeddings: DataFrame,
+    pos_threshold: float = 0.5,
+    dup_threshold: float = 0.98,
+    query_pred: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "trineg",
+) -> DataFrame:
+    """Contrastive training-triple assembly — the batch-construction
+    step of dual-encoder / SimCSE-style training: per anchor, one
+    POSITIVE (its most-similar non-duplicate neighbor at cosine >=
+    pos_threshold), one HARD negative (the most-similar neighbor BELOW
+    the positive band — informative but not a false negative), and one
+    RANDOM easy negative (md5-drawn from the corpus, collision-
+    filtered) for gradient diversity — the standard pos/hard/easy mix.
+
+    Every leg reuses an existing declared-exact path: positives and
+    hard negatives are brute_force_topk's rounded-6 cosine ranking at
+    two max_sim cuts (one shared implementation — they cannot
+    diverge), the random draw is the shared md5-affine family over a
+    row_number entity dim (the negative_samples recipe). Anchors with
+    no qualifying positive produce no triple (stated: threshold
+    mining, not imputation).
+
+    Output: (anchor_id, pos_id, pos_sim, hard_neg_id, hard_neg_sim,
+    rand_neg_id).
+    """
+    from pyspark.sql import Window as _W
+
+    from careers_spark.operators.dedup import _hash64_expr
+
+    pos = (
+        brute_force_topk(
+            embeddings,
+            k=1,
+            query_pred=query_pred,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_sim=dup_threshold,
+        )
+        .filter(F.col("sim") >= pos_threshold)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    hard = brute_force_topk(
+        embeddings,
+        k=1,
+        query_pred=query_pred,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_sim=pos_threshold,
+    ).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("hard_neg_id"),
+        F.col("sim").alias("hard_neg_sim"),
+    )
+    dim = embeddings.select(F.col(id_col).alias("e")).distinct()
+    dim = dim.withColumn("idx", F.row_number().over(_W.orderBy("e")) - 1)
+    n = dim.count()
+    keyed = f"concat(cast(anchor_id as string), '|', '{salt}')"
+    rand = (
+        pos.select("anchor_id")
+        .withColumn("idx", F.expr(f"{_hash64_expr(keyed)} % {n}"))
+        .join(F.broadcast(dim.withColumnRenamed("e", "rand_neg_id")), "idx")
+        .drop("idx")
+        .filter(F.col("rand_neg_id") != F.col("anchor_id"))
+    )
+    return (
+        pos.join(hard, "anchor_id")
+        .join(rand, "anchor_id")
+        .filter(F.col("rand_neg_id") != F.col("pos_id"))
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_sim",
+            "hard_neg_id",
+            "hard_neg_sim",
+            "rand_neg_id",
+        )
+    )

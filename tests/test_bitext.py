@@ -141,3 +141,43 @@ def test_unpartnered_vector_stays_unpaired(spark):
         for r in bitext_margin_pairs(_df(spark, rows), k=2).collect()
     }
     assert got == {(0, 10)}
+
+
+def test_triplet_mining_legs_and_filters(spark):
+    from careers_spark.operators.similarity import triplet_mining
+
+    # anchor 0: near-dup 1 (excluded from positives), true positive 2,
+    # hard negative 3 (just below the pos band), far negative 4
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0]),   # cos ~1.0 -> dup, NOT a positive
+        (2, [0.9, 0.4, 0.0]),     # cos ~0.91 -> positive
+        (3, [0.4, 0.9, 0.0]),     # cos ~0.41 -> hard negative
+        (4, [0.0, 0.0, 1.0]),     # cos 0 -> easy region
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [[float(x) for x in r[1]] for r in rows]})
+    )
+    got = triplet_mining(
+        df, pos_threshold=0.5, dup_threshold=0.98, query_pred="vec_id = 0"
+    ).collect()
+    assert len(got) == 1
+    t = got[0]
+    assert (t.anchor_id, t.pos_id, t.hard_neg_id) == (0, 2, 3)
+    assert t.pos_sim >= 0.5 and t.hard_neg_sim < 0.5
+    assert t.rand_neg_id not in (0, 2)
+
+
+def test_triplet_mining_no_positive_no_triple(spark):
+    from careers_spark.operators.similarity import triplet_mining
+
+    # everything orthogonal to the anchor: no positive -> no row
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, -1.0])]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [[float(x) for x in r[1]] for r in rows]})
+    )
+    assert (
+        triplet_mining(df, query_pred="vec_id = 0").count() == 0
+    )
