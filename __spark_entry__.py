@@ -720,6 +720,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["louvain_communities"] = louvain_communities
 
+    def community_conductance(spark, sf_dir):
+        """Per-community conductance of the LPA labeling — the
+        cut-quality complement of community_modularity (Leskovec NCP):
+        phi(C) = cut(C) / min(vol(C), vol(V\\C)). Same min_obs=35 graph
+        and labels, so the two queries together give the standard
+        modularity+conductance community-quality audit."""
+        from careers_spark.operators.communities import (
+            conductance,
+            label_propagation,
+        )
+
+        docs = _t(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+        toks = docs.select(
+            "doc_id", F.explode(F.array_distinct(DD.tokens_col("text"))).alias("tok")
+        )
+        a = toks.selectExpr("doc_id", "tok as src")
+        b = toks.selectExpr("doc_id as d2", "tok as dst")
+        edges = (
+            a.join(b, (a.doc_id == b.d2) & (F.col("src") < F.col("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n_obs"))
+            .filter("n_obs >= 35")
+        )
+        labels = label_propagation(edges, weight="n_obs")
+        return conductance(edges, labels, weight="n_obs")
+
+    q["community_conductance"] = community_conductance
+
     def _entity_edges(spark, sf_dir, min_obs):
         """Token co-occurrence entity graph (same construction as the
         community queries above): doc-sampled, undirected-as-src<dst,
@@ -2492,6 +2520,37 @@ def oracle_sql() -> dict[str, str]:
                      - pow(t.tot_w / m2.m2, 2), 6) AS q_contrib
         FROM tot t
         LEFT JOIN inw i ON i.community = t.community
+        CROSS JOIN m2
+    """
+    )
+
+    # community_conductance: the LPA chain + phi(C) = cut/min(vol,
+    # m2-vol) over the bidirectional view. All masses are sums of
+    # integer-valued weights (exact in any order — the modularity
+    # argument); the division operands are therefore the identical
+    # doubles in both engines, and round(,6) matches.
+    o["community_conductance"] = (
+        "WITH " + ",\n".join(_lpa_chain(35)) + """,
+        memb AS MATERIALIZED (SELECT node, label AS community FROM l10),
+        m2 AS (SELECT CAST(sum(w) AS DOUBLE) AS m2 FROM bidir),
+        degs AS (SELECT u AS node, CAST(sum(w) AS DOUBLE) AS k
+                 FROM bidir GROUP BY u),
+        vol AS (SELECT m.community, sum(d.k) AS vol_w
+                FROM degs d JOIN memb m ON m.node = d.node GROUP BY 1),
+        cut AS (SELECT ma.community, CAST(sum(b.w) AS DOUBLE) AS cut_w
+                FROM bidir b
+                JOIN memb ma ON ma.node = b.u
+                JOIN memb mb ON mb.node = b.v AND mb.community <> ma.community
+                GROUP BY 1)
+        SELECT v.community,
+               round(v.vol_w, 6) AS vol_w,
+               round(coalesce(c.cut_w, 0e0), 6) AS cut_w,
+               CASE WHEN least(v.vol_w, m2.m2 - v.vol_w) = 0e0 THEN NULL
+                    ELSE round(coalesce(c.cut_w, 0e0)
+                               / least(v.vol_w, m2.m2 - v.vol_w), 6)
+               END AS conductance
+        FROM vol v
+        LEFT JOIN cut c ON c.community = v.community
         CROSS JOIN m2
     """
     )

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "digest_doc_grouped",
     "category_hierarchy",
     "community_modularity",
+    "community_conductance",
     "entity_communities",
     "louvain_communities",
     "entity_pagerank",

@@ -373,3 +373,65 @@ def node_groups(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .withColumn("group_id", F.coalesce(F.col("community"), F.col("node_id")))
         .drop("community")
     )
+
+
+def conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Per-community conductance — the cut-quality complement of
+    modularity (Leskovec et al.'s NCP standard):
+
+        phi(C) = cut(C) / min(vol(C), vol(V \\ C))
+
+    with cut(C) the weight of edges leaving C and vol the summed
+    weighted degree. Low phi = a real community (few escaping edges
+    relative to its mass); modularity can be gamed by resolution
+    effects, conductance cannot — reporting both is the standard
+    community-quality audit.
+
+    All masses are sums of integer-valued weights over the
+    bidirectional view (exact in any order — the modularity argument);
+    conductance is one rounded division, NULL when the community is
+    the whole volume (denominator 0). Shapes: the same two
+    membership joins + algebraic sums as `modularity`, one scalar m2.
+
+    Output: (community, vol_w, cut_w, conductance).
+    """
+    bidir = _bidir(edges, src, dst, weight).localCheckpoint(eager=True)
+    m2 = bidir.agg(F.sum("w")).collect()[0][0]
+    memb = labels.select("node", "community")
+    deg = bidir.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("k"))
+    vol = (
+        deg.join(memb, "node")
+        .groupBy("community")
+        .agg(F.sum("k").alias("vol_w"))
+    )
+    cut = (
+        bidir.join(memb.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("community", "cu")
+        .join(memb.withColumnRenamed("node", "v"), "v")
+        .filter(F.col("cu") != F.col("community"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.sum("w").alias("cut_w"))
+    )
+    # explicit coalesce, not na.fill: a float fill value silently skips
+    # integer columns, so a zero-cut community with long weights would
+    # emit NULL instead of 0. F.lit(float(m2)) is a true double literal
+    # (bare SQL-text 38.0 parses as DECIMAL — the distinct_sketch trap).
+    cut_d = F.coalesce(F.col("cut_w").cast("double"), F.lit(0.0))
+    den = F.least(F.col("vol_w"), F.lit(float(m2)) - F.col("vol_w"))
+    return (
+        vol.join(cut, "community", "left")
+        .select(
+            "community",
+            F.round(F.col("vol_w").cast("double"), 6).alias("vol_w"),
+            F.round(cut_d, 6).alias("cut_w"),
+            F.when(den == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(cut_d / den, 6))
+            .alias("conductance"),
+        )
+    )

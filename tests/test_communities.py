@@ -296,3 +296,100 @@ def test_louvain_partition_invariants_adversarial_shapes(spark):
         assert set(got) == nodes, name  # no node lost, none invented
         # labels are usable as a partition key: every community non-empty
         assert all(c is not None for c in got.values()), name
+
+
+def test_conductance_two_cliques_one_bridge(spark):
+    from careers_spark.operators.communities import conductance
+
+    # two triangles joined by one bridge edge; labels = the triangles.
+    # Each triangle: vol = 2*3 (intra, both directions) + 1 (bridge
+    # endpoint) = 7; cut = 1; phi = 1/7
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 2) for n in (4, 5, 6)],
+        "node long, community long",
+    )
+    got = {
+        r.community: (r.vol_w, r.cut_w, r.conductance)
+        for r in conductance(e, labels).collect()
+    }
+    assert got == {
+        1: (7.0, 1.0, round(1 / 7, 6)),
+        2: (7.0, 1.0, round(1 / 7, 6)),
+    }
+
+
+def test_conductance_whole_graph_is_null(spark):
+    from careers_spark.operators.communities import conductance
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "node long, community long"
+    )
+    r = conductance(e, labels).collect()[0]
+    # one community holding all volume: complement vol 0 -> NULL
+    assert r.conductance is None and r.cut_w == 0.0
+
+
+def test_conductance_zero_cut_with_long_weights(spark):
+    from careers_spark.operators.communities import conductance
+
+    # two disconnected weighted components, labels == components: every
+    # cut is 0 with BIGINT weights — the case a float-valued na.fill
+    # would silently skip (float fill ignores integer columns), leaving
+    # NULL where 0.0 belongs
+    e = spark.createDataFrame(
+        [(1, 2, 3), (3, 4, 5)], "src long, dst long, n_obs long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2)], "node long, community long"
+    )
+    got = {
+        r.community: (r.vol_w, r.cut_w, r.conductance)
+        for r in conductance(e, labels, weight="n_obs").collect()
+    }
+    # m2 = 2*(3+5) = 16; vols 6 and 10; both cuts 0 -> conductance 0.0
+    assert got == {1: (6.0, 0.0, 0.0), 2: (10.0, 0.0, 0.0)}
+
+
+def test_conductance_weighted_matches_python(spark):
+    from careers_spark.operators.communities import conductance
+
+    import random
+
+    rng = random.Random(37)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(8), 2))) for _ in range(14)}
+    )
+    rows = [(a, b, rng.randrange(1, 5)) for a, b in edges]
+    e = spark.createDataFrame(rows, "src long, dst long, n_obs long")
+    lab = {n: n % 3 for n in range(8)}
+    labels = spark.createDataFrame(
+        list(lab.items()), "node long, community long"
+    )
+    got = {
+        r.community: (r.vol_w, r.cut_w, r.conductance)
+        for r in conductance(e, labels, weight="n_obs").collect()
+    }
+    vol, cut = {}, {}
+    m2 = 0
+    for a, b, w in rows:
+        for u, v in ((a, b), (b, a)):
+            m2 += w
+            vol[lab[u]] = vol.get(lab[u], 0) + w
+            if lab[u] != lab[v]:
+                cut[lab[u]] = cut.get(lab[u], 0) + w
+    want = {
+        c: (
+            float(vol[c]),
+            float(cut.get(c, 0)),
+            None
+            if min(vol[c], m2 - vol[c]) == 0
+            else round(cut.get(c, 0) / min(vol[c], m2 - vol[c]), 6),
+        )
+        for c in vol
+    }
+    assert got == want
