@@ -331,6 +331,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query_pred="vec_id % 50 = 0",
     )
 
+    def ann_recall_eval(spark, sf_dir):
+        """recall@k of the LSH ANN path against the exact brute-force
+        top-k — the ANN quality claim as a machine-checked driver row
+        (previously a tools/ann_recall.py study only). The oracle nests
+        BOTH rankings' SQL verbatim, so the hash covers the approximate
+        path, the exact path, AND the agreement metric end-to-end."""
+        emb = _t(spark, sf_dir, "embeddings")
+        approx = SIM.lsh_bucketed_topk(
+            emb, k=5, n_planes=6, query_pred="vec_id % 50 = 0", dim=64
+        )
+        exact = SIM.brute_force_topk(emb, k=5, query_pred="vec_id % 50 = 0")
+        return SIM.recall_at_k(approx, exact)
+
+    q["ann_recall_eval"] = ann_recall_eval
+
+    def score_auc(spark, sf_dir):
+        """Mann-Whitney AUC of the quality score predicting lang='en' —
+        the evaluation-metric closing the scoring loop (the stopword
+        leg of quality_score is English-centric, so quality should
+        rank English docs above the rest; AUC quantifies it)."""
+        from careers_spark.operators.evaluation import auc_score
+
+        docs = _t(spark, sf_dir, "documents")
+        qs = TS.quality_score(docs)
+        labeled = qs.join(docs.select("doc_id", "lang"), "doc_id").select(
+            F.col("quality").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        )
+        return auc_score(labeled)
+
+    q["score_auc"] = score_auc
+
+    def chi2_terms(spark, sf_dir):
+        """Chi-squared discriminative terms per language (Yang &
+        Pedersen feature selection) — the statistic behind language-ID
+        lexicon construction, over the shared tokenizer."""
+        from careers_spark.operators import evaluation as EV
+
+        return EV.chi2_terms(
+            _t(spark, sf_dir, "documents"),
+            DD.tokens_col("text"),
+            class_col="lang",
+            top_n=5,
+            min_df=5,
+        )
+
+    q["chi2_terms"] = chi2_terms
+
     # ---- text analysis ----
     q["token_counts"] = lambda spark, sf_dir: TS.token_counts(
         _t(spark, sf_dir, "documents")
@@ -2447,6 +2495,110 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rk <= 5
     """
 
+    # ann_recall_eval: both rankings' SQL nested verbatim (DuckDB allows
+    # WITH inside a CTE's parens), intersection + counts all integer,
+    # recall one division — BIGINT / in DuckDB and long / in Spark both
+    # yield DOUBLE on identical exact operands.
+    o["ann_recall_eval"] = f"""
+        WITH approx AS ({o["lsh_ann_topk"]}),
+        exact AS ({o["embedding_topk"]}),
+        ex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+        hit AS (
+          SELECT a.query_id, count(*) AS n_hits
+          FROM approx a
+          JOIN exact e ON e.query_id = a.query_id
+                      AND e.neighbor_id = a.neighbor_id
+          GROUP BY 1
+        )
+        SELECT x.query_id, x.n_exact,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0) / x.n_exact, 6) AS recall
+        FROM ex x LEFT JOIN hit h ON h.query_id = x.query_id
+    """
+
+    # score_auc: the Mann-Whitney identity over the distinct-score
+    # table. Every numerator term sits on the exact 0.5 grid
+    # (pos*cumneg integer + pos*neg/2), so the sum is order-free; AUC is
+    # one division with the shared (npos * 1e0 * nneg) text. Nests the
+    # quality_score SQL verbatim.
+    o["score_auc"] = """
+        WITH qs AS ({QS}),
+        lab AS (
+          SELECT q.quality AS score,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+          FROM qs q JOIN documents d ON d.doc_id = q.doc_id
+        ),
+        g AS (
+          SELECT score, CAST(sum(label) AS BIGINT) AS pos,
+                 CAST(sum(1 - label) AS BIGINT) AS neg
+          FROM lab GROUP BY score
+        ),
+        g2 AS (
+          SELECT *, coalesce(sum(neg) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cumneg
+          FROM g
+        ),
+        s AS (
+          SELECT sum(pos * cumneg + pos * neg / 2) AS num,
+                 CAST(sum(pos) AS BIGINT) AS npos,
+                 CAST(sum(neg) AS BIGINT) AS nneg
+          FROM g2
+        )
+        SELECT npos, nneg,
+               CASE WHEN npos = 0 OR nneg = 0 THEN NULL
+                    ELSE round(num / (npos * 1e0 * nneg), 6) END AS auc
+        FROM s
+    """
+
+    # chi2_terms: doc-level presence counts all integer; adbc and chi2
+    # use the IDENTICAL expression text as evaluation._ADBC_EXPR /
+    # _CHI2_EXPR (1e0 factors keep everything in DOUBLE — billion-doc
+    # products would overflow BIGINT), then round(,6) before the
+    # per-class (chi2 desc, tok) rank.
+    o["chi2_terms"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, lang AS cls,
+                 unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents
+        ),
+        ac AS (
+          SELECT cls, tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS a
+          FROM tokd GROUP BY 1, 2
+        ),
+        dft AS (
+          SELECT tok, CAST(sum(a) AS BIGINT) AS df_t
+          FROM ac GROUP BY 1 HAVING sum(a) >= 5
+        ),
+        nlc AS (
+          SELECT lang AS cls, CAST(count(*) AS BIGINT) AS nl
+          FROM documents GROUP BY 1
+        ),
+        nnc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+        sc AS (
+          SELECT ac.cls, ac.tok, ac.a, d.df_t, l.nl, n.nn,
+                 ac.a * 1e0 * (n.nn - l.nl - d.df_t + ac.a)
+                   - (d.df_t - ac.a) * 1e0 * (l.nl - ac.a) AS adbc
+          FROM ac
+          JOIN dft d ON d.tok = ac.tok
+          JOIN nlc l ON l.cls = ac.cls
+          CROSS JOIN nnc n
+          WHERE d.df_t < n.nn AND l.nl < n.nn
+        ),
+        sc2 AS (
+          SELECT *, round((nn * 1e0) * adbc * adbc /
+                 ((df_t * 1e0) * (nn - df_t) * nl * (nn - nl)), 6) AS chi2
+          FROM sc
+        )
+        SELECT cls AS lang, tok AS token, a AS n_class_docs, chi2,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY cls
+                                       ORDER BY chi2 DESC, tok) AS rk
+          FROM sc2
+        ) WHERE rk <= 5
+    """
+
     # entity_communities: synchronous LPA with deterministic ties and a
     # self-vote is a fixpoint iteration — unrolling exactly max_iter=10
     # rounds in SQL reproduces Spark's early-stopped result (a converged
@@ -3504,6 +3656,10 @@ def oracle_sql() -> dict[str, str]:
                  + 0.4 * least(1.0, stop_ratio * 2))) AS DOUBLE), 6) AS quality
         FROM y
     """
+
+    # score_auc nests the quality_score SQL (defined just above; the
+    # o["score_auc"] template carries a literal {QS} placeholder)
+    o["score_auc"] = o["score_auc"].format(QS=o["quality_score"])
 
     # bm25_search: identical expression text per (doc, term), integer
     # tf/df/dl/N under every double, fixed-order c0+c1+c2 chain, score

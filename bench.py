@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "embedding_topk",
     "lsh_ann_topk",
+    "ann_recall_eval",
     "ivf_ann_topk",
     "kmeans_clusters",
     "semantic_dedup",
@@ -66,6 +67,8 @@ BENCH_QUERIES = [
     "link_weights_nation",
     "redirect_fixpoint",
     "quality_score",
+    "score_auc",
+    "chi2_terms",
     "lang_id",
     "doc_fingerprint",
     "token_pmi",

@@ -878,3 +878,42 @@ def triplet_mining(
             "rand_neg_id",
         )
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall of an ANN candidate ranking against the exact
+    top-k — the standard ANN quality metric (faiss's recall@k), turned
+    into a first-class operator so the approximate/exact agreement is
+    machine-checkable end-to-end rather than a one-off study.
+
+    Both inputs carry (query_id, neighbor_id) rows (the shared contract
+    of brute_force_topk / lsh_bucketed_topk / ivf_topk / sq8_topk).
+    `exact` is the ground-truth base: queries the ANN missed entirely
+    report n_hits=0 rather than vanishing. Tie handling is inherited —
+    every ranker in this module orders by (rounded sim desc,
+    neighbor_id), so the exact set is deterministic and identical
+    across engines.
+
+    All counts are integers aggregated map-side; recall is the one
+    rounded division. Shapes: one equi-join on (query_id, neighbor_id)
+    + two partial-agg groupBys — no windows, no global sort.
+
+    Output: (query_id, n_exact, n_hits, recall).
+    """
+    ex = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hit = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        ex.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            n_hits.alias("n_hits"),
+            F.round(n_hits / F.col("n_exact"), 6).alias("recall"),
+        )
+    )

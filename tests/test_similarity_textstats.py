@@ -352,3 +352,46 @@ def test_gopher_keep_thresholds(spark):
     )
     got = {r.doc_id: r.keep for r in TS.gopher_repetition(df).collect()}
     assert got[0] is False and got[1] is True
+
+
+def test_recall_at_k_counts_and_division(spark):
+    from careers_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    # q1: 2/3 found; q2: both found; q3: ANN missed it entirely (no rows)
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r.query_id: (r.n_exact, r.n_hits, r.recall)
+        for r in recall_at_k(approx, exact).collect()
+    }
+    assert got == {
+        1: (3, 2, round(2 / 3, 6)),
+        2: (2, 2, 1.0),
+        3: (1, 0, 0.0),
+    }
+
+
+def test_recall_at_k_lsh_vs_brute_force_real_corpus(spark):
+    from careers_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        recall_at_k,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = brute_force_topk(emb, k=5, query_pred="vec_id % 100 = 0")
+    approx = lsh_bucketed_topk(
+        emb, k=5, n_planes=6, query_pred="vec_id % 100 = 0", dim=64
+    )
+    rows = recall_at_k(approx, exact).collect()
+    # one row per exact-side query, recall == n_hits / n_exact, in [0,1]
+    assert len(rows) == exact.select("query_id").distinct().count()
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.recall == round(r.n_hits / r.n_exact, 6)
