@@ -205,6 +205,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    def ewma_hourly(spark, sf_dir):
+        """EWMA(alpha=1/2, 24h window) of hourly event counts per type
+        — the smoothed alerting baseline, exact on the dyadic 2^-24
+        lattice (integer contributions, one closing division)."""
+        from careers_spark.operators.temporal import ewma_hourly as ew
+
+        return ew(_t(spark, sf_dir, "events"))
+
+    q["ewma_hourly"] = ewma_hourly
+
     # ---- classic agg + star join (scan/agg/join sanity at scale) ----
     def tpch_q1(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
@@ -223,6 +233,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q1"] = tpch_q1
+
+    def tpch_q3(spark, sf_dir):
+        """TPC-H Q3 (shipping priority) adapted to the driver schema
+        (o_orderpriority stands in for o_shippriority): top-10 open
+        BUILDING-segment orders by pre-cutoff revenue. Customer dim is
+        broadcast; the lineitem/orders join shuffles on the order key
+        with both date filters pushed to the scans; the top-10 is a
+        sort over the aggregated (order-count-sized) result only."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        return (
+            li.filter(F.col("l_shipdate") > "1996-07-01")
+            .join(
+                o.filter(F.col("o_orderdate") < "1996-07-01"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+            .limit(10)
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        )
+
+    q["tpch_q3"] = tpch_q3
 
     def star_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
@@ -378,6 +421,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["chi2_terms"] = chi2_terms
+
+    def langid_confusion(spark, sf_dir):
+        """Per-class precision/recall/F1 of lang_id against the corpus
+        lang column — the classifier report card (confusion marginals
+        per class; F1 via the single-division 2a/(t+p) identity)."""
+        from careers_spark.operators.evaluation import confusion_stats
+
+        docs = _t(spark, sf_dir, "documents")
+        pred = TS.lang_id(docs)
+        j = docs.select("doc_id", F.col("lang").alias("truth")).join(
+            pred.select("doc_id", F.col("pred_lang").alias("pred")), "doc_id"
+        )
+        return confusion_stats(j)
+
+    q["langid_confusion"] = langid_confusion
+
+    def langid_kappa(spark, sf_dir):
+        """Cohen's kappa of lang_id vs the true lang — chance-corrected
+        agreement, the annotator-agreement statistic for labeling
+        pipelines, cross-multiplied onto exact integers."""
+        from careers_spark.operators.evaluation import cohens_kappa
+
+        docs = _t(spark, sf_dir, "documents")
+        pred = TS.lang_id(docs)
+        j = docs.select("doc_id", F.col("lang").alias("truth")).join(
+            pred.select("doc_id", F.col("pred_lang").alias("pred")), "doc_id"
+        )
+        return cohens_kappa(j)
+
+    q["langid_kappa"] = langid_kappa
+
+    def score_calibration(spark, sf_dir):
+        """Reliability-diagram bins (Guo et al. 2017 ECE summands) of
+        the quality score predicting lang='en' — per-bin confidence vs
+        empirical accuracy on the 1e-6 score lattice."""
+        from careers_spark.operators.evaluation import calibration_bins
+
+        docs = _t(spark, sf_dir, "documents")
+        qs = TS.quality_score(docs)
+        labeled = qs.join(docs.select("doc_id", "lang"), "doc_id").select(
+            F.col("quality").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        )
+        return calibration_bins(labeled, bins=10)
+
+    q["score_calibration"] = score_calibration
+
+    def welch_ttest(spark, sf_dir):
+        """Welch's t of document length (n_chars) between English and
+        non-English docs — the continuous-outcome A/B companion to
+        ab_conversion; (n, sum, sumsq) collected as exact BIGINTs in
+        one pass, t and Welch-Satterthwaite df as shared-text
+        expressions."""
+        from careers_spark.operators.evaluation import welch_ttest as wt
+
+        docs = _t(spark, sf_dir, "documents")
+        return wt(
+            docs.select(
+                F.col("n_chars").alias("value"),
+                F.when(F.col("lang") == "en", 1).otherwise(0).alias("grp"),
+            ),
+            value="value",
+            group="grp",
+        )
+
+    q["welch_ttest"] = welch_ttest
 
     # ---- text analysis ----
     q["token_counts"] = lambda spark, sf_dir: TS.token_counts(
@@ -1946,6 +2055,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pq_encoding"] = pq_encoding
+
+    def pq_adc_topk(spark, sf_dir):
+        """PQ asymmetric-distance top-k (the faiss ADC search over
+        pq_codes-style compressed corpora): codebooks trained on the
+        corpus side only, queries keep raw lattice subvectors, every
+        distance an exact BIGINT. Completes the ANN family's
+        compressed-search leg (IVF lists + PQ codes = IVFADC)."""
+        from careers_spark.operators.clustering import pq_adc_topk as adc
+
+        return adc(
+            _t(spark, sf_dir, "embeddings"),
+            k=5, m=4, kcent=8, iters=2, query_pred="vec_id % 50 = 0",
+        )
+
+    q["pq_adc_topk"] = pq_adc_topk
 
     def ab_conversion(spark, sf_dir):
         """Two-proportion z-test over md5-bucketed experiment arms,
@@ -6192,5 +6316,247 @@ def oracle_sql() -> dict[str, str]:
         JOIN rnd r ON r.anchor_id = p.anchor_id
         WHERE r.rand_neg_id <> p.pos_id
     """
+
+    # tpch_q3 (shipping priority, o_orderpriority standing in): the
+    # tpch_q1/star_revenue rounding convention; top-10 with the full
+    # deterministic tie-break (revenue desc, date, orderkey).
+    o["tpch_q3"] = """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """
+
+    # langid_confusion / langid_kappa: the lang_id SQL nested verbatim;
+    # counts integer, precision/recall one division each, F1 via the
+    # single-division 2a/(t+p) identity, kappa cross-multiplied.
+    _CONF_BASE = f"""
+        pr AS ({o["lang_id"]}),
+        j AS (
+          SELECT d.lang AS truth, pr.pred_lang AS pred
+          FROM documents d JOIN pr ON pr.doc_id = d.doc_id
+        ),
+        t AS (SELECT truth AS cls, CAST(count(*) AS BIGINT) AS n_true
+              FROM j GROUP BY 1),
+        p AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+              FROM j GROUP BY 1)
+    """
+    o["langid_confusion"] = f"""
+        WITH {_CONF_BASE},
+        c AS (SELECT truth AS cls, CAST(count(*) AS BIGINT) AS n_correct
+              FROM j WHERE truth = pred GROUP BY 1),
+        base AS (
+          SELECT coalesce(t.cls, p.cls) AS cls,
+                 coalesce(t.n_true, 0) AS n_true,
+                 coalesce(p.n_pred, 0) AS n_pred
+          FROM t FULL OUTER JOIN p ON p.cls = t.cls
+        )
+        SELECT b.cls,
+               CAST(b.n_true AS BIGINT) AS n_true,
+               CAST(b.n_pred AS BIGINT) AS n_pred,
+               CAST(coalesce(c.n_correct, 0) AS BIGINT) AS n_correct,
+               CASE WHEN b.n_pred = 0 THEN NULL
+                    ELSE round(coalesce(c.n_correct, 0)
+                               / (b.n_pred * 1e0), 6) END AS precision,
+               CASE WHEN b.n_true = 0 THEN NULL
+                    ELSE round(coalesce(c.n_correct, 0)
+                               / (b.n_true * 1e0), 6) END AS recall,
+               round(2 * coalesce(c.n_correct, 0)
+                     / ((b.n_true + b.n_pred) * 1e0), 6) AS f1
+        FROM base b LEFT JOIN c ON c.cls = b.cls
+    """
+    o["langid_kappa"] = f"""
+        WITH {_CONF_BASE},
+        rc AS (SELECT CAST(coalesce(sum(t.n_true * p.n_pred), 0) AS BIGINT)
+                 AS sum_rc
+               FROM t JOIN p ON p.cls = t.cls),
+        ag AS (
+          SELECT CAST(count(*) AS BIGINT) AS nn,
+                 CAST(sum(CASE WHEN truth = pred THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_agree
+          FROM j
+        )
+        SELECT nn, n_agree, sum_rc,
+               round(n_agree / (nn * 1e0), 6) AS accuracy,
+               CASE WHEN nn * 1e0 * nn - sum_rc = 0 THEN NULL
+                    ELSE round((nn * 1e0 * n_agree - sum_rc)
+                               / (nn * 1e0 * nn - sum_rc), 6) END AS kappa
+        FROM ag CROSS JOIN rc
+    """
+
+    # score_calibration: quality_score SQL nested; per-bin score sums
+    # ride the 1e-6 integer lattice so conf/acc are single divisions of
+    # exact integers; gap from the two ROUNDED columns.
+    o["score_calibration"] = f"""
+        WITH qs AS ({o["quality_score"]}),
+        lab AS (
+          SELECT q.quality AS score,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+          FROM qs q JOIN documents d ON d.doc_id = q.doc_id
+        ),
+        g AS (
+          SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(label) AS BIGINT) AS n_pos,
+                 CAST(sum(CAST(round(score * 1000000e0, 0) AS BIGINT))
+                   AS BIGINT) AS su
+          FROM lab GROUP BY 1
+        ),
+        r AS (
+          SELECT bin, n, n_pos,
+                 round(su / (n * 1e0) / 1000000e0, 6) AS conf,
+                 round(n_pos / (n * 1e0), 6) AS acc
+          FROM g
+        )
+        SELECT bin, n, n_pos, conf, acc,
+               round(abs(conf - acc), 6) AS gap
+        FROM r
+    """
+
+    # welch_ttest: (n, sum, sumsq) exact BIGINTs in one pass; the t and
+    # Welch-Satterthwaite df are the IDENTICAL expression text as
+    # evaluation._W_T/_W_DF over those integers (IEEE + - * / sqrt are
+    # correctly rounded, so identical trees on identical integers give
+    # identical doubles).
+    from careers_spark.operators.evaluation import (
+        _W_DF as _WDF,
+        _W_SE2 as _WSE2,
+        _W_T as _WT,
+        _W_V0 as _WV0,
+        _W_V1 as _WV1,
+    )
+
+    o["welch_ttest"] = f"""
+        WITH a AS (
+          SELECT
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_0,
+            CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS s_1,
+            CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE n_chars END) AS BIGINT) AS s_0,
+            CAST(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS ss_1,
+            CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE n_chars * n_chars END) AS BIGINT) AS ss_0
+          FROM documents
+        )
+        SELECT n_1, n_0, s_1, s_0,
+               round(s_1 * 1e0 / n_1, 6) AS mean_1,
+               round(s_0 * 1e0 / n_0, 6) AS mean_0,
+               CASE WHEN n_1 < 2 THEN NULL
+                    ELSE round({_WV1}, 6) END AS var_1,
+               CASE WHEN n_0 < 2 THEN NULL
+                    ELSE round({_WV0}, 6) END AS var_0,
+               CASE WHEN n_1 < 2 OR n_0 < 2 OR ({_WSE2}) = 0 THEN NULL
+                    ELSE {_WT} END AS t_stat,
+               CASE WHEN n_1 < 2 OR n_0 < 2 OR ({_WSE2}) = 0 THEN NULL
+                    ELSE {_WDF} END AS df_welch
+        FROM a
+    """
+
+    # ewma_hourly: contributions as exact integers in units of 2^-24
+    # (count << (23 - offset)), summed as BIGINT — order-free in both
+    # engines; one closing dyadic division, no rounding needed.
+    o["ewma_hourly"] = """
+        WITH c AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        fan AS (
+          SELECT event_type, hour + to_hours(i) AS hour,
+                 n_events * (1::BIGINT << CAST(23 - i AS INTEGER)) AS contrib
+          FROM c CROSS JOIN (SELECT unnest(range(0, 24)) AS i) g
+        ),
+        acc AS (
+          SELECT event_type, hour, CAST(sum(contrib) AS BIGINT) AS acc
+          FROM fan GROUP BY 1, 2
+        )
+        SELECT c.event_type, c.hour, c.n_events,
+               acc.acc / CAST(1::BIGINT << 24 AS DOUBLE) AS ewma
+        FROM c JOIN acc USING (event_type, hour)
+    """
+
+    # pq_adc_topk: the pq_encoding Lloyd unroll re-run on the CORPUS
+    # side only (NOT query_pred), final codes joined back to the final
+    # centroid tables, ADC distance the exact integer subspace sum, and
+    # the per-query (adist, neighbor_id) rank. Everything BIGINT — no
+    # tolerance anywhere.
+    _adc_sub, _adc_m, _adc_k, _adc_iters = 16, 4, 8, 2
+    _adc_ctes = []
+    for _j in range(_adc_m):
+        _lo = _j * _adc_sub + 1
+        _hi = (_j + 1) * _adc_sub
+        _adc_ctes.append(
+            f"""aq{_j} AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 list_transform((embedding::DOUBLE[])[{_lo}:{_hi}],
+                     v -> CAST(round(v * 1000000e0) AS BIGINT)) AS x
+          FROM embeddings WHERE NOT (vec_id % 50 = 0)
+        )"""
+        )
+        _adc_ctes.append(
+            f"""ac{_j}_0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, x
+          FROM (SELECT id, x FROM aq{_j} ORDER BY id LIMIT {_adc_k})
+        )"""
+        )
+        for _it in range(_adc_iters):
+            _adc_ctes.append(
+                f"aa{_j}_{_it} AS MATERIALIZED "
+                f"{_pq_assign(f'aq{_j}', f'ac{_j}_{_it}', _adc_sub)}"
+            )
+            _adc_ctes.append(
+                f"ac{_j}_{_it + 1} AS MATERIALIZED "
+                f"{_pq_update(f'aa{_j}_{_it}', f'ac{_j}_{_it}', f'aq{_j}', _adc_sub)}"
+            )
+        _adc_ctes.append(
+            f"af{_j} AS MATERIALIZED "
+            f"{_pq_assign(f'aq{_j}', f'ac{_j}_{_adc_iters}', _adc_sub)}"
+        )
+    _adc_dist = " + ".join(
+        f"""list_sum(list_transform(range(1, {_adc_sub + 1}),
+            i -> (q.x[{_j * _adc_sub} + i] - c{_j}.x[i])
+               * (q.x[{_j * _adc_sub} + i] - c{_j}.x[i])))"""
+        for _j in range(_adc_m)
+    )
+    o["pq_adc_topk"] = (
+        "WITH "
+        + ",\n".join(_adc_ctes)
+        + f""",
+        qv AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 list_transform(embedding::DOUBLE[],
+                     v -> CAST(round(v * 1000000e0) AS BIGINT)) AS x
+          FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        codes AS (
+          SELECT af0.id, af0.cluster AS k0, af1.cluster AS k1,
+                 af2.cluster AS k2, af3.cluster AS k3
+          FROM af0 JOIN af1 USING (id) JOIN af2 USING (id)
+          JOIN af3 USING (id)
+        ),
+        d AS (
+          SELECT q.id AS query_id, c.id AS neighbor_id,
+                 CAST({_adc_dist} AS BIGINT) AS adist
+          FROM qv q CROSS JOIN codes c
+          JOIN ac0_{_adc_iters} c0 ON c0.cid = c.k0
+          JOIN ac1_{_adc_iters} c1 ON c1.cid = c.k1
+          JOIN ac2_{_adc_iters} c2 ON c2.cid = c.k2
+          JOIN ac3_{_adc_iters} c3 ON c3.cid = c.k3
+        )
+        SELECT query_id, neighbor_id, adist, CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist, neighbor_id) AS rk
+          FROM d
+        ) WHERE rk <= 5
+    """
+    )
 
     return o

@@ -154,6 +154,13 @@ BENCH_QUERIES = [
     "graph_triangles",
     "graph_kcore",
     "entity_distances",
+    "tpch_q3",
+    "ewma_hourly",
+    "langid_confusion",
+    "langid_kappa",
+    "score_calibration",
+    "welch_ttest",
+    "pq_adc_topk",
 ]
 
 

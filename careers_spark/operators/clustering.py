@@ -85,30 +85,16 @@ def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
-def kmeans_assign(
-    embeddings: DataFrame,
-    k: int = 8,
-    iters: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd k-means on the 1e-6 integer lattice; returns the FINAL
-    assignment (id, cluster, dist) after ``iters`` full
-    assign-then-update rounds plus one closing assignment.
-
-    dist is the exact integer squared distance on the lattice
-    (value units: (coordinate * 1e6)^2).
-    """
-    q = _quantize(embeddings, id_col, vec_col).cache()
-
-    # seeds: the k smallest ids, cluster id = seed rank
+def lloyd_centroids(q: DataFrame, k: int, iters: int) -> list[list[int]] | None:
+    """The Lloyd loop over a quantized (id, x) frame: deterministic
+    seeds (k smallest ids, cluster id = seed rank), ``iters``
+    assign-then-update rounds on the integer lattice. Returns the
+    FINAL centroid list (lattice points), or None on empty input.
+    Collects k rows per iteration — the centroid table is tiny by
+    definition."""
     seeds = q.orderBy("id").limit(int(k)).collect()
     if not seeds:
-        return q.select(
-            F.col("id").alias(id_col),
-            F.lit(None).cast("long").alias("cluster"),
-            F.lit(None).cast("long").alias("dist"),
-        )
+        return None
     dim = len(seeds[0]["x"])
     centroids = [list(r["x"]) for r in seeds]
 
@@ -131,6 +117,32 @@ def kmeans_assign(
         }
         # an emptied cluster keeps its previous centroid
         centroids = [got.get(j, centroids[j]) for j in range(len(centroids))]
+    return centroids
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means on the 1e-6 integer lattice; returns the FINAL
+    assignment (id, cluster, dist) after ``iters`` full
+    assign-then-update rounds plus one closing assignment.
+
+    dist is the exact integer squared distance on the lattice
+    (value units: (coordinate * 1e6)^2).
+    """
+    q = _quantize(embeddings, id_col, vec_col).cache()
+
+    centroids = lloyd_centroids(q, k, iters)
+    if centroids is None:
+        return q.select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("long").alias("dist"),
+        )
 
     out = _assign(q, centroids).select(
         F.col("id").alias(id_col), "cluster", "dist"
@@ -407,3 +419,124 @@ def pq_codes(
         *[f"code_{j}" for j in range(m)],
         sum(F.col(f"_d{j}") for j in range(m)).cast("long").alias("recon_err"),
     )
+
+
+def _slice_dist_expr(centroid: list[int], lo: int, sub: int) -> str:
+    """Exact integer squared distance between slice(x, lo, sub) and a
+    literal lattice centroid."""
+    arr = "array(" + ",".join(f"{int(c)}L" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with(slice(x, {lo}, {sub}), {arr}, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    kcent: int = 8,
+    iters: int = 2,
+    query_pred: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k search (Jegou et al. 2011, the
+    faiss ADC path): the corpus is stored ONLY as pq_codes-style
+    m-tuples of codebook indices, and each query's distance to a doc
+    is the sum of subspace distances from the query's RAW subvector to
+    the centroid the doc's code names:
+
+        adist(q, doc) = sum_j || q_j - C_j[code_j(doc)] ||^2
+
+    Codebooks are trained on the CORPUS side only (rows not matching
+    `query_pred` — queries are never indexed), via the shared
+    integer-lattice Lloyd loop, so codes, centroids, and every ADC
+    distance are exact BIGINTs — no rounding recipe at all, and the
+    ranking is deterministic across engines and parallelism.
+
+    Provable-exactness property (the ivf nprobe==nlist analogue):
+    with kcent == corpus size, every vector is its own centroid
+    (seeds are the points, each assigns to itself at distance 0,
+    updates are identity), so ADC degenerates to the exact lattice L2
+    ranking — pinned in tests.
+
+    Physical shape: training is m bounded Lloyd loops (k*sub ints to
+    the driver per iteration); encoding is pure map work against
+    literal centroids (the corpus never shuffles); the query x codes
+    scan is the declared exact-baseline cross join (brute_force_topk's
+    contract) — at corpus scale feed candidates from ivf_topk's lists
+    and apply ADC as the re-rank, which is the faiss IVFADC
+    composition. Codes are m bytes vs 4*dim floats, so the scanned
+    side is ~64x slimmer than the raw corpus.
+
+    Output: (query_id, neighbor_id, adist, rk) — adist the exact
+    BIGINT lattice distance, ties to smaller neighbor id.
+    """
+    dim = embeddings.select(F.size(F.col(vec_col))).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"pq_adc_topk: dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    corpus = embeddings.filter(f"NOT ({query_pred})")
+    queries = embeddings.filter(query_pred)
+    cq = _quantize(corpus, id_col, vec_col).cache()
+
+    codebooks: list[list[list[int]]] = []
+    for j in range(m):
+        qj = cq.select("id", F.slice(F.col("x"), j * sub + 1, sub).alias("x"))
+        cents = lloyd_centroids(qj, kcent, iters)
+        if cents is None:
+            raise ValueError("pq_adc_topk: empty corpus")
+        codebooks.append(cents)
+
+    # encode: per-subspace argmin over literal centroids — zero joins
+    code_cols = []
+    for j in range(m):
+        lo = j * sub + 1
+        structs = [
+            F.struct(
+                F.expr(_slice_dist_expr(c, lo, sub)).alias("d"),
+                F.lit(ci).cast("long").alias("j"),
+            )
+            for ci, c in enumerate(codebooks[j])
+        ]
+        best = F.least(*structs) if len(structs) > 1 else structs[0]
+        code_cols.append(best.getField("j").alias(f"code_{j}"))
+    codes = cq.select(F.col("id").alias("neighbor_id"), *code_cols)
+
+    # ADC: query lattice vector x corpus code tuple; per-subspace
+    # lookup table is a literal array-of-arrays indexed by the code
+    qx = _quantize(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("x").alias("qx")
+    )
+    dist_terms = []
+    for j in range(m):
+        lo = j * sub + 1
+        book = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+                for c in codebooks[j]
+            )
+            + ")"
+        )
+        dist_terms.append(
+            f"aggregate(zip_with(slice(qx, {lo}, {sub}), "
+            f"element_at({book}, cast(code_{j} as int) + 1), "
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
+        )
+    adist = F.expr(" + ".join(f"({t})" for t in dist_terms))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    out = (
+        qx.crossJoin(codes)
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select("query_id", "neighbor_id", "adist", F.col("rk").cast("int").alias("rk"))
+    )
+    cq.unpersist()
+    return out

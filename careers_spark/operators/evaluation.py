@@ -142,3 +142,229 @@ def chi2_terms(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def confusion_stats(
+    df: DataFrame, truth: str = "truth", pred: str = "pred"
+) -> DataFrame:
+    """Per-class confusion summary with precision / recall / F1 — the
+    classifier report card for any (truth, pred) pairing (here:
+    lang_id's prediction vs the documents table's lang column).
+
+    Exactness: the three count tables are integers from partial-agg
+    groupBys; precision and recall are one rounded division each, and
+    F1 uses the identity F1 = 2a / (n_true + n_pred) — a SINGLE
+    division of integers rather than the 2PR/(P+R) composition of two
+    already-rounded values, so no compounding.
+
+    Classes = the union of observed truth and pred values (a class
+    never predicted still reports recall; a hallucinated class still
+    reports precision). Zero denominators -> NULL, not 0.
+
+    Shapes: three partial-agg groupBys over the same scan + two
+    broadcast-sized outer joins on the class dimension (bounded by
+    the label vocabulary, never corpus-sized).
+
+    Output: (cls, n_true, n_pred, n_correct, precision, recall, f1).
+    """
+    t = df.groupBy(F.col(truth).alias("cls")).agg(F.count("*").alias("n_true"))
+    p = df.groupBy(F.col(pred).alias("cls")).agg(F.count("*").alias("n_pred"))
+    c = (
+        df.filter(F.col(truth) == F.col(pred))
+        .groupBy(F.col(truth).alias("cls"))
+        .agg(F.count("*").alias("n_correct"))
+    )
+    z = F.lit(0).cast("long")
+    base = (
+        t.join(p, "cls", "full_outer")
+        .join(c, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce("n_true", z).alias("n_true"),
+            F.coalesce("n_pred", z).alias("n_pred"),
+            F.coalesce("n_correct", z).alias("n_correct"),
+        )
+    )
+    return base.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "n_correct",
+        F.when(F.col("n_pred") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_correct") / (F.col("n_pred") * F.lit(1.0)), 6))
+        .alias("precision"),
+        F.when(F.col("n_true") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_correct") / (F.col("n_true") * F.lit(1.0)), 6))
+        .alias("recall"),
+        F.round(
+            2 * F.col("n_correct") / ((F.col("n_true") + F.col("n_pred")) * F.lit(1.0)),
+            6,
+        ).alias("f1"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame, truth: str = "truth", pred: str = "pred"
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two labelers
+    (annotator-agreement for labeling pipelines; here, lang_id vs the
+    corpus lang column). kappa = (po - pe) / (1 - pe) with po the
+    observed agreement rate and pe the chance rate sum_c t_c*p_c / n^2.
+
+    Cross-multiplied to keep everything on exact integers until ONE
+    shared-text division:
+
+        kappa = (n * n_agree - sum_rc) / (n * n - sum_rc)
+
+    sum_rc = sum_c n_true_c * n_pred_c stays within BIGINT while
+    n_true_c * n_pred_c < 2^63 per class (~3e9 rows per class) — noted
+    rather than silently promoted, since promotion to DOUBLE would
+    reintroduce order-dependence. pe = 1 (single-class degenerate)
+    -> NULL.
+
+    Output: one row (nn, n_agree, sum_rc, accuracy, kappa).
+    """
+    t = df.groupBy(F.col(truth).alias("cls")).agg(F.count("*").alias("n_true"))
+    p = df.groupBy(F.col(pred).alias("cls")).agg(F.count("*").alias("n_pred"))
+    rc = (
+        t.join(p, "cls")
+        .agg(F.sum(F.col("n_true") * F.col("n_pred")).alias("sum_rc"))
+        .select(F.coalesce("sum_rc", F.lit(0).cast("long")).alias("sum_rc"))
+    )
+    agg = df.agg(
+        F.count("*").alias("nn"),
+        F.sum(
+            F.when(F.col(truth) == F.col(pred), 1).otherwise(0)
+        ).alias("n_agree"),
+    )
+    return agg.crossJoin(rc).select(
+        "nn",
+        "n_agree",
+        "sum_rc",
+        F.round(F.col("n_agree") / (F.col("nn") * F.lit(1.0)), 6).alias("accuracy"),
+        F.when(
+            F.col("nn") * F.lit(1.0) * F.col("nn") - F.col("sum_rc") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("nn") * F.lit(1.0) * F.col("n_agree") - F.col("sum_rc"))
+                / (F.col("nn") * F.lit(1.0) * F.col("nn") - F.col("sum_rc")),
+                6,
+            )
+        )
+        .alias("kappa"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame, score: str = "score", label: str = "label", bins: int = 10
+) -> DataFrame:
+    """Reliability diagram / ECE bins: equal-width bins over a [0, 1]
+    score vs a binary label — per-bin mean confidence, empirical
+    accuracy, and their gap (the Expected Calibration Error summand,
+    Guo et al. 2017).
+
+    Exactness: scores ride the 1e-6 integer lattice (every score in
+    this repo is already round(,6), so round(score*1e6) is the exact
+    integer), making the per-bin score sum an exact BIGINT; conf and
+    acc are one shared-text division each, and gap = round(abs(...))
+    of two identical doubles. score == 1.0 folds into the top bin
+    (least(floor(score*bins), bins-1)), the standard closed-top rule.
+
+    One partial-agg groupBy on a bins-sized key — map-side combinable,
+    dimension-sized output.
+
+    Output: (bin, n, n_pos, conf, acc, gap).
+    """
+    b = F.least(
+        F.floor(F.col(score) * bins), F.lit(int(bins) - 1)
+    ).cast("int")
+    g = df.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(label).cast("long")).alias("n_pos"),
+        F.sum(
+            F.expr(f"cast(round({score} * 1000000e0, 0) as bigint)")
+        ).alias("su"),
+    )
+    conf = F.round(F.col("su") / (F.col("n") * F.lit(1.0)) / F.lit(1000000.0), 6)
+    acc = F.round(F.col("n_pos") / (F.col("n") * F.lit(1.0)), 6)
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        conf.alias("conf"),
+        acc.alias("acc"),
+        F.round(F.abs(conf - acc), 6).alias("gap"),
+    )
+
+
+# Welch statistic / degrees of freedom as shared expression text over
+# exact integer (n, sum, sumsq) pairs: sample variance in the
+# sum-of-squares form, then the t and Welch-Satterthwaite df. Every op
+# (+ - * / sqrt) is IEEE-correctly-rounded, so identical text over
+# identical integers yields identical doubles in Spark and DuckDB.
+_W_V1 = "(ss_1 * 1e0 - s_1 * 1e0 * s_1 / n_1) / (n_1 - 1e0)"
+_W_V0 = "(ss_0 * 1e0 - s_0 * 1e0 * s_0 / n_0) / (n_0 - 1e0)"
+_W_SE2 = f"(({_W_V1}) / n_1 + ({_W_V0}) / n_0)"
+_W_T = f"round((s_1 * 1e0 / n_1 - s_0 * 1e0 / n_0) / sqrt({_W_SE2}), 6)"
+_W_DF = (
+    f"round(({_W_SE2}) * ({_W_SE2}) / "
+    f"((({_W_V1}) / n_1) * (({_W_V1}) / n_1) / (n_1 - 1e0) + "
+    f"(({_W_V0}) / n_0) * (({_W_V0}) / n_0) / (n_0 - 1e0)), 6)"
+)
+
+
+def welch_ttest(
+    df: DataFrame, value: str = "value", group: str = "grp"
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test of an INTEGER value
+    column between group 1 and group 0 — the A/B companion to
+    ab_conversion for continuous-ish outcomes (here: document length
+    by language).
+
+    One partial-agg pass collects (n, sum, sumsq) per group as exact
+    BIGINTs (sumsq stays in range while n * max_value^2 < 2^63 —
+    ~2e10 docs at 20k chars); the t statistic and Welch-Satterthwaite
+    df are single shared-text double expressions over those integers
+    (the ab_conversion z recipe). Degenerate inputs (either group with
+    n < 2, or both variances zero) -> NULL t/df.
+
+    Output: one row (n_1, n_0, s_1, s_0, mean_1, mean_0, var_1,
+    var_0, t_stat, df_welch).
+    """
+    g1 = F.when(F.col(group) == 1, 1).otherwise(0)
+    v = F.col(value).cast("long")
+    agg = df.agg(
+        F.sum(g1).alias("n_1"),
+        F.sum(1 - g1).alias("n_0"),
+        F.sum(v * g1).alias("s_1"),
+        F.sum(v * (1 - g1)).alias("s_0"),
+        F.sum(v * v * g1).alias("ss_1"),
+        F.sum(v * v * (1 - g1)).alias("ss_0"),
+    )
+    bad = (
+        (F.col("n_1") < 2)
+        | (F.col("n_0") < 2)
+        | (F.expr(_W_SE2) == 0)
+    )
+    return agg.select(
+        "n_1",
+        "n_0",
+        "s_1",
+        "s_0",
+        F.round(F.expr("s_1 * 1e0 / n_1"), 6).alias("mean_1"),
+        F.round(F.expr("s_0 * 1e0 / n_0"), 6).alias("mean_0"),
+        F.when(F.col("n_1") < 2, F.lit(None).cast("double"))
+        .otherwise(F.round(F.expr(_W_V1), 6))
+        .alias("var_1"),
+        F.when(F.col("n_0") < 2, F.lit(None).cast("double"))
+        .otherwise(F.round(F.expr(_W_V0), 6))
+        .alias("var_0"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.expr(_W_T))
+        .alias("t_stat"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.expr(_W_DF))
+        .alias("df_welch"),
+    )

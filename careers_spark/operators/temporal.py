@@ -783,3 +783,60 @@ def ohlc_bars(
             "vol_cents",
         )
     )
+
+
+def ewma_hourly(
+    events: DataFrame,
+    ts: str = "ts",
+    dims: list[str] | None = None,
+    window: int = 24,
+) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event counts
+    with alpha = 1/2, truncated to the trailing `window` buckets — the
+    smoothed-rate series behind alerting baselines and trend views
+    (the EWMA control chart, Roberts 1959).
+
+        ewma(h) = sum_{i=0..W-1} count(h - i hours) * 2^-(i+1)
+
+    Exactness is the dyadic-lattice trick: every weight is a power of
+    two, so each contribution is kept as an exact INTEGER in units of
+    2^-window (count << (window-1-i)) and summed as BIGINT — exact in
+    any order, at any parallelism, in any engine, with no float sum
+    anywhere. The one double appears at the end: ewma = sum / 2^window,
+    a single exact division (BIGINT head-room holds while total counts
+    per bucket stay under ~2^39 with window=24).
+
+    Shapes: one partial-agg groupBy to the hourly spine, an explode of
+    the W-row offset sequence (fan-out W, bounded), one partial-agg
+    groupBy on the target hour, and a broadcast-sized semi-join back to
+    the observed spine so only real hours are emitted (missing hours
+    contribute zero by absence, the standard truncated-EWMA
+    convention). No windows, no global sort.
+
+    Output: (<dims...>, hour, n_events, ewma).
+    """
+    dims = dims or ["event_type"]
+    hour = F.date_trunc("hour", F.col(ts)).alias("hour")
+    c = events.groupBy(*dims, hour).agg(F.count("*").alias("n_events"))
+    fan = c.select(
+        *dims,
+        "hour",
+        "n_events",
+        F.explode(F.sequence(F.lit(0), F.lit(int(window) - 1))).alias("i"),
+    ).select(
+        *dims,
+        F.expr(f"hour + make_interval(0, 0, 0, 0, i)").alias("hour"),
+        F.expr(
+            f"n_events * shiftleft(1L, {int(window)} - 1 - i)"
+        ).alias("contrib"),
+    )
+    acc = fan.groupBy(*dims, "hour").agg(F.sum("contrib").alias("acc"))
+    spine = c.select(*dims, "hour", "n_events")
+    return spine.join(acc, dims + ["hour"]).select(
+        *dims,
+        "hour",
+        "n_events",
+        F.expr(f"acc / cast(shiftleft(1L, {int(window)}) as double)").alias(
+            "ewma"
+        ),
+    )

@@ -306,3 +306,132 @@ def test_pq_codes_rejects_indivisible_dim(spark):
     )
     with _pt.raises(ValueError, match="divisible"):
         pq_codes(df, m=2)
+
+
+def _lattice(vec):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return [
+        int(
+            Decimal(repr(float(v) * 1e6)).quantize(
+                Decimal("1"), ROUND_HALF_UP
+            )
+        )
+        for v in vec
+    ]
+
+
+def test_pq_adc_identity_when_every_vector_is_a_centroid(spark):
+    """kcent == corpus size makes every corpus vector its own centroid
+    (seeds are the points, self-assignment at distance 0, identity
+    updates), so ADC == the exact lattice L2 ranking — the provable
+    exactness property (the IVF nprobe==nlist analogue)."""
+    import itertools
+
+    from careers_spark.operators.clustering import pq_adc_topk
+
+    vals = [0.1, -0.4, 0.25, 0.7]
+    vecs = [
+        list(p) * 2  # dim 8
+        for p in itertools.islice(itertools.permutations(vals), 10)
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pq_adc_topk(
+        df, k=3, m=2, kcent=9, iters=1, query_pred="vec_id = 0"
+    ).collect()
+
+    q = _lattice([float(x) for x in vecs[0]])
+    exact = sorted(
+        (
+            sum((a - b) ** 2 for a, b in zip(q, _lattice(v))),
+            i,
+        )
+        for i, v in enumerate(vecs[1:], start=1)
+    )[:3]
+    assert [(r.neighbor_id, r.adist) for r in sorted(got, key=lambda r: r.rk)] == [
+        (i, d) for d, i in exact
+    ]
+
+
+def test_pq_adc_python_lockstep(spark):
+    """Full python re-derivation of the m=2 k=2 iters=1 pipeline:
+    lattice quantize -> seeded Lloyd -> corpus codes -> ADC ranking."""
+    from careers_spark.operators.clustering import pq_adc_topk
+
+    rows = [
+        (0, [0.9, 0.8, 0.1, 0.0]),
+        (1, [0.1, 0.2, 0.9, 1.0]),
+        (2, [0.15, 0.25, 0.85, 0.9]),
+        (3, [0.8, 0.9, 0.2, 0.1]),
+        (4, [0.85, 0.75, 0.05, 0.15]),
+        (5, [0.2, 0.1, 0.95, 0.8]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = pq_adc_topk(
+        df, k=6, m=2, kcent=2, iters=1, query_pred="vec_id % 3 = 0"
+    ).collect()
+
+    lat = {i: _lattice(v) for i, v in rows}
+    corpus = [i for i, _ in rows if i % 3 != 0]
+    queries = [i for i, _ in rows if i % 3 == 0]
+
+    def lloyd(sl):
+        pts = {i: lat[i][sl] for i in corpus}
+        cents = [pts[i] for i in sorted(pts)[:2]]
+        for _ in range(1):  # iters=1
+            groups = {0: [], 1: []}
+            for i in sorted(pts):
+                d = [
+                    sum((a - b) ** 2 for a, b in zip(pts[i], c))
+                    for c in cents
+                ]
+                groups[min(range(2), key=lambda j: (d[j], j))].append(i)
+            new = []
+            for j in (0, 1):
+                if groups[j]:
+                    from decimal import ROUND_HALF_UP, Decimal
+
+                    comp = []
+                    for dim in range(len(cents[j])):
+                        s = sum(pts[i][dim] for i in groups[j])
+                        n = len(groups[j])
+                        comp.append(
+                            int(
+                                Decimal(repr(s / n)).quantize(
+                                    Decimal("1"), ROUND_HALF_UP
+                                )
+                            )
+                        )
+                    new.append(comp)
+                else:
+                    new.append(cents[j])
+            cents = new
+        return cents
+
+    cents = [lloyd(slice(0, 2)), lloyd(slice(2, 4))]
+    codes = {}
+    for i in corpus:
+        cs = []
+        for j, sl in enumerate((slice(0, 2), slice(2, 4))):
+            d = [
+                sum((a - b) ** 2 for a, b in zip(lat[i][sl], c))
+                for c in cents[j]
+            ]
+            cs.append(min(range(2), key=lambda t: (d[t], t)))
+        codes[i] = cs
+    expect = {}
+    for qid in queries:
+        ds = []
+        for i in corpus:
+            ad = 0
+            for j, sl in enumerate((slice(0, 2), slice(2, 4))):
+                c = cents[j][codes[i][j]]
+                ad += sum((a - b) ** 2 for a, b in zip(lat[qid][sl], c))
+            ds.append((ad, i))
+        for rk, (ad, i) in enumerate(sorted(ds), start=1):
+            expect[(qid, i)] = (ad, rk)
+    assert {(r.query_id, r.neighbor_id): (r.adist, r.rk) for r in got} == expect

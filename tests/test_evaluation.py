@@ -102,3 +102,105 @@ def test_chi2_min_df_filter(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     got = chi2_terms(df, F.split("text", " "), top_n=5, min_df=2).collect()
     assert all(r.token != "rare" for r in got)
+
+
+def test_confusion_stats_hand_golden(spark):
+    from careers_spark.operators.evaluation import confusion_stats
+
+    # truth: a a a b b; pred: a b a c b  -> 'c' hallucinated, every
+    # class exercises a different zero/partial cell
+    rows = [("a", "a"), ("a", "b"), ("a", "a"), ("b", "c"), ("b", "b")]
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    got = {r.cls: r for r in confusion_stats(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    a = got["a"]
+    assert (a.n_true, a.n_pred, a.n_correct) == (3, 2, 2)
+    assert a.precision == 1.0 and a.recall == _r6(2 / 3)
+    assert a.f1 == _r6(4 / 5)  # 2*2/(3+2)
+    b = got["b"]
+    assert (b.n_true, b.n_pred, b.n_correct) == (2, 2, 1)
+    assert b.precision == 0.5 and b.recall == 0.5 and b.f1 == 0.5
+    c = got["c"]
+    assert (c.n_true, c.n_pred, c.n_correct) == (0, 1, 0)
+    assert c.precision == 0.0 and c.recall is None and c.f1 == 0.0
+
+
+def test_cohens_kappa_hand_golden(spark):
+    from careers_spark.operators.evaluation import cohens_kappa
+
+    # classic 2x2: agree 20+15=35 of 50; marginals t=(25,25), p=(30,20)
+    rows = (
+        [("x", "x")] * 20 + [("x", "y")] * 5 + [("y", "x")] * 10 + [("y", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    r = cohens_kappa(df).collect()[0]
+    assert (r.nn, r.n_agree) == (50, 35)
+    assert r.sum_rc == 25 * 30 + 25 * 20  # 1250
+    # kappa = (50*35 - 1250) / (50*50 - 1250) = 500/1250 = 0.4
+    assert r.kappa == 0.4 and r.accuracy == 0.7
+
+
+def test_cohens_kappa_degenerate_null(spark):
+    from careers_spark.operators.evaluation import cohens_kappa
+
+    df = spark.createDataFrame([("a", "a"), ("a", "a")], "truth string, pred string")
+    r = cohens_kappa(df).collect()[0]
+    assert r.kappa is None and r.accuracy == 1.0
+
+
+def test_calibration_bins_hand_golden(spark):
+    from careers_spark.operators.evaluation import calibration_bins
+
+    rows = [
+        (0.05, 0), (0.05, 1),          # bin 0: conf .05, acc .5
+        (0.95, 1), (0.95, 1),          # bin 9
+        (1.0, 0),                      # score == 1.0 folds into bin 9
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r.bin: r for r in calibration_bins(df, bins=10).collect()}
+    assert set(got) == {0, 9}
+    b0 = got[0]
+    assert (b0.n, b0.n_pos, b0.conf, b0.acc, b0.gap) == (2, 1, 0.05, 0.5, 0.45)
+    b9 = got[9]
+    assert (b9.n, b9.n_pos) == (3, 2)
+    assert b9.conf == _r6((0.95 + 0.95 + 1.0) / 3)
+    assert b9.acc == _r6(2 / 3)
+    assert b9.gap == _r6(abs(b9.conf - b9.acc))
+
+
+def test_welch_ttest_lockstep(spark):
+    import math
+
+    from careers_spark.operators.evaluation import welch_ttest
+
+    g1 = [120, 140, 135, 150, 128]
+    g0 = [100, 90, 110, 95]
+    rows = [(v, 1) for v in g1] + [(v, 0) for v in g0]
+    df = spark.createDataFrame(rows, "value long, grp int")
+    r = welch_ttest(df).collect()[0]
+
+    def stats(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    n1, m1, v1 = stats(g1)
+    n0, m0, v0 = stats(g0)
+    se2 = v1 / n1 + v0 / n0
+    t = (m1 - m0) / math.sqrt(se2)
+    dfw = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v0 / n0) ** 2 / (n0 - 1))
+    assert (r.n_1, r.n_0) == (n1, n0)
+    assert r.mean_1 == _r6(m1) and r.mean_0 == _r6(m0)
+    assert abs(r.var_1 - v1) < 1e-6 and abs(r.var_0 - v0) < 1e-6
+    assert abs(r.t_stat - t) < 1e-6 and abs(r.df_welch - dfw) < 1e-6
+
+
+def test_welch_ttest_degenerate_null(spark):
+    from careers_spark.operators.evaluation import welch_ttest
+
+    df = spark.createDataFrame(
+        [(10, 1), (12, 1), (11, 0)], "value long, grp int"
+    )
+    r = welch_ttest(df).collect()[0]
+    assert r.t_stat is None and r.df_welch is None and r.var_0 is None

@@ -677,3 +677,51 @@ def test_ohlc_equals_bruteforce(spark):
         want[k] = (len(evs), evs[0][2], max(vals), min(vals), evs[-1][2],
                    sum(round(v * 100) for v in vals))
     assert got == want
+
+
+def test_ewma_hourly_hand_golden(spark):
+    from datetime import datetime
+
+    from careers_spark.operators.temporal import ewma_hourly
+
+    # counts: h0=4, h1=2, h3=8 (h2 missing -> contributes zero)
+    def rows_at(h, n):
+        return [(i, datetime(2024, 1, 1, h, 30), "a") for i in range(n)]
+
+    data = rows_at(0, 4) + rows_at(1, 2) + rows_at(3, 8)
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.hour.hour: (r.n_events, r.ewma)
+        for r in ewma_hourly(df, dims=["event_type"]).collect()
+    }
+    # ewma(h) = sum_i count(h-i) * 2^-(i+1), truncated window
+    assert got[0] == (4, 4 / 2)
+    assert got[1] == (2, 2 / 2 + 4 / 4)
+    # hour 2 has no events -> no output row (spine join), but hour 3
+    # still sees h1 and h0 through the window with h2 contributing 0
+    assert 2 not in got
+    assert got[3] == (8, 8 / 2 + 0 / 4 + 2 / 8 + 4 / 16)
+
+
+def test_ewma_hourly_exact_dyadic_and_deterministic(spark):
+    from datetime import datetime, timedelta
+
+    from careers_spark.operators.temporal import ewma_hourly
+
+    base = datetime(2024, 3, 1)
+    data = [
+        (i, base + timedelta(hours=i % 30, minutes=i % 60), "t%d" % (i % 3))
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string"
+    )
+    a = sorted(map(tuple, ewma_hourly(df).collect()))
+    b = sorted(map(tuple, ewma_hourly(df.repartition(13)).collect()))
+    assert a == b
+    # every ewma is an exact multiple of 2^-24 (the dyadic lattice)
+    for row in a:
+        v = row[-1] * (1 << 24)
+        assert v == int(v)
