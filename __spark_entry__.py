@@ -2071,6 +2071,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_adc_topk"] = pq_adc_topk
 
+    def ivfadc_topk(spark, sf_dir):
+        """IVFADC — coarse inverted lists + PQ asymmetric-distance
+        re-rank over codes (faiss IndexIVFPQ). Runs nprobe == nlist,
+        which PROVABLY equals pq_adc_topk (every list probed ==
+        all-pairs candidates; each doc lives in exactly one list), so
+        the exact ADC oracle machine-checks the full
+        train/route/encode/rank chain; nprobe < nlist recall is
+        pytest-gated on clustered data."""
+        from careers_spark.operators.clustering import ivfadc_topk as ivfadc
+
+        return ivfadc(
+            _t(spark, sf_dir, "embeddings"),
+            k=5, nlist=8, nprobe=8, m=4, kcent=8, iters=2,
+            query_pred="vec_id % 50 = 0",
+        )
+
+    q["ivfadc_topk"] = ivfadc_topk
+
     def ab_conversion(spark, sf_dir):
         """Two-proportion z-test over md5-bucketed experiment arms,
         user-level conversion (funnel.ab_conversion_test)."""
@@ -6558,5 +6576,14 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rk <= 5
     """
     )
+
+    # ivfadc_topk: the driver configuration probes every list
+    # (nprobe == nlist), so each (query, doc) candidate pair appears
+    # exactly once (a doc lives in ONE inverted list) and the result
+    # provably equals pq_adc_topk with the same codebook parameters —
+    # the ivf_ann_topk nprobe==nlist soundness argument composed with
+    # the ADC oracle. The coarse quantizer is exercised on the Spark
+    # side and its restriction semantics are pytest-gated.
+    o["ivfadc_topk"] = o["pq_adc_topk"]
 
     return o

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "score_calibration",
     "welch_ttest",
     "pq_adc_topk",
+    "ivfadc_topk",
 ]
 
 

@@ -540,3 +540,150 @@ def pq_adc_topk(
     )
     cq.unpersist()
     return out
+
+
+def ivfadc_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 8,
+    m: int = 4,
+    kcent: int = 8,
+    iters: int = 2,
+    query_pred: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011 §IV, the faiss IndexIVFPQ search
+    shape): a coarse quantizer routes each corpus vector into ONE
+    inverted list, queries probe their `nprobe` nearest lists, and
+    candidates are ranked by the PQ asymmetric distance over the
+    corpus's compressed codes — the composition that makes
+    billion-vector search tractable: the scan side is m-byte codes
+    instead of raw vectors AND only nprobe/nlist of the corpus is
+    touched per query.
+
+    This is pq_adc_topk's declared scale path: the all-pairs cross
+    join is replaced by a (list_id) equi-join, exactly as ivf_topk
+    replaces brute_force_topk. Everything lives on the 1e-6 integer
+    lattice — coarse assignment, codebooks, codes, ADC distances are
+    all exact BIGINT argmins over literal centroids, so there is no
+    rounding recipe anywhere and the provable-exactness property
+    composes: with nprobe == nlist every list is probed, the candidate
+    set is the whole corpus (each doc lives in exactly one list), and
+    the result EQUALS pq_adc_topk with the same codebook parameters —
+    the driver query runs that configuration so the machine-checked
+    oracle covers the full train/route/encode/rank machinery; recall
+    at nprobe < nlist is the standard IVF trade, gated in pytest.
+
+    Codebooks encode raw vectors against a GLOBAL PQ codebook (the
+    faiss non-residual variant); per-list residual encoding is the
+    classic refinement and would reuse the same shapes with the
+    coarse centroid subtracted before encoding.
+
+    Physical shape: coarse centroids and PQ codebooks are literals in
+    the plan (driver-bounded Lloyd training, nlist*dim + m*kcent*sub
+    ints); corpus routing + encoding is ONE map pass with zero joins
+    and zero shuffles; query probing is a map-side array_sort over
+    nlist literal structs (no window); the only shuffles are the
+    list_id equi-join and the final per-query top-k rank.
+
+    Output: (query_id, neighbor_id, adist, rk) — exact BIGINT lattice
+    ADC distance, ties to smaller neighbor id.
+    """
+    dim = embeddings.select(F.size(F.col(vec_col))).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"ivfadc_topk: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    nprobe = min(int(nprobe), int(nlist))
+
+    corpus = embeddings.filter(f"NOT ({query_pred})")
+    queries = embeddings.filter(query_pred)
+    cq = _quantize(corpus, id_col, vec_col).cache()
+
+    coarse = lloyd_centroids(cq, nlist, iters)
+    if coarse is None:
+        raise ValueError("ivfadc_topk: empty corpus")
+
+    codebooks: list[list[list[int]]] = []
+    for j in range(m):
+        qj = cq.select("id", F.slice(F.col("x"), j * sub + 1, sub).alias("x"))
+        cents = lloyd_centroids(qj, kcent, iters)
+        codebooks.append(cents)
+
+    # corpus: ONE map pass -> (neighbor_id, list_id, code_0..m-1)
+    coarse_structs = [
+        F.struct(
+            F.expr(_dist_expr(c)).alias("d"), F.lit(i).cast("long").alias("j")
+        )
+        for i, c in enumerate(coarse)
+    ]
+    coarse_best = (
+        F.least(*coarse_structs) if len(coarse_structs) > 1 else coarse_structs[0]
+    )
+    code_cols = []
+    for j in range(m):
+        lo = j * sub + 1
+        structs = [
+            F.struct(
+                F.expr(_slice_dist_expr(c, lo, sub)).alias("d"),
+                F.lit(ci).cast("long").alias("j"),
+            )
+            for ci, c in enumerate(codebooks[j])
+        ]
+        best = F.least(*structs) if len(structs) > 1 else structs[0]
+        code_cols.append(best.getField("j").alias(f"code_{j}"))
+    codes = cq.select(
+        F.col("id").alias("neighbor_id"),
+        coarse_best.getField("j").cast("int").alias("list_id"),
+        *code_cols,
+    )
+
+    # queries: nprobe nearest lists via a map-side sort of the nlist
+    # literal structs — no window, no shuffle
+    probe = (
+        _quantize(queries, id_col, vec_col)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("x").alias("qx"),
+            F.explode(
+                F.slice(F.array_sort(F.array(*coarse_structs).cast(
+                    "array<struct<d:bigint,j:bigint>>"
+                )), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("query_id", "qx", F.col("p.j").cast("int").alias("list_id"))
+    )
+
+    dist_terms = []
+    for j in range(m):
+        lo = j * sub + 1
+        book = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+                for c in codebooks[j]
+            )
+            + ")"
+        )
+        dist_terms.append(
+            f"aggregate(zip_with(slice(qx, {lo}, {sub}), "
+            f"element_at({book}, cast(code_{j} as int) + 1), "
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
+        )
+    adist = F.expr(" + ".join(f"({t})" for t in dist_terms))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    out = (
+        probe.join(codes, "list_id")
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            "query_id", "neighbor_id", "adist", F.col("rk").cast("int").alias("rk")
+        )
+    )
+    cq.unpersist()
+    return out

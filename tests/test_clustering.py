@@ -435,3 +435,79 @@ def test_pq_adc_python_lockstep(spark):
         for rk, (ad, i) in enumerate(sorted(ds), start=1):
             expect[(qid, i)] = (ad, rk)
     assert {(r.query_id, r.neighbor_id): (r.adist, r.rk) for r in got} == expect
+
+
+def test_ivfadc_full_probe_equals_pq_adc(spark):
+    """nprobe == nlist probes every inverted list, so the candidate
+    set is the whole corpus and IVFADC == the all-pairs ADC ranking —
+    the composed provable-exactness property the driver oracle rests
+    on."""
+    import random
+
+    from careers_spark.operators.clustering import ivfadc_topk, pq_adc_topk
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        map(
+            tuple,
+            ivfadc_topk(
+                df, k=4, nlist=4, nprobe=4, m=2, kcent=3, iters=2,
+                query_pred="vec_id % 10 = 0",
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pq_adc_topk(
+                df, k=4, m=2, kcent=3, iters=2, query_pred="vec_id % 10 = 0"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_ivfadc_restricted_probe_subset_and_clustered_recall(spark):
+    """nprobe < nlist returns only same-probed-list candidates (a
+    subset of the full-probe candidate ranking), and on a clustered
+    corpus probing the single nearest list still finds the true
+    cluster-local neighbors (the IVF recall property)."""
+    from careers_spark.operators.clustering import ivfadc_topk
+
+    # 3 tight clusters far apart; queries are members of each cluster
+    centers = [[5.0, 5.0, 0.0, 0.0], [-5.0, 0.0, 5.0, 0.0], [0.0, -5.0, -5.0, 5.0]]
+    rows = []
+    i = 0
+    for ci, c in enumerate(centers):
+        for j in range(8):
+            rows.append(
+                (i, [c[d] + 0.01 * ((i * 7 + d) % 5) for d in range(4)])
+            )
+            i += 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    full = ivfadc_topk(
+        df, k=3, nlist=3, nprobe=3, m=2, kcent=4, iters=2,
+        query_pred="vec_id % 8 = 0",
+    ).collect()
+    one = ivfadc_topk(
+        df, k=3, nlist=3, nprobe=1, m=2, kcent=4, iters=2,
+        query_pred="vec_id % 8 = 0",
+    ).collect()
+    fullset = {(r.query_id, r.neighbor_id, r.adist) for r in full}
+    # with tight clusters the single nearest list contains the true
+    # top-k, so nprobe=1 reproduces the full-probe result exactly
+    assert {(r.query_id, r.neighbor_id, r.adist) for r in one} == fullset
+    # determinism under physical repartitioning
+    again = ivfadc_topk(
+        df.repartition(7), k=3, nlist=3, nprobe=1, m=2, kcent=4, iters=2,
+        query_pred="vec_id % 8 = 0",
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, one))
