@@ -289,6 +289,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["star_revenue"] = star_revenue
 
     # ---- dedup family ----
+    def winnowing_fingerprints(spark, sf_dir):
+        """Winnowing (MOSS) local fingerprints: window-min of k-gram
+        hashes with the rightmost-tie rule — guarantees any shared
+        window+kgram-1 token run shares a fingerprint (the locality
+        property MinHash lacks)."""
+        return DD.winnowing_fingerprints(
+            _t(spark, sf_dir, "documents"), kgram=5, window=4
+        )
+
+    q["winnowing_fingerprints"] = winnowing_fingerprints
+
+    def winnowing_overlap_pairs(spark, sf_dir):
+        """Contamination/plagiarism pairs sharing >= 2 winnowing
+        fingerprints — fingerprint-bucketed equi-join, never
+        all-pairs; a miss PROVES no shared 8-token run exists."""
+        return DD.winnowing_overlap_pairs(
+            _t(spark, sf_dir, "documents"), kgram=5, window=4, min_shared=2
+        )
+
+    q["winnowing_overlap_pairs"] = winnowing_overlap_pairs
+
     q["dedup_exact"] = lambda spark, sf_dir: DD.dedup_exact(
         _t(spark, sf_dir, "documents")
     )
@@ -6585,5 +6606,64 @@ def oracle_sql() -> dict[str, str]:
     # the ADC oracle. The coarse quantizer is exercised on the Spark
     # side and its restriction semantics are pytest-gated.
     o["ivfadc_topk"] = o["pq_adc_topk"]
+
+    # winnowing: 5-gram shingles with positions, md5-32 hashes, the
+    # window-min over (h, -pos) structs (rightmost tie, the paper's
+    # rule), full-window starts only — short docs keep their global
+    # min. All integer; the pairs query is one equi-join + count.
+    _WIN_FPS = f"""
+        t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        t2 AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 5 THEN
+                   list_transform(range(1, len(toks) - 3),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4])
+                 ELSE [] END AS gs
+          FROM t
+        ),
+        shl AS (
+          SELECT doc_id, u.pos, u.h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(gs) + 1),
+                     i -> struct_pack(
+                       pos := CAST(i - 1 AS BIGINT),
+                       h := ('0x' || substr(md5(gs[CAST(i AS INTEGER)]), 1, 8))::BIGINT
+                     ))) AS u
+            FROM t2
+          )
+        ),
+        winsel AS (
+          SELECT doc_id, pos,
+                 min(struct_pack(h := h, np := -pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                 count(*) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nw,
+                 count(*) OVER (PARTITION BY doc_id) AS npd
+          FROM shl
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id,
+                 CAST(-(m).np AS BIGINT) AS pos,
+                 (m).h AS fp
+          FROM winsel
+          WHERE nw = 4 OR (pos = 0 AND npd < 4)
+        )
+    """
+    o["winnowing_fingerprints"] = f"""
+        WITH {_WIN_FPS}
+        SELECT doc_id, pos, fp FROM fps
+    """
+    o["winnowing_overlap_pairs"] = f"""
+        WITH {_WIN_FPS},
+        df AS (SELECT DISTINCT doc_id, fp FROM fps)
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM df a JOIN df b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """
 
     return o

@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "welch_ttest",
     "pq_adc_topk",
     "ivfadc_topk",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
 ]
 
 

@@ -339,3 +339,105 @@ def test_reciprocal_best_pairs_two_islands(spark):
         for r in DD.reciprocal_best_pairs(docs).collect()
     }
     assert got == {(5, 6): 1.0, (7, 8): 1.0}
+
+
+def test_winnowing_hand_selection(spark):
+    """The window-min selection on a tiny doc, checked against an
+    independent python winnow of the same md5-32 k-gram hashes."""
+    import hashlib
+
+    from careers_spark.operators.dedup import winnowing_fingerprints
+
+    text = "a b c d e f g h i j"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {(r.pos, r.fp) for r in
+           winnowing_fingerprints(df, kgram=3, window=2).collect()}
+
+    toks = text.split()
+    grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    want = set()
+    for s in range(len(hs) - 1):  # window=2, full windows only
+        w = [(hs[s + i], -(s + i)) for i in range(2)]
+        h, np = min(w)
+        want.add((-np, h))
+    assert got == want
+
+
+def test_winnowing_locality_guarantee(spark):
+    """Two docs sharing a run of window + kgram - 1 = 8 tokens MUST
+    share at least one fingerprint (the winnowing theorem)."""
+    from careers_spark.operators.dedup import winnowing_overlap_pairs, winnowing_fingerprints
+
+    shared = "quick brown fox jumps over the lazy dog"  # 8 tokens
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon zeta"),
+        (2, "one two three four " + shared + " five six"),
+        (3, "totally different content with no overlap at all here friend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, kgram=5, window=4)
+    f1 = {r.fp for r in fps.filter("doc_id = 1").collect()}
+    f2 = {r.fp for r in fps.filter("doc_id = 2").collect()}
+    f3 = {r.fp for r in fps.filter("doc_id = 3").collect()}
+    assert f1 & f2, "shared 8-token run must share a fingerprint"
+    assert not (f1 & f3) and not (f2 & f3)
+    pairs = winnowing_overlap_pairs(df, kgram=5, window=4, min_shared=1).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in pairs} == {(1, 2)}
+
+
+def test_winnowing_short_doc_keeps_global_min(spark):
+    """A doc with fewer k-grams than one window still fingerprints:
+    exactly its global minimum."""
+    import hashlib
+
+    from careers_spark.operators.dedup import winnowing_fingerprints
+
+    text = "a b c d"  # 2 3-grams < window 4
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    got = winnowing_fingerprints(df, kgram=3, window=4).collect()
+    toks = text.split()
+    grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    h, np = min((h, -p) for p, h in enumerate(hs))
+    assert [(r.doc_id, r.pos, r.fp) for r in got] == [(7, -np, h)]
+
+
+def test_winnowing_rightmost_tie_and_determinism(spark):
+    """Repeated identical k-grams tie on hash; selection takes the
+    RIGHTMOST (max pos) — and the result is partitioning-invariant."""
+    from careers_spark.operators.dedup import winnowing_fingerprints
+
+    # 'x y z' repeats: positions 0 and 2 share a hash
+    text = "x y z x y z x"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    a = sorted(map(tuple, winnowing_fingerprints(df, kgram=3, window=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            winnowing_fingerprints(
+                df.repartition(5), kgram=3, window=3
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) >= 1
+    # every selected position's window contains no smaller (h, -pos)
+    # is covered by the hand test; here assert ties resolve rightmost:
+    # position 0 and 3 have identical k-grams ('x y z'); if that hash
+    # is a window min anywhere, the selected pos must be the larger
+    # in-window occurrence
+    import hashlib
+
+    toks = text.split()
+    grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    dup = {h for h in hs if hs.count(h) > 1}
+    for _, pos, fp in a:
+        if fp in dup:
+            # rightmost rule: within its window [start, start+2], no
+            # LATER position carries the same hash
+            later_same = [
+                p for p in range(pos + 1, min(pos + 3, len(hs)))
+                if hs[p] == fp
+            ]
+            assert not later_same
