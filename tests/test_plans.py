@@ -337,3 +337,49 @@ def test_pii_scrub_is_pure_map(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Aggregate" not in plan, plan
+
+
+def test_session8_ops_have_no_cartesian(spark):
+    """The session-8 join/window operators keep equi-join and
+    partition-local shapes: winnowing pairs join on the fingerprint,
+    IVFADC candidates join on list_id, EWMA fans out through an
+    explode + hash-key groupBy — no CartesianProduct, no nested-loop
+    cross join (pq_adc_topk's cross join is its DOCUMENTED exact
+    baseline, exempt by design like brute_force/bitext)."""
+    from careers_spark.operators.clustering import ivfadc_topk
+    from careers_spark.operators.dedup import winnowing_overlap_pairs
+    from careers_spark.operators.temporal import ewma_hourly
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for df in (
+        winnowing_overlap_pairs(docs),
+        ewma_hourly(events),
+        ivfadc_topk(emb, k=3, nlist=4, nprobe=2, m=4, kcent=4, iters=1),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ewma_has_no_window_and_windowed_ops_partition(spark):
+    """EWMA is explode + groupBy only (no Window, no global sort);
+    winnowing's window partitions BY DOCUMENT; the eval metrics
+    (kappa, welch) collapse to partial-aggregable scalar aggregates
+    with no Exchange beyond the final single-row agg."""
+    import re
+
+    from careers_spark.operators.dedup import winnowing_fingerprints
+    from careers_spark.operators.temporal import ewma_hourly
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    plan = _plan(ewma_hourly(events))
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+    wplan = _plan(winnowing_fingerprints(docs))
+    for spec in re.findall(r"partitionBy=\[([^\]]*)\]", wplan):
+        assert spec.strip(), wplan
