@@ -215,6 +215,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ewma_hourly"] = ewma_hourly
 
+    def session_busy_overlap(spark, sf_dir):
+        """Bucketed interval-overlap join (the scalable range-join
+        strategy — bucket fan-out + equi-join + exact verify, no
+        nested loop): user sessions vs high-traffic hourly windows,
+        reporting per-session busy-window count and overlap time."""
+        from careers_spark.operators.temporal import (
+            bucketed_interval_join,
+            user_sessions,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        ses = user_sessions(ev, gap_s=1800).select(
+            F.concat_ws(
+                ":", F.col("user_id"), F.col("session_id")
+            ).alias("l_id"),
+            "l_start_us",
+            "l_end_us",
+        )
+        busy = (
+            ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 18)
+            .select(
+                F.unix_micros(F.col("h").cast("timestamp")).alias("r_id"),
+                F.unix_micros(F.col("h").cast("timestamp")).alias("r_start_us"),
+                (
+                    F.unix_micros(F.col("h").cast("timestamp"))
+                    + F.lit(3_599_999_999)
+                ).alias("r_end_us"),
+            )
+        )
+        return (
+            bucketed_interval_join(ses, busy)
+            .groupBy("l_id")
+            .agg(
+                F.count("*").alias("n_busy_windows"),
+                F.sum("overlap_us").alias("busy_us"),
+            )
+        )
+
+    q["session_busy_overlap"] = session_busy_overlap
+
     # ---- classic agg + star join (scan/agg/join sanity at scale) ----
     def tpch_q1(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
@@ -508,6 +550,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["welch_ttest"] = welch_ttest
+
+    def length_quality_corr(spark, sf_dir):
+        """Pearson r between document length and the quality score
+        (on its 1e-6 lattice) — exact integer sums, one shared-text
+        closing expression."""
+        from careers_spark.operators.evaluation import pearson_corr
+
+        docs = _t(spark, sf_dir, "documents")
+        qs = TS.quality_score(docs)  # carries n_chars itself
+        xy = qs.select(
+            F.col("n_chars").alias("x"),
+            F.expr(
+                "cast(round(quality * 1000000e0, 0) as bigint)"
+            ).alias("y"),
+        )
+        return pearson_corr(xy)
+
+    q["length_quality_corr"] = length_quality_corr
 
     # ---- text analysis ----
     q["token_counts"] = lambda spark, sf_dir: TS.token_counts(
@@ -6664,6 +6724,83 @@ def oracle_sql() -> dict[str, str]:
         FROM df a JOIN df b ON b.fp = a.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 2
+    """
+
+    # session_busy_overlap: session intervals from the sessionize
+    # lag/cumsum recipe, busy hours from one HAVING, then a PLAIN
+    # inequality join — DuckDB's reference semantics for the bucketed
+    # strategy (any true overlap shares the bucket of max(starts), so
+    # the bucketed join is exactly this join). Closed intervals; all
+    # integers.
+    o["session_busy_overlap"] = """
+        WITH x AS (
+          SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        y AS (
+          SELECT user_id, us,
+                 sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                     THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM x
+        ),
+        sid AS (
+          SELECT user_id, session_id,
+                 min(us) AS l_start, max(us) AS l_end
+          FROM y GROUP BY 1, 2
+        ),
+        busy AS (
+          SELECT epoch_us(date_trunc('hour', ts)) AS r_start,
+                 epoch_us(date_trunc('hour', ts)) + 3599999999 AS r_end
+          FROM events GROUP BY 1 HAVING count(*) >= 18
+        ),
+        j AS (
+          SELECT s.user_id, s.session_id,
+                 least(s.l_end, b.r_end) - greatest(s.l_start, b.r_start)
+                   AS overlap_us
+          FROM sid s JOIN busy b
+            ON s.l_start <= b.r_end AND b.r_start <= s.l_end
+        )
+        SELECT CAST(user_id AS VARCHAR) || ':' ||
+               CAST(session_id AS VARCHAR) AS l_id,
+               CAST(count(*) AS BIGINT) AS n_busy_windows,
+               CAST(sum(overlap_us) AS BIGINT) AS busy_us
+        FROM j GROUP BY 1
+    """
+
+    # length_quality_corr: quality SQL nested; y on the 1e-6 lattice,
+    # the five sums exact BIGINTs, r the identical expression text as
+    # evaluation._CORR_R.
+    from careers_spark.operators.evaluation import (
+        _CORR_DX as _CDX,
+        _CORR_DY as _CDY,
+        _CORR_R as _CR,
+    )
+
+    o["length_quality_corr"] = f"""
+        WITH qs AS ({o["quality_score"]}),
+        xy AS (
+          SELECT n_chars AS x,
+                 CAST(round(quality * 1000000e0, 0) AS BIGINT) AS y
+          FROM qs
+        ),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM xy
+        )
+        SELECT n, sx, sy, sxx, syy, sxy,
+               CASE WHEN {_CDX} = 0 OR {_CDY} = 0 OR n < 2 THEN NULL
+                    ELSE {_CR} END AS r
+        FROM a
     """
 
     return o

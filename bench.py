@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "ivfadc_topk",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "session_busy_overlap",
+    "length_quality_corr",
 ]
 
 

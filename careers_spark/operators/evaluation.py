@@ -368,3 +368,50 @@ def welch_ttest(
         .otherwise(F.expr(_W_DF))
         .alias("df_welch"),
     )
+
+
+# Pearson r as one shared-text expression over the five exact integer
+# sums: r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)).
+# 1e0 factors promote each product to DOUBLE before it can overflow.
+_CORR_NUM = "(n * 1e0 * sxy - sx * 1e0 * sy)"
+_CORR_DX = "(n * 1e0 * sxx - sx * 1e0 * sx)"
+_CORR_DY = "(n * 1e0 * syy - sy * 1e0 * sy)"
+_CORR_R = f"round({_CORR_NUM} / sqrt({_CORR_DX} * {_CORR_DY}), 6)"
+
+
+def pearson_corr(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """Pearson correlation of two INTEGER columns, exactly: one
+    partial-agg pass collects (n, Sx, Sy, Sxx, Syy, Sxy) as BIGINTs
+    (in range while n * max|x| * max|y| < 2^63 — the per-column bound
+    is stated, not silently promoted), then r is a single shared-text
+    double expression — the welch_ttest recipe applied to correlation.
+    Zero-variance columns -> NULL (not 0/0).
+
+    Put non-integer inputs on an integer lattice first (the repo's
+    round(v*1e6) convention) — that is what the driver query does with
+    the quality score.
+
+    Output: one row (n, sx, sy, sxx, syy, sxy, r).
+    """
+    xv = F.col(x).cast("long")
+    yv = F.col(y).cast("long")
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(xv).alias("sx"),
+        F.sum(yv).alias("sy"),
+        F.sum(xv * xv).alias("sxx"),
+        F.sum(yv * yv).alias("syy"),
+        F.sum(xv * yv).alias("sxy"),
+    )
+    bad = (F.expr(_CORR_DX) == 0) | (F.expr(_CORR_DY) == 0) | (F.col("n") < 2)
+    return agg.select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.expr(_CORR_R))
+        .alias("r"),
+    )

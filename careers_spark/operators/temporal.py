@@ -840,3 +840,101 @@ def ewma_hourly(
             "ewma"
         ),
     )
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-overlap join without a nested loop — the bucket-and-
+    verify range-join strategy (the trick behind every scalable
+    spatial/temporal range join; Spark would otherwise plan
+    BroadcastNestedLoopJoin for the pure inequality predicate, which
+    is O(|L| * |R|) and a non-starter at corpus scale).
+
+    Inputs: left(l_id, l_start_us, l_end_us), right(r_id, r_start_us,
+    r_end_us) — CLOSED microsecond intervals (touching endpoints
+    overlap with overlap_us = 0). Each side explodes to the bucket ids
+    its interval covers (fan-out = interval length / bucket_us + 1 —
+    pick bucket_us near the typical interval length to keep it small),
+    candidates come from the bucket equi-join, duplicates from
+    multi-bucket overlaps collapse in the pair groupBy, and the exact
+    closed-overlap predicate verifies. Any true overlap shares the
+    bucket containing max(l_start, r_start), so recall is exact — this
+    is an optimization, not an approximation.
+
+    Output: (l_id, r_id, overlap_us) — exact integer microseconds.
+    """
+    b = int(bucket_us)
+
+    def fan(df: DataFrame, sid: str, s: str, e: str) -> DataFrame:
+        return df.select(
+            sid,
+            s,
+            e,
+            F.explode(
+                F.sequence(
+                    F.expr(f"{s} div {b}"), F.expr(f"{e} div {b}")
+                )
+            ).alias("_bkt"),
+        )
+
+    lf = fan(left, "l_id", "l_start_us", "l_end_us")
+    rf = fan(right, "r_id", "r_start_us", "r_end_us")
+    return (
+        lf.join(rf, "_bkt")
+        .filter(
+            (F.col("l_start_us") <= F.col("r_end_us"))
+            & (F.col("r_start_us") <= F.col("l_end_us"))
+        )
+        .groupBy("l_id", "r_id")
+        .agg(
+            F.first(
+                F.least("l_end_us", "r_end_us")
+                - F.greatest("l_start_us", "r_start_us")
+            ).alias("overlap_us")
+        )
+    )
+
+
+def user_sessions(
+    events: DataFrame,
+    gap_s: int = 1800,
+    ts: str = "ts",
+    user: str = "user_id",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Session intervals per user under the standard inactivity-gap
+    rule (same gap as the sessionize count query): a new session
+    starts when the previous event is more than `gap_s` away. The
+    session id is the per-user cumulative count of session starts —
+    a per-USER ordered window (partition-local sort, never global).
+
+    Output: (user_id, session_id, l_start_us, l_end_us, n_events) —
+    closed microsecond bounds (single-event sessions have start ==
+    end)."""
+    w = Window.partitionBy(user).orderBy(ts, tiebreak)
+    ses = (
+        events.withColumn("_us", _us(ts))
+        .withColumn("_prev", F.lag("_us").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("_us") - F.col("_prev") > gap_s * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return ses.groupBy(user, "session_id").agg(
+        F.min("_us").alias("l_start_us"),
+        F.max("_us").alias("l_end_us"),
+        F.count("*").alias("n_events"),
+    )

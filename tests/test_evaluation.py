@@ -204,3 +204,33 @@ def test_welch_ttest_degenerate_null(spark):
     )
     r = welch_ttest(df).collect()[0]
     assert r.t_stat is None and r.df_welch is None and r.var_0 is None
+
+
+def test_pearson_corr_hand_cases(spark):
+    from careers_spark.operators.evaluation import pearson_corr
+
+    # perfect positive, perfect negative, and an exact hand value
+    up = spark.createDataFrame([(i, 2 * i + 3) for i in range(6)], "x long, y long")
+    assert pearson_corr(up).collect()[0].r == 1.0
+    dn = spark.createDataFrame([(i, -5 * i) for i in range(6)], "x long, y long")
+    assert pearson_corr(dn).collect()[0].r == -1.0
+
+    import math
+
+    rows = [(1, 2), (2, 1), (3, 4), (4, 3), (5, 9)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    n = len(rows)
+    sx = sum(x for x, _ in rows); sy = sum(y for _, y in rows)
+    sxx = sum(x * x for x, _ in rows); syy = sum(y * y for _, y in rows)
+    sxy = sum(x * y for x, y in rows)
+    want = _r6((n * 1.0 * sxy - sx * 1.0 * sy)
+               / math.sqrt((n * 1.0 * sxx - sx * 1.0 * sx)
+                           * (n * 1.0 * syy - sy * 1.0 * sy)))
+    assert pearson_corr(df).collect()[0].r == want
+
+
+def test_pearson_corr_zero_variance_null(spark):
+    from careers_spark.operators.evaluation import pearson_corr
+
+    df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, y long")
+    assert pearson_corr(df).collect()[0].r is None

@@ -725,3 +725,73 @@ def test_ewma_hourly_exact_dyadic_and_deterministic(spark):
     for row in a:
         v = row[-1] * (1 << 24)
         assert v == int(v)
+
+
+def test_bucketed_interval_join_matches_naive(spark):
+    """The bucketed strategy equals the naive all-pairs overlap join
+    for every bucket size (recall is exact, not approximate), and
+    overlap_us is the exact closed-interval intersection."""
+    import random
+
+    from careers_spark.operators.temporal import bucketed_interval_join
+
+    rng = random.Random(3)
+    L = [(i, rng.randrange(0, 500), 0) for i in range(25)]
+    L = [(i, s, s + rng.randrange(0, 120)) for i, s, _ in L]
+    R = [(100 + i, rng.randrange(0, 500), 0) for i in range(25)]
+    R = [(i, s, s + rng.randrange(0, 120)) for i, s, _ in R]
+    lf = spark.createDataFrame(L, "l_id long, l_start_us long, l_end_us long")
+    rf = spark.createDataFrame(R, "r_id long, r_start_us long, r_end_us long")
+
+    naive = {
+        (li, ri): min(le, re_) - max(ls, rs)
+        for li, ls, le in L
+        for ri, rs, re_ in R
+        if ls <= re_ and rs <= le
+    }
+    for bucket in (7, 64, 1000):
+        got = {
+            (r.l_id, r.r_id): r.overlap_us
+            for r in bucketed_interval_join(lf, rf, bucket_us=bucket).collect()
+        }
+        assert got == naive, f"bucket={bucket}"
+
+
+def test_bucketed_interval_join_touching_endpoints(spark):
+    from careers_spark.operators.temporal import bucketed_interval_join
+
+    lf = spark.createDataFrame(
+        [(1, 0, 10)], "l_id long, l_start_us long, l_end_us long"
+    )
+    rf = spark.createDataFrame(
+        [(2, 10, 20), (3, 11, 20)], "r_id long, r_start_us long, r_end_us long"
+    )
+    got = {(r.l_id, r.r_id): r.overlap_us
+           for r in bucketed_interval_join(lf, rf, bucket_us=4).collect()}
+    # closed semantics: touching at 10 overlaps with 0 us; 11 does not
+    assert got == {(1, 2): 0}
+
+
+def test_user_sessions_bounds_and_gap(spark):
+    from datetime import datetime
+
+    from careers_spark.operators.temporal import user_sessions
+
+    def ev(i, u, mins):
+        return (i, u, datetime(2024, 1, 1, mins // 60, mins % 60))
+
+    rows = [
+        ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 20),   # session 1
+        ev(4, 7, 60), ev(5, 7, 65),                 # 40min gap -> session 2
+        ev(6, 9, 5),                                # single-event session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.session_id): (r.l_start_us, r.l_end_us, r.n_events)
+        for r in user_sessions(df, gap_s=1800).collect()
+    }
+    base = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    m = 60_000_000
+    assert got[(7, 1)] == (base, base + 20 * m, 3)
+    assert got[(7, 2)] == (base + 60 * m, base + 65 * m, 2)
+    assert got[(9, 1)] == (base + 5 * m, base + 5 * m, 1)
