@@ -569,6 +569,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["length_quality_corr"] = length_quality_corr
 
+    def dsir_weights(spark, sf_dir):
+        """DSIR importance log-weights (Xie et al. 2023): hashed
+        unigram+bigram bag models, target = English docs, raw = whole
+        corpus; per-doc log w on the 1e-9 fixed-point lattice so the
+        sum is an exact integer reduction."""
+        from careers_spark.operators.sampling import dsir_log_weights
+
+        return dsir_log_weights(
+            _t(spark, sf_dir, "documents"), "lang = 'en'", n_buckets=4096
+        )
+
+    q["dsir_weights"] = dsir_weights
+
+    def dsir_sample(spark, sf_dir):
+        """The DSIR resampling draw: Gumbel-top-k over the importance
+        weights with md5-derived deterministic Gumbel noise — k
+        non-target docs selected with probability proportional to
+        their importance weight, reproducibly."""
+        from careers_spark.operators.sampling import dsir_resample
+
+        return dsir_resample(
+            _t(spark, sf_dir, "documents"), "lang = 'en'", k=100,
+            n_buckets=4096,
+        )
+
+    q["dsir_sample"] = dsir_sample
+
     # ---- text analysis ----
     q["token_counts"] = lambda spark, sf_dir: TS.token_counts(
         _t(spark, sf_dir, "documents")
@@ -6801,6 +6828,77 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN {_CDX} = 0 OR {_CDY} = 0 OR n < 2 THEN NULL
                     ELSE {_CR} END AS r
         FROM a
+    """
+
+    # dsir: hashed unigram+bigram features, Laplace-smoothed target vs
+    # raw bag models, per-bucket log-prob DIFFERENCE quantized once to
+    # the 1e-9 lattice (the unigram_logloss recipe) so the per-doc sum
+    # is an exact integer; the resample adds md5-derived Gumbel noise
+    # on the same lattice and ranks by exact integer key.
+    _DSIR_H = _DUCK_H64.format(c="f")
+    _DSIR_W = f"""
+        t AS (SELECT doc_id, (lang = 'en') AS is_target,
+                     {_DUCK_TOKS} AS toks
+              FROM documents),
+        fe AS (
+          SELECT doc_id, is_target,
+                 unnest(toks || list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS f
+          FROM t
+        ),
+        fb AS (SELECT doc_id, is_target, {_DSIR_H} % 4096 AS b FROM fe),
+        tf AS (SELECT doc_id, is_target, b,
+                      CAST(count(*) AS BIGINT) AS tf
+               FROM fb GROUP BY 1, 2, 3),
+        model AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS c_raw,
+                 CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c_tgt
+          FROM fb GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+                       CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM model),
+        per AS (
+          SELECT doc_id, is_target,
+                 CAST(sum(tf) AS BIGINT) AS n_feats,
+                 CAST(sum(tf * CAST(round(
+                   (ln((c_tgt + 1) / cast(n_tgt + 4096 as double)) -
+                    ln((c_raw + 1) / cast(n_raw + 4096 as double)))
+                   * 1000000000e0, 0) AS BIGINT)) AS BIGINT) AS fp
+          FROM tf JOIN model USING (b) CROSS JOIN tot
+          GROUP BY 1, 2
+        ),
+        wts AS (
+          SELECT doc_id, is_target, n_feats,
+                 round(fp / 1000000000e0, 6) AS log_ir
+          FROM per
+        )
+    """
+    o["dsir_weights"] = f"""
+        WITH {_DSIR_W}
+        SELECT doc_id, is_target, n_feats, log_ir FROM wts
+    """
+    _DSIR_U = (
+        "((" + _DUCK_H64.format(
+            c="concat(CAST(doc_id AS VARCHAR), 'dsir0')"
+        ) + " % 1000000) + 0.5e0) / 1000000e0"
+    )
+    o["dsir_sample"] = f"""
+        WITH {_DSIR_W},
+        keyed AS (
+          SELECT doc_id, log_ir,
+                 CAST(round(log_ir * 1000000000e0, 0) AS BIGINT)
+                 + CAST(round(-ln(-ln({_DSIR_U})) * 1000000000e0, 0)
+                     AS BIGINT) AS kfp
+          FROM wts WHERE NOT is_target
+        )
+        SELECT doc_id, log_ir,
+               round(kfp / 1000000000e0, 6) AS gumbel_key,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT *, row_number() OVER (ORDER BY kfp DESC, doc_id) AS rk
+          FROM keyed
+        ) WHERE rk <= 100
     """
 
     return o

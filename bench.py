@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "winnowing_overlap_pairs",
     "session_busy_overlap",
     "length_quality_corr",
+    "dsir_weights",
+    "dsir_sample",
 ]
 
 

@@ -180,3 +180,132 @@ def dataset_split(
             f" when bucket < {t + v} then 'val' else 'test' end"
         ),
     )
+
+
+def dsir_log_weights(
+    documents: DataFrame,
+    target_pred: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS 2023 — Data
+    Selection via Importance Resampling): score every document by how
+    much more likely its hashed n-gram features are under a TARGET
+    distribution (docs matching `target_pred`) than under the raw
+    corpus, log w(x) = sum_f tf_f * (ln p_target(f) - ln p_raw(f)).
+    Features are unigrams + bigrams hashed into `n_buckets` buckets
+    (the paper's hashed generative model); both bag-of-buckets models
+    are Laplace-smoothed, so no zero-probability buckets exist.
+
+    Determinism is the unigram_logloss recipe: each bucket's
+    log-probability DIFFERENCE is fixed-point quantized once —
+    round((ln(pt) - ln(pr)) * 1e9) as BIGINT — so the per-doc
+    reduction is an exact integer sum, order-free at any parallelism
+    (the 1e-9 quantization is ~7 orders below the 6-dp output).
+
+    Physical shape: one feature explode -> (doc, bucket) tf groupBy;
+    the two models are ONE n_buckets-sized count table (target flag
+    aggregated alongside) broadcast back; one per-doc integer-sum
+    groupBy. No window, no sort; the raw model includes ALL docs so
+    the target corpus never needs a second scan.
+
+    Output: (doc_id, is_target, n_feats, log_ir) — log_ir in nats,
+    positive = target-like.
+    """
+    feats = (
+        documents.select(
+            "doc_id",
+            F.expr(f"({target_pred})").alias("is_target"),
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+            ).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(
+                F.expr(
+                    "concat(toks, case when size(toks) >= 2 then "
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> concat_ws(' ', slice(toks, i + 1, 2))) "
+                    "else array() end)"
+                )
+            ).alias("f"),
+        )
+        .withColumn("b", F.expr(f"{_hash64_expr('f')} % {int(n_buckets)}"))
+    )
+    tf = feats.groupBy("doc_id", "is_target", "b").agg(
+        F.count("*").alias("tf")
+    )
+    model = feats.groupBy("b").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    B = int(n_buckets)
+    diff_fp = (
+        f"cast(round((ln((c_tgt + 1) / cast(n_tgt + {B} as double)) - "
+        f"ln((c_raw + 1) / cast(n_raw + {B} as double))) * 1000000000e0, 0) "
+        "as bigint)"
+    )
+    return (
+        tf.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("_c", F.expr(f"tf * {diff_fp}"))
+        .groupBy("doc_id", "is_target")
+        .agg(F.sum("tf").alias("n_feats"), F.sum("_c").alias("_fp"))
+        .select(
+            "doc_id",
+            "is_target",
+            "n_feats",
+            F.expr("round(_fp / 1000000000e0, 6)").alias("log_ir"),
+        )
+    )
+
+
+def dsir_resample(
+    documents: DataFrame,
+    target_pred: str,
+    k: int = 100,
+    n_buckets: int = 4096,
+    salt: str = "dsir0",
+) -> DataFrame:
+    """The resampling half of DSIR: draw `k` NON-target documents
+    without replacement with probability proportional to their
+    importance weight, via the Gumbel-top-k trick (Vieira 2014) made
+    deterministic — key = log w(x) + Gumbel(h(x)), where the Gumbel
+    noise g = -ln(-ln(u)) uses the md5-derived uniform
+    u = (h % 1e6 + 0.5) / 1e6 (never 0 or 1), so the draw is
+    reproducible across runs/engines/parallelism and re-seedable by
+    salt. The key rides the same 1e-9 fixed-point lattice as log_ir,
+    so ranking is an exact integer comparison.
+
+    Target docs are the reference distribution, not candidates — only
+    non-target rows compete. Top-k is a (key desc, doc_id) rank —
+    k-bounded, planned as TakeOrdered, never a full global sort.
+
+    Output: (doc_id, log_ir, gumbel_key, rk).
+    """
+    w = dsir_log_weights(documents, target_pred, n_buckets=n_buckets)
+    cand = w.filter(~F.col("is_target"))
+    keyed_col = f"concat(cast(doc_id as string), '{_check_salt(salt)}')"
+    u = f"(({_hash64_expr(keyed_col)} % 1000000) + 0.5e0) / 1000000e0"
+    keyed = cand.withColumn(
+        "_kfp",
+        F.expr("cast(round(log_ir * 1000000000e0, 0) as bigint)")
+        + F.expr(f"cast(round(-ln(-ln({u})) * 1000000000e0, 0) as bigint)"),
+    )
+    from pyspark.sql import Window
+
+    wn = Window.orderBy(F.desc("_kfp"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            "doc_id",
+            "log_ir",
+            F.expr("round(_kfp / 1000000000e0, 6)").alias("gumbel_key"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

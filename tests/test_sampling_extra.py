@@ -69,3 +69,90 @@ def test_salt_charset_rejected(spark):
         hash_topn_sample(df, 2, salt="o'brien").collect()
     with pytest.raises(ValueError):
         dataset_split(df, salt="s\\n0").collect()
+
+
+def _dsir_py(rows, target_ids, B=64):
+    """Independent python re-derivation of the hashed-model weights."""
+    import hashlib
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    def toks(t):
+        import re
+
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    def h(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+    def feats(t):
+        ts = toks(t)
+        return [h(f) for f in ts + [" ".join(ts[i:i + 2]) for i in range(len(ts) - 1)]]
+
+    raw, tgt = Counter(), Counter()
+    for did, text in rows:
+        fs = feats(text)
+        raw.update(fs)
+        if did in target_ids:
+            tgt.update(fs)
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+
+    def q9(x):
+        return int(Decimal(repr(x * 1e9)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    out = {}
+    for did, text in rows:
+        fs = feats(text)
+        fp = sum(
+            q9(
+                math.log((tgt[b] + 1) / (n_tgt + B))
+                - math.log((raw[b] + 1) / (n_raw + B))
+            )
+            for b in fs
+        )
+        out[did] = (
+            len(fs),
+            float(Decimal(repr(fp / 1e9)).quantize(Decimal("1e-6"), ROUND_HALF_UP)),
+        )
+    return out
+
+
+def test_dsir_weights_python_lockstep(spark):
+    from careers_spark.operators.sampling import dsir_log_weights
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "der hund sitzt auf dem baumstamm"),
+        (4, "cat dog mat log the on"),
+        (5, "völlig anderes vokabular hier"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_feats, r.log_ir)
+        for r in dsir_log_weights(df, "doc_id <= 2", n_buckets=64).collect()
+    }
+    want = _dsir_py(rows, {1, 2}, B=64)
+    assert got == want
+    # target-vocabulary doc 4 must outscore disjoint-vocabulary doc 5
+    assert got[4][1] > got[5][1]
+
+
+def test_dsir_resample_deterministic_and_salted(spark):
+    from careers_spark.operators.sampling import dsir_resample
+
+    rows = [(i, f"token{i % 7} common word filler text {i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dsir_resample(df, "doc_id % 4 = 0", k=5, n_buckets=64).collect()
+    b = dsir_resample(
+        df.repartition(9), "doc_id % 4 = 0", k=5, n_buckets=64
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 5 and all(r.rk <= 5 for r in a)
+    # no target doc is ever drawn
+    assert all(r.doc_id % 4 != 0 for r in a)
+    c = dsir_resample(
+        df, "doc_id % 4 = 0", k=5, n_buckets=64, salt="other"
+    ).collect()
+    assert {r.doc_id for r in c} != {r.doc_id for r in a}
