@@ -596,6 +596,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_sample"] = dsir_sample
 
+    def bpe_learn_merges(spark, sf_dir):
+        """The full iterative BPE training loop (8 merges): count
+        adjacent symbol pairs over the frequency-weighted vocabulary,
+        merge the argmax pair everywhere (greedy left-to-right via one
+        literal regexp), recount — the tokenizer-training artifact.
+        The oracle unrolls all 8 rounds into DuckDB CTEs (the
+        louvain/kmeans fixpoint recipe); all counts integer."""
+        from careers_spark.operators.tokenizer import bpe_learn
+
+        return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=8)
+
+    q["bpe_learn_merges"] = bpe_learn_merges
+
     # ---- text analysis ----
     q["token_counts"] = lambda spark, sf_dir: TS.token_counts(
         _t(spark, sf_dir, "documents")
@@ -6900,5 +6913,75 @@ def oracle_sql() -> dict[str, str]:
           FROM keyed
         ) WHERE rk <= 100
     """
+
+    # bpe_learn_merges: the full 8-round BPE loop unrolled. Encodings
+    # are pipe-wrapped symbol strings; each round = pair zip-counts
+    # (all integer) -> row_number argmax (cnt desc, l, r) -> ONE
+    # literal regexp_replace whose left-to-right non-overlapping scan
+    # is exactly the greedy merge (symbols never contain '|'). DuckDB
+    # string literals keep backslashes, so '\|' is the RE2-escaped
+    # pipe, mirroring Spark's java-regex '\\|'.
+    _BPE_ROUNDS = 8
+    _bpe_ctes = [
+        f"""bv AS MATERIALIZED (
+          SELECT tok, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+          GROUP BY 1
+        )""",
+        """be0 AS MATERIALIZED (
+          SELECT tok, freq,
+                 '|' || array_to_string(list_transform(
+                   range(1, length(tok || '_') + 1),
+                   i -> substr(tok || '_', CAST(i AS INTEGER), 1)), '||')
+                 || '|' AS enc
+          FROM bv
+        )""",
+    ]
+    for _r in range(_BPE_ROUNDS):
+        _bpe_ctes.append(
+            f"""bp{_r} AS (
+          SELECT (u).l AS l, (u).r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq,
+                   unnest(CASE WHEN len(syms) >= 2 THEN
+                     list_transform(range(1, len(syms)),
+                       i -> struct_pack(
+                         l := syms[CAST(i AS INTEGER)],
+                         r := syms[CAST(i AS INTEGER) + 1]))
+                   ELSE [] END) AS u
+            FROM (SELECT freq,
+                         string_split(substr(enc, 2, length(enc) - 2),
+                                      '||') AS syms
+                  FROM be{_r})
+          ) GROUP BY 1, 2
+        )"""
+        )
+        _bpe_ctes.append(
+            f"""bb{_r} AS (
+          SELECT l, r, cnt, {_r + 1} AS rk FROM (
+            SELECT *, row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+            FROM bp{_r}
+          ) WHERE rn = 1
+        )"""
+        )
+        _bpe_ctes.append(
+            f"""be{_r + 1} AS MATERIALIZED (
+          SELECT tok, freq,
+                 regexp_replace(enc,
+                   '\\|' || b.l || '\\|\\|' || b.r || '\\|',
+                   '|' || b.l || b.r || '|', 'g') AS enc
+          FROM be{_r} CROSS JOIN bb{_r} b
+        )"""
+        )
+    o["bpe_learn_merges"] = (
+        "WITH "
+        + ",\n".join(_bpe_ctes)
+        + "\nSELECT CAST(rk AS INTEGER) AS rk, l AS left_sym,"
+        " r AS right_sym, cnt AS pair_count FROM ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM bb{_r}" for _r in range(_BPE_ROUNDS)
+        )
+        + ")"
+    )
 
     return o

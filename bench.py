@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "length_quality_corr",
     "dsir_weights",
     "dsir_sample",
+    "bpe_learn_merges",
 ]
 
 

@@ -70,3 +70,96 @@ def bpe_pair_counts(documents: DataFrame, min_count: int = 2) -> DataFrame:
         )
         .filter(F.col("pair_count") >= min_count)
     )
+
+
+def bpe_learn(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """The FULL iterative BPE training loop (Sennrich et al. 2016
+    learn_bpe): n_merges rounds of count-adjacent-pairs -> merge the
+    most frequent pair everywhere -> recount, over the corpus
+    vocabulary weighted by word frequency. bpe_pair_counts is round
+    one's statistic; this runs the actual loop and emits the learned
+    merge table — the artifact a tokenizer ships.
+
+    Exactness design: word encodings are strings of pipe-wrapped
+    symbols ("|h||e||l||l||o||_|"); applying a merge is ONE literal
+    regexp_replace of "|l||r|" with "|lr|", whose left-to-right
+    non-overlapping scan IS BPE's greedy merge order (overlapping
+    "a a a" merges once, the reference semantics), and is
+    engine-identical because symbols never contain the pipe. Pair
+    counts are the paper's zip statistic (overlapping positions all
+    count), all integers; the argmax tie-break is (count desc, left
+    asc, right asc). The whole loop is therefore unrollable into
+    DuckDB CTEs (the louvain/kmeans fixpoint recipe) with zero
+    tolerance.
+
+    Raises if the vocabulary runs out of pairs before n_merges (the
+    hierarchy.py budget convention) rather than silently returning
+    fewer merges than the unrolled oracle computes.
+
+    Shapes: word frequency is the one corpus-scale shuffle; every
+    round then works on the VOCABULARY table (dimension-sized by
+    definition — this is why tokenizer training is feasible at all):
+    one split+explode, one partial-agg pair groupBy, a 1-row argmax
+    collected to the driver (the Lloyd-centroid pattern), one map-side
+    regexp. localCheckpoint per round keeps lineage flat.
+
+    Output: (rk, left_sym, right_sym, pair_count) — the ordered merge
+    table, rk = 1..n_merges.
+    """
+    spark = documents.sparkSession
+    freq = (
+        documents.select(F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = freq.select(
+        "tok",
+        "freq",
+        F.expr(
+            "concat('|', concat_ws('||', transform(sequence(1, "
+            f"length(concat(tok, '{EOW}'))), "
+            f"i -> substring(concat(tok, '{EOW}'), i, 1))), '|')"
+        ).alias("enc"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rnd in range(int(n_merges)):
+        pairs = cur.select(
+            "freq",
+            F.expr(
+                "explode(case when size(split(substring(enc, 2, "
+                "length(enc) - 2), '\\\\|\\\\|')) >= 2 then "
+                "transform(sequence(1, size(split(substring(enc, 2, "
+                "length(enc) - 2), '\\\\|\\\\|')) - 1), "
+                "i -> struct(element_at(split(substring(enc, 2, "
+                "length(enc) - 2), '\\\\|\\\\|'), i) as l, "
+                "element_at(split(substring(enc, 2, length(enc) - 2), "
+                "'\\\\|\\\\|'), i + 1) as r)) "
+                "else array() end)"
+            ).alias("p"),
+        ).select("freq", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        pc = pairs.groupBy("l", "r").agg(F.sum("freq").alias("cnt"))
+        best = pc.agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("l").alias("l"),
+                    F.col("r").alias("r"),
+                )
+            ).alias("b")
+        ).collect()[0]["b"]
+        if best is None:
+            raise RuntimeError(
+                f"bpe_learn: vocabulary exhausted after {rnd} merges "
+                f"(asked for {n_merges})"
+            )
+        l, r, cnt = best["l"], best["r"], -best["nc"]
+        merges.append((rnd + 1, l, r, int(cnt)))
+        pat = f"\\|{l}\\|\\|{r}\\|"
+        cur = cur.withColumn(
+            "enc", F.regexp_replace("enc", pat, f"|{l}{r}|")
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "rk int, left_sym string, right_sym string, pair_count long"
+    )
