@@ -309,6 +309,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q3"] = tpch_q3
 
+    def tpch_q5(spark, sf_dir):
+        """TPC-H Q5 (local supplier volume): revenue per ASIA nation
+        where customer and supplier share the nation — the classic
+        snowflake join. All dims broadcast; lineitem/orders shuffle on
+        the order key; the customer=supplier nation equality prunes
+        after the supplier broadcast join."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        s = _t(spark, sf_dir, "supplier")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        return (
+            li.join(
+                o.filter(
+                    (F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1997-01-01")
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(s),
+                (F.col("l_suppkey") == F.col("s_suppkey"))
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(
+                F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+        )
+
+    q["tpch_q5"] = tpch_q5
+
+    def tpch_q18(spark, sf_dir):
+        """TPC-H Q18 (large-volume customers): orders whose total
+        quantity exceeds the threshold, with customer detail — the
+        classic agg-then-semi-join pattern; the HAVING aggregate is
+        order-key-sized and partial-agg friendly."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .filter(F.col("total_qty") > 250)
+        )
+        return (
+            big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .select(
+                "c_name",
+                "o_custkey",
+                "l_orderkey",
+                "o_orderdate",
+                F.round("o_totalprice", 2).alias("o_total"),
+                "total_qty",
+            )
+        )
+
+    q["tpch_q18"] = tpch_q18
+
     def star_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         o = _t(spark, sf_dir, "orders")
@@ -6472,6 +6541,34 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
+    """
+
+    o["tpch_q5"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """
+
+    o["tpch_q18"] = """
+        WITH big AS (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 250
+        )
+        SELECT c_name, o_custkey, l_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_total, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """
 
     # langid_confusion / langid_kappa: the lang_id SQL nested verbatim;

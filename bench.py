@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "graph_kcore",
     "entity_distances",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q18",
     "ewma_hourly",
     "langid_confusion",
     "langid_kappa",
