@@ -433,6 +433,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_verified_pairs"] = lambda spark, sf_dir: DD.lsh_verified_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=12, band_size=3, threshold=0.2
     )
+    def dedup_screen_eval(spark, sf_dir):
+        """Precision/recall of the LSH near-dup screen vs exact
+        n-gram Jaccard ground truth (same threshold): recall is the
+        banding loss made machine-checkable; precision 1.0 is PROVED
+        each run (verify-after-block re-checks the exact predicate).
+        Oracle nests both pair SQLs verbatim."""
+        screen = DD.lsh_verified_pairs(
+            _t(spark, sf_dir, "documents"),
+            num_hashes=12, band_size=3, threshold=0.2,
+        )
+        exact = DD.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+        return DD.pair_screen_eval(screen, exact)
+
+    q["dedup_screen_eval"] = dedup_screen_eval
+
     q["simhash"] = lambda spark, sf_dir: DD.simhash(
         _t(spark, sf_dir, "documents"), bits=32
     )
@@ -6541,6 +6556,29 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
+    """
+
+    # dedup_screen_eval: both pair SQLs nested; counts integer, the
+    # two rates single divisions. Precision = 1.0 is the PROVEN
+    # verify-after-block invariant.
+    o["dedup_screen_eval"] = f"""
+        WITH scr AS ({o["lsh_verified_pairs"]}),
+        ext AS ({o["ngram_jaccard_pairs"]}),
+        h AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_hit
+          FROM (SELECT doc_a, doc_b FROM scr) s
+          JOIN (SELECT doc_a, doc_b FROM ext) e USING (doc_a, doc_b)
+        ),
+        c AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM ext) AS n_exact,
+                 (SELECT CAST(count(*) AS BIGINT) FROM scr) AS n_screen
+        )
+        SELECT n_exact, n_screen, n_hit,
+               CASE WHEN n_screen = 0 THEN NULL
+                    ELSE round(n_hit / (n_screen * 1e0), 6) END AS precision,
+               CASE WHEN n_exact = 0 THEN NULL
+                    ELSE round(n_hit / (n_exact * 1e0), 6) END AS recall
+        FROM c CROSS JOIN h
     """
 
     o["tpch_q5"] = """

@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "dsir_sample",
     "bpe_learn_merges",
+    "dedup_screen_eval",
 ]
 
 

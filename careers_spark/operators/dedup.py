@@ -1157,3 +1157,42 @@ def winnowing_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+def pair_screen_eval(screen: DataFrame, exact: DataFrame) -> DataFrame:
+    """Precision/recall of a near-dup SCREEN against exact ground
+    truth — the dedup counterpart of similarity.recall_at_k, turning
+    the "LSH banding misses some true pairs" caveat into a
+    machine-checked number instead of a docstring claim.
+
+    Both inputs carry (doc_a, doc_b) with doc_a < doc_b (the shared
+    contract of lsh_verified_pairs / jaccard_pairs / simhash banding).
+    For a verify-after-block screen, precision is 1.0 BY CONSTRUCTION
+    (verified pairs re-check the exact predicate) — this operator
+    proves that invariant on every run rather than assuming it; recall
+    is the banding loss.
+
+    Counts are integers from one equi-join and two single-row aggs;
+    precision/recall are one rounded division each. Degenerate empty
+    sides -> NULL, not 0/0.
+
+    Output: one row (n_exact, n_screen, n_hit, precision, recall).
+    """
+    key = ["doc_a", "doc_b"]
+    hit = screen.select(*key).join(exact.select(*key), key)
+    agg = (
+        screen.agg(F.count("*").alias("n_screen"))
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    return agg.select(
+        "n_exact",
+        "n_screen",
+        "n_hit",
+        F.when(F.col("n_screen") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_hit") / (F.col("n_screen") * F.lit(1.0)), 6))
+        .alias("precision"),
+        F.when(F.col("n_exact") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_hit") / (F.col("n_exact") * F.lit(1.0)), 6))
+        .alias("recall"),
+    )

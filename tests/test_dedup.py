@@ -441,3 +441,46 @@ def test_winnowing_rightmost_tie_and_determinism(spark):
                 if hs[p] == fp
             ]
             assert not later_same
+
+
+def test_pair_screen_eval_hand_golden(spark):
+    from careers_spark.operators.dedup import pair_screen_eval
+
+    screen = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "doc_a long, doc_b long"
+    )
+    r = pair_screen_eval(screen, exact).collect()[0]
+    assert (r.n_exact, r.n_screen, r.n_hit) == (4, 2, 2)
+    assert r.precision == 1.0 and r.recall == 0.5
+
+
+def test_pair_screen_eval_empty_sides_null(spark):
+    from careers_spark.operators.dedup import pair_screen_eval
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    some = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = pair_screen_eval(empty, some).collect()[0]
+    assert r.precision is None and r.recall == 0.0
+    r2 = pair_screen_eval(some, empty).collect()[0]
+    assert r2.recall is None and r2.precision == 0.0
+
+
+def test_lsh_screen_precision_is_one_on_real_docs(spark):
+    """The verify-after-block invariant on real data: every screened
+    pair is an exact pair, so precision is exactly 1.0."""
+    from careers_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_verified_pairs,
+        pair_screen_eval,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = pair_screen_eval(
+        lsh_verified_pairs(docs, num_hashes=12, band_size=3, threshold=0.2),
+        jaccard_pairs(docs, threshold=0.2),
+    ).collect()[0]
+    assert r.precision in (1.0, None)
+    assert r.recall is not None and 0.0 <= r.recall <= 1.0
