@@ -2294,6 +2294,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivfadc_topk"] = ivfadc_topk
 
+    def ivfadc_refined_topk(spark, sf_dir):
+        """IVFADC + exact refinement (faiss IndexRefineFlat): ADC
+        shortlist of k*refine, exact lattice-L2 re-rank over only the
+        shortlist — the recall-recovery step the ANN study motivates
+        (quantization, not routing, is the ADC loss)."""
+        from careers_spark.operators.clustering import ivfadc_refined_topk as rf
+
+        return rf(
+            _t(spark, sf_dir, "embeddings"),
+            k=5, refine=4, nlist=8, nprobe=8, m=4, kcent=8, iters=2,
+            query_pred="vec_id % 50 = 0",
+        )
+
+    q["ivfadc_refined_topk"] = ivfadc_refined_topk
+
     def ab_conversion(spark, sf_dir):
         """Two-proportion z-test over md5-bucketed experiment arms,
         user-level conversion (funnel.ab_conversion_test)."""
@@ -6799,7 +6814,7 @@ def oracle_sql() -> dict[str, str]:
                * (q.x[{_j * _adc_sub} + i] - c{_j}.x[i])))"""
         for _j in range(_adc_m)
     )
-    o["pq_adc_topk"] = (
+    _ADC_WITH = (
         "WITH "
         + ",\n".join(_adc_ctes)
         + f""",
@@ -6823,12 +6838,53 @@ def oracle_sql() -> dict[str, str]:
           JOIN ac1_{_adc_iters} c1 ON c1.cid = c.k1
           JOIN ac2_{_adc_iters} c2 ON c2.cid = c.k2
           JOIN ac3_{_adc_iters} c3 ON c3.cid = c.k3
-        )
+        )"""
+    )
+    o["pq_adc_topk"] = (
+        _ADC_WITH
+        + """
         SELECT query_id, neighbor_id, adist, CAST(rk AS INTEGER) AS rk
         FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY adist, neighbor_id) AS rk
           FROM d
+        ) WHERE rk <= 5
+    """
+    )
+
+    # ivfadc_refined_topk: the same ADC body truncated at k*refine=20,
+    # then an exact full-dim lattice-L2 re-rank over only the
+    # shortlist (the faiss IndexRefineFlat step) — all BIGINT.
+    o["ivfadc_refined_topk"] = (
+        _ADC_WITH
+        + f""",
+        shortl AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adist, neighbor_id) AS rk
+            FROM d
+          ) WHERE rk <= 20
+        ),
+        cv AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 list_transform(embedding::DOUBLE[],
+                     v -> CAST(round(v * 1000000e0) AS BIGINT)) AS x
+          FROM embeddings WHERE NOT (vec_id % 50 = 0)
+        ),
+        rr AS (
+          SELECT s.query_id, s.neighbor_id,
+                 CAST(list_sum(list_transform(range(1, {16 * _adc_m + 1}),
+                   i -> (q.x[i] - c.x[i]) * (q.x[i] - c.x[i])))
+                   AS BIGINT) AS dist
+          FROM shortl s
+          JOIN qv q ON q.id = s.query_id
+          JOIN cv c ON c.id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, dist, CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist, neighbor_id) AS rk
+          FROM rr
         ) WHERE rk <= 5
     """
     )

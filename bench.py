@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "welch_ttest",
     "pq_adc_topk",
     "ivfadc_topk",
+    "ivfadc_refined_topk",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "session_busy_overlap",

@@ -128,6 +128,88 @@ def main():
     assert full_probe and full_probe[0]["recall_at_k"] == 1.0, \
         "nprobe==nlist must equal brute force"
 
+    # ---- compressed-search (ADC) section ----------------------------
+    # The ADC family ranks by exact lattice L2 over PQ codes, so its
+    # baseline is the exact lattice-L2 top-k over the same
+    # corpus/query split (queries are never indexed), NOT the cosine
+    # baseline above — recall here isolates quantization + routing
+    # loss, with no metric mismatch in the measurement.
+    from pyspark.sql import Window, functions as F  # noqa: E402
+
+    from careers_spark.operators import clustering as CL  # noqa: E402
+
+    dim = len(emb.select("embedding").first()[0])
+    qx = CL._quantize(emb.filter(QPRED), "vec_id", "embedding").select(
+        F.col("id").alias("query_id"), F.col("x").alias("qx")
+    )
+    cx = CL._quantize(
+        emb.filter(f"NOT ({QPRED})"), "vec_id", "embedding"
+    ).select(F.col("id").alias("neighbor_id"), F.col("x").alias("nx"))
+    n_corpus = cx.count()
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact_l2 = {
+        (r.query_id, r.neighbor_id)
+        for r in (
+            qx.crossJoin(cx)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.expr(
+                    "aggregate(zip_with(qx, nx, (a, b) -> (a-b)*(a-b)), "
+                    "0L, (acc, v) -> acc + v)"
+                ).alias("d"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= K)
+            .collect()
+        )
+    }
+
+    def study_adc(tag, fn):
+        fn(K).count()  # warm (includes codebook training)
+        t = time.time()
+        got = {(r.query_id, r.neighbor_id) for r in fn(K).collect()}
+        wall = time.time() - t
+        cand = fn(n_corpus).count()
+        rec = len(got & exact_l2) / len(exact_l2)
+        rows.append({
+            "config": tag,
+            "recall_at_k": round(rec, 4),
+            "cand_frac": round(cand / (q * n_corpus), 4),
+            "warm_wall_s": round(wall, 2),
+        })
+
+    m = 4 if dim % 4 == 0 else 2
+    for kc in (8, 16):
+        study_adc(
+            f"pq_adc m={m} kcent={kc} (all-pairs ADC)",
+            lambda k, kc_=kc: CL.pq_adc_topk(
+                emb, k=k, m=m, kcent=kc_, iters=2, query_pred=QPRED
+            ),
+        )
+    for nprobe in (1, 2, 4, 16):
+        study_adc(
+            f"ivfadc nlist=16 nprobe={nprobe} m={m} kcent=16",
+            lambda k, np_=nprobe: CL.ivfadc_topk(
+                emb, k=k, nlist=16, nprobe=np_, m=m, kcent=16,
+                iters=2, query_pred=QPRED,
+            ),
+        )
+    for nprobe in (1, 4):
+        study_adc(
+            f"ivfadc+refine4 nlist=16 nprobe={nprobe} m={m} kcent=16",
+            lambda k, np_=nprobe: CL.ivfadc_refined_topk(
+                emb, k=k, refine=4, nlist=16, nprobe=np_, m=m,
+                kcent=16, iters=2, query_pred=QPRED,
+            ),
+        )
+    # composed invariant: full-probe IVFADC == all-pairs ADC at the
+    # same codebook params, so their recalls (vs exact L2) are equal
+    adc16 = [r for r in rows if r["config"].startswith("pq_adc") and "kcent=16" in r["config"]]
+    ivf_full = [r for r in rows if r["config"].startswith("ivfadc") and "nprobe=16" in r["config"]]
+    assert adc16 and ivf_full and adc16[0]["recall_at_k"] == ivf_full[0]["recall_at_k"], \
+        "full-probe IVFADC must equal all-pairs ADC"
+
     corpus = "clustered-synthetic" if clustered else SF
     print(f"\nN={n} Q={q} K={K} corpus={corpus}\n")
     print("| config | recall@10 | candidate frac | warm wall s |")
