@@ -257,6 +257,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_busy_overlap"] = session_busy_overlap
 
+    def forecast_backtest(spark, sf_dir):
+        """One-step-ahead EWMA forecast vs the seasonal-naive baseline
+        scored by MAE and MASE (Hyndman & Koehler) — all errors exact
+        integers on the 2^-24 dyadic lattice, MASE one division."""
+        from careers_spark.operators.temporal import forecast_backtest as fb
+
+        return fb(_t(spark, sf_dir, "events"))
+
+    q["forecast_backtest"] = forecast_backtest
+
     # ---- classic agg + star join (scan/agg/join sanity at scale) ----
     def tpch_q1(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
@@ -6769,6 +6779,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.event_type, c.hour, c.n_events,
                acc.acc / CAST(1::BIGINT << 24 AS DOUBLE) AS ewma
         FROM c JOIN acc USING (event_type, hour)
+    """
+
+    # forecast_backtest: the ewma_hourly dyadic-lattice recipe with
+    # strictly-causal offsets 1..24; errors exact integers, the two
+    # MAEs single division chains, MASE one rounded division.
+    o["forecast_backtest"] = """
+        WITH c AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        fan AS (
+          SELECT event_type, hour + to_hours(i) AS hour,
+                 x * (1::BIGINT << CAST(24 - i AS INTEGER)) AS contrib
+          FROM c CROSS JOIN (SELECT unnest(range(1, 25)) AS i) g
+        ),
+        f AS (
+          SELECT event_type, hour, CAST(sum(contrib) AS BIGINT) AS f_fp
+          FROM fan GROUP BY 1, 2
+        ),
+        sn AS (
+          SELECT event_type, hour + to_hours(24) AS hour, x AS x_season
+          FROM c
+        ),
+        scored AS (
+          SELECT c.event_type,
+                 abs(c.x * (1::BIGINT << 24) - f.f_fp) AS e_ewma,
+                 abs(c.x - sn.x_season) * (1::BIGINT << 24) AS e_naive
+          FROM c JOIN f USING (event_type, hour)
+          JOIN sn USING (event_type, hour)
+        ),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+                 CAST(sum(e_ewma) AS BIGINT) AS se,
+                 CAST(sum(e_naive) AS BIGINT) AS snv
+          FROM scored GROUP BY 1
+        )
+        SELECT event_type, n_scored,
+               se / (n_scored * 1e0) / CAST(1::BIGINT << 24 AS DOUBLE)
+                 AS mae_ewma,
+               snv / (n_scored * 1e0) / CAST(1::BIGINT << 24 AS DOUBLE)
+                 AS mae_naive,
+               CASE WHEN snv = 0 THEN NULL
+                    ELSE round(se / (snv * 1e0), 6) END AS mase
+        FROM a
     """
 
     # pq_adc_topk: the pq_encoding Lloyd unroll re-run on the CORPUS

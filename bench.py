@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q18",
     "ewma_hourly",
+    "forecast_backtest",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",

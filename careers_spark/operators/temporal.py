@@ -938,3 +938,86 @@ def user_sessions(
         F.max("_us").alias("l_end_us"),
         F.count("*").alias("n_events"),
     )
+
+
+def forecast_backtest(
+    events: DataFrame,
+    ts: str = "ts",
+    dims: list[str] | None = None,
+    window: int = 24,
+    season: int = 24,
+) -> DataFrame:
+    """One-step-ahead forecast backtest: the EWMA(alpha=1/2) forecast
+    f(h) = sum_{i=1..W} count(h-i) * 2^-i versus the seasonal-naive
+    baseline f_sn(h) = count(h - season), scored by MAE and their
+    ratio — MASE (Hyndman & Koehler 2006), the standard scale-free
+    forecast-accuracy metric (< 1 means the model beats the naive
+    seasonal repeat).
+
+    Exactness: the EWMA forecast rides the same 2^-window dyadic
+    integer lattice as ewma_hourly (contributions count << (W-i), sum
+    BIGINT), actuals and seasonal forecasts are integers on that
+    lattice (<< W), so every |error| is an exact integer and both MAEs
+    are single closing divisions; MASE is one division of two exact
+    dyadic doubles. Hours scored are those with BOTH a full-window
+    history start and a seasonal ancestor PRESENT (inner joins — the
+    honest backtest set, no zero-filled fantasies).
+
+    Shapes: one hourly rollup, a W-row offset explode, two partial-agg
+    groupBys, one dimension-sized final agg. No windows, no sort.
+
+    Output per dims: (<dims...>, n_scored, mae_ewma, mae_naive, mase).
+    """
+    dims = dims or ["event_type"]
+    b = int(window)
+    hour = F.date_trunc("hour", F.col(ts)).alias("hour")
+    c = events.groupBy(*dims, hour).agg(F.count("*").alias("x"))
+
+    # forecast contributions land at hour + i for i in 1..W (strictly
+    # one-step-ahead: the target hour's own count never contributes)
+    fan = c.select(
+        *dims,
+        F.explode(F.sequence(F.lit(1), F.lit(b))).alias("i"),
+        F.col("hour").alias("src"),
+        "x",
+    ).select(
+        *dims,
+        F.expr("src + make_interval(0, 0, 0, 0, i)").alias("hour"),
+        F.expr(f"x * shiftleft(1L, {b} - i)").alias("contrib"),
+    )
+    fcst = fan.groupBy(*dims, "hour").agg(F.sum("contrib").alias("f_fp"))
+
+    sn = c.select(
+        *dims,
+        F.expr(f"hour + make_interval(0, 0, 0, 0, {int(season)})").alias("hour"),
+        F.col("x").alias("x_season"),
+    )
+    scored = (
+        c.join(fcst, dims + ["hour"])
+        .join(sn, dims + ["hour"])
+        .select(
+            *dims,
+            # errors as exact integers on the 2^-W lattice
+            F.abs(
+                F.expr(f"x * shiftleft(1L, {b})") - F.col("f_fp")
+            ).alias("e_ewma"),
+            F.expr(
+                f"abs(x - x_season) * shiftleft(1L, {b})"
+            ).alias("e_naive"),
+        )
+    )
+    agg = scored.groupBy(*dims).agg(
+        F.count("*").alias("n_scored"),
+        F.sum("e_ewma").alias("se"),
+        F.sum("e_naive").alias("sn"),
+    )
+    denom = f"cast(shiftleft(1L, {b}) as double)"
+    return agg.select(
+        *dims,
+        "n_scored",
+        F.expr(f"se / (n_scored * 1e0) / {denom}").alias("mae_ewma"),
+        F.expr(f"sn / (n_scored * 1e0) / {denom}").alias("mae_naive"),
+        F.when(F.col("sn") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("se") / (F.col("sn") * F.lit(1.0)), 6))
+        .alias("mase"),
+    )

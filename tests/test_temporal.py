@@ -795,3 +795,57 @@ def test_user_sessions_bounds_and_gap(spark):
     assert got[(7, 1)] == (base, base + 20 * m, 3)
     assert got[(7, 2)] == (base + 60 * m, base + 65 * m, 2)
     assert got[(9, 1)] == (base + 5 * m, base + 5 * m, 1)
+
+
+def test_forecast_backtest_hand_golden(spark):
+    from datetime import datetime
+
+    from careers_spark.operators.temporal import forecast_backtest
+
+    # counts at consecutive hours 0..5; window=2, season=3:
+    # f(h) = x(h-1)/2 + x(h-2)/4; scored hours need BOTH full-forecast
+    # contributions present (inner join keeps any hour with >= 1
+    # contribution; here hours 1..5 get one or two) AND x(h-3)
+    def rows_at(h, n):
+        return [(h * 100 + i, datetime(2024, 1, 1, h), "a") for i in range(n)]
+
+    counts = {0: 4, 1: 2, 2: 6, 3: 4, 4: 8, 5: 2}
+    data = [r for h, n in counts.items() for r in rows_at(h, n)]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string"
+    )
+    r = forecast_backtest(df, window=2, season=3).collect()[0]
+    # scored hours: 3, 4, 5 (seasonal ancestor exists; forecast rows
+    # exist from the fan-out)
+    f = {h: counts[h - 1] / 2 + counts[h - 2] / 4 for h in (3, 4, 5)}
+    e_ewma = [abs(counts[h] - f[h]) for h in (3, 4, 5)]
+    e_naive = [abs(counts[h] - counts[h - 3]) for h in (3, 4, 5)]
+    assert r.n_scored == 3
+    assert r.mae_ewma == sum(e_ewma) / 3
+    assert r.mae_naive == sum(e_naive) / 3
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want_mase = float(
+        Decimal(repr(sum(e_ewma) / sum(e_naive))).quantize(
+            Decimal("1e-6"), ROUND_HALF_UP
+        )
+    )
+    assert r.mase == want_mase
+
+
+def test_forecast_backtest_zero_naive_error_null(spark):
+    from datetime import datetime
+
+    from careers_spark.operators.temporal import forecast_backtest
+
+    # perfectly periodic series: seasonal-naive error is 0 -> NULL mase
+    data = [
+        (h * 10 + i, datetime(2024, 1, 1, h), "a")
+        for h in range(6)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string"
+    )
+    r = forecast_backtest(df, window=2, season=1).collect()[0]
+    assert r.mase is None and r.mae_naive == 0.0
