@@ -1395,6 +1395,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_search"] = bm25_search
 
+    def rocchio_expansion(spark, sf_dir):
+        """Rocchio pseudo-relevance feedback over the bm25_search
+        query: top-3 feedback docs, tf x 1e-9-lattice smoothed-idf
+        centroid weights, top-5 expansion terms."""
+        from careers_spark.operators.retrieval import rocchio_expansion as rx
+
+        return rx(
+            _t(spark, sf_dir, "documents"),
+            ["spark", "join", "window"],
+            fb_k=3,
+            expand_n=5,
+        )
+
+    q["rocchio_expansion"] = rocchio_expansion
+
     def unigram_logloss(spark, sf_dir):
         """Per-doc average NLL under the corpus's own unigram LM — the
         CCNet perplexity-filter stand-in; per-token log-probs are
@@ -6779,6 +6794,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.event_type, c.hour, c.n_events,
                acc.acc / CAST(1::BIGINT << 24 AS DOUBLE) AS ewma
         FROM c JOIN acc USING (event_type, hour)
+    """
+
+    # rocchio_expansion: bm25 SQL nested for the top-3 feedback docs;
+    # idf quantized once per term to the 1e-9 lattice (Spark uses the
+    # counted n_docs literal, the oracle the scalar subquery — same
+    # exact integer), sum exact, one closing rounded division.
+    o["rocchio_expansion"] = f"""
+        WITH bm AS ({o["bm25_search"]}),
+        fb AS (SELECT doc_id FROM bm WHERE rank <= 3),
+        t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        tfa AS (
+          SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+          GROUP BY 1, 2
+        ),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tfa GROUP BY 1),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        cand AS (
+          SELECT a.term,
+                 CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_fb_docs,
+                 CAST(sum(a.tf * CAST(round((ln((n.n_docs + 1e0)
+                   / (d.df + 1e0)) + 1e0) * 1000000000e0, 0) AS BIGINT))
+                   AS BIGINT) AS fp
+          FROM tfa a
+          JOIN fb USING (doc_id)
+          JOIN dfq d ON d.term = a.term
+          CROSS JOIN nd n
+          WHERE a.term NOT IN ('spark', 'join', 'window')
+          GROUP BY 1
+        )
+        SELECT term, n_fb_docs, round(fp / 1000000000e0, 6) AS score,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY round(fp / 1000000000e0, 6) DESC, term) AS rank
+          FROM cand
+        ) WHERE rank <= 5
     """
 
     # forecast_backtest: the ewma_hourly dyadic-lattice recipe with

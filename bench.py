@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "token_pmi",
     "bm25_search",
+    "rocchio_expansion",
     "hybrid_rrf_search",
     "prefix_jaccard_pairs",
     "fuzzy_part_match",

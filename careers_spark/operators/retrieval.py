@@ -339,3 +339,65 @@ def mmr_topk(
         _greedy,
         "query_id long, pick_rank int, neighbor_id long, mmr_score double",
     )
+
+
+def rocchio_expansion(
+    documents: DataFrame,
+    query_terms: list[str],
+    fb_k: int = 3,
+    expand_n: int = 5,
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (the classic query-expansion
+    step, Rocchio 1971 / standard PRF): take the BM25 top-`fb_k` docs
+    as pseudo-relevant, score every term they contain (minus the
+    original query terms) by the summed tf x smoothed-idf centroid
+    weight, and emit the top-`expand_n` expansion terms — the terms a
+    second-round query would add.
+
+    Exactness: idf uses the tfidf convention ln((N+1)/(df+1)) + 1 with
+    corpus-wide df, quantized ONCE per term to the 1e-9 fixed-point
+    lattice (the unigram_logloss recipe), so the sum over feedback
+    docs is an exact integer at any parallelism; the final score is
+    one closing division rounded to 6.
+
+    Shapes: BM25 feedback is TakeOrdered-k; the expansion works on the
+    feedback docs' terms only (fb_k documents' vocabulary — bounded),
+    joined to the corpus-wide df table (partial-agg, vocabulary-
+    sized); final top-n is again TakeOrdered. Nothing corpus-scale
+    beyond the df aggregation BM25 already needs.
+
+    Output: (term, n_fb_docs, score, rank).
+    """
+    fb = bm25_topk(documents, query_terms, k=fb_k).select("doc_id")
+    toks = documents.select("doc_id", tokens_col("text").alias("toks"))
+    tf_all = toks.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf_all.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.count()
+
+    cand = (
+        tf_all.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(query_terms))
+        .join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "_c",
+            F.expr(
+                f"tf * cast(round((ln(({int(n_docs)} + 1e0) / (df + 1e0))"
+                " + 1e0) * 1000000000e0, 0) as bigint)"
+            ),
+        )
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("n_fb_docs"),
+            F.sum("_c").alias("_fp"),
+        )
+        .withColumn("score", F.expr("round(_fp / 1000000000e0, 6)"))
+    )
+    top = cand.orderBy(F.desc("score"), F.asc("term")).limit(int(expand_n))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "term", "n_fb_docs", "score", F.col("rank").cast("int").alias("rank")
+    )

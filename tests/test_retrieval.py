@@ -169,3 +169,52 @@ def test_sq8_constant_dimension_is_ignored(spark):
         for r in sq8_topk(df, k=2, query_pred="vec_id = 0").collect()
     }
     assert got == {(0, 2): 128 * 128, (0, 1): 255 * 255}
+
+
+def test_rocchio_expansion_hand_golden(spark):
+    """Feedback docs share a distinctive co-occurring term that must
+    rank first; original query terms never appear."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from careers_spark.operators.retrieval import rocchio_expansion
+
+    rows = [
+        (1, "spark shuffle shuffle partition"),
+        (2, "spark shuffle executor"),
+        (3, "spark partition memory"),
+        (4, "cooking recipes and gardening"),
+        (5, "more cooking and more gardening"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = rocchio_expansion(df, ["spark"], fb_k=3, expand_n=3).collect()
+    by = {r.term: r for r in sorted(got, key=lambda r: r.rank)}
+    assert "spark" not in by
+    # docs 1-3 are the feedback set (only they contain 'spark');
+    # 'shuffle' appears 3x across them with df=2 -> top score
+    n = 5
+
+    def q9(x):
+        return int(Decimal(repr(x * 1e9)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    def score(tf_sum_pairs):
+        fp = sum(tf * q9(math.log((n + 1) / (df + 1)) + 1) for tf, df in tf_sum_pairs)
+        return float(Decimal(repr(fp / 1e9)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    assert by["shuffle"].rank == 1
+    assert by["shuffle"].n_fb_docs == 2
+    assert by["shuffle"].score == score([(2, 2), (1, 2)])
+    assert by["partition"].score == score([(1, 2), (1, 2)])
+    # nothing from the cooking docs can appear (not in feedback set)
+    assert not ({"cooking", "gardening"} & set(by))
+
+
+def test_rocchio_expansion_deterministic(spark):
+    from careers_spark.operators.retrieval import rocchio_expansion
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = rocchio_expansion(docs, ["spark", "join", "window"]).collect()
+    b = rocchio_expansion(
+        docs.repartition(7), ["spark", "join", "window"]
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
