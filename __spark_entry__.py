@@ -690,6 +690,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_sample"] = dsir_sample
 
+    def bootstrap_mean_ci(spark, sf_dir):
+        """Poisson-bootstrap 95% CI for the mean order value in cents
+        (Chamandy et al. — the massive-data bootstrap): 200
+        deterministic Poisson(1)-weighted replicates from md5 draws,
+        exact integer (sum, count) pairs per replicate, percentile by
+        rank."""
+        from careers_spark.operators.sampling import poisson_bootstrap_ci
+
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.expr(
+                "cast(round(o_totalprice * 100, 0) as bigint)"
+            ).alias("cents"),
+        )
+        return poisson_bootstrap_ci(
+            base, value="cents", key="o_orderkey", n_reps=200, salt="boot0"
+        )
+
+    q["bootstrap_mean_ci"] = bootstrap_mean_ci
+
     def bpe_learn_merges(spark, sf_dir):
         """The full iterative BPE training loop (8 merges): count
         adjacent symbol pairs over the frequency-weighted vocabulary,
@@ -6794,6 +6814,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.event_type, c.hour, c.n_events,
                acc.acc / CAST(1::BIGINT << 24 AS DOUBLE) AS ewma
         FROM c JOIN acc USING (event_type, hour)
+    """
+
+    # bootstrap_mean_ci: 200 Poisson(1)-weighted replicates; weights
+    # from the literal CDF chain over md5 uniforms (identical text in
+    # sampling._POIS_CDF), per-replicate (s, n) exact integers, means
+    # one rounded division, CI bounds exact rank picks (5 and 195 of
+    # 200).
+    from careers_spark.operators.sampling import _POIS_CDF as _PCDF
+
+    _BOOT_U = (
+        "(("
+        + _DUCK_H64.format(
+            c="concat(cast(id as string), '|', cast(b as string), 'boot0')"
+        )
+        + " % 1000000) + 0.5e0) / 1000000e0"
+    )
+    _BOOT_W = (
+        "CASE "
+        + " ".join(f"WHEN u < {t} THEN {w}" for w, t in enumerate(_PCDF))
+        + " ELSE 6 END"
+    )
+    o["bootstrap_mean_ci"] = f"""
+        WITH base AS (
+          SELECT o_orderkey AS id,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+          FROM orders
+        ),
+        fullr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 round(sum(v) * 1e0 / count(*), 6) AS mean_full
+          FROM base
+        ),
+        drawn AS (
+          SELECT b, v, {_BOOT_W} AS w FROM (
+            SELECT id, v, b, {_BOOT_U} AS u
+            FROM base CROSS JOIN (SELECT unnest(range(0, 200)) AS b) g
+          )
+        ),
+        reps AS (
+          SELECT b, CAST(sum(w * v) AS BIGINT) AS s,
+                 CAST(sum(w) AS BIGINT) AS n
+          FROM drawn GROUP BY b HAVING sum(w) > 0
+        ),
+        rm AS (SELECT b, round(s * 1e0 / n, 6) AS m FROM reps),
+        rked AS (
+          SELECT *, row_number() OVER (ORDER BY m, b) AS rk FROM rm
+        ),
+        bounds AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+                 max(CASE WHEN rk = 5 THEN m END) AS ci_lo,
+                 max(CASE WHEN rk = 195 THEN m END) AS ci_hi
+          FROM rked
+        )
+        SELECT n_rows, mean_full, n_replicates, ci_lo, ci_hi
+        FROM fullr CROSS JOIN bounds
     """
 
     # rocchio_expansion: bm25 SQL nested for the top-3 feedback docs;

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "dsir_sample",
     "bpe_learn_merges",
     "dedup_screen_eval",
+    "bootstrap_mean_ci",
 ]
 
 

@@ -309,3 +309,95 @@ def dsir_resample(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# Poisson(1) CDF thresholds as shared literals (both engines compare
+# the same md5-derived uniform against the same decimal text), capped
+# at weight 6 (P(w > 6) ~ 8.3e-5 — the documented truncation).
+_POIS_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+]
+
+
+def poisson_weight_expr(key: str, rep: str, salt: str) -> str:
+    """Deterministic Poisson(1) draw: md5-derived uniform inverted
+    through the literal CDF — identical SQL text in both engines."""
+    keyed = (
+        f"concat(cast({key} as string), '|', cast({rep} as string), "
+        f"'{_check_salt(salt)}')"
+    )
+    u = f"(({_hash64_expr(keyed)} % 1000000) + 0.5e0) / 1000000e0"
+    chain = " ".join(
+        f"when {u} < {t} then {w}" for w, t in enumerate(_POIS_CDF)
+    )
+    return f"case {chain} else 6 end"
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value: str = "value",
+    key: str = "id",
+    n_reps: int = 200,
+    salt: str = "boot0",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of an
+    INTEGER metric (Chamandy et al., Google 2012 — "Estimating
+    uncertainty for massive data streams"): instead of materializing B
+    resamples-with-replacement (impossible at corpus scale), each row
+    gets an independent Poisson(1) weight per replicate, which
+    converges to the multinomial bootstrap as N grows. Here the draws
+    are md5-derived and the CDF thresholds are shared literals, so the
+    whole interval is deterministic, re-seedable by salt, and
+    oracle-exact — every replicate's (sum, count) is an exact integer
+    pair and its mean one rounded division.
+
+    The 95% interval is percentile-by-rank over the B replicate means:
+    lo = ceil(0.025*B)-th smallest, hi = ceil(0.975*B)-th (ties broken
+    by replicate id) — exact picks, no interpolation.
+
+    Shapes: one B-way explode (map-side row fan-out, NO shuffle
+    growth: map-side combine emits at most B partial rows per task),
+    one B-sized groupBy, one B-row window. B is bounded, so nothing
+    scales with corpus size except the single weighted-sum pass.
+
+    Output: one row (n_rows, mean_full, n_replicates, ci_lo, ci_hi).
+    """
+    B = int(n_reps)
+    # the weight expr references the RENAMED id column — never the
+    # caller's key name (which could collide with the salt text)
+    w_expr = poisson_weight_expr("id", "b", salt)
+    v = F.col(value).cast("long")
+    base = df.select(F.col(key).alias("id"), v.alias("v"))
+    full = base.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.expr("sum(v) * 1e0 / count(*)"), 6).alias("mean_full"),
+    )
+    reps = (
+        base.select(
+            "id", "v", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b")
+        )
+        .withColumn("w", F.expr(w_expr))
+        .groupBy("b")
+        .agg(F.sum(F.expr("w * v")).alias("s"), F.sum("w").alias("n"))
+        .filter(F.col("n") > 0)
+        .select("b", F.round(F.expr("s * 1e0 / n"), 6).alias("m"))
+    )
+    from pyspark.sql import Window
+
+    wn = Window.orderBy("m", "b")
+    ranked = reps.withColumn("rk", F.row_number().over(wn))
+    lo_rk = -(-25 * B // 1000)  # ceil(0.025*B)
+    hi_rk = -(-975 * B // 1000)  # ceil(0.975*B)
+    bounds = ranked.agg(
+        F.count("*").alias("n_replicates"),
+        F.max(F.when(F.col("rk") == lo_rk, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("m"))).alias("ci_hi"),
+    )
+    return full.crossJoin(bounds).select(
+        "n_rows", "mean_full", "n_replicates", "ci_lo", "ci_hi"
+    )

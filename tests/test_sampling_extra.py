@@ -156,3 +156,69 @@ def test_dsir_resample_deterministic_and_salted(spark):
         df, "doc_id % 4 = 0", k=5, n_buckets=64, salt="other"
     ).collect()
     assert {r.doc_id for r in c} != {r.doc_id for r in a}
+
+
+def test_poisson_bootstrap_python_lockstep(spark):
+    """Full python re-derivation: hashed uniforms -> Poisson weights ->
+    replicate means -> rank-percentile bounds."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from careers_spark.operators.sampling import _POIS_CDF, poisson_bootstrap_ci
+
+    rows = [(i, 100 + 7 * (i % 13)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, value long")
+    B = 40
+    r = poisson_bootstrap_ci(df, value="value", key="id", n_reps=B).collect()[0]
+
+    cdf = [float(t) for t in _POIS_CDF]
+
+    def weight(i, b):
+        h = int(
+            hashlib.md5(f"{i}|{b}boot0".encode()).hexdigest()[:8], 16
+        )
+        u = ((h % 1000000) + 0.5) / 1000000
+        for w, t in enumerate(cdf):
+            if u < t:
+                return w
+        return 6
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    means = []
+    for b in range(B):
+        s = n = 0
+        for i, v in rows:
+            w = weight(i, b)
+            s += w * v
+            n += w
+        if n > 0:
+            means.append((r6(s / n), b))
+    means.sort()
+    lo = means[-(-25 * B // 1000) - 1][0]
+    hi = means[-(-975 * B // 1000) - 1][0]
+    assert r.n_rows == 50
+    assert r.mean_full == r6(sum(v for _, v in rows) / 50)
+    assert r.n_replicates == len(means)
+    assert (r.ci_lo, r.ci_hi) == (lo, hi)
+    assert r.ci_lo <= r.mean_full <= r.ci_hi
+
+
+def test_poisson_bootstrap_deterministic_and_salted(spark):
+    from careers_spark.operators.sampling import poisson_bootstrap_ci
+
+    rows = [(i, 50 + (i * 17) % 31) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, value long")
+    a = poisson_bootstrap_ci(df, value="value", key="id", n_reps=60).collect()
+    b = poisson_bootstrap_ci(
+        df.repartition(13), value="value", key="id", n_reps=60
+    ).collect()
+    assert list(map(tuple, a)) == list(map(tuple, b))
+    c = poisson_bootstrap_ci(
+        df, value="value", key="id", n_reps=60, salt="other"
+    ).collect()[0]
+    # same data, different draws: the interval moves but the full mean
+    # cannot
+    assert c.mean_full == a[0].mean_full
+    assert (c.ci_lo, c.ci_hi) != (a[0].ci_lo, a[0].ci_hi)
