@@ -710,6 +710,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bootstrap_mean_ci"] = bootstrap_mean_ci
 
+    def fs_em_linkage(spark, sf_dir):
+        """Fellegi-Sunter record linkage with EM (the Splink model):
+        part pairs blocked on brand, agreement features (type, size,
+        price band), 10 EM iterations over the 2^3 pattern counts —
+        the corpus-scale work is ONE groupBy; parameters converge on
+        shared expression text (localCheckpoint barriers in Spark,
+        MATERIALIZED CTEs in the oracle)."""
+        from careers_spark.operators.linkage_em import fs_em_linkage as fs
+
+        part = _t(spark, sf_dir, "part")
+        a, b = part.alias("a"), part.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        ).select(
+            (F.col("a.p_type") == F.col("b.p_type")).alias("g0"),
+            (F.col("a.p_size") == F.col("b.p_size")).alias("g1"),
+            F.expr(
+                "cast(round(a.p_retailprice, 0) as bigint) div 100 = "
+                "cast(round(b.p_retailprice, 0) as bigint) div 100"
+            ).alias("g2"),
+        )
+        return fs(pairs, ["g0", "g1", "g2"], iters=10)
+
+    q["fs_em_linkage"] = fs_em_linkage
+
     def bpe_learn_merges(spark, sf_dir):
         """The full iterative BPE training loop (8 merges): count
         adjacent symbol pairs over the frequency-weighted vocabulary,
@@ -6869,6 +6896,52 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n_rows, mean_full, n_replicates, ci_lo, ci_hi
         FROM fullr CROSS JOIN bounds
+    """
+
+    # fs_em_linkage: the EM unroll comes from the SAME generator the
+    # Spark operator uses (linkage_em.em_query) — identical float
+    # trees by construction; MATERIALIZED CTEs are the DuckDB
+    # counterpart of the Spark side's localCheckpoint barriers
+    # (either engine would otherwise inline the iteration expressions
+    # exponentially). Pattern counts all integer.
+    from careers_spark.operators.linkage_em import em_query as _fs_em_query
+
+    _FS_PAIRS = """
+        SELECT (a.p_type = b.p_type) AS g0,
+               (a.p_size = b.p_size) AS g1,
+               (CAST(round(a.p_retailprice, 0) AS BIGINT) // 100 =
+                CAST(round(b.p_retailprice, 0) AS BIGINT) // 100) AS g2
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    """
+    _FS_CNT = (
+        "SELECT "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN pid = {p} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n{p}"
+            for p in range(8)
+        )
+        + ", CAST(count(*) AS BIGINT) AS ntot FROM "
+        "(SELECT CAST(g0 AS INTEGER) + 2 * CAST(g1 AS INTEGER)"
+        " + 4 * CAST(g2 AS INTEGER) AS pid FROM pr)"
+    )
+    _FS_GCASE = (
+        "CASE CAST(p.g0 AS INTEGER) + 2 * CAST(p.g1 AS INTEGER)"
+        " + 4 * CAST(p.g2 AS INTEGER) "
+        + " ".join(f"WHEN {p} THEN res.gam{p}" for p in range(8))
+        + " END"
+    )
+    o["fs_em_linkage"] = f"""
+        WITH pr AS MATERIALIZED ({_FS_PAIRS}),
+        pat AS (
+          SELECT g0, g1, g2, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM pr GROUP BY 1, 2, 3
+        ),
+        res AS ({_fs_em_query(_FS_CNT, 3, 10)})
+        SELECT p.g0, p.g1, p.g2, p.n_pairs,
+               {_FS_GCASE} AS gamma,
+               res.lam, res.m0, res.m1, res.m2, res.u0, res.u1, res.u2
+        FROM pat p CROSS JOIN res
     """
 
     # rocchio_expansion: bm25 SQL nested for the top-3 feedback docs;

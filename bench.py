@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "bpe_learn_merges",
     "dedup_screen_eval",
     "bootstrap_mean_ci",
+    "fs_em_linkage",
 ]
 
 
