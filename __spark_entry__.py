@@ -737,6 +737,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fs_em_linkage"] = fs_em_linkage
 
+    def hll_distinct_users(spark, sf_dir):
+        """Deterministic HyperLogLog (m=256) distinct users per event
+        type, plus the '__all__' row whose registers are the MERGE of
+        the per-type sketches — the mergeable-rollup property proven
+        in-query. Registers integer; the estimator's dyadic sum is an
+        exact integer; ln is the lockstep libm call."""
+        from careers_spark.operators.sketches import hll_distinct
+
+        return hll_distinct(
+            _t(spark, sf_dir, "events"),
+            "event_type",
+            "cast(user_id as string)",
+            p=8,
+        )
+
+    q["hll_distinct_users"] = hll_distinct_users
+
     def bpe_learn_merges(spark, sf_dir):
         """The full iterative BPE training loop (8 merges): count
         adjacent symbol pairs over the frequency-weighted vocabulary,
@@ -6896,6 +6913,55 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n_rows, mean_full, n_replicates, ci_lo, ci_hi
         FROM fullr CROSS JOIN bounds
+    """
+
+    # hll_distinct_users: registers from the shared md5 hash (pure
+    # integer CASE for rho), merged '__all__' row by max over the
+    # per-type registers, the estimator text imported from
+    # sketches.hll_estimate_expr (dyadic integer sum + literal alpha +
+    # lockstep ln).
+    from careers_spark.operators.sketches import (
+        hll_estimate_expr as _hll_est,
+        hll_rho_expr as _hll_rho,
+    )
+
+    _HLL_H = _DUCK_H64.format(c="CAST(user_id AS VARCHAR)")
+    o["hll_distinct_users"] = f"""
+        WITH base AS (
+          SELECT grp, h % 256 AS bucket,
+                 {_hll_rho("(h // 256)", 24)} AS rho
+          FROM (SELECT event_type AS grp, {_HLL_H} AS h FROM events)
+        ),
+        regs AS (
+          SELECT grp, bucket, max(rho) AS M FROM base GROUP BY 1, 2
+        ),
+        regs2 AS (
+          SELECT * FROM regs
+          UNION ALL
+          SELECT '__all__' AS grp, bucket, max(M) AS M
+          FROM regs GROUP BY bucket
+        ),
+        per AS (
+          SELECT grp,
+                 CAST(sum(1::BIGINT << CAST(26 - M AS INTEGER)) AS BIGINT)
+                   AS s_int,
+                 CAST(count(*) AS BIGINT) AS n_present
+          FROM regs2 GROUP BY 1
+        ),
+        est AS (SELECT grp, {_hll_est(256, 24)} AS n_est FROM per),
+        exact AS (
+          SELECT event_type AS grp,
+                 CAST(count(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT)
+                   AS n_exact
+          FROM events GROUP BY 1
+          UNION ALL
+          SELECT '__all__' AS grp,
+                 CAST(count(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT)
+          FROM events
+        )
+        SELECT e.grp, e.n_exact, s.n_est,
+               round(abs(s.n_est - e.n_exact) / e.n_exact, 4) AS rel_err
+        FROM exact e JOIN est s ON s.grp = e.grp
     """
 
     # fs_em_linkage: the EM unroll comes from the SAME generator the

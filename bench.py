@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "dedup_screen_eval",
     "bootstrap_mean_ci",
     "fs_em_linkage",
+    "hll_distinct_users",
 ]
 
 

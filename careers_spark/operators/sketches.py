@@ -269,3 +269,119 @@ def count_min_heavy_hitters(
         (F.col("est") - F.col("cnt")).alias("overcount"),
         (F.col("cnt") >= threshold).alias("is_true_heavy"),
     )
+
+
+# ---- deterministic HyperLogLog ---------------------------------------
+# Spark's approx_count_distinct and DuckDB's approx_distinct are
+# different HLL++ variants, so the BUILT-IN sketches can never
+# hash-match. This is HLL implemented from its definition on the shared
+# md5 hash, so registers, merges, and the estimate are engine-exact.
+# What it adds over the k-minimums sketch above: MERGEABILITY — register
+# vectors union by elementwise max, so per-partition/per-day/per-source
+# sketches combine into any rollup without rescanning data (the
+# production use of HLL at warehouse scale).
+
+
+def hll_rho_expr(w_col: str, wbits: int) -> str:
+    """rho = leading zeros of the (wbits)-wide suffix + 1, as a pure
+    integer CASE chain (no float log2 — exact in both engines)."""
+    whens = " ".join(
+        f"WHEN {w_col} >= {1 << (wbits - r)} THEN {r}"
+        for r in range(1, wbits + 1)
+    )
+    return f"CASE WHEN {w_col} = 0 THEN {wbits + 1} {whens} END"
+
+
+def hll_estimate_expr(m: int, wbits: int) -> str:
+    """The HLL estimator over (s_int, n_present) where s_int =
+    sum(2^(SCALE - M_j)) for present buckets on the 2^-SCALE integer
+    lattice (SCALE = wbits + 2 >= every register, so terms are exact
+    positive integers and the sum is order-free), absent buckets
+    carrying register 0. alpha for m >= 128 (Flajolet et al. 2007);
+    linear counting below 2.5m with zero registers (ln is the
+    established cross-engine-lockstep libm call). 32-bit hash space:
+    the large-range correction is out of reach of these corpora and
+    deliberately omitted (documented)."""
+    scale = wbits + 2
+    alpha = "0.7213e0 / (1e0 + 1.079e0 / {m}e0)".format(m=m)
+    s_full = f"(s_int + ({m} - n_present) * {1 << scale})"
+    raw = f"({alpha}) * {m}e0 * {m}e0 * {1 << scale}e0 / {s_full}"
+    v = f"({m} - n_present)"
+    return (
+        f"CASE WHEN ({raw}) <= 2.5e0 * {m} AND {v} > 0 "
+        f"THEN round({m} * ln({m}e0 / {v}), 4) "
+        f"ELSE round({raw}, 4) END"
+    )
+
+
+def hll_registers(
+    df: DataFrame, group: str, key_sql: str, p: int = 8
+) -> DataFrame:
+    """(group, bucket, M) register table — the mergeable sketch state.
+    One partial-agg groupBy (max is algebraic); at most 2^p rows per
+    group survive. Registers from different frames/groups merge by
+    groupBy(bucket).max(M) — pure algebra, no data rescan."""
+    m = 1 << int(p)
+    wbits = 32 - int(p)
+    return (
+        df.withColumn("_h", F.expr(_hash64_expr(key_sql)))
+        .select(
+            F.col(group).alias("grp"),
+            F.expr(f"_h % {m}").alias("bucket"),
+            F.expr(hll_rho_expr(f"(_h div {m})", wbits)).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group: str,
+    key_sql: str,
+    p: int = 8,
+    with_merged_total: bool = True,
+) -> DataFrame:
+    """Per-group HLL distinct estimate vs exact, plus (by default) a
+    '__all__' row whose registers are the MERGE of the per-group
+    registers — proving in-query that union-by-max reproduces the
+    direct global sketch without touching the rows again.
+
+    Output: (grp, n_exact, n_est, rel_err).
+    """
+    m = 1 << int(p)
+    wbits = 32 - int(p)
+    scale = wbits + 2
+    regs = hll_registers(df, group, key_sql, p)
+
+    def estimate(r: DataFrame) -> DataFrame:
+        per = r.groupBy("grp").agg(
+            F.expr(f"sum(shiftleft(1L, {scale} - M))").alias("s_int"),
+            F.count("*").alias("n_present"),
+        )
+        return per.select(
+            "grp", F.expr(hll_estimate_expr(m, wbits)).alias("n_est")
+        )
+
+    est = estimate(regs)
+    if with_merged_total:
+        merged = regs.groupBy("bucket").agg(F.max("M").alias("M")).select(
+            F.lit("__all__").alias("grp"), "bucket", "M"
+        )
+        est = est.unionByName(estimate(merged))
+
+    exact = df.groupBy(F.col(group).alias("grp")).agg(
+        F.expr(f"count(distinct {key_sql})").alias("n_exact")
+    )
+    if with_merged_total:
+        exact = exact.unionByName(
+            df.agg(
+                F.expr(f"count(distinct {key_sql})").alias("n_exact")
+            ).select(F.lit("__all__").alias("grp"), "n_exact")
+        )
+    return exact.join(est, "grp").select(
+        "grp",
+        "n_exact",
+        "n_est",
+        F.expr("round(abs(n_est - n_exact) / n_exact, 4)").alias("rel_err"),
+    )

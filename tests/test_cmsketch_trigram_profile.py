@@ -121,3 +121,67 @@ def test_trigram_search_rejects_unescapable_query(spark):
     for bad in ("a\\nb", "o'brien"):
         with pytest.raises(ValueError):
             trigram_substring_search(df, bad)
+
+
+def test_hll_python_lockstep_and_accuracy(spark):
+    """Registers and estimate re-derived in python from the same md5
+    hash; estimate within the theoretical error band (~1.04/sqrt(m) ~
+    6.5% at m=256, allow 3 sigma)."""
+    import hashlib
+    import math
+
+    from careers_spark.operators.sketches import hll_distinct
+
+    rows = [(i, "all", f"user{i % 700}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "event_id long, g string, uid string")
+    r = {x.grp: x for x in hll_distinct(
+        df, "g", "uid", p=8, with_merged_total=False
+    ).collect()}
+    got = r["all"]
+    assert got.n_exact == 700
+
+    # python re-derivation
+    m, wbits, scale = 256, 24, 26
+    regs = {}
+    for _, _, uid in rows:
+        h = int(hashlib.md5(uid.encode()).hexdigest()[:8], 16)
+        b, w = h % m, h // m
+        if w == 0:
+            rho = wbits + 1
+        else:
+            rho = wbits - w.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    s_int = sum(1 << (scale - M) for M in regs.values())
+    n_present = len(regs)
+    s_full = s_int + (m - n_present) * (1 << scale)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m * (1 << scale) / s_full
+    v = m - n_present
+    if raw <= 2.5 * m and v > 0:
+        est = m * math.log(m / v)
+    else:
+        est = raw
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = float(Decimal(repr(est)).quantize(Decimal("1e-4"), ROUND_HALF_UP))
+    assert got.n_est == want
+    assert abs(got.n_est - 700) / 700 < 3 * 1.04 / math.sqrt(m)
+
+
+def test_hll_merge_equals_direct_global(spark):
+    """Union-by-max of per-group registers must equal the sketch built
+    directly over all rows — the mergeability property."""
+    from careers_spark.operators.sketches import hll_distinct, hll_registers
+    from pyspark.sql import functions as F
+
+    rows = [(i, "g%d" % (i % 3), "u%d" % (i % 450)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, uid string")
+    merged = {
+        r.grp: r.n_est
+        for r in hll_distinct(df, "grp", "uid", p=8).collect()
+    }
+    direct = hll_distinct(
+        df.withColumn("one", F.lit("x")), "one", "uid", p=8,
+        with_merged_total=False,
+    ).collect()[0]
+    assert merged["__all__"] == direct.n_est
