@@ -754,6 +754,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_distinct_users"] = hll_distinct_users
 
+    def hll_audience_overlap(spark, sf_dir):
+        """Pairwise audience overlap between event types from HLL
+        sketches alone (inclusion-exclusion over register-max unions)
+        — the sketch set algebra, register-table-sized throughout."""
+        from careers_spark.operators.sketches import hll_overlap
+
+        return hll_overlap(
+            _t(spark, sf_dir, "events"),
+            "event_type",
+            "cast(user_id as string)",
+            p=8,
+        )
+
+    q["hll_audience_overlap"] = hll_audience_overlap
+
     def bpe_learn_merges(spark, sf_dir):
         """The full iterative BPE training loop (8 merges): count
         adjacent symbol pairs over the frequency-weighted vocabulary,
@@ -6962,6 +6977,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.grp, e.n_exact, s.n_est,
                round(abs(s.n_est - e.n_exact) / e.n_exact, 4) AS rel_err
         FROM exact e JOIN est s ON s.grp = e.grp
+    """
+
+    # hll_audience_overlap: same register machinery; per-pair union
+    # registers via UNION ALL + max (single-side buckets kept), the
+    # estimator text shared, overlap one rounded inclusion-exclusion.
+    o["hll_audience_overlap"] = f"""
+        WITH base AS (
+          SELECT grp, h % 256 AS bucket,
+                 {_hll_rho("(h // 256)", 24)} AS rho
+          FROM (SELECT event_type AS grp, {_HLL_H} AS h FROM events)
+        ),
+        regs AS (
+          SELECT grp, bucket, max(rho) AS M FROM base GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT grp,
+                 CAST(sum(1::BIGINT << CAST(26 - M AS INTEGER)) AS BIGINT)
+                   AS s_int,
+                 CAST(count(*) AS BIGINT) AS n_present
+          FROM regs GROUP BY 1
+        ),
+        singles AS (SELECT grp, {_hll_est(256, 24)} AS est FROM per),
+        prs AS (
+          SELECT a.grp AS grp_a, b.grp AS grp_b
+          FROM singles a CROSS JOIN singles b WHERE a.grp < b.grp
+        ),
+        tagged AS (
+          SELECT p.grp_a, p.grp_b, r.bucket, r.M
+          FROM prs p JOIN regs r ON r.grp = p.grp_a
+          UNION ALL
+          SELECT p.grp_a, p.grp_b, r.bucket, r.M
+          FROM prs p JOIN regs r ON r.grp = p.grp_b
+        ),
+        uregs AS (
+          SELECT grp_a, grp_b, bucket, max(M) AS M
+          FROM tagged GROUP BY 1, 2, 3
+        ),
+        uper AS (
+          SELECT grp_a, grp_b,
+                 CAST(sum(1::BIGINT << CAST(26 - M AS INTEGER)) AS BIGINT)
+                   AS s_int,
+                 CAST(count(*) AS BIGINT) AS n_present
+          FROM uregs GROUP BY 1, 2
+        ),
+        uest AS (
+          SELECT grp_a, grp_b, {_hll_est(256, 24)} AS est_union FROM uper
+        )
+        SELECT u.grp_a, u.grp_b, ea.est AS est_a, eb.est AS est_b,
+               u.est_union,
+               round(ea.est + eb.est - u.est_union, 4) AS est_overlap
+        FROM uest u
+        JOIN singles ea ON ea.grp = u.grp_a
+        JOIN singles eb ON eb.grp = u.grp_b
     """
 
     # fs_em_linkage: the EM unroll comes from the SAME generator the

@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "bootstrap_mean_ci",
     "fs_em_linkage",
     "hll_distinct_users",
+    "hll_audience_overlap",
 ]
 
 

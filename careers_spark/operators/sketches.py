@@ -385,3 +385,85 @@ def hll_distinct(
         "n_est",
         F.expr("round(abs(n_est - n_exact) / n_exact, 4)").alias("rel_err"),
     )
+
+
+def hll_overlap(
+    df: DataFrame,
+    group: str,
+    key_sql: str,
+    p: int = 8,
+) -> DataFrame:
+    """Pairwise audience-overlap estimates between groups from their
+    HLL sketches alone — the sketch set algebra warehouses run on
+    billions of users: |A ∩ B| = E(A) + E(B) - E(A ∪ B), where the
+    union sketch is just the elementwise register max (no rescan of
+    either side's rows; inclusion-exclusion inherits HLL's error).
+
+    Everything reuses the deterministic register/estimator machinery
+    (integer registers, dyadic estimator sum, lockstep ln), so the
+    whole pairwise matrix is oracle-exact. The pair fan-out works on
+    REGISTER tables (2^p rows per group — dimension-sized), never on
+    rows.
+
+    Output: (grp_a, grp_b, est_a, est_b, est_union, est_overlap),
+    grp_a < grp_b.
+    """
+    m = 1 << int(p)
+    wbits = 32 - int(p)
+    scale = wbits + 2
+    regs = hll_registers(df, group, key_sql, p)
+
+    def estimate(r: DataFrame, keys: list[str]) -> DataFrame:
+        per = r.groupBy(*keys).agg(
+            F.expr(f"sum(shiftleft(1L, {scale} - M))").alias("s_int"),
+            F.count("*").alias("n_present"),
+        )
+        return per.select(
+            *keys, F.expr(hll_estimate_expr(m, wbits)).alias("est")
+        )
+
+    singles = estimate(regs, ["grp"])
+    # union registers: buckets present in only ONE side still belong
+    # to the union (an inner bucket join would drop them), so each
+    # pair's register set is the UNION ALL of both sides' registers
+    # reduced by max
+    pairs = (
+        singles.select(F.col("grp").alias("grp_a"))
+        .crossJoin(singles.select(F.col("grp").alias("grp_b")))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    tagged = (
+        pairs.join(regs, pairs.grp_a == regs.grp)
+        .select("grp_a", "grp_b", "bucket", "M")
+        .unionByName(
+            pairs.join(regs, pairs.grp_b == regs.grp).select(
+                "grp_a", "grp_b", "bucket", "M"
+            )
+        )
+    )
+    union_est = estimate(
+        tagged.groupBy("grp_a", "grp_b", "bucket").agg(
+            F.max("M").alias("M")
+        ),
+        ["grp_a", "grp_b"],
+    ).withColumnRenamed("est", "est_union")
+    ea = singles.select(
+        F.col("grp").alias("grp_a"), F.col("est").alias("est_a")
+    )
+    eb = singles.select(
+        F.col("grp").alias("grp_b"), F.col("est").alias("est_b")
+    )
+    return (
+        union_est.join(ea, "grp_a")
+        .join(eb, "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_overlap"),
+        )
+    )

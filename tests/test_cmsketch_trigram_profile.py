@@ -185,3 +185,30 @@ def test_hll_merge_equals_direct_global(spark):
         with_merged_total=False,
     ).collect()[0]
     assert merged["__all__"] == direct.n_est
+
+
+def test_hll_overlap_controlled_sets(spark):
+    """Two groups with a planted 50% overlap: the inclusion-exclusion
+    estimate lands within the sketch's error band of the truth, and a
+    disjoint pair estimates near zero."""
+    import math
+
+    from careers_spark.operators.sketches import hll_overlap
+
+    rows = (
+        [(i, "a", "u%d" % i) for i in range(400)]           # a: 0..399
+        + [(i, "b", "u%d" % (i + 200)) for i in range(400)]  # b: 200..599
+        + [(i, "c", "v%d" % i) for i in range(300)]          # c: disjoint
+    )
+    df = spark.createDataFrame(rows, "event_id long, grp string, uid string")
+    got = {
+        (r.grp_a, r.grp_b): r for r in hll_overlap(df, "grp", "uid").collect()
+    }
+    band = 3 * 1.04 / math.sqrt(256)  # 3 sigma relative
+    ab = got[("a", "b")]
+    assert abs(ab.est_overlap - 200) <= 3 * band * 600
+    ac = got[("a", "c")]
+    assert abs(ac.est_overlap) <= 3 * band * 700
+    # union never smaller than either side
+    for r in got.values():
+        assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
