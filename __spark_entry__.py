@@ -2436,6 +2436,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contrastive_triplets"] = contrastive_triplets
 
+    def sorted_neighborhood_pairs(spark, sf_dir):
+        """Sorted-neighborhood ER blocking (Hernandez-Stolfo) with
+        exact Jaccard verify — the fourth candidate strategy in the
+        dedup family (beside shared-shingle, LSH banding, prefix
+        filtering). Blocked variant: per-block row_number ranks, no
+        global sort (dedup.sorted_neighborhood_pairs)."""
+        from careers_spark.operators.dedup import sorted_neighborhood_pairs as snp
+
+        return snp(_t(spark, sf_dir, "documents"), window=4, threshold=0.2)
+
+    q["sorted_neighborhood_pairs"] = sorted_neighborhood_pairs
+
+    def entity_simrank(spark, sf_dir):
+        """SimRank structural similarity (Jeh & Widom) over the
+        min_obs=35 entity graph — the recursive neighborhood-similarity
+        complement of predicted_links' one-hop scores; 5 synchronous
+        iterations, C=0.8, per-iteration round(10) for engine lockstep
+        (graph.simrank)."""
+        from careers_spark.operators.graph import simrank
+
+        return simrank(_entity_edges(spark, sf_dir, 35), iterations=5)
+
+    q["entity_simrank"] = entity_simrank
+
+    def kcenter_selection(spark, sf_dir):
+        """Gonzalez farthest-first k-center selection over the
+        embeddings table — diversity-maximizing coreset pick on the
+        exact 1e-6 integer lattice (clustering.kcenter_select)."""
+        from careers_spark.operators.clustering import kcenter_select
+
+        return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
+
+    q["kcenter_selection"] = kcenter_selection
+
+    def readability_scores(spark, sf_dir):
+        """Flesch reading ease + FK grade with the deterministic
+        vowel-group syllable heuristic (textstats.readability) — the
+        readability leg of the curation signal family."""
+        return TS.readability(_t(spark, sf_dir, "documents"))
+
+    q["readability_scores"] = readability_scores
+
     return q
 
 
@@ -7564,5 +7606,181 @@ def oracle_sql() -> dict[str, str]:
         )
         + ")"
     )
+
+
+    # sorted_neighborhood_pairs: identical blocked row_number ranking
+    # (partition = first key char, order = key then doc_id — a total
+    # order, so ranks can never differ between engines), the rank-window
+    # join, then the shared exact-Jaccard verify. The >= filter is on
+    # the ROUNDED jaccard in both engines (matching the Spark operator).
+    o["sorted_neighborhood_pairs"] = f"""
+        WITH keyed AS (
+          SELECT doc_id,
+                 substr(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                        1, 16) AS sn_key
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, substr(sn_key, 1, 1) AS block, sn_key,
+                 row_number() OVER (PARTITION BY substr(sn_key, 1, 1)
+                                    ORDER BY sn_key, doc_id) AS rn
+          FROM keyed
+        ),
+        cands AS (
+          SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                 greatest(a.doc_id, b.doc_id) AS doc_b
+          FROM ranked a JOIN ranked b
+            ON a.block = b.block AND b.rn > a.rn AND b.rn < a.rn + 4
+        ),
+        {_shingle_cte},
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+    """
+
+    # entity_simrank: the 5-iteration SimRank recurrence unrolled over
+    # the min_obs=35 entity graph (the pagerank round-per-iteration
+    # lockstep recipe: per-pair sums aggregate rounded-10 doubles, the
+    # |N(a)||N(b)| divisor is an exact integer product, 0.8e0 is the
+    # identical double literal Spark's F.lit(0.8) produces). Fixed
+    # iteration count — no early stop, so the unconditional unroll IS
+    # the operator's semantics.
+    _sr_ctes = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        nbr AS MATERIALIZED (
+          SELECT src AS node, dst AS nbr FROM e
+          UNION
+          SELECT dst AS node, src AS nbr FROM e
+        ),
+        deg AS MATERIALIZED (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY node
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.node AS a, b.node AS b, a.deg AS deg_a, b.deg AS deg_b
+          FROM deg a JOIN deg b ON a.node < b.node
+        ),
+        quad AS MATERIALIZED (
+          SELECT p.a, p.b,
+                 least(na.nbr, nb.nbr) AS lo, greatest(na.nbr, nb.nbr) AS hi
+          FROM pairs p
+          JOIN nbr na ON na.node = p.a
+          JOIN nbr nb ON nb.node = p.b
+        )""",
+        """s1 AS MATERIALIZED (
+          SELECT p.a, p.b, round(0.8e0 * t.sv / (p.deg_a * p.deg_b), 10) AS s
+          FROM pairs p JOIN (
+            SELECT a, b, sum(CASE WHEN lo = hi THEN 1e0 ELSE 0e0 END) AS sv
+            FROM quad GROUP BY a, b
+          ) t ON t.a = p.a AND t.b = p.b
+        )""",
+    ]
+    for _k in range(2, 6):
+        _sr_ctes.append(
+            f"""s{_k} AS MATERIALIZED (
+          SELECT p.a, p.b, round(0.8e0 * t.sv / (p.deg_a * p.deg_b), 10) AS s
+          FROM pairs p JOIN (
+            SELECT q.a, q.b,
+                   sum(CASE WHEN q.lo = q.hi THEN 1e0
+                            ELSE coalesce(s.s, 0e0) END) AS sv
+            FROM quad q LEFT JOIN s{_k - 1} s
+              ON s.a = q.lo AND s.b = q.hi AND s.s > 0
+            GROUP BY q.a, q.b
+          ) t ON t.a = p.a AND t.b = p.b
+        )"""
+        )
+    o["entity_simrank"] = (
+        "WITH "
+        + ",\n".join(_sr_ctes)
+        + "\nSELECT a AS src, b AS dst, s AS simrank FROM s5 WHERE s > 0"
+    )
+
+    # kcenter_selection: Gonzalez farthest-first unrolled 7 rounds over
+    # the 64-dim lattice-quantized embeddings (the kmeans_clusters
+    # quantize CTE). Every distance is an exact integer sum of squares,
+    # so ORDER BY d DESC, id LIMIT 1 is the identical argmax as Spark's
+    # max(struct(d, -id)) — zero tolerance anywhere.
+    _kc_dim, _kc_k = 64, 8
+    _kc_dist = (
+        f"CAST(list_sum(list_transform(range(1, {_kc_dim + 1}), "
+        "i -> (q.x[i] - c.x[i]) * (q.x[i] - c.x[i]))) AS BIGINT)"
+    )
+    _kc_ctes = [
+        """q AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 list_transform(embedding::DOUBLE[],
+                     v -> CAST(round(v * 1000000e0) AS BIGINT)) AS x
+          FROM embeddings
+        )""",
+        "c0 AS (SELECT id, x FROM q ORDER BY id LIMIT 1)",
+    ]
+    for _t_ in range(1, _kc_k):
+        _kc_ctes.append(
+            f"""m{_t_} AS (
+          SELECT q.id, min({_kc_dist}) AS d
+          FROM q CROSS JOIN c{_t_ - 1} c GROUP BY q.id
+        )"""
+        )
+        _kc_ctes.append(
+            f"p{_t_} AS (SELECT id, d FROM m{_t_} ORDER BY d DESC, id LIMIT 1)"
+        )
+        _kc_ctes.append(
+            f"""c{_t_} AS (
+          SELECT id, x FROM c{_t_ - 1}
+          UNION ALL
+          SELECT q.id, q.x FROM q JOIN p{_t_} ON q.id = p{_t_}.id
+        )"""
+        )
+    _kc_out = ["SELECT CAST(0 AS INTEGER) AS sel_rank, id AS vec_id, CAST(NULL AS BIGINT) AS sq_dist FROM c0"]
+    _kc_out += [
+        f"SELECT CAST({_t_} AS INTEGER) AS sel_rank, id AS vec_id, d AS sq_dist FROM p{_t_}"
+        for _t_ in range(1, _kc_k)
+    ]
+    o["kcenter_selection"] = (
+        "WITH " + ",\n".join(_kc_ctes) + "\n" + " UNION ALL ".join(_kc_out)
+    )
+
+    # readability_scores: integer word/sentence/vowel-group counts (len
+    # over regexp_extract_all — leftmost-match counting, identical to
+    # Spark regexp_count on this pattern subset), scores as single
+    # shared-text double expressions with e0 literals, rounded to 6.
+    o["readability_scores"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_DUCK_TOKS} AS toks, text FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INTEGER) AS n_words,
+                 CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS INTEGER) AS n_sents,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                      tk -> greatest(1, len(regexp_extract_all(tk, '[aeiouy]+'))))), 0) AS BIGINT) AS n_syll
+          FROM t
+        )
+        SELECT doc_id, n_words, n_sents, n_syll,
+               CASE WHEN n_words > 0 THEN
+                 round(206.835e0 - 1.015e0 * (n_words / n_sents)
+                       - 84.6e0 * (n_syll / n_words), 6) END AS flesch,
+               CASE WHEN n_words > 0 THEN
+                 round(0.39e0 * (n_words / n_sents)
+                       + 11.8e0 * (n_syll / n_words) - 15.59e0, 6) END AS fk_grade
+        FROM c
+    """
 
     return o

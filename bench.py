@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "pq_encoding",
     "ab_conversion",
     "contrastive_triplets",
+    "sorted_neighborhood_pairs",
+    "entity_simrank",
+    "kcenter_selection",
+    "readability_scores",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -753,3 +753,64 @@ def ivfadc_refined_topk(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Gonzalez farthest-first traversal (the 2-approximate k-center
+    algorithm) — greedy DIVERSITY-maximizing selection over an
+    embedding column: the coreset / "pick maximally spread exemplars"
+    step of training-data selection, the coverage-first complement of
+    the density-respecting samplers (stratified / DSIR / Gumbel top-k).
+
+    Round 0 seeds with the smallest id; each later round selects the
+    point FARTHEST from the already-selected set (max of the min
+    squared distance to any center), ties to the smaller id. All
+    distances are exact integer sums of squares on the shared 1e-6
+    lattice (the kmeans_assign recipe), so the argmax can never flip
+    between engines or partitionings and the whole k-round loop
+    unrolls into an exact DuckDB oracle.
+
+    Physical shape per round: distances to the <=k selected centers
+    are LITERALS in the plan (pure map work, no join), the argmax is
+    ONE algebraic max(struct(d, -id)) aggregation — map-side
+    combinable, nothing collected but a scalar; then one pruned fetch
+    of the winner's vector. k scans total; no step grows
+    super-linearly in N, and k is small by definition.
+
+    Output: (sel_rank, <id_col>, sq_dist) — sq_dist is the point's
+    exact min squared lattice distance to the set selected BEFORE it
+    (its coverage radius contribution); NULL for the seed. Stops early
+    if the farthest distance hits 0 (every remaining point duplicates
+    a selected center — further rows would be arbitrary).
+    """
+    spark = embeddings.sparkSession
+    q = _quantize(embeddings, id_col, vec_col).cache()
+    schema = f"sel_rank int, {id_col} bigint, sq_dist bigint"
+    seeds = q.orderBy("id").limit(1).collect()
+    if not seeds:
+        q.unpersist()
+        return spark.createDataFrame([], schema)
+    centers = [list(seeds[0]["x"])]
+    out = [(0, int(seeds[0]["id"]), None)]
+    for t in range(1, int(k)):
+        dists = [F.expr(_dist_expr(cen)) for cen in centers]
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        best = q.select(
+            F.max(
+                F.struct(mind.alias("d"), (-F.col("id")).alias("nid"))
+            ).alias("m")
+        ).collect()[0]["m"]
+        d, vid = int(best["d"]), -int(best["nid"])
+        if d == 0:
+            break
+        x = q.filter(F.col("id") == vid).select("x").collect()[0]["x"]
+        centers.append(list(x))
+        out.append((t, vid, d))
+    q.unpersist()
+    return spark.createDataFrame(out, schema)

@@ -963,3 +963,58 @@ def zipf_alpha(
             ).alias("alpha"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade level — the classic
+    readability pair as a curation signal (alongside quality_score's
+    length/punct/stopword ratios), computed with a DETERMINISTIC
+    syllable heuristic so the scores are engine-exact:
+
+      sentences = greatest(1, count of [.!?]+ runs in the raw text)
+      words     = shared tokenizer token count
+      syllables = sum over tokens of greatest(1, count of [aeiouy]+
+                  vowel-group runs) — the standard dictionary-free
+                  approximation.
+
+    All three counts are exact integers; each score is ONE double
+    expression written with identical text in Spark and DuckDB
+    (decimal-literal trap dodged with e0 notation), rounded to 6.
+    Pure map work: one projection over the scan, no shuffle.
+
+    Output: (doc_id, n_words, n_sents, n_syll, flesch, fk_grade);
+    scores NULL for token-less documents.
+    """
+    d = documents.select(
+        "doc_id",
+        F.size(tokens_col("text")).alias("n_words"),
+        F.expr("greatest(1, regexp_count(text, '[.!?]+'))")
+        .cast("int")
+        .alias("n_sents"),
+        F.coalesce(
+            F.expr(
+                "aggregate(transform("
+                "filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''), "
+                "t -> greatest(1, regexp_count(t, '[aeiouy]+'))), "
+                "0L, (a, v) -> a + cast(v as bigint))"
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("n_syll"),
+    )
+    flesch = (
+        "round(206.835e0 - 1.015e0 * (n_words / n_sents)"
+        " - 84.6e0 * (n_syll / n_words), 6)"
+    )
+    fk = (
+        "round(0.39e0 * (n_words / n_sents)"
+        " + 11.8e0 * (n_syll / n_words) - 15.59e0, 6)"
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.when(F.col("n_words") > 0, F.expr(flesch)).alias("flesch"),
+        F.when(F.col("n_words") > 0, F.expr(fk)).alias("fk_grade"),
+    )
