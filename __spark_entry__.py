@@ -2478,6 +2478,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["readability_scores"] = readability_scores
 
+    def spearman_length_quality(spark, sf_dir):
+        """Spearman rank correlation between document length and the
+        quality score (1e-6 lattice) — doubled average ranks from the
+        DISTINCT-value table keep every Pearson sum an exact BIGINT;
+        the rank-based companion to length_quality_corr
+        (evaluation.spearman_corr)."""
+        from careers_spark.operators.evaluation import spearman_corr
+
+        docs = _t(spark, sf_dir, "documents")
+        qs = TS.quality_score(docs)
+        xy = qs.select(
+            F.col("n_chars").alias("x"),
+            F.expr("cast(round(quality * 1000000e0, 0) as bigint)").alias(
+                "y"
+            ),
+        )
+        return spearman_corr(xy)
+
+    q["spearman_length_quality"] = spearman_length_quality
+
+    def ks_price_urgent(spark, sf_dir):
+        """Two-sample Kolmogorov-Smirnov distance between urgent and
+        non-urgent order totals (cents lattice) — exact cross-
+        multiplied integer numerator, argmax value with deterministic
+        tie-break (evaluation.ks_two_sample)."""
+        from careers_spark.operators.evaluation import ks_two_sample
+
+        orders = _t(spark, sf_dir, "orders")
+        return ks_two_sample(
+            orders.select(
+                F.expr(
+                    "cast(round(o_totalprice * 100e0, 0) as bigint)"
+                ).alias("value"),
+                F.when(
+                    F.col("o_orderpriority").startswith("1"), 1
+                )
+                .otherwise(0)
+                .alias("grp"),
+            )
+        )
+
+    q["ks_price_urgent"] = ks_price_urgent
+
+    def gini_customer_revenue(spark, sf_dir):
+        """Gini coefficient of revenue concentration over customers
+        (cents lattice) — per-key exact BIGINT sums, ranks over key
+        cardinality only, one shared-text closing division
+        (evaluation.gini_concentration)."""
+        from careers_spark.operators.evaluation import gini_concentration
+
+        orders = _t(spark, sf_dir, "orders")
+        return gini_concentration(
+            orders.select(
+                F.col("o_custkey").alias("key"),
+                F.expr(
+                    "cast(round(o_totalprice * 100e0, 0) as bigint)"
+                ).alias("amount"),
+            )
+        )
+
+    q["gini_customer_revenue"] = gini_customer_revenue
+
     return q
 
 
@@ -7781,6 +7843,112 @@ def oracle_sql() -> dict[str, str]:
                  round(0.39e0 * (n_words / n_sents)
                        + 11.8e0 * (n_syll / n_words) - 15.59e0, 6) END AS fk_grade
         FROM c
+    """
+
+    # spearman_length_quality: doubled average ranks
+    # (2*#smaller + #equal + 1, exact BIGINTs) from the distinct-value
+    # tables of both variables, then the identical _CORR_R closing
+    # expression over the five exact rank sums, aliased rho.
+    o["spearman_length_quality"] = f"""
+        WITH qs AS ({o["quality_score"]}),
+        xy AS (
+          SELECT n_chars AS x,
+                 CAST(round(quality * 1000000e0, 0) AS BIGINT) AS y
+          FROM qs
+        ),
+        rx AS (
+          SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cnt + 1 AS r2x
+          FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt
+                FROM xy GROUP BY 1)
+        ),
+        ry AS (
+          SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cnt + 1 AS r2y
+          FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt
+                FROM xy GROUP BY 1)
+        ),
+        ranked AS (
+          SELECT r2x, r2y
+          FROM xy JOIN rx ON xy.x = rx.v JOIN ry ON xy.y = ry.v
+        ),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r2x) AS BIGINT) AS sx,
+                 CAST(sum(r2y) AS BIGINT) AS sy,
+                 CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+                 CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+                 CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+          FROM ranked
+        )
+        SELECT n, sx, sy, sxx, syy, sxy,
+               CASE WHEN {_CDX} = 0 OR {_CDY} = 0 OR n < 2 THEN NULL
+                    ELSE {_CR} END AS rho
+        FROM a
+    """
+
+    # ks_price_urgent: per-distinct-value cumulative group counts,
+    # exact |c1*n2 - c2*n1| numerator, argmax by (d_num DESC, v ASC) —
+    # the struct-max tie-break spelled as ORDER BY + LIMIT 1 — and the
+    # identical closing division text.
+    o["ks_price_urgent"] = """
+        WITH xy AS (
+          SELECT CAST(round(o_totalprice * 100e0, 0) AS BIGINT) AS v,
+                 CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS g
+          FROM orders
+        ),
+        vc AS (
+          SELECT v, CAST(sum(g) AS BIGINT) AS a1,
+                    CAST(sum(1 - g) AS BIGINT) AS a0
+          FROM xy GROUP BY 1
+        ),
+        cum AS (
+          SELECT v,
+                 sum(a1) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+                 sum(a0) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0
+          FROM vc
+        ),
+        tot AS (SELECT max(c1) AS n1, max(c0) AS n2 FROM cum)
+        SELECT n1, n2,
+               abs(c1 * n2 - c0 * n1) AS d_num,
+               v AS at_value,
+               CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                    ELSE round(abs(c1 * n2 - c0 * n1) / (n1 * 1e0 * n2), 6)
+               END AS ks_d
+        FROM cum, tot
+        ORDER BY d_num DESC, v ASC
+        LIMIT 1
+    """
+
+    # gini_customer_revenue: per-key exact cent sums, row_number over
+    # (sum, key), the shared-text Gini closing expression.
+    o["gini_customer_revenue"] = """
+        WITH per AS (
+          SELECT o_custkey AS k,
+                 CAST(sum(CAST(round(o_totalprice * 100e0, 0) AS BIGINT))
+                   AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ),
+        ranked AS (
+          SELECT x, CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS i
+          FROM per
+        ),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(x) AS BIGINT) AS total,
+                 CAST(sum(i * x) AS BIGINT) AS swx
+          FROM ranked
+        )
+        SELECT n_keys, total,
+               CASE WHEN total = 0 OR n_keys = 0 THEN NULL
+                    ELSE round((2e0 * swx - (n_keys + 1e0) * total)
+                               / (n_keys * 1e0 * total), 6)
+               END AS gini
+        FROM a
     """
 
     return o

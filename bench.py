@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "entity_simrank",
     "kcenter_selection",
     "readability_scores",
+    "spearman_length_quality",
+    "ks_price_urgent",
+    "gini_customer_revenue",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

@@ -415,3 +415,179 @@ def pearson_corr(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
         .otherwise(F.expr(_CORR_R))
         .alias("r"),
     )
+
+
+def spearman_corr(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """Spearman rank correlation of two INTEGER columns, exactly:
+    fractional average ranks are kept on the half-integer lattice as
+    DOUBLED ranks (2*avgrank(v) = 2*#smaller + #equal + 1, an exact
+    BIGINT), so the five Pearson sums over them are exact integers and
+    rho is the same single shared-text closing expression as
+    pearson_corr (scaling both variables by 2 leaves r unchanged).
+
+    Scale shape: ranks come from the DISTINCT-value table (groupBy
+    value -> count, one cumulative window over distinct values ordered
+    by value), then a join back on value — the only sort is over the
+    value cardinality, never the row count. Exact-BIGINT bound:
+    sum(r2^2) <= 4n^3, in range while n < ~1.3e6 rows; beyond that,
+    rank sums need a wider lattice (stated, not silently promoted).
+
+    Output: one row (n, sx, sy, sxx, syy, sxy, rho).
+    """
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        vc = df.groupBy(F.col(col).cast("long").alias("v")).agg(
+            F.count("*").alias("cnt")
+        )
+        w = (
+            Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return vc.select(
+            "v",
+            (
+                F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + F.lit(1)
+            ).alias(out),
+        )
+
+    rx = doubled_ranks(x, "r2x")
+    ry = doubled_ranks(y, "r2y")
+    ranked = (
+        df.select(
+            F.col(x).cast("long").alias("vx"),
+            F.col(y).cast("long").alias("vy"),
+        )
+        .join(F.broadcast(rx), F.col("vx") == rx["v"])
+        .drop("v")
+        .join(F.broadcast(ry), F.col("vy") == ry["v"])
+        .drop("v")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    bad = (F.expr(_CORR_DX) == 0) | (F.expr(_CORR_DY) == 0) | (F.col("n") < 2)
+    return agg.select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.expr(_CORR_R))
+        .alias("rho"),
+    )
+
+
+# KS distance as exact cross-multiplied integers: at pooled value v,
+# |F1(v) - F2(v)| = |c1*n2 - c2*n1| / (n1*n2); the max numerator is an
+# exact BIGINT and the single closing division is shared-text.
+_KS_D = "round(d_num / (n1 * 1e0 * n2), 6)"
+
+
+def ks_two_sample(
+    df: DataFrame, value: str = "value", group: str = "grp"
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic of an INTEGER value
+    column between group 1 and group 0, exactly: per distinct value,
+    cumulative per-group counts (one window over the distinct-value
+    table), then D's numerator max|c1*n2 - c2*n1| as an exact BIGINT
+    (in range while n1*n2 < 2^63) and ONE closing division. The
+    argmax value reports WHERE the distributions diverge most
+    (deterministic tie-break: smallest value), via the algebraic
+    max(struct(...)) — no sort on the row count, only on value
+    cardinality.
+
+    Output: one row (n1, n2, d_num, at_value, ks_d).
+    """
+    g1 = F.when(F.col(group) == 1, 1).otherwise(0)
+    vc = df.groupBy(F.col(value).cast("long").alias("v")).agg(
+        F.sum(g1).alias("a1"),
+        F.sum(1 - g1).alias("a0"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        "v",
+        F.sum("a1").over(w).alias("c1"),
+        F.sum("a0").over(w).alias("c0"),
+    )
+    tot = cum.agg(
+        F.max("c1").alias("n1"),
+        F.max("c0").alias("n0"),
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    best = joined.agg(
+        F.max(
+            F.struct(
+                F.abs(
+                    F.col("c1") * F.col("n0") - F.col("c0") * F.col("n1")
+                ).alias("d_num"),
+                (-F.col("v")).alias("neg_v"),
+            )
+        ).alias("b"),
+        F.max("n1").alias("n1"),
+        F.max("n0").alias("n2"),
+    )
+    return best.select(
+        "n1",
+        "n2",
+        F.col("b.d_num").alias("d_num"),
+        (-F.col("b.neg_v")).alias("at_value"),
+        F.when(
+            (F.col("n1") == 0) | (F.col("n2") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.expr(_KS_D))
+        .alias("ks_d"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame, key: str = "key", amount: str = "amount"
+) -> DataFrame:
+    """Gini coefficient of an INTEGER amount concentrated over keys
+    (who gets the revenue / tokens / triples), exactly: per-key sums
+    are BIGINTs, keys ranked ascending by (sum, key) — a sort over
+    KEY cardinality, not row count — and
+
+        G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n * sum(x))
+
+    with every sum an exact BIGINT (in range while n_keys * total
+    < 2^63) and ONE shared-text closing division. G=0 when all keys
+    are equal, G -> 1-1/n under total concentration; negative amounts
+    are the caller's responsibility (Gini is undefined there).
+
+    Output: one row (n_keys, total, gini).
+    """
+    per = df.groupBy(F.col(key).alias("k")).agg(
+        F.sum(F.col(amount).cast("long")).alias("x")
+    )
+    w = Window.orderBy("x", "k")
+    ranked = per.select("x", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("i").cast("long") * F.col("x")).alias("swx"),
+    )
+    return agg.select(
+        "n_keys",
+        "total",
+        F.when(
+            (F.col("total") == 0) | (F.col("n_keys") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.expr(
+                "round((2e0 * swx - (n_keys + 1e0) * total)"
+                " / (n_keys * 1e0 * total), 6)"
+            )
+        )
+        .alias("gini"),
+    )
