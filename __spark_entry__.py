@@ -2540,6 +2540,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gini_customer_revenue"] = gini_customer_revenue
 
+    def acf_hourly(spark, sf_dir):
+        """Autocorrelation of the gap-filled hourly event-count series
+        at lags 1..24 — exact scaled-centered BIGINT sums
+        (c_t = n*x_t - S), one shared-text closing division per lag
+        (temporal.acf_hourly)."""
+        from careers_spark.operators.temporal import acf_hourly as acf
+
+        return acf(_t(spark, sf_dir, "events"), max_lag=24)
+
+    q["acf_hourly"] = acf_hourly
+
+    def cusum_changepoint(spark, sf_dir):
+        """CUSUM level-shift changepoint over the gap-filled hourly
+        event-count series — exact |n*S_k - k*S_n| Brownian-bridge
+        numerator, argmax hour with deterministic tie-break, one
+        shared-text standardization (temporal.cusum_changepoint)."""
+        from careers_spark.operators.temporal import (
+            cusum_changepoint as cusum,
+        )
+
+        return cusum(_t(spark, sf_dir, "events"))
+
+    q["cusum_changepoint"] = cusum_changepoint
+
     return q
 
 
@@ -7949,6 +7973,75 @@ def oracle_sql() -> dict[str, str]:
                                / (n_keys * 1e0 * total), 6)
                END AS gini
         FROM a
+    """
+
+    # Shared gap-filled hourly grid for the ACF/CUSUM oracles: integer
+    # epoch-hours (epoch_us // 3600000000 == Spark's unix_micros div),
+    # dense over [min, max], silent hours = 0.
+    _HOUR_GRID = """
+        counts AS (
+          SELECT epoch_us(ts) // 3600000000 AS hour,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1
+        ),
+        b AS (SELECT min(hour) AS hmin, max(hour) AS hmax FROM counts),
+        grid AS (
+          SELECT g.hour, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+          FROM (SELECT unnest(range((SELECT hmin FROM b),
+                                    (SELECT hmax FROM b) + 1)) AS hour) g
+          LEFT JOIN counts c USING (hour)
+        )
+    """
+
+    # acf_hourly: scaled centered values c_t = n*x_t - S as exact
+    # BIGINTs, per-lag numerator via the hour+lag equi-join, one
+    # shared-text closing division.
+    o["acf_hourly"] = f"""
+        WITH {_HOUR_GRID},
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS s FROM grid),
+        c AS (SELECT hour, n * x - s AS c FROM grid, tot),
+        den AS (SELECT CAST(sum(c * c) AS BIGINT) AS den FROM c),
+        lags AS (SELECT unnest(range(1, 25)) AS lag),
+        nums AS (
+          SELECT lag, CAST(sum(a.c * l.c) AS BIGINT) AS num
+          FROM c a JOIN lags ON true
+          JOIN c l ON l.hour = a.hour + lag
+          GROUP BY 1
+        )
+        SELECT lag, n, s, num, den,
+               CASE WHEN den = 0 THEN NULL
+                    ELSE round(num / (den * 1e0), 6) END AS acf
+        FROM nums, tot, den
+        ORDER BY lag
+    """
+
+    # cusum_changepoint: exact |n*S_k - k*S_n| over the prefix window,
+    # argmax via ORDER BY (g_num DESC, hour ASC) LIMIT 1 — the
+    # struct-max tie-break — and the identical standardization text.
+    o["cusum_changepoint"] = f"""
+        WITH {_HOUR_GRID},
+        cum AS (
+          SELECT hour, x,
+                 CAST(sum(x) OVER (ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s_k,
+                 CAST(row_number() OVER (ORDER BY hour) AS BIGINT) AS k
+          FROM grid
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS s,
+                       CAST(sum(x * x) AS BIGINT) AS sxx FROM grid)
+        SELECT n, s, sxx, hour AS at_hour,
+               abs(n * s_k - k * s) AS g_num,
+               CASE WHEN n * 1e0 * sxx - s * 1e0 * s <= 0 THEN NULL
+                    ELSE round(abs(n * s_k - k * s)
+                         / sqrt(n * 1e0 * (n * 1e0 * sxx - s * 1e0 * s)), 6)
+               END AS cusum_stat
+        FROM cum, tot
+        WHERE k < n
+        ORDER BY g_num DESC, hour ASC
+        LIMIT 1
     """
 
     return o

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "spearman_length_quality",
     "ks_price_urgent",
     "gini_customer_revenue",
+    "acf_hourly",
+    "cusum_changepoint",
     "revenue_cube",
     "constraint_audit",
     "train_val_test_split",

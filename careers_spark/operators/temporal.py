@@ -1021,3 +1021,159 @@ def forecast_backtest(
         .otherwise(F.round(F.col("se") / (F.col("sn") * F.lit(1.0)), 6))
         .alias("mase"),
     )
+
+
+def _hour_grid(events: DataFrame, ts: str) -> DataFrame:
+    """Gap-filled GLOBAL hourly count series on the integer epoch-hour
+    lattice: every hour of [min, max] appears once with its exact count
+    (0 where the stream was silent). Grid size is dimension-sized
+    (n_hours), never row-sized."""
+    hours = events.select(
+        F.expr(
+            f"unix_micros(cast({ts} as timestamp)) div 3600000000"
+        ).alias("hour")
+    )
+    counts = hours.groupBy("hour").agg(F.count("*").alias("x"))
+    bounds = counts.agg(
+        F.min("hour").alias("hmin"), F.max("hour").alias("hmax")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("hmin", "hmax")).alias("hour")
+    )
+    return grid.join(counts, "hour", "left").select(
+        "hour", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+
+
+def acf_hourly(
+    events: DataFrame, ts: str = "ts", max_lag: int = 24
+) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at lags
+    1..max_lag — the Box-Jenkins identification tool (is the stream
+    periodic? does load decay?), exactly:
+
+    with n hours, S = sum(x), and the SCALED centered value
+    c_t = n*x_t - S (an exact BIGINT — no rational mean anywhere),
+
+        acf(k) = sum_{t<=n-k} c_t * c_{t+k}  /  sum_t c_t^2
+
+    numerator and denominator are exact BIGINTs (in range while
+    n^3 * max_count^2 < 2^63 — ~a decade of hours at 100k events/hour)
+    and the single closing division is shared-text. The series is
+    gap-filled (missing hours count 0) so lag alignment is physical
+    time, not row adjacency.
+
+    Shapes: one algebraic groupBy to hourly counts, a dimension-sized
+    hour grid, a bounded explode of the lag list, and one equi-join of
+    the grid to itself on hour+k — no window over row counts, no sort.
+
+    Output: (lag, n, s, num, den, acf) — one row per lag.
+    """
+    grid = _hour_grid(events, ts)
+    tot = grid.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    c = grid.crossJoin(F.broadcast(tot)).select(
+        "hour",
+        "n",
+        "s",
+        (F.col("n") * F.col("x") - F.col("s")).alias("c"),
+    )
+    den = c.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    fan = c.select(
+        "hour",
+        F.col("c").alias("c_t"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.lit(int(max_lag)).cast("long"))
+        ).alias("lag"),
+    ).withColumn("h2", F.col("hour") + F.col("lag"))
+    lead = c.select(F.col("hour").alias("h2"), F.col("c").alias("c_lead"))
+    nums = (
+        fan.join(lead, "h2")
+        .groupBy("lag")
+        .agg(F.sum(F.col("c_t") * F.col("c_lead")).alias("num"))
+    )
+    return (
+        nums.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n",
+            "s",
+            "num",
+            "den",
+            F.when(F.col("den") == 0, F.lit(None).cast("double"))
+            .otherwise(F.expr("round(num / (den * 1e0), 6)"))
+            .alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def cusum_changepoint(events: DataFrame, ts: str = "ts") -> DataFrame:
+    """CUSUM level-shift changepoint over the gap-filled hourly count
+    series — where did the stream's rate change? The Brownian-bridge
+    statistic, exactly:
+
+        g(k)  = |n*S_k - k*S_n|        (exact BIGINT, k = 1..n-1)
+        stat  = max_k g(k) / sqrt(n * (n*Sxx - S^2))
+
+    i.e. max |S_k - (k/n) S_n| standardized by sigma_hat*sqrt(n), with
+    EVERY sum an exact integer and ONE shared-text closing expression.
+    The argmax hour (deterministic tie-break: earliest hour) is the
+    estimated changepoint — the last hour of the 'before' segment.
+
+    Shapes: hourly counts via one algebraic groupBy, then ONE window
+    cumulative sum over the dimension-sized hour grid (n_hours rows,
+    never row counts) and an algebraic max(struct) — no row-level sort.
+
+    Output: one row (n, s, sxx, at_hour, g_num, cusum_stat);
+    stat NULL for a constant series (zero variance).
+    """
+    grid = _hour_grid(events, ts)
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "hour",
+        "x",
+        F.sum("x").over(w).alias("s_k"),
+        F.row_number()
+        .over(Window.orderBy("hour"))
+        .cast("long")
+        .alias("k"),
+    )
+    tot = grid.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).where(F.col("k") < F.col("n"))
+    best = scored.agg(
+        F.max(
+            F.struct(
+                F.abs(
+                    F.col("n") * F.col("s_k") - F.col("k") * F.col("s")
+                ).alias("g_num"),
+                (-F.col("hour")).alias("neg_h"),
+            )
+        ).alias("b"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("sxx").alias("sxx"),
+    )
+    return best.select(
+        "n",
+        "s",
+        "sxx",
+        (-F.col("b.neg_h")).alias("at_hour"),
+        F.col("b.g_num").alias("g_num"),
+        F.when(
+            F.expr("n * 1e0 * sxx - s * 1e0 * s") <= 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.expr(
+                "round(g_num / sqrt(n * 1e0 * (n * 1e0 * sxx - s * 1e0 * s)), 6)"
+            )
+        )
+        .alias("cusum_stat"),
+    )
