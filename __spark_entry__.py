@@ -2564,6 +2564,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cusum_changepoint"] = cusum_changepoint
 
+    def label_ranking_eval(spark, sf_dir):
+        """MRR / precision@10 of the exact cosine top-k under
+        same-label relevance — per-query rows only, so no float sum
+        crosses rows (similarity.label_ranking_eval)."""
+        return SIM.label_ranking_eval(
+            _t(spark, sf_dir, "embeddings"), k=10
+        )
+
+    q["label_ranking_eval"] = label_ranking_eval
+
     return q
 
 
@@ -8042,6 +8052,41 @@ def oracle_sql() -> dict[str, str]:
         WHERE k < n
         ORDER BY g_num DESC, hour ASC
         LIMIT 1
+    """
+
+    # label_ranking_eval: the embedding_topk ranking at k=10, labels
+    # attached by equi-join; per-query MIN relevant rank and relevant
+    # count are integers, p@k and rr single exactly-rounded divisions.
+    o["label_ranking_eval"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                          label AS qlab
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        s AS (
+          SELECT query_id, qlab, vec_id AS neighbor_id, nlab, {_cos} AS sim
+          FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS nv,
+                                    label AS nlab FROM embeddings)
+          WHERE vec_id <> query_id
+        ),
+        ranked AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rk
+            FROM s
+          ) WHERE rk <= 10
+        ),
+        per AS (
+          SELECT query_id,
+                 min(CASE WHEN qlab = nlab THEN rk END) AS first_rel_rank,
+                 CAST(sum(CASE WHEN qlab = nlab THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_rel
+          FROM ranked GROUP BY 1
+        )
+        SELECT query_id,
+               CAST(first_rel_rank AS INTEGER) AS first_rel_rank,
+               n_rel,
+               round(n_rel / 10.0, 6) AS p_at_k,
+               coalesce(round(1.0 / first_rel_rank, 6), 0.0) AS rr
+        FROM per
     """
 
     return o

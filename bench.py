@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "lsh_ann_topk",
     "ann_recall_eval",
+    "label_ranking_eval",
     "ivf_ann_topk",
     "kmeans_clusters",
     "semantic_dedup",

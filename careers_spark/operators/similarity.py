@@ -917,3 +917,49 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
             F.round(n_hits / F.col("n_exact"), 6).alias("recall"),
         )
     )
+
+
+def label_ranking_eval(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_pred: str = "vec_id % 50 = 0",
+) -> DataFrame:
+    """Label-based ranking quality of the exact cosine top-k: with
+    relevance defined as "neighbor shares the query's class label",
+    report per query the first relevant rank, reciprocal rank, and
+    precision@k — the retrieval-eval companion to recall_at_k (which
+    judges ANN against exact; this judges the metric itself against
+    labels, the standard embedding-quality probe).
+
+    Per-query outputs only — no cross-query float sum exists anywhere,
+    so every value is an exactly-rounded single division and the
+    result hashes identically across engines and parallelism. Queries
+    with no relevant neighbor in the top-k report rr = 0 and a NULL
+    first_rel_rank (the standard MRR convention). Corpus-side shapes:
+    the ranking is brute_force_topk (declared exact baseline); the
+    label attach is two equi-joins on the id, no new shuffle shape.
+
+    Output: (query_id, first_rel_rank, n_rel, p_at_k, rr).
+    """
+    ranked = brute_force_topk(embeddings, k=k, query_pred=query_pred)
+    qlab = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )
+    nlab = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
+    )
+    j = ranked.join(qlab, "query_id").join(nlab, "neighbor_id")
+    rel = F.col("qlab") == F.col("nlab")
+    per = j.groupBy("query_id").agg(
+        F.min(F.when(rel, F.col("rk"))).alias("first_rel_rank"),
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_rel"),
+    )
+    return per.select(
+        "query_id",
+        "first_rel_rank",
+        "n_rel",
+        F.round(F.col("n_rel") / F.lit(int(k)), 6).alias("p_at_k"),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("first_rel_rank"), 6), F.lit(0.0)
+        ).alias("rr"),
+    )

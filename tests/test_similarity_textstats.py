@@ -395,3 +395,39 @@ def test_recall_at_k_lsh_vs_brute_force_real_corpus(spark):
     for r in rows:
         assert 0.0 <= r.recall <= 1.0
         assert r.recall == round(r.n_hits / r.n_exact, 6)
+
+
+def test_label_ranking_eval_hand_golden(spark):
+    """MRR / p@k against hand-ranked 2-d vectors: relevant neighbors
+    sit at ranks 2 and 3 of the k=3 cosine ranking."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),   # query
+            (1, [0.9, 0.1], 2),   # rk 1, not relevant
+            (2, [0.8, 0.6], 1),   # rk 2, relevant
+            (3, [0.0, 1.0], 1),   # rk 3, relevant
+            (4, [-1.0, 0.0], 2),  # below k
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    (r,) = SIM.label_ranking_eval(emb, k=3, query_pred="vec_id = 0").collect()
+    assert (r.query_id, r.first_rel_rank, r.n_rel) == (0, 2, 2)
+    assert r.p_at_k == round(2 / 3, 6)
+    assert r.rr == 0.5
+
+
+def test_label_ranking_eval_no_relevant_is_rr_zero(spark):
+    """A query whose label never appears in the top-k reports the MRR
+    convention values: NULL first_rel_rank, rr = 0, p_at_k = 0."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 9),
+            (1, [0.9, 0.1], 2),
+            (2, [0.8, 0.6], 1),
+            (3, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    (r,) = SIM.label_ranking_eval(emb, k=3, query_pred="vec_id = 0").collect()
+    assert r.first_rel_rank is None
+    assert (r.n_rel, r.p_at_k, r.rr) == (0, 0.0, 0.0)
