@@ -388,6 +388,142 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q18"] = tpch_q18
 
+    def tpch_q4(spark, sf_dir):
+        """TPC-H Q4 (order priority checking) adapted to the driver
+        schema: the EXISTS probe is "some lineitem shipped after the
+        order date" (standing in for commitdate < receiptdate, which
+        this schema lacks). Expressed as a LEFT SEMI join — the equi
+        key carries the shuffle, the date inequality rides as the
+        join residual, and only order_count-sized rows survive into
+        the final integer aggregation."""
+        o = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")
+            )
+            .join(
+                li.select("l_orderkey", "l_shipdate"),
+                (F.col("o_orderkey") == F.col("l_orderkey"))
+                & (F.col("l_shipdate") > F.col("o_orderdate")),
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+        )
+
+    q["tpch_q4"] = tpch_q4
+
+    def tpch_q12(spark, sf_dir):
+        """TPC-H Q12 (shipping modes / priority) adapted to the driver
+        schema: l_returnflag stands in for l_shipmode. Per flag over
+        1996 shipments, count high-priority (1-URGENT/2-HIGH) vs
+        other orders — the classic CASE-aggregation over a fact/dim
+        join. Counts are exact integers; the orders side carries only
+        the two needed columns into the shuffle."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+            )
+            .select("l_orderkey", "l_returnflag")
+            .join(
+                o.select("o_orderkey", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                    "high_line_count"
+                ),
+                F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                    "low_line_count"
+                ),
+            )
+        )
+
+    q["tpch_q12"] = tpch_q12
+
+    def tpch_q14(spark, sf_dir):
+        """TPC-H Q14 (promotion effect): PROMO share of one month's
+        revenue. Revenue rides as exact fixed-point integers (cents x
+        (100 - discount-percent), units of 1e-4 dollars) so the two
+        sums are order-free BIGINTs and the percentage is ONE rounded
+        double division — the cross-engine recipe used by
+        decayed_revenue/event_rollup. Part dim is broadcast."""
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+            F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+        )
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= "1996-06-01")
+                & (F.col("l_shipdate") < "1996-07-01")
+            )
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_i).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("promo_rev_i"),
+                F.sum(rev_i).alias("total_rev_i"),
+            )
+            .select(
+                "promo_rev_i",
+                "total_rev_i",
+                F.round(
+                    F.lit(100.0)
+                    * F.col("promo_rev_i")
+                    / F.col("total_rev_i"),
+                    6,
+                ).alias("promo_pct"),
+            )
+        )
+
+    q["tpch_q14"] = tpch_q14
+
+    def tpch_q16(spark, sf_dir):
+        """TPC-H Q16 (parts/supplier relationship) adapted to the
+        driver schema: distinct suppliers able to ship each part
+        profile, EXCLUDING low-balance suppliers (the complaint-
+        supplier NOT IN, expressed as a broadcast anti-join). The
+        (partkey, suppkey) pairs dedup before the part join, and the
+        countDistinct runs over the part-profile grouping."""
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        s = _t(spark, sf_dir, "supplier")
+        bad = s.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+        pairs = (
+            li.select("l_partkey", "l_suppkey")
+            .dropDuplicates()
+            .join(
+                F.broadcast(bad),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti",
+            )
+        )
+        return (
+            pairs.join(
+                F.broadcast(
+                    p.filter(
+                        (F.col("p_brand") != "Brand#1")
+                        & (F.col("p_size") < 25)
+                    )
+                ),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        )
+
+    q["tpch_q16"] = tpch_q16
+
     def star_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         o = _t(spark, sf_dir, "orders")
@@ -6864,6 +7000,65 @@ def oracle_sql() -> dict[str, str]:
         FROM big
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
+    """
+
+    # tpch_q4: the semi join stated as EXISTS; integer counts.
+    o["tpch_q4"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY 1
+    """
+
+    # tpch_q12: CASE aggregation over the fact/dim join; integers.
+    o["tpch_q12"] = """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    """
+
+    # tpch_q14: identical fixed-point revenue lattice (1e-4 dollars),
+    # BIGINT sums, ONE rounded double division.
+    o["tpch_q14"] = """
+        SELECT promo_rev_i, total_rev_i,
+               round(100e0 * promo_rev_i / total_rev_i, 6) AS promo_pct
+        FROM (
+          SELECT
+            sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS promo_rev_i,
+            sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS total_rev_i
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+        )
+    """
+
+    # tpch_q16: the anti-join stated as NOT IN; exact distinct count.
+    o["tpch_q16"] = """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size < 25
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        GROUP BY 1, 2, 3
     """
 
     # langid_confusion / langid_kappa: the lang_id SQL nested verbatim;
