@@ -257,6 +257,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_busy_overlap"] = session_busy_overlap
 
+    def spatial_neighbor_pairs(spark, sf_dir):
+        """Distance-threshold point pairs via the radius-sized grid
+        join (operators/spatial.py) — the 2-D range-join strategy
+        beside the 1-D bucketed interval join. Points are the
+        deterministic md5 lattice over customers; the oracle states
+        the distance join DIRECTLY (ground truth), so the hash match
+        machine-proves the 3x3-cell candidate generation lossless.
+        All coordinates and squared distances are exact BIGINTs."""
+        from careers_spark.operators.spatial import (
+            grid_distance_join,
+            lattice_points,
+        )
+
+        pts = lattice_points(
+            _t(spark, sf_dir, "customer"), "c_custkey", extent=4096,
+            seed="geo0",
+        )
+        return grid_distance_join(pts, radius=64)
+
+    q["spatial_neighbor_pairs"] = spatial_neighbor_pairs
+
     def forecast_backtest(spark, sf_dir):
         """One-step-ahead EWMA forecast vs the seasonal-naive baseline
         scored by MAE and MASE (Hyndman & Koehler) — all errors exact
@@ -7724,6 +7745,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_busy_windows,
                CAST(sum(overlap_us) AS BIGINT) AS busy_us
         FROM j GROUP BY 1
+    """
+
+    # spatial_neighbor_pairs: the distance join stated directly as
+    # ground truth (a < b inequality self-join) over the identical
+    # md5 lattice — the hash match proves the grid-cell candidate
+    # generation lossless. Everything BIGINT.
+    o["spatial_neighbor_pairs"] = """
+        WITH pts AS (
+          SELECT c_custkey AS pt_id,
+                 ('0x' || substr(md5('geo0_x_' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096
+                   AS x,
+                 ('0x' || substr(md5('geo0_y_' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096
+                   AS y
+          FROM customer
+        )
+        SELECT a.pt_id AS pt_a, b.pt_id AS pt_b,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                 AS dist2
+        FROM pts a JOIN pts b ON a.pt_id < b.pt_id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 64 * 64
     """
 
     # length_quality_corr: quality SQL nested; y on the 1e-6 lattice,

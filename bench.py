@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "session_busy_overlap",
+    "spatial_neighbor_pairs",
     "length_quality_corr",
     "dsir_weights",
     "dsir_sample",

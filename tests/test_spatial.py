@@ -1,0 +1,64 @@
+import pytest
+
+from careers_spark.operators import spatial as SP
+
+
+def _pairs(df):
+    return {(r.pt_a, r.pt_b): r.dist2 for r in df.collect()}
+
+
+def test_grid_join_hand_golden(spark):
+    """Closed threshold, cross-cell neighbors, and exclusion just
+    past the radius — hand-computed squared distances."""
+    pts = spark.createDataFrame(
+        [
+            (1, 10, 10),
+            (2, 13, 14),   # dist2 to 1 = 9+16 = 25 == r^2 (kept, closed)
+            (3, 10, 16),   # dist2 to 1 = 36 > 25 (dropped); to 2 = 9+4=13
+            (4, 99, 10),   # far from everything
+            (5, 104, 10),  # dist2 to 4 = 25, crosses the x=100 cell edge
+        ],
+        "pt_id long, x long, y long",
+    )
+    got = _pairs(SP.grid_distance_join(pts, radius=5))
+    assert got == {(1, 2): 25, (2, 3): 13, (4, 5): 25}
+
+
+def test_grid_join_equals_brute_force_on_lattice(spark):
+    """Grid candidates are lossless: exact equality with the naive
+    all-pairs distance join on a 300-point md5 lattice."""
+    ids = spark.range(300)
+    pts = SP.lattice_points(ids, "id", extent=256, seed="t1")
+    r = 20
+    got = _pairs(SP.grid_distance_join(pts, radius=r))
+    rows = [(p.pt_id, p.x, p.y) for p in pts.collect()]
+    want = {}
+    for i, xi, yi in rows:
+        for j, xj, yj in rows:
+            if i < j and (xi - xj) ** 2 + (yi - yj) ** 2 <= r * r:
+                want[(i, j)] = (xi - xj) ** 2 + (yi - yj) ** 2
+    assert got == want and len(want) > 50  # non-vacuous at this density
+
+
+def test_lattice_points_deterministic_and_in_range(spark):
+    a = SP.lattice_points(spark.range(100), "id", extent=64, seed="s")
+    b = SP.lattice_points(spark.range(100), "id", extent=64, seed="s")
+    ra, rb = sorted(a.collect()), sorted(b.collect())
+    assert ra == rb
+    assert all(0 <= r.x < 64 and 0 <= r.y < 64 for r in ra)
+    # a different seed moves the cloud
+    c = sorted(SP.lattice_points(spark.range(100), "id", 64, "s2").collect())
+    assert c != ra
+
+
+def test_grid_join_plan_has_no_nested_loop(spark):
+    pts = SP.lattice_points(spark.range(50), "id", extent=128, seed="p")
+    plan = SP.grid_distance_join(pts, radius=10)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_join_rejects_bad_radius(spark):
+    pts = SP.lattice_points(spark.range(5), "id", 32, "r")
+    with pytest.raises(ValueError):
+        SP.grid_distance_join(pts, radius=0)
