@@ -962,6 +962,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda spark, sf_dir: TS.doc_fingerprint(
         _t(spark, sf_dir, "documents")
     )
+
+    def rendezvous_placement(spark, sf_dir):
+        """Rendezvous (highest-random-weight) shard map for the
+        documents table over 8 shards (sampling.rendezvous_shards) —
+        consistent placement whose minimal-disruption property is
+        test-pinned; pure Catalyst argmax over literal (hash, shard)
+        structs, zero shuffles."""
+        return SMP.rendezvous_shards(
+            _t(spark, sf_dir, "documents").select("doc_id"),
+            "doc_id",
+            [f"s{i}" for i in range(8)],
+        )
+
+    q["rendezvous_placement"] = rendezvous_placement
     # Gopher-style repetition filters (Rae et al. 2021 table A1):
     # top-2-gram occupancy + duplicated-3-gram occupancy per doc
     q["gopher_repetition"] = lambda spark, sf_dir: TS.gopher_repetition(
@@ -1631,6 +1645,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_search"] = bm25_search
 
+    def ql_dirichlet_search(spark, sf_dir):
+        """Query-likelihood retrieval with Dirichlet smoothing over
+        the same fixed query as bm25_search — the language-modeling
+        ranking family beside BM25 (retrieval.ql_dirichlet_topk):
+        absent terms charge their smoothing-only mass, integer
+        tf/cf/dl under every double, fixed-order score chain,
+        TakeOrdered top-k."""
+        from careers_spark.operators.retrieval import ql_dirichlet_topk
+
+        return ql_dirichlet_topk(
+            _t(spark, sf_dir, "documents"),
+            ["spark", "join", "window"],
+            k=10,
+            mu=2000,
+        )
+
+    q["ql_dirichlet_search"] = ql_dirichlet_search
+
     def rocchio_expansion(spark, sf_dir):
         """Rocchio pseudo-relevance feedback over the bm25_search
         query: top-3 feedback docs, tf x 1e-9-lattice smoothed-idf
@@ -1942,6 +1974,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["basket_rules"] = basket_rules
+
+    def item_neighbors_cosine(spark, sf_dir):
+        """Item-item collaborative-filtering serving table: per part,
+        top-5 co-purchase neighbors by binary-vector cosine
+        n_ab/sqrt(n_a*n_b) (basket.item_cosine_topk) — the normalized
+        companion to basket_rules' lift ranking."""
+        from careers_spark.operators.basket import item_cosine_topk
+
+        return item_cosine_topk(
+            _t(spark, sf_dir, "lineitem"),
+            n_neighbors=5,
+            min_pair_orders=3,
+        )
+
+    q["item_neighbors_cosine"] = item_neighbors_cosine
 
     def event_transition_matrix(spark, sf_dir):
         """First-order Markov transitions over per-user event streams —
@@ -4138,6 +4185,24 @@ def oracle_sql() -> dict[str, str]:
                              WHEN lang = 'zh' THEN 20 ELSE 10 END)
     """
 
+    # rendezvous_placement: identical md5 draws; the winner stated as
+    # the (h desc, shard desc) rank-1 row — the same tie-break as the
+    # struct argmax. All integers.
+    _rdv_shards = ", ".join(f"'s{i}'" for i in range(8))
+    o["rendezvous_placement"] = f"""
+        WITH dr AS (
+          SELECT doc_id, s,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || s),
+                                 1, 8))::BIGINT AS h
+          FROM documents CROSS JOIN (SELECT unnest([{_rdv_shards}]) AS s)
+        )
+        SELECT doc_id, s AS shard, h AS shard_h FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rk
+          FROM dr
+        ) WHERE rk = 1
+    """
+
     # eval_sample: identical md5 rank order (hash, then key) per lang
     o["eval_sample"] = """
         WITH h AS (
@@ -4334,6 +4399,41 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN n
     """
 
+    # item_neighbors_cosine: integer n_ab/n_a/n_b, BIGINT product under
+    # the IEEE-correct sqrt, cos rounded BEFORE the per-item rank.
+    o["item_neighbors_cosine"] = """
+        WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                   FROM lineitem),
+        ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+               FROM b GROUP BY item),
+        p AS (
+          SELECT a.item AS ia, c.item AS ib,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        ),
+        bo AS (
+          SELECT ia AS item, ib AS neighbor, n_ab FROM p
+          UNION ALL
+          SELECT ib AS item, ia AS neighbor, n_ab FROM p
+        ),
+        scored AS (
+          SELECT bo.item, bo.neighbor, bo.n_ab,
+                 round(n_ab / sqrt(CAST(ni.n_item * nj.n_item AS DOUBLE)),
+                       6) AS cos_sim
+          FROM bo
+          JOIN ic ni ON ni.item = bo.item
+          JOIN ic nj ON nj.item = bo.neighbor
+        )
+        SELECT item, neighbor, n_ab, cos_sim, CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY item ORDER BY cos_sim DESC, neighbor
+                 ) AS rk
+          FROM scored
+        ) WHERE rk <= 5
+    """
+
     # lsh_blocking_quality: band/candidate CTEs verbatim; truth set via
     # the integer rational predicate; one row of integers + two fixed
     # single divisions
@@ -4455,6 +4555,48 @@ def oracle_sql() -> dict[str, str]:
                       + 0.75e0 * dl / (dl_sum / CAST(n_docs AS DOUBLE)))) AS c
           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
           CROSS JOIN corpus
+        ),
+        p AS (
+          SELECT doc_id,
+                 {_bm_piv}
+          FROM c GROUP BY doc_id
+        ),
+        s AS (SELECT doc_id, round({_bm_chain}, 6) AS score FROM p),
+        r AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM s
+        )
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 10
+    """
+
+    # ql_dirichlet_search: the bm25 recipe with the candidate x term
+    # grid — absent terms contribute smoothing-only mass via the LEFT
+    # join's coalesced tf; integer tf/cf/dl/|C| under the one double
+    # expression; fixed-order chain; rounded before the rank.
+    o["ql_dirichlet_search"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        total AS (SELECT CAST(sum(dl) AS BIGINT) AS tok_total FROM dl),
+        hits AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(toks) AS term FROM t
+          ) WHERE term IN ({_bm_in})
+        ),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM hits GROUP BY 1, 2),
+        cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+               FROM hits GROUP BY 1),
+        cand AS (SELECT DISTINCT doc_id FROM tf),
+        c AS (
+          SELECT cand.doc_id, cf.term,
+                 ln((coalesce(tf.tf, 0) + 2000e0 * cf.cf / tok_total)
+                    / (dl.dl + 2000e0)) AS c
+          FROM cand CROSS JOIN cf
+          LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cf.term
+          JOIN dl ON dl.doc_id = cand.doc_id
+          CROSS JOIN total
         ),
         p AS (
           SELECT doc_id,

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "distinct_sketch",
     "top_orders_per_cust",
     "basket_rules",
+    "item_neighbors_cosine",
     "link_weights_nation",
     "redirect_fixpoint",
     "quality_score",
@@ -78,6 +79,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "token_pmi",
     "bm25_search",
+    "ql_dirichlet_search",
     "rocchio_expansion",
     "hybrid_rrf_search",
     "prefix_jaccard_pairs",
@@ -90,6 +92,7 @@ BENCH_QUERIES = [
     "hard_negative_topk",
     "decayed_revenue",
     "eval_sample",
+    "rendezvous_placement",
     "cdc_latest_state",
     "scd2_history",
     "merge_incremental_snapshot",

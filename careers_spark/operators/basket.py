@@ -73,3 +73,75 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def item_cosine_topk(
+    lineitem: DataFrame,
+    n_neighbors: int = 5,
+    min_pair_orders: int = 2,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Item-item cosine similarity over co-purchase baskets (Sarwar et
+    al. WWW'01) — the serving table of item-based collaborative
+    filtering: for each item, its top-N most-similar items by
+
+        cos(a, b) = n_ab / sqrt(n_a * n_b)
+
+    on binary basket vectors. The companion to association_rules
+    (which judges pairs by lift); this one NORMALIZES so popular items
+    don't dominate, and ranks per item for the "customers also bought"
+    list.
+
+    Physical shape at scale: identical wedge shuffle as
+    association_rules (fan-out bounded by max basket size, never
+    corpus-quadratic); the min-support filter prunes pairs BEFORE the
+    count joins; the per-item top-N is a window partitioned by item —
+    a per-item sort over that item's (pruned) neighbor rows only,
+    never a global sort.
+
+    Engine exactness: n_ab/n_a/n_b are integers; n_a * n_b is an exact
+    BIGINT product; sqrt is IEEE-correctly-rounded (the
+    lang_temperature_weights argument) so cos is the identical double
+    in both engines, rounded to 6 BEFORE the (cos desc, neighbor asc)
+    rank.
+
+    Output: (item, neighbor, n_ab, cos_sim, rk) — both orientations
+    of every retained pair, rk 1..n_neighbors per item.
+    """
+    from pyspark.sql import Window
+
+    b = lineitem.select(
+        F.col(order_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    item_cnt = b.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = b.selectExpr("basket", "item as ia")
+    c = b.selectExpr("basket as b2", "item as ib")
+    pairs = (
+        a.join(c, (a.basket == c.b2) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair_orders))
+    )
+    both = pairs.selectExpr("ia as item", "ib as neighbor", "n_ab").unionByName(
+        pairs.selectExpr("ib as item", "ia as neighbor", "n_ab")
+    )
+    scored = (
+        both.join(item_cnt.selectExpr("item", "n_item as n_i"), "item")
+        .join(
+            item_cnt.selectExpr("item as neighbor", "n_item as n_j"),
+            "neighbor",
+        )
+        .withColumn(
+            "cos_sim",
+            F.expr("round(n_ab / sqrt(cast(n_i * n_j as double)), 6)"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(n_neighbors))
+        .select("item", "neighbor", "n_ab", "cos_sim", "rk")
+    )

@@ -104,6 +104,85 @@ def bm25_topk(
     )
 
 
+def ql_dirichlet_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: int = 2000,
+) -> DataFrame:
+    """Top-k documents by query-likelihood with Dirichlet smoothing
+    (Zhai & Lafferty 2001) — the language-modeling retrieval family
+    beside BM25's probabilistic one:
+
+        score(d, Q) = sum_{t in Q} ln((tf_td + mu * cf_t / |C|)
+                                      / (dl_d + mu))
+
+    Candidate docs are those containing >= 1 query term (the inverted-
+    index contract BM25 uses here too), but UNLIKE BM25 an absent term
+    still contributes its smoothing-only mass ln(mu*p(t|C)/(dl+mu)),
+    so candidates expand to the full candidate x query-term grid via a
+    broadcast of the (query-terms-sized) collection-frequency table,
+    with tf coalesced to 0. Query terms absent from the corpus are
+    dropped (their smoothed probability is 0 -> ln undefined; the
+    standard drop, and they would shift every doc equally anyway
+    modulo dl).
+
+    Engine exactness (the bm25_topk recipe): tf/cf/dl/|C| are
+    integers; each per-(doc, term) contribution is ONE double
+    expression with identical text both engines (mu carries e0); the
+    per-doc score is a FIXED-QUERY-ORDER coalesce chain, rounded
+    before the (score desc, doc_id) rank.
+
+    Physical shape at scale: explode filters to query terms
+    immediately; cf and |C| are broadcast; the grid is |candidates| x
+    |Q| rows; top-k is TakeOrdered, never a full sort.
+
+    Output: (doc_id, score, rank).
+    """
+    m = int(mu)
+    toks = documents.select("doc_id", tokens_col("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    total = dl.agg(F.sum("dl").cast("long").alias("tok_total"))
+    hits = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(query_terms)
+    )
+    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf = hits.groupBy("term").agg(F.count("*").alias("cf"))
+    cand = tf.select("doc_id").distinct()
+    grid = (
+        cand.crossJoin(F.broadcast(cf))
+        .join(tf, ["doc_id", "term"], "left")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "c",
+            F.expr(
+                f"ln((coalesce(tf, 0) + {m}e0 * cf / tok_total)"
+                f" / (dl + {m}e0))"
+            ),
+        )
+    )
+    pivots = [
+        F.max(F.when(F.col("term") == t, F.col("c"))).alias(f"_c{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    chain = " + ".join(
+        f"coalesce(_c{i}, 0e0)" for i in range(len(query_terms))
+    )
+    scored = (
+        grid.groupBy("doc_id")
+        .agg(*pivots)
+        .withColumn("score", F.expr(f"round({chain}, 6)"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     k_const: int = 60,

@@ -401,3 +401,43 @@ def poisson_bootstrap_ci(
     return full.crossJoin(bounds).select(
         "n_rows", "mean_full", "n_replicates", "ci_lo", "ci_hi"
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    key: str,
+    shards: list[str],
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1996) — the consistent data-placement rule behind
+    cacheless routing, Kafka-style partition stickiness, and
+    shared-nothing shard maps: each key goes to the shard with the
+    highest md5(key, shard) draw, so ADDING a shard moves ONLY the
+    keys the new shard now wins (~1/(n+1) of them) and removing one
+    moves only its own keys — no global reshuffle, unlike `pmod(hash,
+    n)` placement where changing n remaps nearly everything. That
+    minimal-disruption property is pinned by test, not just cited.
+
+    Pure Catalyst projection: the per-shard draws are a LITERAL array
+    of (hash, shard) structs and the argmax is array_max's
+    lexicographic struct ordering — no explode, no shuffle, no UDF;
+    the decision pushes to the scan like the other sampling ops.
+    Hash ties (md5 collisions across 64 hex chars) break to the
+    larger shard name via the struct's second field — deterministic
+    either way.
+
+    Output: input rows + (shard string, shard_h BIGINT winning draw).
+    """
+    if not shards or len(set(shards)) != len(shards):
+        raise ValueError("shards must be a non-empty list of unique names")
+    draws = ", ".join(
+        f"struct(cast(conv(substr(md5(concat(cast({key} as string), "
+        f"'|', '{s}')), 1, 8), 16, 10) as bigint) as h, '{s}' as s)"
+        for s in shards
+    )
+    win = F.expr(f"array_max(array({draws}))")
+    return df.withColumn("_w", win).select(
+        "*",
+        F.col("_w.s").alias("shard"),
+        F.col("_w.h").alias("shard_h"),
+    ).drop("_w")

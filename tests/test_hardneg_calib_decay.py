@@ -207,3 +207,46 @@ def test_association_rules_independent_items_lift_one(spark):
     df = spark.createDataFrame(rows, "l_orderkey long, l_partkey string")
     r = association_rules(df, min_pair_orders=2).collect()[0]
     assert r.lift == 1.0 and r.support == 1.0
+
+
+def test_item_cosine_hand_golden(spark):
+    """cos = n_ab / sqrt(n_a * n_b) on hand baskets, both
+    orientations emitted, per-item rank by (cos desc, neighbor)."""
+    import math
+
+    from careers_spark.operators.basket import item_cosine_topk
+
+    # baskets: {1:(a,b,c)}, {2:(a,b)}, {3:(a,c)}, {4:(a)}
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "a")]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey string")
+    got = {
+        (r.item, r.neighbor): (r.n_ab, r.cos_sim, r.rk)
+        for r in item_cosine_topk(df, min_pair_orders=1).collect()
+    }
+    # n_a=4, n_b=2, n_c=2; n_ab=2, n_ac=2, n_bc=1
+    cab = round(2 / math.sqrt(8), 6)
+    cbc = round(1 / math.sqrt(4), 6)
+    assert got[("a", "b")] == (2, cab, 1)  # b before c on the id tie
+    assert got[("a", "c")] == (2, cab, 2)
+    # cos(b,c)=0.5 < cos(a,b)=0.7071 -> a is b's top neighbor
+    assert got[("b", "a")] == (2, cab, 1)
+    assert got[("b", "c")] == (1, cbc, 2)
+
+
+def test_item_cosine_popularity_normalization(spark):
+    """An item in every basket has lower cosine to a rare partner
+    than two exclusive partners have to each other."""
+    from careers_spark.operators.basket import item_cosine_topk
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "pop"))       # popular item everywhere
+    rows += [(0, "x"), (0, "y"), (1, "x"), (1, "y")]  # exclusive pair
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey string")
+    got = {
+        (r.item, r.neighbor): r.cos_sim
+        for r in item_cosine_topk(df, min_pair_orders=2).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "pop")] < got[("x", "y")]

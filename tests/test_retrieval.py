@@ -218,3 +218,66 @@ def test_rocchio_expansion_deterministic(spark):
         docs.repartition(7), ["spark", "join", "window"]
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _ql_python(docs, terms, k=10, mu=2000):
+    toked = {d: t.lower().split() for d, t in docs}
+    total = sum(len(t) for t in toked.values())
+    cf = {
+        t: sum(toks.count(t) for toks in toked.values()) for t in terms
+    }
+    live = [t for t in terms if cf[t] > 0]
+    scores = {}
+    for d, toks in toked.items():
+        if not any(t in toks for t in live):
+            continue
+        s = 0.0
+        for t in live:
+            s += math.log(
+                (toks.count(t) + mu * cf[t] / total) / (len(toks) + mu)
+            )
+        scores[d] = round(s, 6)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return {d: (s, i + 1) for i, (d, s) in enumerate(ranked)}
+
+
+def test_ql_dirichlet_matches_python(spark):
+    """Lockstep with an independent python unroll, including the
+    smoothing-only contribution of absent terms (doc 4 has 'join' but
+    no 'spark'/'window' — BM25 would score only the present term; QL
+    must charge all three)."""
+    from careers_spark.operators.retrieval import ql_dirichlet_topk
+
+    docs = [
+        (1, "spark join join join window"),
+        (2, "spark window"),
+        (3, "the quick brown fox"),  # no query term -> not a candidate
+        (4, "join"),
+        (5, "spark spark spark spark spark spark spark spark"),
+        (6, "window join spark extra words to lengthen the document a lot"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["spark", "join", "window"]
+    got = {
+        r.doc_id: (r.score, r.rank)
+        for r in ql_dirichlet_topk(df, terms, k=10, mu=100).collect()
+    }
+    assert got == _ql_python(docs, terms, k=10, mu=100)
+    assert 3 not in got
+
+
+def test_ql_dirichlet_drops_corpus_absent_terms(spark):
+    """A query term with zero collection frequency is dropped instead
+    of poisoning every score with ln(0)."""
+    from careers_spark.operators.retrieval import ql_dirichlet_topk
+
+    docs = [(1, "spark join"), (2, "join join")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.score, r.rank)
+        for r in ql_dirichlet_topk(
+            df, ["spark", "zzzmissing"], k=10, mu=100
+        ).collect()
+    }
+    assert got == _ql_python(docs, ["spark", "zzzmissing"], k=10, mu=100)
+    assert all(math.isfinite(s) for s, _ in got.values())

@@ -222,3 +222,57 @@ def test_poisson_bootstrap_deterministic_and_salted(spark):
     # cannot
     assert c.mean_full == a[0].mean_full
     assert (c.ci_lo, c.ci_hi) != (a[0].ci_lo, a[0].ci_hi)
+
+
+def test_rendezvous_minimal_disruption(spark):
+    """Adding a shard moves ONLY the keys the new shard wins — the
+    property that distinguishes rendezvous from pmod placement."""
+    from careers_spark.operators.sampling import rendezvous_shards
+
+    ids = spark.range(500)
+    before = {
+        r.id: r.shard
+        for r in rendezvous_shards(ids, "id", ["s0", "s1", "s2"]).collect()
+    }
+    after = {
+        r.id: r.shard
+        for r in rendezvous_shards(
+            ids, "id", ["s0", "s1", "s2", "s3"]
+        ).collect()
+    }
+    moved = {k for k in before if before[k] != after[k]}
+    assert moved, "some keys must move to the new shard"
+    assert all(after[k] == "s3" for k in moved)
+    # ~1/4 of keys expected to move; generous band
+    assert 0.10 <= len(moved) / 500 <= 0.40
+
+
+def test_rendezvous_matches_python_recompute(spark):
+    """Winner = argmax of the same md5-derived 32-bit draws."""
+    import hashlib
+
+    from careers_spark.operators.sampling import rendezvous_shards
+
+    shards = ["a", "b", "c"]
+
+    def h(key, s):
+        return int(hashlib.md5(f"{key}|{s}".encode()).hexdigest()[:8], 16)
+
+    got = {
+        r.id: (r.shard, r.shard_h)
+        for r in rendezvous_shards(spark.range(100), "id", shards).collect()
+    }
+    for k in range(100):
+        win = max(shards, key=lambda s: (h(k, s), s))
+        assert got[k] == (win, h(k, win))
+
+
+def test_rendezvous_rejects_bad_shards(spark):
+    import pytest
+
+    from careers_spark.operators.sampling import rendezvous_shards
+
+    with pytest.raises(ValueError):
+        rendezvous_shards(spark.range(5), "id", [])
+    with pytest.raises(ValueError):
+        rendezvous_shards(spark.range(5), "id", ["x", "x"])
