@@ -1583,6 +1583,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_anomalies"] = event_anomalies
 
+    def user_burstiness(spark, sf_dir):
+        """Per-user inter-arrival stats + Goh-Barabasi burstiness
+        B=(sigma-mu)/(sigma+mu) — bot/batch/human signal; exact
+        integer-second gaps from a per-user lag window, BIGINT sums,
+        single double expressions (temporal.interarrival_burstiness)."""
+        from careers_spark.operators.temporal import (
+            interarrival_burstiness,
+        )
+
+        return interarrival_burstiness(_t(spark, sf_dir, "events"))
+
+    q["user_burstiness"] = user_burstiness
+
     def distinct_sketch(spark, sf_dir):
         """k-independent-minimums cardinality sketch (k=64) vs exact
         count(distinct) per event_type over (user_id, value-cents) keys
@@ -1686,6 +1699,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TS.unigram_logloss(_t(spark, sf_dir, "documents"))
 
     q["unigram_logloss"] = unigram_logloss
+
+    def char_entropy(spark, sf_dir):
+        """Per-doc character-unigram Shannon entropy — the analytic
+        compression-ratio quality proxy (textstats.char_entropy);
+        1e-9-lattice fixed-point contributions, BIGINT sums, one
+        rounded division."""
+        return TS.char_entropy(_t(spark, sf_dir, "documents"))
+
+    q["char_entropy"] = char_entropy
 
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
@@ -4020,6 +4042,36 @@ def oracle_sql() -> dict[str, str]:
 
     # event_anomalies: identical RANGE frame (gaps excluded by value
     # range), integer decision inequality, z the single sqrt double
+    # user_burstiness: identical integer `//` second gaps from the
+    # same (us, event_id) lag order; BIGINT sums; cv/B share the one
+    # sqrt expression text so both engines emit identical doubles.
+    _burst_sig = (
+        "sqrt(CAST(n_gaps AS DOUBLE) * sd2 - CAST(sd AS DOUBLE) * sd)"
+    )
+    o["user_burstiness"] = f"""
+        WITH g AS (
+          SELECT user_id,
+                 (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id)) // 1000000 AS d
+          FROM events
+        ),
+        a AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(sum(d) AS BIGINT) AS sd,
+                 CAST(sum(d * d) AS BIGINT) AS sd2
+          FROM g WHERE d IS NOT NULL GROUP BY 1
+        )
+        SELECT user_id, n_gaps,
+               round(sd / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_s,
+               CASE WHEN n_gaps >= 2 AND sd > 0
+                    THEN round({_burst_sig} / sd, 6) END AS cv,
+               CASE WHEN n_gaps >= 2 AND sd > 0
+                    THEN round(({_burst_sig} - sd)
+                               / ({_burst_sig} + sd), 6) END AS burstiness
+        FROM a
+    """
+
     o["event_anomalies"] = """
         WITH b AS (
           SELECT event_type, epoch_us(ts) // 3600000000 AS bkt,
@@ -4616,6 +4668,27 @@ def oracle_sql() -> dict[str, str]:
     # unigram_logloss: identical fixed-point quantization — ln lockstep
     # is pinned, round(x*1e9) is exact in both engines, the per-doc sum
     # is pure BIGINT
+    # char_entropy: identical per-(doc, char) fixed-point lattice; the
+    # oracle states the sum as a plain GROUP BY over the fp column
+    # (integer, so any fold order equals Spark's bounded-list fold).
+    o["char_entropy"] = """
+        WITH cf AS (
+          SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+            FROM documents
+          ) GROUP BY 1, 2
+        ),
+        n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS distinct_chars
+              FROM cf GROUP BY 1)
+        SELECT cf.doc_id, n.n AS n_chars_counted, n.distinct_chars,
+               round(-sum(c * CAST(round(ln(c / CAST(n.n AS DOUBLE))
+                                         * 1000000000e0, 0) AS BIGINT))
+                     / (n.n * 1000000000e0), 6) AS entropy_nats
+        FROM cf JOIN n USING (doc_id)
+        GROUP BY 1, 2, 3
+    """
+
     o["unigram_logloss"] = f"""
         WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
         tf AS (

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "top_user_journeys",
     "cohort_retention",
     "event_anomalies",
+    "user_burstiness",
     "weekly_active_users",
     "event_trend_slopes",
     "key_skew_report",
@@ -150,6 +151,7 @@ BENCH_QUERIES = [
     "gap_filled_hourly",
     "quality_percentile_gate",
     "unigram_logloss",
+    "char_entropy",
     "bigram_lm_filter",
     "ngram_novelty",
     "doc_length_histogram",

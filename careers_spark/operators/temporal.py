@@ -1177,3 +1177,71 @@ def cusum_changepoint(events: DataFrame, ts: str = "ts") -> DataFrame:
         )
         .alias("cusum_stat"),
     )
+
+
+def interarrival_burstiness(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Per-actor inter-arrival statistics and the Goh-Barabasi
+    burstiness coefficient B = (sigma - mu)/(sigma + mu) (Goh &
+    Barabasi 2008): B -> -1 for clockwork arrivals, 0 for a Poisson
+    process, -> +1 for extreme burst-and-silence patterns — the
+    standard "is this actor a bot / a batch job / a human?" signal
+    over event streams.
+
+    Gaps are exact integer SECONDS from a per-key lag window
+    (partition-local sort, the sessionize shape — never global).
+    sum(d) and sum(d*d) are exact BIGINTs (bounded by the corpus time
+    span, so no overflow at any per-key cardinality); mean/cv/B are
+    then single double expressions over those integers with sqrt's
+    IEEE correct rounding — identical text in both engines, rounded
+    to 6. Keys with fewer than `min_gaps` gaps or zero total span
+    report NULL cv/burstiness (a constant stream has sigma = 0, B =
+    -1; a single gap has no dispersion to measure).
+
+    Output: (key, n_gaps, mean_gap_s, cv, burstiness).
+    """
+    # integer `div`, never float-divide-then-cast: double->long casts
+    # TRUNCATE in Spark but ROUND in DuckDB (the clicks_before_purchase
+    # lesson), and `div` is exact on the microsecond integers anyway
+    gaps = (
+        events.select(
+            F.col(key), _us(ts).alias("_us"), F.col(tiebreak).alias("_tb")
+        )
+        .select(
+            key,
+            F.expr(
+                "( _us - lag(_us) over "
+                "(partition by {k} order by _us, _tb)) div 1000000".format(
+                    k=key
+                )
+            ).alias("d"),
+        )
+        .filter(F.col("d").isNotNull())
+    )
+    agg = gaps.groupBy(key).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).alias("sd2"),
+    )
+    guard = (F.col("n_gaps") >= int(min_gaps)) & (F.col("sd") > 0)
+    var_num = "cast(n_gaps as double) * sd2 - cast(sd as double) * sd"
+    return agg.select(
+        F.col(key),
+        "n_gaps",
+        F.expr("round(sd / cast(n_gaps as double), 6)").alias("mean_gap_s"),
+        F.when(
+            guard, F.expr(f"round(sqrt({var_num}) / sd, 6)")
+        ).alias("cv"),
+        F.when(
+            guard,
+            F.expr(
+                f"round((sqrt({var_num}) - sd)"
+                f" / (sqrt({var_num}) + sd), 6)"
+            ),
+        ).alias("burstiness"),
+    )

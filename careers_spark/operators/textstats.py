@@ -1018,3 +1018,53 @@ def readability(documents: DataFrame) -> DataFrame:
         F.when(F.col("n_words") > 0, F.expr(flesch)).alias("flesch"),
         F.when(F.col("n_words") > 0, F.expr(fk)).alias("fk_grade"),
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document character-unigram Shannon entropy in nats — the
+    cheap stand-in for the compression-ratio quality signal (CCNet /
+    Gopher drop documents whose bytes compress too well; H over the
+    character distribution is the analytic version: boilerplate,
+    repeated padding, and character-level gibberish all sit far below
+    natural text's band).
+
+    Same exactness recipe as unigram_logloss, but WITHIN-doc: the
+    per-character log-probability ln(c/n) is fixed-point quantized to
+    the 1e-9 lattice once per (doc, char) row, the entropy numerator
+    sum(c * fp) is then an exact BIGINT, and H = -sum/(n * 1e9) is one
+    rounded division. Characters come from regexp_extract_all(text,
+    '.') — '.' excludes newlines in BOTH regex engines (java.util
+    and RE2), which is the documented counting domain.
+
+    Physical shape: one char explode -> (doc, char) groupBy (partial-
+    agg friendly; fan-out = text length, same as every shingle op),
+    one per-doc integer-sum groupBy. No window, no sort, no join.
+
+    Output: (doc_id, n_chars_counted, distinct_chars, entropy_nats).
+    """
+    cf = (
+        documents.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = cf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("distinct_chars"),
+        F.collect_list(F.struct("ch", "c")).alias("_cs"),
+    )
+    # fp quantization needs n (the per-doc total), so it runs after the
+    # per-doc agg on the bounded distinct-char list — sized by the
+    # alphabet, not the text
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        "distinct_chars",
+        F.expr(
+            "round(-aggregate(_cs, cast(0 as bigint), (acc, x) -> acc + "
+            "x.c * cast(round(ln(x.c / cast(n as double)) * 1000000000e0, 0)"
+            " as bigint)) / (n * 1000000000e0), 6)"
+        ).alias("entropy_nats"),
+    )

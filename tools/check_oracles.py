@@ -72,7 +72,10 @@ def main(only=None):
             results.append((name, "HASH_MISMATCH", f"{len(srows)} rows"))
         else:
             results.append((name, "OK", f"{len(srows)} rows"))
-    with open("/tmp/oracle_check.txt", "w") as f:
+    # targeted runs get their own file so a concurrent full sweep's
+    # results are never clobbered
+    out = "/tmp/oracle_check.txt" if not only else "/tmp/oracle_check_targeted.txt"
+    with open(out, "w") as f:
         for name, status, info in results:
             f.write(f"{status:15s} {name:25s} {info}\n")
     spark.stop()
