@@ -2446,6 +2446,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = pii_scrub
 
+    def k_anonymity(spark, sf_dir):
+        """k-anonymity / l-diversity release audit over the documents
+        table: QI = (lang, 200-char length bucket), sensitive =
+        source (privacy.k_anonymity_audit) — per-equivalence-class
+        sizes, distinct-sensitive counts, and the k=5 / l=2 flags.
+        All integers; one partial-agg-friendly groupBy."""
+        from careers_spark.operators.privacy import k_anonymity_audit
+
+        d = _t(spark, sf_dir, "documents").select(
+            "lang",
+            F.expr("n_chars div 200").alias("len_bucket"),
+            "source",
+        )
+        return k_anonymity_audit(
+            d, ["lang", "len_bucket"], sensitive="source", k=5, l=2
+        )
+
+    q["k_anonymity"] = k_anonymity
+
     def entity_closeness(spark, sf_dir):
         """Closeness + harmonic centrality of the min_obs=35 entity
         graph by exact multi-source BFS (graph.closeness_centrality) —
@@ -2799,6 +2818,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["label_ranking_eval"] = label_ranking_eval
+
+    def embedding_gramian(spark, sf_dir):
+        """Exact X^T X Gram matrix of the embedding table on the
+        round(v*1e6) integer lattice, DECIMAL(38,0) sums — the
+        distributed-linear-algebra primitive under PCA/ALS/whitening
+        (similarity.embedding_gramian); one map+combine pass, d(d+1)/2
+        output rows."""
+        return SIM.embedding_gramian(_t(spark, sf_dir, "embeddings"))
+
+    q["embedding_gramian"] = embedding_gramian
+
+    def ndcg_eval(spark, sf_dir):
+        """nDCG@10 of the exact cosine ranking under same-label
+        relevance (similarity.ndcg_eval) — completes the retrieval-
+        eval trio beside MRR/p@k; log2 discounts are precomputed
+        1e-9-lattice integer literals, so DCG/IDCG are exact BIGINTs
+        and nDCG one rounded division."""
+        return SIM.ndcg_eval(_t(spark, sf_dir, "embeddings"), k=10)
+
+    q["ndcg_eval"] = ndcg_eval
 
     return q
 
@@ -6465,6 +6504,17 @@ def oracle_sql() -> dict[str, str]:
     _pii_red = "text"
     for _k, _tok in (("email", "<EMAIL>"), ("ip", "<IP>"), ("phone", "<PHONE>")):
         _pii_red = f"regexp_replace({_pii_red}, '{_PII[_k]}', '{_tok}', 'g')"
+    # k_anonymity: pure integer class statistics; `//` mirrors div.
+    o["k_anonymity"] = """
+        SELECT lang, n_chars // 200 AS len_bucket,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT source) AS BIGINT) AS l_distinct,
+               count(*) >= 5 AS meets_k,
+               count(DISTINCT source) >= 2 AS meets_l
+        FROM documents
+        GROUP BY 1, 2
+    """
+
     o["pii_scrub"] = f"""
         WITH aug AS (
           SELECT doc_id,
@@ -8506,6 +8556,75 @@ def oracle_sql() -> dict[str, str]:
         WHERE k < n
         ORDER BY g_num DESC, hour ASC
         LIMIT 1
+    """
+
+    # embedding_gramian: identical round(v*1e6) lattice; the oracle
+    # states the Gram sum via a per-dim self-join on vec_id; DuckDB's
+    # BIGINT sum is HUGEINT (exact), cast to the same DECIMAL(38,0).
+    o["embedding_gramian"] = """
+        WITH u AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+                 CAST(round(unnest(embedding::DOUBLE[]) * 1000000e0)
+                      AS BIGINT) AS q
+          FROM embeddings
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings)
+        SELECT a.idx AS i, b.idx AS j,
+               CAST(sum(a.q * b.q) AS DECIMAL(38, 0)) AS g, n.n_vecs
+        FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+        CROSS JOIN n
+        GROUP BY 1, 2, 4
+    """
+
+    # ndcg_eval: the SAME python-computed 1e-9-lattice discount
+    # literals as the operator (no engine evaluates a log), exact
+    # integer DCG/IDCG, one rounded division.
+    import math as _math
+
+    _ndcg_w = [round(1e9 / _math.log2(r + 1)) for r in range(1, 11)]
+    _ndcg_cum = []
+    _t_acc = 0
+    for _x in _ndcg_w:
+        _t_acc += _x
+        _ndcg_cum.append(_t_acc)
+    _w_lit = "[" + ", ".join(str(x) for x in _ndcg_w) + "]"
+    _cum_lit = "[" + ", ".join(str(x) for x in _ndcg_cum) + "]"
+    o["ndcg_eval"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                          label AS qlab
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        s AS (
+          SELECT query_id, qlab, vec_id AS neighbor_id, nlab, {_cos} AS sim
+          FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS nv,
+                                    label AS nlab FROM embeddings)
+          WHERE vec_id <> query_id
+        ),
+        ranked AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rk
+            FROM s
+          ) WHERE rk <= 10
+        ),
+        lc AS (SELECT label AS qlab, CAST(count(*) AS BIGINT) AS n_lab
+               FROM embeddings GROUP BY 1),
+        per AS (
+          SELECT query_id, ranked.qlab,
+                 CAST(sum(CASE WHEN ranked.qlab = nlab THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_rel_at_k,
+                 CAST(sum(CASE WHEN ranked.qlab = nlab
+                          THEN list_extract({_w_lit}, rk)
+                          ELSE 0 END) AS BIGINT) AS dcg_fp
+          FROM ranked GROUP BY 1, 2
+        )
+        SELECT query_id, n_rel_at_k,
+               CAST(least(n_lab - 1, 10) AS BIGINT) AS ideal_rel,
+               dcg_fp,
+               CASE WHEN least(n_lab - 1, 10) > 0
+                    THEN round(dcg_fp / CAST(list_extract({_cum_lit},
+                         CAST(least(n_lab - 1, 10) AS INTEGER))
+                         AS DOUBLE), 6) END AS ndcg
+        FROM per JOIN lc USING (qlab)
     """
 
     # label_ranking_eval: the embedding_topk ranking at k=10, labels

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "ann_recall_eval",
     "label_ranking_eval",
+    "ndcg_eval",
+    "embedding_gramian",
     "ivf_ann_topk",
     "kmeans_clusters",
     "semantic_dedup",
@@ -115,6 +117,7 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "reciprocal_best_match",
     "pii_scrub",
+    "k_anonymity",
     "entity_closeness",
     "ohlc_daily",
     "bitext_pairs",

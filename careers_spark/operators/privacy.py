@@ -86,3 +86,44 @@ def redact_text(col):
     for k in _REDACT_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[k], PII_TOKENS[k])
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive: str | None = None,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier tuple
+    (Sweeney 2002; Machanavajjhala 2007): every row whose QI
+    equivalence class holds fewer than k members is re-identifiable
+    at confidence 1/class-size, and a class with few DISTINCT
+    sensitive values leaks the attribute even when k is met. This is
+    the release-gate audit a dataset publisher runs before sharing —
+    the output is per-class, so the caller both reads the headline
+    (min class size = the dataset's k) and joins classes back to rows
+    to suppress or generalize the offenders.
+
+    One groupBy over the QI columns (partial-agg friendly — class
+    counts and the exact distinct both combine map-side; the distinct
+    is over the class's OWN sensitive values, bounded by class size).
+    All outputs are integers — trivially oracle-exact.
+
+    Output: one row per equivalence class — (*quasi_identifiers,
+    class_size, l_distinct, meets_k, meets_l) where l_distinct is the
+    sensitive attribute's distinct count within the class and the two
+    flags evaluate the release thresholds (class_size >= k,
+    l_distinct >= l). No sensitive VALUES appear in the output, only
+    counts — the audit itself is publishable.
+    """
+    if not quasi_identifiers:
+        raise ValueError("quasi_identifiers must be non-empty")
+    aggs = [F.count("*").alias("class_size")]
+    if sensitive is not None:
+        aggs.append(F.countDistinct(sensitive).alias("l_distinct"))
+    out = df.groupBy(*quasi_identifiers).agg(*aggs)
+    out = out.withColumn("meets_k", F.col("class_size") >= int(k))
+    if sensitive is not None:
+        out = out.withColumn("meets_l", F.col("l_distinct") >= int(l))
+    return out

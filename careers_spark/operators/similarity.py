@@ -963,3 +963,133 @@ def label_ranking_eval(
             F.round(F.lit(1.0) / F.col("first_rel_rank"), 6), F.lit(0.0)
         ).alias("rr"),
     )
+
+
+def embedding_gramian(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 1000000,
+) -> DataFrame:
+    """Exact Gram matrix X^T X of the embedding column on the integer
+    lattice — the d x d building block of PCA / ALS / whitening /
+    ridge regression that distributed linear algebra reduces to (the
+    RowMatrix.computeGramianMatrix primitive): every downstream
+    factorization runs driver-side on the TINY d x d result while the
+    only pass over the corpus is a map+combine aggregation.
+
+    Integer-exact: components quantize to round(v * quant) BIGINT
+    (the random_projection lattice), per-row products q_i * q_j are
+    BIGINTs, and the corpus sum rides DECIMAL(38,0), so the result is
+    order-free exact at any row count (BIGINT sums would overflow
+    past ~9e18/quant^2 rows; decimal gives 1e38 headroom).
+
+    Physical shape at scale: per row, the upper triangle explodes to
+    d(d+1)/2 (i, j, p) rows via inline() — NO join, no shuffle until
+    the single partial-agg-friendly groupBy(i, j), whose output is
+    d(d+1)/2 rows total. Fan-out is the price of staying in pure
+    Catalyst; at extreme d, the same contract moves to a mapInPandas
+    per-partition numpy Gram with identical lattice arithmetic.
+
+    Output: (i, j, g, n_vecs) for 0 <= i <= j < d; g in units of
+    quant^-2; n_vecs the corpus size (same on every row).
+    """
+    qexp = (
+        f"transform({vec_col}, v -> "
+        f"cast(round(cast(v as double) * {int(quant)}e0, 0) as bigint))"
+    )
+    pairs = (
+        "flatten(transform(sequence(0, size(_q) - 1), i -> "
+        "transform(sequence(i, size(_q) - 1), j -> "
+        "named_struct('i', i, 'j', j, "
+        "'p', cast(_q[i] * _q[j] as decimal(38, 0))))))"
+    )
+    exploded = embeddings.select(
+        F.expr(qexp).alias("_q")
+    ).select(F.expr(f"inline({pairs})"))
+    n = embeddings.count()
+    return (
+        exploded.groupBy("i", "j")
+        .agg(F.sum("p").cast("decimal(38,0)").alias("g"))
+        .withColumn("n_vecs", F.lit(n).cast("long"))
+    )
+
+
+def ndcg_eval(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_pred: str = "vec_id % 50 = 0",
+) -> DataFrame:
+    """nDCG@k of the exact cosine ranking under same-label relevance —
+    the graded-position companion to label_ranking_eval's MRR/p@k,
+    completing the standard retrieval-eval trio.
+
+    Exactness: the 1/log2(r+1) discount for each rank r <= k is a
+    PRECOMPUTED integer literal on the 1e-9 lattice (w_r =
+    round(1e9/log2(r+1)) — python computes it once; neither engine
+    evaluates a log at query time), so DCG is an exact BIGINT sum of
+    looked-up literals, IDCG an exact prefix-sum literal indexed by
+    the capped corpus-wide relevant count, and nDCG ONE rounded
+    division of two integers. Queries whose label has no other corpus
+    member (ideal_rel = 0) report NULL ndcg.
+
+    Shapes: ranking = brute_force_topk (declared exact baseline; feed
+    an ANN operator's output for the approximate variant); label
+    attach and the per-label corpus counts are broadcast-sized joins.
+
+    Output: (query_id, n_rel_at_k, ideal_rel, dcg_fp, ndcg).
+    """
+    import math
+
+    kk = int(k)
+    w = [round(1e9 / math.log2(r + 1)) for r in range(1, kk + 1)]
+    cum = []
+    t = 0
+    for x in w:
+        t += x
+        cum.append(t)
+    w_arr = "array(" + ", ".join(f"{x}L" for x in w) + ")"
+    cum_arr = "array(" + ", ".join(f"{x}L" for x in cum) + ")"
+
+    ranked = brute_force_topk(embeddings, k=kk, query_pred=query_pred)
+    qlab = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )
+    nlab = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
+    )
+    lab_cnt = embeddings.groupBy(F.col("label").alias("qlab")).agg(
+        F.count("*").alias("n_lab")
+    )
+    j = ranked.join(qlab, "query_id").join(nlab, "neighbor_id")
+    rel = F.col("qlab") == F.col("nlab")
+    per = (
+        j.groupBy("query_id", "qlab")
+        .agg(
+            F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_rel_at_k"),
+            F.sum(
+                F.when(rel, F.expr(f"element_at({w_arr}, rk)")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("dcg_fp"),
+        )
+        .join(F.broadcast(lab_cnt), "qlab")
+        .withColumn(
+            "ideal_rel",
+            F.least(F.col("n_lab") - 1, F.lit(kk)).cast("long"),
+        )
+    )
+    return per.select(
+        "query_id",
+        "n_rel_at_k",
+        "ideal_rel",
+        "dcg_fp",
+        F.when(
+            F.col("ideal_rel") > 0,
+            F.expr(
+                f"round(dcg_fp / cast(element_at({cum_arr}, "
+                f"cast(ideal_rel as int)) as double), 6)"
+            ),
+        ).alias("ndcg"),
+    )

@@ -73,3 +73,40 @@ def test_phone_not_counted_inside_ip(spark):
     r = pii_scrub(docs).collect()[0]
     assert (r.n_ips, r.n_phones) == (1, 0)
     assert r.redacted_fp == hashlib.md5(b"octets <IP> end").hexdigest()
+
+
+def test_k_anonymity_hand_golden(spark):
+    """Class sizes, l-diversity, and threshold flags on a hand table:
+    the (en, web) class has 3 members but only 1 distinct sensitive
+    value -> k ok at 3, l VIOLATED."""
+    from careers_spark.operators.privacy import k_anonymity_audit
+
+    rows = [
+        ("en", "web", "a"), ("en", "web", "a"), ("en", "web", "a"),
+        ("en", "book", "a"), ("en", "book", "b"),
+        ("zh", "web", "c"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string, s string")
+    got = {
+        (r.lang, r.source): (r.class_size, r.l_distinct, r.meets_k, r.meets_l)
+        for r in k_anonymity_audit(
+            df, ["lang", "source"], sensitive="s", k=3, l=2
+        ).collect()
+    }
+    assert got[("en", "web")] == (3, 1, True, False)
+    assert got[("en", "book")] == (2, 2, False, True)
+    assert got[("zh", "web")] == (1, 1, False, False)
+
+
+def test_k_anonymity_no_sensitive_column(spark):
+    from careers_spark.operators.privacy import k_anonymity_audit
+
+    df = spark.createDataFrame([("en",), ("en",)], "lang string")
+    (r,) = k_anonymity_audit(df, ["lang"], k=2).collect()
+    assert (r.class_size, r.meets_k) == (2, True)
+    assert "l_distinct" not in r.asDict()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, [])

@@ -431,3 +431,105 @@ def test_label_ranking_eval_no_relevant_is_rr_zero(spark):
     (r,) = SIM.label_ranking_eval(emb, k=3, query_pred="vec_id = 0").collect()
     assert r.first_rel_rank is None
     assert (r.n_rel, r.p_at_k, r.rr) == (0, 0.0, 0.0)
+
+
+def test_embedding_gramian_hand_and_psd(spark):
+    """Hand lattice Gram on 3 tiny vectors, plus the PSD property of
+    the reconstructed matrix on the real sf0.001 table."""
+    import numpy as np
+
+    from careers_spark.operators.similarity import embedding_gramian
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.5, -1.0]), (2, [0.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.i, r.j): int(r.g) for r in embedding_gramian(df).collect()}
+    q = [[1000000, 2000000], [500000, -1000000], [0, 3000000]]
+    want = {
+        (i, j): sum(v[i] * v[j] for v in q)
+        for i in range(2)
+        for j in range(i, 2)
+    }
+    assert got == want
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    rows = embedding_gramian(emb).collect()
+    d = max(r.j for r in rows) + 1
+    assert len(rows) == d * (d + 1) // 2
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r.i, r.j] = G[r.j, r.i] = float(r.g)
+    evals = np.linalg.eigvalsh(G)
+    assert evals.min() > -1e-3 * abs(evals.max())  # PSD up to float noise
+    assert all(r.n_vecs == 200 for r in rows)
+
+
+def test_embedding_gramian_matches_numpy_lattice(spark):
+    """Exact equality with a numpy int64 recompute of the quantized
+    Gram on 50 real vectors."""
+    import numpy as np
+
+    from careers_spark.operators.similarity import embedding_gramian
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    pdf = emb.toPandas()
+    Q = np.array(
+        [
+            [round(float(np.float64(v)) * 1e6) for v in row]
+            for row in pdf["embedding"]
+        ],
+        dtype=np.int64,
+    )
+    W = Q.T @ Q
+    got = {(r.i, r.j): int(r.g) for r in embedding_gramian(emb).collect()}
+    for (i, j), g in got.items():
+        assert g == W[i, j]
+
+
+def test_ndcg_hand_golden(spark):
+    """Relevant at ranks 2 and 3 of k=3, corpus holds 3 relevant
+    partners -> ideal = top-3 prefix; hand lattice arithmetic."""
+    import math
+
+    from careers_spark.operators.similarity import ndcg_eval
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),   # query
+            (1, [0.9, 0.1], 2),   # rk 1, not relevant
+            (2, [0.8, 0.6], 1),   # rk 2, relevant
+            (3, [0.0, 1.0], 1),   # rk 3, relevant
+            (4, [-1.0, 0.0], 1),  # relevant but below k
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    (r,) = ndcg_eval(emb, k=3, query_pred="vec_id = 0").collect()
+    w = [round(1e9 / math.log2(i + 1)) for i in range(1, 4)]
+    dcg = w[1] + w[2]
+    idcg = w[0] + w[1] + w[2]  # ideal_rel = min(4 - 1, 3) = 3
+    assert (r.n_rel_at_k, r.ideal_rel, r.dcg_fp) == (2, 3, dcg)
+    assert r.ndcg == round(dcg / idcg, 6)
+
+
+def test_ndcg_perfect_and_absent_label(spark):
+    """A query whose relevant docs occupy the top ranks scores 1.0;
+    a label with no other member reports NULL."""
+    from careers_spark.operators.similarity import ndcg_eval
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.99, 0.01], 1),  # rk 1, relevant
+            (2, [0.9, 0.2], 1),    # rk 2, relevant
+            (3, [0.0, 1.0], 2),
+            (10, [0.5, 0.5], 9),   # lone label -> NULL ndcg
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r.query_id: r
+        for r in ndcg_eval(emb, k=2, query_pred="vec_id in (0, 10)").collect()
+    }
+    assert got[0].ndcg == 1.0 and got[0].ideal_rel == 2
+    assert got[10].ndcg is None and got[10].ideal_rel == 0
