@@ -2465,6 +2465,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["k_anonymity"] = k_anonymity
 
+    def join_size_cms(spark, sf_dir):
+        """Count-Min inner-product join-cardinality estimate for
+        events.user_id x orders.o_custkey (sketches.
+        join_size_estimate) — the planner-side broadcast-vs-shuffle
+        decision input; one-sided (estimate >= exact) by the CM
+        theorem, exhibited against the exact size."""
+        from careers_spark.operators.sketches import join_size_estimate
+
+        return join_size_estimate(
+            _t(spark, sf_dir, "events"),
+            _t(spark, sf_dir, "orders"),
+            "user_id",
+            "o_custkey",
+        )
+
+    q["join_size_cms"] = join_size_cms
+
+    def term_postings(spark, sf_dir):
+        """Blocked inverted-index postings (retrieval.term_postings):
+        per term with df >= 2, 64-doc posting blocks serialized as
+        'doc:tf' strings in doc_id order — the materialized search
+        index behind the bm25/QL scorers."""
+        from careers_spark.operators.retrieval import term_postings as TP
+
+        return TP(
+            _t(spark, sf_dir, "documents"), min_df=2, block_size=64
+        )
+
+    q["term_postings"] = term_postings
+
     def entity_closeness(spark, sf_dir):
         """Closeness + harmonic centrality of the min_obs=35 entity
         graph by exact multi-source BFS (graph.closeness_centrality) —
@@ -5330,6 +5360,73 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT term, cnt, {j} AS j, {p} AS cell FROM counts"
         for j, p in enumerate(_cm_pos)
     )
+    # join_size_cms: identical double-hash cells over the stringified
+    # keys; exact size is the count-product join; all integers, one
+    # guarded division.
+    _js_pos = SK.bloom_position_exprs("k", 4, 1024, duck=True)
+
+    def _js_cells(src: str) -> str:
+        return "\n          UNION ALL ".join(
+            f"SELECT cnt, {j} AS j, {p} AS cell FROM {src}"
+            for j, p in enumerate(_js_pos)
+        )
+
+    o["join_size_cms"] = f"""
+        WITH cl AS MATERIALIZED (
+          SELECT CAST(user_id AS VARCHAR) AS k,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1
+        ),
+        cr AS MATERIALIZED (
+          SELECT CAST(o_custkey AS VARCHAR) AS k,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM orders GROUP BY 1
+        ),
+        ca AS ({_js_cells("cl")}),
+        cb AS ({_js_cells("cr")}),
+        sa AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS a
+               FROM ca GROUP BY 1, 2),
+        sb AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS b
+               FROM cb GROUP BY 1, 2),
+        ip AS (SELECT sa.j, CAST(sum(a * b) AS BIGINT) AS ip
+               FROM sa JOIN sb ON sa.j = sb.j AND sa.cell = sb.cell
+               GROUP BY 1),
+        est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_estimate FROM ip),
+        ex AS (SELECT CAST(coalesce(sum(cl.cnt * cr.cnt), 0) AS BIGINT)
+                 AS exact_size
+               FROM cl JOIN cr ON cl.k = cr.k)
+        SELECT exact_size, cms_estimate,
+               CASE WHEN exact_size > 0
+                    THEN round(cms_estimate / CAST(exact_size AS DOUBLE),
+                               6) END AS overestimate_ratio,
+               4 AS d, 1024 AS w
+        FROM ex CROSS JOIN est
+    """
+
+    # term_postings: identical (term, doc_id) order; postings as an
+    # ORDER BY string_agg; `//` mirrors div.
+    o["term_postings"] = f"""
+        WITH t AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term
+                   FROM documents),
+        tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+               FROM t GROUP BY 1, 2),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1 HAVING count(*) >= 2),
+        blocked AS (
+          SELECT tf.term, dfq.df, tf.doc_id, tf.tf,
+                 (row_number() OVER (PARTITION BY tf.term
+                                     ORDER BY tf.doc_id) - 1) // 64
+                   AS block_id
+          FROM tf JOIN dfq USING (term)
+        )
+        SELECT term, df, block_id,
+               CAST(count(*) AS BIGINT) AS n_docs_in_block,
+               string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                          CAST(tf AS VARCHAR), ' ' ORDER BY doc_id)
+                 AS postings
+        FROM blocked GROUP BY 1, 2, 3
+    """
+
     o["token_heavy_hitters"] = f"""
         WITH counts AS MATERIALIZED (
           SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "lang_id",
     "doc_fingerprint",
     "token_pmi",
+    "term_postings",
     "bm25_search",
     "ql_dirichlet_search",
     "rocchio_expansion",
@@ -147,6 +148,7 @@ BENCH_QUERIES = [
     "vocab_coverage_curve",
     "substring_search",
     "token_heavy_hitters",
+    "join_size_cms",
     "documents_profile",
     "doc_chunks",
     "predicted_links",

@@ -480,3 +480,66 @@ def rocchio_expansion(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "term", "n_fb_docs", "score", F.col("rank").cast("int").alias("rank")
     )
+
+
+def term_postings(
+    documents: DataFrame,
+    min_df: int = 2,
+    block_size: int = 128,
+) -> DataFrame:
+    """Inverted-index construction — the materialized search index
+    behind bm25_topk/ql_dirichlet_topk's on-the-fly scoring: per term,
+    BLOCKED postings lists of (doc_id:tf) entries in ascending doc_id
+    order, plus the term's df. Blocking (block_size docs per posting
+    block, the Lucene skip-block shape) is what makes the row width
+    bounded at ANY term frequency: a stopword-grade term with 10^8
+    postings becomes 10^8/block_size rows, not one giant array.
+
+    Determinism: postings serialize as a 'doc:tf doc:tf ...' string
+    in doc_id order — integer content, explicit order, no
+    struct-rendering differences between engines. The block id comes
+    from a per-TERM row_number (partition-local sort — the standard
+    index-build shuffle; never global).
+
+    Output: (term, df, block_id, n_docs_in_block, postings).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select(
+            "doc_id", F.explode(tokens_col("text")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= int(min_df)
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    blocked = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "block_id",
+            F.expr(f"(row_number() over (partition by term order by doc_id)"
+                   f" - 1) div {int(block_size)}"),
+        )
+    )
+    return (
+        blocked.groupBy("term", "df", "block_id")
+        .agg(
+            F.count("*").alias("n_docs_in_block"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "tf"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["doc_id"].cast("string"),
+                        s["tf"].cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("postings"),
+        )
+    )

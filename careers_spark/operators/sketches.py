@@ -467,3 +467,81 @@ def hll_overlap(
             ).alias("est_overlap"),
         )
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Equi-join cardinality estimation by Count-Min inner product
+    (Cormode & Muthukrishnan 2005, §4.2) — the query-planner primitive
+    that decides broadcast-vs-shuffle and flags exploding joins BEFORE
+    paying for them: |L join R| = sum_k cL(k)*cR(k), and the CM
+    estimate min_j sum_cell A_j[cell]*B_j[cell] is ONE-SIDED
+    (estimate >= true, never an undercount — colliding keys only ADD
+    cross terms), with overshoot bounded by |L|*|R|/w per row w.h.p.
+
+    The exact size rides along (a vocabulary-sized count join, cheap
+    at these SFs) so the output machine-exhibits the theorem:
+    cms_estimate >= exact_size on every run. In production only the
+    two d x w sketches meet — each side's sketch builds in one
+    partial-agg pass and is a broadcast regardless of key cardinality,
+    which is the point: the planner estimates the join without
+    shuffling either input.
+
+    Everything is integer counts on the shared Kirsch-Mitzenmacher
+    md5 double-hash family — oracle-exact.
+
+    Output: ONE row (exact_size, cms_estimate, overestimate_ratio,
+    d, w).
+    """
+    def side_counts(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(F.col(key).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    cl, cr = side_counts(left, key_left), side_counts(right, key_right)
+    pos = bloom_position_exprs("k", d, w)
+
+    def sketch(counts: DataFrame, name: str) -> DataFrame:
+        return (
+            counts.select(
+                "cnt",
+                F.posexplode(
+                    F.array(*[F.expr(p) for p in pos])
+                ).alias("j", "cell"),
+            )
+            .groupBy("j", "cell")
+            .agg(F.sum("cnt").alias(name))
+        )
+
+    inner = (
+        sketch(cl, "a").join(sketch(cr, "b"), ["j", "cell"])
+        .groupBy("j")
+        .agg(F.sum(F.col("a") * F.col("b")).alias("ip"))
+        .agg(F.min("ip").alias("cms_estimate"))
+    )
+    exact = (
+        cl.join(cr.withColumnRenamed("cnt", "cnt_r"), "k")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("cnt") * F.col("cnt_r")), F.lit(0)
+            ).cast("long").alias("exact_size")
+        )
+    )
+    return exact.crossJoin(inner).select(
+        "exact_size",
+        "cms_estimate",
+        F.expr(
+            "case when exact_size > 0 then "
+            "round(cms_estimate / cast(exact_size as double), 6) end"
+        ).alias("overestimate_ratio"),
+        F.lit(int(d)).alias("d"),
+        F.lit(int(w)).alias("w"),
+    )

@@ -212,3 +212,56 @@ def test_hll_overlap_controlled_sets(spark):
     # union never smaller than either side
     for r in got.values():
         assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+
+
+def test_join_size_estimate_exact_and_one_sided(spark):
+    """Hand-computable exact size; CM estimate >= exact always, and
+    with 3 keys in 1024 cells, collision-free -> equality."""
+    from careers_spark.operators.sketches import join_size_estimate
+
+    left = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",)], "k string"
+    )
+    (r,) = join_size_estimate(left, right, "k", "k").collect()
+    assert r.exact_size == 2 * 1 + 1 * 2
+    assert r.cms_estimate >= r.exact_size
+    assert r.cms_estimate == r.exact_size  # no collisions at this size
+    assert r.overestimate_ratio == 1.0
+
+
+def test_join_size_estimate_tiny_sketch_overcounts(spark):
+    """Forcing collisions (w=2) makes the estimate strictly one-sided
+    on disjoint key sets: exact 0, estimate > 0, ratio NULL."""
+    from careers_spark.operators.sketches import join_size_estimate
+
+    left = spark.createDataFrame([(f"l{i}",) for i in range(8)], "k string")
+    right = spark.createDataFrame([(f"r{i}",) for i in range(8)], "k string")
+    (r,) = join_size_estimate(left, right, "k", "k", d=2, w=2).collect()
+    assert r.exact_size == 0
+    assert r.cms_estimate > 0
+    assert r.overestimate_ratio is None
+
+
+def test_term_postings_blocks_and_order(spark):
+    from careers_spark.operators.retrieval import term_postings
+
+    docs = [
+        (3, "apple banana apple"),
+        (1, "apple"),
+        (2, "apple banana"),
+        (9, "apple"),
+        (4, "cherry"),  # df=1 -> filtered at min_df=2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.term, r.block_id): (r.df, r.n_docs_in_block, r.postings)
+        for r in term_postings(df, min_df=2, block_size=2).collect()
+    }
+    # apple: docs 1,2,3,9 (tf 1,1,2,1) -> blocks [1,2], [3,9]
+    assert got[("apple", 0)] == (4, 2, "1:1 2:1")
+    assert got[("apple", 1)] == (4, 2, "3:2 9:1")
+    assert got[("banana", 0)] == (2, 2, "2:1 3:1")
+    assert not any(t == "cherry" for t, _ in got)
