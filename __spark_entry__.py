@@ -1596,6 +1596,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_burstiness"] = user_burstiness
 
+    def rolling_median_value(spark, sf_dir):
+        """Exact trailing-7-day median of event value per user
+        (temporal.rolling_median) — the robust rolling statistic via a
+        RANGE frame over integer days; percentile()/quantile_cont
+        convention pinned by length_quantiles."""
+        from careers_spark.operators.temporal import rolling_median
+
+        return rolling_median(_t(spark, sf_dir, "events"), window_days=7)
+
+    q["rolling_median_value"] = rolling_median_value
+
+    def sequential_patterns(spark, sf_dir):
+        """Length-2 sequential-pattern support over user event streams
+        (funnel.sequential_pattern_support): gaps-allowed a-then-b
+        actor counts from a bounded per-actor (type, min_ts, max_ts)
+        frame — never a scan over raw pairs."""
+        from careers_spark.operators.funnel import (
+            sequential_pattern_support,
+        )
+
+        return sequential_pattern_support(
+            _t(spark, sf_dir, "events"), min_support=2
+        )
+
+    q["sequential_patterns"] = sequential_patterns
+
     def distinct_sketch(spark, sf_dir):
         """k-independent-minimums cardinality sketch (k=64) vs exact
         count(distinct) per event_type over (user_id, value-cents) keys
@@ -1708,6 +1734,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TS.char_entropy(_t(spark, sf_dir, "documents"))
 
     q["char_entropy"] = char_entropy
+
+    def lexical_richness(spark, sf_dir):
+        """Per-doc vocabulary richness: TTR, hapax share, Herdan's C
+        (textstats.lexical_richness) — integer counts, single
+        divisions, ln/ln lockstep."""
+        return TS.lexical_richness(_t(spark, sf_dir, "documents"))
+
+    q["lexical_richness"] = lexical_richness
 
     # ---- multimodal plumbing ----
     q["frame_sample_plan"] = lambda spark, sf_dir: MM.frame_sample_plan(
@@ -4141,6 +4175,45 @@ def oracle_sql() -> dict[str, str]:
         FROM a
     """
 
+    # rolling_median_value: identical RANGE frame; quantile_cont is
+    # percentile's interpolation convention (pinned by
+    # length_quantiles); DISTINCT collapses the per-day peers.
+    o["rolling_median_value"] = """
+        WITH b AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day, value AS v
+          FROM events
+        )
+        SELECT DISTINCT user_id, day,
+               CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+               round(quantile_cont(v, 0.5e0) OVER w, 6) AS median_val
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+    # sequential_patterns: the bounded per-actor span frame stated
+    # directly; integer counts, one division by the distinct-actor
+    # count.
+    o["sequential_patterns"] = """
+        WITH s AS (
+          SELECT user_id AS k, event_type AS t,
+                 CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+                 CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+          FROM events GROUP BY 1, 2
+        ),
+        n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events)
+        SELECT a.t AS ante, b.t AS cons,
+               CAST(count(*) AS BIGINT) AS n_actors,
+               round(count(*) / CAST(n_users AS DOUBLE), 6)
+                 AS support_frac
+        FROM s a JOIN s b
+          ON a.k = b.k AND a.t <> b.t AND a.first_us < b.last_us
+        CROSS JOIN n
+        GROUP BY 1, 2, n_users
+        HAVING count(*) >= 2
+    """
+
     o["event_anomalies"] = """
         WITH b AS (
           SELECT event_type, epoch_us(ts) // 3600000000 AS bkt,
@@ -4756,6 +4829,30 @@ def oracle_sql() -> dict[str, str]:
                      / (n.n * 1000000000e0), 6) AS entropy_nats
         FROM cf JOIN n USING (doc_id)
         GROUP BY 1, 2, 3
+    """
+
+    # lexical_richness: integer (N, V, hapax) from the same tf table;
+    # single divisions; ln/ln shared expression text.
+    o["lexical_richness"] = f"""
+        WITH tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+          ) GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+          FROM tf GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, n_types, n_hapax,
+               round(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+               round(n_hapax / CAST(n_types AS DOUBLE), 6) AS hapax_share,
+               CASE WHEN n_tokens >= 2 THEN
+                 round(ln(CAST(n_types AS DOUBLE))
+                       / ln(CAST(n_tokens AS DOUBLE)), 6) END AS herdan_c
+        FROM per
     """
 
     o["unigram_logloss"] = f"""

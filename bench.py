@@ -59,8 +59,10 @@ BENCH_QUERIES = [
     "clicks_before_purchase",
     "event_rollup_hourly",
     "rolling_revenue",
+    "rolling_median_value",
     "funnel_view_click_purchase",
     "event_transition_matrix",
+    "sequential_patterns",
     "conversion_latency_quantiles",
     "top_user_journeys",
     "cohort_retention",
@@ -157,6 +159,7 @@ BENCH_QUERIES = [
     "quality_percentile_gate",
     "unigram_logloss",
     "char_entropy",
+    "lexical_richness",
     "bigram_lm_filter",
     "ngram_novelty",
     "doc_length_histogram",

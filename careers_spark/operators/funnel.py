@@ -560,3 +560,63 @@ def ab_conversion_test(
         ).alias("lift"),
         F.expr(z).alias("z"),
     )
+
+
+def sequential_pattern_support(
+    events: DataFrame,
+    min_support: int = 2,
+    key: str = "user_id",
+    etype: str = "event_type",
+    ts: str = "ts",
+) -> DataFrame:
+    """Length-2 sequential-pattern support (the a -> b core of
+    AprioriAll / PrefixSpan): for each ordered event-type pair, how
+    many actors exhibit "a at some point, b strictly later" — the
+    gaps-allowed subsequence relation, NOT adjacency (that is
+    event_transitions' Markov view; the two disagree exactly when a
+    third event intervenes, which is the point of sequence mining).
+
+    Scale shape: the stream collapses FIRST to one row per (actor,
+    type) carrying min/max event time — a partial-agg groupBy that
+    shrinks the data by the actor's event count; "a before b" is then
+    min_ts(a) < max_ts(b) over a per-actor self-join of that bounded
+    frame (fan-out <= distinct-types^2 per actor, independent of
+    stream length). Support counts actors once per pattern by
+    construction. All integers.
+
+    Ties: a strictly-later b requires max_ts(b) > min_ts(a) as raw
+    microseconds — simultaneous events never support a sequence.
+
+    Output: (ante, cons, n_actors, support_frac) for ordered pairs
+    with n_actors >= min_support, ante != cons.
+    """
+    from careers_spark.operators.temporal import _us
+
+    spans = events.groupBy(
+        F.col(key).alias("k"), F.col(etype).alias("t")
+    ).agg(
+        F.min(_us(ts)).alias("first_us"),
+        F.max(_us(ts)).alias("last_us"),
+    )
+    n_actors = events.select(key).distinct().count()
+    a = spans.selectExpr("k", "t as ante", "first_us")
+    b = spans.selectExpr("k as k2", "t as cons", "last_us")
+    return (
+        a.join(
+            b,
+            (a.k == b.k2)
+            & (F.col("ante") != F.col("cons"))
+            & (F.col("first_us") < F.col("last_us")),
+        )
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("n_actors"))
+        .filter(F.col("n_actors") >= int(min_support))
+        .select(
+            "ante",
+            "cons",
+            "n_actors",
+            F.expr(
+                f"round(n_actors / cast({n_actors} as double), 6)"
+            ).alias("support_frac"),
+        )
+    )

@@ -1245,3 +1245,59 @@ def interarrival_burstiness(
             ),
         ).alias("burstiness"),
     )
+
+
+def rolling_median(
+    events: DataFrame,
+    window_days: int = 7,
+    key: str = "user_id",
+    ts: str = "ts",
+    val: str = "value",
+) -> DataFrame:
+    """Exact trailing-window MEDIAN per key — the robust companion to
+    rolling_window_agg's sum/count: medians shrug off the value
+    spikes that drag a rolling mean (the standard monitoring
+    distinction). Exact rolling quantiles are the textbook
+    hard-at-scale window (not algebraic, not re-aggregable); this
+    stays exact the same way the rolling sum does — a RANGE frame
+    over integer days-since-epoch, so the frame holds the raw values
+    of the trailing `window_days` and percentile() evaluates over
+    that SET. Same-day rows are peers: every row of a (key, day)
+    sees the identical frame, which is why the output collapses to
+    one row per (key, day) with no information loss.
+
+    Exactness: percentile() interpolation over a well-defined value
+    set is order-independent and matches DuckDB's quantile_cont
+    convention (pinned by length_quantiles); the median is rounded
+    to 6 after interpolation. Day ids are integer `div` of epoch
+    microseconds.
+
+    At genuinely unbounded per-key density, swap percentile for
+    approx_percentile (GK sketch, bounded state) — the same
+    documented trade as length_quantiles' exact=False.
+
+    Output: (key, day, n_in_window, median_val).
+    """
+    d = int(window_days)
+    base = events.select(
+        F.col(key),
+        F.expr(
+            f"unix_micros(cast({ts} as timestamp)) div 86400000000"
+        ).alias("day"),
+        F.col(val).alias("v"),
+    )
+    over = (
+        f"(partition by {key} order by day "
+        f"range between {d - 1} preceding and current row)"
+    )
+    return (
+        base.select(
+            key,
+            "day",
+            F.expr(f"count(*) over {over}").alias("n_in_window"),
+            F.expr(f"round(percentile(v, 0.5e0) over {over}, 6)").alias(
+                "median_val"
+            ),
+        )
+        .dropDuplicates([key, "day"])
+    )

@@ -1068,3 +1068,51 @@ def char_entropy(documents: DataFrame) -> DataFrame:
             " as bigint)) / (n * 1000000000e0), 6)"
         ).alias("entropy_nats"),
     )
+
+
+def lexical_richness(documents: DataFrame) -> DataFrame:
+    """Per-document vocabulary-richness profile — the lexical-diversity
+    quality signals (template/spam text reuses few types; natural prose
+    doesn't): type-token ratio, hapax share (types occurring once —
+    Zipf's tail presence), and Herdan's C = ln V / ln N, the
+    length-robust TTR variant (plain TTR decays mechanically with doc
+    length, which is why C is reported alongside it).
+
+    All counts are integers from ONE (doc, term) groupBy + one per-doc
+    groupBy (both partial-agg friendly, no join/window/sort); TTR and
+    hapax share are single rounded divisions; Herdan's C is one
+    ln/ln expression over integers (ln lockstep pinned by tfidf/PMI),
+    NULL for docs with N < 2 where the denominator degenerates.
+
+    Output: (doc_id, n_tokens, n_types, n_hapax, ttr, hapax_share,
+    herdan_c).
+    """
+    tf = (
+        documents.select(
+            "doc_id", F.explode(tokens_col("text")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    per = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("round(n_types / cast(n_tokens as double), 6)").alias("ttr"),
+        F.expr("round(n_hapax / cast(n_types as double), 6)").alias(
+            "hapax_share"
+        ),
+        F.expr(
+            "case when n_tokens >= 2 then "
+            "round(ln(cast(n_types as double)) / "
+            "ln(cast(n_tokens as double)), 6) end"
+        ).alias("herdan_c"),
+    )

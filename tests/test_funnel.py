@@ -260,3 +260,58 @@ def test_ab_conversion_degenerate_pool_is_null(spark):
     e = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
     r = ab_conversion_test(e).collect()[0]
     assert r.z is None and r.c_0 == 0 and r.c_1 == 0
+
+
+def test_sequential_pattern_support_gaps_and_ties(spark):
+    """Subsequence (gaps allowed) vs adjacency; simultaneous events
+    support nothing; support counts each actor once."""
+    import datetime as dt
+
+    from careers_spark.operators.funnel import sequential_pattern_support
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: view .. click .. view .. purchase (gap between
+        # click and purchase — still click->purchase)
+        (1, "view", ts(0)), (1, "click", ts(10)),
+        (1, "view", ts(20)), (1, "purchase", ts(30)),
+        # user 2: click and purchase SIMULTANEOUS -> no support either way
+        (2, "click", ts(5)), (2, "purchase", ts(5)),
+        # user 3: purchase then click (reverse order only)
+        (3, "purchase", ts(1)), (3, "click", ts(9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (r.ante, r.cons): (r.n_actors, r.support_frac)
+        for r in sequential_pattern_support(df, min_support=1).collect()
+    }
+    assert got[("click", "purchase")] == (1, round(1 / 3, 6))
+    assert got[("purchase", "click")] == (1, round(1 / 3, 6))
+    assert got[("view", "purchase")] == (1, round(1 / 3, 6))
+    assert ("click", "click") not in got  # ante != cons
+    # user 1 supports view->click once despite two views
+    assert got[("view", "click")] == (1, round(1 / 3, 6))
+
+
+def test_sequential_pattern_min_support_filter(spark):
+    import datetime as dt
+
+    from careers_spark.operators.funnel import sequential_pattern_support
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(4):
+        rows.append((u, "a", t0))
+        rows.append((u, "b", t0 + dt.timedelta(seconds=1)))
+    rows.append((9, "b", t0))
+    rows.append((9, "c", t0 + dt.timedelta(seconds=1)))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (r.ante, r.cons): r.n_actors
+        for r in sequential_pattern_support(df, min_support=2).collect()
+    }
+    assert got == {("a", "b"): 4}  # b->c support 1 filtered

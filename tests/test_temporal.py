@@ -901,3 +901,60 @@ def test_burstiness_min_gaps_guard_and_poisson_band(spark):
     (r,) = interarrival_burstiness(df, min_gaps=2).collect()
     assert r.n_gaps == 1 and r.cv is None and r.burstiness is None
     assert r.mean_gap_s == 50.0
+
+
+def test_rolling_median_hand_frames(spark):
+    """Trailing 3-day median per key: frames, peers, and the
+    interpolated even-count convention — hand values."""
+    import datetime as dt
+
+    from careers_spark.operators.temporal import rolling_median
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 7: days 0,1,2,4 with values 10, 30, 20, 100
+        (1, t0, 7, 10.0),
+        (2, t0 + dt.timedelta(days=1), 7, 30.0),
+        (3, t0 + dt.timedelta(days=2), 7, 20.0),
+        (4, t0 + dt.timedelta(days=4), 7, 100.0),
+        # same-day peers for user 8: both rows in one frame
+        (5, t0, 8, 1.0),
+        (6, t0, 8, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r.user_id, r.day): (r.n_in_window, r.median_val)
+        for r in rolling_median(df, window_days=3).collect()
+    }
+    d0 = (t0 - dt.datetime(1970, 1, 1)).days
+    assert got[(7, d0)] == (1, 10.0)
+    assert got[(7, d0 + 1)] == (2, 20.0)        # (10+30)/2
+    assert got[(7, d0 + 2)] == (3, 20.0)        # median(10,30,20)
+    # day 4's trailing-3 frame covers days 2..4 only -> (20, 100)
+    assert got[(7, d0 + 4)] == (2, 60.0)
+    assert got[(8, d0)] == (2, 2.0)             # same-day peers
+    assert len(got) == 5  # one row per (key, day)
+
+
+def test_rolling_median_robust_to_spike(spark):
+    """The monitoring property: a one-day spike drags the rolling mean
+    but not the rolling median."""
+    import datetime as dt
+
+    from careers_spark.operators.temporal import rolling_median
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, 10.0 if i != 3 else 10000.0)
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    meds = {
+        r.day: r.median_val
+        for r in rolling_median(df, window_days=7).collect()
+    }
+    assert all(m == 10.0 for m in meds.values())

@@ -308,3 +308,37 @@ def test_char_entropy_boilerplate_below_natural_text(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.doc_id: r.entropy_nats for r in char_entropy(df).collect()}
     assert got[0] < got[1]
+
+
+def test_lexical_richness_hand_golden(spark):
+    import math
+
+    from careers_spark.operators.textstats import lexical_richness
+
+    docs = [
+        (0, "a b a c"),       # N=4, V=3, hapax={b,c}=2
+        (1, "x x x x"),       # N=4, V=1, hapax=0
+        (2, "solo"),          # N=1 -> herdan NULL
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.n_hapax, r.ttr,
+                   r.hapax_share, r.herdan_c)
+        for r in lexical_richness(df).collect()
+    }
+    assert got[0] == (4, 3, 2, 0.75, round(2 / 3, 6),
+                      round(math.log(3) / math.log(4), 6))
+    assert got[1] == (4, 1, 0, 0.25, 0.0, 0.0)
+    assert got[2] == (1, 1, 1, 1.0, 1.0, None)
+
+
+def test_lexical_richness_template_below_prose(spark):
+    from careers_spark.operators.textstats import lexical_richness
+
+    docs = [
+        (0, "buy now buy now buy now buy now buy now"),
+        (1, "the committee reviewed seven proposals before choosing two"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.ttr for r in lexical_richness(df).collect()}
+    assert got[0] < got[1]
