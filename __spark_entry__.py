@@ -2516,6 +2516,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_size_cms"] = join_size_cms
 
+    def bitmap_distinct_users(spark, sf_dir):
+        """Exact MERGEABLE distinct users per event type via 63-bit
+        bitmap words + algebraic bit_or (sketches.bitmap_distinct) —
+        the ClickHouse groupBitmap primitive; equality with the
+        direct countDistinct and the mask-only '__ALL__' rollup are
+        both exhibited in-query."""
+        from careers_spark.operators.sketches import bitmap_distinct
+
+        return bitmap_distinct(_t(spark, sf_dir, "events"))
+
+    q["bitmap_distinct_users"] = bitmap_distinct_users
+
     def term_postings(spark, sf_dir):
         """Blocked inverted-index postings (retrieval.term_postings):
         per term with df >= 2, 64-doc posting blocks serialized as
@@ -5467,6 +5479,46 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT cnt, {j} AS j, {p} AS cell FROM {src}"
             for j, p in enumerate(_js_pos)
         )
+
+    # bitmap_distinct_users: identical 63-bit word/bit split; DuckDB's
+    # bit_or aggregate and bit_count mirror Spark's; all integers.
+    o["bitmap_distinct_users"] = """
+        WITH base AS (
+          SELECT CAST(event_type AS VARCHAR) AS g, user_id AS k
+          FROM events
+        ),
+        masks AS (
+          SELECT g, k // 63 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(k % 63 AS INTEGER))
+                   AS mask
+          FROM base GROUP BY 1, 2
+        ),
+        per_g AS (
+          SELECT g, CAST(sum(bit_count(mask)) AS BIGINT)
+                   AS n_distinct_bitmap,
+                 CAST(count(*) AS BIGINT) AS words_used
+          FROM masks GROUP BY 1
+        ),
+        ex AS (SELECT g, CAST(count(DISTINCT k) AS BIGINT)
+                 AS n_distinct_exact FROM base GROUP BY 1),
+        rolled AS (
+          SELECT '__ALL__' AS g,
+                 CAST(sum(bit_count(mask)) AS BIGINT)
+                   AS n_distinct_bitmap,
+                 CAST(count(*) AS BIGINT) AS words_used
+          FROM (SELECT word, bit_or(mask) AS mask FROM masks GROUP BY 1)
+        ),
+        all_ex AS (SELECT '__ALL__' AS g,
+                          CAST(count(DISTINCT k) AS BIGINT)
+                            AS n_distinct_exact FROM base)
+        SELECT per_g.g AS event_type, n_distinct_bitmap,
+               n_distinct_exact, words_used
+        FROM per_g JOIN ex USING (g)
+        UNION ALL
+        SELECT rolled.g AS event_type, n_distinct_bitmap,
+               n_distinct_exact, words_used
+        FROM rolled JOIN all_ex USING (g)
+    """
 
     o["join_size_cms"] = f"""
         WITH cl AS MATERIALIZED (

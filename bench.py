@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "event_trend_slopes",
     "key_skew_report",
     "distinct_sketch",
+    "bitmap_distinct_users",
     "top_orders_per_cust",
     "basket_rules",
     "item_neighbors_cosine",

@@ -265,3 +265,40 @@ def test_term_postings_blocks_and_order(spark):
     assert got[("apple", 1)] == (4, 2, "3:2 9:1")
     assert got[("banana", 0)] == (2, 2, "2:1 3:1")
     assert not any(t == "cherry" for t, _ in got)
+
+
+def test_bitmap_distinct_exact_and_mergeable(spark):
+    """Bitmap count == exact distinct per group; the __ALL__ row is
+    built ONLY from per-group masks and equals the direct global
+    distinct (the mergeability property, with overlap across groups
+    so naive summing would be wrong)."""
+    from careers_spark.operators.sketches import bitmap_distinct
+
+    rows = [
+        ("a", 0), ("a", 1), ("a", 63), ("a", 1),   # 3 distinct, 2 words
+        ("b", 1), ("b", 64), ("b", 126),           # 3 distinct; 1 shared w/ a
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = {
+        r.event_type: (r.n_distinct_bitmap, r.n_distinct_exact, r.words_used)
+        for r in bitmap_distinct(df).collect()
+    }
+    assert got["a"] == (3, 3, 2)
+    assert got["b"] == (3, 3, 3)  # words 0, 1, 2 (ids 1, 64, 126)
+    # union is 5 (id 1 shared), NOT 6 — merge must dedupe across groups
+    assert got["__ALL__"][0] == 5 and got["__ALL__"][1] == 5
+
+
+def test_bitmap_distinct_word_boundaries(spark):
+    """ids 62 and 63 land in different 63-bit words; no sign-bit use."""
+    from careers_spark.operators.sketches import bitmap_distinct
+
+    df = spark.createDataFrame(
+        [("x", 62), ("x", 63), ("x", 125), ("x", 126)],
+        "event_type string, user_id long",
+    )
+    got = {
+        r.event_type: (r.n_distinct_bitmap, r.words_used)
+        for r in bitmap_distinct(df).collect()
+    }
+    assert got["x"] == (4, 3)  # words 0 (62), 1 (63, 125), 2 (126)
