@@ -278,6 +278,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spatial_neighbor_pairs"] = spatial_neighbor_pairs
 
+    def zorder_layout(spark, sf_dir):
+        """Morton/Z-order clustering keys for the customer lattice
+        (spatial.zorder_key) — the OPTIMIZE ZORDER layout primitive;
+        pure integer bit interleave, a projection with zero
+        shuffles."""
+        from careers_spark.operators.spatial import (
+            lattice_points,
+            zorder_key,
+        )
+
+        pts = lattice_points(
+            _t(spark, sf_dir, "customer"), "c_custkey", extent=4096,
+            seed="geo0",
+        )
+        return zorder_key(pts, bits=12)
+
+    q["zorder_layout"] = zorder_layout
+
     def forecast_backtest(spark, sf_dir):
         """One-step-ahead EWMA forecast vs the seasonal-naive baseline
         scored by MAE and MASE (Hyndman & Koehler) — all errors exact
@@ -938,6 +956,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=8)
 
     q["bpe_learn_merges"] = bpe_learn_merges
+
+    def bpe_fertility(spark, sf_dir):
+        """Tokenizer fertility (subwords per word) under the learned
+        8-merge BPE (tokenizer.bpe_fertility) — the vocabulary-sizing
+        metric; encode pass is a regexp chain over the vocab table,
+        per-doc totals integer."""
+        from careers_spark.operators.tokenizer import bpe_fertility as BF
+
+        return BF(_t(spark, sf_dir, "documents"), n_merges=8)
+
+    q["bpe_fertility"] = bpe_fertility
 
     # ---- text analysis ----
     q["token_counts"] = lambda spark, sf_dir: TS.token_counts(
@@ -8281,6 +8310,27 @@ def oracle_sql() -> dict[str, str]:
               <= 64 * 64
     """
 
+    # zorder_layout: identical md5 lattice; the interleave stated with
+    # DuckDB's << >> & operators over the same fixed 12-term chain.
+    _z_terms = " + ".join(
+        f"((((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(12)
+    )
+    o["zorder_layout"] = f"""
+        WITH pts AS (
+          SELECT c_custkey AS pt_id,
+                 ('0x' || substr(md5('geo0_x_' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096
+                   AS x,
+                 ('0x' || substr(md5('geo0_y_' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096
+                   AS y
+          FROM customer
+        )
+        SELECT pt_id, x, y, CAST({_z_terms} AS BIGINT) AS zkey
+        FROM pts
+    """
+
     # length_quality_corr: quality SQL nested; y on the 1e-6 lattice,
     # the five sums exact BIGINTs, r the identical expression text as
     # evaluation._CORR_R.
@@ -8451,6 +8501,27 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM bb{_r}" for _r in range(_BPE_ROUNDS)
         )
         + ")"
+    )
+
+    # bpe_fertility: the SAME unrolled CTE chain; be8 holds the final
+    # encodings, symbol counts are integers, one rounded division.
+    o["bpe_fertility"] = (
+        "WITH "
+        + ",\n".join(_bpe_ctes)
+        + f""",
+        ws AS (
+          SELECT tok,
+                 CAST(len(string_split(substr(enc, 2, length(enc) - 2),
+                                       '||')) AS BIGINT) AS n_sym
+          FROM be{_BPE_ROUNDS}
+        ),
+        dt AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(n_sym) AS BIGINT) AS n_subwords,
+               round(sum(n_sym) / CAST(count(*) AS DOUBLE), 6)
+                 AS fertility
+        FROM dt JOIN ws USING (tok)
+        GROUP BY 1"""
     )
 
 

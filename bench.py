@@ -199,10 +199,12 @@ BENCH_QUERIES = [
     "winnowing_overlap_pairs",
     "session_busy_overlap",
     "spatial_neighbor_pairs",
+    "zorder_layout",
     "length_quality_corr",
     "dsir_weights",
     "dsir_sample",
     "bpe_learn_merges",
+    "bpe_fertility",
     "dedup_screen_eval",
     "bootstrap_mean_ci",
     "fs_em_linkage",

@@ -113,3 +113,43 @@ def grid_distance_join(points: DataFrame, radius: int) -> DataFrame:
         .select("pt_a", "pt_b", (dx * dx + dy * dy).alias("dist2"))
         .filter(F.col("dist2") <= F.lit(r * r))
     )
+
+
+def zorder_key(
+    points: DataFrame,
+    bits: int = 16,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Morton / Z-order key: interleave the low `bits` bits of (x, y)
+    into one integer — the space-filling-curve clustering key behind
+    Delta/Iceberg's OPTIMIZE ZORDER and HBase/Bigtable salting
+    schemes: sorting a table by z co-locates spatially-near rows into
+    the same files, so min/max zone maps prune 2-D range queries that
+    a single-column sort cannot.
+
+    Pure integer bit algebra as ONE fixed `bits`-term expression
+    chain (((x >> i) & 1) << 2i | ((y >> i) & 1) << (2i+1)) — a
+    projection, zero shuffles; the sort that USES the key is the
+    one-off layout job. 2*bits <= 62 keeps every value a positive
+    BIGINT (the bitmap_distinct sign rule). Raises if a coordinate
+    exceeds the bit budget instead of silently aliasing distant
+    points together.
+
+    Output: input columns + zkey.
+    """
+    b = int(bits)
+    if not 1 <= b <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    terms = " + ".join(
+        f"(shiftleft(shiftright({x}, {i}) & 1, {2 * i})"
+        f" + shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1}))"
+        for i in range(b)
+    )
+    lim = 1 << b
+    guard = (
+        f"case when {x} >= {lim} or {y} >= {lim} or {x} < 0 or {y} < 0 "
+        f"then raise_error('zorder_key: coordinate exceeds {b}-bit "
+        f"budget') else cast({terms} as bigint) end"
+    )
+    return points.withColumn("zkey", F.expr(guard))

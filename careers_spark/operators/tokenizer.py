@@ -163,3 +163,65 @@ def bpe_learn(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     return spark.createDataFrame(
         merges, "rk int, left_sym string, right_sym string, pair_count long"
     )
+
+
+def bpe_fertility(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Tokenizer fertility under the learned BPE: per document, how
+    many subword symbols the n_merges-round BPE vocabulary spends per
+    word — THE tokenizer-efficiency metric (multilingual papers
+    report fertility per language to size vocabularies; cost scales
+    with subwords, not words).
+
+    Composes bpe_learn (the exact training loop) with an encode pass:
+    the learned merges apply to the corpus VOCABULARY as the same
+    n_merges literal regexp_replace chain (one projection over the
+    dimension-sized vocab table — documents never re-scan), each
+    word's subword count is the symbol count of its final encoding,
+    and per-doc totals come from one explode + a broadcast vocab
+    join. All integers; fertility one rounded division.
+
+    Output: (doc_id, n_tokens, n_subwords, fertility).
+    """
+    merges = bpe_learn(documents, n_merges=n_merges).collect()
+    vocab = (
+        documents.select(F.explode(tokens_col()).alias("tok"))
+        .distinct()
+        .withColumn(
+            "enc",
+            F.expr(
+                "concat('|', concat_ws('||', transform(sequence(1, "
+                f"length(concat(tok, '{EOW}'))), "
+                f"i -> substring(concat(tok, '{EOW}'), i, 1))), '|')"
+            ),
+        )
+    )
+    for m in sorted(merges, key=lambda r: r.rk):
+        l, r = m.left_sym, m.right_sym
+        vocab = vocab.withColumn(
+            "enc",
+            F.regexp_replace("enc", f"\\|{l}\\|\\|{r}\\|", f"|{l}{r}|"),
+        )
+    word_sym = vocab.select(
+        "tok",
+        F.expr(
+            "cast(size(split(substring(enc, 2, length(enc) - 2), "
+            "'\\\\|\\\\|')) as bigint)"
+        ).alias("n_sym"),
+    )
+    toks = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    return (
+        toks.join(F.broadcast(word_sym), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_sym").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_subwords",
+            F.expr(
+                "round(n_subwords / cast(n_tokens as double), 6)"
+            ).alias("fertility"),
+        )
+    )

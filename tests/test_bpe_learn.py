@@ -94,3 +94,37 @@ def test_bpe_learn_parallelism_invariant(spark):
     a = bpe_learn(df, n_merges=5).collect()
     b = bpe_learn(df.repartition(11), n_merges=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bpe_fertility_hand_golden(spark):
+    """One merge on a two-word corpus: 'aa' merges, so 'aab' encodes
+    to [aa, b, _] (3 symbols) and 'cd' stays [c, d, _] (3 symbols);
+    with n_merges=1 fertility is hand-computable."""
+    from careers_spark.operators.tokenizer import bpe_fertility
+
+    docs = [
+        (0, "aab aab cd"),   # 3 tokens
+        (1, "cd"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_subwords, r.fertility)
+        for r in bpe_fertility(df, n_merges=1).collect()
+    }
+    # merge 1 is ('a','a') (freq 2, beats any other pair on the
+    # (cnt desc, l, r) tie-break): 'aab_' -> aa|b|_ (3), 'cd_' -> c|d|_ (3)
+    assert got[0] == (3, 9, 3.0)
+    assert got[1] == (1, 3, 3.0)
+
+
+def test_bpe_fertility_decreases_with_merges(spark):
+    """More merges can only shorten encodings (monotone
+    non-increasing total subwords)."""
+    from careers_spark.operators.tokenizer import bpe_fertility
+
+    docs = [(i, "alpha beta alpha beta gamma") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    f1 = {r.doc_id: r.n_subwords for r in bpe_fertility(df, 1).collect()}
+    f6 = {r.doc_id: r.n_subwords for r in bpe_fertility(df, 6).collect()}
+    assert all(f6[d] <= f1[d] for d in f1)
+    assert any(f6[d] < f1[d] for d in f1)

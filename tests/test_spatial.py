@@ -62,3 +62,48 @@ def test_grid_join_rejects_bad_radius(spark):
     pts = SP.lattice_points(spark.range(5), "id", 32, "r")
     with pytest.raises(ValueError):
         SP.grid_distance_join(pts, radius=0)
+
+
+def test_zorder_interleave_matches_python(spark):
+    from careers_spark.operators.spatial import lattice_points, zorder_key
+
+    pts = lattice_points(spark.range(200), "id", extent=256, seed="z")
+    got = {r.pt_id: r.zkey for r in zorder_key(pts, bits=8).collect()}
+
+    def z(xx, yy):
+        v = 0
+        for i in range(8):
+            v |= ((xx >> i) & 1) << (2 * i)
+            v |= ((yy >> i) & 1) << (2 * i + 1)
+        return v
+
+    for p in pts.collect():
+        assert got[p.pt_id] == z(p.x, p.y)
+
+
+def test_zorder_monotone_and_locality(spark):
+    """z is monotone in x for fixed y, and quadrant-level locality
+    holds: all points of one 128x128 quadrant precede every point of
+    the diagonal-opposite quadrant."""
+    from careers_spark.operators.spatial import zorder_key
+
+    rows = [(i, i, 7) for i in range(64)] + [
+        (1000, 10, 10), (1001, 200, 200)
+    ]
+    df = spark.createDataFrame(rows, "pt_id long, x long, y long")
+    got = {r.pt_id: r.zkey for r in zorder_key(df, bits=8).collect()}
+    xs = [got[i] for i in range(64)]
+    assert xs == sorted(xs)  # monotone in x at fixed y
+    assert got[1000] < got[1001]  # low-low quadrant before high-high
+
+
+def test_zorder_budget_guard(spark):
+    import pytest
+
+    from careers_spark.operators.spatial import zorder_key
+
+    df = spark.createDataFrame([(1, 300, 0)], "pt_id long, x long, y long")
+    with pytest.raises(Exception):
+        zorder_key(df, bits=8).collect()
+    with pytest.raises(ValueError):
+        zorder_key(df, bits=0)
