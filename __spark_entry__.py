@@ -296,6 +296,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zorder_layout"] = zorder_layout
 
+    def zonemap_pruning(spark, sf_dir):
+        """Zone-map pruning evaluation of the Z-order layout vs an
+        x-only sort for a 512x512 box query over the customer lattice
+        (spatial.scan_pruning_stats) — files_scanned/rows-in-scanned
+        machine-exhibit why Z-order exists; rows_matched is
+        layout-invariant."""
+        from careers_spark.operators.spatial import (
+            lattice_points,
+            scan_pruning_stats,
+        )
+
+        pts = lattice_points(
+            _t(spark, sf_dir, "customer"), "c_custkey", extent=4096,
+            seed="geo0",
+        )
+        return scan_pruning_stats(
+            pts, n_files=16, box=(0, 0, 511, 511), bits=12
+        )
+
+    q["zonemap_pruning"] = zonemap_pruning
+
+    def vwap_daily(spark, sf_dir):
+        """Daily volume-weighted average price over lineitem
+        (temporal.vwap_daily) — integer cent x centi-unit fixed
+        point, one rounded division; the finance bar beside
+        ohlc_daily."""
+        from careers_spark.operators.temporal import vwap_daily as VW
+
+        return VW(_t(spark, sf_dir, "lineitem"))
+
+    q["vwap_daily"] = vwap_daily
+
     def forecast_backtest(spark, sf_dir):
         """One-step-ahead EWMA forecast vs the seasonal-naive baseline
         scored by MAE and MASE (Hyndman & Koehler) — all errors exact
@@ -8329,6 +8361,78 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT pt_id, x, y, CAST({_z_terms} AS BIGINT) AS zkey
         FROM pts
+    """
+
+    # zonemap_pruning: identical ntile over the total (key, pt_id)
+    # order; scan decision the same bbox-intersection CASE; integers
+    # plus one rounded division.
+    def _zm_layout(key: str, name: str) -> str:
+        return f"""
+          SELECT '{name}' AS layout,
+                 CAST(count(*) AS BIGINT) AS files_total,
+                 CAST(sum(CASE WHEN min_x <= 511 AND max_x >= 0
+                          AND min_y <= 511 AND max_y >= 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+                 CAST(sum(n_match) AS BIGINT) AS rows_matched,
+                 CAST(sum(CASE WHEN min_x <= 511 AND max_x >= 0
+                          AND min_y <= 511 AND max_y >= 0
+                          THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS rows_in_scanned_files,
+                 round(1e0 - sum(CASE WHEN min_x <= 511 AND max_x >= 0
+                                 AND min_y <= 511 AND max_y >= 0
+                                 THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE), 6) AS prune_ratio
+          FROM (
+            SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN x BETWEEN 0 AND 511
+                            AND y BETWEEN 0 AND 511
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+            FROM (
+              SELECT x, y,
+                     ntile(16) OVER (ORDER BY {key}, pt_id) AS file_id
+              FROM zp
+            ) GROUP BY 1
+          )"""
+
+    o["zonemap_pruning"] = f"""
+        WITH pts AS (
+          SELECT c_custkey AS pt_id,
+                 ('0x' || substr(md5('geo0_x_' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096
+                   AS x,
+                 ('0x' || substr(md5('geo0_y_' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096
+                   AS y
+          FROM customer
+        ),
+        zp AS (SELECT pt_id, x, y, CAST({_z_terms} AS BIGINT) AS zkey
+               FROM pts)
+        {_zm_layout("zkey", "zorder")}
+        UNION ALL
+        {_zm_layout("x", "xsort")}
+    """
+
+    # vwap_daily: cent x centi-unit fixed point, BIGINT sums, one
+    # rounded guarded division; `//` mirrors div.
+    o["vwap_daily"] = """
+        SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n_fills,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                 AS BIGINT) AS qty_centi,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_quantity * 100) AS BIGINT))
+                 AS BIGINT) AS notional_fp,
+               CASE WHEN sum(CAST(round(l_quantity * 100) AS BIGINT)) > 0
+                    THEN round(sum(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT)
+                                   * CAST(round(l_quantity * 100)
+                                          AS BIGINT))
+                               / (sum(CAST(round(l_quantity * 100)
+                                           AS BIGINT)) * 100e0), 6)
+               END AS vwap
+        FROM lineitem GROUP BY 1
     """
 
     # length_quality_corr: quality SQL nested; y on the 1e-6 lattice,

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "k_anonymity",
     "entity_closeness",
     "ohlc_daily",
+    "vwap_daily",
     "bitext_pairs",
     "deepwalk_walks",
     "skipgram_counts",
@@ -200,6 +201,7 @@ BENCH_QUERIES = [
     "session_busy_overlap",
     "spatial_neighbor_pairs",
     "zorder_layout",
+    "zonemap_pruning",
     "length_quality_corr",
     "dsir_weights",
     "dsir_sample",

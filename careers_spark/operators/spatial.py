@@ -153,3 +153,81 @@ def zorder_key(
         f"budget') else cast({terms} as bigint) end"
     )
     return points.withColumn("zkey", F.expr(guard))
+
+
+def scan_pruning_stats(
+    points: DataFrame,
+    n_files: int = 16,
+    box: tuple = (0, 0, 512, 512),
+    bits: int = 12,
+) -> DataFrame:
+    """Zone-map pruning evaluation: how many files a 2-D box query
+    must scan under a Z-ORDER layout vs a single-column sort — the
+    measurable payoff zorder_key exists for. Each layout sorts the
+    table by its clustering key and cuts it into `n_files` equal
+    ntiles (the one-off OPTIMIZE job; ntile over a TOTAL order
+    (key, pt_id) is engine-deterministic); per file the min/max x/y
+    zone map decides scan-vs-prune exactly the way parquet row-group
+    / Iceberg manifest pruning does: scan iff the bounding box
+    intersects the query box.
+
+    The output machine-exhibits the layout lesson: rows_matched is
+    layout-INVARIANT (same data), while files_scanned and
+    rows_in_scanned_files differ — Z-order bounds both dimensions per
+    file, a single-column sort bounds only one. All integers, one
+    rounded division.
+
+    Output: (layout, files_total, files_scanned, rows_matched,
+    rows_in_scanned_files, prune_ratio).
+    """
+    x0, y0, x1, y1 = (int(v) for v in box)
+    keyed = zorder_key(points, bits=bits)
+
+    def layout_stats(df: DataFrame, key: str, name: str) -> DataFrame:
+        filed = df.select(
+            "x",
+            "y",
+            F.expr(
+                f"ntile({int(n_files)}) over (order by {key}, pt_id)"
+            ).alias("file_id"),
+        )
+        in_box = (
+            (F.col("x") >= x0) & (F.col("x") <= x1)
+            & (F.col("y") >= y0) & (F.col("y") <= y1)
+        )
+        per_file = filed.groupBy("file_id").agg(
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(in_box, 1).otherwise(0)).cast("long").alias(
+                "n_match"
+            ),
+        )
+        scanned = (
+            (F.col("min_x") <= x1) & (F.col("max_x") >= x0)
+            & (F.col("min_y") <= y1) & (F.col("max_y") >= y0)
+        )
+        return per_file.agg(
+            F.count("*").alias("files_total"),
+            F.sum(F.when(scanned, 1).otherwise(0)).cast("long").alias(
+                "files_scanned"
+            ),
+            F.sum("n_match").cast("long").alias("rows_matched"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_in_scanned_files"),
+        ).select(
+            F.lit(name).alias("layout"),
+            "files_total",
+            "files_scanned",
+            "rows_matched",
+            "rows_in_scanned_files",
+            F.expr(
+                "round(1e0 - files_scanned / cast(files_total as double),"
+                " 6)"
+            ).alias("prune_ratio"),
+        )
+
+    return layout_stats(keyed, "zkey", "zorder").unionByName(
+        layout_stats(keyed, "x", "xsort")
+    )

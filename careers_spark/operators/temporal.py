@@ -1301,3 +1301,49 @@ def rolling_median(
         )
         .dropDuplicates([key, "day"])
     )
+
+
+def vwap_daily(
+    lineitem: DataFrame,
+    ts: str = "l_shipdate",
+    price: str = "l_extendedprice",
+    qty: str = "l_quantity",
+) -> DataFrame:
+    """Daily volume-weighted average price — the finance-bar statistic
+    beside ohlc_bars: VWAP = sum(price * qty) / sum(qty), the
+    benchmark an execution desk compares fills against.
+
+    Fixed-point exact: prices ride integer cents and quantities
+    integer centi-units (round(x * 100) BIGINT), so both sums are
+    order-free integers and VWAP is ONE rounded division — the
+    decayed_revenue recipe. One partial-agg groupBy; no window, no
+    sort.
+
+    Output: (day, n_fills, qty_centi, notional_fp, vwap) where
+    notional_fp is in cent x centi-unit fixed point.
+    """
+    base = lineitem.select(
+        F.expr(
+            f"unix_micros(cast({ts} as timestamp)) div 86400000000"
+        ).alias("day"),
+        F.expr(f"cast(round({price} * 100) as bigint)").alias("p_c"),
+        F.expr(f"cast(round({qty} * 100) as bigint)").alias("q_c"),
+    )
+    return (
+        base.groupBy("day")
+        .agg(
+            F.count("*").alias("n_fills"),
+            F.sum("q_c").alias("qty_centi"),
+            F.sum(F.col("p_c") * F.col("q_c")).alias("notional_fp"),
+        )
+        .select(
+            "day",
+            "n_fills",
+            "qty_centi",
+            "notional_fp",
+            F.expr(
+                "case when qty_centi > 0 then "
+                "round(notional_fp / (qty_centi * 100e0), 6) end"
+            ).alias("vwap"),
+        )
+    )

@@ -107,3 +107,35 @@ def test_zorder_budget_guard(spark):
         zorder_key(df, bits=8).collect()
     with pytest.raises(ValueError):
         zorder_key(df, bits=0)
+
+
+def test_scan_pruning_zorder_beats_single_column_sort(spark):
+    """On a uniform lattice, a square box query scans fewer files
+    under the Z-order layout than under an x-only sort; rows_matched
+    is layout-invariant and equals the brute-force count."""
+    from careers_spark.operators.spatial import (
+        lattice_points,
+        scan_pruning_stats,
+    )
+
+    pts = lattice_points(spark.range(4000), "id", extent=4096, seed="pr")
+    box = (0, 0, 511, 511)
+    got = {
+        r.layout: r
+        for r in scan_pruning_stats(
+            pts, n_files=16, box=box, bits=12
+        ).collect()
+    }
+    want = sum(
+        1
+        for p in pts.collect()
+        if 0 <= p.x <= 511 and 0 <= p.y <= 511
+    )
+    z, xs = got["zorder"], got["xsort"]
+    assert z.rows_matched == xs.rows_matched == want
+    assert z.files_total == xs.files_total == 16
+    # the x-sort layout bounds only x: every file containing the x
+    # band must be scanned regardless of y; z-order bounds both dims
+    assert z.files_scanned < xs.files_scanned
+    assert z.rows_in_scanned_files < xs.rows_in_scanned_files
+    assert z.files_scanned >= 1 and z.rows_matched <= z.rows_in_scanned_files
