@@ -383,3 +383,92 @@ def test_ewma_has_no_window_and_windowed_ops_partition(spark):
     wplan = _plan(winnowing_fingerprints(docs))
     for spec in re.findall(r"partitionBy=\[([^\]]*)\]", wplan):
         assert spec.strip(), wplan
+
+
+def test_session10_ops_have_no_cartesian(spark):
+    """Session-10 join/candidate operators keep equi-join shapes:
+    the grid distance join probes cells, item cosine rides the
+    bounded wedge join, term postings join on the term, the CM
+    join estimator joins sketch cells, QL retrieval's only cross
+    joins are broadcast 1-row/|Q|-row dimensions (never two corpus
+    sides)."""
+    from careers_spark.operators.basket import item_cosine_topk
+    from careers_spark.operators.retrieval import (
+        ql_dirichlet_topk,
+        term_postings,
+    )
+    from careers_spark.operators.sketches import join_size_estimate
+    from careers_spark.operators.spatial import (
+        grid_distance_join,
+        lattice_points,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    pts = lattice_points(spark.range(500), "id", extent=1024, seed="pl")
+    for df in (
+        grid_distance_join(pts, radius=32),
+        item_cosine_topk(li, min_pair_orders=2),
+        term_postings(docs, min_df=2, block_size=64),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    # QL's candidate x query-term grid and the join estimator's
+    # exact x estimate combiner are BROADCAST cross joins of bounded
+    # dimensions (a |Q|-row table / a 1-row aggregate — the bm25
+    # corpus-aggregate shape); a nested loop over a bounded broadcast
+    # side is their documented plan, so the guard is only that no
+    # unbroadcast cartesian exists
+    for df in (
+        ql_dirichlet_topk(docs, ["spark", "join"], k=5),
+        join_size_estimate(events, orders, "user_id", "o_custkey"),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_session10_projection_ops_have_no_exchange(spark):
+    """Pure-projection session-10 operators stay shuffle-free:
+    rendezvous placement and the Z-order key are map-only plans."""
+    from careers_spark.operators.sampling import rendezvous_shards
+    from careers_spark.operators.spatial import lattice_points, zorder_key
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    plan = _plan(rendezvous_shards(docs, "doc_id", ["s0", "s1", "s2"]))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+    pts = lattice_points(spark.range(100), "id", 4096, "z")
+    zplan = _plan(zorder_key(pts, bits=12))
+    assert "Exchange" not in zplan, zplan
+    assert "Join" not in zplan, zplan
+
+
+def test_session10_windowed_ops_partition_by_key(spark):
+    """Every session-10 window partitions by a real key (term / user /
+    item) — no empty partitionBy (single-partition global sort) except
+    the documented one-off ntile layout job in scan_pruning_stats."""
+    import re
+
+    from careers_spark.operators.basket import item_cosine_topk
+    from careers_spark.operators.retrieval import term_postings
+    from careers_spark.operators.temporal import (
+        interarrival_burstiness,
+        rolling_median,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    for df in (
+        term_postings(docs, min_df=2, block_size=64),
+        item_cosine_topk(li, min_pair_orders=2),
+        rolling_median(events),
+        interarrival_burstiness(events),
+    ):
+        plan = _plan(df)
+        for spec in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
+            assert spec.strip(), plan
