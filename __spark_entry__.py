@@ -1448,6 +1448,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(f"n_obs >= {min_obs}")
         )
 
+    def entity_backbone_msf(spark, sf_dir):
+        """Maximum spanning forest of the min_obs=20 entity graph by
+        Boruvka (graph.boruvka_msf) — the strongest-tie single-linkage
+        backbone keeping every entity connected through its most-
+        corroborated edges; deterministic under the (weight, a, b)
+        total order, so the forest is unique and the oracle unrolls
+        the rounds (per-component struct argmin + pointer-jumping
+        min-label contraction) to fixed depth."""
+        from careers_spark.operators.graph import boruvka_msf
+
+        return boruvka_msf(
+            _entity_edges(spark, sf_dir, 20), w="n_obs", maximize=True
+        )
+
+    q["entity_backbone_msf"] = entity_backbone_msf
+
     def entity_pagerank(spark, sf_dir):
         """PageRank salience over the sparser (min_obs=35) entity graph,
         directed as the canonical src<dst edge set so dangling nodes
@@ -3866,6 +3882,101 @@ def oracle_sql() -> dict[str, str]:
         )
     o["entity_pagerank"] = (
         "WITH " + ",\n".join(_pr_chain) + "\nSELECT node, pr FROM p6"
+    )
+
+    # entity_backbone_msf: Boruvka unrolled — per round, the
+    # per-component min(struct(k, a, b, ...)) selection (identical
+    # lexicographic struct order both engines), then contraction via
+    # 5 pointer-jumping min-label rounds (least of own label, best
+    # neighbor label, label-of-label — covers 2^5 >= any chain this
+    # pseudo-forest can form at this scale; Spark's loop raises if its
+    # own budget is ever insufficient, so a mismatch is loud, never
+    # silent). 3 Boruvka rounds unrolled; an exhausted round selects
+    # nothing and unions nothing, mirroring the early stop.
+    _MSF_R, _MSF_P = 3, 5
+    _msf_ctes = [
+        f"""mtok AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        )""",
+        """me AS MATERIALIZED (
+          SELECT a.tok AS a, b.tok AS b, CAST(count(*) AS BIGINT) AS wgt,
+                 -CAST(count(*) AS BIGINT) AS k
+          FROM mtok a JOIN mtok b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        )""",
+        """ml0 AS MATERIALIZED (
+          SELECT node, node AS lab FROM
+            (SELECT a AS node FROM me UNION SELECT b FROM me)
+        )""",
+    ]
+    for _r in range(1, _MSF_R + 1):
+        _msf_ctes.append(
+            f"""mc{_r} AS MATERIALIZED (
+          SELECT me.a, me.b, me.wgt, me.k, la.lab AS la, lb.lab AS lb
+          FROM me JOIN ml{_r - 1} la ON la.node = me.a
+                  JOIN ml{_r - 1} lb ON lb.node = me.b
+          WHERE la.lab <> lb.lab
+        )"""
+        )
+        _msf_ctes.append(
+            f"""msel{_r} AS MATERIALIZED (
+          SELECT DISTINCT (s).a AS a, (s).b AS b, (s).wgt AS wgt,
+                          (s).la AS la, (s).lb AS lb
+          FROM (
+            SELECT comp, min(s) AS s FROM (
+              SELECT la AS comp, struct_pack(k := k, a := a, b := b,
+                     wgt := wgt, la := la, lb := lb) AS s FROM mc{_r}
+              UNION ALL
+              SELECT lb AS comp, struct_pack(k := k, a := a, b := b,
+                     wgt := wgt, la := la, lb := lb) AS s FROM mc{_r}
+            ) GROUP BY comp
+          )
+        )"""
+        )
+        _msf_ctes.append(
+            f"""mb{_r} AS MATERIALIZED (
+          SELECT la AS u, lb AS v FROM msel{_r}
+          UNION SELECT lb AS u, la AS v FROM msel{_r}
+        )"""
+        )
+        _msf_ctes.append(
+            f"""mp{_r}_0 AS MATERIALIZED (
+          SELECT DISTINCT u AS node, u AS lab FROM mb{_r}
+        )"""
+        )
+        for _j in range(1, _MSF_P + 1):
+            _msf_ctes.append(
+                f"""mp{_r}_{_j} AS MATERIALIZED (
+          SELECT x.node,
+                 least(x.lab, coalesce(nb.m, x.lab),
+                       coalesce(ll.lab, x.lab)) AS lab
+          FROM mp{_r}_{_j - 1} x
+          LEFT JOIN (
+            SELECT e.u AS node, min(p.lab) AS m
+            FROM mb{_r} e JOIN mp{_r}_{_j - 1} p ON p.node = e.v
+            GROUP BY 1
+          ) nb ON nb.node = x.node
+          LEFT JOIN mp{_r}_{_j - 1} ll ON ll.node = x.lab
+        )"""
+            )
+        _msf_ctes.append(
+            f"""ml{_r} AS MATERIALIZED (
+          SELECT l.node, coalesce(m.lab, l.lab) AS lab
+          FROM ml{_r - 1} l
+          LEFT JOIN mp{_r}_{_MSF_P} m ON m.node = l.lab
+        )"""
+        )
+    o["entity_backbone_msf"] = (
+        "WITH "
+        + ",\n".join(_msf_ctes)
+        + "\n"
+        + " UNION ALL ".join(
+            f"SELECT a, b, wgt, CAST({_r} AS INTEGER) AS round "
+            f"FROM msel{_r}"
+            for _r in range(1, _MSF_R + 1)
+        )
     )
 
     # entity_pagerank_weighted: identical recurrence with edge mass

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "community_conductance",
     "entity_communities",
     "louvain_communities",
+    "entity_backbone_msf",
     "entity_pagerank",
     "entity_pagerank_weighted",
     "entity_ppr",

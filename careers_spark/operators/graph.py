@@ -1193,3 +1193,126 @@ def simrank(
     return sim.select(
         F.col("lo").alias(src), F.col("hi").alias(dst), F.col("s").alias("simrank")
     )
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    maximize: bool = False,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Minimum (or maximum) spanning forest by Boruvka's algorithm —
+    THE parallel MST: every component picks its lightest incident
+    crossing edge simultaneously, selected edges contract components,
+    components at least halve per round, so `max_rounds` = 6 covers
+    2^6 = 64-fold contraction and the loop usually exits earlier via
+    the no-crossing-edges fixpoint (Kruskal/Prim are inherently
+    sequential — a sorted scan / a frontier heap — which is why every
+    distributed MST is Boruvka-shaped). On a KG the MAX variant is
+    the strongest-tie backbone: the single-linkage skeleton that
+    keeps every entity connected through its most-corroborated edges.
+
+    Determinism: edges carry INTEGER weights and the per-component
+    argmin is min(struct(w, a, b)) under the total order (w, src,
+    dst) — equivalent to distinct weights, under which the spanning
+    forest is UNIQUE, so Spark, the unrolled oracle, and a Kruskal
+    recompute all produce the identical edge set. `maximize=True`
+    negates weights internally and reports the originals.
+
+    Shapes: per round, one labels join per endpoint + one algebraic
+    min(struct) groupBy on the component key; contraction reuses
+    connected_components (salted min-label) on the SELECTED edge set
+    only — a pseudo-forest at most one edge per component, at least
+    halving per round. Raises on round exhaustion with crossing edges
+    left (the hierarchy.py budget convention) rather than returning a
+    partial forest.
+
+    Output: (a, b, w, round) — canonical a < b MSF edges and the
+    1-based round that added them.
+    """
+    from careers_spark.operators.canonicalize import connected_components
+
+    canon = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+        F.col(w).cast("long").alias("wgt"),
+    ).dropDuplicates(["a", "b"])
+    key = (-F.col("wgt")).alias("k") if maximize else F.col("wgt").alias("k")
+    canon = canon.select("a", "b", "wgt", key).localCheckpoint(eager=True)
+
+    labels = (
+        canon.selectExpr("a as node")
+        .union(canon.selectExpr("b as node"))
+        .dropDuplicates()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    # empty accumulator derived from canon so node-id types are
+    # whatever the caller's graph uses (strings here, longs elsewhere)
+    msf = canon.select(
+        "a", "b", "wgt", F.lit(0).alias("round")
+    ).filter("1 = 0")
+
+    for rnd in range(1, int(max_rounds) + 1):
+        la = labels.selectExpr("node as a", "label as la")
+        lb = labels.selectExpr("node as b", "label as lb")
+        crossing = (
+            canon.join(la, "a").join(lb, "b")
+            .filter(F.col("la") != F.col("lb"))
+            .localCheckpoint(eager=True)
+        )
+        if crossing.limit(1).count() == 0:
+            return msf
+
+        s = F.struct(
+            F.col("k"), F.col("a"), F.col("b"),
+            F.col("wgt"), F.col("la"), F.col("lb"),
+        )
+        sel = (
+            crossing.select(F.col("la").alias("comp"), s.alias("s"))
+            .union(crossing.select(F.col("lb").alias("comp"), s.alias("s")))
+            .groupBy("comp")
+            .agg(F.min("s").alias("s"))
+            .select("s.a", "s.b", "s.wgt", "s.la", "s.lb")
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)
+        )
+        msf = msf.unionByName(
+            sel.select(
+                "a", "b", "wgt", F.lit(rnd).alias("round")
+            )
+        ).localCheckpoint(eager=True)
+
+        comp_cc = connected_components(
+            sel.selectExpr("la as src", "lb as dst")
+        )
+        labels = (
+            labels.join(
+                comp_cc.selectExpr("node as label", "component"),
+                "label",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("component"), F.col("label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    if (
+        canon.join(labels.selectExpr("node as a", "label as la"), "a")
+        .join(labels.selectExpr("node as b", "label as lb"), "b")
+        .filter(F.col("la") != F.col("lb"))
+        .limit(1)
+        .count()
+        > 0
+    ):
+        raise RuntimeError(
+            f"boruvka_msf: {max_rounds} rounds exhausted with crossing "
+            "edges remaining (raise max_rounds)"
+        )
+    return msf

@@ -802,3 +802,89 @@ def test_ktruss_raises_without_budget(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         ktruss(e, k=4, max_iter=1)
+
+
+def _kruskal(edges, maximize=False):
+    """Reference MSF under the same (w, a, b) total order."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    sel = []
+    order = sorted(
+        ((-w if maximize else w), a, b) for a, b, w in edges
+    )
+    for k, a, b in order:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            sel.append((a, b, -k if maximize else k))
+    return sorted(sel)
+
+
+def test_boruvka_matches_kruskal_hand_graph(spark):
+    from careers_spark.operators.graph import boruvka_msf
+
+    rows = [
+        ("a", "b", 1), ("b", "c", 2), ("c", "d", 3), ("a", "d", 4),
+        ("a", "c", 5), ("x", "y", 7),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, w long")
+    got = sorted(
+        (r.a, r.b, r.wgt) for r in boruvka_msf(df).collect()
+    )
+    assert got == _kruskal(rows)
+    # forest: n_edges = n_nodes - n_components = 6 - 2
+    assert len(got) == 4
+
+
+def test_boruvka_randomized_vs_kruskal_and_max_variant(spark):
+    """Seeded random multigraph-ish input (duplicate pairs dropped to
+    the canonical first) — exact equality with the union-find
+    recompute under both orientations; weight ties broken by (a, b)."""
+    import random
+
+    from careers_spark.operators.graph import boruvka_msf
+
+    rng = random.Random(13)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    seen = set()
+    rows = []
+    for _ in range(120):
+        a, b = rng.sample(nodes, 2)
+        a, b = min(a, b), max(a, b)
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        rows.append((a, b, rng.randrange(1, 8)))  # heavy weight ties
+    df = spark.createDataFrame(rows, "src string, dst string, w long")
+    got_min = sorted(
+        (r.a, r.b, r.wgt) for r in boruvka_msf(df).collect()
+    )
+    assert got_min == _kruskal(rows)
+    got_max = sorted(
+        (r.a, r.b, r.wgt)
+        for r in boruvka_msf(df, maximize=True).collect()
+    )
+    assert got_max == _kruskal(rows, maximize=True)
+    assert sum(w for *_, w in got_max) > sum(w for *_, w in got_min)
+
+
+def test_boruvka_round_budget_raises(spark):
+    """On the square a-b(1) b-c(5) c-d(2) d-a(6), round 1 merges only
+    the two cheap pairs ({a,b} and {c,d}) — finishing needs round 2,
+    so max_rounds=1 must raise, never return a partial forest."""
+    import pytest
+
+    from careers_spark.operators.graph import boruvka_msf
+
+    rows = [("a", "b", 1), ("b", "c", 5), ("c", "d", 2), ("d", "a", 6)]
+    df = spark.createDataFrame(rows, "src string, dst string, w long")
+    with pytest.raises(RuntimeError, match="rounds exhausted"):
+        boruvka_msf(df, max_rounds=1)
+    got = sorted((r.a, r.b, r.wgt) for r in boruvka_msf(df).collect())
+    assert got == _kruskal(rows)
