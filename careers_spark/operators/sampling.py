@@ -430,6 +430,12 @@ def rendezvous_shards(
     """
     if not shards or len(set(shards)) != len(shards):
         raise ValueError("shards must be a non-empty list of unique names")
+    clash = {"shard", "shard_h"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — the output "
+            "would carry ambiguous duplicates; rename them first"
+        )
     draws = ", ".join(
         f"struct(cast(conv(substr(md5(concat(cast({key} as string), "
         f"'|', '{s}')), 1, 8), 16, 10) as bigint) as h, '{s}' as s)"

@@ -276,3 +276,15 @@ def test_rendezvous_rejects_bad_shards(spark):
         rendezvous_shards(spark.range(5), "id", [])
     with pytest.raises(ValueError):
         rendezvous_shards(spark.range(5), "id", ["x", "x"])
+
+
+def test_rendezvous_rejects_output_column_clash(spark):
+    """An input that already carries `shard` would silently produce
+    ambiguous duplicate columns — rejected loudly instead."""
+    import pytest
+
+    from careers_spark.operators.sampling import rendezvous_shards
+
+    df = spark.createDataFrame([(1, "x")], "id long, shard string")
+    with pytest.raises(ValueError, match="ambiguous"):
+        rendezvous_shards(df, "id", ["a", "b"])
