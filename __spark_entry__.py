@@ -1699,6 +1699,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sequential_patterns"] = sequential_patterns
 
+    def markov_channel_attribution(spark, sf_dir):
+        """Markov removal-effect attribution over user journeys
+        (funnel.markov_attribution): purchase-absorbing first-order
+        chain, conversion probability by value iteration on the
+        1e-10 INTEGER lattice (pure-integer half-up division — no
+        float recurrence), channel credit = knocked-out conversion
+        loss. Journey extraction distributed; the solve runs on the
+        channels^2-bounded transition dimension."""
+        from careers_spark.operators.funnel import markov_attribution
+
+        return markov_attribution(
+            _t(spark, sf_dir, "events"),
+            ["view", "click", "signup", "error"],
+        )
+
+    q["markov_channel_attribution"] = markov_channel_attribution
+
     def distinct_sketch(spark, sf_dir):
         """k-independent-minimums cardinality sketch (k=64) vs exact
         count(distinct) per event_type over (user_id, value-cents) keys
@@ -4397,6 +4414,114 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2, n_users
         HAVING count(*) >= 2
     """
+
+    # markov_channel_attribution: identical journey windows, then the
+    # value iteration unrolled per scenario (base + 4 knockouts) —
+    # every update the pure-integer half-up (2*num + den) // (2*den),
+    # so all 30 unrolled stages are exact BIGINT arithmetic.
+    _mk_channels = ["view", "click", "signup", "error"]
+    _mk_states = ", ".join(
+        f"('{s}')" for s in ["START"] + _mk_channels + ["CONV", "NULL"]
+    )
+    _mk_ctes = [
+        """mob AS MATERIALIZED (
+          SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+                 coalesce(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pc
+          FROM events
+        )""",
+        """mkept AS MATERIALIZED (
+          SELECT user_id,
+                 CASE WHEN event_type = 'purchase' THEN 'CONV'
+                      ELSE event_type END AS state,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS rn,
+                 lead(CASE WHEN event_type = 'purchase' THEN 'CONV'
+                           ELSE event_type END) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id)
+                   AS next_state
+          FROM mob WHERE pc = 0
+        )""",
+        """mtr AS MATERIALIZED (
+          SELECT s, t, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT state AS s, coalesce(next_state, 'NULL') AS t
+            FROM mkept WHERE state <> 'CONV'
+            UNION ALL
+            SELECT 'START' AS s, state AS t FROM mkept WHERE rn = 1
+          ) GROUP BY 1, 2
+        )""",
+        """mno AS MATERIALIZED (
+          SELECT s, CAST(sum(n) AS BIGINT) AS n_s FROM mtr GROUP BY 1
+        )""",
+        f"""mst AS MATERIALIZED (
+          SELECT * FROM (VALUES {_mk_states}) AS t(state)
+        )""",
+    ]
+    for _sc, _rm in [("base", None)] + [(c, c) for c in _mk_channels]:
+        _rm_case = (
+            f"WHEN s.state = '{_rm}' THEN 0 " if _rm is not None else ""
+        )
+        _rm_v = (
+            f"CASE WHEN mtr.t = '{_rm}' THEN 0 ELSE pv.v END"
+            if _rm is not None
+            else "pv.v"
+        )
+        _mk_ctes.append(
+            f"""mv_{_sc}_0 AS (
+          SELECT state,
+                 CASE WHEN state = 'CONV' THEN 10000000000
+                      ELSE 0 END AS v
+          FROM mst
+        )"""
+        )
+        for _k in range(1, 7):
+            _mk_ctes.append(
+                f"""mv_{_sc}_{_k} AS MATERIALIZED (
+          SELECT s.state,
+                 CASE WHEN s.state = 'CONV' THEN 10000000000
+                      WHEN s.state = 'NULL' THEN 0
+                      {_rm_case}WHEN agg.num IS NULL OR mno.n_s IS NULL
+                        THEN 0
+                      ELSE (2 * agg.num + mno.n_s) // (2 * mno.n_s)
+                 END AS v
+          FROM mst s
+          LEFT JOIN mno ON mno.s = s.state
+          LEFT JOIN (
+            SELECT mtr.s,
+                   CAST(sum(mtr.n * ({_rm_v})) AS BIGINT) AS num
+            FROM mtr JOIN mv_{_sc}_{_k - 1} pv ON pv.state = mtr.t
+            GROUP BY 1
+          ) agg ON agg.s = s.state
+        )"""
+            )
+    _mk_final = []
+    for c in _mk_channels:
+        _mk_final.append(
+            f"""SELECT '{c}' AS channel, pb.v AS p_base_fp,
+               pw.v AS p_without_fp, pb.v - pw.v AS removal_fp
+        FROM (SELECT v FROM mv_base_6 WHERE state = 'START') pb
+        CROSS JOIN (SELECT v FROM mv_{c}_6 WHERE state = 'START') pw"""
+        )
+    o["markov_channel_attribution"] = (
+        "WITH "
+        + ",\n".join(_mk_ctes)
+        + ",\nmk_rows AS ("
+        + "\n        UNION ALL ".join(_mk_final)
+        + """),
+        mk_tot AS (SELECT CAST(sum(removal_fp) AS BIGINT) AS tot
+                   FROM mk_rows)
+        SELECT channel, p_base_fp, p_without_fp, removal_fp,
+               CASE WHEN p_base_fp > 0
+                    THEN round(removal_fp / CAST(p_base_fp AS DOUBLE), 6)
+               END AS removal_effect,
+               CASE WHEN tot > 0
+                    THEN round(removal_fp / CAST(tot AS DOUBLE), 6)
+               END AS attribution
+        FROM mk_rows CROSS JOIN mk_tot"""
+    )
 
     o["event_anomalies"] = """
         WITH b AS (

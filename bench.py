@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "dedup_cluster_sizes",
     "mmr_diverse_topk",
     "touch_attribution",
+    "markov_channel_attribution",
     "rfm_segments",
     "label_noise_audit",
     "kg_negative_samples",

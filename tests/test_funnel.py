@@ -315,3 +315,129 @@ def test_sequential_pattern_min_support_filter(spark):
         for r in sequential_pattern_support(df, min_support=2).collect()
     }
     assert got == {("a", "b"): 4}  # b->c support 1 filtered
+
+
+def test_markov_attribution_single_path_channel(spark):
+    """Only journeys through 'click' ever convert -> click carries the
+    entire removal mass; a channel that only dead-ends gets ~0."""
+    import datetime as dt
+
+    from careers_spark.operators.funnel import markov_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = []
+    eid = 0
+    # 3 users: view -> click -> purchase
+    for u in range(3):
+        for i, et in enumerate(["view", "click", "purchase"]):
+            rows.append((eid, u, ts(i), et))
+            eid += 1
+    # 2 users: view only (NULL absorb)
+    for u in (10, 11):
+        rows.append((eid, u, ts(0), "view"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.channel: r
+        for r in markov_attribution(df, ["view", "click"]).collect()
+    }
+    # removing click kills all conversion; removing view also does here
+    # (every path starts with view), so both removals equal p_base and
+    # attribution splits 50/50
+    assert got["click"].p_without_fp == 0
+    assert got["view"].p_without_fp == 0
+    assert got["click"].removal_effect == 1.0
+    assert got["click"].attribution == 0.5 and got["view"].attribution == 0.5
+    assert got["click"].p_base_fp == got["view"].p_base_fp > 0
+
+
+def test_markov_attribution_matches_python_unroll(spark):
+    """Lockstep with an independent integer value-iteration recompute
+    on a branching graph (some users bypass click), and
+    post-conversion events are ignored."""
+    import datetime as dt
+
+    from careers_spark.operators.funnel import markov_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    journeys = {
+        0: ["view", "click", "purchase", "view"],  # tail ignored
+        1: ["view", "purchase"],
+        2: ["view", "click"],
+        3: ["click", "purchase"],
+        4: ["view"],
+        5: ["view", "click", "view", "purchase"],
+    }
+    rows = []
+    eid = 0
+    for u, seq in journeys.items():
+        for i, et in enumerate(seq):
+            rows.append((eid, u, ts(i), et))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    channels = ["view", "click"]
+    got = {
+        r.channel: r
+        for r in markov_attribution(df, channels).collect()
+    }
+
+    # independent recompute
+    trans = {}
+    for u, seq in journeys.items():
+        cut = seq
+        if "purchase" in seq:
+            cut = seq[: seq.index("purchase") + 1]
+        states = ["START"] + [
+            "CONV" if e == "purchase" else e for e in cut
+        ]
+        if states[-1] != "CONV":
+            states.append("NULL")
+        for a, b in zip(states, states[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    n_out = {}
+    for (a, _), n in trans.items():
+        n_out[a] = n_out.get(a, 0) + n
+    scale = 10_000_000_000
+
+    def solve(removed):
+        v = {s: 0 for s in ["START"] + channels}
+        v["CONV"] = scale
+        v["NULL"] = 0
+        for _ in range(6):
+            nv = {}
+            for s in ["START"] + channels:
+                if s == removed or n_out.get(s, 0) == 0:
+                    nv[s] = 0
+                    continue
+                num = sum(
+                    n * (0 if t == removed else v.get(t, 0))
+                    for (a, t), n in trans.items()
+                    if a == s
+                )
+                den = n_out[s]
+                nv[s] = (2 * num + den) // (2 * den)
+            nv["CONV"] = scale
+            nv["NULL"] = 0
+            v = nv
+        return v["START"]
+
+    pb = solve(None)
+    rems = {c: pb - solve(c) for c in channels}
+    tot = sum(rems.values())
+    for c in channels:
+        assert got[c].p_base_fp == pb
+        assert got[c].removal_fp == rems[c]
+        assert got[c].removal_effect == round(rems[c] / pb, 6)
+        assert got[c].attribution == round(rems[c] / tot, 6)
