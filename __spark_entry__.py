@@ -1716,6 +1716,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["markov_channel_attribution"] = markov_channel_attribution
 
+    def user_survival_curve(spark, sf_dir):
+        """Kaplan-Meier retention survival over user lifetimes with
+        right-censoring at 7 days from corpus end
+        (funnel.survival_km) — the sequential survival product kept
+        exact on the 1e-10 integer lattice; oracle replays the
+        identical recursion as a DuckDB recursive CTE."""
+        from careers_spark.operators.funnel import survival_km
+
+        return survival_km(_t(spark, sf_dir, "events"), censor_days=7)
+
+    q["user_survival_curve"] = user_survival_curve
+
     def distinct_sketch(spark, sf_dir):
         """k-independent-minimums cardinality sketch (k=64) vs exact
         count(distinct) per event_type over (user_id, value-cents) keys
@@ -4413,6 +4425,50 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN n
         GROUP BY 1, 2, n_users
         HAVING count(*) >= 2
+    """
+
+    # user_survival_curve: identical integer lifetimes/censor split;
+    # the KM product replayed as a RECURSIVE CTE with the same
+    # pure-integer half-up step — every value a BIGINT.
+    o["user_survival_curve"] = """
+        WITH RECURSIVE spans AS MATERIALIZED (
+          SELECT user_id, min(epoch_us(ts)) AS first_us,
+                 max(epoch_us(ts)) AS last_us
+          FROM events GROUP BY 1
+        ),
+        mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        pd AS MATERIALIZED (
+          SELECT (last_us - first_us) // 86400000000 AS day,
+                 CAST(sum(CASE WHEN mx.max_us - last_us < 604800000000
+                          THEN 0 ELSE 1 END) AS BIGINT) AS n_churned,
+                 CAST(sum(CASE WHEN mx.max_us - last_us < 604800000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+          FROM spans CROSS JOIN mx GROUP BY 1
+        ),
+        idx AS MATERIALIZED (
+          SELECT day, n_churned, n_censored,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                 (SELECT CAST(sum(n_churned + n_censored) AS BIGINT)
+                  FROM pd)
+                 - coalesce(CAST(sum(n_churned + n_censored) OVER (
+                     ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS BIGINT), 0) AS n_at_risk
+          FROM pd
+        ),
+        km(i, s) AS (
+          SELECT CAST(0 AS BIGINT), CAST(10000000000 AS BIGINT)
+          UNION ALL
+          SELECT idx.i,
+                 CASE WHEN idx.n_churned > 0
+                      THEN (2 * km.s * (idx.n_at_risk - idx.n_churned)
+                            + idx.n_at_risk) // (2 * idx.n_at_risk)
+                      ELSE km.s END
+          FROM km JOIN idx ON idx.i = km.i + 1
+        )
+        SELECT idx.day, idx.n_at_risk, idx.n_churned, idx.n_censored,
+               km.s AS surv_fp, round(km.s / 10000000000e0, 6)
+                 AS survival
+        FROM idx JOIN km ON km.i = idx.i
     """
 
     # markov_channel_attribution: identical journey windows, then the

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "conversion_latency_quantiles",
     "top_user_journeys",
     "cohort_retention",
+    "user_survival_curve",
     "event_anomalies",
     "user_burstiness",
     "weekly_active_users",

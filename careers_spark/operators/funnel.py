@@ -756,3 +756,85 @@ def markov_attribution(
         "channel string, p_base_fp long, p_without_fp long, "
         "removal_fp long, removal_effect double, attribution double",
     )
+
+
+def survival_km(
+    events: DataFrame,
+    censor_days: int = 7,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes with right-censoring
+    (Kaplan & Meier 1958) — THE retention statistic: a user's
+    lifetime is last-activity minus first-activity in whole days;
+    users still active within `censor_days` of the corpus end are
+    CENSORED (we cannot know they churned — dropping them would bias
+    survival down, counting them as churned would bias it up; KM is
+    the estimator that handles exactly this). At each observed
+    lifetime t: S(t) = S(t-) * (n_at_risk - n_churned)/n_at_risk,
+    with censored users leaving the risk set after their time.
+
+    Exactness: the survival product is a SEQUENTIAL recursion, kept
+    exact on the 1e-10 integer lattice with the pure-integer half-up
+    step S' = (2*S*(n-d) + n) div (2*n) (the markov_attribution
+    arithmetic) — Spark computes it driver-side over the BOUNDED
+    distinct-lifetime table (the Lloyd/FS-EM dimension pattern; the
+    corpus-scale work — per-user lifetime extraction — is one
+    groupBy), and the oracle replays the identical recursion as a
+    DuckDB recursive CTE over the same integers.
+
+    Output: one row per distinct lifetime day with an event or
+    censoring — (day, n_at_risk, n_churned, n_censored, surv_fp,
+    survival).
+    """
+    from careers_spark.operators.temporal import _us
+
+    spark = events.sparkSession
+    spans = events.groupBy(key).agg(
+        F.min(_us(ts)).alias("first_us"), F.max(_us(ts)).alias("last_us")
+    )
+    max_us = events.agg(F.max(_us(ts))).collect()[0][0]
+    lim = int(censor_days) * 86_400_000_000
+    per_day = (
+        spans.select(
+            F.expr("(last_us - first_us) div 86400000000").alias("day"),
+            (F.lit(max_us) - F.col("last_us") < F.lit(lim)).alias(
+                "censored"
+            ),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("censored"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_churned"),
+            F.sum(F.when(F.col("censored"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_censored"),
+        )
+    )
+    rows = sorted(per_day.collect(), key=lambda r: r.day)  # bounded dim
+    total = sum(r.n_churned + r.n_censored for r in rows)
+    scale = 10_000_000_000
+    s = scale
+    at_risk = total
+    out = []
+    for r in rows:
+        n, d = at_risk, r.n_churned
+        if d > 0:
+            s = (2 * s * (n - d) + n) // (2 * n)
+        out.append(
+            (
+                int(r.day),
+                n,
+                int(d),
+                int(r.n_censored),
+                s,
+                round(s / scale, 6),
+            )
+        )
+        at_risk -= r.n_churned + r.n_censored
+    return spark.createDataFrame(
+        out,
+        "day long, n_at_risk long, n_churned long, n_censored long, "
+        "surv_fp long, survival double",
+    )

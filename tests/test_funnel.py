@@ -441,3 +441,57 @@ def test_markov_attribution_matches_python_unroll(spark):
         assert got[c].removal_fp == rems[c]
         assert got[c].removal_effect == round(rems[c] / pb, 6)
         assert got[c].attribution == round(rems[c] / tot, 6)
+
+
+def test_survival_km_hand_curve(spark):
+    """Hand KM with one censored user: 5 users, lifetimes 0,1,1,2,3d;
+    the 3d user is censored (active at corpus end) — S steps only on
+    churn days and the censored user still inflates earlier risk
+    sets."""
+    import datetime as dt
+
+    from careers_spark.operators.funnel import survival_km
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def d(days):
+        return t0 + dt.timedelta(days=days)
+
+    rows = []
+    eid = 0
+    for u, (start, life) in enumerate(
+        [(0, 0), (0, 1), (1, 1), (0, 2), (0, 3)]
+    ):
+        rows.append((eid, u, d(start), "view")); eid += 1
+        if life:
+            rows.append((eid, u, d(start + life), "click")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.day: r for r in survival_km(df, censor_days=1).collect()}
+    # corpus max = day 3; user 4 (lifetime 3, last day 3) is censored
+    scale = 10_000_000_000
+    s0 = (2 * scale * 4 + 5) // (2 * 5)            # day 0: 1 churn of 5
+    s1 = (2 * s0 * 2 + 4) // (2 * 4)               # day 1: 2 churns of 4
+    s2 = (2 * s1 * 1 + 2) // (2 * 2)               # day 2: 1 churn of 2
+    assert (got[0].n_at_risk, got[0].n_churned, got[0].surv_fp) == (5, 1, s0)
+    assert (got[1].n_at_risk, got[1].n_churned, got[1].surv_fp) == (4, 2, s1)
+    assert (got[2].n_at_risk, got[2].n_churned, got[2].surv_fp) == (2, 1, s2)
+    # day 3: censored only -> survival unchanged
+    assert (got[3].n_churned, got[3].n_censored, got[3].surv_fp) == (0, 1, s2)
+    assert got[3].n_at_risk == 1
+
+
+def test_survival_km_all_censored_is_flat(spark):
+    """Everyone still active near corpus end -> no churn, S stays 1."""
+    import datetime as dt
+
+    from careers_spark.operators.funnel import survival_km
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, u, t0 + dt.timedelta(hours=u), "view") for u in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = survival_km(df, censor_days=7).collect()
+    assert all(r.survival == 1.0 and r.n_churned == 0 for r in out)
