@@ -1728,6 +1728,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_survival_curve"] = user_survival_curve
 
+    def retention_logrank(spark, sf_dir):
+        """Mantel-Cox log-rank test between the two md5 arms' survival
+        curves (funnel.logrank_test) — the retention-experiment
+        ship/no-ship statistic; O/E/V as exact fixed-point integer
+        sums, z one double expression."""
+        from careers_spark.operators.funnel import logrank_test
+
+        return logrank_test(
+            _t(spark, sf_dir, "events"), censor_days=7, salt="lr0"
+        )
+
+    q["retention_logrank"] = retention_logrank
+
     def distinct_sketch(spark, sf_dir):
         """k-independent-minimums cardinality sketch (k=64) vs exact
         count(distinct) per event_type over (user_id, value-cents) keys
@@ -4469,6 +4482,78 @@ def oracle_sql() -> dict[str, str]:
                km.s AS surv_fp, round(km.s / 10000000000e0, 6)
                  AS survival
         FROM idx JOIN km ON km.i = idx.i
+    """
+
+    # retention_logrank: identical lifetimes/censoring/md5 arms;
+    # per-term pure-integer half-up quantization (1e-9 E lattice,
+    # 1e-8 V lattice), exact BIGINT sums, one z expression.
+    o["retention_logrank"] = """
+        WITH spans AS MATERIALIZED (
+          SELECT user_id, min(epoch_us(ts)) AS first_us,
+                 max(epoch_us(ts)) AS last_us
+          FROM events GROUP BY 1
+        ),
+        mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        u AS MATERIALIZED (
+          SELECT (last_us - first_us) // 86400000000 AS day,
+                 (mx.max_us - last_us < 604800000000) AS cens,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || '|' || 'lr0'), 1, 8))::BIGINT % 2 AS arm
+          FROM spans CROSS JOIN mx
+        ),
+        pd AS MATERIALIZED (
+          SELECT day,
+                 CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d_all,
+                 CAST(sum(CASE WHEN NOT cens AND arm = 1 THEN 1
+                          ELSE 0 END) AS BIGINT) AS d_1,
+                 CAST(count(*) AS BIGINT) AS leave_all,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS leave_1
+          FROM u GROUP BY 1
+        ),
+        risk AS (
+          SELECT day, d_all, d_1,
+                 CAST(sum(leave_all) OVER (ORDER BY day DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_t,
+                 CAST(sum(leave_1) OVER (ORDER BY day DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_1t
+          FROM pd
+        ),
+        terms AS (
+          SELECT d_1,
+                 CASE WHEN d_all > 0 THEN
+                   (2 * d_all * n_1t * 1000000000 + n_t) // (2 * n_t)
+                 ELSE 0 END AS e_fp,
+                 CASE WHEN d_all > 0 AND n_t > 1 THEN
+                   (2 * d_all * n_1t * (n_t - n_1t) * (n_t - d_all)
+                    * 100000000 + n_t * n_t * (n_t - 1))
+                   // (2 * n_t * n_t * (n_t - 1))
+                 ELSE 0 END AS v_fp
+          FROM risk
+        ),
+        tot AS (
+          SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_users_0,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_users_1
+          FROM u
+        ),
+        agg AS (
+          SELECT CAST(sum(d_1) AS BIGINT) AS observed_1,
+                 CAST(sum(e_fp) AS BIGINT) AS expected_1_fp,
+                 CAST(sum(v_fp) AS BIGINT) AS variance_fp
+          FROM terms
+        )
+        SELECT n_users_0, n_users_1, observed_1, expected_1_fp,
+               variance_fp,
+               CASE WHEN variance_fp > 0 THEN
+                 round((observed_1 - expected_1_fp / 1000000000e0)
+                       / sqrt(variance_fp / 100000000e0), 6)
+               END AS z
+        FROM tot CROSS JOIN agg
     """
 
     # markov_channel_attribution: identical journey windows, then the

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "top_user_journeys",
     "cohort_retention",
     "user_survival_curve",
+    "retention_logrank",
     "event_anomalies",
     "user_burstiness",
     "weekly_active_users",

@@ -838,3 +838,125 @@ def survival_km(
         "day long, n_at_risk long, n_churned long, n_censored long, "
         "surv_fp long, survival double",
     )
+
+
+def logrank_test(
+    events: DataFrame,
+    censor_days: int = 7,
+    salt: str = "lr0",
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Log-rank test (Mantel-Cox) between two md5-assigned arms'
+    survival curves — KM's inferential companion and the ship/no-ship
+    statistic for retention experiments: at every churn time t the
+    arm-1 churn count contributes O - E where E = d_t * n_1t / n_t
+    under the null that both arms share one hazard, and
+    Z = (O - E)/sqrt(V) with the hypergeometric variance
+    V_t = d_t * n_1t * (n_t - n_1t) * (n_t - d_t) / (n_t^2 (n_t - 1)).
+
+    Lifetimes/censoring exactly as survival_km; arm assignment is the
+    shared deterministic md5 draw (ab_conversion_test's), so the
+    analysis unit matches the randomization unit. E and V are sums of
+    RATIONAL terms — each term is quantized ONCE by pure-integer
+    half-up division onto a fixed-point lattice (1e-9 for E, 1e-8 for
+    V — the coarser V lattice keeps the worst-case BIGINT numerator
+    under 2^63 at any per-day risk-set size the corpus can produce),
+    so both accumulations are exact integer sums and Z is one double
+    expression over the descaled integers, rounded to 6.
+
+    Everything is groupBys + one reverse-cumulative window over the
+    BOUNDED distinct-lifetime-day table (dimension-sized by
+    construction — days, not users).
+
+    Output: one row (n_users_0, n_users_1, observed_1, expected_1_fp,
+    variance_fp, z).
+    """
+    from careers_spark.operators.dedup import _hash64_expr
+    from careers_spark.operators.temporal import _us
+
+    keyed = f"concat(cast({key} as string), '|', '{salt}')"
+    spans = events.groupBy(key).agg(
+        F.min(_us(ts)).alias("first_us"), F.max(_us(ts)).alias("last_us")
+    )
+    lim = int(censor_days) * 86_400_000_000
+    mx = events.agg(F.max(_us(ts)).alias("max_us"))
+    per_day = (
+        spans.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(last_us - first_us) div 86400000000").alias("day"),
+            (F.col("max_us") - F.col("last_us") < F.lit(lim)).alias(
+                "cens"
+            ),
+            F.expr(f"{_hash64_expr(keyed)} % 2").alias("arm"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(~F.col("cens"), 1).otherwise(0))
+            .cast("long")
+            .alias("d_all"),
+            F.sum(F.when(~F.col("cens") & (F.col("arm") == 1), 1)
+                  .otherwise(0)).cast("long").alias("d_1"),
+            F.count("*").cast("long").alias("leave_all"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leave_1"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # reverse cumulative: at-risk sets at each day (bounded day table)
+    wrev = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_day.select(
+        "day",
+        "d_all",
+        "d_1",
+        F.sum("leave_all").over(wrev).alias("n_t"),
+        F.sum("leave_1").over(wrev).alias("n_1t"),
+    )
+    terms = risk.select(
+        "d_all",
+        "d_1",
+        "n_t",
+        "n_1t",
+        F.expr(
+            "case when d_all > 0 then "
+            "(2 * d_all * n_1t * 1000000000 + n_t) div (2 * n_t) "
+            "else 0 end"
+        ).alias("e_fp"),
+        F.expr(
+            "case when d_all > 0 and n_t > 1 then "
+            "(2 * d_all * n_1t * (n_t - n_1t) * (n_t - d_all) "
+            " * 100000000 + n_t * n_t * (n_t - 1)) "
+            "div (2 * n_t * n_t * (n_t - 1)) else 0 end"
+        ).alias("v_fp"),
+    )
+    tot_users = spans.select(
+        F.expr(f"{_hash64_expr(keyed)} % 2").alias("arm")
+    ).groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_1"),
+    )
+    agg = terms.agg(
+        F.sum("d_1").cast("long").alias("observed_1"),
+        F.sum("e_fp").cast("long").alias("expected_1_fp"),
+        F.sum("v_fp").cast("long").alias("variance_fp"),
+    )
+    return tot_users.crossJoin(agg).select(
+        "n_users_0",
+        "n_users_1",
+        "observed_1",
+        "expected_1_fp",
+        "variance_fp",
+        F.expr(
+            "case when variance_fp > 0 then "
+            "round((observed_1 - expected_1_fp / 1000000000e0) "
+            "/ sqrt(variance_fp / 100000000e0), 6) end"
+        ).alias("z"),
+    )

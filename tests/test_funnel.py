@@ -495,3 +495,84 @@ def test_survival_km_all_censored_is_flat(spark):
     )
     out = survival_km(df, censor_days=7).collect()
     assert all(r.survival == 1.0 and r.n_churned == 0 for r in out)
+
+
+def test_logrank_matches_python_recompute(spark):
+    """Lockstep with an independent python computation of the
+    Mantel-Cox O/E/V sums on the same md5 arms, plus the textbook
+    identity checks (E sums to ~O under symmetric arms is NOT
+    asserted — arms are hash-random — only exact arithmetic is)."""
+    import datetime as dt
+    import hashlib
+
+    from careers_spark.operators.funnel import logrank_test
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    lifetimes = [0, 1, 1, 2, 3, 3, 4, 5, 5, 6, 8, 9]
+    for u, life in enumerate(lifetimes):
+        rows.append((eid, u, t0, "view")); eid += 1
+        if life:
+            rows.append((eid, u, t0 + dt.timedelta(days=life), "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    (r,) = logrank_test(df, censor_days=2, salt="t").collect()
+
+    def arm(u):
+        return int(hashlib.md5(f"{u}|t".encode()).hexdigest()[:8], 16) % 2
+
+    max_day = max(lifetimes)
+    users = [
+        (life, (max_day - life) < 2, arm(u))
+        for u, life in enumerate(lifetimes)
+    ]
+    days = sorted({life for life, _, _ in users})
+    O = E = V = 0
+    for d in days:
+        n_t = sum(1 for life, _, _ in users if life >= d)
+        n_1t = sum(1 for life, _, a in users if life >= d and a == 1)
+        d_all = sum(1 for life, c, _ in users if life == d and not c)
+        d_1 = sum(
+            1 for life, c, a in users if life == d and not c and a == 1
+        )
+        O += d_1
+        if d_all > 0:
+            num = 2 * d_all * n_1t * 10**9 + n_t
+            E += num // (2 * n_t)
+            if n_t > 1:
+                vn = (
+                    2 * d_all * n_1t * (n_t - n_1t) * (n_t - d_all)
+                    * 10**8 + n_t * n_t * (n_t - 1)
+                )
+                V += vn // (2 * n_t * n_t * (n_t - 1))
+    assert (r.observed_1, r.expected_1_fp, r.variance_fp) == (O, E, V)
+    assert r.n_users_0 + r.n_users_1 == len(lifetimes)
+    if V > 0:
+        import math
+
+        assert r.z == round((O - E / 1e9) / math.sqrt(V / 1e8), 6)
+
+
+def test_logrank_identical_arms_z_small(spark):
+    """Hazards genuinely shared across arms -> |z| well inside the
+    rejection region on a 60-user grid."""
+    import datetime as dt
+
+    from careers_spark.operators.funnel import logrank_test
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(60):
+        life = u % 5
+        rows.append((eid, u, t0, "view")); eid += 1
+        rows.append((eid, u, t0 + dt.timedelta(days=life, hours=1), "x"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    (r,) = logrank_test(df, censor_days=1, salt="s").collect()
+    assert r.z is not None and abs(r.z) < 2.5
