@@ -1464,6 +1464,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_backbone_msf"] = entity_backbone_msf
 
+    def linkpred_holdout_auc(spark, sf_dir):
+        """Leakage-aware link-prediction benchmark: hold out an md5
+        fifth of the min_obs=20 entity edges, score Adamic-Adar on
+        the TRAIN graph only, exact Mann-Whitney AUC against held-out
+        membership (graph.link_prediction_holdout_auc) — test edges
+        never reach the scorer by construction."""
+        from careers_spark.operators.graph import (
+            link_prediction_holdout_auc,
+        )
+
+        return link_prediction_holdout_auc(
+            _entity_edges(spark, sf_dir, 20),
+            holdout_mod=5,
+            salt="lp0",
+            min_common=1,
+        )
+
+    q["linkpred_holdout_auc"] = linkpred_holdout_auc
+
     def entity_pagerank(spark, sf_dir):
         """PageRank salience over the sparser (min_obs=35) entity graph,
         directed as the canonical src<dst edge set so dangling nodes
@@ -5844,6 +5863,91 @@ def oracle_sql() -> dict[str, str]:
         FROM scored s
         JOIN deg da ON da.node = s.pa
         JOIN deg db ON db.node = s.pb
+    """
+
+    # linkpred_holdout_auc: the predicted_links body on the TRAIN
+    # split only (md5 fifth held out), labels by held-out membership,
+    # then the exact Mann-Whitney AUC body — every count integer,
+    # every numerator term on the 0.5 grid, one division.
+    o["linkpred_holdout_auc"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e0 AS MATERIALIZED (
+          SELECT a.tok AS a, b.tok AS b
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        ),
+        split AS MATERIALIZED (
+          SELECT a, b,
+                 (('0x' || substr(md5(a || '|' || b || '|' || 'lp0'),
+                                  1, 8))::BIGINT % 5 = 0) AS is_test
+          FROM e0
+        ),
+        e AS MATERIALIZED (SELECT a AS src, b AS dst FROM split
+                           WHERE NOT is_test),
+        test AS MATERIALIZED (SELECT a, b FROM split WHERE is_test),
+        cnt AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_train_edges,
+            (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test_edges),
+        adj AS (
+          SELECT src AS node, dst AS nbr FROM e
+          UNION ALL SELECT dst, src FROM e
+        ),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM adj GROUP BY node),
+        center AS (
+          SELECT node AS z,
+                 CAST(round(1000000000e0 / ln(CAST(degree AS DOUBLE)),
+                            0) AS BIGINT) AS aa_fp
+          FROM deg WHERE degree >= 2
+        ),
+        wedges AS (
+          SELECT w1.nbr AS pa, w2.nbr AS pb, w1.node AS z
+          FROM adj w1 JOIN adj w2
+            ON w1.node = w2.node AND w1.nbr < w2.nbr
+        ),
+        cand AS (
+          SELECT pa, pb, z FROM wedges w
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.src = w.pa AND e.dst = w.pb
+          )
+        ),
+        pred AS (
+          SELECT pa, pb,
+                 round(CAST(sum(aa_fp) AS BIGINT) / 1000000000e0, 6)
+                   AS score
+          FROM cand JOIN center USING (z)
+          GROUP BY pa, pb HAVING count(*) >= 1
+        ),
+        lab AS (
+          SELECT p.score,
+                 CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS label
+          FROM pred p
+          LEFT JOIN test t ON t.a = p.pa AND t.b = p.pb
+        ),
+        g AS (
+          SELECT score, CAST(sum(label) AS BIGINT) AS pos,
+                 CAST(sum(1 - label) AS BIGINT) AS neg
+          FROM lab GROUP BY score
+        ),
+        g2 AS (
+          SELECT *, coalesce(sum(neg) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cumneg
+          FROM g
+        ),
+        s AS (
+          SELECT sum(pos * cumneg + pos * neg / 2) AS num,
+                 CAST(sum(pos) AS BIGINT) AS npos,
+                 CAST(sum(neg) AS BIGINT) AS nneg
+          FROM g2
+        )
+        SELECT n_train_edges, n_test_edges, npos, nneg,
+               CASE WHEN npos = 0 OR nneg = 0 THEN NULL
+                    ELSE round(num / (npos * 1e0 * nneg), 6) END AS auc
+        FROM cnt CROSS JOIN s
     """
 
     # lang_temperature_weights: sqrt is IEEE-correctly-rounded in both

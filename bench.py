@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "documents_profile",
     "doc_chunks",
     "predicted_links",
+    "linkpred_holdout_auc",
     "lang_temperature_weights",
     "gap_filled_hourly",
     "quality_percentile_gate",

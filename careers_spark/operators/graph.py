@@ -1316,3 +1316,67 @@ def boruvka_msf(
             "edges remaining (raise max_rounds)"
         )
     return msf
+
+
+def link_prediction_holdout_auc(
+    edges: DataFrame,
+    holdout_mod: int = 5,
+    salt: str = "lp0",
+    score: str = "adamic_adar",
+    min_common: int = 1,
+) -> DataFrame:
+    """Leakage-aware link-prediction evaluation: hold out a
+    deterministic md5 slice of the edges, score NON-train-adjacent
+    candidate pairs on the TRAIN graph only (link_prediction), label
+    candidates by held-out membership, and report the exact
+    Mann-Whitney AUC — the standard "does topology predict missing
+    edges" benchmark, with the classic leakage bug (scoring on a
+    graph that contains the test edges) made impossible by
+    construction: test edges never reach the scorer.
+
+    The split is the dataset_split rule applied to EDGES (membership
+    a pure function of the canonical pair identity), candidates come
+    from the train wedge join, negatives are the non-edge candidate
+    pairs. Every piece reuses an existing exact operator, so the AUC
+    is one rounded division over exact integers (auc_score).
+
+    Output: one row (n_train_edges, n_test_edges, npos, nneg, auc) —
+    npos <= n_test_edges because a held-out edge whose endpoints
+    share no train neighbor never becomes a candidate (that recall
+    loss is part of what the number measures).
+    """
+    canon = edges.select(
+        F.least(F.col("src"), F.col("dst")).alias("a"),
+        F.greatest(F.col("src"), F.col("dst")).alias("b"),
+    ).dropDuplicates()
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat(a, '|', b, '|', '"
+        + salt
+        + "')), 1, 8), 16, 10) as bigint) % "
+        + str(int(holdout_mod))
+    )
+    tagged = canon.withColumn("_test", bucket == 0).localCheckpoint(
+        eager=True
+    )
+    train = tagged.filter(~F.col("_test")).selectExpr(
+        "a as src", "b as dst"
+    )
+    test = tagged.filter(F.col("_test")).select("a", "b")
+    n_train = train.count()
+    n_test = test.count()
+
+    from careers_spark.operators.evaluation import auc_score
+
+    cand = link_prediction(train, min_common=int(min_common)).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), score
+    )
+    labeled = cand.join(
+        test.withColumn("label", F.lit(1)), ["a", "b"], "left"
+    ).select(score, F.coalesce("label", F.lit(0)).alias("label"))
+    return auc_score(labeled, score=score).select(
+        F.lit(n_train).cast("long").alias("n_train_edges"),
+        F.lit(n_test).cast("long").alias("n_test_edges"),
+        "npos",
+        "nneg",
+        "auc",
+    )

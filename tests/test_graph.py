@@ -888,3 +888,50 @@ def test_boruvka_round_budget_raises(spark):
         boruvka_msf(df, max_rounds=1)
     got = sorted((r.a, r.b, r.wgt) for r in boruvka_msf(df).collect())
     assert got == _kruskal(rows)
+
+
+def test_linkpred_holdout_auc_planted_structure(spark):
+    """Two dense clusters: held-out intra-cluster edges share many
+    train neighbors while cross-cluster non-edges share few -> AUC
+    well above chance; and no test edge ever reaches the scorer's
+    train graph (leakage-impossible by construction)."""
+    from careers_spark.operators.graph import (
+        link_prediction_holdout_auc,
+    )
+
+    rows = []
+    for base in ("a", "b"):
+        mem = [f"{base}{i}" for i in range(8)]
+        for i in range(8):
+            for j in range(i + 1, 8):
+                rows.append((mem[i], mem[j]))
+    rows.append(("a0", "b0"))  # one bridge
+    df = spark.createDataFrame(rows, "src string, dst string")
+    (r,) = link_prediction_holdout_auc(
+        df, holdout_mod=4, salt="t1"
+    ).collect()
+    assert r.n_train_edges + r.n_test_edges == len(rows)
+    assert r.n_test_edges > 0 and r.npos > 0 and r.nneg > 0
+    assert r.auc is not None and r.auc > 0.75
+
+
+def test_linkpred_holdout_split_is_stable(spark):
+    """Edge membership is a pure function of pair identity + salt:
+    adding edges never migrates existing ones across the split."""
+    from careers_spark.operators.graph import (
+        link_prediction_holdout_auc,
+    )
+
+    base = [(f"n{i}", f"n{j}") for i in range(6) for j in range(i + 1, 6)]
+    df1 = spark.createDataFrame(base, "src string, dst string")
+    df2 = spark.createDataFrame(
+        base + [("n0", "z9"), ("z9", "n5")], "src string, dst string"
+    )
+    (r1,) = link_prediction_holdout_auc(df1, salt="s").collect()
+    (r2,) = link_prediction_holdout_auc(df2, salt="s").collect()
+    # the original 15 edges keep their assignments: test count can only
+    # grow by the new edges' own draws
+    assert r2.n_test_edges >= r1.n_test_edges
+    assert (r2.n_train_edges + r2.n_test_edges) - (
+        r1.n_train_edges + r1.n_test_edges
+    ) == 2
