@@ -595,6 +595,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q16"] = tpch_q16
 
+    def tpch_q6(spark, sf_dir):
+        """TPC-H Q6 (forecasting revenue change): pure filter +
+        aggregate — the predicate-pushdown benchmark; revenue on the
+        1e-4-dollar fixed-point lattice (exact BIGINT sum), reported
+        with ONE rounded scaling division."""
+        li = _t(spark, sf_dir, "lineitem")
+        rev_i = F.round(F.col("l_extendedprice") * 100).cast(
+            "bigint"
+        ) * F.round(F.col("l_discount") * 100).cast("bigint")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(rev_i).alias("revenue_fp"),
+            )
+            .select(
+                "n_items",
+                "revenue_fp",
+                F.expr("revenue_fp div 100").alias("revenue_cents"),
+            )
+        )
+
+    q["tpch_q6"] = tpch_q6
+
+    def tpch_q10(spark, sf_dir):
+        """TPC-H Q10 (returned item reporting): top-20 customers by
+        revenue lost to returns in a quarter — fact/dim joins with the
+        dims broadcast, fixed-point revenue, TakeOrdered top-k with a
+        full deterministic tie-break."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+            F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+        )
+        return (
+            li.filter(F.col("l_returnflag") == "R")
+            .join(
+                o.filter(
+                    (F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1996-04-01")
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev_i).alias("revenue_fp"))
+            .orderBy(F.desc("revenue_fp"), "c_custkey")
+            .limit(20)
+            .select(
+                "c_custkey",
+                "c_name",
+                "n_name",
+                "revenue_fp",
+                F.expr("revenue_fp div 100").alias("revenue_cents"),
+            )
+        )
+
+    q["tpch_q10"] = tpch_q10
+
+    def tpch_q19(spark, sf_dir):
+        """TPC-H Q19 (discounted revenue): the disjunctive
+        brand/size/quantity predicate — the classic OR-of-ANDs
+        pushdown/join-condition case, adapted to the driver part
+        schema; broadcast part join, fixed-point revenue."""
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+            F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+        )
+        cond = (
+            (
+                (F.col("p_brand") == "Brand#1")
+                & (F.col("p_size").between(1, 10))
+                & (F.col("l_quantity").between(1, 15))
+            )
+            | (
+                (F.col("p_brand") == "Brand#2")
+                & (F.col("p_size").between(1, 20))
+                & (F.col("l_quantity").between(10, 25))
+            )
+            | (
+                (F.col("p_brand") == "Brand#3")
+                & (F.col("p_size").between(1, 30))
+                & (F.col("l_quantity").between(20, 35))
+            )
+        )
+        return (
+            li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .filter(cond)
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(rev_i).alias("revenue_fp"),
+            )
+            .select(
+                "n_items",
+                "revenue_fp",
+                F.expr("revenue_fp div 100").alias("revenue_cents"),
+            )
+        )
+
+    q["tpch_q19"] = tpch_q19
+
     def star_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         o = _t(spark, sf_dir, "orders")
@@ -8133,6 +8244,63 @@ def oracle_sql() -> dict[str, str]:
           AND l_suppkey NOT IN
               (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
         GROUP BY 1, 2, 3
+    """
+
+    # tpch_q6 / q10 / q19: fixed-point revenue lattices, integer sums,
+    # one scaling division each; q10's top-20 under the full
+    # (revenue_fp desc, c_custkey) tie-break.
+    o["tpch_q6"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                 AS BIGINT) AS revenue_fp,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT))
+                     AS BIGINT) // 100 AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+
+    o["tpch_q10"] = """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS revenue_fp,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100)
+                                      AS BIGINT))) AS BIGINT) // 100
+                 AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_fp DESC, c_custkey
+        LIMIT 20
+    """
+
+    o["tpch_q19"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS revenue_fp,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100)
+                                      AS BIGINT))) AS BIGINT) // 100
+                 AS revenue_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+               AND l_quantity BETWEEN 20 AND 35)
     """
 
     # langid_confusion / langid_kappa: the lang_id SQL nested verbatim;

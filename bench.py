@@ -27,9 +27,12 @@ KG_CONVS = int(os.environ.get("KG_BENCH_CONVS", "100000"))
 BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q4",
+    "tpch_q6",
+    "tpch_q10",
     "tpch_q12",
     "tpch_q14",
     "tpch_q16",
+    "tpch_q19",
     "star_revenue",
     "word_doc_freq",
     "bigram_doc_freq",
