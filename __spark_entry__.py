@@ -706,6 +706,306 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q19"] = tpch_q19
 
+    def tpch_q7(spark, sf_dir):
+        """TPC-H Q7 (volume shipping): revenue flowing between two
+        named nations per ship year, in both directions — the
+        two-dimension-instances join (supplier nation vs customer
+        nation, both broadcast) with a disjunctive pair predicate.
+        Revenue on the cent lattice; year via EXTRACT."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        s = _t(spark, sf_dir, "supplier")
+        n = _t(spark, sf_dir, "nation")
+        n1 = n.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+        n2 = n.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+        rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+            F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+        )
+        pair = (
+            (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+        ) | (
+            (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+        )
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1998-01-01")
+            )
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+            .filter(pair)
+            .groupBy(
+                "supp_nation",
+                "cust_nation",
+                F.year("l_shipdate").cast("bigint").alias("l_year"),
+            )
+            .agg(F.sum(rev_i).alias("revenue_fp"))
+            .select(
+                "supp_nation",
+                "cust_nation",
+                "l_year",
+                "revenue_fp",
+                F.expr("revenue_fp div 100").alias("revenue_cents"),
+            )
+        )
+
+    q["tpch_q7"] = tpch_q7
+
+    def tpch_q8(spark, sf_dir):
+        """TPC-H Q8 (national market share): the focal nation's share
+        of ASIA-customer ECONOMY-part revenue per order year — the
+        conditional-aggregate ratio over a snowflake join. Numerator
+        and denominator are exact cent-lattice BIGINTs; the share is
+        ONE rounded division."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        s = _t(spark, sf_dir, "supplier")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        p = _t(spark, sf_dir, "part")
+        rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+            F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+        )
+        sup_n = n.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+        asia_cust_n = n.join(
+            r.filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cn_key"))
+        return (
+            li.join(
+                o.filter(
+                    (F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1998-01-01")
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(asia_cust_n), F.col("c_nationkey") == F.col("cn_key"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(sup_n), F.col("s_nationkey") == F.col("sn_key"))
+            .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev_i).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("nation_fp"),
+                F.sum(rev_i).alias("total_fp"),
+            )
+            .select(
+                "o_year",
+                "nation_fp",
+                "total_fp",
+                F.round(F.col("nation_fp") / (F.col("total_fp") * F.lit(1e0)), 6).alias(
+                    "mkt_share"
+                ),
+            )
+        )
+
+    q["tpch_q8"] = tpch_q8
+
+    def tpch_q13(spark, sf_dir):
+        """TPC-H Q13 (customer distribution): orders-per-customer
+        histogram INCLUDING zero-order customers — the left outer
+        join + two-level aggregation shape. The join key is the
+        customer key (shuffle on it once); both aggregations are
+        partial-agg friendly integer counts."""
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        per_cust = (
+            c.join(
+                o.filter(F.col("o_orderpriority") != "1-URGENT").select(
+                    "o_custkey", "o_orderkey"
+                ),
+                F.col("c_custkey") == F.col("o_custkey"),
+                "left_outer",
+            )
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(
+            F.count("*").alias("custdist")
+        )
+
+    q["tpch_q13"] = tpch_q13
+
+    def tpch_q15(spark, sf_dir):
+        """TPC-H Q15 (top supplier): supplier(s) whose quarterly
+        revenue equals the maximum — the agg-then-max-equality shape.
+        Revenue is an exact cent-lattice BIGINT so the max-equality
+        join has no float-tolerance trap; the 1-row max is a broadcast
+        cross join, never a collect."""
+        li = _t(spark, sf_dir, "lineitem")
+        s = _t(spark, sf_dir, "supplier")
+        rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+            F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+        )
+        per_supp = (
+            li.filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1996-04-01")
+            )
+            .groupBy("l_suppkey")
+            .agg(F.sum(rev_i).alias("total_fp"))
+        )
+        mx = per_supp.agg(F.max("total_fp").alias("max_fp"))
+        return (
+            per_supp.join(F.broadcast(mx), F.col("total_fp") == F.col("max_fp"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(
+                F.col("s_suppkey"),
+                F.col("s_name"),
+                F.col("total_fp"),
+                F.expr("total_fp div 100").alias("total_cents"),
+            )
+        )
+
+    q["tpch_q15"] = tpch_q15
+
+    def tpch_q17(spark, sf_dir):
+        """TPC-H Q17 (small-quantity-order revenue): Brand#1 lineitems
+        whose quantity is below 20% of the part's average — the
+        correlated scalar-aggregate shape, decorrelated into a
+        per-part aggregate + broadcast join. The predicate
+        qty < 0.2 * avg is cross-multiplied onto exact integers
+        (5 * qty * n < sum_qty), so no division is ever compared."""
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        qty_i = F.round(F.col("l_quantity")).cast("bigint")
+        li_b = li.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        ).select(
+            "l_partkey",
+            qty_i.alias("qty_i"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        )
+        per_part = li_b.groupBy(F.col("l_partkey").alias("pk")).agg(
+            F.sum("qty_i").alias("sum_qty"), F.count("*").alias("n_li")
+        )
+        return (
+            li_b.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+            .filter(F.lit(5) * F.col("qty_i") * F.col("n_li") < F.col("sum_qty"))
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum("price_c").alias("sum_cents"),
+            )
+            .select(
+                "n_items",
+                "sum_cents",
+                F.expr("sum_cents div 7").alias("avg_yearly_cents"),
+            )
+        )
+
+    q["tpch_q17"] = tpch_q17
+
+    def tpch_q21(spark, sf_dir):
+        """TPC-H Q21 (suppliers who kept orders waiting), adapted to
+        the driver schema: for finished ('F') orders, count per
+        supplier the orders where THIS supplier shipped late
+        (l_shipdate > o_orderdate + 30 days), some OTHER supplier is
+        on the order (left-semi), and NO other supplier shipped late
+        (left-anti) — the exists + not-exists double-correlation
+        shape as two join residuals on the order key. Top 10 by
+        (numwait desc, s_suppkey)."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        s = _t(spark, sf_dir, "supplier")
+        base = li.join(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 30 days")).alias(
+                "late"
+            ),
+        )
+        l1 = base.filter(F.col("late")).select("l_orderkey", "l_suppkey").alias("l1")
+        others = base.select(
+            F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+        ).alias("l2")
+        late_others = (
+            base.filter(F.col("late"))
+            .select(F.col("l_orderkey").alias("a_key"), F.col("l_suppkey").alias("a_supp"))
+            .alias("l3")
+        )
+        waiting = (
+            l1.join(
+                others,
+                (F.col("l1.l_orderkey") == F.col("o_key"))
+                & (F.col("l1.l_suppkey") != F.col("o_supp")),
+                "left_semi",
+            )
+            .join(
+                late_others,
+                (F.col("l1.l_orderkey") == F.col("a_key"))
+                & (F.col("l1.l_suppkey") != F.col("a_supp")),
+                "left_anti",
+            )
+            .dropDuplicates(["l_orderkey", "l_suppkey"])
+        )
+        return (
+            waiting.groupBy("l_suppkey")
+            .agg(F.count("*").alias("numwait"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .orderBy(F.desc("numwait"), "s_suppkey")
+            .limit(10)
+            .select("s_suppkey", "s_name", "numwait")
+        )
+
+    q["tpch_q21"] = tpch_q21
+
+    def tpch_q22(spark, sf_dir):
+        """TPC-H Q22 (global sales opportunity): per-nation count and
+        balance of above-average-balance customers with no RECENT
+        orders (none since 2000-01-01; this corpus has no fully
+        orderless customers) — the scalar-average subquery +
+        anti-join shape. The
+        above-average predicate is cross-multiplied onto exact
+        integers (bal_c * n_pos > sum_pos_c), so no float average is
+        ever materialized; balances ride the cent lattice."""
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        bal_c = F.round(F.col("c_acctbal") * 100).cast("bigint")
+        cust = c.select("c_custkey", "c_nationkey", bal_c.alias("bal_c"))
+        pos = cust.filter(F.col("bal_c") > 0).agg(
+            F.sum("bal_c").alias("sum_pos"), F.count("*").alias("n_pos")
+        )
+        return (
+            cust.join(F.broadcast(pos))
+            .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos"))
+            .join(
+                o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey"),
+                F.col("c_custkey") == F.col("o_custkey"),
+                "left_anti",
+            )
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("numcust"),
+                F.sum("bal_c").alias("totbal_cents"),
+            )
+        )
+
+    q["tpch_q22"] = tpch_q22
+
     def star_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         o = _t(spark, sf_dir, "orders")
@@ -8301,6 +8601,159 @@ def oracle_sql() -> dict[str, str]:
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
                AND l_quantity BETWEEN 20 AND 35)
+    """
+
+    # tpch_q7 / q8 / q13 / q15 / q17 / q21 / q22: the remaining
+    # partsupp-free TPC-H shapes. All money on the cent lattice
+    # (exact BIGINT sums); q8's share and nothing else is a rounded
+    # division; q17/q22 cross-multiply their correlated-average
+    # predicates onto integers so no float is ever compared.
+    o["tpch_q7"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS revenue_fp,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100)
+                                      AS BIGINT))) AS BIGINT) // 100
+                 AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3
+    """
+
+    o["tpch_q8"] = """
+        WITH base AS (
+          SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS rev_fp
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND p_type = 'ECONOMY' AND r_name = 'ASIA'
+        )
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                             THEN rev_fp ELSE 0 END) AS BIGINT) AS nation_fp,
+               CAST(sum(rev_fp) AS BIGINT) AS total_fp,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN rev_fp ELSE 0 END) AS BIGINT)
+                     / (CAST(sum(rev_fp) AS BIGINT) * 1e0), 6) AS mkt_share
+        FROM base GROUP BY 1
+    """
+
+    o["tpch_q13"] = """
+        WITH per_cust AS (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                     WHERE o_orderpriority <> '1-URGENT') o
+            ON c_custkey = o_custkey
+          GROUP BY 1
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY 1
+    """
+
+    o["tpch_q15"] = """
+        WITH per_supp AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS total_fp
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_fp, total_fp // 100 AS total_cents
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_fp = (SELECT max(total_fp) FROM per_supp)
+    """
+
+    o["tpch_q17"] = """
+        WITH li_b AS (
+          SELECT l_partkey,
+                 CAST(round(l_quantity) AS BIGINT) AS qty_i,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#1'
+        ),
+        per_part AS (
+          SELECT l_partkey AS pk, CAST(sum(qty_i) AS BIGINT) AS sum_qty,
+                 CAST(count(*) AS BIGINT) AS n_li
+          FROM li_b GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(price_c) AS BIGINT) AS sum_cents,
+               CAST(sum(price_c) AS BIGINT) // 7 AS avg_yearly_cents
+        FROM li_b JOIN per_part ON l_partkey = pk
+        WHERE 5 * qty_i * n_li < sum_qty
+    """
+
+    o["tpch_q21"] = """
+        WITH base AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ),
+        waiting AS (
+          SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+          FROM base l1
+          WHERE l1.late
+            AND EXISTS (SELECT 1 FROM base l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM base l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.late)
+        )
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 10
+    """
+
+    o["tpch_q22"] = """
+        WITH cust AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer
+        ),
+        pos AS (
+          SELECT CAST(sum(bal_c) AS BIGINT) AS sum_pos,
+                 CAST(count(*) AS BIGINT) AS n_pos
+          FROM cust WHERE bal_c > 0
+        )
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(bal_c) AS BIGINT) AS totbal_cents
+        FROM cust, pos
+        WHERE bal_c * n_pos > sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY 1
     """
 
     # langid_confusion / langid_kappa: the lang_id SQL nested verbatim;

@@ -28,11 +28,18 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q4",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
     "tpch_q16",
+    "tpch_q17",
     "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
     "star_revenue",
     "word_doc_freq",
     "bigram_doc_freq",
