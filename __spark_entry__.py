@@ -3292,6 +3292,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ab_conversion"] = ab_conversion
 
+    def mann_whitney_revenue(spark, sf_dir):
+        """Mann-Whitney U test of per-user purchase revenue (cents)
+        between the md5 experiment arms — the nonparametric companion
+        to ab_conversion/welch for the heavily zero-inflated revenue
+        outcome (evaluation.mann_whitney_u). The analysis unit is the
+        USER (one revenue total per user), matching the randomization
+        unit."""
+        from careers_spark.operators.dedup import _hash64_expr
+        from careers_spark.operators.evaluation import mann_whitney_u
+
+        ev = _t(spark, sf_dir, "events")
+        ab_key = "concat(cast(user_id as string), '|', 'ab')"
+        arm = f"{_hash64_expr(ab_key)} % 2"
+        per_user = ev.groupBy("user_id").agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("cast(round(value * 100) as bigint)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("value")
+        )
+        return mann_whitney_u(
+            per_user.select("value", F.expr(arm).alias("grp"))
+        )
+
+    q["mann_whitney_revenue"] = mann_whitney_revenue
+
+    def cuped_revenue_lift(spark, sf_dir):
+        """CUPED variance-reduced revenue lift between the md5 arms
+        (evaluation.cuped_adjusted): X = each user's pre-period
+        purchase cents (before 2024-01-16), Y = post-period purchase
+        cents — the Deng et al. WSDM'13 sensitivity trick with theta
+        fit pooled across arms on exact integer sums."""
+        from careers_spark.operators.dedup import _hash64_expr
+        from careers_spark.operators.evaluation import cuped_adjusted
+
+        ev = _t(spark, sf_dir, "events")
+        ab_key = "concat(cast(user_id as string), '|', 'ab')"
+        arm = f"{_hash64_expr(ab_key)} % 2"
+        cents = F.expr("cast(round(value * 100) as bigint)")
+        is_p = F.col("event_type") == "purchase"
+        pre = F.col("ts") < "2024-01-16"
+        per_user = ev.groupBy("user_id").agg(
+            F.sum(F.when(is_p & pre, cents).otherwise(F.lit(0).cast("long"))).alias(
+                "x"
+            ),
+            F.sum(
+                F.when(is_p & ~pre, cents).otherwise(F.lit(0).cast("long"))
+            ).alias("y"),
+        )
+        return cuped_adjusted(
+            per_user.select("x", "y", F.expr(arm).alias("grp"))
+        )
+
+    q["cuped_revenue_lift"] = cuped_revenue_lift
+
+    def map_eval(spark, sf_dir):
+        """Truncated AP@10 per query of the exact cosine ranking under
+        same-label relevance (similarity.average_precision_eval) —
+        MAP's per-query rows; each AP is an exact fixed-point BIGINT
+        sum of (1e9*tp) div rk terms with one closing division by the
+        TREC min(R, k) denominator."""
+        return SIM.average_precision_eval(
+            _t(spark, sf_dir, "embeddings"), k=10
+        )
+
+    q["map_eval"] = map_eval
+
     def contrastive_triplets(spark, sf_dir):
         """Contrastive training triples per anchor: best non-dup
         positive (>= 0.3 — the corpus's real similarity band; see the
@@ -8366,6 +8434,100 @@ def oracle_sql() -> dict[str, str]:
         FROM w
     """
 
+    # mann_whitney_revenue / cuped_revenue_lift: per-user integer
+    # revenue aggregates under the shared md5 arm draw; the z / theta /
+    # diff closing expressions are the evaluation-module constants
+    # nested verbatim so both engines evaluate identical text over
+    # identical exact integers.
+    from careers_spark.operators.evaluation import (
+        _CU_ADJ,
+        _CU_DIFF,
+        _CU_THETA,
+        _CU_VARX,
+        _CU_VARY,
+        _CU_VR,
+        _MWU_SIG2,
+        _MWU_Z,
+    )
+
+    _arm = _DUCK_H64.format(c=_ab_key) + " % 2"
+    o["mann_whitney_revenue"] = f"""
+        WITH pu AS (
+          SELECT {_arm} AS grp,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS value
+          FROM events GROUP BY user_id
+        ),
+        vc AS (
+          SELECT value AS v,
+                 CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+                 CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0
+          FROM pu GROUP BY 1
+        ),
+        cum AS (
+          SELECT v, a1, a0,
+                 coalesce(sum(a0) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS c0
+          FROM vc
+        ),
+        a AS (
+          SELECT CAST(sum(a1) AS BIGINT) AS n_1,
+                 CAST(sum(a0) AS BIGINT) AS n_0,
+                 CAST(sum(a1 * (2 * c0 + a0)) AS BIGINT) AS u2_1,
+                 CAST(sum((a1 + a0) * (a1 + a0) * (a1 + a0) - (a1 + a0))
+                   AS BIGINT) AS ties3
+          FROM cum
+        )
+        SELECT n_1, n_0, u2_1, ties3,
+               round(u2_1 / 2e0, 6) AS u_1,
+               CASE WHEN n_1 = 0 OR n_0 = 0 THEN NULL
+                    ELSE round(u2_1 / (2e0 * n_1 * n_0), 6) END AS auc,
+               CASE WHEN n_1 = 0 OR n_0 = 0 OR {_MWU_SIG2} <= 0 THEN NULL
+                    ELSE {_MWU_Z} END AS z
+        FROM a
+    """
+
+    o["cuped_revenue_lift"] = f"""
+        WITH pu AS (
+          SELECT {_arm} AS grp,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY user_id
+        ),
+        a AS (
+          SELECT
+            CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+            CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_0,
+            CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_1,
+            CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_0,
+            CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_1,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy,
+            CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM pu
+        )
+        SELECT n_0, n_1, sx_0, sx_1, sy_0, sy_1, sxx, syy, sxy,
+               CASE WHEN n_0 = 0 OR n_1 = 0 OR {_CU_VARX} = 0 THEN NULL
+                    ELSE round({_CU_THETA}, 6) END AS theta,
+               CASE WHEN n_0 = 0 OR n_1 = 0 THEN NULL
+                    ELSE round({_CU_DIFF}, 6) END AS diff_raw,
+               CASE WHEN n_0 = 0 OR n_1 = 0 OR {_CU_VARX} = 0 THEN NULL
+                    ELSE {_CU_ADJ} END AS diff_cuped,
+               CASE WHEN n_0 = 0 OR n_1 = 0 OR {_CU_VARX} = 0
+                         OR {_CU_VARY} = 0 THEN NULL
+                    ELSE {_CU_VR} END AS var_reduction
+        FROM a
+    """
+
     # contrastive_triplets: the topk cosine SQL at two max_sim cuts
     # (one shared sim table), plus the md5 random draw over the
     # row_number entity dim (the negative_samples recipe; the modulus
@@ -10183,6 +10345,59 @@ def oracle_sql() -> dict[str, str]:
                round(n_rel / 10.0, 6) AS p_at_k,
                coalesce(round(1.0 / first_rel_rank, 6), 0.0) AS rr
         FROM per
+    """
+
+    # map_eval: the same exact-cosine top-10 CTE, per-query running
+    # tp over rk, each AP term the INTEGER (1e9*tp) // rk (floor div
+    # of positives — identical to Spark div), the TREC min(R, k)
+    # denominator from the label-counts dimension; one closing
+    # division of identical integers per query.
+    o["map_eval"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                          label AS qlab
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        s AS (
+          SELECT query_id, qlab, vec_id AS neighbor_id, nlab, {_cos} AS sim
+          FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS nv,
+                                    label AS nlab FROM embeddings)
+          WHERE vec_id <> query_id
+        ),
+        ranked AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rk
+            FROM s
+          ) WHERE rk <= 10
+        ),
+        lab AS (
+          SELECT label AS qlab, CAST(count(*) AS BIGINT) AS n_lab
+          FROM embeddings GROUP BY 1
+        ),
+        terms AS (
+          SELECT query_id, qlab, rk,
+                 CASE WHEN qlab = nlab THEN 1 ELSE 0 END AS is_rel,
+                 CAST(sum(CASE WHEN qlab = nlab THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY query_id ORDER BY rk
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tp
+          FROM ranked
+        ),
+        per AS (
+          SELECT query_id, qlab,
+                 CAST(sum(CASE WHEN is_rel = 1
+                          THEN (1000000000 * tp) // rk ELSE 0 END)
+                   AS BIGINT) AS ap_fp,
+                 CAST(sum(is_rel) AS BIGINT) AS n_rel_topk
+          FROM terms GROUP BY 1, 2
+        )
+        SELECT query_id,
+               CAST(n_lab - 1 AS BIGINT) AS n_rel_corpus,
+               n_rel_topk, ap_fp,
+               CASE WHEN n_lab - 1 <= 0 THEN NULL
+                    ELSE round(ap_fp /
+                         (1000000000 * 1e0 * least(n_lab - 1, 10)), 6)
+               END AS ap
+        FROM per JOIN lab USING (qlab)
     """
 
     return o

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "label_ranking_eval",
     "ndcg_eval",
+    "map_eval",
     "embedding_gramian",
     "ivf_ann_topk",
     "kmeans_clusters",
@@ -149,6 +150,8 @@ BENCH_QUERIES = [
     "graph_ktruss",
     "pq_encoding",
     "ab_conversion",
+    "mann_whitney_revenue",
+    "cuped_revenue_lift",
     "contrastive_triplets",
     "sorted_neighborhood_pairs",
     "entity_simrank",

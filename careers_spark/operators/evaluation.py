@@ -549,6 +549,164 @@ def ks_two_sample(
     )
 
 
+# Mann-Whitney z over exact integers: 2*U1 (u2) avoids the 0.5 tie
+# credit, the tie-corrected variance is one shared-text expression.
+_MWU_SIG2 = (
+    "((n_1 * 1e0 * n_0 / 12e0) * ((n_1 + n_0 + 1e0)"
+    " - ties3 * 1e0 / ((n_1 + n_0) * 1e0 * (n_1 + n_0 - 1e0))))"
+)
+_MWU_Z = f"round((u2_1 - n_1 * 1e0 * n_0) / (2e0 * sqrt({_MWU_SIG2})), 6)"
+
+
+def mann_whitney_u(
+    df: DataFrame, value: str = "value", group: str = "grp"
+) -> DataFrame:
+    """Mann-Whitney U test (Wilcoxon rank-sum) of an INTEGER value
+    column between group 1 and group 0 — the nonparametric A/B test
+    for skewed outcomes where welch_ttest's normality is indefensible
+    (revenue, latency, token counts).
+
+    Exactness: rows collapse to the distinct-value table first (one
+    partial-agg groupBy), then U1 = #{(x1, x0): x1 > x0} + ties/2 is
+    carried DOUBLED (u2_1 = sum_v a1_v * (2*cumn0(<v) + a0_v)) so it
+    stays an exact BIGINT; the tie term sum(t^3 - t) over distinct
+    values is an exact BIGINT too (in range while n < ~2e6 rows all
+    tied at one value — the spearman_corr lattice caveat). The only
+    float is the ONE shared-text z expression (normal approximation
+    with tie-corrected variance, no continuity correction — stated,
+    not hidden). The cumulative runs over distinct values only (the
+    auc_score / ks_two_sample shape) — no sort on the row count.
+
+    Degenerate inputs (an empty group, or every row tied at a single
+    value so sigma = 0) report NULL z.
+
+    Output: one row (n_1, n_0, u2_1, ties3, u_1, auc, z).
+    """
+    g1 = F.when(F.col(group) == 1, 1).otherwise(0)
+    vc = df.groupBy(F.col(value).cast("long").alias("v")).agg(
+        F.sum(g1).alias("a1"),
+        F.sum(1 - g1).alias("a0"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vc.withColumn(
+        "c0", F.coalesce(F.sum("a0").over(w), F.lit(0).cast("long"))
+    )
+    t = F.col("a1") + F.col("a0")
+    agg = cum.agg(
+        F.sum("a1").alias("n_1"),
+        F.sum("a0").alias("n_0"),
+        F.sum(
+            F.col("a1") * (F.lit(2) * F.col("c0") + F.col("a0"))
+        ).alias("u2_1"),
+        F.sum(t * t * t - t).alias("ties3"),
+    )
+    bad = (
+        (F.col("n_1") == 0)
+        | (F.col("n_0") == 0)
+        | (F.expr(_MWU_SIG2) <= 0)
+    )
+    return agg.select(
+        "n_1",
+        "n_0",
+        "u2_1",
+        "ties3",
+        F.round(F.col("u2_1") / F.lit(2e0), 6).alias("u_1"),
+        F.when(
+            (F.col("n_1") == 0) | (F.col("n_0") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(F.expr("u2_1 / (2e0 * n_1 * n_0)"), 6)
+        )
+        .alias("auc"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.expr(_MWU_Z))
+        .alias("z"),
+    )
+
+
+# CUPED closing expressions over the exact integer sums; pooled
+# totals written inline so the text is identical in both engines.
+_CU_N = "(n_0 + n_1)"
+_CU_SX = "(sx_0 + sx_1)"
+_CU_SY = "(sy_0 + sy_1)"
+_CU_VARX = f"({_CU_N} * 1e0 * sxx - {_CU_SX} * 1e0 * {_CU_SX})"
+_CU_VARY = f"({_CU_N} * 1e0 * syy - {_CU_SY} * 1e0 * {_CU_SY})"
+_CU_COV = f"({_CU_N} * 1e0 * sxy - {_CU_SX} * 1e0 * {_CU_SY})"
+_CU_THETA = f"({_CU_COV} / {_CU_VARX})"
+_CU_DIFF = "(sy_1 * 1e0 / n_1 - sy_0 * 1e0 / n_0)"
+_CU_DX = "(sx_1 * 1e0 / n_1 - sx_0 * 1e0 / n_0)"
+_CU_ADJ = f"round({_CU_DIFF} - {_CU_THETA} * {_CU_DX}, 6)"
+_CU_VR = f"round({_CU_COV} * {_CU_COV} / ({_CU_VARX} * {_CU_VARY}), 6)"
+
+
+def cuped_adjusted(
+    df: DataFrame, x: str = "x", y: str = "y", group: str = "grp"
+) -> DataFrame:
+    """CUPED variance-reduced treatment effect (Deng et al. WSDM'13) —
+    the standard experiment-sensitivity trick: regress the in-period
+    metric Y on the PRE-period covariate X (pooled theta = cov/var)
+    and report the adjusted arm difference
+
+        diff_cuped = (meanY1 - meanY0) - theta * (meanX1 - meanX0),
+
+    whose variance shrinks by rho^2 (also reported, as the fraction of
+    variance CUPED removed). X predates assignment, so the adjustment
+    is unbiased by construction.
+
+    Exactness: ONE partial-agg pass collects per-arm (n, Sx, Sy) and
+    pooled (Sxx, Syy, Sxy) as exact BIGINTs over INTEGER inputs (put
+    money on the cent lattice first; in range while
+    n * max|x| * max|y| < 2^63); theta, the raw/adjusted diffs, and
+    the variance-reduction factor are single shared-text double
+    expressions over those integers. Degenerate inputs (an arm with
+    n = 0, or zero covariate variance) -> NULL adjusted columns, and
+    the raw diff is still reported.
+
+    Output: one row (n_0, n_1, sx_0, sx_1, sy_0, sy_1, sxx, syy, sxy,
+    theta, diff_raw, diff_cuped, var_reduction).
+    """
+    g1 = F.when(F.col(group) == 1, 1).otherwise(0)
+    xv = F.col(x).cast("long")
+    yv = F.col(y).cast("long")
+    agg = df.agg(
+        F.sum(1 - g1).alias("n_0"),
+        F.sum(g1).alias("n_1"),
+        F.sum(xv * (1 - g1)).alias("sx_0"),
+        F.sum(xv * g1).alias("sx_1"),
+        F.sum(yv * (1 - g1)).alias("sy_0"),
+        F.sum(yv * g1).alias("sy_1"),
+        F.sum(xv * xv).alias("sxx"),
+        F.sum(yv * yv).alias("syy"),
+        F.sum(xv * yv).alias("sxy"),
+    )
+    no_arm = (F.col("n_0") == 0) | (F.col("n_1") == 0)
+    bad = no_arm | (F.expr(_CU_VARX) == 0)
+    return agg.select(
+        "n_0",
+        "n_1",
+        "sx_0",
+        "sx_1",
+        "sy_0",
+        "sy_1",
+        "sxx",
+        "syy",
+        "sxy",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(F.expr(_CU_THETA), 6))
+        .alias("theta"),
+        F.when(no_arm, F.lit(None).cast("double"))
+        .otherwise(F.round(F.expr(_CU_DIFF), 6))
+        .alias("diff_raw"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.expr(_CU_ADJ))
+        .alias("diff_cuped"),
+        F.when(bad | (F.expr(_CU_VARY) == 0), F.lit(None).cast("double"))
+        .otherwise(F.expr(_CU_VR))
+        .alias("var_reduction"),
+    )
+
+
 def gini_concentration(
     df: DataFrame, key: str = "key", amount: str = "amount"
 ) -> DataFrame:

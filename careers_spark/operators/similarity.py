@@ -965,6 +965,87 @@ def label_ranking_eval(
     )
 
 
+def average_precision_eval(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_pred: str = "vec_id % 50 = 0",
+) -> DataFrame:
+    """Truncated average precision (AP@k) of the exact cosine ranking
+    under same-label relevance — the rank-position-sensitive retrieval
+    metric completing MRR / p@k / nDCG (MAP is its cross-query mean;
+    per-query rows are emitted so no cross-query float sum exists).
+
+    AP@k = sum_{r<=k, rel(r)} P(r) / min(R, k), with R the number of
+    relevant items in the whole corpus (same-label vectors minus the
+    query itself — the TREC denominator, so a query whose relevants
+    can't all fit in k isn't penalized for the overflow).
+
+    Exactness: each precision term P(r) = tp(r)/r is kept as the
+    INTEGER (1e9 * tp) div r — floor division of positive integers,
+    identical in both engines — so the per-query sum ap_fp is an exact
+    BIGINT in any order; ap is ONE rounded closing division by
+    (1e9 * min(R, k)). tp(r) comes from a per-QUERY running sum over
+    the k ranked rows (bounded window, never corpus-wide). R comes
+    from the label-counts dimension, broadcast. R = 0 -> NULL ap.
+
+    Output: (query_id, n_rel_corpus, n_rel_topk, ap_fp, ap).
+    """
+    ranked = brute_force_topk(embeddings, k=k, query_pred=query_pred)
+    qlab = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )
+    nlab = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
+    )
+    lab_counts = embeddings.groupBy(F.col("label").alias("qlab")).agg(
+        F.count("*").alias("n_lab")
+    )
+    j = ranked.join(qlab, "query_id").join(nlab, "neighbor_id")
+    rel = F.when(F.col("qlab") == F.col("nlab"), 1).otherwise(0)
+    w = Window.partitionBy("query_id").orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    terms = j.select(
+        "query_id",
+        "qlab",
+        "rk",
+        rel.alias("is_rel"),
+    ).withColumn("tp", F.sum("is_rel").over(w))
+    per = (
+        terms.groupBy("query_id", "qlab")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("is_rel") == 1,
+                    F.expr("(1000000000 * tp) div rk"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("ap_fp"),
+            F.sum("is_rel").cast("long").alias("n_rel_topk"),
+        )
+        .join(F.broadcast(lab_counts), "qlab")
+        .withColumn("n_rel_corpus", (F.col("n_lab") - 1).cast("long"))
+    )
+    return per.select(
+        "query_id",
+        "n_rel_corpus",
+        "n_rel_topk",
+        "ap_fp",
+        F.when(F.col("n_rel_corpus") <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("ap_fp")
+                / (
+                    F.lit(1000000000)
+                    * F.lit(1e0)
+                    * F.least(F.col("n_rel_corpus"), F.lit(int(k)))
+                ),
+                6,
+            )
+        )
+        .alias("ap"),
+    )
+
+
 def embedding_gramian(
     embeddings: DataFrame,
     vec_col: str = "embedding",

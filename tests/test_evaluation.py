@@ -234,3 +234,159 @@ def test_pearson_corr_zero_variance_null(spark):
 
     df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, y long")
     assert pearson_corr(df).collect()[0].r is None
+
+
+def _mwu_reference(rows):
+    """Pure-python Mann-Whitney: doubled U via pair counting, z with
+    the tie-corrected normal approximation (no continuity corr)."""
+    import math
+
+    g1 = sorted(v for v, g in rows if g == 1)
+    g0 = sorted(v for v, g in rows if g == 0)
+    n1, n0 = len(g1), len(g0)
+    u2 = sum(
+        2 if x > y else 1 if x == y else 0 for x in g1 for y in g0
+    )
+    from collections import Counter
+
+    cnt = Counter(v for v, _ in rows)
+    ties3 = sum(t**3 - t for t in cnt.values())
+    n = n1 + n0
+    sig2 = (n1 * 1.0 * n0 / 12.0) * (
+        (n + 1.0) - ties3 * 1.0 / (n * 1.0 * (n - 1.0))
+    )
+    z = None
+    if n1 and n0 and sig2 > 0:
+        z = _r6((u2 - n1 * 1.0 * n0) / (2.0 * math.sqrt(sig2)))
+    return n1, n0, u2, ties3, z
+
+
+def test_mann_whitney_hand_golden(spark):
+    """Hand case with a cross-group tie: g1={3,5}, g0={1,3}.
+    Pairs: (3>1)=1, (3=3)=.5, (5>1)=1, (5>3)=1 -> U1=3.5, u2=7."""
+    from careers_spark.operators.evaluation import mann_whitney_u
+
+    rows = [(3, 1), (5, 1), (1, 0), (3, 0)]
+    df = spark.createDataFrame(rows, "value long, grp int")
+    r = mann_whitney_u(df).collect()[0]
+    assert (r.n_1, r.n_0, r.u2_1) == (2, 2, 7)
+    assert r.u_1 == 3.5
+    # ties3: value 3 has t=2 -> 6; values 1, 5 contribute 0
+    assert r.ties3 == 6
+    n1, n0, u2, ties3, z = _mwu_reference(rows)
+    assert r.z == z
+
+
+def test_mann_whitney_python_lockstep_random(spark):
+    from careers_spark.operators.evaluation import mann_whitney_u
+    import random
+
+    rng = random.Random(23)
+    # coarse grid forces heavy ties
+    rows = [(rng.randrange(0, 8), rng.randrange(2)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "value long, grp int")
+    r = mann_whitney_u(df).collect()[0]
+    n1, n0, u2, ties3, z = _mwu_reference(rows)
+    assert (r.n_1, r.n_0, r.u2_1, r.ties3) == (n1, n0, u2, ties3)
+    assert r.z == z
+    # the reported AUC is the same statistic as auc_score
+    from careers_spark.operators.evaluation import auc_score
+
+    a = auc_score(
+        spark.createDataFrame(
+            [(float(v), g) for v, g in rows], "score double, label int"
+        )
+    ).collect()[0]
+    assert r.auc == a.auc
+
+
+def test_mann_whitney_degenerate_null(spark):
+    from careers_spark.operators.evaluation import mann_whitney_u
+
+    # all rows tied at one value: sigma = 0 -> NULL z (auc = 0.5)
+    df = spark.createDataFrame(
+        [(7, 1), (7, 1), (7, 0), (7, 0)], "value long, grp int"
+    )
+    r = mann_whitney_u(df).collect()[0]
+    assert r.z is None and r.auc == 0.5
+    # one-group input: NULL z and NULL auc
+    df2 = spark.createDataFrame([(1, 1), (2, 1)], "value long, grp int")
+    r2 = mann_whitney_u(df2).collect()[0]
+    assert r2.z is None and r2.auc is None
+
+
+def _cuped_reference(rows):
+    """Pure-python CUPED over exact integer sums (floats only in the
+    closing expressions, mirroring the shared-text recipe)."""
+    n0 = sum(1 for *_, g in rows if g == 0)
+    n1 = sum(1 for *_, g in rows if g == 1)
+    sx0 = sum(x for x, _, g in rows if g == 0)
+    sx1 = sum(x for x, _, g in rows if g == 1)
+    sy0 = sum(y for _, y, g in rows if g == 0)
+    sy1 = sum(y for _, y, g in rows if g == 1)
+    sxx = sum(x * x for x, _, _ in rows)
+    syy = sum(y * y for _, y, _ in rows)
+    sxy = sum(x * y for x, y, _ in rows)
+    n, sx, sy = n0 + n1, sx0 + sx1, sy0 + sy1
+    varx = n * 1.0 * sxx - sx * 1.0 * sx
+    vary = n * 1.0 * syy - sy * 1.0 * sy
+    cov = n * 1.0 * sxy - sx * 1.0 * sy
+    theta = cov / varx
+    diff = sy1 * 1.0 / n1 - sy0 * 1.0 / n0
+    dx = sx1 * 1.0 / n1 - sx0 * 1.0 / n0
+    return (
+        _r6(theta),
+        _r6(diff),
+        _r6(diff - theta * dx),
+        _r6(cov * cov / (varx * vary)),
+    )
+
+
+def test_cuped_hand_lockstep(spark):
+    from careers_spark.operators.evaluation import cuped_adjusted
+
+    rows = [
+        (10, 25, 0),
+        (20, 41, 0),
+        (30, 58, 0),
+        (12, 39, 1),
+        (22, 55, 1),
+        (28, 70, 1),
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, grp int")
+    r = cuped_adjusted(df).collect()[0]
+    theta, diff, adj, vr = _cuped_reference(rows)
+    assert (r.theta, r.diff_raw, r.diff_cuped, r.var_reduction) == (
+        theta,
+        diff,
+        adj,
+        vr,
+    )
+
+
+def test_cuped_perfect_covariate_removes_all_variance(spark):
+    """y = 3x exactly: var_reduction = 1 and the adjusted diff nulls
+    out the raw diff entirely (theta = 3, diff = theta * dx)."""
+    from careers_spark.operators.evaluation import cuped_adjusted
+
+    rows = [(x, 3 * x, g) for g, xs in ((0, [1, 2, 5]), (1, [2, 4, 9])) for x in xs]
+    df = spark.createDataFrame(rows, "x long, y long, grp int")
+    r = cuped_adjusted(df).collect()[0]
+    assert r.theta == 3.0
+    assert r.var_reduction == 1.0
+    assert r.diff_cuped == 0.0
+
+
+def test_cuped_degenerate_nulls(spark):
+    from careers_spark.operators.evaluation import cuped_adjusted
+
+    # zero covariate variance: theta undefined, raw diff still out
+    rows = [(5, 10, 0), (5, 14, 0), (5, 30, 1), (5, 34, 1)]
+    df = spark.createDataFrame(rows, "x long, y long, grp int")
+    r = cuped_adjusted(df).collect()[0]
+    assert r.theta is None and r.diff_cuped is None
+    assert r.diff_raw == 20.0
+    # empty arm: everything adjusted is NULL
+    df2 = spark.createDataFrame([(1, 2, 1), (2, 3, 1)], "x long, y long, grp int")
+    r2 = cuped_adjusted(df2).collect()[0]
+    assert r2.diff_raw is None and r2.diff_cuped is None

@@ -533,3 +533,112 @@ def test_ndcg_perfect_and_absent_label(spark):
     }
     assert got[0].ndcg == 1.0 and got[0].ideal_rel == 2
     assert got[10].ndcg is None and got[10].ideal_rel == 0
+
+
+def test_average_precision_hand_golden(spark):
+    """AP@3 against the same hand-ranked vectors as the MRR golden:
+    relevants at ranks 2 and 3, R = 3 same-label vectors in the
+    corpus, so AP = (1/2 + 2/3) / min(3, 3)."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),   # query
+            (1, [0.9, 0.1], 2),   # rk 1, not relevant
+            (2, [0.8, 0.6], 1),   # rk 2, relevant (tp=1 -> 1e9*1 div 2)
+            (3, [0.0, 1.0], 1),   # rk 3, relevant (tp=2 -> 1e9*2 div 3)
+            (4, [-1.0, 0.0], 1),  # below k but same label: R = 3
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    (r,) = SIM.average_precision_eval(
+        emb, k=3, query_pred="vec_id = 0"
+    ).collect()
+    assert (r.query_id, r.n_rel_corpus, r.n_rel_topk) == (0, 3, 2)
+    want_fp = (10**9 * 1) // 2 + (10**9 * 2) // 3
+    assert r.ap_fp == want_fp
+    assert r.ap == round(want_fp / (10**9 * 3.0), 6)
+
+
+def test_average_precision_perfect_ranking_is_one(spark):
+    """All R relevants at the top ranks with R <= k gives AP = 1
+    exactly (every fixed-point term is (1e9*t) div t = 1e9)."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.99, 0.05], 1),
+            (2, [0.9, 0.2], 1),
+            (3, [0.0, 1.0], 2),
+            (4, [-1.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    (r,) = SIM.average_precision_eval(
+        emb, k=3, query_pred="vec_id = 0"
+    ).collect()
+    assert r.n_rel_corpus == 2 and r.n_rel_topk == 2
+    assert r.ap == 1.0
+
+
+def test_average_precision_singleton_label_null(spark):
+    """A query whose label appears nowhere else (R = 0) reports NULL
+    AP, never 0/0."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 9),
+            (1, [0.9, 0.1], 1),
+            (2, [0.8, 0.6], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    (r,) = SIM.average_precision_eval(
+        emb, k=3, query_pred="vec_id = 0"
+    ).collect()
+    assert r.n_rel_corpus == 0 and r.ap is None
+
+
+def test_average_precision_python_lockstep(spark):
+    """Seeded random corpus: the operator's per-query AP equals a
+    python recompute of the fixed-point recipe over the exact
+    brute-force ranking."""
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (
+            i,
+            [rng.uniform(-1, 1) for _ in range(4)],
+            rng.randrange(3),
+        )
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    k = 5
+    got = {
+        r.query_id: (r.n_rel_corpus, r.ap_fp, r.ap)
+        for r in SIM.average_precision_eval(
+            emb, k=k, query_pred="vec_id % 10 = 0"
+        ).collect()
+    }
+    ranked = SIM.brute_force_topk(
+        emb, k=k, query_pred="vec_id % 10 = 0"
+    ).collect()
+    labels = {i: lab for i, _, lab in rows}
+    by_q = {}
+    for r in ranked:
+        by_q.setdefault(r.query_id, []).append((r.rk, r.neighbor_id))
+    for qid, neigh in by_q.items():
+        qlab = labels[qid]
+        big_r = sum(1 for i, lab in labels.items() if lab == qlab and i != qid)
+        tp = 0
+        ap_fp = 0
+        for rk, nid in sorted(neigh):
+            if labels[nid] == qlab:
+                tp += 1
+                ap_fp += (10**9 * tp) // rk
+        want_ap = (
+            None
+            if big_r == 0
+            else round(ap_fp / (10**9 * 1.0 * min(big_r, k)), 6)
+        )
+        assert got[qid] == (big_r, ap_fp, want_ap)
