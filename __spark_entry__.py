@@ -3478,6 +3478,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gini_customer_revenue"] = gini_customer_revenue
 
+    def abc_part_classes(spark, sf_dir):
+        """ABC / Pareto classes of part revenue (evaluation.
+        abc_classes): class boundaries as INTEGER cross-multiplied
+        cumulative-share tests over exact cent sums, rank order
+        (revenue desc, partkey), per-class heaviest part via the
+        algebraic max(struct) argmax."""
+        from careers_spark.operators.evaluation import abc_classes
+
+        li = _t(spark, sf_dir, "lineitem")
+        return abc_classes(
+            li.select(
+                F.col("l_partkey").alias("key"),
+                F.expr("cast(round(l_extendedprice * 100) as bigint)").alias(
+                    "amount"
+                ),
+            )
+        )
+
+    q["abc_part_classes"] = abc_part_classes
+
+    def benford_revenue_digits(spark, sf_dir):
+        """Benford first-digit audit of order totals in cents
+        (audit.benford_audit) — per-digit observed vs the
+        1e-9-lattice Benford masses and an exact-integer chi-squared
+        contribution; string-derived digits, no log anywhere."""
+        from careers_spark.operators.audit import benford_audit
+
+        orders = _t(spark, sf_dir, "orders")
+        return benford_audit(
+            spark,
+            orders.select(
+                F.expr(
+                    "cast(round(o_totalprice * 100) as bigint)"
+                ).alias("amount")
+            ),
+        )
+
+    q["benford_revenue_digits"] = benford_revenue_digits
+
     def acf_hourly(spark, sf_dir):
         """Autocorrelation of the gap-filled hourly event-count series
         at lags 1..24 — exact scaled-centered BIGINT sums
@@ -10172,6 +10211,69 @@ def oracle_sql() -> dict[str, str]:
                                / (n_keys * 1e0 * total), 6)
                END AS gini
         FROM a
+    """
+
+    # abc_part_classes: running cumulative over the part dimension
+    # under the total order (x DESC, k), INTEGER cross-multiplied
+    # class boundaries, struct-max argmax for the heaviest key.
+    o["abc_part_classes"] = """
+        WITH per AS (
+          SELECT l_partkey AS k,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS x
+          FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(x) AS BIGINT) AS total FROM per),
+        cum AS (
+          SELECT k, x, total,
+                 CAST(sum(x) OVER (ORDER BY x DESC, k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM per, tot
+        )
+        SELECT CASE WHEN (cum - x) * 100 < total * 80 THEN 'A'
+                    WHEN (cum - x) * 100 < total * 95 THEN 'B'
+                    ELSE 'C' END AS cls,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(x) AS BIGINT) AS class_total,
+               round(CAST(sum(x) AS BIGINT) / (max(total) * 1e0), 6) AS share,
+               CAST(-((max(struct_pack(x := x, nk := -k))).nk) AS BIGINT)
+                 AS heaviest_key
+        FROM cum GROUP BY 1
+    """
+
+    # benford_revenue_digits: literal digit dimension with the
+    # 1e-9-lattice Benford masses; the chi2 term's diff is an exact
+    # BIGINT and the closing expression is the operator's shared text.
+    from careers_spark.operators.audit import _BENFORD_P9 as _B9
+
+    _b9_vals = ", ".join(f"({d}, {_B9[d]})" for d in range(1, 10))
+    o["benford_revenue_digits"] = f"""
+        WITH pos AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+        ),
+        obs AS (
+          SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                 CAST(count(*) AS BIGINT) AS n_obs
+          FROM pos GROUP BY 1
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pos),
+        digits(digit, p9) AS (VALUES {_b9_vals})
+        SELECT d.digit,
+               coalesce(o.n_obs, 0) AS n_obs,
+               CASE WHEN n = 0 THEN NULL
+                    ELSE round(coalesce(o.n_obs, 0) * 1e0 / n, 6)
+               END AS obs_share,
+               round(p9 / 1000000000e0, 6) AS exp_share,
+               CASE WHEN n = 0 THEN NULL
+                    ELSE round((coalesce(o.n_obs, 0) * 1000000000 - n * p9)
+                               * 1e0
+                               * (coalesce(o.n_obs, 0) * 1000000000 - n * p9)
+                               / (1000000000e0 * n * p9), 6)
+               END AS chi2_term
+        FROM digits d LEFT JOIN obs o ON d.digit = o.digit, tot
     """
 
     # Shared gap-filled hourly grid for the ACF/CUSUM oracles: integer

@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "spearman_length_quality",
     "ks_price_urgent",
     "gini_customer_revenue",
+    "abc_part_classes",
+    "benford_revenue_digits",
     "acf_hourly",
     "cusum_changepoint",
     "revenue_cube",

@@ -126,3 +126,79 @@ def constraint_audit(spark: SparkSession, tables: dict[str, DataFrame]) -> DataF
     for chk in checks[1:]:
         out = out.unionByName(chk)
     return out
+
+
+# Benford expected first-digit masses log10(1 + 1/d), precomputed on
+# the 1e-9 integer lattice (the ndcg discount recipe) so NO engine
+# ever evaluates a log: expected counts become exact integer products.
+_BENFORD_P9 = {
+    d: round(__import__("math").log10(1.0 + 1.0 / d) * 1e9) for d in range(1, 10)
+}
+
+
+def benford_audit(
+    spark: SparkSession, df: DataFrame, amount: str = "amount"
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive INTEGER amount
+    column — the classic fraud / synthetic-data screen (Nigrini): the
+    observed first-significant-digit distribution against the Benford
+    masses log10(1 + 1/d), with a per-digit chi-squared contribution.
+
+    Exactness: the digit is string-derived (first char of the integer's
+    decimal form — no float log10 anywhere); per-digit counts are exact
+    integers; expected masses are 1e-9-lattice integer literals, so the
+    chi-squared numerator diff_fp = n_obs * 1e9 - n * p9 is an exact
+    BIGINT (in range while n < ~9e8 rows; beyond that, widen the
+    lattice — stated, not silently promoted) and each chi2 term is ONE
+    shared-text double expression over exact integers. Digits that
+    never occur still report rows (the digit dimension is literal), so
+    a catastrophically non-Benford corpus can't hide by absence.
+
+    One partial-agg groupBy on a 9-value key + a broadcast total — no
+    window, no sort.
+
+    Output: (digit, n_obs, obs_share, exp_share, chi2_term).
+    """
+    pos = df.select(F.col(amount).cast("long").alias("v")).filter(
+        F.col("v") > 0
+    )
+    obs = pos.groupBy(
+        F.substring(F.col("v").cast("string"), 1, 1).cast("int").alias("digit")
+    ).agg(F.count("*").alias("n_obs"))
+    tot = pos.agg(F.count("*").alias("n"))
+    digits = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(
+            F.array(*[F.lit(_BENFORD_P9[d]) for d in range(1, 10)]),
+            F.col("id").cast("int"),
+        ).alias("p9"),
+    )
+    full = (
+        digits.join(obs, "digit", "left_outer")
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs"),
+            "p9",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    diff_fp = "(n_obs * 1000000000 - n * p9)"
+    return full.select(
+        "digit",
+        "n_obs",
+        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.expr("n_obs * 1e0 / n"), 6))
+        .alias("obs_share"),
+        F.round(F.expr("p9 / 1000000000e0"), 6).alias("exp_share"),
+        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.expr(
+                    f"{diff_fp} * 1e0 * {diff_fp}"
+                    " / (1000000000e0 * n * p9)"
+                ),
+                6,
+            )
+        )
+        .alias("chi2_term"),
+    )

@@ -749,3 +749,71 @@ def gini_concentration(
         )
         .alias("gini"),
     )
+
+
+def abc_classes(
+    df: DataFrame,
+    key: str = "key",
+    amount: str = "amount",
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC / Pareto classification of an INTEGER amount over keys —
+    the inventory-analytics complement of gini_concentration: keys
+    ranked by descending amount, class A while the cumulative share
+    BEFORE the key is under a_pct% of the total (so the key that
+    crosses the boundary is still A — the standard convention; a
+    single key holding all revenue is A, never C), B under b_pct%,
+    C beyond.
+
+    Exactness: per-key sums and the running cumulative are exact
+    BIGINTs; the class boundaries are INTEGER cross-multiplications
+    ((cum - x) * 100 < total * pct — no percentage is ever computed
+    as a float), so boundary keys classify identically in both
+    engines.
+    The deterministic rank order is (amount desc, key asc). The only
+    floats are the per-class share divisions, rounded.
+
+    Scale note: like gini, the cumulative window runs over KEY
+    cardinality (a dimension: parts, SKUs, sources), never row count.
+
+    Output: one row per class (cls, n_keys, class_total, share,
+    heaviest_key).
+    """
+    per = df.groupBy(F.col(key).alias("k")).agg(
+        F.sum(F.col(amount).cast("long")).alias("x")
+    )
+    w = Window.orderBy(F.desc("x"), "k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.agg(F.sum("x").alias("total"), F.count("*").alias("n_all"))
+    cum = per.withColumn("cum", F.sum("x").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    prev = F.col("cum") - F.col("x")
+    cls = (
+        F.when(prev * 100 < F.col("total") * a_pct, F.lit("A"))
+        .when(prev * 100 < F.col("total") * b_pct, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        cum.select(cls.alias("cls"), "k", "x", "total")
+        .groupBy("cls")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("x").alias("class_total"),
+            F.max("total").alias("total"),
+            F.max(
+                F.struct(F.col("x").alias("x"), (-F.col("k")).alias("nk"))
+            ).alias("hb"),
+        )
+        .select(
+            "cls",
+            "n_keys",
+            "class_total",
+            F.round(
+                F.col("class_total") / (F.col("total") * F.lit(1e0)), 6
+            ).alias("share"),
+            (-F.col("hb.nk")).cast("long").alias("heaviest_key"),
+        )
+    )

@@ -139,3 +139,61 @@ def test_new_op_plan_shapes(spark):
     )
     assert "Join" not in a_plan, a_plan
     assert "Exchange" not in a_plan, a_plan
+
+
+def test_benford_hand_golden(spark):
+    """Constructed amounts 1/1/19/25/3000: digits 1x3, 2x1, 3x1 —
+    counts, shares, and the exact-integer chi2 numerators recomputed
+    in python; zero and negative amounts are excluded."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from careers_spark.operators.audit import benford_audit, _BENFORD_P9
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (19,), (25,), (3000,), (0,), (-7,)], "amount long"
+    )
+    rows = {r.digit: r for r in benford_audit(spark, df).collect()}
+    assert len(rows) == 9  # every digit reports, absent ones at 0
+    n = 5
+    want_counts = {1: 3, 2: 1, 3: 1}
+    for d in range(1, 10):
+        r = rows[d]
+        c = want_counts.get(d, 0)
+        assert r.n_obs == c
+        assert r.obs_share == r6(c / n)
+        p9 = _BENFORD_P9[d]
+        assert r.exp_share == r6(p9 / 1e9)
+        diff = c * 10**9 - n * p9
+        assert r.chi2_term == r6(diff * 1.0 * diff / (1e9 * n * p9))
+    # sanity: the Benford masses themselves sum to ~1
+    assert abs(sum(_BENFORD_P9.values()) / 1e9 - 1.0) < 1e-8
+    assert math.isclose(
+        _BENFORD_P9[1] / 1e9, math.log10(2), rel_tol=1e-8
+    )
+
+
+def test_benford_conforming_sample_small_chi2(spark):
+    """A corpus drawn to the exact Benford proportions has every
+    chi2 term near zero; a constant-digit corpus concentrates the
+    statistic on its digit."""
+    from careers_spark.operators.audit import benford_audit, _BENFORD_P9
+
+    conform = []
+    base = 10000
+    k = 0
+    for d in range(1, 10):
+        c = round(_BENFORD_P9[d] / 1e9 * base)
+        for _ in range(c):
+            conform.append((d * 100 + k % 100,))
+            k += 1
+    df = spark.createDataFrame(conform, "amount long")
+    terms = [r.chi2_term for r in benford_audit(spark, df).collect()]
+    assert sum(terms) < 0.01
+    flat = spark.createDataFrame([(9000 + i,) for i in range(50)], "amount long")
+    rows = {r.digit: r for r in benford_audit(spark, flat).collect()}
+    assert rows[9].n_obs == 50 and rows[9].chi2_term > 50
+    assert rows[1].n_obs == 0 and rows[1].chi2_term > 0

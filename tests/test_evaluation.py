@@ -390,3 +390,47 @@ def test_cuped_degenerate_nulls(spark):
     df2 = spark.createDataFrame([(1, 2, 1), (2, 3, 1)], "x long, y long, grp int")
     r2 = cuped_adjusted(df2).collect()[0]
     assert r2.diff_raw is None and r2.diff_cuped is None
+
+
+def test_abc_classes_hand_golden(spark):
+    """amounts 80/15/5 over three keys: one key per class, exact
+    cross-multiplied boundaries (the 80-unit key sits exactly ON the
+    80% boundary and classifies A)."""
+    from careers_spark.operators.evaluation import abc_classes
+
+    df = spark.createDataFrame(
+        [(1, 80), (2, 15), (3, 5)], "key long, amount long"
+    )
+    rows = {r.cls: r for r in abc_classes(df).collect()}
+    assert rows["A"].n_keys == 1 and rows["A"].class_total == 80
+    assert rows["A"].heaviest_key == 1
+    assert rows["B"].n_keys == 1 and rows["B"].class_total == 15
+    assert rows["C"].n_keys == 1 and rows["C"].class_total == 5
+    assert rows["A"].share == 0.8 and rows["C"].share == 0.05
+
+
+def test_abc_classes_accumulates_per_key_and_ties(spark):
+    """Per-key aggregation precedes ranking; equal amounts break ties
+    by ascending key, so the boundary lands deterministically."""
+    from careers_spark.operators.evaluation import abc_classes
+
+    # key 1 appears twice (30+30=60); keys 2 and 3 tie at 20
+    df = spark.createDataFrame(
+        [(1, 30), (1, 30), (2, 20), (3, 20)], "key long, amount long"
+    )
+    rows = {r.cls: r for r in abc_classes(df).collect()}
+    # total 100, exclusive-cum rule: key 1 (prev 0) A, key 2 (prev 60,
+    # tie order: key 2 before 3) A, key 3 (prev 80: not < 80%, < 95%)
+    # -> B; no C row exists
+    assert rows["A"].n_keys == 2 and rows["A"].class_total == 80
+    assert rows["A"].heaviest_key == 1
+    assert rows["B"].n_keys == 1 and rows["B"].heaviest_key == 3
+    assert "C" not in rows
+
+
+def test_abc_classes_single_key_all_a(spark):
+    from careers_spark.operators.evaluation import abc_classes
+
+    df = spark.createDataFrame([(7, 42)], "key long, amount long")
+    (r,) = abc_classes(df).collect()
+    assert (r.cls, r.n_keys, r.share, r.heaviest_key) == ("A", 1, 1.0, 7)
