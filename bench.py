@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "winnowing_overlap_pairs",
     "session_busy_overlap",
     "spatial_neighbor_pairs",
+    "dbscan_customer_geo",
     "zorder_layout",
     "zonemap_pruning",
     "length_quality_corr",

@@ -814,3 +814,101 @@ def kcenter_select(
         out.append((t, vid, d))
     q.unpersist()
     return spark.createDataFrame(out, schema)
+
+
+def dbscan_clusters(
+    points: DataFrame, eps: int, min_pts: int, max_iter: int = 25
+) -> DataFrame:
+    """DBSCAN (Ester et al. KDD'96) over integer-lattice points,
+    distributed the grid-blocked way (the MR-DBSCAN decomposition):
+
+    1. eps-neighbor pairs from the radius-cell grid join — ONE
+       equi-join on cell keys, recall exact by the 3x3 lemma
+       (spatial.grid_distance_join); never an all-pairs join.
+    2. core points: |N_eps(p)| >= min_pts, with the neighborhood
+       INCLUDING p itself (the paper's convention) — one partial-agg
+       degree count over the pair list.
+    3. clusters: connected components of the core-core subgraph
+       (canonicalize.connected_components — salted min-label
+       propagation, O(diameter) rounds, label = min core pt_id);
+       a core point with no core neighbor is its own singleton
+       cluster.
+    4. border points (non-core within eps of a core) attach to the
+       SMALLEST cluster label among their core neighbors — classic
+       DBSCAN leaves border assignment visit-order-dependent; the
+       min rule makes it deterministic across engines and
+       parallelism, which is what an oracle-checkable DBSCAN needs.
+    5. everything else is noise (NULL cluster).
+
+    All arithmetic is integer (lattice coords, squared distances,
+    BIGINT labels) — no float exists anywhere, so results hash
+    identically at any parallelism.
+
+    Input: (pt_id, x, y). Output: (pt_id, role, cluster) with role
+    in {'core', 'border', 'noise'} and cluster NULL iff noise.
+    """
+    from careers_spark.operators.canonicalize import connected_components
+    from careers_spark.operators.spatial import grid_distance_join
+
+    pairs = grid_distance_join(points, radius=eps).localCheckpoint(
+        eager=True
+    )
+    nbrs = pairs.selectExpr("pt_a as p", "pt_b as q").union(
+        pairs.selectExpr("pt_b as p", "pt_a as q")
+    )
+    deg = nbrs.groupBy("p").agg(F.count("*").alias("n_nbr"))
+    core = (
+        points.join(deg, points["pt_id"] == deg["p"], "left_outer")
+        .select(
+            "pt_id",
+            (F.coalesce("n_nbr", F.lit(0).cast("long")) + 1 >= min_pts).alias(
+                "is_core"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    core_ids = core.filter("is_core").select("pt_id")
+    core_edges = (
+        pairs.join(
+            core_ids.withColumnRenamed("pt_id", "pt_a"), "pt_a", "left_semi"
+        )
+        .join(
+            core_ids.withColumnRenamed("pt_id", "pt_b"), "pt_b", "left_semi"
+        )
+        .select(F.col("pt_a").alias("src"), F.col("pt_b").alias("dst"))
+    )
+    comp = connected_components(core_edges, max_iter=max_iter)
+    core_lab = (
+        core_ids.join(
+            comp.withColumnRenamed("node", "pt_id"), "pt_id", "left_outer"
+        )
+        .select(
+            "pt_id",
+            F.coalesce("component", F.col("pt_id")).alias("cluster"),
+        )
+    )
+    border_lab = (
+        nbrs.join(
+            core_lab.withColumnRenamed("pt_id", "q"), "q"
+        )
+        .groupBy(F.col("p").alias("pt_id"))
+        .agg(F.min("cluster").alias("b_cluster"))
+    )
+    return (
+        core.join(
+            core_lab.withColumnRenamed("cluster", "c_cluster"),
+            "pt_id",
+            "left_outer",
+        )
+        .join(border_lab, "pt_id", "left_outer")
+        .select(
+            "pt_id",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.when(F.col("is_core"), F.col("c_cluster"))
+            .otherwise(F.col("b_cluster"))
+            .alias("cluster"),
+        )
+    )

@@ -604,3 +604,118 @@ def test_ivfadc_refined_beats_plain_adc_recall(spark):
 
     assert recall(refined) >= recall(plain)
     assert recall(refined) == 1.0
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "pt_id long, x long, y long")
+
+
+def test_dbscan_hand_golden_core_border_noise(spark):
+    """eps=2, min_pts=3 over a hand triangle: 1/2/3 are mutually
+    within eps (core, one cluster labeled 1); 4 touches only core 2
+    at exactly dist=eps (closed predicate) -> border; 5 is noise."""
+    from careers_spark.operators.clustering import dbscan_clusters
+
+    pts = _pts(
+        spark,
+        [(1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 3, 0), (5, 10, 10)],
+    )
+    got = {r.pt_id: (r.role, r.cluster) for r in dbscan_clusters(
+        pts, eps=2, min_pts=3
+    ).collect()}
+    assert got[1] == ("core", 1)
+    assert got[2] == ("core", 1)
+    assert got[3] == ("core", 1)
+    assert got[4] == ("border", 1)
+    assert got[5] == ("noise", None)
+
+
+def test_dbscan_border_between_two_clusters_takes_min(spark):
+    """Two separated core quads; the midpoint touches one core of
+    each but is itself non-core (min_pts=4) -> border, attached to
+    the SMALLER cluster label (the deterministic rule)."""
+    from careers_spark.operators.clustering import dbscan_clusters
+
+    quad_a = [(1, 0, 0), (2, 0, 1), (3, 1, 0), (4, 1, 1)]
+    quad_b = [(11, 5, 0), (12, 5, 1), (13, 6, 0), (14, 6, 1)]
+    pts = _pts(spark, quad_a + quad_b + [(20, 3, 0), (30, 20, 20)])
+    got = {r.pt_id: (r.role, r.cluster) for r in dbscan_clusters(
+        pts, eps=2, min_pts=4
+    ).collect()}
+    for i in (1, 2, 3, 4):
+        assert got[i] == ("core", 1)
+    for i in (11, 12, 13, 14):
+        assert got[i] == ("core", 11)
+    # 20 is within eps of core 3 (dist 2) and core 11 (dist 2) but has
+    # only those 2 neighbors (deg+1 = 3 < 4): border, min cluster = 1
+    assert got[20] == ("border", 1)
+    assert got[30] == ("noise", None)
+
+
+def _dbscan_reference(rows, eps, min_pts):
+    """Pure-python DBSCAN with the operator's exact conventions:
+    closed eps, |N| includes self, min-label CC over cores, border =
+    min core-neighbor cluster."""
+    ids = [i for i, _, _ in rows]
+    xy = {i: (x, y) for i, x, y in rows}
+    nbr = {i: set() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                dx = xy[i][0] - xy[j][0]
+                dy = xy[i][1] - xy[j][1]
+                if dx * dx + dy * dy <= eps * eps:
+                    nbr[i].add(j)
+                    nbr[j].add(i)
+    core = {i for i in ids if len(nbr[i]) + 1 >= min_pts}
+    lab = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for i in core:
+            m = min([lab[i]] + [lab[j] for j in nbr[i] if j in core])
+            if m != lab[i]:
+                lab[i] = m
+                changed = True
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = ("core", lab[i])
+        else:
+            cl = [lab[j] for j in nbr[i] if j in core]
+            out[i] = ("border", min(cl)) if cl else ("noise", None)
+    return out
+
+
+def test_dbscan_python_lockstep_random(spark):
+    from careers_spark.operators.clustering import dbscan_clusters
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, rng.randrange(0, 60), rng.randrange(0, 60)) for i in range(120)
+    ]
+    pts = _pts(spark, rows)
+    got = {
+        r.pt_id: (r.role, r.cluster)
+        for r in dbscan_clusters(pts, eps=5, min_pts=4).collect()
+    }
+    want = _dbscan_reference(rows, eps=5, min_pts=4)
+    assert got == want
+    # sanity: the random field actually produced all three roles
+    roles = {v[0] for v in want.values()}
+    assert roles == {"core", "border", "noise"}
+
+
+def test_dbscan_isolated_core_pair_is_singleton_free(spark):
+    """min_pts=2 makes a touching pair both core: they form one
+    2-point cluster; a lone point is noise (never a phantom
+    singleton cluster)."""
+    from careers_spark.operators.clustering import dbscan_clusters
+
+    pts = _pts(spark, [(1, 0, 0), (2, 0, 1), (9, 50, 50)])
+    got = {r.pt_id: (r.role, r.cluster) for r in dbscan_clusters(
+        pts, eps=2, min_pts=2
+    ).collect()}
+    assert got[1] == ("core", 1) and got[2] == ("core", 1)
+    assert got[9] == ("noise", None)
