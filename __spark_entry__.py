@@ -1931,6 +1931,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_pagerank"] = entity_pagerank
 
+    def influence_spread(spark, sf_dir):
+        """Independent-cascade influence of the 3 smallest entities
+        over the min_obs=35 graph (graph.ic_influence_spread): 8
+        derandomized live-edge cascades (md5 coin per directed edge
+        per sample, p=0.3) expanded exactly 4 synchronous hops in one
+        frame — the KKT'03 spread estimate, machine-checkable because
+        the cascade is a deterministic BFS over the sampled
+        subgraph."""
+        from careers_spark.operators.graph import ic_influence_spread
+
+        edges = _entity_edges(spark, sf_dir, 35)
+        nodes = (
+            edges.selectExpr("src as node")
+            .union(edges.selectExpr("dst as node"))
+            .dropDuplicates()
+        )
+        seeds = nodes.orderBy("node").limit(3)
+        return ic_influence_spread(
+            edges, seeds, p_mille=300, n_samples=8, rounds=4, salt="ic0"
+        )
+
+    q["influence_spread"] = influence_spread
+
+    def length_split_gain(spark, sf_dir):
+        """Histogram decision-stump search: which document-length
+        threshold best separates English from the rest
+        (evaluation.stump_split_gain, n_bins=32) — the XGBoost
+        feature-histogram + cumulative-scan shape with exact integer
+        binning and every candidate row emitted, winner flagged by
+        the algebraic min(struct)."""
+        from careers_spark.operators.evaluation import stump_split_gain
+
+        docs = _t(spark, sf_dir, "documents")
+        return stump_split_gain(
+            docs.select(
+                F.col("n_chars").alias("x"),
+                F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+            ),
+            n_bins=32,
+        )
+
+    q["length_split_gain"] = length_split_gain
+
     def entity_pagerank_weighted(spark, sf_dir):
         """Weighted variant: edge mass proportional to the integer
         co-occurrence count (pr * w / outw) — the natural salience for
@@ -4484,6 +4527,105 @@ def oracle_sql() -> dict[str, str]:
     o["entity_pagerank"] = (
         "WITH " + ",\n".join(_pr_chain) + "\nSELECT node, pr FROM p6"
     )
+
+    # influence_spread: the same min_obs=35 edge set symmetrized, one
+    # md5 coin per (direction, sample), then exactly 4 unrolled
+    # frontier expansions with min(hop) dedup — equal to the Spark
+    # loop by construction (both run a fixed 4 rounds, no early stop).
+    _ic_rounds = ""
+    for _t_ in range(1, 5):
+        _ic_rounds += f""",
+        ia{_t_} AS MATERIALIZED (
+          SELECT sample, node, CAST(min(hop) AS INTEGER) AS hop FROM (
+            SELECT sample, node, hop FROM ia{_t_ - 1}
+            UNION ALL
+            SELECT f.sample, e.v AS node, {_t_} AS hop
+            FROM ia{_t_ - 1} f
+            JOIN ic_live e ON e.sample = f.sample AND e.u = f.node
+            WHERE f.hop = {_t_ - 1}
+          ) GROUP BY 1, 2
+        )"""
+    o["influence_spread"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e0 AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        bidir AS (
+          SELECT src AS u, dst AS v FROM e0
+          UNION SELECT dst AS u, src AS v FROM e0
+        ),
+        ic_live AS MATERIALIZED (
+          SELECT u, v, s.sample
+          FROM bidir CROSS JOIN (SELECT unnest(range(0, 8)) AS sample) s
+          WHERE ('0x' || substr(md5(u || '|' || v || '|' ||
+                    CAST(s.sample AS VARCHAR) || '|' || 'ic0'), 1, 8))::BIGINT
+                % 1000 < 300
+        ),
+        seeds AS (
+          SELECT node FROM (SELECT u AS node FROM bidir
+                            UNION SELECT v FROM bidir)
+          ORDER BY node LIMIT 3
+        ),
+        ia0 AS MATERIALIZED (
+          SELECT s.sample, seeds.node, CAST(0 AS INTEGER) AS hop
+          FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS sample) s
+        ){_ic_rounds}
+        SELECT sample, node, hop FROM ia4
+    """
+
+    # length_split_gain: integer-exact histogram bins, cumulative over
+    # the bin dimension, the module's shared-text Gini expressions,
+    # ORDER BY + LIMIT 1 spelling the struct-min winner.
+    from careers_spark.operators.evaluation import _STUMP_G, _STUMP_G0
+
+    o["length_split_gain"] = f"""
+        WITH b AS (
+          SELECT CAST(min(n_chars) AS BIGINT) AS mn,
+                 CAST(max(n_chars) AS BIGINT) AS mx,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pos
+          FROM documents
+        ),
+        hist AS (
+          SELECT ((n_chars - mn) * 32) // (mx - mn + 1) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pos_b
+          FROM documents, b GROUP BY 1
+        ),
+        cum AS (
+          SELECT bin,
+                 CAST(sum(n_b) OVER w AS BIGINT) AS nl,
+                 CAST(sum(pos_b) OVER w AS BIGINT) AS pl
+          FROM hist
+          WINDOW w AS (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        cand AS (
+          SELECT bin, nl, pl, n - nl AS nr, pos - pl AS pr, mn, mx, n, pos
+          FROM cum, b WHERE nl < n
+        ),
+        scored AS MATERIALIZED (
+          SELECT *, {_STUMP_G} AS gini_split FROM cand
+        ),
+        best AS (
+          SELECT gini_split AS bg, bin AS bb FROM scored
+          ORDER BY gini_split, bin LIMIT 1
+        )
+        SELECT s.bin AS split_bin,
+               mn - 1 + ((s.bin + 1) * (mx - mn + 1)) // 32 AS threshold_le,
+               nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+               s.gini_split,
+               round({_STUMP_G0} - s.gini_split, 9) AS gain,
+               (s.gini_split = b2.bg AND s.bin = b2.bb) AS is_best
+        FROM scored s, best b2
+    """
 
     # entity_backbone_msf: Boruvka unrolled — per round, the
     # per-component min(struct(k, a, b, ...)) selection (identical

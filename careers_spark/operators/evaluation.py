@@ -817,3 +817,107 @@ def abc_classes(
             (-F.col("hb.nk")).cast("long").alias("heaviest_key"),
         )
     )
+
+
+# Weighted post-split Gini impurity as ONE shared-text expression over
+# the exact integer (n_left, pos_left, n_right, pos_right, n) tuple.
+_STUMP_GL = "(nl * 1e0 - (pl * 1e0 * pl + (nl * 1e0 - pl) * (nl * 1e0 - pl)) / nl)"
+_STUMP_GR = "(nr * 1e0 - (pr * 1e0 * pr + (nr * 1e0 - pr) * (nr * 1e0 - pr)) / nr)"
+_STUMP_G = f"round(({_STUMP_GL} + {_STUMP_GR}) / n, 9)"
+_STUMP_G0 = (
+    "round((n * 1e0 - (pos * 1e0 * pos + (n * 1e0 - pos)"
+    " * (n * 1e0 - pos)) / n) / n, 9)"
+)
+
+
+def stump_split_gain(
+    df: DataFrame,
+    feature: str = "x",
+    label: str = "label",
+    n_bins: int = 32,
+) -> DataFrame:
+    """Histogram-based best-split search for a decision stump on an
+    INTEGER feature against a binary label — the inner loop of every
+    gradient-boosted-tree learner (XGBoost/LightGBM grow trees from
+    exactly this feature-histogram + cumulative-scan shape) and the
+    supervised threshold-picker for quality gates.
+
+    Binning is integer-exact: bin = ((x - min) * n_bins) div
+    (max - min + 1) — pure BIGINT arithmetic, no float width. Split
+    candidates are "left = bins <= b" for every present bin except the
+    last; left counts come from ONE cumulative over the bin table
+    (dimension-sized, never row count), right counts by subtraction
+    from the broadcast totals. The weighted post-split Gini impurity
+    and the parent impurity are single shared-text double expressions
+    over exact integers, rounded to 9; the winner (min impurity, tie:
+    smaller bin) is flagged via the algebraic min(struct) — every
+    candidate row is emitted so the whole search is machine-checkable,
+    not just the argmax.
+
+    Output: (split_bin, threshold_le, n_left, pos_left, n_right,
+    pos_right, gini_split, gain, is_best). threshold_le = the largest
+    feature value in the left side's value range, mn - 1 +
+    ((b+1)*(mx-mn+1)) div n_bins truncated to the bin edge.
+    """
+    v = F.col(feature).cast("long")
+    lab = F.col(label).cast("long")
+    bounds = df.agg(
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+        F.count("*").alias("n"),
+        F.sum(lab).alias("pos"),
+    )
+    binned = df.select(v.alias("v"), lab.alias("y")).crossJoin(
+        F.broadcast(bounds)
+    )
+    b = F.expr(f"((v - mn) * {int(n_bins)}) div (mx - mn + 1)")
+    hist = binned.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n_b"),
+        F.sum("y").alias("pos_b"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.select(
+            "bin",
+            F.sum("n_b").over(w).alias("nl"),
+            F.sum("pos_b").over(w).alias("pl"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            "bin",
+            "nl",
+            "pl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (F.col("pos") - F.col("pl")).alias("pr"),
+            "mn",
+            "mx",
+            "n",
+            "pos",
+        )
+        .withColumn("gini_split", F.expr(_STUMP_G))
+    )
+    best = cum.agg(
+        F.min(F.struct(F.col("gini_split"), F.col("bin"))).alias("b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(best))
+        .select(
+            F.col("bin").alias("split_bin"),
+            F.expr(
+                f"mn - 1 + ((bin + 1) * (mx - mn + 1)) div {int(n_bins)}"
+            ).alias("threshold_le"),
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            F.col("nr").alias("n_right"),
+            F.col("pr").alias("pos_right"),
+            "gini_split",
+            F.round(F.expr(_STUMP_G0) - F.col("gini_split"), 9).alias(
+                "gain"
+            ),
+            (
+                (F.col("gini_split") == F.col("b.gini_split"))
+                & (F.col("bin") == F.col("b.bin"))
+            ).alias("is_best"),
+        )
+    )

@@ -1380,3 +1380,92 @@ def link_prediction_holdout_auc(
         "nneg",
         "auc",
     )
+
+
+def ic_influence_spread(
+    edges: DataFrame,
+    seeds: DataFrame,
+    p_mille: int = 300,
+    n_samples: int = 8,
+    rounds: int = 4,
+    salt: str = "ic0",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Independent-cascade influence spread (Kempe-Kleinberg-Tardos
+    KDD'03) by the live-edge formulation, derandomized the repo way:
+    each directed edge flips ONE md5 coin per sample (live iff
+    md5(u|v|sample|salt) % 1000 < p_mille), and a node is activated at
+    hop t if it is reachable from a seed in t live hops — so the whole
+    cascade is a deterministic multi-source BFS over the sampled
+    subgraph, reproducible across engines/parallelism and re-seedable
+    by salt. `n_samples` cascades run in ONE frame (sample is just a
+    key column — the Poisson-bootstrap vectorization); the standard
+    spread estimate is the mean active count across samples, which the
+    caller takes downstream (per-sample per-node rows keep the output
+    machine-checkable).
+
+    The undirected co-occurrence graph is symmetrized first; each
+    DIRECTION draws its own coin (directed-IC semantics on the
+    symmetrized graph — stated, not hidden).
+
+    Exactly `rounds` synchronous frontier expansions run — no early
+    stop — so the result is the R-HOP influence set and a fixed-depth
+    oracle unroll equals it by construction (no fixpoint argument
+    needed). Per round: one equi-join of the hop-(t-1) frontier
+    against live edges on (sample, node) + an anti-join dedup; state
+    is O(active nodes x samples), localCheckpoint'ed.
+
+    Input: edges (src, dst), seeds (node). Output: (sample, node,
+    hop) with hop = first activation round (0 for seeds).
+    """
+    bidir = (
+        edges.selectExpr(f"{src} as u", f"{dst} as v")
+        .union(edges.selectExpr(f"{dst} as u", f"{src} as v"))
+        .dropDuplicates()
+    )
+    coin = (
+        "cast(conv(substr(md5(concat(u, '|', v, '|', "
+        f"cast(sample as string), '|', '{salt}')), 1, 8), 16, 10) "
+        f"as bigint) % 1000"
+    )
+    live = (
+        bidir.select(
+            "u",
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_samples) - 1))).alias(
+                "sample"
+            ),
+        )
+        .filter(F.expr(coin) < int(p_mille))
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        seeds.select(F.col("node"))
+        .dropDuplicates()
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_samples) - 1))
+            ).alias("sample"),
+            "node",
+            F.lit(0).cast("int").alias("hop"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(1, int(rounds) + 1):
+        frontier = state.filter(F.col("hop") == t - 1)
+        reached = (
+            frontier.join(
+                live,
+                (frontier["sample"] == live["sample"])
+                & (frontier["node"] == live["u"]),
+            )
+            .select(live["sample"], F.col("v").alias("node"))
+            .dropDuplicates()
+            .withColumn("hop", F.lit(t).cast("int"))
+        )
+        fresh = reached.join(
+            state.select("sample", "node"), ["sample", "node"], "left_anti"
+        )
+        state = state.union(fresh).localCheckpoint(eager=True)
+    return state

@@ -434,3 +434,91 @@ def test_abc_classes_single_key_all_a(spark):
     df = spark.createDataFrame([(7, 42)], "key long, amount long")
     (r,) = abc_classes(df).collect()
     assert (r.cls, r.n_keys, r.share, r.heaviest_key) == ("A", 1, 1.0, 7)
+
+
+def test_stump_perfect_split_hand_golden(spark):
+    """Values 1..4 with label = v <= 2: four bins, the bin-1 split
+    separates perfectly (gini 0, gain = the parent's 0.5)."""
+    from careers_spark.operators.evaluation import stump_split_gain
+
+    rows = [(v, 1 if v <= 2 else 0) for v in (1, 1, 2, 2, 3, 3, 4, 4)]
+    df = spark.createDataFrame(rows, "x long, label int")
+    out = {r.split_bin: r for r in stump_split_gain(df, n_bins=4).collect()}
+    assert set(out) == {0, 1, 2}
+    best = out[1]
+    assert best.is_best
+    assert (best.n_left, best.pos_left, best.n_right, best.pos_right) == (
+        4, 4, 4, 0,
+    )
+    assert best.gini_split == 0.0 and best.gain == 0.5
+    assert best.threshold_le == 2
+    assert not out[0].is_best and not out[2].is_best
+
+
+def test_stump_python_lockstep_random(spark):
+    from careers_spark.operators.evaluation import stump_split_gain
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    rng = random.Random(53)
+    rows = [
+        (rng.randrange(0, 200), 1 if rng.random() < 0.3 else 0)
+        for _ in range(500)
+    ]
+    n_bins = 16
+    df = spark.createDataFrame(rows, "x long, label int")
+    got = {r.split_bin: r for r in stump_split_gain(df, n_bins=n_bins).collect()}
+    mn = min(v for v, _ in rows)
+    mx = max(v for v, _ in rows)
+    n = len(rows)
+    pos = sum(y for _, y in rows)
+    hist = {}
+    for v, y in rows:
+        b = ((v - mn) * n_bins) // (mx - mn + 1)
+        nb, pb = hist.get(b, (0, 0))
+        hist[b] = (nb + 1, pb + y)
+    nl = pl = 0
+    want = {}
+    for b in sorted(hist):
+        nb, pb = hist[b]
+        nl += nb
+        pl += pb
+        if nl >= n:
+            continue
+        nr, pr = n - nl, pos - pl
+        gl = nl * 1.0 - (pl * 1.0 * pl + (nl * 1.0 - pl) * (nl * 1.0 - pl)) / nl
+        gr = nr * 1.0 - (pr * 1.0 * pr + (nr * 1.0 - pr) * (nr * 1.0 - pr)) / nr
+        want[b] = (nl, pl, nr, pr, r9((gl + gr) / n))
+    assert set(got) == set(want)
+    for b, (wnl, wpl, wnr, wpr, wg) in want.items():
+        r = got[b]
+        assert (r.n_left, r.pos_left, r.n_right, r.pos_right) == (
+            wnl, wpl, wnr, wpr,
+        )
+        assert r.gini_split == wg
+    best_bin = min(want, key=lambda b: (want[b][4], b))
+    assert got[best_bin].is_best
+    assert sum(1 for r in got.values() if r.is_best) == 1
+
+
+def test_stump_tie_breaks_to_smaller_bin(spark):
+    """A label split symmetric around the middle makes the two outer
+    candidate splits equally good; the smaller bin wins the flag."""
+    from careers_spark.operators.evaluation import stump_split_gain
+
+    # values 1,2,3,4 one each; label 1 on the middle two
+    rows = [(1, 0), (2, 1), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "x long, label int")
+    out = {r.split_bin: r for r in stump_split_gain(df, n_bins=4).collect()}
+    assert out[0].gini_split == out[2].gini_split
+    assert out[0].is_best and not out[2].is_best
+
+
+def test_stump_constant_feature_empty(spark):
+    from careers_spark.operators.evaluation import stump_split_gain
+
+    df = spark.createDataFrame([(7, 1), (7, 0)], "x long, label int")
+    assert stump_split_gain(df, n_bins=8).count() == 0

@@ -935,3 +935,117 @@ def test_linkpred_holdout_split_is_stable(spark):
     assert (r2.n_train_edges + r2.n_test_edges) - (
         r1.n_train_edges + r1.n_test_edges
     ) == 2
+
+
+def _ic_reference(edges, seeds, p_mille, n_samples, rounds, salt):
+    """Pure-python live-edge IC: md5 coin per (direction, sample),
+    then BFS with bounded hops."""
+    import hashlib
+    from collections import deque
+
+    bidir = set()
+    for a, b in edges:
+        bidir.add((a, b))
+        bidir.add((b, a))
+    out = {}
+    for s in range(n_samples):
+        live = {}
+        for u, v in bidir:
+            key = f"{u}|{v}|{s}|{salt}".encode()
+            h = int(hashlib.md5(key).hexdigest()[:8], 16)
+            if h % 1000 < p_mille:
+                live.setdefault(u, []).append(v)
+        hop = {n: 0 for n in seeds}
+        dq = deque(seeds)
+        while dq:
+            u = dq.popleft()
+            if hop[u] >= rounds:
+                continue
+            for v in live.get(u, []):
+                if v not in hop:
+                    hop[v] = hop[u] + 1
+                    dq.append(v)
+        for n, h in hop.items():
+            out[(s, n)] = h
+    return out
+
+
+def test_ic_spread_python_lockstep(spark):
+    """Seeded random graph: every (sample, node, hop) row equals the
+    python md5 + bounded-BFS recompute."""
+    from careers_spark.operators.graph import ic_influence_spread
+    import random
+
+    rng = random.Random(41)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(60)
+        }
+    )
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([(nodes[0],), (nodes[5],)], "node string")
+    got = {
+        (r.sample, r.node): r.hop
+        for r in ic_influence_spread(
+            e, seeds, p_mille=400, n_samples=4, rounds=3, salt="t1"
+        ).collect()
+    }
+    want = _ic_reference(
+        edges, [nodes[0], nodes[5]], 400, 4, 3, "t1"
+    )
+    assert got == want
+
+
+def test_ic_spread_p1000_equals_bfs_distance(spark):
+    """p = 1000 permille makes every edge live: hop == plain BFS
+    distance from the seed set, truncated at the round bound."""
+    from careers_spark.operators.graph import ic_influence_spread
+
+    # path a-b-c-d-e-f: seed a, rounds=3 reaches only through d
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+    e = spark.createDataFrame(path, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        (r.sample, r.node): r.hop
+        for r in ic_influence_spread(
+            e, seeds, p_mille=1000, n_samples=2, rounds=3, salt="t2"
+        ).collect()
+    }
+    for s in (0, 1):
+        assert got[(s, "a")] == 0
+        assert got[(s, "b")] == 1
+        assert got[(s, "c")] == 2
+        assert got[(s, "d")] == 3
+        assert (s, "e") not in got  # beyond the round bound
+        assert (s, "f") not in got
+
+
+def test_ic_spread_salt_reseeds(spark):
+    """p = 0 activates nothing beyond the seeds; changing the salt
+    changes which edges are live at intermediate p."""
+    from careers_spark.operators.graph import ic_influence_spread
+
+    edges = [(f"a{i}", f"b{i}") for i in range(40)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [(f"a{i}",) for i in range(40)], "node string"
+    )
+    zero = ic_influence_spread(
+        e, seeds, p_mille=0, n_samples=1, rounds=2, salt="s0"
+    )
+    assert zero.filter("hop > 0").count() == 0
+    r1 = {
+        (r.sample, r.node, r.hop)
+        for r in ic_influence_spread(
+            e, seeds, p_mille=500, n_samples=1, rounds=1, salt="sA"
+        ).collect()
+    }
+    r2 = {
+        (r.sample, r.node, r.hop)
+        for r in ic_influence_spread(
+            e, seeds, p_mille=500, n_samples=1, rounds=1, salt="sB"
+        ).collect()
+    }
+    assert r1 != r2
