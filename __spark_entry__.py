@@ -278,6 +278,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spatial_neighbor_pairs"] = spatial_neighbor_pairs
 
+    def part_skyline(spark, sf_dir):
+        """2-D skyline / Pareto frontier (spatial.skyline_2d): the
+        parts maximizing size while minimizing price — no other part
+        is both >= as large and <= as cheap with one strict. Price
+        on the exact cent lattice. The plan is dominance algebra on
+        bucketed group minima (one groupBy(x) + per-bucket windows +
+        an n_buckets-row carry); the oracle states the O(n^2) NOT
+        EXISTS definition directly — ground truth — so the hash match
+        machine-proves the bucketed plan lossless."""
+        from careers_spark.operators.spatial import skyline_2d
+
+        parts = _t(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("key"),
+            F.col("p_size").cast("long").alias("x"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
+        )
+        return skyline_2d(parts, n_buckets=16)
+
+    q["part_skyline"] = part_skyline
+
     def dbscan_customer_geo(spark, sf_dir):
         """Grid-blocked DBSCAN (clustering.dbscan_clusters) over the
         customer md5 lattice at eps=96, min_pts=4 — density clusters
@@ -9807,6 +9827,23 @@ def oracle_sql() -> dict[str, str]:
         FROM pts a JOIN pts b ON a.pt_id < b.pt_id
         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
               <= 64 * 64
+    """
+
+    # part_skyline: the O(n^2) dominance definition stated directly —
+    # ground truth for the bucketed-window plan. Integer cents.
+    o["part_skyline"] = """
+        WITH pts AS (
+          SELECT p_partkey AS key,
+                 CAST(p_size AS BIGINT) AS x,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS y
+          FROM part
+        )
+        SELECT key, x, y FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.x >= p.x AND q.y <= p.y
+            AND (q.x > p.x OR q.y < p.y)
+        )
     """
 
     # dbscan_customer_geo: ground-truth neighbor pairs (direct

@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "entity_hits",
     "graph_triangles",
     "graph_kcore",
+    "influence_spread",
     "entity_distances",
     "tpch_q3",
     "tpch_q5",
@@ -212,6 +213,7 @@ BENCH_QUERIES = [
     "langid_confusion",
     "langid_kappa",
     "score_calibration",
+    "length_split_gain",
     "welch_ttest",
     "pq_adc_topk",
     "ivfadc_topk",
@@ -223,6 +225,7 @@ BENCH_QUERIES = [
     "dbscan_customer_geo",
     "zorder_layout",
     "zonemap_pruning",
+    "part_skyline",
     "length_quality_corr",
     "dsir_weights",
     "dsir_sample",

@@ -231,3 +231,86 @@ def scan_pruning_stats(
     return layout_stats(keyed, "zkey", "zorder").unionByName(
         layout_stats(keyed, "x", "xsort")
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    key: str = "key",
+    x: str = "x",
+    y: str = "y",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, Borzsonyi et al. ICDE'01):
+    the rows not dominated by any other row, maximizing `x` while
+    minimizing `y` (negate a column to flip its direction). q
+    dominates p iff q.x >= p.x, q.y <= p.y, and strict in at least
+    one; coincident duplicates do not dominate each other and ALL
+    survive.
+
+    The naive plan is the O(n^2) NOT EXISTS self-join — the oracle
+    states exactly that, so the hash match proves this plan lossless.
+    Here the frontier test is pure dominance algebra on three bounded
+    aggregates, never a pairwise join:
+
+      p in skyline  <=>  p.y = min{q.y : q.x = p.x}          (gy)
+                     AND  p.y < min{q.y : q.x > p.x}          (m1)
+
+    gy comes from ONE map-side-combining groupBy(x). m1 is a strict-
+    prefix running min over x DESCENDING — computed hierarchically so
+    no window ever sees corpus-sized input: x-groups are range-
+    bucketed by the stump_split_gain integer binning, the per-bucket
+    suffix min runs in a window PARTITIONED BY bucket (parallel,
+    bounded by the bucket's distinct-x count), and the cross-bucket
+    carry is a strict-prefix min over the `n_buckets`-row bucket
+    table (broadcast back). Raw rows then semi-join their x-group
+    verdict on the same shuffle key. Both x and y must be integer
+    (lattice) columns, so every min is exact and engine-identical.
+
+    Output: (key, x, y) of surviving rows.
+    """
+    from pyspark.sql import Window
+
+    v = df.select(
+        F.col(key).alias("k"),
+        F.col(x).cast("long").alias("x"),
+        F.col(y).cast("long").alias("y"),
+    )
+    g = v.groupBy("x").agg(F.min("y").alias("gy"))
+    bounds = g.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    gb = g.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "gy",
+        F.expr(f"((x - mn) * {int(n_buckets)}) div (mx - mn + 1)").alias(
+            "b"
+        ),
+    )
+    # strict-prefix (over DESCENDING x) min within each bucket
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy(F.desc("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # cross-bucket carry: min gy of every bucket STRICTLY above
+    bmin = gb.groupBy("b").agg(F.min("gy").alias("bgy"))
+    w_b = (
+        Window.orderBy(F.desc("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bmin.select("b", F.min("bgy").over(w_b).alias("above"))
+    verdict = (
+        gb.withColumn("win", F.min("gy").over(w_in))
+        .join(F.broadcast(carry), "b")
+        .select(
+            "x",
+            "gy",
+            # least() skips NULLs in both engines (NULL only if both
+            # inputs are NULL = nothing strictly above at all)
+            F.least("win", "above").alias("m1"),
+        )
+        .filter(F.col("m1").isNull() | (F.col("gy") < F.col("m1")))
+    )
+    return (
+        v.join(verdict, "x")
+        .filter(F.col("y") == F.col("gy"))
+        .select(F.col("k").alias(key), "x", "y")
+    )

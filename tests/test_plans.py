@@ -472,3 +472,22 @@ def test_session10_windowed_ops_partition_by_key(spark):
         plan = _plan(df)
         for spec in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
             assert spec.strip(), plan
+
+
+def test_skyline_has_no_row_level_cartesian(spark):
+    """skyline_2d's only nested-loop shapes are the documented 1-row /
+    n_buckets-row broadcast crosses (bounds, carry); no CartesianProduct
+    anywhere, and the per-bucket window partitions by a real key."""
+    import re
+
+    from careers_spark.operators.spatial import skyline_2d
+
+    parts = spark.read.parquet(f"{SF}/part.parquet").selectExpr(
+        "p_partkey as key",
+        "cast(p_size as long) as x",
+        "cast(round(p_retailprice * 100) as long) as y",
+    )
+    plan = _plan(skyline_2d(parts, n_buckets=16))
+    assert "CartesianProduct" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert any("b#" in s for s in specs), plan

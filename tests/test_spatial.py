@@ -139,3 +139,62 @@ def test_scan_pruning_zorder_beats_single_column_sort(spark):
     assert z.files_scanned < xs.files_scanned
     assert z.rows_in_scanned_files < xs.rows_in_scanned_files
     assert z.files_scanned >= 1 and z.rows_matched <= z.rows_in_scanned_files
+
+
+def _sky(df):
+    return {(r.key, r.x, r.y) for r in df.collect()}
+
+
+def test_skyline_hand_golden(spark):
+    """Max-x/min-y frontier with an x-tie (only the smaller y wins)
+    and an interior dominated point."""
+    pts = spark.createDataFrame(
+        [
+            (1, 10, 5),   # frontier (largest x)
+            (2, 8, 3),    # frontier
+            (3, 8, 7),    # same x as 2, worse y -> dominated
+            (4, 6, 4),    # dominated by 2 (8>=6, 3<=4, strict)
+            (5, 2, 1),    # frontier (smallest y)
+        ],
+        "key long, x long, y long",
+    )
+    got = _sky(SP.skyline_2d(pts, n_buckets=4))
+    assert got == {(1, 10, 5), (2, 8, 3), (5, 2, 1)}
+
+
+def test_skyline_duplicates_all_survive(spark):
+    """Coincident duplicates do not dominate each other: both copies
+    of the frontier point survive."""
+    pts = spark.createDataFrame(
+        [(1, 5, 5), (2, 5, 5), (3, 4, 9)],
+        "key long, x long, y long",
+    )
+    got = _sky(SP.skyline_2d(pts, n_buckets=2))
+    assert got == {(1, 5, 5), (2, 5, 5)}
+
+
+def test_skyline_lockstep_brute_force(spark):
+    """Bucketed-window plan == the O(n^2) dominance definition on a
+    400-point random integer lattice, at two bucket counts."""
+    import random
+
+    rng = random.Random(71)
+    rows = [(i, rng.randrange(0, 50), rng.randrange(0, 50)) for i in range(400)]
+
+    def dominated(p):
+        return any(
+            q[1] >= p[1]
+            and q[2] <= p[2]
+            and (q[1] > p[1] or q[2] < p[2])
+            for q in rows
+        )
+
+    want = {tuple(p) for p in rows if not dominated(p)}
+    df = spark.createDataFrame(rows, "key long, x long, y long")
+    for nb in (1, 16):
+        assert _sky(SP.skyline_2d(df, n_buckets=nb)) == want
+
+
+def test_skyline_single_point(spark):
+    df = spark.createDataFrame([(9, 3, 3)], "key long, x long, y long")
+    assert _sky(SP.skyline_2d(df)) == {(9, 3, 3)}
