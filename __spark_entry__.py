@@ -2476,6 +2476,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_percentile_gate"] = quality_percentile_gate
 
+    def conformal_quality_gate(spark, sf_dir):
+        """Split-conformal calibration of the quality score
+        (evaluation.conformal_gate): an md5 doc_id split, the
+        finite-sample ceil((n+1)(1-alpha)) rank on the calibration
+        nonconformities (the +1 correction a plain percentile lacks),
+        and the realized test coverage at alpha = 0.1 / 0.2 — the
+        statistically honest filter threshold beside the percentile
+        gate. Everything integer until the one coverage division."""
+        from careers_spark.operators.evaluation import conformal_gate
+
+        qs = TS.quality_score(_t(spark, sf_dir, "documents"))
+        return conformal_gate(
+            qs.select("doc_id", "quality"),
+            key="doc_id",
+            score="quality",
+            alphas_mille=(100, 200),
+            calib_mille=500,
+        )
+
+    q["conformal_quality_gate"] = conformal_quality_gate
+
     def token_heavy_hitters(spark, sf_dir):
         """Count-Min heavy hitters (d=4, w=1024): bounded-memory hot-
         token screen with one-sided error machine-exhibited against the
@@ -7071,6 +7092,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT j.doc_id, j.lang, j.quality, t.thr,
                j.quality >= t.thr AS keep
         FROM j JOIN t USING (lang)
+    """
+
+    # conformal_quality_gate: nests the quality oracle; identical md5
+    # mille split, distinct-nonconformity cumulative, ceil-division
+    # rank, min-over-survivors threshold, one coverage division.
+    o["conformal_quality_gate"] = f"""
+        WITH q AS ({o["quality_score"]}),
+        b AS (
+          SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'conf0'),
+                    1, 8))::BIGINT % 1000 < 500 AS is_cal,
+                 -CAST(round(quality * 1e6) AS BIGINT) AS s
+          FROM q
+        ),
+        tot AS (
+          SELECT coalesce(sum(CASE WHEN is_cal THEN 1 ELSE 0 END), 0)
+                   AS n_cal,
+                 coalesce(sum(CASE WHEN is_cal THEN 0 ELSE 1 END), 0)
+                   AS n_test
+          FROM b
+        ),
+        calc AS (
+          SELECT s, sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cum
+          FROM (SELECT s, count(*) AS c FROM b WHERE is_cal GROUP BY 1)
+        ),
+        grid AS (
+          SELECT n_cal, n_test, alpha_mille,
+                 ((n_cal + 1) * (1000 - alpha_mille) + 999) // 1000
+                   AS q_rank
+          FROM tot, (SELECT unnest([100, 200]) AS alpha_mille)
+        ),
+        qh AS (
+          SELECT alpha_mille, n_cal, n_test, q_rank, min(s) AS q_hat
+          FROM grid LEFT JOIN calc ON cum >= q_rank
+          GROUP BY 1, 2, 3, 4
+        ),
+        tv AS (
+          SELECT s, count(*) AS c FROM b WHERE NOT is_cal GROUP BY 1
+        )
+        SELECT alpha_mille, n_cal, q_rank, q_hat, n_test,
+               coalesce(sum(tv.c), 0) AS n_covered,
+               CASE WHEN n_test > 0
+                 THEN round(coalesce(sum(tv.c), 0) / n_test, 6) END
+                 AS coverage
+        FROM qh LEFT JOIN tv ON (q_hat IS NULL OR tv.s <= q_hat)
+        GROUP BY 1, 2, 3, 4, 5
     """
 
     # bigram_lm_filter: the add-one-smoothed reference bigram model.

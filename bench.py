@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "lang_temperature_weights",
     "gap_filled_hourly",
     "quality_percentile_gate",
+    "conformal_quality_gate",
     "unigram_logloss",
     "char_entropy",
     "lexical_richness",

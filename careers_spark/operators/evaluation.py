@@ -921,3 +921,111 @@ def stump_split_gain(
             ).alias("is_best"),
         )
     )
+
+
+def conformal_gate(
+    df: DataFrame,
+    key: str = "key",
+    score: str = "score",
+    alphas_mille: tuple[int, ...] = (100, 200),
+    calib_mille: int = 500,
+    salt: str = "conf0",
+) -> DataFrame:
+    """Split-conformal calibration (Vovk; Papadopoulos et al. '02) of a
+    quality/novelty score: an md5-bucketed calibration split supplies
+    the finite-sample threshold
+
+        q_hat = the ceil((n_cal + 1) * (1 - alpha))-th smallest
+                nonconformity among the calibration rows
+
+    and the marginal coverage guarantee P(s_test <= q_hat) >= 1-alpha
+    holds for exchangeable data WITHOUT any distributional assumption —
+    the statistically honest way to turn a heuristic score into a
+    filter with a stated error rate (vs quality_percentile_filter's
+    plain quantile, which lacks the +1 finite-sample correction).
+
+    Everything is integer: the score must live on the 1e-6 lattice
+    (quality_score's convention), nonconformity s = -round(score*1e6),
+    the split reuses the sampling-family md5 recipe (mille buckets),
+    and the rank r is a ceil-division of BIGINTs. The k-th smallest is
+    never a corpus sort: calibration rows collapse to one row per
+    DISTINCT nonconformity value (map-side combine), the cumulative
+    runs over that value table (the auc_score bounded-lattice
+    convention), and q_hat per alpha is an algebraic min over the
+    cum >= r survivors. Test coverage is counted on the test-side
+    value table against the broadcast |alphas|-row threshold table.
+
+    r > n_cal (alpha too small for the calibration size) yields
+    q_hat = NULL = +infinity: everything is covered, reported rather
+    than raised. Output: (alpha_mille, n_cal, q_rank, q_hat, n_test,
+    n_covered, coverage), one row per alpha.
+    """
+    from careers_spark.operators.dedup import _hash64_expr
+
+    keyed = f"concat(cast({key} as string), '{salt}')"
+    base = df.select(
+        (F.expr(f"{_hash64_expr(keyed)} % 1000") < int(calib_mille)).alias(
+            "is_cal"
+        ),
+        (-F.round(F.col(score) * 1e6).cast("long")).alias("s"),
+    )
+    cal_vals = base.filter("is_cal").groupBy("s").agg(
+        F.count("*").alias("c")
+    )
+    test_vals = base.filter("NOT is_cal").groupBy("s").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cal_cum = cal_vals.select("s", F.sum("c").over(w).alias("cum"))
+    totals = (
+        base.agg(
+            F.sum(F.expr("case when is_cal then 1 else 0 end")).alias(
+                "n_cal"
+            ),
+            F.sum(F.expr("case when is_cal then 0 else 1 end")).alias(
+                "n_test"
+            ),
+        )
+        .selectExpr(
+            "coalesce(n_cal, 0) as n_cal", "coalesce(n_test, 0) as n_test"
+        )
+    )
+    alphas = ", ".join(str(int(a)) for a in alphas_mille)
+    grid = (
+        totals.select(
+            "n_cal",
+            "n_test",
+            F.explode(F.expr(f"array({alphas})")).alias("alpha_mille"),
+        )
+        .withColumn(
+            "q_rank",
+            F.expr("((n_cal + 1) * (1000 - alpha_mille) + 999) div 1000"),
+        )
+    )
+    qhat = (
+        F.broadcast(grid)
+        .join(cal_cum, F.col("cum") >= F.col("q_rank"), "left")
+        .groupBy("alpha_mille", "n_cal", "n_test", "q_rank")
+        .agg(F.min("s").alias("q_hat"))
+    )
+    covered = (
+        test_vals.join(
+            F.broadcast(qhat),
+            F.col("q_hat").isNull() | (F.col("s") <= F.col("q_hat")),
+            "right",
+        )
+        .groupBy("alpha_mille", "n_cal", "n_test", "q_rank", "q_hat")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_covered"))
+    )
+    return covered.select(
+        "alpha_mille",
+        "n_cal",
+        "q_rank",
+        "q_hat",
+        "n_test",
+        "n_covered",
+        F.when(
+            F.col("n_test") > 0,
+            F.round(F.col("n_covered") / F.col("n_test"), 6),
+        ).alias("coverage"),
+    )

@@ -522,3 +522,80 @@ def test_stump_constant_feature_empty(spark):
 
     df = spark.createDataFrame([(7, 1), (7, 0)], "x long, label int")
     assert stump_split_gain(df, n_bins=8).count() == 0
+
+
+def _conf_split(key, salt="conf0"):
+    import hashlib
+
+    h = hashlib.md5((str(key) + salt).encode()).hexdigest()
+    return int(h[:8], 16) % 1000
+
+
+def test_conformal_python_lockstep(spark):
+    """conformal_gate == an exact python replay of the split-conformal
+    recipe (same md5 split, same ceil rank, same tie handling) on 300
+    lattice scores, at two alphas."""
+    import math
+    import random
+
+    rng = random.Random(17)
+    rows = [(k, rng.randrange(0, 1000000) / 1e6) for k in range(300)]
+    from careers_spark.operators.evaluation import conformal_gate
+
+    df = spark.createDataFrame(rows, "key long, score double")
+    got = {
+        r.alpha_mille: r
+        for r in conformal_gate(
+            df, alphas_mille=(100, 250), calib_mille=500
+        ).collect()
+    }
+    cal = sorted(
+        -round(s * 1e6) for k, s in rows if _conf_split(k) < 500
+    )
+    test = [-round(s * 1e6) for k, s in rows if _conf_split(k) >= 500]
+    for am in (100, 250):
+        r = math.ceil((len(cal) + 1) * (1000 - am) / 1000)
+        qh = cal[r - 1] if r <= len(cal) else None
+        ncov = (
+            len(test) if qh is None else sum(1 for s in test if s <= qh)
+        )
+        g = got[am]
+        assert (g.n_cal, g.n_test, g.q_rank) == (len(cal), len(test), r)
+        assert g.q_hat == qh
+        assert g.n_covered == ncov
+        assert g.coverage == round(ncov / len(test), 6)
+        # the finite-sample theorem is about the RANK: E[coverage] =
+        # q_rank/(n_cal+1) >= 1-alpha (per-split coverage fluctuates
+        # Beta-style around it, so asserting a band on one split would
+        # be statistically wrong)
+        assert g.q_rank / (g.n_cal + 1) >= 1 - am / 1000
+
+
+def test_conformal_rank_past_calibration_covers_all(spark):
+    """alpha smaller than 1/(n_cal+1) -> q_hat = +inf (NULL): every
+    test row is covered and that is REPORTED, not raised."""
+    from careers_spark.operators.evaluation import conformal_gate
+
+    rows = [(k, k / 1e6) for k in range(40)]
+    df = spark.createDataFrame(rows, "key long, score double")
+    (r,) = conformal_gate(
+        df, alphas_mille=(1,), calib_mille=500
+    ).collect()
+    assert r.q_rank == r.n_cal + 1
+    assert r.q_hat is None
+    assert r.n_covered == r.n_test and r.coverage == 1.0
+
+
+def test_conformal_empty_test_side(spark):
+    """calib_mille=1000 puts every row in calibration: n_test=0 and
+    coverage is NULL (0/0), not a crash."""
+    from careers_spark.operators.evaluation import conformal_gate
+
+    df = spark.createDataFrame(
+        [(k, 0.5) for k in range(10)], "key long, score double"
+    )
+    (r,) = conformal_gate(
+        df, alphas_mille=(200,), calib_mille=1000
+    ).collect()
+    assert r.n_cal == 10 and r.n_test == 0
+    assert r.n_covered == 0 and r.coverage is None
