@@ -2020,6 +2020,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_triangles"] = graph_triangles
 
+    def doc_token_butterflies(spark, sf_dir):
+        """Butterfly (2x2 biclique) counting on the sampled doc-token
+        BIPARTITE incidence itself (graph.bipartite_butterflies) —
+        the cohesion motif where triangles cannot exist, BEFORE any
+        co-occurrence projection: token pairs with >= 30 shared docs
+        plus the global butterfly/caterpillar tallies and the
+        bipartite clustering coefficient cc4 = 4B/caterpillars."""
+        from careers_spark.operators.graph import bipartite_butterflies
+
+        docs = _t(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+        inc = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(DD.tokens_col("text"))).alias(
+                "tok"
+            ),
+        )
+        return bipartite_butterflies(
+            inc, u="doc_id", v="tok", min_cooc=30
+        )
+
+    q["doc_token_butterflies"] = doc_token_butterflies
+
     def graph_kcore(spark, sf_dir):
         """8-core of the min_obs=35 entity graph — a real peel cascade
         at sf0.01 (13 -> 10 -> 9 nodes over 3 rounds before fixpoint),
@@ -4856,6 +4878,44 @@ def oracle_sql() -> dict[str, str]:
                           / (d.degree * (d.degree - 1.0))
                      ELSE 0.0 END, 6) AS coeff
         FROM degt d LEFT JOIN pn ON pn.node = d.node
+    """
+
+    # doc_token_butterflies: the same sampled incidence; butterflies
+    # are C(cooc,2) over the a<b pair counts, caterpillars the
+    # middle-edge sum, cc4 one rounded division — all BIGINT algebra.
+    o["doc_token_butterflies"] = f"""
+        WITH inc AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        co AS MATERIALIZED (
+          SELECT a.tok AS v_a, b.tok AS v_b,
+                 CAST(count(*) AS BIGINT) AS cooc
+          FROM inc a JOIN inc b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2
+        ),
+        du AS (SELECT doc_id, count(*) AS deg_u FROM inc GROUP BY 1),
+        dv AS (SELECT tok, count(*) AS deg_v FROM inc GROUP BY 1),
+        cater AS (
+          SELECT CAST(sum((deg_u - 1) * (deg_v - 1)) AS BIGINT) AS c
+          FROM inc JOIN du USING (doc_id) JOIN dv USING (tok)
+        ),
+        tot AS (
+          SELECT CAST(sum(cooc * (cooc - 1) // 2) AS BIGINT) AS bf
+          FROM co
+        )
+        SELECT v_a, v_b, cooc,
+               CAST(cooc * (cooc - 1) // 2 AS BIGINT) AS butterflies,
+               CAST(NULL AS BIGINT) AS caterpillars,
+               CAST(NULL AS DOUBLE) AS cc4
+        FROM co WHERE cooc >= 30
+        UNION ALL
+        SELECT '__ALL__', '__ALL__', CAST(NULL AS BIGINT),
+               tot.bf, cater.c,
+               CASE WHEN cater.c > 0
+                 THEN round(4 * tot.bf / cater.c, 6) END
+        FROM tot, cater
     """
 
     # graph_kcore: iterative peel unrolled to fixed depth (6 rounds >=

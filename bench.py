@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "entity_ppr",
     "entity_hits",
     "graph_triangles",
+    "doc_token_butterflies",
     "graph_kcore",
     "influence_spread",
     "entity_distances",

@@ -1469,3 +1469,76 @@ def ic_influence_spread(
         )
         state = state.union(fresh).localCheckpoint(eager=True)
     return state
+
+
+def bipartite_butterflies(
+    inc: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    min_cooc: int = 2,
+) -> DataFrame:
+    """Butterfly (2x2 biclique) counting on a bipartite incidence list
+    (Wang et al. VLDB'14; Sanei-Mehri et al. KDD'18) — the bipartite
+    analogue of triangle counting, the cohesion motif for doc-token /
+    user-item graphs where triangles cannot exist. Per v-side pair the
+    butterfly count is pure algebra on the co-occurrence count,
+    C(cooc, 2); no 4-way join ever runs. The one shuffle is the
+    canonical a<b co-occurrence self-join keyed by u (the
+    entity-graph shape, AQE splits hub skew); global caterpillars
+    (3-paths) need only the two degree tables joined back to the
+    edge list: sum (deg_u - 1) * (deg_v - 1) over edges, since every
+    3-path has a unique middle edge.
+
+    Output: one row per v-pair with cooc >= min_cooc
+    (v_a, v_b, cooc, butterflies, NULL, NULL) plus one '__ALL__'
+    summary row carrying the GLOBAL tallies over every pair
+    (including sub-threshold ones): total butterflies, total
+    caterpillars, and the bipartite clustering coefficient
+    cc4 = 4 * butterflies / caterpillars (Lind et al. '05), one
+    rounded division. Duplicate incidences are collapsed first.
+    """
+    e = inc.select(F.col(u).alias("u"), F.col(v).alias("v")).dropDuplicates()
+    a = e.selectExpr("u", "v as va")
+    b = e.selectExpr("u as u2", "v as vb")
+    co = (
+        a.join(b, (a["u"] == b["u2"]) & (a["va"] < b["vb"]))
+        .groupBy("va", "vb")
+        .agg(F.count("*").alias("cooc"))
+    )
+    bf = co.withColumn(
+        "butterflies", F.expr("cooc * (cooc - 1) div 2")
+    )
+    du = e.groupBy("u").agg(F.count("*").alias("deg_u"))
+    dv = e.groupBy("v").agg(F.count("*").alias("deg_v"))
+    cater = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.sum(
+                F.expr("(deg_u - 1) * (deg_v - 1)")
+            ).alias("caterpillars")
+        )
+    )
+    totals = bf.agg(F.sum("butterflies").alias("bf_total")).crossJoin(
+        F.broadcast(cater)
+    )
+    summary = totals.select(
+        F.lit("__ALL__").alias("v_a"),
+        F.lit("__ALL__").alias("v_b"),
+        F.lit(None).cast("long").alias("cooc"),
+        F.col("bf_total").alias("butterflies"),
+        "caterpillars",
+        F.when(
+            F.col("caterpillars") > 0,
+            F.round(4 * F.col("bf_total") / F.col("caterpillars"), 6),
+        ).alias("cc4"),
+    )
+    pairs = bf.filter(F.col("cooc") >= int(min_cooc)).select(
+        F.col("va").alias("v_a"),
+        F.col("vb").alias("v_b"),
+        "cooc",
+        "butterflies",
+        F.lit(None).cast("long").alias("caterpillars"),
+        F.lit(None).cast("double").alias("cc4"),
+    )
+    return pairs.unionByName(summary)

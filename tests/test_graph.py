@@ -1049,3 +1049,83 @@ def test_ic_spread_salt_reseeds(spark):
         ).collect()
     }
     assert r1 != r2
+
+
+def test_butterflies_hand_golden(spark):
+    """Three docs sharing {a,b} -> C(3,2)=3 butterflies on pair (a,b);
+    caterpillars and cc4 hand-summed over the middle edges."""
+    from careers_spark.operators.graph import bipartite_butterflies
+
+    inc = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+         (3, "c"), (4, "c")],
+        "u long, v string",
+    )
+    rows = {(r.v_a, r.v_b): r for r in bipartite_butterflies(inc).collect()}
+    assert set(rows) == {("a", "b"), ("__ALL__", "__ALL__")}
+    ab = rows[("a", "b")]
+    assert (ab.cooc, ab.butterflies) == (3, 3)
+    assert ab.caterpillars is None and ab.cc4 is None
+    allr = rows[("__ALL__", "__ALL__")]
+    assert allr.cooc is None
+    assert (allr.butterflies, allr.caterpillars) == (3, 18)
+    assert allr.cc4 == round(12 / 18, 6)
+
+
+def test_butterflies_duplicates_collapse(spark):
+    """Repeated incidences must not inflate any count."""
+    from careers_spark.operators.graph import bipartite_butterflies
+
+    inc = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "b")],
+        "u long, v string",
+    )
+    rows = {(r.v_a, r.v_b): r for r in bipartite_butterflies(inc).collect()}
+    assert rows[("a", "b")].cooc == 2
+    assert rows[("a", "b")].butterflies == 1
+    assert rows[("__ALL__", "__ALL__")].butterflies == 1
+
+
+def test_butterflies_lockstep_brute_force(spark):
+    """Algebraic counts == literal 4-tuple enumeration on a random
+    60x20 bipartite graph."""
+    import random
+    from itertools import combinations
+
+    from careers_spark.operators.graph import bipartite_butterflies
+
+    rng = random.Random(23)
+    inc = sorted(
+        {
+            (d, f"t{rng.randrange(20)}")
+            for d in range(60)
+            for _ in range(rng.randrange(1, 6))
+        }
+    )
+    adj = {}
+    for d, t in inc:
+        adj.setdefault(t, set()).add(d)
+    want_b = 0
+    want_pairs = {}
+    for ta, tb in combinations(sorted(adj), 2):
+        co = len(adj[ta] & adj[tb])
+        want_pairs[(ta, tb)] = co
+        want_b += co * (co - 1) // 2
+    degd = {}
+    for d, t in inc:
+        degd[d] = degd.get(d, 0) + 1
+    degt = {t: len(ds) for t, ds in adj.items()}
+    want_cater = sum((degd[d] - 1) * (degt[t] - 1) for d, t in inc)
+
+    df = spark.createDataFrame(inc, "u long, v string")
+    rows = {
+        (r.v_a, r.v_b): r
+        for r in bipartite_butterflies(df, min_cooc=1).collect()
+    }
+    allr = rows.pop(("__ALL__", "__ALL__"))
+    assert allr.butterflies == want_b
+    assert allr.caterpillars == want_cater
+    got_pairs = {k: r.cooc for k, r in rows.items()}
+    assert got_pairs == {k: c for k, c in want_pairs.items() if c >= 1}
+    for k, r in rows.items():
+        assert r.butterflies == r.cooc * (r.cooc - 1) // 2
