@@ -2894,6 +2894,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_trend_slopes"] = event_trend_slopes
 
+    def event_theil_sen(spark, sf_dir):
+        """Theil-Sen robust trend per event type — the median of all
+        pairwise daily slopes (29% breakdown point), the estimator a
+        spiky day cannot drag, beside the least-squares slope above.
+        The pair blow-up is over the tiny (type, day) bucket table
+        (temporal.theil_sen_slopes); each slope is one exact-integer
+        division, the median the pinned percentile convention."""
+        from careers_spark.operators.temporal import theil_sen_slopes
+
+        return theil_sen_slopes(_t(spark, sf_dir, "events"))
+
+    q["event_theil_sen"] = event_theil_sen
+
     def key_skew_report(spark, sf_dir):
         """Key-skew diagnostic over lineitem.l_orderkey — top-10
         heaviest keys with corpus share and the max/mean skew factor;
@@ -7489,6 +7502,35 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(n_days * sxx - sx * sx AS DOUBLE), 9)
                END AS slope_per_day
         FROM s
+    """
+
+    # event_theil_sen: pairwise slopes over the day-bucket table, each
+    # one exact-integer division; median = quantile_cont (the pinned
+    # percentile convention), rounded to 9
+    o["event_theil_sen"] = """
+        WITH daily AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        nd AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1
+        ),
+        p AS (
+          SELECT a.event_type,
+                 (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d
+        ),
+        med AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                 round(quantile_cont(slope, 0.5e0), 9) AS ts_slope
+          FROM p GROUP BY 1
+        )
+        SELECT nd.event_type, nd.n_days,
+               coalesce(med.n_pairs, 0) AS n_pairs, med.ts_slope
+        FROM nd LEFT JOIN med USING (event_type)
     """
 
     # key_skew_report: identical top-k by (count desc, key asc) with

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "user_burstiness",
     "weekly_active_users",
     "event_trend_slopes",
+    "event_theil_sen",
     "key_skew_report",
     "distinct_sketch",
     "bitmap_distinct_users",

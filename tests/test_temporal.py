@@ -958,3 +958,59 @@ def test_rolling_median_robust_to_spike(spark):
         for r in rolling_median(df, window_days=7).collect()
     }
     assert all(m == 10.0 for m in meds.values())
+
+
+def _ts_day(d):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+
+
+def test_theil_sen_hand_golden(spark):
+    """Days with volumes 1,2,3,100: six pairwise slopes
+    {1,1,33,1,49,97} -> median (1+33)/2 = 17 beats OLS, which the
+    spike drags far higher."""
+    from careers_spark.operators.temporal import theil_sen_slopes, trend_slopes
+
+    rows = []
+    for d, n in [(0, 1), (1, 2), (2, 3), (3, 100)]:
+        rows += [("g", _ts_day(d))] * n
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    (r,) = theil_sen_slopes(df, dims=["grp"]).collect()
+    assert (r.n_days, r.n_pairs) == (4, 6)
+    assert r.ts_slope == 17.0
+    (ols,) = trend_slopes(df, dims=["grp"]).collect()
+    assert ols.slope_per_day > 25
+
+
+def test_theil_sen_python_lockstep_by_dim(spark):
+    import statistics
+
+    from careers_spark.operators.temporal import theil_sen_slopes
+
+    rng = random.Random(41)
+    counts = {
+        (g, d): rng.randrange(1, 30) for g in ("a", "b") for d in range(12)
+    }
+    rows = [
+        (g, _ts_day(d))
+        for (g, d), n in counts.items()
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    got = {r.grp: r for r in theil_sen_slopes(df, dims=["grp"]).collect()}
+    for g in ("a", "b"):
+        slopes = sorted(
+            (counts[(g, db)] - counts[(g, da)]) / (db - da)
+            for da in range(12)
+            for db in range(da + 1, 12)
+        )
+        want = round(statistics.median(slopes), 9)
+        assert got[g].n_days == 12 and got[g].n_pairs == 66
+        assert got[g].ts_slope == want
+
+
+def test_theil_sen_single_day_null(spark):
+    from careers_spark.operators.temporal import theil_sen_slopes
+
+    df = spark.createDataFrame([(_ts_day(0),), (_ts_day(0),)], "ts timestamp")
+    (r,) = theil_sen_slopes(df, dims=[]).collect()
+    assert (r.n_days, r.n_pairs, r.ts_slope) == (1, 0, None)
