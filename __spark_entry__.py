@@ -2042,6 +2042,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_token_butterflies"] = doc_token_butterflies
 
+    def entity_rich_club(spark, sf_dir):
+        """Rich-club ladder on the min_obs=20 entity graph
+        (graph.rich_club): do the high-degree entities interconnect?
+        Suffix sums over two bounded value tables (edge-min-degree,
+        node-degree), one rounded division per cutoff."""
+        from careers_spark.operators.graph import rich_club
+
+        return rich_club(
+            _entity_edges(spark, sf_dir, 20), ks=(1, 2, 4, 8, 16, 32)
+        )
+
+    q["entity_rich_club"] = entity_rich_club
+
     def graph_kcore(spark, sf_dir):
         """8-core of the min_obs=35 entity graph — a real peel cascade
         at sf0.01 (13 -> 10 -> 9 nodes over 3 rounds before fixpoint),
@@ -4929,6 +4942,45 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN cater.c > 0
                  THEN round(4 * tot.bf / cater.c, 6) END
         FROM tot, cater
+    """
+
+    # entity_rich_club: min_obs=20 edges, degree / edge-min-degree
+    # value tables, suffix sums per cutoff, one rounded division.
+    o["entity_rich_club"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS a, b.tok AS b
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+          ) GROUP BY 1
+        ),
+        em AS (
+          SELECT least(da.d, db.d) AS m, count(*) AS ec
+          FROM e JOIN deg da ON da.node = e.a
+                 JOIN deg db ON db.node = e.b
+          GROUP BY 1
+        ),
+        dv AS (SELECT d, count(*) AS nc FROM deg GROUP BY 1),
+        grid AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+        nk AS (
+          SELECT k, CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_k
+          FROM grid LEFT JOIN dv ON dv.d > grid.k GROUP BY 1
+        ),
+        ek AS (
+          SELECT k, CAST(coalesce(sum(ec), 0) AS BIGINT) AS e_k
+          FROM grid LEFT JOIN em ON em.m > grid.k GROUP BY 1
+        )
+        SELECT k, n_k, e_k,
+               CASE WHEN n_k >= 2
+                 THEN round(2 * e_k / (n_k * (n_k - 1)), 6) END AS phi
+        FROM nk JOIN ek USING (k)
     """
 
     # graph_kcore: iterative peel unrolled to fixed depth (6 rounds >=

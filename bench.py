@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "entity_hits",
     "graph_triangles",
     "doc_token_butterflies",
+    "entity_rich_club",
     "graph_kcore",
     "influence_spread",
     "entity_distances",

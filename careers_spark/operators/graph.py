@@ -1542,3 +1542,84 @@ def bipartite_butterflies(
         F.lit(None).cast("double").alias("cc4"),
     )
     return pairs.unionByName(summary)
+
+
+def rich_club(
+    edges: DataFrame,
+    ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rich-club coefficient ladder (Zhou & Mondragon '04): for each
+    degree cutoff k, phi(k) = 2 * E_k / (n_k * (n_k - 1)) where n_k
+    counts nodes of degree > k and E_k the edges BOTH of whose
+    endpoints qualify — do the well-connected entities of the KG also
+    interconnect? (The un-normalized coefficient; the random-rewiring
+    null model is out of scope and stated so.)
+
+    No per-k scan: an edge qualifies at every k below min(deg_a,
+    deg_b), so edges collapse to a value table keyed by that min and a
+    node value table keyed by degree (both bounded by the degree
+    domain), and every (k, count) answer is a suffix sum over those
+    tables — here a broadcast inequality join of the |ks|-row grid
+    against each value table, integers throughout, one rounded
+    division per k. Input treated as undirected src<dst unique edges;
+    self-loops dropped.
+
+    Output: (k, n_k, e_k, phi), phi NULL when n_k < 2.
+    """
+    e = (
+        edges.selectExpr(
+            f"least({src}, {dst}) as a", f"greatest({src}, {dst}) as b"
+        )
+        .filter("a < b")
+        .dropDuplicates()
+    )
+    deg = (
+        e.selectExpr("a as node")
+        .union(e.selectExpr("b as node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.selectExpr("node as a", "d as d_a")
+    db = deg.selectExpr("node as b", "d as d_b")
+    em = (
+        e.join(da, "a")
+        .join(db, "b")
+        .selectExpr("least(d_a, d_b) as m")
+        .groupBy("m")
+        .agg(F.count("*").alias("ec"))
+    )
+    dv = deg.groupBy("d").agg(F.count("*").alias("nc"))
+    grid = e.sparkSession.range(1).select(
+        F.explode(
+            F.expr(f"array({', '.join(str(int(k)) for k in ks)})")
+        ).alias("k")
+    )
+    nk = (
+        F.broadcast(grid)
+        .join(dv, F.col("d") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("nc"), F.lit(0)).alias("n_k"))
+    )
+    ek = (
+        F.broadcast(grid)
+        .join(em, F.col("m") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("ec"), F.lit(0)).alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k")
+        .select(
+            "k",
+            "n_k",
+            "e_k",
+            F.when(
+                F.col("n_k") >= 2,
+                F.round(
+                    2 * F.col("e_k") / (F.col("n_k") * (F.col("n_k") - 1)),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+    )

@@ -1129,3 +1129,52 @@ def test_butterflies_lockstep_brute_force(spark):
     assert got_pairs == {k: c for k, c in want_pairs.items() if c >= 1}
     for k, r in rows.items():
         assert r.butterflies == r.cooc * (r.cooc - 1) // 2
+
+
+def test_rich_club_hand_golden(spark):
+    """K4 core with two pendants: at k=1 the pendants drop out and the
+    core's phi hits 1.0; at k=3 nobody qualifies."""
+    from careers_spark.operators.graph import rich_club
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(1, 9), (2, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.k: r for r in rich_club(df, ks=(1, 2, 3)).collect()}
+    # degrees: 1->4, 2->4, 3->3, 4->3, 8->1, 9->1
+    assert (got[1].n_k, got[1].e_k, got[1].phi) == (4, 6, 1.0)
+    assert (got[2].n_k, got[2].e_k, got[2].phi) == (4, 6, 1.0)
+    assert (got[3].n_k, got[3].e_k, got[3].phi) == (2, 1, 1.0)
+
+
+def test_rich_club_lockstep_brute_force(spark):
+    """Value-table suffix sums == literal recount on a random graph,
+    including duplicate/reversed input edges and a self-loop."""
+    import random
+    from itertools import combinations
+
+    from careers_spark.operators.graph import rich_club
+
+    rng = random.Random(5)
+    edges = {
+        tuple(sorted((rng.randrange(30), rng.randrange(30))))
+        for _ in range(120)
+    }
+    edges = {(a, b) for a, b in edges if a != b}
+    feed = list(edges) + [(b, a) for a, b in list(edges)[:10]] + [(3, 3)]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    df = spark.createDataFrame(feed, "src long, dst long")
+    got = {r.k: r for r in rich_club(df, ks=(0, 1, 2, 5, 99)).collect()}
+    for k in (0, 1, 2, 5, 99):
+        nodes = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for a, b in edges if a in nodes and b in nodes)
+        r = got[k]
+        assert (r.n_k, r.e_k) == (len(nodes), ek)
+        if len(nodes) >= 2:
+            assert r.phi == round(
+                2 * ek / (len(nodes) * (len(nodes) - 1)), 6
+            )
+        else:
+            assert r.phi is None
