@@ -2055,6 +2055,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_rich_club"] = entity_rich_club
 
+    def entity_disparity_backbone(spark, sf_dir):
+        """Serrano-Boguna disparity backbone of the weighted entity
+        graph (graph.disparity_backbone, alpha=0.05): keep the edges
+        whose co-occurrence weight is significant against at least one
+        endpoint's uniform-split null — the significance complement of
+        the max-spanning backbone. Log-space decision on the pinned
+        ln-lockstep; survivors AND casualties emitted."""
+        from careers_spark.operators.graph import disparity_backbone
+
+        return disparity_backbone(
+            _entity_edges(spark, sf_dir, 20), alpha_mille=50, w="n_obs"
+        )
+
+    q["entity_disparity_backbone"] = entity_disparity_backbone
+
     def graph_kcore(spark, sf_dir):
         """8-core of the min_obs=35 entity graph — a real peel cascade
         at sf0.01 (13 -> 10 -> 9 nodes over 3 rounds before fixpoint),
@@ -4981,6 +4996,43 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_k >= 2
                  THEN round(2 * e_k / (n_k * (n_k - 1)), 6) END AS phi
         FROM nk JOIN ek USING (k)
+    """
+
+    # entity_disparity_backbone: strengths/degrees from the same
+    # weighted edge list; log-space significance with round-before-
+    # compare on the pinned ln-lockstep.
+    o["entity_disparity_backbone"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS a, b.tok AS b,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        ),
+        st AS (
+          SELECT node, CAST(sum(w) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS k FROM (
+            SELECT a AS node, w FROM e UNION ALL SELECT b, w FROM e
+          ) GROUP BY 1
+        )
+        SELECT e.a AS src, e.b AS dst, e.w,
+               CASE WHEN sa.k <= 1 THEN 0.0
+                 ELSE round((sa.k - 1) * ln(1.0 - e.w / CAST(sa.s AS DOUBLE)), 6)
+               END AS lalpha_src,
+               CASE WHEN sb.k <= 1 THEN 0.0
+                 ELSE round((sb.k - 1) * ln(1.0 - e.w / CAST(sb.s AS DOUBLE)), 6)
+               END AS lalpha_dst,
+               least(
+                 CASE WHEN sa.k <= 1 THEN 0.0
+                   ELSE round((sa.k - 1) * ln(1.0 - e.w / CAST(sa.s AS DOUBLE)), 6) END,
+                 CASE WHEN sb.k <= 1 THEN 0.0
+                   ELSE round((sb.k - 1) * ln(1.0 - e.w / CAST(sb.s AS DOUBLE)), 6) END
+               ) < round(ln(50 / 1000.0), 6) AS keep
+        FROM e JOIN st sa ON sa.node = e.a
+               JOIN st sb ON sb.node = e.b
     """
 
     # graph_kcore: iterative peel unrolled to fixed depth (6 rounds >=

@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "graph_triangles",
     "doc_token_butterflies",
     "entity_rich_club",
+    "entity_disparity_backbone",
     "graph_kcore",
     "influence_spread",
     "entity_distances",

@@ -1623,3 +1623,71 @@ def rich_club(
             ).alias("phi"),
         )
     )
+
+
+def disparity_backbone(
+    edges: DataFrame,
+    alpha_mille: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Serrano-Boguna disparity filter (PNAS'09) — the multiscale
+    significance backbone for a weighted KG: an edge survives if its
+    weight is statistically surprising against AT LEAST ONE endpoint's
+    null model of uniformly split strength, alpha_ij = (1 -
+    w/s_i)^(k_i - 1) < alpha. Unlike a global weight cut, this keeps
+    locally dominant edges of low-strength nodes, so the periphery is
+    not erased — the standard complement of the max-spanning backbone
+    (entity_backbone_msf keeps connectivity; this keeps significance).
+
+    Decision in LOG space — no pow() (whose cross-engine bit-identity
+    is unpinned): significant from endpoint i iff
+
+        round((k_i - 1) * ln(1 - w/s_i), 6) < round(ln(alpha), 6)
+
+    w/s_i is one IEEE division, ln is the cross-engine lockstep
+    already pinned by tfidf/token_pmi, and the round-before-compare
+    makes the boundary engine-identical. Degree-1 endpoints have
+    exponent 0 -> log-alpha 0 (never significant from that side, the
+    paper's convention), which also guards the w == s_i singularity.
+
+    Physical shape: one strength/degree aggregation, two broadcast-
+    friendly joins back onto the edge list, pure Catalyst expressions.
+    Input treated as undirected src<dst unique weighted edges.
+
+    Output: every edge with (src, dst, w, lalpha_src, lalpha_dst,
+    keep) — survivors AND casualties, so the filter itself is
+    machine-checkable.
+    """
+    e = edges.selectExpr(
+        f"least({src}, {dst}) as a",
+        f"greatest({src}, {dst}) as b",
+        f"cast({w} as bigint) as w",
+    ).dropDuplicates(["a", "b"])
+    st = (
+        e.selectExpr("a as node", "w")
+        .union(e.selectExpr("b as node", "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("s"), F.count("*").alias("k"))
+    )
+    lalpha = (
+        "case when {k} <= 1 then 0.0 "
+        "else round(({k} - 1) * ln(1.0 - w / cast({s} as double)), 6) end"
+    )
+    thr = f"round(ln({int(alpha_mille)} / 1000.0), 6)"
+    return (
+        e.join(st.selectExpr("node as a", "s as s_a", "k as k_a"), "a")
+        .join(st.selectExpr("node as b", "s as s_b", "k as k_b"), "b")
+        .select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            "w",
+            F.expr(lalpha.format(k="k_a", s="s_a")).alias("lalpha_src"),
+            F.expr(lalpha.format(k="k_b", s="s_b")).alias("lalpha_dst"),
+        )
+        .withColumn(
+            "keep",
+            F.expr(f"least(lalpha_src, lalpha_dst) < {thr}"),
+        )
+    )

@@ -1178,3 +1178,63 @@ def test_rich_club_lockstep_brute_force(spark):
             )
         else:
             assert r.phi is None
+
+
+def test_disparity_hand_golden(spark):
+    """Hub with one dominant edge among many weak ones: the dominant
+    edge is significant from the hub side, the weak ones are not; a
+    degree-1 spoke can never vouch for its own edge."""
+    import math
+
+    from careers_spark.operators.graph import disparity_backbone
+
+    # hub 0: edges to 1..6, weight 100 to node 1, weight 1 to 2..6
+    edges = [(0, 1, 100)] + [(0, j, 1) for j in range(2, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    rows = {(r.src, r.dst): r for r in disparity_backbone(df, 50).collect()}
+    s, k = 105, 6
+    strong = rows[(0, 1)]
+    assert strong.lalpha_src == round((k - 1) * math.log(1 - 100 / s), 6)
+    assert strong.lalpha_dst == 0.0  # degree-1 endpoint
+    assert strong.keep
+    weak = rows[(0, 2)]
+    assert weak.lalpha_src == round((k - 1) * math.log(1 - 1 / s), 6)
+    assert not weak.keep
+
+
+def test_disparity_lockstep_and_symmetrization(spark):
+    """Python replay on a random weighted graph; reversed duplicate
+    inputs collapse before strengths are computed."""
+    import math
+    import random
+
+    from careers_spark.operators.graph import disparity_backbone
+
+    rng = random.Random(11)
+    base = {}
+    for _ in range(80):
+        a, b = rng.randrange(20), rng.randrange(20)
+        if a != b:
+            base[tuple(sorted((a, b)))] = rng.randrange(1, 50)
+    feed = [(a, b, w) for (a, b), w in base.items()]
+    feed += [(b, a, w) for (a, b), w in list(base.items())[:15]]
+    st, dg = {}, {}
+    for (a, b), w in base.items():
+        st[a] = st.get(a, 0) + w
+        st[b] = st.get(b, 0) + w
+        dg[a] = dg.get(a, 0) + 1
+        dg[b] = dg.get(b, 0) + 1
+
+    def la(n, w):
+        if dg[n] <= 1:
+            return 0.0
+        return round((dg[n] - 1) * math.log(1 - w / st[n]), 6)
+
+    thr = round(math.log(0.05), 6)
+    df = spark.createDataFrame(feed, "src long, dst long, w long")
+    got = {(r.src, r.dst): r for r in disparity_backbone(df, 50).collect()}
+    assert set(got) == set(base)
+    for (a, b), w in base.items():
+        r = got[(a, b)]
+        assert (r.lalpha_src, r.lalpha_dst) == (la(a, w), la(b, w))
+        assert r.keep == (min(la(a, w), la(b, w)) < thr)
