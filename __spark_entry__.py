@@ -2935,6 +2935,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_theil_sen"] = event_theil_sen
 
+    def hourly_haar_synopsis(spark, sf_dir):
+        """B-term Haar wavelet synopsis of the hourly event volume
+        (sketches.haar_synopsis, 2^10 grid, top 32 coefficients) —
+        the Matias-Vitter-Wang approximate-query summary with the
+        exact Parseval residual exhibited as an integer in the
+        output. The pyramid runs on the bounded hourly grid; raw
+        rows feed one groupBy."""
+        from careers_spark.operators.sketches import haar_synopsis
+
+        return haar_synopsis(
+            _t(spark, sf_dir, "events"), t_pow=10, top_b=32
+        )
+
+    q["hourly_haar_synopsis"] = hourly_haar_synopsis
+
     def key_skew_report(spark, sf_dir):
         """Key-skew diagnostic over lineitem.l_orderkey — top-10
         heaviest keys with corpus share and the max/mean skew factor;
@@ -7635,6 +7650,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT nd.event_type, nd.n_days,
                coalesce(med.n_pairs, 0) AS n_pairs, med.ts_slope
         FROM nd LEFT JOIN med USING (event_type)
+    """
+
+    # hourly_haar_synopsis: the 10-level pyramid unrolled (each level
+    # MATERIALIZED — det references every level, so inlining would
+    # duplicate the chain), integer energies d*d*2^(10-l), top-32 by
+    # (energy desc, level, idx), Parseval residual by subtraction.
+    _haar_T, _haar_L, _haar_B = 1024, 10, 32
+    _haar_lvls = ""
+    _haar_det = []
+    for _l in range(1, _haar_L + 1):
+        _haar_lvls += f""",
+        l{_l} AS MATERIALIZED (
+          SELECT t.i // 2 AS i, sum(t.a) AS a,
+                 sum(CASE WHEN t.i % 2 = 0 THEN t.a ELSE -t.a END) AS d
+          FROM l{_l - 1} t GROUP BY t.i // 2
+        )"""
+        _haar_det.append(
+            f"SELECT CAST({_l} AS INTEGER) AS level, CAST(i AS BIGINT)"
+            f" AS idx, CAST(d AS BIGINT) AS coef, CAST(d * d *"
+            f" {1 << (_haar_L - _l)} AS BIGINT) AS energy_x2l FROM l{_l}"
+        )
+    o["hourly_haar_synopsis"] = f"""
+        WITH hourly AS MATERIALIZED (
+          SELECT epoch_us(ts) // 3600000000 AS h,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1
+        ),
+        l0 AS MATERIALIZED (
+          SELECT g.i, coalesce(hh.y, 0) AS a
+          FROM (SELECT unnest(range(0, {_haar_T})) AS i) g
+          LEFT JOIN (
+            SELECT h - (SELECT min(h) FROM hourly) AS i, y FROM hourly
+          ) hh USING (i)
+        ){_haar_lvls},
+        det AS MATERIALIZED ({" UNION ALL ".join(_haar_det)}),
+        top AS MATERIALIZED (
+          SELECT 'detail' AS kind, level, idx, coef, energy_x2l
+          FROM det ORDER BY energy_x2l DESC, level, idx LIMIT {_haar_B}
+        ),
+        kept AS MATERIALIZED (
+          SELECT * FROM top
+          UNION ALL
+          SELECT 'approx', CAST({_haar_L} AS INTEGER), CAST(0 AS BIGINT),
+                 CAST(a AS BIGINT), CAST(a * a AS BIGINT)
+          FROM l{_haar_L}
+        )
+        SELECT * FROM kept
+        UNION ALL
+        SELECT 'residual', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT),
+               (SELECT CAST(sum(a * a * {_haar_T}) AS BIGINT) FROM l0)
+                 - (SELECT sum(energy_x2l) FROM kept)
     """
 
     # key_skew_report: identical top-k by (count desc, key asc) with

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "weekly_active_users",
     "event_trend_slopes",
     "event_theil_sen",
+    "hourly_haar_synopsis",
     "key_skew_report",
     "distinct_sketch",
     "bitmap_distinct_users",

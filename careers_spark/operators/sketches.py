@@ -623,3 +623,131 @@ def bitmap_distinct(
         "n_distinct_exact",
         "words_used",
     )
+
+
+def haar_synopsis(
+    events: DataFrame,
+    ts: str = "ts",
+    t_pow: int = 10,
+    top_b: int = 32,
+) -> DataFrame:
+    """Haar wavelet synopsis of the hourly volume series (Matias,
+    Vitter & Wang SIGMOD'98) — the classic B-term approximate-query-
+    processing summary: keep the B largest-energy wavelet coefficients
+    and answer range aggregates from them with an L2 error bound that
+    Parseval makes EXACT and integer, exhibited in the output itself.
+
+    The transform is the UNNORMALIZED Haar pyramid on the zero-padded
+    2^t_pow hourly grid (rebased to the corpus min hour): level l
+    pairs level l-1 via one groupBy(i div 2) computing sum and
+    difference — integers throughout, no sqrt(2) anywhere. The
+    normalized energy of detail d at level l is d^2 / 2^l, so every
+    energy is carried as the BIGINT d^2 * 2^(t_pow - l); top-B
+    selection orders by that scaled integer (tie: level, idx) and by
+    Parseval the residual L2^2 * 2^t_pow = total - kept - approx
+    exactly. Levels run on the bounded GRID table (2^t_pow rows, then
+    halving) — raw rows feed only the first hourly groupBy; the level
+    loop is t_pow dimension-sized jobs, the Lloyd-loop cost shape.
+
+    Overflow guard: energies are BIGINT, so the total event count must
+    stay below 2^26 (d <= N, d^2 * 2^t_pow < 2^63); RAISES past it —
+    the documented swap at larger corpora is the embedding_gramian
+    DECIMAL(38,0)/HUGEINT recipe. The hour span must fit the grid
+    (RAISES otherwise).
+
+    Output: (kind, level, idx, coef, energy_x2l) — top-B 'detail'
+    rows, the always-kept 'approx' (DC) row, and one 'residual' row
+    whose energy_x2l is the exact scaled L2^2 reconstruction error.
+    """
+    T = 1 << int(t_pow)
+    hour_us = 3_600_000_000
+    hourly = (
+        events.select(
+            F.expr(f"unix_micros(cast({ts} as timestamp)) div {hour_us}").alias(
+                "h"
+            )
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("y"))
+    )
+    stats = hourly.agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
+        F.sum("y").alias("n"),
+    ).collect()[0]
+    if stats.n is None:
+        raise ValueError("haar_synopsis: empty input")
+    if stats.h1 - stats.h0 + 1 > T:
+        raise ValueError(
+            f"haar_synopsis: span {stats.h1 - stats.h0 + 1}h exceeds the "
+            f"2^{t_pow} grid; raise t_pow"
+        )
+    if stats.n >= (1 << 26):
+        raise ValueError(
+            "haar_synopsis: total count >= 2^26 would overflow BIGINT "
+            "energies; swap to the DECIMAL(38,0) recipe"
+        )
+    spark = events.sparkSession
+    grid = (
+        spark.range(T)
+        .withColumnRenamed("id", "i")
+        .join(
+            hourly.select(
+                (F.col("h") - F.lit(int(stats.h0))).alias("i"), "y"
+            ),
+            "i",
+            "left",
+        )
+        .select("i", F.coalesce("y", F.lit(0)).alias("a"))
+    )
+    total = grid.agg(
+        F.sum(F.expr(f"a * a * cast({T} as bigint)")).alias("e")
+    )
+    details = []
+    cur = grid
+    for lvl in range(1, int(t_pow) + 1):
+        nxt = cur.groupBy(F.expr("i div 2").alias("i")).agg(
+            F.sum("a").alias("a"),
+            F.sum(F.expr("case when i % 2 = 0 then a else -a end")).alias(
+                "d"
+            ),
+        )
+        scale = 1 << (int(t_pow) - lvl)
+        details.append(
+            nxt.select(
+                F.lit("detail").alias("kind"),
+                F.lit(lvl).alias("level"),
+                F.col("i").cast("long").alias("idx"),
+                F.col("d").alias("coef"),
+                F.expr(f"d * d * cast({scale} as bigint)").alias(
+                    "energy_x2l"
+                ),
+            )
+        )
+        cur = nxt.select("i", "a").localCheckpoint(eager=True)
+    approx = cur.select(
+        F.lit("approx").alias("kind"),
+        F.lit(int(t_pow)).alias("level"),
+        F.lit(0).cast("long").alias("idx"),
+        F.col("a").alias("coef"),
+        F.expr("a * a").alias("energy_x2l"),
+    )
+    alldet = details[0]
+    for d in details[1:]:
+        alldet = alldet.unionByName(d)
+    top = alldet.orderBy(
+        F.desc("energy_x2l"), "level", "idx"
+    ).limit(int(top_b))
+    kept = top.unionByName(approx)
+    resid = (
+        kept.agg(F.sum("energy_x2l").alias("k"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("residual").alias("kind"),
+            F.lit(None).cast("int").alias("level"),
+            F.lit(None).cast("long").alias("idx"),
+            F.lit(None).cast("long").alias("coef"),
+            (F.col("e") - F.col("k")).alias("energy_x2l"),
+        )
+    )
+    return kept.unionByName(resid)
