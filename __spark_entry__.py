@@ -1285,6 +1285,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["score_calibration"] = score_calibration
 
+    def isotonic_quality_fit(spark, sf_dir):
+        """Weighted isotonic (PAV) calibration map over the
+        reliability bins above (evaluation.isotonic_calibration) —
+        the monotone probability-calibration fit, computed via the
+        exact minimax characterization on the bin table (O(B^2)
+        interval means, each one exact-integer division), no
+        sequential PAV loop."""
+        from careers_spark.operators.evaluation import (
+            calibration_bins,
+            isotonic_calibration,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        qs = TS.quality_score(docs)
+        labeled = qs.join(docs.select("doc_id", "lang"), "doc_id").select(
+            F.col("quality").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        )
+        return isotonic_calibration(calibration_bins(labeled, bins=10))
+
+    q["isotonic_quality_fit"] = isotonic_quality_fit
+
     def welch_ttest(spark, sf_dir):
         """Welch's t of document length (n_chars) between English and
         non-English docs — the continuous-outcome A/B companion to
@@ -9565,6 +9587,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT bin, n, n_pos, conf, acc,
                round(abs(conf - acc), 6) AS gap
         FROM r
+    """
+
+    # isotonic_quality_fit: the same bins, then the minimax PAV —
+    # prefix sums, O(B^2) interval means (one exact-integer division
+    # each; fl() is monotone so the double minimax equals fl(true)),
+    # per-j suffix min, per-k max.
+    o["isotonic_quality_fit"] = f"""
+        WITH qs AS ({o["quality_score"]}),
+        lab AS (
+          SELECT q.quality AS score,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+          FROM qs q JOIN documents d ON d.doc_id = q.doc_id
+        ),
+        g AS (
+          SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS i,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(label) AS BIGINT) AS p
+          FROM lab GROUP BY 1
+        ),
+        pre AS (
+          SELECT i, n, p,
+                 sum(n) OVER w AS cn, sum(p) OVER w AS cp
+          FROM g
+          WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ),
+        iv AS (
+          SELECT lo.i AS j, hi.i AS k,
+                 (hi.cp - (lo.cp - lo.p))
+                   / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS mean
+          FROM pre lo JOIN pre hi ON lo.i <= hi.i
+        ),
+        msuf AS (
+          SELECT j, k, min(mean) OVER (PARTITION BY j ORDER BY k DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS msuf
+          FROM iv
+        ),
+        fit AS (SELECT k, max(msuf) AS fitted FROM msuf GROUP BY 1)
+        SELECT pre.i AS bin, pre.n, pre.p AS n_pos,
+               round(pre.p / CAST(pre.n AS DOUBLE), 6) AS rate,
+               round(fit.fitted, 6) AS fitted
+        FROM pre JOIN fit ON fit.k = pre.i
     """
 
     # welch_ttest: (n, sum, sumsq) exact BIGINTs in one pass; the t and

@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "langid_confusion",
     "langid_kappa",
     "score_calibration",
+    "isotonic_quality_fit",
     "length_split_gain",
     "welch_ttest",
     "pq_adc_topk",

@@ -1029,3 +1029,89 @@ def conformal_gate(
             F.round(F.col("n_covered") / F.col("n_test"), 6),
         ).alias("coverage"),
     )
+
+
+def isotonic_calibration(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    n: str = "n",
+    n_pos: str = "n_pos",
+    max_bins: int = 512,
+) -> DataFrame:
+    """Weighted isotonic regression (PAV) of the per-bin positive rate
+    — THE standard monotone probability-calibration map (sklearn
+    IsotonicRegression; Zadrozny & Elkan '02), fitted here without the
+    sequential pool-adjacent-violators loop via the exact minimax
+    characterization
+
+        fitted(i) = max_{j<=i} min_{k>=i} (P_k - P_{j-1})/(N_k - N_{j-1})
+
+    (P/N prefix sums of positives/counts), which equals the PAV
+    solution for nondecreasing weighted least squares. Everything runs
+    on the BIN table: the interval-mean table is O(B^2) rows of one
+    exact-integer division each (engine-identical IEEE doubles), the
+    inner min is a per-j suffix-min window, the outer max one
+    groupBy(k) — never a corpus-sized operation, and the input to this
+    is already the dimension-sized output of calibration_bins. RAISES
+    past max_bins (B^2 is the budget).
+
+    Output: (bin, n, n_pos, rate, fitted) with fitted nondecreasing in
+    bin; rate is the raw per-bin rate for comparison. Both rounded 6.
+    """
+    b = bins.select(
+        F.col(bin_col).cast("long").alias("i"),
+        F.col(n).cast("long").alias("n"),
+        F.col(n_pos).cast("long").alias("p"),
+    )
+    n_bins = b.count()
+    if n_bins > int(max_bins):
+        raise ValueError(
+            f"isotonic_calibration: {n_bins} bins exceeds max_bins="
+            f"{max_bins} (the O(B^2) interval table is the budget)"
+        )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    pre = b.select(
+        "i",
+        "n",
+        "p",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("p").over(w).alias("cp"),
+    )
+    lo = pre.select(
+        F.col("i").alias("j"),
+        (F.col("cn") - F.col("n")).alias("n_before"),
+        (F.col("cp") - F.col("p")).alias("p_before"),
+    )
+    hi = pre.select(
+        F.col("i").alias("k"),
+        F.col("cn").alias("n_upto"),
+        F.col("cp").alias("p_upto"),
+    )
+    iv = (
+        lo.join(hi, F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            F.expr(
+                "(p_upto - p_before) / cast(n_upto - n_before as double)"
+            ).alias("mean"),
+        )
+    )
+    wj = (
+        Window.partitionBy("j")
+        .orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    msuf = iv.select("j", "k", F.min("mean").over(wj).alias("msuf"))
+    fit = msuf.groupBy("k").agg(F.max("msuf").alias("fitted"))
+    return (
+        pre.join(fit, pre["i"] == fit["k"])
+        .select(
+            F.col("i").alias("bin"),
+            "n",
+            "p",
+            F.round(F.expr("p / cast(n as double)"), 6).alias("rate"),
+            F.round("fitted", 6).alias("fitted"),
+        )
+        .withColumnRenamed("p", "n_pos")
+    )

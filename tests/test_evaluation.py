@@ -599,3 +599,71 @@ def test_conformal_empty_test_side(spark):
     ).collect()
     assert r.n_cal == 10 and r.n_test == 0
     assert r.n_covered == 0 and r.coverage is None
+
+
+def _pav(ns, ps):
+    """Weighted PAV with integer block sums, one division per block."""
+    blocks = []  # [w, p, n_bins]
+    for n, p in zip(ns, ps):
+        blocks.append([n, p, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]
+        ):
+            w2, p2, c2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += p2
+            blocks[-1][2] += c2
+    out = []
+    for w, p, c in blocks:
+        out += [p / w] * c
+    return out
+
+
+def test_isotonic_hand_golden_pools_violation(spark):
+    """Rates 0.2, 0.6, 0.3, 0.9: bins 1-2 violate monotonicity and
+    pool to (6+3)/20 = 0.45; ends untouched."""
+    from careers_spark.operators.evaluation import isotonic_calibration
+
+    rows = [(0, 10, 2), (1, 10, 6), (2, 10, 3), (3, 10, 9)]
+    df = spark.createDataFrame(rows, "bin long, n long, n_pos long")
+    got = {r.bin: r for r in isotonic_calibration(df).collect()}
+    assert [got[i].fitted for i in range(4)] == [0.2, 0.45, 0.45, 0.9]
+    assert got[2].rate == 0.3
+
+
+def test_isotonic_python_pav_lockstep_and_monotone(spark):
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from careers_spark.operators.evaluation import isotonic_calibration
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    rng = random.Random(77)
+    ns = [rng.randrange(1, 40) for _ in range(25)]
+    ps = [rng.randrange(0, n + 1) for n in ns]
+    df = spark.createDataFrame(
+        list(zip(range(25), ns, ps)), "bin long, n long, n_pos long"
+    )
+    got = [
+        r.fitted
+        for r in sorted(
+            isotonic_calibration(df).collect(), key=lambda r: r.bin
+        )
+    ]
+    want = [r6(v) for v in _pav(ns, ps)]
+    assert got == want
+    assert got == sorted(got)  # nondecreasing
+
+
+def test_isotonic_max_bins_raises(spark):
+    import pytest as pt
+
+    from careers_spark.operators.evaluation import isotonic_calibration
+
+    df = spark.createDataFrame(
+        [(i, 1, 0) for i in range(9)], "bin long, n long, n_pos long"
+    )
+    with pt.raises(ValueError, match="max_bins"):
+        isotonic_calibration(df, max_bins=8)
