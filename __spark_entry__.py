@@ -3386,6 +3386,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_kl_divergence"] = source_kl_divergence
 
+    def source_length_w1(spark, sf_dir):
+        """Exact 1-D Wasserstein-1 between each source's length
+        distribution and the corpus (textstats.source_wasserstein) —
+        the geometric drift metric beside source_kl: units are
+        characters, disjoint supports stay finite. Integer numerator
+        certificate emitted beside the one-division distance."""
+        from careers_spark.operators.textstats import source_wasserstein
+
+        return source_wasserstein(_t(spark, sf_dir, "documents"))
+
+    q["source_length_w1"] = source_length_w1
+
     def sq8_ann_topk(spark, sf_dir):
         """SQ8 scalar-quantized nearest neighbors (faiss SQ8 path):
         per-dim [0,255] codes against corpus min/max, EXACT integer
@@ -8707,6 +8719,45 @@ def oracle_sql() -> dict[str, str]:
     # source_kl_divergence: per-term ln rounded to 6 (the tfidf
     # ln-lockstep recipe) then 1e6 fixed-point BIGINT times the
     # integer count — order-free sums, one final division.
+    # source_length_w1: merged-grid CDF differences cross-multiplied
+    # onto integers, gap-weighted BIGINT sum, one final division.
+    o["source_length_w1"] = """
+        WITH grid AS (
+          SELECT v,
+                 sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cum_all,
+                 coalesce(lead(v) OVER (ORDER BY v), v) - v AS gap
+          FROM (SELECT CAST(n_chars AS BIGINT) AS v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1)
+        ),
+        tot AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n_s
+                FROM documents GROUP BY 1),
+        na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents),
+        sh AS (SELECT source AS s, CAST(n_chars AS BIGINT) AS v,
+                      CAST(count(*) AS BIGINT) AS c_s
+               FROM documents GROUP BY 1, 2),
+        mat AS (
+          SELECT t.s, t.n_s, g.v, g.cum_all, g.gap,
+                 coalesce(sh.c_s, 0) AS c_s
+          FROM tot t CROSS JOIN grid g
+          LEFT JOIN sh ON sh.s = t.s AND sh.v = g.v
+        ),
+        terms AS (
+          SELECT s, n_s, cum_all, gap,
+                 sum(c_s) OVER (PARTITION BY s ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+          FROM mat
+        )
+        SELECT s AS source, n_s,
+               CAST(sum(abs(cum_s * n_all - cum_all * n_s) * gap)
+                 AS BIGINT) AS w1_num,
+               round(sum(abs(cum_s * n_all - cum_all * n_s) * gap)
+                 / (n_s * CAST(n_all AS DOUBLE)), 6) AS w1
+        FROM terms, na
+        GROUP BY s, n_s, n_all
+    """
+
     o["source_kl_divergence"] = f"""
         WITH tok AS (
           SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents

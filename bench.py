@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "skipgram_counts",
     "entity_betweenness",
     "source_kl_divergence",
+    "source_length_w1",
     "sq8_ann_topk",
     "corpus_zipf_alpha",
     "knn_label_spread",

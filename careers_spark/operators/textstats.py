@@ -1116,3 +1116,89 @@ def lexical_richness(documents: DataFrame) -> DataFrame:
             "ln(cast(n_tokens as double)), 6) end"
         ).alias("herdan_c"),
     )
+
+
+def source_wasserstein(
+    documents: DataFrame,
+    strata: str = "source",
+    value: str = "n_chars",
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover) distance between each
+    stratum's `value` distribution and the whole corpus — the
+    GEOMETRIC drift metric beside source_kl's information-theoretic
+    one: W1 integrates |CDF_s - CDF_corpus| over the value axis, so it
+    has the value's own units ("this feed's documents are ~40 chars
+    shifted") and never explodes on disjoint supports the way KL does.
+
+    Exactness: on the merged value grid the integrand is constant
+    between consecutive distinct values, so
+
+      W1 = sum_g |c_s(g) * N - c(g) * n_s| * gap_g / (n_s * N)
+
+    with c_s/c cumulative counts — the numerator is an order-free
+    BIGINT sum (emitted as w1_num so the certificate is integer), the
+    denominator one final division. The grid is the corpus's distinct-
+    value table (bounded lattice, the auc_score convention); the
+    stratum x grid matrix is strata x |grid| rows — dimension-sized,
+    never corpus-sized. BIGINT headroom: |c_s*N| <= N^2 and gap <= the
+    value span; at 10^12-row corpora swap the sums to DECIMAL(38,0)
+    (the embedding_gramian recipe).
+
+    Output: (strata, n_s, w1_num, w1).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value).cast("long")
+    grid = documents.groupBy(v.alias("v")).agg(F.count("*").alias("c"))
+    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    grid = grid.select(
+        "v",
+        F.sum("c").over(wg).alias("cum_all"),
+        (F.coalesce(F.lead("v").over(Window.orderBy("v")), F.col("v"))
+         - F.col("v")).alias("gap"),
+    )
+    totals = documents.groupBy(F.col(strata).alias("s")).agg(
+        F.count("*").alias("n_s")
+    )
+    n_all = documents.agg(F.count("*").alias("n_all"))
+    sh = documents.groupBy(
+        F.col(strata).alias("s"), v.alias("v")
+    ).agg(F.count("*").alias("c_s"))
+    mat = (
+        totals.crossJoin(F.broadcast(grid))
+        .join(sh, ["s", "v"], "left")
+        .select(
+            "s",
+            "n_s",
+            "v",
+            "cum_all",
+            "gap",
+            F.coalesce("c_s", F.lit(0)).alias("c_s"),
+        )
+    )
+    ws = Window.partitionBy("s").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    terms = mat.select(
+        "s",
+        "n_s",
+        "cum_all",
+        "gap",
+        F.sum("c_s").over(ws).alias("cum_s"),
+    ).crossJoin(F.broadcast(n_all))
+    return (
+        terms.groupBy("s", "n_s", "n_all")
+        .agg(
+            F.sum(
+                F.expr("abs(cum_s * n_all - cum_all * n_s) * gap")
+            ).alias("w1_num")
+        )
+        .select(
+            F.col("s").alias(strata),
+            "n_s",
+            "w1_num",
+            F.round(
+                F.expr("w1_num / (n_s * cast(n_all as double))"), 6
+            ).alias("w1"),
+        )
+    )

@@ -342,3 +342,62 @@ def test_lexical_richness_template_below_prose(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.doc_id: r.ttr for r in lexical_richness(df).collect()}
     assert got[0] < got[1]
+
+
+def _w1_py(xs, corpus):
+    """Exact grid-formula W1 between sample and corpus empiricals."""
+    grid = sorted(set(corpus))
+    n_s, n = len(xs), len(corpus)
+    num = 0
+    for g, nxt in zip(grid, grid[1:] + [grid[-1]]):
+        cs = sum(1 for x in xs if x <= g)
+        c = sum(1 for x in corpus if x <= g)
+        num += abs(cs * n - c * n_s) * (nxt - g)
+    return num, num / (n_s * n)
+
+
+def test_wasserstein_hand_golden(spark):
+    """Stratum 'a' = {0,0}, 'b' = {10,10}: corpus CDF is 0.5 on the
+    whole gap, so each stratum is exactly 5.0 away."""
+    from careers_spark.operators.textstats import source_wasserstein
+
+    rows = [(1, "a", 0), (2, "a", 0), (3, "b", 10), (4, "b", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.source: r for r in source_wasserstein(df).collect()}
+    assert got["a"].w1 == 5.0 and got["b"].w1 == 5.0
+    assert got["a"].w1_num == got["a"].n_s * 4 * 5
+
+
+def test_wasserstein_identical_distribution_zero(spark):
+    from careers_spark.operators.textstats import source_wasserstein
+
+    rows = [(i, s, (i * 13) % 7) for i, s in enumerate(["a", "b"] * 20)]
+    # make b an exact copy of a's value multiset
+    vals = sorted(v for _, s, v in rows if s == "a")
+    rows = [(i, "a", v) for i, v in enumerate(vals)] + [
+        (100 + i, "b", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.source: r for r in source_wasserstein(df).collect()}
+    assert got["a"].w1 == got["b"].w1
+    assert got["a"].w1_num == got["b"].w1_num
+
+
+def test_wasserstein_python_lockstep(spark):
+    import random
+
+    from careers_spark.operators.textstats import source_wasserstein
+
+    rng = random.Random(3)
+    rows = [
+        (i, rng.choice("xyz"), rng.randrange(0, 40)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.source: r for r in source_wasserstein(df).collect()}
+    corpus = [v for _, _, v in rows]
+    for s in "xyz":
+        xs = [v for _, src, v in rows if src == s]
+        num, w1 = _w1_py(xs, corpus)
+        assert got[s].w1_num == num
+        assert got[s].n_s == len(xs)
+        assert abs(got[s].w1 - w1) < 1e-6
