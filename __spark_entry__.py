@@ -2700,6 +2700,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_sample"] = eval_sample
 
+    def weighted_eval_sample(spark, sf_dir):
+        """Quality-weighted sampling WITHOUT replacement, exactly 20
+        per language (sampling.weighted_sample_topk) — Efraimidis-
+        Spirakis / Gumbel top-k: one md5 draw per row ranked by
+        round(ln(u),6)/w on the 1e-6 weight lattice, so better
+        documents are proportionally likelier yet the pick is
+        deterministic and re-seedable."""
+        from careers_spark.operators.sampling import weighted_sample_topk
+
+        docs = _t(spark, sf_dir, "documents")
+        qs = TS.quality_score(docs).select("doc_id", "quality")
+        return weighted_sample_topk(
+            docs.select("doc_id", "lang").join(qs, "doc_id"), n=20
+        )
+
+    q["weighted_eval_sample"] = weighted_eval_sample
+
     def train_val_test_split(spark, sf_dir):
         """Deterministic 90/5/5 split assignment by md5 bucket — a pure
         function of the example's identity, so membership never
@@ -5830,6 +5847,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 20
     """
 
+    # weighted_eval_sample: identical md5 draw, u in (0,1], lk =
+    # round(ln u, 6) / w_int, row_number by (lk desc, doc_id).
+    o["weighted_eval_sample"] = f"""
+        WITH qs AS ({{QS}}),
+        base AS (
+          SELECT d.doc_id, d.lang,
+                 CAST(round(q.quality * 1000000e0, 0) AS BIGINT) AS w_int,
+                 (('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                    'es0')), 1, 8))::BIGINT % 4294967296 + 1)
+                   / 4294967296e0 AS u
+          FROM documents d JOIN qs q ON q.doc_id = d.doc_id
+        ),
+        keyed AS (
+          SELECT doc_id, lang, w_int, round(ln(u), 6) / w_int AS lk
+          FROM base WHERE w_int > 0
+        ),
+        r AS (
+          SELECT doc_id, lang, w_int, lk,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY lk DESC, doc_id) AS rk
+          FROM keyed
+        )
+        SELECT doc_id, lang, w_int, lk, CAST(rk AS INTEGER) AS rk
+        FROM r WHERE rk <= 20
+    """
+
     # train_val_test_split: pure bucket function of the key
     o["train_val_test_split"] = """
         WITH b AS (
@@ -6133,6 +6176,9 @@ def oracle_sql() -> dict[str, str]:
     # score_auc nests the quality_score SQL (defined just above; the
     # o["score_auc"] template carries a literal {QS} placeholder)
     o["score_auc"] = o["score_auc"].format(QS=o["quality_score"])
+    o["weighted_eval_sample"] = o["weighted_eval_sample"].format(
+        QS=o["quality_score"]
+    )
 
     # bm25_search: identical expression text per (doc, term), integer
     # tf/df/dl/N under every double, fixed-order c0+c1+c2 chain, score

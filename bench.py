@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "hard_negative_topk",
     "decayed_revenue",
     "eval_sample",
+    "weighted_eval_sample",
     "rendezvous_placement",
     "cdc_latest_state",
     "scd2_history",

@@ -447,3 +447,57 @@ def rendezvous_shards(
         F.col("_w.s").alias("shard"),
         F.col("_w.h").alias("shard_h"),
     ).drop("_w")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    n: int,
+    key: str = "doc_id",
+    strata: str = "lang",
+    weight: str = "quality",
+    salt: str = "es0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly n per stratum —
+    Efraimidis & Spirakis '06 (equivalently Gumbel top-k): each row
+    draws key u^(1/w) and the n largest win, which realizes the
+    sequential weighted draw in ONE pass with no sequential state.
+    The quality-weighted counterpart of hash_topn_sample: high-weight
+    docs are proportionally likelier to make the eval set, yet the
+    pick stays reproducible across runs/engines/parallelism and
+    re-seedable by salt.
+
+    Derandomized and engine-exact: u = (h + 1) / 2^32 from the shared
+    md5 family (never 0), and u^(1/w) is ranked through its monotone
+    log transform lk = round(ln(u), 6) / w_int — ln carried on the
+    repo's pinned rounded-6 lockstep (pow() cross-engine bit-identity
+    is unpinned, so it never runs), the division one IEEE op on a
+    BIGINT weight (round(w * 1e6), the 1e-6 lattice convention). Ties
+    break by key. Rows with w_int <= 0 can never be sampled and are
+    filtered (stated, matching the ES definition domain).
+
+    One window per stratum, the hash_topn_sample physical shape and
+    the same extreme-stratum two-phase caveat.
+
+    Output: (<key>, <strata>, w_int, lk, rk) for kept rows, rk 1..n.
+    """
+    from pyspark.sql import Window
+
+    h = _hash64_expr(f"concat(cast({key} as string), '{_check_salt(salt)}')")
+    u = f"(({h}) % 4294967296 + 1) / 4294967296e0"
+    lk = f"round(ln({u}), 6) / w_int"
+    w = Window.partitionBy(strata).orderBy(
+        F.desc("lk"), F.col(key)
+    )
+    return (
+        df.select(
+            key,
+            strata,
+            F.expr(f"cast(round({weight} * 1000000e0, 0) as bigint)").alias(
+                "w_int"
+            ),
+        )
+        .filter(F.col("w_int") > 0)
+        .withColumn("lk", F.expr(lk))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(n))
+    )

@@ -288,3 +288,64 @@ def test_rendezvous_rejects_output_column_clash(spark):
     df = spark.createDataFrame([(1, "x")], "id long, shard string")
     with pytest.raises(ValueError, match="ambiguous"):
         rendezvous_shards(df, "id", ["a", "b"])
+
+
+def _es_lk(key, w_int, salt="es0"):
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    h = int(hashlib.md5((str(key) + salt).encode()).hexdigest()[:8], 16)
+    u = (h + 1) / 4294967296.0
+    lnu = float(
+        Decimal(repr(math.log(u))).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+    )
+    return lnu / w_int
+
+
+def test_weighted_sample_python_lockstep(spark):
+    import random
+
+    from careers_spark.operators.sampling import weighted_sample_topk
+
+    rng = random.Random(13)
+    rows = [
+        (i, "ab"[i % 2], rng.randrange(1, 1000000) / 1e6)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+    got = sorted(
+        (r.lang, r.rk, r.doc_id, r.w_int, r.lk)
+        for r in weighted_sample_topk(df, n=7).collect()
+    )
+    want = []
+    for lang in "ab":
+        cand = [
+            (i, round(q * 1e6)) for i, lg, q in rows if lg == lang
+        ]
+        ranked = sorted(
+            cand, key=lambda t: (-_es_lk(t[0], t[1]), t[0])
+        )[:7]
+        want += [
+            (lang, rk + 1, i, w, _es_lk(i, w))
+            for rk, (i, w) in enumerate(ranked)
+        ]
+    assert got == sorted(want)
+
+
+def test_weighted_sample_heavy_weight_wins(spark):
+    from careers_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(0, "x", 1.0)] + [(i, "x", 0.000001) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+    top = weighted_sample_topk(df, n=1).collect()
+    assert len(top) == 1 and top[0].doc_id == 0
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    from careers_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(1, "x", 0.0), (2, "x", 0.5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+    got = weighted_sample_topk(df, n=5).collect()
+    assert [r.doc_id for r in got] == [2]
