@@ -1878,6 +1878,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["louvain_communities"] = louvain_communities
 
+    def lpa_louvain_ari(spark, sf_dir):
+        """Adjusted Rand Index between the LPA and Louvain labelings
+        of the min_obs=35 entity graph (communities.
+        clustering_agreement) — the chance-corrected answer to "do the
+        two community methods agree?". Pair counting on the
+        contingency table, DECIMAL(38,0) products, one division; the
+        oracle nests BOTH unrolled labeling chains."""
+        from careers_spark.operators.communities import (
+            clustering_agreement,
+            label_propagation,
+            louvain,
+        )
+
+        docs = _t(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(DD.tokens_col("text"))).alias("tok"),
+        )
+        a = toks.selectExpr("doc_id", "tok as src")
+        b = toks.selectExpr("doc_id as d2", "tok as dst")
+        edges = (
+            a.join(b, (a.doc_id == b.d2) & (F.col("src") < F.col("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n_obs"))
+            .filter("n_obs >= 35")
+        )
+        la = label_propagation(edges, weight="n_obs")
+        lb = louvain(edges, weight="n_obs", levels=2, rounds=4)
+        return clustering_agreement(la, lb)
+
+    q["lpa_louvain_ari"] = lpa_louvain_ari
+
     def community_conductance(spark, sf_dir):
         """Per-community conductance of the LPA labeling — the
         cut-quality complement of community_modularity (Leskovec NCP):
@@ -4639,6 +4671,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT r1.node, coalesce(r2.community, r1.community) AS community
         FROM mb1_{_LOU_ROUNDS} r1
         LEFT JOIN mb2_{_LOU_ROUNDS} r2 ON r2.node = r1.community
+    """
+    )
+
+    # lpa_louvain_ari: BOTH labelings' unrolled chains in one WITH
+    # (no CTE name collisions by construction: LPA owns bidir/l*,
+    # Louvain owns bidir1/2, mb*), then Hubert-Arabie pair counting —
+    # HUGEINT products (the Spark side uses DECIMAL(38,0)), one
+    # rounded division, degenerate denominator reports 1.
+    o["lpa_louvain_ari"] = (
+        "WITH "
+        + ",\n".join(_lpa_chain(35) + _lou[1:])
+        + f""",
+        lav AS (SELECT node AS nd, label AS la FROM l10),
+        lbv AS (
+          SELECT r1.node AS nd,
+                 coalesce(r2.community, r1.community) AS lb
+          FROM mb1_{_LOU_ROUNDS} r1
+          LEFT JOIN mb2_{_LOU_ROUNDS} r2 ON r2.node = r1.community
+        ),
+        jj AS (SELECT la, lb FROM lav JOIN lbv USING (nd)),
+        cont AS (
+          SELECT la, lb, CAST(count(*) AS BIGINT) AS c
+          FROM jj GROUP BY 1, 2
+        ),
+        parts AS (
+          SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM jj) AS n,
+            (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM cont)
+              AS sum_ij,
+            (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM
+              (SELECT CAST(sum(c) AS BIGINT) AS c FROM cont GROUP BY la))
+              AS sum_a,
+            (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM
+              (SELECT CAST(sum(c) AS BIGINT) AS c FROM cont GROUP BY lb))
+              AS sum_b
+        )
+        SELECT n, sum_ij, sum_a, sum_b,
+               CASE WHEN CAST(n * (n - 1) // 2 AS HUGEINT)
+                      * (sum_a + sum_b)
+                      - 2 * CAST(sum_a AS HUGEINT) * sum_b = 0
+                 THEN 1.0
+                 ELSE round(
+                   CAST(2 * CAST(n * (n - 1) // 2 AS HUGEINT) * sum_ij
+                        - 2 * CAST(sum_a AS HUGEINT) * sum_b AS DOUBLE)
+                   / CAST(CAST(n * (n - 1) // 2 AS HUGEINT)
+                          * (sum_a + sum_b)
+                          - 2 * CAST(sum_a AS HUGEINT) * sum_b AS DOUBLE),
+                   6)
+               END AS ari
+        FROM parts
     """
     )
 

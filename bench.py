@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "community_conductance",
     "entity_communities",
     "louvain_communities",
+    "lpa_louvain_ari",
     "entity_backbone_msf",
     "entity_pagerank",
     "entity_pagerank_weighted",

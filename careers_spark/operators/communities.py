@@ -435,3 +435,78 @@ def conductance(
             .alias("conductance"),
         )
     )
+
+
+def clustering_agreement(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    node: str = "node",
+    label: str = "community",
+) -> DataFrame:
+    """Adjusted Rand Index between two labelings of the same node set
+    (Hubert & Arabie '85) — the standard chance-corrected agreement
+    score for comparing community methods (LPA vs Louvain here) or a
+    labeling against ground truth. Pair-counting on the contingency
+    table: with S = sum_ij C(n_ij,2), A = sum_i C(a_i,2), B =
+    sum_j C(b_j,2), C2 = C(n,2),
+
+        ARI = (C2*S - A*B) / (C2*(A+B)/2 - A*B)
+
+    cross-multiplied by 2 so every term is integral: (2*C2*S - 2*A*B)
+    / (C2*(A+B) - 2*A*B). Products of ~n^2 sums are carried as
+    DECIMAL(38,0) (the embedding_gramian recipe — exact to ~3e9
+    nodes), the final ratio ONE rounded division. Perfect agreement
+    (up to label renaming) = 1; the identical-split degenerate
+    denominator-0 case also reports 1 (the sklearn convention).
+
+    Physical shape: one inner join on node, three algebraic groupBys
+    to the contingency/marginal tables (cluster-count-sized), 1-row
+    output. Nodes present in only one labeling are dropped by the
+    join (stated).
+
+    Output: (n, sum_ij, sum_a, sum_b, ari).
+    """
+    a = labels_a.select(
+        F.col(node).alias("nd"), F.col(label).alias("la")
+    )
+    b = labels_b.select(
+        F.col(node).alias("nd"), F.col(label).alias("lb")
+    )
+    j = a.join(b, "nd")
+    cont = j.groupBy("la", "lb").agg(F.count("*").alias("c"))
+    s_ij = cont.agg(
+        F.sum(F.expr("c * (c - 1) div 2")).alias("sum_ij")
+    )
+    s_a = (
+        cont.groupBy("la")
+        .agg(F.sum("c").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("sum_a"))
+    )
+    s_b = (
+        cont.groupBy("lb")
+        .agg(F.sum("c").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("sum_b"))
+    )
+    n = j.agg(F.count("*").alias("n"))
+    dec = "cast({} as decimal(38,0))"
+    c2 = dec.format("n * (n - 1) div 2")
+    num = f"2 * {c2} * {dec.format('sum_ij')} - 2 * {dec.format('sum_a')} * {dec.format('sum_b')}"
+    den = f"{c2} * ({dec.format('sum_a')} + {dec.format('sum_b')}) - 2 * {dec.format('sum_a')} * {dec.format('sum_b')}"
+    return (
+        n.crossJoin(F.broadcast(s_ij))
+        .crossJoin(F.broadcast(s_a))
+        .crossJoin(F.broadcast(s_b))
+        .select(
+            "n",
+            "sum_ij",
+            "sum_a",
+            "sum_b",
+            F.when(
+                F.expr(den) == 0, F.lit(1.0)
+            ).otherwise(
+                F.round(
+                    F.expr(f"({num}) / cast(({den}) as double)"), 6
+                )
+            ).alias("ari"),
+        )
+    )

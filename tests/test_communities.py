@@ -393,3 +393,72 @@ def test_conductance_weighted_matches_python(spark):
         for c in vol
     }
     assert got == want
+
+
+def test_ari_perfect_and_renamed(spark):
+    from careers_spark.operators.communities import clustering_agreement
+
+    la = spark.createDataFrame(
+        [(i, i // 3) for i in range(12)], "node long, community long"
+    )
+    lb = spark.createDataFrame(
+        [(i, 100 - i // 3) for i in range(12)], "node long, community long"
+    )
+    (r,) = clustering_agreement(la, lb).collect()
+    assert r.ari == 1.0 and r.n == 12
+
+
+def test_ari_sklearn_reference_values(spark):
+    """Hand-computed ARI on the classic [0,0,1,1] vs [0,0,1,2] example
+    (sklearn docs value 0.5714...) plus an independent-labels case."""
+    from careers_spark.operators.communities import clustering_agreement
+
+    la = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "node long, community long"
+    )
+    lb = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 2)], "node long, community long"
+    )
+    (r,) = clustering_agreement(la, lb).collect()
+    assert r.ari == 0.571429
+    # single-cluster vs single-cluster: degenerate denominator -> 1
+    one = spark.createDataFrame(
+        [(i, 7) for i in range(5)], "node long, community long"
+    )
+    (r2,) = clustering_agreement(one, one).collect()
+    assert r2.ari == 1.0
+
+
+def test_ari_python_lockstep_random(spark):
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from careers_spark.operators.communities import clustering_agreement
+
+    rng = random.Random(8)
+    la = [(i, rng.randrange(5)) for i in range(200)]
+    lb = [(i, rng.randrange(4)) for i in range(200)]
+    cont = {}
+    for (i, x), (_, y) in zip(la, lb):
+        cont[(x, y)] = cont.get((x, y), 0) + 1
+
+    def c2(v):
+        return v * (v - 1) // 2
+
+    S = sum(c2(v) for v in cont.values())
+    am, bm = {}, {}
+    for (x, y), v in cont.items():
+        am[x] = am.get(x, 0) + v
+        bm[y] = bm.get(y, 0) + v
+    A = sum(c2(v) for v in am.values())
+    B = sum(c2(v) for v in bm.values())
+    C2 = c2(200)
+    want = (2 * C2 * S - 2 * A * B) / (C2 * (A + B) - 2 * A * B)
+    want = float(
+        Decimal(repr(want)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+    )
+    dfa = spark.createDataFrame(la, "node long, community long")
+    dfb = spark.createDataFrame(lb, "node long, community long")
+    (r,) = clustering_agreement(dfa, dfb).collect()
+    assert (r.sum_ij, r.sum_a, r.sum_b) == (S, A, B)
+    assert r.ari == want
