@@ -1910,6 +1910,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lpa_louvain_ari"] = lpa_louvain_ari
 
+    def densest_copurchase(spark, sf_dir):
+        """Bahmani-Kumar-Vassilvitskii greedy densest-subgraph peeling
+        (graph.densest_subgraph_rounds, eps=0.2) over the part
+        co-purchase graph (parts sharing >= 2 orders) — a real 5-round
+        cascade at sf0.01; the peel predicate is cross-multiplied
+        integers, the whole trajectory emitted and the winning iterate
+        flagged algebraically."""
+        from careers_spark.operators.graph import densest_subgraph_rounds
+
+        li = _t(spark, sf_dir, "lineitem")
+        a = li.selectExpr("l_orderkey as o", "l_partkey as pa").distinct()
+        b = li.selectExpr("l_orderkey as o2", "l_partkey as pb").distinct()
+        edges = (
+            a.join(b, (a["o"] == b["o2"]) & (F.col("pa") < F.col("pb")))
+            .groupBy("pa", "pb")
+            .agg(F.count("*").alias("w"))
+            .filter("w >= 2")
+            .selectExpr("pa as src", "pb as dst")
+        )
+        return densest_subgraph_rounds(
+            edges, eps_mille=200, max_rounds=20
+        )
+
+    q["densest_copurchase"] = densest_copurchase
+
     def community_conductance(spark, sf_dir):
         """Per-community conductance of the LPA labeling — the
         cut-quality complement of community_modularity (Leskovec NCP):
@@ -4721,6 +4746,70 @@ def oracle_sql() -> dict[str, str]:
                    6)
                END AS ari
         FROM parts
+    """
+    )
+
+    # densest_copurchase: the peel unrolled 20 rounds (the driver's
+    # max_rounds) — per round one degree CTE, an integer-predicate
+    # keep, a double-membership edge filter; rounds with n=0 vanish,
+    # matching the Spark loop's break. Winner = (round(e/n,9) desc,
+    # round asc), flagged by equality.
+    _dsg_parts = [
+        """dsg_e0 AS MATERIALIZED (
+          SELECT a.pa AS src, b.pb AS dst FROM
+            (SELECT DISTINCT l_orderkey AS o, l_partkey AS pa
+             FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS pb
+                FROM lineitem) b
+            ON a.o = b.o AND a.pa < b.pb
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )"""
+    ]
+    for _k in range(20):
+        _dsg_parts.append(
+            f"""dsg_d{_k} AS MATERIALIZED (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT src AS node FROM dsg_e{_k}
+            UNION ALL SELECT dst FROM dsg_e{_k}
+          ) GROUP BY 1
+        ),
+        dsg_s{_k} AS MATERIALIZED (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 (SELECT CAST(count(*) AS BIGINT) FROM dsg_e{_k}) AS e
+          FROM dsg_d{_k}
+        ),
+        dsg_k{_k} AS MATERIALIZED (
+          SELECT node FROM dsg_d{_k}, dsg_s{_k}
+          WHERE deg * n * 1000 > 2400 * e
+        ),
+        dsg_e{_k + 1} AS MATERIALIZED (
+          SELECT src, dst FROM dsg_e{_k}
+          WHERE src IN (SELECT node FROM dsg_k{_k})
+            AND dst IN (SELECT node FROM dsg_k{_k})
+        )"""
+        )
+    _dsg_stats = " UNION ALL ".join(
+        f"SELECT CAST({_k} AS INTEGER) AS round, n AS n_nodes,"
+        f" e AS n_edges FROM dsg_s{_k}"
+        for _k in range(20)
+    )
+    o["densest_copurchase"] = (
+        "WITH "
+        + ",\n".join(_dsg_parts)
+        + f""",
+        dsg_all AS MATERIALIZED (
+          SELECT * FROM ({_dsg_stats}) WHERE n_nodes > 0
+        ),
+        dsg_best AS (
+          SELECT round(n_edges / CAST(n_nodes AS DOUBLE), 9) AS d,
+                 round AS br
+          FROM dsg_all ORDER BY d DESC, round LIMIT 1
+        )
+        SELECT a.round, a.n_nodes, a.n_edges,
+               round(a.n_edges / CAST(a.n_nodes AS DOUBLE), 6) AS density,
+               (round(a.n_edges / CAST(a.n_nodes AS DOUBLE), 9) = b.d
+                AND a.round = b.br) AS is_best
+        FROM dsg_all a, dsg_best b
     """
     )
 

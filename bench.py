@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "entity_communities",
     "louvain_communities",
     "lpa_louvain_ari",
+    "densest_copurchase",
     "entity_backbone_msf",
     "entity_pagerank",
     "entity_pagerank_weighted",

@@ -1691,3 +1691,107 @@ def disparity_backbone(
             F.expr(f"least(lalpha_src, lalpha_dst) < {thr}"),
         )
     )
+
+
+def densest_subgraph_rounds(
+    edges: DataFrame,
+    eps_mille: int = 500,
+    max_rounds: int = 24,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Greedy densest-subgraph peeling (Bahmani, Kumar & Vassilvitskii
+    VLDB'12; Charikar '00) — the canonical MapReduce graph primitive:
+    repeatedly delete every node whose degree is at most 2(1+eps)
+    times the current average density rho = |E|/|V|; some iterate is a
+    2(1+eps)-approximate densest subgraph, found in O(log n / eps)
+    rounds. On a KG this surfaces the hottest entity cluster (the
+    core the uniform-threshold k-core can overshoot past).
+
+    The PEEL DECISION is exact integer arithmetic — node survives iff
+
+        deg * n_s * 1000 > 2 * (1000 + eps_mille) * e_s
+
+    (cross-multiplied, no rho double anywhere), so rounds are
+    engine-identical by construction. Node set = endpoints of
+    remaining edges (an isolated node has deg 0 <= threshold and
+    would leave next round regardless — stated). Per round: one
+    algebraic degree aggregation + two semi-joins + a localCheckpoint
+    (the kcore/louvain driver-iteration cost shape); the graph only
+    shrinks. RAISES past max_rounds instead of returning a
+    non-terminated iterate (the oracle unrolls exactly max_rounds).
+
+    Output: one row per non-empty round (round, n_nodes, n_edges,
+    density, is_best) — density one rounded division, the winning
+    iterate flagged via max(struct(density, -round)), so the whole
+    trajectory is machine-checkable, not just the argmax.
+    """
+    e = (
+        edges.selectExpr(
+            f"least({src}, {dst}) as a", f"greatest({src}, {dst}) as b"
+        )
+        .filter("a < b")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    stats = []
+    thr = 2 * (1000 + int(eps_mille))
+    for r in range(int(max_rounds) + 1):
+        deg = (
+            e.selectExpr("a as node")
+            .union(e.selectExpr("b as node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        n_s = deg.count()
+        if n_s == 0:
+            break
+        e_s = e.count()
+        stats.append((r, n_s, e_s))
+        if r == int(max_rounds):
+            raise RuntimeError(
+                f"densest_subgraph_rounds: not empty after {max_rounds} "
+                "rounds; raise max_rounds (the oracle unroll bound)"
+            )
+        keep = deg.filter(
+            F.expr(
+                f"deg * cast({n_s} as bigint) * 1000"
+                f" > cast({thr} as bigint) * {e_s}"
+            )
+        ).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    df = spark.createDataFrame(
+        stats, "round int, n_nodes long, n_edges long"
+    )
+    best = df.agg(
+        F.max(
+            F.struct(
+                F.round(F.expr("n_edges / cast(n_nodes as double)"), 9).alias(
+                    "d"
+                ),
+                (-F.col("round")).alias("nr"),
+            )
+        ).alias("b")
+    )
+    return df.crossJoin(F.broadcast(best)).select(
+        "round",
+        "n_nodes",
+        "n_edges",
+        F.round(F.expr("n_edges / cast(n_nodes as double)"), 6).alias(
+            "density"
+        ),
+        (
+            (
+                F.round(F.expr("n_edges / cast(n_nodes as double)"), 9)
+                == F.col("b.d")
+            )
+            & (F.col("round") == -F.col("b.nr"))
+        ).alias("is_best"),
+    )

@@ -1238,3 +1238,77 @@ def test_disparity_lockstep_and_symmetrization(spark):
         r = got[(a, b)]
         assert (r.lalpha_src, r.lalpha_dst) == (la(a, w), la(b, w))
         assert r.keep == (min(la(a, w), la(b, w)) < thr)
+
+
+def test_densest_peel_hand_golden(spark):
+    """K5 (density 2.0) with a long pendant path: round 0 sees the
+    whole graph, the first peel strips the path (path degrees <= 2 <
+    3*avg at eps=0.5 thresholds), and the surviving K5 round wins
+    is_best with density 2.0."""
+    from careers_spark.operators.graph import densest_subgraph_rounds
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(100 + i, 101 + i) for i in range(6)] + [(4, 100)]
+    df = spark.createDataFrame(k5 + path, "src long, dst long")
+    # eps=0.1: the first peel keeps exactly deg > 2.2*rho = 3.12 = K5
+    rows = {
+        r.round: r
+        for r in densest_subgraph_rounds(df, eps_mille=100).collect()
+    }
+    assert rows[0].n_nodes == 12 and rows[0].n_edges == 17
+    best = [r for r in rows.values() if r.is_best]
+    assert len(best) == 1
+    assert (best[0].n_nodes, best[0].n_edges, best[0].density) == (5, 10, 2.0)
+
+
+def test_densest_peel_python_lockstep(spark):
+    """Exact round-by-round replay with integer thresholds on a random
+    graph; best-round flag ties to (density, earliest round)."""
+    import random
+
+    from careers_spark.operators.graph import densest_subgraph_rounds
+
+    rng = random.Random(19)
+    edges = {
+        tuple(sorted((rng.randrange(40), rng.randrange(40))))
+        for _ in range(200)
+    }
+    edges = {(a, b) for a, b in edges if a != b}
+
+    cur = set(edges)
+    want = []
+    r = 0
+    while cur:
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        n_s, e_s = len(deg), len(cur)
+        want.append((r, n_s, e_s))
+        keep = {v for v, d in deg.items() if d * n_s * 1000 > 3000 * e_s}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+        r += 1
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = sorted(
+        (r.round, r.n_nodes, r.n_edges)
+        for r in densest_subgraph_rounds(df, eps_mille=500).collect()
+    )
+    assert got == want
+    best_rows = [
+        r for r in densest_subgraph_rounds(df, eps_mille=500).collect()
+        if r.is_best
+    ]
+    dens = [(e / n, -r) for r, n, e in want]
+    br = -max(dens)[1]
+    assert [r.round for r in best_rows] == [br]
+
+
+def test_densest_peel_budget_raises(spark):
+    import pytest as pt
+
+    from careers_spark.operators.graph import densest_subgraph_rounds
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    with pt.raises(RuntimeError, match="max_rounds"):
+        densest_subgraph_rounds(df, max_rounds=0)
