@@ -1307,6 +1307,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["isotonic_quality_fit"] = isotonic_quality_fit
 
+    def length_quality_kendall(spark, sf_dir):
+        """Kendall tau-b between document length and the quality score
+        (evaluation.rank_agreement) — tie-aware rank agreement on the
+        joint distinct-value table (O(V^2) on values, never O(n^2) on
+        rows); the rank complement of the Pearson r the corpus report
+        already carries."""
+        from careers_spark.operators.evaluation import rank_agreement
+
+        qs = TS.quality_score(_t(spark, sf_dir, "documents"))
+        return rank_agreement(
+            qs.select(
+                F.col("n_chars").alias("x"),
+                F.expr(
+                    "cast(round(quality * 1000000e0, 0) as bigint)"
+                ).alias("y"),
+            )
+        )
+
+    q["length_quality_kendall"] = length_quality_kendall
+
     def welch_ttest(spark, sf_dir):
         """Welch's t of document length (n_chars) between English and
         non-English docs — the continuous-outcome A/B companion to
@@ -6018,6 +6038,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 20
     """
 
+    # length_quality_kendall: joint distinct-value contingency, a<b
+    # lexicographic self-join weighted by count products, marginal tie
+    # algebra, one shared-text sqrt+division.
+    o["length_quality_kendall"] = f"""
+        WITH qs AS ({{QS}}),
+        pts AS (
+          SELECT CAST(q.n_chars AS BIGINT) AS xv,
+                 CAST(round(q.quality * 1000000e0, 0) AS BIGINT) AS yv
+          FROM qs q
+        ),
+        joint AS MATERIALIZED (
+          SELECT xv, yv, CAST(count(*) AS BIGINT) AS c
+          FROM pts GROUP BY 1, 2
+        ),
+        cd AS (
+          SELECT
+            CAST(coalesce(sum(CASE WHEN (a.xv - b.xv) * (a.yv - b.yv) > 0
+              THEN a.c * b.c ELSE 0 END), 0) AS BIGINT) AS concordant,
+            CAST(coalesce(sum(CASE WHEN (a.xv - b.xv) * (a.yv - b.yv) < 0
+              THEN a.c * b.c ELSE 0 END), 0) AS BIGINT) AS discordant
+          FROM joint a JOIN joint b
+            ON a.xv < b.xv OR (a.xv = b.xv AND a.yv < b.yv)
+        ),
+        tx AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS ties_x
+               FROM (SELECT CAST(sum(c) AS BIGINT) AS c FROM joint
+                     GROUP BY xv)),
+        ty AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS ties_y
+               FROM (SELECT CAST(sum(c) AS BIGINT) AS c FROM joint
+                     GROUP BY yv)),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts)
+        SELECT n, n * (n - 1) // 2 AS n_pairs, concordant, discordant,
+               ties_x, ties_y,
+               case when (n * (n - 1) // 2 - ties_x)
+                      * (n * (n - 1) // 2 - ties_y) > 0 then
+                 round((concordant - discordant)
+                   / sqrt((n * (n - 1) // 2 - ties_x) * 1e0
+                          * (n * (n - 1) // 2 - ties_y)), 6) end AS tau_b
+        FROM nn, cd, tx, ty
+    """
+
     # weighted_eval_sample: identical md5 draw, u in (0,1], lk =
     # round(ln u, 6) / w_int, row_number by (lk desc, doc_id).
     o["weighted_eval_sample"] = f"""
@@ -6348,6 +6408,9 @@ def oracle_sql() -> dict[str, str]:
     # o["score_auc"] template carries a literal {QS} placeholder)
     o["score_auc"] = o["score_auc"].format(QS=o["quality_score"])
     o["weighted_eval_sample"] = o["weighted_eval_sample"].format(
+        QS=o["quality_score"]
+    )
+    o["length_quality_kendall"] = o["length_quality_kendall"].format(
         QS=o["quality_score"]
     )
 

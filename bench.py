@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "langid_kappa",
     "score_calibration",
     "isotonic_quality_fit",
+    "length_quality_kendall",
     "length_split_gain",
     "welch_ttest",
     "pq_adc_topk",

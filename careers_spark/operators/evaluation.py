@@ -1115,3 +1115,86 @@ def isotonic_calibration(
         )
         .withColumnRenamed("p", "n_pos")
     )
+
+
+def rank_agreement(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Kendall tau-b rank agreement between two integer-lattice scores
+    — "do the two rankings order the corpus the same way?", the rank
+    complement of clustering_agreement's label ARI. Tie-aware:
+
+        tau_b = (C - D) / sqrt((P - Tx) (P - Ty))
+
+    with P = C(n,2), Tx/Ty pairs tied on each side. NO row-pair join:
+    rows collapse to the joint distinct-value table (one partial-agg
+    groupBy), C and D come from its a<b self-join weighted by count
+    products — O(V^2) on the VALUE table, never O(n^2) on rows — and
+    Tx/Ty/P are pure marginal algebra. Everything is an exact BIGINT
+    until the single shared-text sqrt+division expression. The value
+    table must be bounded (lattice scores — every score in this repo);
+    for unbounded doubles, quantize first (stated).
+
+    Output: (n, n_pairs, concordant, discordant, ties_x, ties_y,
+    tau_b); tau_b NULL when either side is all-ties.
+    """
+    joint = df.groupBy(
+        F.col(x).cast("long").alias("xv"), F.col(y).cast("long").alias("yv")
+    ).agg(F.count("*").alias("c"))
+    a = joint.selectExpr("xv as x1", "yv as y1", "c as c1")
+    b = joint.selectExpr("xv as x2", "yv as y2", "c as c2")
+    pairs = a.join(
+        b,
+        (F.col("x1") < F.col("x2"))
+        | ((F.col("x1") == F.col("x2")) & (F.col("y1") < F.col("y2"))),
+    )
+    cd = pairs.agg(
+        F.sum(
+            F.expr(
+                "case when (x1 - x2) * (y1 - y2) > 0 then c1 * c2 "
+                "else 0 end"
+            )
+        ).alias("concordant"),
+        F.sum(
+            F.expr(
+                "case when (x1 - x2) * (y1 - y2) < 0 then c1 * c2 "
+                "else 0 end"
+            )
+        ).alias("discordant"),
+    ).selectExpr(
+        "coalesce(concordant, 0) as concordant",
+        "coalesce(discordant, 0) as discordant",
+    )
+    tx = (
+        joint.groupBy("xv")
+        .agg(F.sum("c").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("ties_x"))
+    )
+    ty = (
+        joint.groupBy("yv")
+        .agg(F.sum("c").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("ties_y"))
+    )
+    n = df.agg(F.count("*").alias("n"))
+    tau = (
+        "case when (n_pairs - ties_x) * (n_pairs - ties_y) > 0 then "
+        "round((concordant - discordant) / sqrt((n_pairs - ties_x) * 1e0 "
+        "* (n_pairs - ties_y)), 6) end"
+    )
+    return (
+        n.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .selectExpr("*", "n * (n - 1) div 2 as n_pairs")
+        .selectExpr(
+            "n",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "ties_x",
+            "ties_y",
+            f"{tau} as tau_b",
+        )
+    )

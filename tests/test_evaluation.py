@@ -667,3 +667,64 @@ def test_isotonic_max_bins_raises(spark):
     )
     with pt.raises(ValueError, match="max_bins"):
         isotonic_calibration(df, max_bins=8)
+
+
+def test_kendall_hand_goldens(spark):
+    from careers_spark.operators.evaluation import rank_agreement
+
+    # perfectly concordant
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(6)], "x long, y long"
+    )
+    (r,) = rank_agreement(df).collect()
+    assert (r.concordant, r.discordant, r.tau_b) == (15, 0, 1.0)
+    # perfectly reversed
+    df2 = spark.createDataFrame(
+        [(i, -i) for i in range(6)], "x long, y long"
+    )
+    (r2,) = rank_agreement(df2).collect()
+    assert r2.tau_b == -1.0
+    # y all ties -> NULL
+    df3 = spark.createDataFrame(
+        [(i, 7) for i in range(5)], "x long, y long"
+    )
+    (r3,) = rank_agreement(df3).collect()
+    assert r3.tau_b is None and r3.ties_y == 10
+
+
+def test_kendall_scipy_style_lockstep(spark):
+    """Value-table contingency == literal O(n^2) pair counting with the
+    tau-b ties formula, heavy ties included."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+    from itertools import combinations
+
+    from careers_spark.operators.evaluation import rank_agreement
+
+    rng = random.Random(29)
+    rows = [(rng.randrange(8), rng.randrange(6)) for _ in range(150)]
+    C = D = tx = ty = 0
+    for (x1, y1), (x2, y2) in combinations(rows, 2):
+        s = (x1 - x2) * (y1 - y2)
+        if s > 0:
+            C += 1
+        elif s < 0:
+            D += 1
+        if x1 == x2:
+            tx += 1
+        if y1 == y2:
+            ty += 1
+    n = len(rows)
+    P = n * (n - 1) // 2
+    want = (C - D) / math.sqrt((P - tx) * 1.0 * (P - ty))
+    want = float(
+        Decimal(repr(want)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+    )
+    df = spark.createDataFrame(rows, "x long, y long")
+    (r,) = rank_agreement(df).collect()
+    assert (r.n, r.n_pairs) == (n, P)
+    assert (r.concordant, r.discordant) == (C, D)
+    # note: ties_x counts pairs tied on x REGARDLESS of y (incl. both-tied)
+    assert (r.ties_x, r.ties_y) == (tx, ty)
+    assert r.tau_b == want
