@@ -1327,6 +1327,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["length_quality_kendall"] = length_quality_kendall
 
+    def corpus_vocab_growth(spark, sf_dir):
+        """Heaps'-law vocabulary growth (textstats.vocab_growth, 20
+        checkpoints): V-vs-N curve from per-token FIRST-occurrence doc
+        ids (order-free exact) plus the ln-ln OLS exponent on the 1e6
+        fixed-point lockstep — the dictionary-sizing diagnostic for a
+        100 TB ingest."""
+        from careers_spark.operators.textstats import vocab_growth
+
+        return vocab_growth(_t(spark, sf_dir, "documents"), n_points=20)
+
+    q["corpus_vocab_growth"] = corpus_vocab_growth
+
     def welch_ttest(spark, sf_dir):
         """Welch's t of document length (n_chars) between English and
         non-English docs — the continuous-outcome A/B companion to
@@ -6036,6 +6048,52 @@ def oracle_sql() -> dict[str, str]:
           FROM h
         )
         SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 20
+    """
+
+    # corpus_vocab_growth: first-occurrence bucketing + cumulative
+    # curves over the 20-row checkpoint table; Heaps beta = the trend
+    # OLS on rounded-6 ln lifted to 1e6 fixed point.
+    o["corpus_vocab_growth"] = f"""
+        WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+                   FROM documents),
+        ntk AS (
+          SELECT ((doc_id - mn) * 20) // (mx - mn + 1) AS ck,
+                 CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_b
+          FROM documents, b GROUP BY 1
+        ),
+        first AS (
+          SELECT tok, min(doc_id) AS doc_id FROM (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+          ) GROUP BY tok
+        ),
+        vtk AS (
+          SELECT ((doc_id - mn) * 20) // (mx - mn + 1) AS ck,
+                 CAST(count(*) AS BIGINT) AS v_b
+          FROM first, b GROUP BY 1
+        ),
+        curve AS (
+          SELECT ntk.ck,
+                 sum(n_b) OVER w AS n_cum,
+                 sum(coalesce(v_b, 0)) OVER w AS v_cum
+          FROM ntk LEFT JOIN vtk USING (ck)
+          WINDOW w AS (ORDER BY ntk.ck ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ),
+        pts AS MATERIALIZED (
+          SELECT ck, n_cum, v_cum,
+                 CAST(round(ln(n_cum) * 1000000, 0) AS BIGINT) AS lx,
+                 CAST(round(ln(v_cum) * 1000000, 0) AS BIGINT) AS ly
+          FROM curve
+        ),
+        fit AS (
+          SELECT CASE WHEN count(*) * sum(lx * lx) - sum(lx) * sum(lx)
+                        <> 0 THEN
+            round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+              / CAST(count(*) * sum(lx * lx) - sum(lx) * sum(lx)
+                     AS DOUBLE), 6) END AS beta
+          FROM pts
+        )
+        SELECT ck, n_cum, v_cum, beta FROM pts, fit
     """
 
     # length_quality_kendall: joint distinct-value contingency, a<b

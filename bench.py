@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "source_length_w1",
     "sq8_ann_topk",
     "corpus_zipf_alpha",
+    "corpus_vocab_growth",
     "knn_label_spread",
     "graph_ktruss",
     "pq_encoding",

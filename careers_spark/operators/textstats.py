@@ -1202,3 +1202,81 @@ def source_wasserstein(
             ).alias("w1"),
         )
     )
+
+
+def vocab_growth(
+    documents: DataFrame,
+    n_points: int = 20,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve + exponent — how fast the
+    distinct-token vocabulary V grows with corpus size N (V ~ K*N^b,
+    b~0.5 for natural text): THE scaling diagnostic for tokenizer and
+    dictionary sizing before a 100 TB ingest (it says whether the
+    surface-form table will fit broadcast at 1000x the corpus).
+
+    Order-free exactness: "vocabulary after the first t documents" is
+    a function of each token's FIRST-occurrence doc id (one min
+    aggregation), not of any scan order — V at a checkpoint counts
+    tokens with first_doc <= threshold, N sums per-doc token counts up
+    to it. Doc ids are range-bucketed into n_points checkpoints
+    (integer binning, the stump recipe); both curves are cumulative
+    sums over the n_points-row bucket table. The Heaps exponent is the
+    trend_slopes OLS on (ln N, ln V) lifted to 1e6 fixed point
+    (rounded-6 lockstep ln), all sums exact BIGINTs, one division.
+
+    Output: (ck, n_cum, v_cum, beta) — one row per non-empty
+    checkpoint, beta identical on every row (broadcast 1-row fit).
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    )
+    bounds = documents.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    bexpr = f"((doc_id - mn) * {int(n_points)}) div (mx - mn + 1)"
+    ntok = (
+        documents.select("doc_id", F.size(tokens_col("text")).alias("nt"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(F.expr(bexpr).alias("ck"))
+        .agg(F.sum("nt").alias("n_b"))
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    vtok = (
+        first.crossJoin(F.broadcast(bounds))
+        .groupBy(F.expr(bexpr).alias("ck"))
+        .agg(F.count("*").alias("v_b"))
+    )
+    w = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        ntok.join(vtok, "ck", "left")
+        .select(
+            "ck",
+            F.sum("n_b").over(w).alias("n_cum"),
+            F.sum(F.coalesce("v_b", F.lit(0))).over(w).alias("v_cum"),
+        )
+    )
+    pts = curve.select(
+        "ck",
+        "n_cum",
+        "v_cum",
+        F.expr("cast(round(ln(n_cum) * 1000000, 0) as bigint)").alias("lx"),
+        F.expr("cast(round(ln(v_cum) * 1000000, 0) as bigint)").alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("lx * lx")).alias("sxx"),
+        F.sum(F.expr("lx * ly")).alias("sxy"),
+    ).select(
+        F.expr(
+            "case when k * sxx - sx * sx <> 0 then "
+            "round((k * sxy - sx * sy) "
+            "/ cast(k * sxx - sx * sx as double), 6) end"
+        ).alias("beta")
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "ck", "n_cum", "v_cum", "beta"
+    )

@@ -401,3 +401,74 @@ def test_wasserstein_python_lockstep(spark):
         assert got[s].w1_num == num
         assert got[s].n_s == len(xs)
         assert abs(got[s].w1 - w1) < 1e-6
+
+
+def test_vocab_growth_hand_golden(spark):
+    """Four docs in two checkpoints: V counts tokens by FIRST
+    occurrence, N sums token occurrences, beta is the ln-ln OLS."""
+    from careers_spark.operators.textstats import vocab_growth
+
+    rows = [
+        (0, "a b"),          # ck 0: new {a,b}
+        (1, "a c"),          # ck 0: new {c}
+        (2, "a b c"),        # ck 1: nothing new
+        (3, "d d"),          # ck 1: new {d}
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.ck, r.n_cum, r.v_cum) for r in vocab_growth(df, n_points=2).collect()
+    )
+    assert got == [(0, 4, 3), (1, 9, 4)]
+
+
+def test_vocab_growth_python_lockstep(spark):
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from careers_spark.operators.textstats import vocab_growth
+
+    rng = random.Random(5)
+    vocab = [f"w{j}" for j in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 12))))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.ck: r for r in vocab_growth(df, n_points=10).collect()}
+    # python replay
+    mn, mx = 0, 99
+    buckets = {}
+    first = {}
+    for i, text in rows:
+        ck = ((i - mn) * 10) // (mx - mn + 1)
+        toks = text.split()
+        buckets.setdefault(ck, [0, 0])
+        buckets[ck][0] += len(toks)
+        for t in toks:
+            if t not in first:
+                first[t] = ck
+                buckets[ck][1] += 1
+    n_cum = v_cum = 0
+    pts = []
+    for ck in sorted(buckets):
+        n_cum += buckets[ck][0]
+        v_cum += buckets[ck][1]
+        pts.append((ck, n_cum, v_cum))
+        assert (got[ck].n_cum, got[ck].v_cum) == (n_cum, v_cum)
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+
+    lx = [round(r6(math.log(n)) * 1e6) for _, n, _ in pts]
+    ly = [round(r6(math.log(v)) * 1e6) for _, _, v in pts]
+    k = len(pts)
+    sx, sy = sum(lx), sum(ly)
+    sxx = sum(a * a for a in lx)
+    sxy = sum(a * b for a, b in zip(lx, ly))
+    want = r6((k * sxy - sx * sy) / (k * sxx - sx * sx))
+    for r in got.values():
+        assert r.beta == want
+    assert 0 < want < 1  # Heaps regime
