@@ -1339,6 +1339,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_vocab_growth"] = corpus_vocab_growth
 
+    def token_f2_sketch(spark, sf_dir):
+        """AMS second-frequency-moment sketch over the token stream
+        (sketches.ams_f2, k=16) — the self-join-size / skew moment;
+        all 16 signed sums in ONE map-side-combinable pass over raw
+        occurrences (no per-token groupBy — the AMS point), exact F2
+        emitted beside the estimate as the certificate."""
+        from careers_spark.operators.sketches import ams_f2
+
+        return ams_f2(_t(spark, sf_dir, "documents"), k=16)
+
+    q["token_f2_sketch"] = token_f2_sketch
+
     def welch_ttest(spark, sf_dir):
         """Welch's t of document length (n_chars) between English and
         non-English docs — the continuous-outcome A/B companion to
@@ -6048,6 +6060,37 @@ def oracle_sql() -> dict[str, str]:
           FROM h
         )
         SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 20
+    """
+
+    # token_f2_sketch: identical md5 sign bits; 16 signed sums in one
+    # aggregate over raw occurrences, exact F2 beside them.
+    _ams_sign = (
+        "(('0x' || substr(md5(tok || '|' || '{j}' || '|' || 'ams0'),"
+        " 1, 8))::BIGINT % 2 * 2 - 1)"
+    )
+    _ams_sums = ", ".join(
+        f"CAST(sum({_ams_sign.format(j=j)}) AS BIGINT) AS s{j}"
+        for j in range(16)
+    )
+    _ams_xs = " UNION ALL ".join(
+        f"SELECT 'x' AS kind, CAST({j} AS INTEGER) AS j,"
+        f" s{j} * s{j} AS value FROM s"
+        for j in range(16)
+    )
+    o["token_f2_sketch"] = f"""
+        WITH occ AS MATERIALIZED (
+          SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        s AS MATERIALIZED (SELECT {_ams_sums} FROM occ),
+        xs AS MATERIALIZED ({_ams_xs})
+        SELECT * FROM xs
+        UNION ALL
+        SELECT 'exact', CAST(NULL AS INTEGER),
+               CAST(sum(c * c) AS BIGINT)
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY tok)
+        UNION ALL
+        SELECT 'est', CAST(NULL AS INTEGER),
+               CAST(round(avg(value), 0) AS BIGINT) FROM xs
     """
 
     # corpus_vocab_growth: first-occurrence bucketing + cumulative

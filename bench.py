@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "sq8_ann_topk",
     "corpus_zipf_alpha",
     "corpus_vocab_growth",
+    "token_f2_sketch",
     "knn_label_spread",
     "graph_ktruss",
     "pq_encoding",

@@ -751,3 +751,80 @@ def haar_synopsis(
         )
     )
     return kept.unionByName(resid)
+
+
+def ams_f2(
+    documents: DataFrame,
+    k: int = 16,
+    salt: str = "ams0",
+) -> DataFrame:
+    """Alon-Matias-Szegedy F2 sketch (STOC'96, the Godel-prize
+    second-frequency-moment estimator) over the token stream, beside
+    the exact F2 = sum c_t^2 it estimates. F2 is the self-join size /
+    skew moment a planner wants before shuffling on a key.
+
+    The sketch is why this is a SCALE operator: each estimator X_j =
+    (sum_t s_j(t) * c_t)^2 needs only the signed sum over raw token
+    OCCURRENCES — sum_occ s_j(tok) — so all k signed sums are ONE
+    map-side-combinable aggregation over the exploded stream with NO
+    per-token groupBy, O(k) state per partition (the streaming/AMS
+    point). The exact F2 (which DOES need the token aggregation) is
+    computed beside it as the certificate the estimate is judged
+    against. Signs are derandomized md5 bits (s = md5(tok|j|salt)%2
+    *2-1), so every X_j is an exact INTEGER and engine-identical;
+    E[X_j] = F2 by 2-wise independence, mean-of-k one division.
+
+    Output: one row per estimator (kind='x', j, value = X_j) plus
+    ('exact', NULL, F2) and ('est', NULL, round(mean X_j)) — the whole
+    sketch is machine-checkable, not just the estimate.
+    """
+    from careers_spark.operators.dedup import tokens_col
+
+    occ = documents.select(
+        F.explode(tokens_col("text")).alias("tok")
+    )
+    sign = (
+        "(cast(conv(substr(md5(concat(tok, '|', '{j}', '|', '{s}')), 1, 8),"
+        " 16, 10) as bigint) % 2 * 2 - 1)"
+    )
+    sums = occ.agg(
+        *[
+            F.sum(F.expr(sign.format(j=j, s=salt))).alias(f"s{j}")
+            for j in range(int(k))
+        ]
+    )
+    xs = sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(f"s{j} * s{j}").alias("value"),
+                    )
+                    for j in range(int(k))
+                ]
+            )
+        ).alias("e")
+    ).select(
+        F.lit("x").alias("kind"),
+        F.col("e.j").alias("j"),
+        F.col("e.value").alias("value"),
+    )
+    exact = (
+        occ.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * c")).alias("value"))
+        .select(
+            F.lit("exact").alias("kind"),
+            F.lit(None).cast("int").alias("j"),
+            "value",
+        )
+    )
+    est = xs.agg(
+        F.expr("cast(round(avg(value), 0) as bigint)").alias("value")
+    ).select(
+        F.lit("est").alias("kind"),
+        F.lit(None).cast("int").alias("j"),
+        "value",
+    )
+    return xs.unionByName(exact).unionByName(est)

@@ -96,3 +96,44 @@ def test_haar_guards(spark):
         haar_synopsis(
             _events(spark, {0: 1, 40: 1}), t_pow=5
         ).collect()
+
+
+def test_ams_f2_python_lockstep(spark):
+    """Signed occurrence sums == per-token replay; exact F2 and the
+    mean estimate both pinned."""
+    import hashlib
+
+    from careers_spark.operators.sketches import ams_f2
+
+    rows = [(0, "a a b c"), (1, "a b b"), (2, "c c c c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ams_f2(df, k=8, salt="t0").collect()
+    counts = {"a": 3, "b": 3, "c": 5}
+
+    def sign(tok, j):
+        h = int(
+            hashlib.md5(f"{tok}|{j}|t0".encode()).hexdigest()[:8], 16
+        )
+        return h % 2 * 2 - 1
+
+    want_x = {
+        j: sum(sign(t, j) * c for t, c in counts.items()) ** 2
+        for j in range(8)
+    }
+    got_x = {r.j: r.value for r in out if r.kind == "x"}
+    assert got_x == want_x
+    (exact,) = [r.value for r in out if r.kind == "exact"]
+    assert exact == 9 + 9 + 25
+    (est,) = [r.value for r in out if r.kind == "est"]
+    assert est == round(sum(want_x.values()) / 8)
+
+
+def test_ams_f2_single_token_is_exact(spark):
+    """One distinct token: every X_j = c^2 = F2 exactly (signs square
+    away) — the unbiasedness sanity case."""
+    from careers_spark.operators.sketches import ams_f2
+
+    df = spark.createDataFrame([(0, "z z z z z")], "doc_id long, text string")
+    out = ams_f2(df, k=4).collect()
+    vals = {r.value for r in out}
+    assert vals == {25}
