@@ -1351,6 +1351,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_f2_sketch"] = token_f2_sketch
 
+    def entity_sweep_cut(spark, sf_dir):
+        """Andersen-Chung-Lang sweep cut (graph.sweep_cut) over the
+        min_obs=35 entity graph ranked by the 'batch'-anchored PPR —
+        the local cluster around the anchor as the min-conductance
+        prefix; exact prefix algebra (one double equi-join for e_in,
+        cumulative vol/cut), every prefix emitted."""
+        from careers_spark.operators.graph import pagerank, sweep_cut
+
+        edges = _entity_edges(spark, sf_dir, 35)
+        ppr = pagerank(
+            edges, iterations=6, damping=0.85, personalize="batch"
+        )
+        return sweep_cut(edges, ppr)
+
+    q["entity_sweep_cut"] = entity_sweep_cut
+
     def welch_ttest(spark, sf_dir):
         """Welch's t of document length (n_chars) between English and
         non-English docs — the continuous-outcome A/B companion to
@@ -6269,6 +6285,62 @@ def oracle_sql() -> dict[str, str]:
         )
     o["entity_ppr"] = (
         "WITH " + ",\n".join(_ppr_chain) + "\nSELECT node, pr FROM pp6"
+    )
+
+    # entity_sweep_cut: the PPR chain + ACL prefix-conductance algebra
+    # (ranked by pr/deg, vol/cut cumulative, e_in one double equi-join).
+    o["entity_sweep_cut"] = (
+        "WITH "
+        + ",\n".join(_ppr_chain)
+        + """,
+        bid AS MATERIALIZED (
+          SELECT src AS u, dst AS v FROM e
+          UNION ALL SELECT dst, src FROM e
+        ),
+        degv AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+                 FROM bid GROUP BY 1),
+        rankedv AS MATERIALIZED (
+          SELECT d.u, d.deg,
+                 row_number() OVER (
+                   ORDER BY coalesce(p.pr / CAST(d.deg AS DOUBLE),
+                                     -1e308) DESC, d.u) AS rank
+          FROM degv d LEFT JOIN pp6 p ON p.node = d.u
+        ),
+        ein AS (
+          SELECT b.u, CAST(count(*) AS BIGINT) AS e_in
+          FROM bid b
+          JOIN rankedv ru ON ru.u = b.u
+          JOIN rankedv rv ON rv.u = b.v
+          WHERE rv.rank < ru.rank
+          GROUP BY 1
+        ),
+        pre AS MATERIALIZED (
+          SELECT r.rank, r.u AS node, r.deg,
+                 sum(r.deg) OVER w AS vol,
+                 sum(r.deg) OVER w
+                   - 2 * sum(coalesce(ein.e_in, 0)) OVER w AS cut,
+                 (SELECT CAST(count(*) AS BIGINT) FROM bid) AS m2
+          FROM rankedv r LEFT JOIN ein ON ein.u = r.u
+          WINDOW w AS (ORDER BY r.rank ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ),
+        phid AS MATERIALIZED (
+          SELECT rank, node, deg, vol, cut,
+                 CASE WHEN least(vol, m2 - vol) > 0 THEN
+                   round(cut / least(CAST(vol AS DOUBLE),
+                                     CAST(m2 - vol AS DOUBLE)), 6)
+                 END AS phi
+          FROM pre
+        ),
+        best AS (
+          SELECT phi, rank FROM phid WHERE phi IS NOT NULL
+          ORDER BY phi, rank LIMIT 1
+        )
+        SELECT p.rank, p.node, p.deg, p.vol, p.cut, p.phi,
+               (p.phi IS NOT NULL AND p.phi = b.phi AND p.rank = b.rank)
+                 AS is_best
+        FROM phid p, best b
+    """
     )
 
     # event_transition_matrix: the identical (ts, event_id) lead window

@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "entity_pagerank",
     "entity_pagerank_weighted",
     "entity_ppr",
+    "entity_sweep_cut",
     "entity_hits",
     "graph_triangles",
     "doc_token_butterflies",

@@ -1795,3 +1795,121 @@ def densest_subgraph_rounds(
             & (F.col("round") == -F.col("b.nr"))
         ).alias("is_best"),
     )
+
+
+def sweep_cut(
+    edges: DataFrame,
+    scores: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    score: str = "pr",
+) -> DataFrame:
+    """Sweep cut (Andersen-Chung-Lang FOCS'06): order nodes by
+    score/degree (the PPR sweep ordering) and evaluate the conductance
+    of EVERY prefix; the best prefix is the local cluster around the
+    PPR anchor — the standard spectral-free local-partitioning step,
+    and the reason personalized PageRank is run at all.
+
+    Exact prefix algebra, no per-prefix recomputation: with nodes
+    ranked (one node-table-sized window, the auc_score convention —
+    ordering key score/deg is ONE IEEE division, ties by node),
+    vol(r) = cumsum(deg) and cut(r) = vol(r) - 2 * cumsum(e_in) where
+    e_in(v) = |neighbors of v ranked earlier| — one equi-join of the
+    bidirectional edge list against the rank table on BOTH endpoints
+    + a groupBy, so the whole sweep costs one join pass. Everything
+    is BIGINT until the one conductance division phi = cut /
+    min(vol, 2m - vol); the best prefix (min phi, tie: smaller rank,
+    full-graph prefix excluded — its phi is 0/0) is flagged via the
+    algebraic min(struct). Unweighted; nodes missing a score sort
+    last deterministically (score NULL -> -inf via coalesce).
+
+    Output: (rank, node, deg, vol, cut, phi, is_best).
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.selectExpr(
+            f"least({src}, {dst}) as a", f"greatest({src}, {dst}) as b"
+        )
+        .filter("a < b")
+        .dropDuplicates()
+    )
+    bidir = e.selectExpr("a as u", "b as v").union(
+        e.selectExpr("b as u", "a as v")
+    )
+    deg = bidir.groupBy("u").agg(F.count("*").alias("deg"))
+    sc = scores.selectExpr(f"{node} as u", f"{score} as s")
+    ranked = (
+        deg.join(sc, "u", "left")
+        .select(
+            "u",
+            "deg",
+            F.expr("coalesce(s / cast(deg as double), -1e308)").alias(
+                "key"
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("key"), "u")),
+        )
+    )
+    ra = ranked.selectExpr("u", "rank as rank_u")
+    rb = ranked.selectExpr("u as v", "rank as rank_v")
+    e_in = (
+        bidir.join(ra, "u")
+        .join(rb, "v")
+        .filter("rank_v < rank_u")
+        .groupBy("u")
+        .agg(F.count("*").alias("e_in"))
+    )
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    m2 = bidir.count()
+    pre = (
+        ranked.join(e_in, "u", "left")
+        .select(
+            "rank",
+            F.col("u").alias("node"),
+            "deg",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+        )
+        .select(
+            "rank",
+            "node",
+            "deg",
+            F.sum("deg").over(w).alias("vol"),
+            (
+                F.sum("deg").over(w) - 2 * F.sum("e_in").over(w)
+            ).alias("cut"),
+        )
+        .withColumn(
+            "phi",
+            F.when(
+                F.least(F.col("vol"), F.lit(m2) - F.col("vol")) > 0,
+                F.round(
+                    F.col("cut")
+                    / F.least(
+                        F.col("vol").cast("double"),
+                        (F.lit(m2) - F.col("vol")).cast("double"),
+                    ),
+                    6,
+                ),
+            ),
+        )
+    )
+    best = pre.filter(F.col("phi").isNotNull()).agg(
+        F.min(F.struct(F.col("phi"), F.col("rank"))).alias("b")
+    )
+    return pre.crossJoin(F.broadcast(best)).select(
+        "rank",
+        "node",
+        "deg",
+        "vol",
+        "cut",
+        "phi",
+        (
+            F.col("phi").isNotNull()
+            & (F.col("phi") == F.col("b.phi"))
+            & (F.col("rank") == F.col("b.rank"))
+        ).alias("is_best"),
+    )

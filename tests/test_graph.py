@@ -1312,3 +1312,75 @@ def test_densest_peel_budget_raises(spark):
     df = spark.createDataFrame(k4, "src long, dst long")
     with pt.raises(RuntimeError, match="max_rounds"):
         densest_subgraph_rounds(df, max_rounds=0)
+
+
+def test_sweep_cut_two_triangles_golden(spark):
+    """Two triangles joined by one bridge: the best prefix is the
+    first triangle with conductance 1/7."""
+    from careers_spark.operators.graph import sweep_cut
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    # score/deg keys: .45 .40 .30 .20 .15 .10 -> sweep order 1..6
+    scores = [(1, 0.9), (2, 0.8), (3, 0.9), (4, 0.6), (5, 0.3), (6, 0.2)]
+    got = {
+        r.rank: r
+        for r in sweep_cut(
+            spark.createDataFrame(edges, "src long, dst long"),
+            spark.createDataFrame(scores, "node long, pr double"),
+        ).collect()
+    }
+    assert [got[r].node for r in range(1, 7)] == [1, 2, 3, 4, 5, 6]
+    r3 = got[3]
+    assert (r3.vol, r3.cut, r3.phi, r3.is_best) == (7, 1, 0.142857, True)
+    assert got[6].phi is None  # full prefix: min vol 0
+    assert sum(1 for r in got.values() if r.is_best) == 1
+
+
+def test_sweep_cut_python_lockstep(spark):
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from careers_spark.operators.graph import sweep_cut
+
+    rng = random.Random(37)
+    edges = {
+        tuple(sorted((rng.randrange(25), rng.randrange(25))))
+        for _ in range(80)
+    }
+    edges = sorted((a, b) for a, b in edges if a != b)
+    deg = {}
+    adj = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = {n: rng.random() for n in deg}
+    order = sorted(deg, key=lambda n: (-(scores[n] / deg[n]), n))
+    m2 = 2 * len(edges)
+    vol = cut = 0
+    seen = set()
+    want = {}
+    for r, n in enumerate(order, 1):
+        vol += deg[n]
+        cut += deg[n] - 2 * len(adj[n] & seen)
+        seen.add(n)
+        mn = min(vol, m2 - vol)
+        phi = None
+        if mn > 0:
+            phi = float(
+                Decimal(repr(cut / mn)).quantize(
+                    Decimal("1e-6"), ROUND_HALF_UP
+                )
+            )
+        want[r] = (n, vol, cut, phi)
+    got = {
+        r.rank: (r.node, r.vol, r.cut, r.phi)
+        for r in sweep_cut(
+            spark.createDataFrame(edges, "src long, dst long"),
+            spark.createDataFrame(
+                sorted(scores.items()), "node long, pr double"
+            ),
+        ).collect()
+    }
+    assert got == want
