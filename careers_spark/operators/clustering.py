@@ -318,9 +318,15 @@ def knn_label_propagation(
     """
     from careers_spark.operators.similarity import brute_force_topk
 
-    edges = brute_force_topk(
-        embeddings, k=k, query_pred="true", id_col=id_col
-    ).select("query_id", "neighbor_id")
+    # the kNN build is the dominant cost; checkpoint it ONCE so the
+    # vote rounds reuse the materialized edge set instead of
+    # re-executing the full cross-join ranking every iteration
+    # (measured at sf0.1: 225 s -> 85 s for iterations=3)
+    edges = (
+        brute_force_topk(embeddings, k=k, query_pred="true", id_col=id_col)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.expr(labeled_pred).alias("is_seed"),
