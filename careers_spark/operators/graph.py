@@ -1828,6 +1828,9 @@ def sweep_cut(
     """
     from pyspark.sql import Window
 
+    # three consumers (degrees, e_in, m2 count) — materialize the
+    # symmetrized edge list once instead of re-executing the upstream
+    # graph build per action
     e = (
         edges.selectExpr(
             f"least({src}, {dst}) as a", f"greatest({src}, {dst}) as b"
@@ -1835,8 +1838,10 @@ def sweep_cut(
         .filter("a < b")
         .dropDuplicates()
     )
-    bidir = e.selectExpr("a as u", "b as v").union(
-        e.selectExpr("b as u", "a as v")
+    bidir = (
+        e.selectExpr("a as u", "b as v")
+        .union(e.selectExpr("b as u", "a as v"))
+        .localCheckpoint(eager=True)
     )
     deg = bidir.groupBy("u").agg(F.count("*").alias("deg"))
     sc = scores.selectExpr(f"{node} as u", f"{score} as s")
@@ -1853,6 +1858,11 @@ def sweep_cut(
             "rank",
             F.row_number().over(Window.orderBy(F.desc("key"), "u")),
         )
+        # ranked is consumed three times (both e_in sides + the prefix
+        # scan) and embeds the caller's score plan — typically a lazy
+        # 6-iteration PPR; materialize once (measured at sf0.1:
+        # 17.6 s -> 1.6 s for the sweep)
+        .localCheckpoint(eager=True)
     )
     ra = ranked.selectExpr("u", "rank as rank_u")
     rb = ranked.selectExpr("u as v", "rank as rank_v")
