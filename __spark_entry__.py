@@ -1367,6 +1367,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_sweep_cut"] = entity_sweep_cut
 
+    def dp_release_counts(spark, sf_dir):
+        """Epsilon-DP Laplace count release for the (lang, source)
+        histogram (privacy.dp_noisy_counts, eps=0.5) — derandomized
+        md5 inverse-CDF draws on the pinned ln-lockstep so the
+        mechanism, budget, and error profile are machine-checkable
+        (a real release swaps in secret randomness; stated in the
+        operator)."""
+        from careers_spark.operators.privacy import dp_noisy_counts
+
+        return dp_noisy_counts(
+            _t(spark, sf_dir, "documents"), ["lang", "source"],
+            eps_mille=500,
+        )
+
+    q["dp_release_counts"] = dp_release_counts
+
     def welch_ttest(spark, sf_dir):
         """Welch's t of document length (n_chars) between English and
         non-English docs — the continuous-outcome A/B companion to
@@ -6107,6 +6123,32 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'est', CAST(NULL AS INTEGER),
                CAST(round(avg(value), 0) AS BIGINT) FROM xs
+    """
+
+    # dp_release_counts: identical md5 inverse-CDF Laplace draw (u =
+    # (h+0.5)/2^32, rounded-6 ln lockstep), HALF_UP integer rounding,
+    # clamp at 0.
+    o["dp_release_counts"] = """
+        WITH g AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+          FROM documents GROUP BY 1, 2
+        ),
+        drawn AS (
+          SELECT lang, source, n_true,
+                 (('0x' || substr(md5(concat_ws('|', CAST(lang AS VARCHAR),
+                    CAST(source AS VARCHAR), 'dp0')), 1, 8))::BIGINT
+                  + 0.5) / 4294967296e0 AS u
+          FROM g
+        )
+        SELECT lang, source, n_true,
+               CAST(500 AS INTEGER) AS eps_mille,
+               round(-(1000.0 / 500) * sign(u - 0.5)
+                 * round(ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6) AS noise,
+               greatest(CAST(round(n_true
+                 + round(-(1000.0 / 500) * sign(u - 0.5)
+                     * round(ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6), 0)
+                 AS BIGINT), 0) AS noisy_n
+        FROM drawn
     """
 
     # corpus_vocab_growth: first-occurrence bucketing + cumulative

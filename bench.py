@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "reciprocal_best_match",
     "pii_scrub",
+    "dp_release_counts",
     "k_anonymity",
     "entity_closeness",
     "ohlc_daily",

@@ -127,3 +127,58 @@ def k_anonymity_audit(
     if sensitive is not None:
         out = out.withColumn("meets_l", F.col("l_distinct") >= int(l))
     return out
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    dims: list[str],
+    eps_mille: int = 1000,
+    salt: str = "dp0",
+) -> DataFrame:
+    """Laplace-mechanism count release (Dwork et al. '06) for a
+    GROUP BY histogram — the standard epsilon-DP mechanism for "how
+    many documents per (lang, source)" style releases: noisy = count
+    + Laplace(sensitivity/eps) with sensitivity 1 (one row changes one
+    cell), then post-processed by integer rounding and clamping at 0
+    (post-processing preserves DP).
+
+    DERANDOMIZED for this repo's machine-checkability contract: the
+    Laplace draw comes from the group key's md5 via the inverse CDF,
+
+        u = (h + 0.5) / 2^32 in (0,1),  b = 1000 / eps_mille,
+        noise = -b * sign(u - 1/2) * round(ln(1 - 2|u - 1/2|), 6)
+
+    (the pinned rounded-6 ln lockstep), so the release is reproducible
+    across engines/parallelism and re-seedable by salt. A REAL privacy
+    deployment must draw fresh secret randomness instead — a keyed
+    hash of the PUBLIC group name provides no privacy; this operator
+    exhibits the mechanism, budget accounting, and error profile, and
+    says so. `n_true` is emitted beside the release for exactly that
+    evaluation purpose (drop it in a real release).
+
+    One partial-agg groupBy; the noise is a pure projection over the
+    dimension-sized histogram.
+
+    Output: (<dims...>, n_true, eps_mille, noise, noisy_n).
+    """
+    from careers_spark.operators.dedup import _hash64_expr
+
+    key = "concat_ws('|', " + ", ".join(
+        f"cast({d} as string)" for d in dims
+    ) + f", '{salt}')"
+    b = f"(1000.0 / {int(eps_mille)})"
+    u = f"(({_hash64_expr(key)}) + 0.5) / 4294967296e0"
+    noise = (
+        f"round(-{b} * sign({u} - 0.5)"
+        f" * round(ln(1.0 - 2.0 * abs({u} - 0.5)), 6), 6)"
+    )
+    g = df.groupBy(*dims).agg(F.count("*").alias("n_true"))
+    return g.select(
+        *dims,
+        "n_true",
+        F.lit(int(eps_mille)).alias("eps_mille"),
+        F.expr(noise).alias("noise"),
+        F.expr(
+            f"greatest(cast(round(n_true + {noise}, 0) as bigint), 0)"
+        ).alias("noisy_n"),
+    )

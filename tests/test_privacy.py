@@ -110,3 +110,56 @@ def test_k_anonymity_no_sensitive_column(spark):
 
     with pytest.raises(ValueError):
         k_anonymity_audit(df, [])
+
+
+def test_dp_noisy_counts_python_lockstep(spark):
+    """md5 inverse-CDF Laplace replay: noise, rounding, and the
+    clamp-at-zero post-processing all pinned."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from careers_spark.operators.privacy import dp_noisy_counts
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+
+    rows = [(f"g{i % 3}", i) for i in range(50)] + [("rare", 0)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        r.grp: r
+        for r in dp_noisy_counts(df, ["grp"], eps_mille=500).collect()
+    }
+    for grp, n_true in [("g0", 17), ("g1", 17), ("g2", 16), ("rare", 1)]:
+        h = int(
+            hashlib.md5(f"{grp}|dp0".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / 4294967296.0
+        b = 1000.0 / 500
+        noise = r6(-b * math.copysign(1, u - 0.5) * r6(math.log(1 - 2 * abs(u - 0.5))))
+        r = got[grp]
+        assert r.n_true == n_true
+        assert r.noise == noise
+        want = max(
+            int(
+                Decimal(repr(n_true + noise)).quantize(
+                    Decimal("1"), ROUND_HALF_UP
+                )
+            ),
+            0,
+        )
+        assert r.noisy_n == want
+        assert r.noisy_n >= 0
+
+
+def test_dp_noise_scales_with_epsilon(spark):
+    """Same md5 draw, half the epsilon -> exactly double the noise
+    magnitude (b = 1/eps linearity of the inverse CDF)."""
+    from careers_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([("a", 1)] * 10, "grp string, v long")
+    (n1,) = dp_noisy_counts(df, ["grp"], eps_mille=1000).collect()
+    (n2,) = dp_noisy_counts(df, ["grp"], eps_mille=500).collect()
+    assert abs(n2.noise) == round(2 * abs(n1.noise), 6)
