@@ -1383,6 +1383,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dp_release_counts"] = dp_release_counts
 
+    def hourly_seasonal_decompose(spark, sf_dir):
+        """Classical additive decomposition of the hourly volume
+        (temporal.seasonal_decompose, period=24): y = trend (centered
+        24h MA) + seasonal (mean-centered hour-of-day profile on the
+        1e-6 lattice) + residual — the pre-alerting step that keeps
+        daily rhythm from paging anyone."""
+        from careers_spark.operators.temporal import seasonal_decompose
+
+        return seasonal_decompose(
+            _t(spark, sf_dir, "events"), period=24
+        )
+
+    q["hourly_seasonal_decompose"] = hourly_seasonal_decompose
+
     def welch_ttest(spark, sf_dir):
         """Welch's t of document length (n_chars) between English and
         non-English docs — the continuous-outcome A/B companion to
@@ -6123,6 +6137,51 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'est', CAST(NULL AS INTEGER),
                CAST(round(avg(value), 0) AS BIGINT) FROM xs
+    """
+
+    # hourly_seasonal_decompose: gap-filled grid, centered 24-row MA
+    # (full windows only), 1e-6 detrend quantization, per-hod integer
+    # means, mean-centered profile, one rounded subtraction.
+    o["hourly_seasonal_decompose"] = """
+        WITH hourly AS MATERIALIZED (
+          SELECT epoch_us(ts) // 3600000000 AS h,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1
+        ),
+        grid AS MATERIALIZED (
+          SELECT g.h, coalesce(hourly.y, 0) AS y
+          FROM (SELECT unnest(range((SELECT min(h) FROM hourly),
+                                    (SELECT max(h) FROM hourly) + 1))
+                  AS h) g
+          LEFT JOIN hourly USING (h)
+        ),
+        tr AS MATERIALIZED (
+          SELECT h, h % 24 AS hod, y,
+                 CASE WHEN count(*) OVER w = 24
+                   THEN round(sum(y) OVER w / 24, 6) END AS trend
+          FROM grid
+          WINDOW w AS (ORDER BY h ROWS BETWEEN 11 PRECEDING
+                       AND 12 FOLLOWING)
+        ),
+        dq AS MATERIALIZED (
+          SELECT *, CAST(round((y - trend) * 1000000e0, 0) AS BIGINT)
+                   AS dqv
+          FROM tr
+        ),
+        sq AS (
+          SELECT hod, CAST(round(sum(dqv) / count(*), 0) AS BIGINT)
+                   AS sqv
+          FROM dq WHERE dqv IS NOT NULL GROUP BY 1
+        ),
+        ctr AS (SELECT CAST(round(avg(sqv), 0) AS BIGINT) AS c FROM sq),
+        seas AS (SELECT hod, (sqv - c) / 1e6 AS seasonal FROM sq, ctr)
+        SELECT d.h, d.hod, d.y, d.trend,
+               CASE WHEN d.trend IS NOT NULL
+                 THEN round(s.seasonal, 6) END AS seasonal,
+               CASE WHEN d.trend IS NOT NULL
+                 THEN round(d.y - d.trend - round(s.seasonal, 6), 6) END
+                 AS residual
+        FROM dq d JOIN seas s USING (hod)
     """
 
     # dp_release_counts: identical md5 inverse-CDF Laplace draw (u =

@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q18",
     "ewma_hourly",
+    "hourly_seasonal_decompose",
     "forecast_backtest",
     "langid_confusion",
     "langid_kappa",

@@ -1407,3 +1407,109 @@ def theil_sen_slopes(
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         "ts_slope",
     )
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    ts: str = "ts",
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly volume
+    series (the moving-average method behind statsmodels
+    seasonal_decompose; Cleveland's STL is its loess refinement) —
+    y = trend + seasonal + residual, the decomposition every
+    monitoring stack runs before alerting so daily rhythm does not
+    page anyone.
+
+    Exactness recipe: the series lives on the gap-filled hour grid
+    (absent hours count 0, the haar_synopsis convention, so window
+    denominators are honest). trend = the centered `period`-wide
+    moving average (ROWS frame, integer sum, ONE division), defined
+    only where the full window exists (edges NULL — stated, the
+    statsmodels behavior). The detrended series is quantized to the
+    1e-6 lattice BEFORE the per-hour-of-day averaging, so the
+    seasonal means are integer sums with one division each —
+    order-free exact — and seasonal is mean-centered (sum of
+    seasonals over a period = 0 up to lattice rounding) exactly as
+    the classical method prescribes. residual = one rounded
+    subtraction. Grid windows are bounded (hours, not rows); the only
+    corpus-sized work is the first groupBy.
+
+    Output: (h, hod, y, trend, seasonal, residual) — trend/seasonal/
+    residual NULL at the edge hours.
+    """
+    from pyspark.sql import Window
+
+    hour_us = 3_600_000_000
+    hourly = (
+        events.select(
+            F.expr(f"unix_micros(cast({ts} as timestamp)) div {hour_us}").alias(
+                "h"
+            )
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("y"))
+    )
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).collect()[0]
+    spark = events.sparkSession
+    grid = (
+        spark.range(int(bounds.h1 - bounds.h0 + 1))
+        .select((F.col("id") + int(bounds.h0)).alias("h"))
+        .join(hourly, "h", "left")
+        .select("h", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    half = int(period) // 2
+    wma = Window.orderBy("h").rowsBetween(-(half - 1), half)
+    wcnt = F.count("*").over(wma)
+    trended = grid.select(
+        "h",
+        F.expr(f"h % {int(period)}").alias("hod"),
+        "y",
+        F.when(
+            wcnt == int(period),
+            F.round(F.sum("y").over(wma) / int(period), 6),
+        ).alias("trend"),
+    )
+    dq = trended.withColumn(
+        "dq",
+        F.expr("cast(round((y - trend) * 1000000e0, 0) as bigint)"),
+    )
+    seas = (
+        dq.filter("dq is not null")
+        .groupBy("hod")
+        .agg(
+            F.sum("dq").alias("sd"),
+            F.count("*").alias("cd"),
+        )
+    )
+    # mean-center the seasonal profile (classical step 3): subtract
+    # the grand mean of the per-hod means, all on the 1e-6 lattice
+    seas = seas.select(
+        "hod", F.expr("cast(round(sd / cd, 0) as bigint)").alias("sq")
+    )
+    center = seas.agg(
+        F.expr("cast(round(avg(sq), 0) as bigint)").alias("c")
+    )
+    seas = seas.crossJoin(F.broadcast(center)).select(
+        "hod", ((F.col("sq") - F.col("c")) / 1e6).alias("seasonal")
+    )
+    return (
+        dq.join(F.broadcast(seas), "hod")
+        .select(
+            "h",
+            "hod",
+            "y",
+            "trend",
+            F.when(F.col("trend").isNotNull(), F.round("seasonal", 6)).alias(
+                "seasonal"
+            ),
+            F.when(
+                F.col("trend").isNotNull(),
+                F.round(
+                    F.col("y") - F.col("trend") - F.round("seasonal", 6), 6
+                ),
+            ).alias("residual"),
+        )
+    )

@@ -1014,3 +1014,79 @@ def test_theil_sen_single_day_null(spark):
     df = spark.createDataFrame([(_ts_day(0),), (_ts_day(0),)], "ts timestamp")
     (r,) = theil_sen_slopes(df, dims=[]).collect()
     assert (r.n_days, r.n_pairs, r.ts_slope) == (1, 0, None)
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """Plant y = 10 + hod%4 (pure period-4 cycle, flat trend): the
+    decomposition recovers trend ~ constant, the centered seasonal
+    profile, and ~0 residuals away from the edges."""
+    from careers_spark.operators.temporal import seasonal_decompose
+
+    rows = []
+    for h in range(40):
+        n = 10 + (h % 4)
+        rows += [(_ts_day(0) + dt.timedelta(hours=h),)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {r.h - min(x.h for x in seasonal_decompose(df, period=4).collect()): r
+           for r in seasonal_decompose(df, period=4).collect()}
+    mid = got[10]
+    assert mid.y == 10 + (mid.hod % 4)
+    assert mid.trend == 11.5  # mean of 10,11,12,13
+    # centered seasonal: hod offsets {0,1,2,3} - 1.5
+    assert mid.seasonal == (mid.hod % 4) - 1.5
+    assert mid.residual == 0.0
+    # edges: first half-window has no trend
+    assert got[0].trend is None and got[0].residual is None
+
+
+def test_seasonal_decompose_python_lockstep(spark):
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from careers_spark.operators.temporal import seasonal_decompose
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    rng = random.Random(61)
+    counts = {h: rng.randrange(1, 20) for h in range(60)}
+    rows = [
+        (_ts_day(0) + dt.timedelta(hours=h),)
+        for h, n in counts.items()
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = seasonal_decompose(df, period=6).collect()
+    h0 = min(r.h for r in out)
+    got = {r.h - h0: r for r in out}
+    y = [counts.get(h, 0) for h in range(60)]
+    trend = {}
+    for i in range(60):
+        lo, hi = i - 2, i + 3
+        if lo >= 0 and hi < 60:
+            trend[i] = r6(sum(y[lo:hi + 1]) / 6)
+    dq = {i: round((y[i] - trend[i]) * 1e6) for i in trend}
+    import statistics
+    sq = {}
+    for hod in range(6):
+        vals = [d for i, d in dq.items() if i % 6 == hod]
+        sq[hod] = int(
+            Decimal(repr(sum(vals) / len(vals))).quantize(
+                Decimal("1"), ROUND_HALF_UP
+            )
+        )
+    c = int(
+        Decimal(repr(statistics.mean(sq.values()))).quantize(
+            Decimal("1"), ROUND_HALF_UP
+        )
+    )
+    for i in range(60):
+        r = got[i]
+        assert r.y == y[i]
+        if i in trend:
+            assert r.trend == trend[i]
+            want_s = r6((sq[i % 6] - c) / 1e6)
+            assert r.seasonal == want_s
+            assert r.residual == r6(y[i] - trend[i] - want_s)
+        else:
+            assert r.trend is None and r.residual is None
