@@ -3953,6 +3953,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ndcg_eval"] = ndcg_eval
 
+    def did_purchase_lift(spark, sf_dir):
+        """Difference-in-differences of per-user purchase revenue
+        across the Jan-16 cut between md5-assigned arms
+        (causal.did_lift) — the quasi-experimental readout that nets
+        out the time trend both arms share; inference via Welch on the
+        per-user change scores (unit-clustered by construction)."""
+        from careers_spark.operators.causal import did_lift
+
+        return did_lift(_t(spark, sf_dir, "events"), "2024-01-16")
+
+    q["did_purchase_lift"] = did_purchase_lift
+
+    def matched_att_spend(spark, sf_dir):
+        """Exact covariate matching (CEM cells = nation x market
+        segment) for the ATT of an md5-assigned treatment on customer
+        order spend (causal.exact_matching_att) — treated units in
+        cells with no control twin are dropped and counted."""
+        from careers_spark.operators.causal import exact_matching_att
+        from careers_spark.operators.dedup import _hash64_expr
+
+        cust = _t(spark, sf_dir, "customer")
+        spend = (
+            _t(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(
+                    F.expr("cast(round(o_totalprice * 100, 0) as bigint)")
+                ).alias("spend_c")
+            )
+        )
+        keyed = "concat(cast(c_custkey as string), '|', 'att')"
+        units = (
+            cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+            .select(
+                F.col("c_nationkey").alias("nation"),
+                F.col("c_mktsegment").alias("segment"),
+                F.expr(f"{_hash64_expr(keyed)} % 2").alias("treat"),
+                F.coalesce(F.col("spend_c"), F.lit(0).cast("long")).alias(
+                    "y_cents"
+                ),
+            )
+        )
+        return exact_matching_att(units, ["nation", "segment"])
+
+    q["matched_att_spend"] = matched_att_spend
+
+    def ips_policy_value(spark, sf_dir):
+        """IPS / SNIPS off-policy value of a deterministic per-segment
+        target policy (user_id % 3 -> preferred event type) evaluated
+        on the logged event stream with its empirical marginal action
+        propensities (causal.ips_policy_eval)."""
+        from careers_spark.operators.causal import ips_policy_eval
+
+        dec = _t(spark, sf_dir, "events").select(
+            (F.col("user_id") % 3).alias("ctx"),
+            F.col("event_type").alias("action"),
+            F.expr("cast(round(value * 100, 0) as bigint)").alias("r_cents"),
+        )
+        return ips_policy_eval(
+            dec,
+            "case when ctx = 0 then 'purchase' "
+            "when ctx = 1 then 'click' else 'view' end",
+        )
+
+    q["ips_policy_value"] = ips_policy_value
+
     return q
 
 
@@ -11785,6 +11851,145 @@ def oracle_sql() -> dict[str, str]:
                          (1000000000 * 1e0 * least(n_lab - 1, 10)), 6)
                END AS ap
         FROM per JOIN lab USING (qlab)
+    """
+
+    # did_purchase_lift: per-user pre/post purchase cents under the
+    # shared md5 arm draw; the DiD estimate and Welch-on-change-scores
+    # t are the causal-module constants nested verbatim so both
+    # engines evaluate identical text over identical exact integers.
+    from careers_spark.operators.causal import (
+        _DID_EST,
+        _DID_SE2,
+        _DID_T,
+    )
+
+    _did_key = "concat(CAST(user_id AS VARCHAR), '|', 'did')"
+    o["did_purchase_lift"] = f"""
+        WITH pu AS (
+          SELECT user_id, {_DUCK_H64.format(c=_did_key)} % 2 AS arm,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          AND ts < TIMESTAMP '2024-01-16'
+                          THEN CAST(round(value * 100, 0) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS y_pre,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          AND ts >= TIMESTAMP '2024-01-16'
+                          THEN CAST(round(value * 100, 0) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS y_post
+          FROM events GROUP BY 1, 2
+        ),
+        d AS (SELECT arm, y_pre, y_post, y_post - y_pre AS d FROM pu),
+        w AS (
+          SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(sum(CASE WHEN arm = 0 THEN y_pre ELSE 0 END) AS BIGINT) AS spre_0,
+            CAST(sum(CASE WHEN arm = 1 THEN y_pre ELSE 0 END) AS BIGINT) AS spre_1,
+            CAST(sum(CASE WHEN arm = 0 THEN y_post ELSE 0 END) AS BIGINT) AS spost_0,
+            CAST(sum(CASE WHEN arm = 1 THEN y_post ELSE 0 END) AS BIGINT) AS spost_1,
+            CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT) AS sd_0,
+            CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS sd_1,
+            CAST(sum(CASE WHEN arm = 0 THEN d * d ELSE 0 END) AS BIGINT) AS ssd_0,
+            CAST(sum(CASE WHEN arm = 1 THEN d * d ELSE 0 END) AS BIGINT) AS ssd_1
+          FROM d
+        )
+        SELECT n_0, n_1,
+               round(spre_0 * 1e0 / n_0, 6) AS pre_0,
+               round(spost_0 * 1e0 / n_0, 6) AS post_0,
+               round(spre_1 * 1e0 / n_1, 6) AS pre_1,
+               round(spost_1 * 1e0 / n_1, 6) AS post_1,
+               round(sd_0 * 1e0 / n_0, 6) AS diff_0,
+               round(sd_1 * 1e0 / n_1, 6) AS diff_1,
+               {_DID_EST} AS did_cents,
+               CASE WHEN n_1 < 2 OR n_0 < 2 OR {_DID_SE2} = 0 THEN NULL
+                    ELSE {_DID_T} END AS t_stat
+        FROM w
+    """
+
+    # matched_att_spend: per-cell exact BIGINT sums; the per-cell diff
+    # is rounded to the 1e-6 lattice and lifted to HUGEINT (Spark:
+    # DECIMAL(38,0)) before the treated-weighted cross-cell sum.
+    _att_key = "concat(CAST(c_custkey AS VARCHAR), '|', 'att')"
+    o["matched_att_spend"] = f"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS spend_c
+          FROM orders GROUP BY 1
+        ),
+        units AS (
+          SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                 {_DUCK_H64.format(c=_att_key)} % 2 AS treat,
+                 coalesce(spend_c, 0) AS y
+          FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+        ),
+        g AS (
+          SELECT nation, segment,
+                 CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                 CAST(sum(CASE WHEN treat = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+                 CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT) AS s_t,
+                 CAST(sum(CASE WHEN treat = 1 THEN 0 ELSE y END) AS BIGINT) AS s_c
+          FROM units GROUP BY 1, 2
+        )
+        SELECT
+          CAST(sum(CASE WHEN n_t > 0 AND n_c > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cells_matched,
+          CAST(sum(CASE WHEN n_t > 0 AND n_c > 0 THEN n_t ELSE 0 END)
+            AS BIGINT) AS n_treated_matched,
+          CAST(sum(CASE WHEN n_t > 0 AND n_c > 0 THEN n_c ELSE 0 END)
+            AS BIGINT) AS n_control_matched,
+          CAST(sum(CASE WHEN n_t > 0 AND n_c = 0 THEN n_t ELSE 0 END)
+            AS BIGINT) AS n_treated_unmatched,
+          CASE WHEN sum(CASE WHEN n_t > 0 AND n_c > 0 THEN n_t ELSE 0 END) = 0
+               THEN NULL ELSE
+            round(CAST(sum(CASE WHEN n_t > 0 AND n_c > 0 THEN
+                CAST(round(round(s_t * 1e0 / n_t - s_c * 1e0 / n_c, 6)
+                     * 1000000, 0) AS HUGEINT) * n_t
+                ELSE 0 END) AS DOUBLE)
+              / (1000000e0
+                 * sum(CASE WHEN n_t > 0 AND n_c > 0 THEN n_t ELSE 0 END)), 6)
+          END AS att_cents
+        FROM g
+    """
+
+    # ips_policy_value: per-action exact integer aggregates, 1e-9
+    # fixed-point per-action terms, single closing divisions.
+    o["ips_policy_value"] = """
+        WITH d AS (
+          SELECT event_type AS a,
+                 CAST(round(value * 100, 0) AS BIGINT) AS rc,
+                 CASE WHEN event_type =
+                      (CASE WHEN user_id % 3 = 0 THEN 'purchase'
+                            WHEN user_id % 3 = 1 THEN 'click'
+                            ELSE 'view' END) THEN 1 ELSE 0 END AS m
+          FROM events
+        ),
+        pa AS (
+          SELECT a, CAST(count(*) AS BIGINT) AS cnt_a,
+                 CAST(sum(m) AS BIGINT) AS m_a,
+                 CAST(sum(rc * m) AS BIGINT) AS r_a
+          FROM d GROUP BY 1
+        ),
+        t AS (
+          SELECT cnt_a, m_a,
+                 CAST(round(round(r_a / (cnt_a * 100e0), 9)
+                      * 1000000000, 0) AS BIGINT) AS v_fp,
+                 CAST(round(round(m_a * 1e0 / cnt_a, 9)
+                      * 1000000000, 0) AS BIGINT) AS w_fp
+          FROM pa
+        ),
+        w AS (
+          SELECT CAST(sum(cnt_a) AS BIGINT) AS n,
+                 CAST(sum(m_a) AS BIGINT) AS n_matched,
+                 CAST(sum(v_fp) AS BIGINT) AS sv_fp,
+                 CAST(sum(w_fp) AS BIGINT) AS sw_fp
+          FROM t
+        )
+        SELECT n, n_matched,
+               round(n_matched * 1e0 / n, 6) AS match_rate,
+               round(sv_fp / 1000000000e0, 6) AS ips_value,
+               CASE WHEN sw_fp = 0 THEN NULL
+                    ELSE round(sv_fp * 1e0 / sw_fp, 6) END AS snips_value
+        FROM w
     """
 
     return o

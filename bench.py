@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     "ewma_hourly",
     "hourly_seasonal_decompose",
     "forecast_backtest",
+    "did_purchase_lift",
+    "matched_att_spend",
+    "ips_policy_value",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",
