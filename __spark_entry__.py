@@ -4019,6 +4019,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ips_policy_value"] = ips_policy_value
 
+    def phrase_query_search(spark, sf_dir):
+        """Exact positional phrase query 'slow hash batch'
+        (retrieval.phrase_search): query-vocabulary postings aligned
+        by position arithmetic — k-1 equi-joins on (doc_id, start),
+        no window, no inequality join. The oracle is the ground-truth
+        contiguous-sublist scan, so the hash match machine-proves the
+        index-join plan finds every occurrence and nothing else."""
+        from careers_spark.operators.retrieval import phrase_search
+
+        r = phrase_search(
+            _t(spark, sf_dir, "documents"), ["slow", "hash", "batch"]
+        )
+        return r.select(
+            "doc_id", "n_matches", F.col("first_pos").cast("long").alias("first_pos")
+        )
+
+    q["phrase_query_search"] = phrase_query_search
+
     return q
 
 
@@ -11990,6 +12008,24 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN sw_fp = 0 THEN NULL
                     ELSE round(sv_fp * 1e0 / sw_fp, 6) END AS snips_value
         FROM w
+    """
+
+    # phrase_query_search: the oracle is GROUND TRUTH — a direct
+    # contiguous-sublist scan over the token arrays (1-based DuckDB
+    # lists; first_pos re-based to Spark's 0-based posexplode) — so
+    # the hash match proves the positional-join plan lossless.
+    o["phrase_query_search"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_filter(range(1, len(toks) - 1),
+                   i -> toks[i] = 'slow' AND toks[i+1] = 'hash'
+                        AND toks[i+2] = 'batch') AS starts
+          FROM t WHERE len(toks) >= 3
+        )
+        SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+               CAST(starts[1] - 1 AS BIGINT) AS first_pos
+        FROM s WHERE len(starts) > 0
     """
 
     return o

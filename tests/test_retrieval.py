@@ -281,3 +281,68 @@ def test_ql_dirichlet_drops_corpus_absent_terms(spark):
     }
     assert got == _ql_python(docs, ["spark", "zzzmissing"], k=10, mu=100)
     assert all(math.isfinite(s) for s, _ in got.values())
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+
+
+def test_phrase_search_hand_golden(spark):
+    from careers_spark.operators.retrieval import phrase_search
+
+    rows = [
+        (1, "the quick brown fox jumps"),       # match at 1
+        (2, "quick brown, QUICK BROWN fox"),    # matches at 0 and 2
+        (3, "brown quick nothing here"),        # reversed -> no match
+        (4, "quick stop brown"),                # gap -> no match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["quick", "brown"]).collect()
+    }
+    assert got == {1: (1, 1), 2: (2, 0)}
+
+
+def test_phrase_search_overlapping_repeated_term(spark):
+    from careers_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b a")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["a", "a"]).collect()
+    }
+    # "a a a a" holds starts 0,1,2; "a b a" holds none
+    assert got == {1: (3, 0)}
+
+
+def test_phrase_search_lockstep_random(spark):
+    import random
+
+    from careers_spark.operators.retrieval import phrase_search
+
+    rng = random.Random(5)
+    vocab = ["x", "y", "z", "w"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(60)
+    ]
+    phrase = ["x", "y", "x"]
+    expected = {}
+    for i, txt in rows:
+        toks = txt.split()
+        starts = [
+            p
+            for p in range(len(toks) - len(phrase) + 1)
+            if toks[p : p + len(phrase)] == phrase
+        ]
+        if starts:
+            expected[i] = (len(starts), starts[0])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, phrase).collect()
+    }
+    assert got == expected
