@@ -4037,6 +4037,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phrase_query_search"] = phrase_query_search
 
+    def source_target_encoding(spark, sf_dir):
+        """Smoothed leave-one-out target encoding of the source column
+        against the is-English label (features.target_encode_loo,
+        m=10) — the leakage-free high-cardinality-categorical feature;
+        per-row encodings exclude the row's own label."""
+        from careers_spark.operators.features import target_encode_loo
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        return target_encode_loo(docs, "source", "y", m=10)
+
+    q["source_target_encoding"] = source_target_encoding
+
+    def shapley_attribution_value(spark, sf_dir):
+        """Simplified Shapley channel attribution over user-DAY
+        journeys (funnel.shapley_attribution) — the cooperative-game
+        counterpart of markov_channel_attribution; 15 observed
+        coalitions at sf0.01, so the reduced-set lookup is exercised,
+        not vacuous."""
+        from careers_spark.operators.funnel import shapley_attribution
+
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "jid",
+            F.expr(
+                "concat(cast(user_id as string), '#',"
+                " cast(cast(ts as date) as string))"
+            ),
+        )
+        return shapley_attribution(ev, key="jid")
+
+    q["shapley_attribution_value"] = shapley_attribution_value
+
     return q
 
 
@@ -12026,6 +12061,81 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
                CAST(starts[1] - 1 AS BIGINT) AS first_pos
         FROM s WHERE len(starts) > 0
+    """
+
+    # source_target_encoding: category/global exact integer sums; the
+    # per-row LOO encoding is one shared-text expression.
+    o["source_target_encoding"] = """
+        WITH d AS (
+          SELECT doc_id, source,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents
+        ),
+        g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_cat,
+                 CAST(sum(y) AS BIGINT) AS s_cat
+          FROM d GROUP BY 1
+        ),
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_all,
+                 CAST(sum(y) AS BIGINT) AS s_all
+          FROM d
+        )
+        SELECT doc_id, source, y,
+               round((s_cat - y + 10e0 * (s_all * 1e0 / n_all))
+                     / (n_cat - 1e0 + 10e0), 6) AS enc
+        FROM d JOIN g USING (source), t
+    """
+
+    # shapley_attribution_value: journeys collapse to channel sets;
+    # v(S) on the 1e-9 lattice, marginal terms re-rounded to the
+    # lattice, phi one closing division — identical text both engines.
+    o["shapley_attribution_value"] = """
+        WITH u AS (
+          SELECT concat(CAST(user_id AS VARCHAR), '#',
+                        CAST(CAST(ts AS DATE) AS VARCHAR)) AS jid,
+                 list_sort(list(DISTINCT event_type)
+                   FILTER (WHERE event_type != 'purchase')) AS channels,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM events GROUP BY 1
+        ),
+        s AS (
+          SELECT array_to_string(channels, '|') AS sk, channels,
+                 CAST(count(*) AS BIGINT) AS n_s,
+                 CAST(sum(conv) AS BIGINT) AS c_s
+          FROM u WHERE len(channels) > 0 GROUP BY 1, 2
+        ),
+        v AS (
+          SELECT sk, channels,
+                 CAST(round(round(c_s * 1e0 / n_s, 9) * 1000000000, 0)
+                   AS BIGINT) AS v_fp
+          FROM s
+        ),
+        e AS (
+          SELECT unnest(channels) AS channel, channels, v_fp,
+                 len(channels) AS sz
+          FROM v
+        ),
+        r AS (
+          SELECT channel, v_fp, sz,
+                 array_to_string(list_filter(channels, c -> c != channel),
+                                 '|') AS rk
+          FROM e
+        ),
+        j AS (
+          SELECT r.channel, r.v_fp, r.sz, coalesce(v2.v_fp, 0) AS vr_fp
+          FROM r LEFT JOIN v v2 ON v2.sk = r.rk
+        ),
+        t AS (
+          SELECT channel,
+                 CAST(round(round((v_fp - vr_fp) / (sz * 1000000000e0), 9)
+                      * 1000000000, 0) AS BIGINT) AS t_fp
+          FROM j
+        )
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_sets,
+               round(sum(t_fp) / 1000000000e0, 6) AS phi
+        FROM t GROUP BY 1
     """
 
     return o

@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "matched_att_spend",
     "ips_policy_value",
     "phrase_query_search",
+    "source_target_encoding",
+    "shapley_attribution_value",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",

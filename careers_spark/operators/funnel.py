@@ -960,3 +960,87 @@ def logrank_test(
             "/ sqrt(variance_fp / 100000000e0), 6) end"
         ).alias("z"),
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    key: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Simplified Shapley-value channel attribution (Zhao et al. 2018,
+    the order-free formulation used by Google/Meta attribution
+    products) — the cooperative-game complement of the Markov
+    removal-effect model: each channel's credit is its average
+    marginal contribution to the observed coalitions' conversion
+    rates,
+
+        phi(i) = sum_{S observed, i in S} (v(S) - v(S \\ {i})) / |S|
+
+    where v(S) is the empirical conversion rate of users whose touched
+    channel set is EXACTLY S, and v of an unobserved subset is 0 (the
+    standard simplified convention; full Shapley would need a model
+    over all 2^k subsets).
+
+    Scale shape: users collapse to their channel set in one groupBy;
+    everything after runs on the SETS table, whose cardinality is
+    bounded by 2^|channels| regardless of user count — the explode,
+    the reduced-set lookup join, and the per-channel sum are all
+    bounded-dimension work. v(S) is rounded to the 1e-9 lattice and
+    lifted to BIGINT; each marginal term is one shared-text division
+    re-rounded to the lattice, so the cross-set sum is exact and
+    phi one closing division.
+
+    Output: (channel, n_sets, phi) — n_sets = observed coalitions the
+    channel appears in.
+    """
+    per_user = events.groupBy(key).agg(
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col(type_col) != conv_type, F.col(type_col))
+            )
+        ).alias("channels"),
+        F.max(
+            F.when(F.col(type_col) == conv_type, 1).otherwise(0)
+        ).alias("conv"),
+    ).filter(F.size("channels") > 0)
+    sets = (
+        per_user.groupBy(
+            F.array_join(F.col("channels"), "|").alias("sk"),
+            F.col("channels"),
+        )
+        .agg(F.count("*").alias("n_s"), F.sum("conv").alias("c_s"))
+        .select(
+            "sk",
+            "channels",
+            F.expr(
+                "cast(round(round(c_s * 1e0 / n_s, 9) * 1000000000, 0)"
+                " as bigint)"
+            ).alias("v_fp"),
+        )
+    )
+    slim = sets.select(F.col("sk").alias("rk"), F.col("v_fp").alias("vr_fp"))
+    exploded = sets.select(
+        F.explode("channels").alias("channel"), "v_fp", "channels"
+    ).select(
+        "channel",
+        "v_fp",
+        F.size("channels").alias("sz"),
+        F.array_join(
+            F.filter("channels", lambda c: c != F.col("channel")), "|"
+        ).alias("rk"),
+    )
+    joined = exploded.join(F.broadcast(slim), "rk", "left").withColumn(
+        "vr_fp", F.coalesce(F.col("vr_fp"), F.lit(0).cast("long"))
+    )
+    terms = joined.select(
+        "channel",
+        F.expr(
+            "cast(round(round((v_fp - vr_fp) / (sz * 1000000000e0), 9)"
+            " * 1000000000, 0) as bigint)"
+        ).alias("t_fp"),
+    )
+    return terms.groupBy("channel").agg(
+        F.count("*").alias("n_sets"),
+        F.expr("round(sum(t_fp) / 1000000000e0, 6)").alias("phi"),
+    )
