@@ -4072,6 +4072,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shapley_attribution_value"] = shapley_attribution_value
 
+    def fairness_quality_audit(spark, sf_dir):
+        """Group-fairness audit (audit.fairness_audit) of a
+        deterministic length-based classifier against the long-doc
+        label across languages — selection rate / TPR / FPR /
+        demographic-parity gap per lang; the responsible-AI release
+        gate beside k_anonymity."""
+        from careers_spark.operators.audit import fairness_audit
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "lang",
+            F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("label"),
+            F.when(
+                F.col("n_chars") + F.col("doc_id") % 101 >= 340, 1
+            ).otherwise(0).alias("pred"),
+        )
+        return fairness_audit(docs, "lang", "label", "pred")
+
+    q["fairness_quality_audit"] = fairness_quality_audit
+
+    def brier_quality_score(spark, sf_dir):
+        """Murphy decomposition of the quality score predicting
+        lang='en' (evaluation.brier_decomposition): BS = REL - RES +
+        UNC with distinct-lattice-value bins, raw Brier carried as an
+        exact DECIMAL(38,0) integer sum — the calibration summary
+        completing score_calibration's reliability diagram."""
+        from careers_spark.operators.evaluation import brier_decomposition
+
+        docs = _t(spark, sf_dir, "documents")
+        qs = TS.quality_score(docs)
+        labeled = qs.join(docs.select("doc_id", "lang"), "doc_id").select(
+            F.col("quality").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        )
+        return brier_decomposition(labeled)
+
+    q["brier_quality_score"] = brier_quality_score
+
+    def ab_design_mde(spark, sf_dir):
+        """Minimum detectable effect of the running A/B design at
+        alpha=.05 / power=.80 (funnel.ab_power_mde) — the experiment-
+        DESIGN statistic completing the lifecycle around
+        ab_conversion's readout; same md5 arms, user-level
+        conversion."""
+        from careers_spark.operators.funnel import ab_power_mde
+
+        return ab_power_mde(_t(spark, sf_dir, "events"))
+
+    q["ab_design_mde"] = ab_design_mde
+
     return q
 
 
@@ -12136,6 +12185,131 @@ def oracle_sql() -> dict[str, str]:
         SELECT channel, CAST(count(*) AS BIGINT) AS n_sets,
                round(sum(t_fp) / 1000000000e0, 6) AS phi
         FROM t GROUP BY 1
+    """
+
+    # fairness_quality_audit: per-group exact confusion counts, single
+    # rounded divisions, NULL for undefined cells.
+    o["fairness_quality_audit"] = """
+        WITH d AS (
+          SELECT lang,
+                 CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label,
+                 CASE WHEN n_chars + (doc_id % 101) >= 340 THEN 1 ELSE 0 END
+                   AS pred
+          FROM documents
+        ),
+        per AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(label) AS BIGINT) AS n_pos,
+                 CAST(sum(pred) AS BIGINT) AS n_sel,
+                 CAST(sum(label * pred) AS BIGINT) AS tp,
+                 CAST(sum((1 - label) * pred) AS BIGINT) AS fp
+          FROM d GROUP BY 1
+        ),
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_all,
+                 CAST(sum(pred) AS BIGINT) AS sel_all
+          FROM d
+        )
+        SELECT lang, n, n_pos,
+               round(n_sel * 1e0 / n, 6) AS selection_rate,
+               CASE WHEN n_pos = 0 THEN NULL
+                    ELSE round(tp * 1e0 / n_pos, 6) END AS tpr,
+               CASE WHEN n - n_pos = 0 THEN NULL
+                    ELSE round(fp * 1e0 / (n - n_pos), 6) END AS fpr,
+               round(n_sel * 1e0 / n - sel_all * 1e0 / n_all, 6) AS dp_gap
+        FROM per, t
+    """
+
+    # brier_quality_score: quality_score SQL nested; raw Brier as an
+    # exact HUGEINT (Spark DECIMAL(38,0)) integer sum on the 1e6
+    # lattice; REL/RES per-bin shared-text terms on the 1e-9 lattice.
+    o["brier_quality_score"] = f"""
+        WITH qs AS ({o["quality_score"]}),
+        lab AS (
+          SELECT CAST(round(q.quality * 1000000, 0) AS BIGINT) AS s,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM qs q JOIN documents d ON d.doc_id = q.doc_id
+        ),
+        per AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS n_b,
+                 CAST(sum(y) AS BIGINT) AS k_b
+          FROM lab GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                 CAST(sum(k_b) AS BIGINT) AS k
+          FROM per
+        ),
+        terms AS (
+          SELECT n_b, k_b,
+                 CAST(n_b AS HUGEINT) * s * s
+                   - 2 * CAST(s AS HUGEINT) * 1000000 * k_b
+                   + CAST(k_b AS HUGEINT) * 1000000000000 AS bs_num,
+                 CAST(round(((n_b * 1e0 * s - 1000000e0 * k_b)
+                      * (n_b * 1e0 * s - 1000000e0 * k_b))
+                      / (n_b * 1000000000000e0) * 1000000000, 0)
+                   AS BIGINT) AS rel_fp,
+                 CAST(round(n_b * (k_b * 1e0 / n_b - k * 1e0 / n)
+                      * (k_b * 1e0 / n_b - k * 1e0 / n) * 1000000000, 0)
+                   AS BIGINT) AS res_fp
+          FROM per, tot
+        ),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_bins,
+                 CAST(sum(n_b) AS BIGINT) AS n,
+                 CAST(sum(k_b) AS BIGINT) AS n_pos,
+                 sum(bs_num) AS bs_num,
+                 CAST(sum(rel_fp) AS BIGINT) AS srel,
+                 CAST(sum(res_fp) AS BIGINT) AS sres
+          FROM terms
+        )
+        SELECT n, n_pos, n_bins,
+               round(CAST(bs_num AS DOUBLE) / (n * 1000000000000e0), 6)
+                 AS brier,
+               round(srel / (n * 1000000000e0), 6) AS reliability,
+               round(sres / (n * 1000000000e0), 6) AS resolution,
+               round((n_pos * 1e0 / n) * (1e0 - n_pos * 1e0 / n), 6)
+                 AS uncertainty
+        FROM a
+    """
+
+    # ab_design_mde: ab_conversion's exact arm aggregates; the MDE is
+    # one shared-text expression with the funnel-module z literals
+    # nested verbatim.
+    from careers_spark.operators.funnel import Z_ALPHA_05, Z_BETA_80
+
+    _mde_pooled = "(c_0 + c_1) * 1e0 / (n_0 + n_1)"
+    _mde_expr = (
+        f"round(({Z_ALPHA_05} + {Z_BETA_80})"
+        f" * sqrt(({_mde_pooled}) * (1e0 - ({_mde_pooled}))"
+        f" * (1e0 / n_0 + 1e0 / n_1)), 6)"
+    )
+    _mde_degen = (
+        "n_0 = 0 OR n_1 = 0 OR (c_0 + c_1) = 0 OR (c_0 + c_1) = (n_0 + n_1)"
+    )
+    o["ab_design_mde"] = f"""
+        WITH pu AS (
+          SELECT user_id, {_DUCK_H64.format(c=_ab_key)} % 2 AS variant,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM events GROUP BY 1, 2
+        ),
+        w AS (
+          SELECT
+            CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+            CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_0,
+            CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_1
+          FROM pu
+        )
+        SELECT n_0, n_1, c_0, c_1,
+               CASE WHEN n_0 + n_1 = 0 THEN NULL
+                    ELSE round({_mde_pooled}, 6) END AS rate_pooled,
+               CASE WHEN {_mde_degen} THEN NULL ELSE {_mde_expr} END AS mde_abs,
+               CASE WHEN {_mde_degen} THEN NULL
+                    ELSE round(({_mde_expr}) / ({_mde_pooled}), 6)
+               END AS mde_rel
+        FROM w
     """
 
     return o

@@ -231,6 +231,9 @@ BENCH_QUERIES = [
     "phrase_query_search",
     "source_target_encoding",
     "shapley_attribution_value",
+    "fairness_quality_audit",
+    "brier_quality_score",
+    "ab_design_mde",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",

@@ -202,3 +202,58 @@ def benford_audit(
         )
         .alias("chi2_term"),
     )
+
+
+def fairness_audit(
+    df: DataFrame,
+    group: str,
+    label: str = "label",
+    pred: str = "pred",
+) -> DataFrame:
+    """Group-fairness audit of a binary classifier over a protected /
+    stratification attribute — the responsible-AI release gate beside
+    k_anonymity: per group, the selection rate (demographic parity),
+    TPR (equal opportunity), and FPR (equalized odds' second half),
+    plus each group's demographic-parity gap against the OVERALL
+    selection rate.
+
+    One partial-agg groupBy collects the per-group confusion counts as
+    exact BIGINTs; the overall rate is a broadcast 1-row aggregate
+    (the documented combiner shape); every rate is a single shared-
+    text division rounded to 6, NULL when its denominator is empty
+    (a group with no positives has no TPR — reporting 0 would hide
+    the undefined cell).
+
+    Output: (group, n, n_pos, selection_rate, tpr, fpr, dp_gap).
+    """
+    lb = F.col(label).cast("long")
+    pr = F.col(pred).cast("long")
+    per = df.groupBy(group).agg(
+        F.count("*").alias("n"),
+        F.sum(lb).alias("n_pos"),
+        F.sum(pr).alias("n_sel"),
+        F.sum(lb * pr).alias("tp"),
+        F.sum((1 - lb) * pr).alias("fp"),
+    )
+    tot = df.agg(
+        F.count("*").alias("n_all"),
+        F.sum(pr).alias("sel_all"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            group,
+            "n",
+            "n_pos",
+            F.expr("round(n_sel * 1e0 / n, 6)").alias("selection_rate"),
+            F.when(F.col("n_pos") == 0, F.lit(None).cast("double"))
+            .otherwise(F.expr("round(tp * 1e0 / n_pos, 6)"))
+            .alias("tpr"),
+            F.when(F.col("n") - F.col("n_pos") == 0, F.lit(None).cast("double"))
+            .otherwise(F.expr("round(fp * 1e0 / (n - n_pos), 6)"))
+            .alias("fpr"),
+            F.expr(
+                "round(n_sel * 1e0 / n - sel_all * 1e0 / n_all, 6)"
+            ).alias("dp_gap"),
+        )
+    )

@@ -1198,3 +1198,77 @@ def rank_agreement(
             f"{tau} as tau_b",
         )
     )
+
+
+def brier_decomposition(
+    df: DataFrame, score: str = "score", label: str = "label"
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score,
+
+        BS = reliability - resolution + uncertainty,
+
+    binned by DISTINCT forecast value (the auc_score trick — every
+    score in this repo lives on a rounded lattice, so the bin table is
+    vocabulary-sized and the bin mean forecast IS the bin value, which
+    is exactly the condition under which the decomposition identity is
+    exact rather than approximate).
+
+    Exactness: scores lift to the 1e6 integer lattice; the raw Brier
+    sum expands per bin into pure integer terms accumulated in
+    DECIMAL(38,0) (DuckDB HUGEINT), so ``brier`` carries no rounding
+    at all; reliability/resolution terms are per-bin shared-text
+    double expressions rounded to the 1e-9 lattice and summed as exact
+    BIGINTs. The identity BS = REL - RES + UNC therefore holds to the
+    lattice resolution (pinned by test).
+
+    Output: one row (n, n_pos, n_bins, brier, reliability, resolution,
+    uncertainty).
+    """
+    s_int = F.expr(f"cast(round({score} * 1000000, 0) as bigint)")
+    lb = F.col(label).cast("long")
+    per = df.select(s_int.alias("s"), lb.alias("y")).groupBy("s").agg(
+        F.count("*").alias("n_b"), F.sum("y").alias("k_b")
+    )
+    tot = per.agg(
+        F.sum("n_b").alias("n"), F.sum("k_b").alias("k")
+    )
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "n_b",
+        "k_b",
+        F.expr(
+            "cast(n_b as decimal(38,0)) * s * s"
+            " - 2 * cast(s as decimal(38,0)) * 1000000 * k_b"
+            " + cast(k_b as decimal(38,0)) * 1000000000000"
+        ).alias("bs_num"),
+        F.expr(
+            "cast(round(((n_b * 1e0 * s - 1000000e0 * k_b)"
+            " * (n_b * 1e0 * s - 1000000e0 * k_b))"
+            " / (n_b * 1000000000000e0) * 1000000000, 0) as bigint)"
+        ).alias("rel_fp"),
+        F.expr(
+            "cast(round(n_b * (k_b * 1e0 / n_b - k * 1e0 / n)"
+            " * (k_b * 1e0 / n_b - k * 1e0 / n) * 1000000000, 0)"
+            " as bigint)"
+        ).alias("res_fp"),
+    )
+    agg = terms.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_b").alias("n"),
+        F.sum("k_b").alias("n_pos"),
+        F.sum("bs_num").alias("bs_num"),
+        F.sum("rel_fp").alias("srel"),
+        F.sum("res_fp").alias("sres"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        "n_bins",
+        F.expr(
+            "round(cast(bs_num as double) / (n * 1000000000000e0), 6)"
+        ).alias("brier"),
+        F.expr("round(srel / (n * 1000000000e0), 6)").alias("reliability"),
+        F.expr("round(sres / (n * 1000000000e0), 6)").alias("resolution"),
+        F.expr(
+            "round((n_pos * 1e0 / n) * (1e0 - n_pos * 1e0 / n), 6)"
+        ).alias("uncertainty"),
+    )

@@ -1044,3 +1044,84 @@ def shapley_attribution(
         F.count("*").alias("n_sets"),
         F.expr("round(sum(t_fp) / 1000000000e0, 6)").alias("phi"),
     )
+
+
+# Two-sided alpha = 0.05 and power = 0.80 normal quantiles, written as
+# exact decimal literals (both engines' parsers are correctly-rounded,
+# so each parses to the identical double).
+Z_ALPHA_05 = "1.959963984540054"
+Z_BETA_80 = "0.8416212335729143"
+
+
+def ab_power_mde(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    key: str = "user_id",
+    type_col: str = "event_type",
+    salt: str = "ab",
+    z_alpha: str = Z_ALPHA_05,
+    z_beta: str = Z_BETA_80,
+) -> DataFrame:
+    """Minimum detectable effect of the running A/B design — the
+    experiment-DESIGN statistic completing the lifecycle around
+    ab_conversion's readout: at the current arm sizes and pooled
+    conversion rate, the smallest absolute (and relative) lift the
+    two-proportion z-test can detect at alpha = .05 two-sided with 80%
+    power,
+
+        MDE = (z_a + z_b) * sqrt(p * (1-p) * (1/n_0 + 1/n_1)).
+
+    Arm assignment and user-level conversion are ab_conversion's exact
+    aggregates (same salt -> same arms); the MDE is one shared-text
+    double expression (sqrt is IEEE-correctly-rounded) over those
+    integers, rounded to 6. NULL when an arm is empty or the pooled
+    rate is degenerate (0 or 1 — no binomial variance to power
+    against).
+
+    Output: one row (n_0, n_1, c_0, c_1, rate_pooled, mde_abs,
+    mde_rel).
+    """
+    from careers_spark.operators.dedup import _hash64_expr
+
+    keyed = f"concat(cast({key} as string), '|', '{salt}')"
+    per_user = (
+        events.select(
+            F.col(key),
+            F.expr(f"{_hash64_expr(keyed)} % 2").alias("variant"),
+            F.when(F.col(type_col) == conv_type, 1).otherwise(0).alias("cv"),
+        )
+        .groupBy(key, "variant")
+        .agg(F.max("cv").alias("converted"))
+    )
+    wide = per_user.agg(
+        F.sum(F.expr("case when variant = 0 then 1 else 0 end")).alias("n_0"),
+        F.sum(F.expr("case when variant = 0 then converted else 0 end")).alias("c_0"),
+        F.sum(F.expr("case when variant = 1 then 1 else 0 end")).alias("n_1"),
+        F.sum(F.expr("case when variant = 1 then converted else 0 end")).alias("c_1"),
+    )
+    pooled = "(c_0 + c_1) * 1e0 / (n_0 + n_1)"
+    mde = (
+        f"round(({z_alpha} + {z_beta})"
+        f" * sqrt(({pooled}) * (1e0 - ({pooled}))"
+        f" * (1e0 / n_0 + 1e0 / n_1)), 6)"
+    )
+    degenerate = (
+        "n_0 = 0 or n_1 = 0 or (c_0 + c_1) = 0 or (c_0 + c_1) = (n_0 + n_1)"
+    )
+    return wide.select(
+        "n_0",
+        "n_1",
+        "c_0",
+        "c_1",
+        F.expr(
+            f"case when n_0 + n_1 = 0 then null"
+            f" else round({pooled}, 6) end"
+        ).alias("rate_pooled"),
+        F.expr(
+            f"case when {degenerate} then null else {mde} end"
+        ).alias("mde_abs"),
+        F.expr(
+            f"case when {degenerate} then null"
+            f" else round(({mde}) / ({pooled}), 6) end"
+        ).alias("mde_rel"),
+    )
