@@ -4121,6 +4121,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ab_design_mde"] = ab_design_mde
 
+    def holt_revenue_forecast(spark, sf_dir):
+        """Holt linear-trend forecast of daily purchase revenue at
+        alpha=beta=1/2 (temporal.holt_linear_forecast): the iterative
+        recurrence is compiled to exact dyadic integer weight LITERALS
+        (holt_weights), so the runtime plan is one DECIMAL(38,0) dot
+        product over the gap-filled day spine — zero iterations."""
+        from careers_spark.operators.temporal import holt_linear_forecast
+
+        return holt_linear_forecast(
+            _t(spark, sf_dir, "events"), horizons=(1, 2, 3, 7)
+        )
+
+    q["holt_revenue_forecast"] = holt_revenue_forecast
+
     return q
 
 
@@ -12310,6 +12324,42 @@ def oracle_sql() -> dict[str, str]:
                     ELSE round(({_mde_expr}) / ({_mde_pooled}), 6)
                END AS mde_rel
         FROM w
+    """
+
+    # holt_revenue_forecast: the sf0.01 purchase stream spans exactly
+    # 30 days, so the SAME holt_weights(30) integer literals are
+    # nested here — the oracle runs the identical one-pass dot product
+    # (DuckDB HUGEINT twin of the Spark DECIMAL(38,0) sums).
+    from careers_spark.operators.temporal import holt_weights
+
+    _hwl, _hwb, _hk = holt_weights(30)
+    _hwl_lit = "[" + ",".join(str(w) for w in _hwl) + "]"
+    _hwb_lit = "[" + ",".join(str(w) for w in _hwb) + "]"
+    o["holt_revenue_forecast"] = f"""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   AS BIGINT) AS y
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        b AS (SELECT min(day) AS lo FROM daily),
+        spine AS (
+          SELECT lo + s.g AS day, s.g + 1 AS t
+          FROM b, generate_series(0, 29) s(g)
+        ),
+        dense AS (
+          SELECT t, coalesce(y, 0) AS y
+          FROM spine LEFT JOIN daily USING (day)
+        ),
+        state AS (
+          SELECT sum(CAST(({_hwl_lit})[t] AS HUGEINT) * y) AS l_fp,
+                 sum(CAST(({_hwb_lit})[t] AS HUGEINT) * y) AS b_fp
+          FROM dense
+        )
+        SELECT h,
+               round((CAST(l_fp AS DOUBLE) + h * CAST(b_fp AS DOUBLE))
+                     / {1 << _hk}e0, 6) AS forecast_cents
+        FROM state, (SELECT unnest([1, 2, 3, 7]) AS h)
     """
 
     return o

@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "fairness_quality_audit",
     "brier_quality_score",
     "ab_design_mde",
+    "holt_revenue_forecast",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",

@@ -1513,3 +1513,131 @@ def seasonal_decompose(
             ).alias("residual"),
         )
     )
+
+
+def holt_weights(n: int) -> tuple[list[int], list[int], int]:
+    """Exact dyadic Holt (double-exponential) smoothing weights for
+    alpha = beta = 1/2 and n observations, init (l_1, b_1) = (y_1, 0).
+
+    The recurrence  l_t = (y_t + l_{t-1} + b_{t-1}) / 2,
+                    b_t = (l_t - l_{t-1}) / 2 + b_{t-1} / 2
+    is linear in the observations, so the final state is a dot
+    product: (l_n, b_n) = sum_t (wl_t, wb_t) * y_t, with every weight
+    a dyadic rational. This function runs the 2x2 companion recursion
+    in exact Fractions and returns the weights as INTEGERS at a common
+    power-of-two denominator 2^K — the ndcg precomputed-literal
+    recipe applied to a recurrence: the runtime plan is one exact
+    integer dot product, zero iterations.
+
+    Returns (wl, wb, K) with wl/wb lists of n ints (index t-1) and
+    denominator 2**K.
+    """
+    from fractions import Fraction as Fr
+
+    if n < 1:
+        raise ValueError("need at least one observation")
+    # coefficient vectors of (l, b) in terms of y_1..y_n
+    wl = [Fr(0)] * n
+    wb = [Fr(0)] * n
+    wl[0] = Fr(1)
+    for t in range(1, n):
+        nl = [Fr(0)] * n
+        nb = [Fr(0)] * n
+        for i in range(t):
+            # l_t = y_t/2 + (l + b)/2 ; b_t = (l_t - l)/2 + b/2
+            nl[i] = (wl[i] + wb[i]) / 2
+            nb[i] = (nl[i] - wl[i]) / 2 + wb[i] / 2
+        nl[t] = Fr(1, 2)
+        nb[t] = Fr(1, 4)
+        wl, wb = nl, nb
+    denom = 1
+    for f in wl + wb:
+        denom = max(denom, f.denominator)
+    k = denom.bit_length() - 1
+    assert (1 << k) == denom, "denominators must be powers of two"
+    scale = 1 << k
+    return (
+        [int(f * scale) for f in wl],
+        [int(f * scale) for f in wb],
+        k,
+    )
+
+
+def holt_linear_forecast(
+    events: DataFrame,
+    horizons: tuple[int, ...] = (1, 2, 3, 7),
+    conv_type: str = "purchase",
+    ts: str = "ts",
+    value: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing) forecast of
+    daily revenue at alpha = beta = 1/2, h-step-ahead as
+    l_n + h * b_n — trend-aware smoothing beside ewma_hourly's
+    level-only filter.
+
+    The iterative recurrence never runs at query time: its exact
+    dyadic weights (holt_weights) are embedded as integer array
+    LITERALS over the gap-filled day spine, so the whole fit is ONE
+    map-side-combining dot product in DECIMAL(38,0) (integer cents x
+    integer weights — exact in any order; headroom to ~1e13 daily
+    cents at the 30-day window), then each forecast is one shared-text
+    double expression. The only driver action is the 1-row day-bounds
+    aggregate (a bounded-scalar collect, the nlist-centroid
+    convention) needed because the weight literals depend on the
+    window length.
+
+    Output: (h, forecast_cents) per horizon, rounded to 6; days with
+    no conversions contribute y = 0 through the dense spine.
+    """
+    daily = (
+        events.filter(F.col(type_col) == conv_type)
+        .select(
+            F.expr(
+                f"unix_micros(cast({ts} as timestamp)) div 86400000000"
+            ).alias("day"),
+            F.expr(f"cast(round({value} * 100, 0) as bigint)").alias("vc"),
+        )
+        .groupBy("day")
+        .agg(F.sum("vc").alias("y"))
+    )
+    lo, hi = daily.agg(F.min("day"), F.max("day")).collect()[0]
+    n = int(hi - lo) + 1
+    wl, wb, k = holt_weights(n)
+    spark = events.sparkSession
+    spine = spark.range(n).select(
+        (F.col("id") + F.lit(int(lo))).alias("day"),
+        (F.col("id") + 1).alias("t"),
+    )
+    dense = spine.join(daily, "day", "left").select(
+        "t", F.coalesce(F.col("y"), F.lit(0).cast("long")).alias("y")
+    )
+    wl_lit = "array(" + ",".join(f"{w}" for w in wl) + ")"
+    wb_lit = "array(" + ",".join(f"{w}" for w in wb) + ")"
+    state = dense.agg(
+        F.sum(
+            F.expr(
+                f"cast(element_at({wl_lit}, cast(t as int)) as decimal(38,0))"
+                " * y"
+            )
+        ).alias("l_fp"),
+        F.sum(
+            F.expr(
+                f"cast(element_at({wb_lit}, cast(t as int)) as decimal(38,0))"
+                " * y"
+            )
+        ).alias("b_fp"),
+    )
+    hs = ",".join(str(int(h)) for h in horizons)
+    return (
+        state.select(
+            F.explode(F.expr(f"array({hs})")).alias("h"), "l_fp", "b_fp"
+        )
+        .select(
+            "h",
+            F.expr(
+                f"round((cast(l_fp as double) + h * cast(b_fp as double))"
+                f" / {1 << k}e0, 6)"
+            ).alias("forecast_cents"),
+        )
+    )
