@@ -4135,6 +4135,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["holt_revenue_forecast"] = holt_revenue_forecast
 
+    def embedding_sliced_w1(spark, sf_dir):
+        """Sliced Wasserstein-1 drift between the odd- and even-label
+        embedding populations (similarity.sliced_wasserstein): exact
+        1-D W1 per deterministic JL direction on a resolution-bounded
+        bucket grid — the embedding-space drift metric beside
+        source_wasserstein's length drift."""
+        return SIM.sliced_wasserstein(
+            _t(spark, sf_dir, "embeddings"), "label % 2 = 1", out_dims=6
+        )
+
+    q["embedding_sliced_w1"] = embedding_sliced_w1
+
+    def source_ablation_report(spark, sf_dir):
+        """Leave-one-source-out ablation (profiling.source_ablation):
+        per source, the corpus profile WITHOUT that feed and the delta
+        vs the full corpus — O(1) ablations via totals-minus-source
+        algebra, never |sources| re-scans."""
+        from careers_spark.operators.profiling import source_ablation
+
+        return source_ablation(_t(spark, sf_dir, "documents"))
+
+    q["source_ablation_report"] = source_ablation_report
+
     return q
 
 
@@ -12360,6 +12383,104 @@ def oracle_sql() -> dict[str, str]:
                round((CAST(l_fp AS DOUBLE) + h * CAST(b_fp AS DOUBLE))
                      / {1 << _hk}e0, 6) AS forecast_cents
         FROM state, (SELECT unnest([1, 2, 3, 7]) AS h)
+    """
+
+    # embedding_sliced_w1: the embedding_projection SQL feeding the
+    # source_wasserstein grid algebra per direction; bucket floor is
+    # the identical floor(x / 100000e0) text.
+    o["embedding_sliced_w1"] = """
+        WITH x AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                   FROM embeddings),
+        ix AS (SELECT vec_id, label, unnest(range(0, len(emb))) AS i, emb
+               FROM x),
+        iv AS (
+          SELECT vec_id, label, i,
+                 CAST(round(emb[i + 1] * 1000000e0, 0) AS BIGINT) AS q
+          FROM ix
+        ),
+        pj AS (SELECT vec_id, label, i, q, unnest(range(0, 6)) AS dim
+               FROM iv),
+        s AS (
+          SELECT vec_id, label, dim, q,
+                 1 - 2 * ((('0x' || substr(md5(CAST(i AS VARCHAR) || '_'
+                            || CAST(dim AS VARCHAR)), 1, 8))::BIGINT) % 2)
+                   AS sgn
+          FROM pj
+        ),
+        p0 AS (
+          SELECT vec_id, dim, CAST(sum(sgn * q) AS BIGINT) AS pf,
+                 min(label) AS label
+          FROM s GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT dim,
+                 CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS ga,
+                 CAST(floor(pf / 100000e0) AS BIGINT) AS v
+          FROM p0
+        ),
+        tot AS (
+          SELECT dim, CAST(sum(ga) AS BIGINT) AS n_a,
+                 CAST(sum(1 - ga) AS BIGINT) AS n_b
+          FROM p GROUP BY 1
+        ),
+        cells AS (
+          SELECT dim, v, CAST(sum(ga) AS BIGINT) AS c_a,
+                 CAST(sum(1 - ga) AS BIGINT) AS c_b
+          FROM p GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT dim,
+                 sum(c_a) OVER w AS cum_a,
+                 sum(c_b) OVER w AS cum_b,
+                 coalesce(lead(v) OVER (PARTITION BY dim ORDER BY v), v) - v
+                   AS gap
+          FROM cells
+          WINDOW w AS (PARTITION BY dim ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(t.dim AS INTEGER) AS dim, n_a, n_b,
+               CAST(sum(abs(cum_a * n_b - cum_b * n_a) * gap) AS BIGINT)
+                 AS w1_num,
+               round(CAST(sum(abs(cum_a * n_b - cum_b * n_a) * gap)
+                     AS BIGINT) * 100000e0 / (1000000e0 * n_a * n_b), 6)
+                 AS w1
+        FROM t JOIN tot USING (dim) GROUP BY 1, 2, 3
+    """
+
+    # source_ablation_report: totals-minus-source algebra on exact
+    # integers; deltas subtract the two ROUNDED means (shared text).
+    o["source_ablation_report"] = """
+        WITH per AS (
+          SELECT source AS s, CAST(count(*) AS BIGINT) AS n_s,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS e_s,
+                 CAST(sum(n_chars) AS BIGINT) AS c_s
+          FROM documents GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_all,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS e_all,
+                 CAST(sum(n_chars) AS BIGINT) AS c_all
+          FROM documents
+        )
+        SELECT s AS source, n_s AS n_docs,
+               round(n_s * 1e0 / n_all, 6) AS share,
+               CASE WHEN n_all = n_s THEN NULL
+                    ELSE round((e_all - e_s) * 1e0 / (n_all - n_s), 6)
+               END AS en_share_without,
+               CASE WHEN n_all = n_s THEN NULL
+                    ELSE round((c_all - c_s) * 1e0 / (n_all - n_s), 6)
+               END AS mean_chars_without,
+               CASE WHEN n_all = n_s THEN NULL
+                    ELSE round(round((e_all - e_s) * 1e0 / (n_all - n_s), 6)
+                         - round(e_all * 1e0 / n_all, 6), 6)
+               END AS delta_en_share,
+               CASE WHEN n_all = n_s THEN NULL
+                    ELSE round(round((c_all - c_s) * 1e0 / (n_all - n_s), 6)
+                         - round(c_all * 1e0 / n_all, 6), 6)
+               END AS delta_mean_chars
+        FROM per, tot
     """
 
     return o

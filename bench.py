@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "brier_quality_score",
     "ab_design_mde",
     "holt_revenue_forecast",
+    "embedding_sliced_w1",
+    "source_ablation_report",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",
