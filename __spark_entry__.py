@@ -4158,6 +4158,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_ablation_report"] = source_ablation_report
 
+    def t_closeness(spark, sf_dir):
+        """t-closeness audit over the k_anonymity QI cells (lang x
+        200-char bucket, sensitive = source): total-variation distance
+        of each cell's sensitive distribution from the corpus's, pass
+        flag decided by INTEGER comparison (privacy.t_closeness_audit)
+        — the anonymization ladder's third rung."""
+        from careers_spark.operators.privacy import t_closeness_audit
+
+        d = _t(spark, sf_dir, "documents").select(
+            "lang",
+            F.expr("n_chars div 200").alias("len_bucket"),
+            "source",
+        )
+        return t_closeness_audit(
+            d, ["lang", "len_bucket"], sensitive="source", t_mille=200
+        )
+
+    q["t_closeness"] = t_closeness
+
     return q
 
 
@@ -12481,6 +12500,45 @@ def oracle_sql() -> dict[str, str]:
                          - round(c_all * 1e0 / n_all, 6), 6)
                END AS delta_mean_chars
         FROM per, tot
+    """
+
+    # t_closeness: cross-multiplied integer TV per QI cell; the pass
+    # flag is a pure integer comparison (no rounding in the gate).
+    o["t_closeness"] = """
+        WITH d AS (
+          SELECT lang, n_chars // 200 AS len_bucket, source FROM documents
+        ),
+        ncv AS (
+          SELECT lang, len_bucket, source AS sv,
+                 CAST(count(*) AS BIGINT) AS n_cv
+          FROM d GROUP BY 1, 2, 3
+        ),
+        cells AS (
+          SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS n_c
+          FROM d GROUP BY 1, 2
+        ),
+        gl AS (
+          SELECT source AS sv, CAST(count(*) AS BIGINT) AS g_v
+          FROM d GROUP BY 1
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d),
+        grid AS (
+          SELECT c.lang, c.len_bucket, c.n_c, gl.sv, gl.g_v,
+                 coalesce(ncv.n_cv, 0) AS n_cv, tot.n_all
+          FROM cells c CROSS JOIN gl
+          LEFT JOIN ncv ON ncv.lang = c.lang
+                       AND ncv.len_bucket = c.len_bucket
+                       AND ncv.sv = gl.sv, tot
+        ),
+        a AS (
+          SELECT lang, len_bucket, n_c, n_all,
+                 CAST(sum(abs(n_cv * n_all - g_v * n_c)) AS BIGINT) AS tv_num
+          FROM grid GROUP BY 1, 2, 3, 4
+        )
+        SELECT lang, len_bucket, n_c, tv_num,
+               round(tv_num / (2e0 * n_c * n_all), 6) AS tv,
+               tv_num * 1000 <= 200 * 2 * n_c * n_all AS meets_t
+        FROM a
     """
 
     return o

@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "holt_revenue_forecast",
     "embedding_sliced_w1",
     "source_ablation_report",
+    "t_closeness",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",

@@ -182,3 +182,61 @@ def dp_noisy_counts(
             f"greatest(cast(round(n_true + {noise}, 0) as bigint), 0)"
         ).alias("noisy_n"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive: str,
+    t_mille: int = 200,
+) -> DataFrame:
+    """t-closeness release audit (Li, Li & Venkatasubramanian ICDE'07)
+    — the third rung of the anonymization ladder after k-anonymity and
+    l-diversity (both in k_anonymity_audit): an equivalence class can
+    be k-large and l-diverse yet still leak if its SENSITIVE-value
+    distribution skews far from the corpus's. For categorical
+    sensitive attributes the prescribed distance is total variation,
+
+        TV(cell) = 1/2 * sum_v | p_cell(v) - p_corpus(v) |,
+
+    and the class passes iff TV <= t.
+
+    Exactness: cross-multiplied integers end to end — the per-value
+    deviation |n_cv * N - g_v * n_c| is an exact BIGINT (headroom to
+    ~3e9 rows with BIGINT; the DECIMAL(38,0) swap is documented
+    beyond), tv_num their order-free sum over the sensitive vocabulary
+    (a broadcast dim joined under every cell so absent values
+    contribute their full corpus mass), tv ONE closing division, and
+    the pass flag an INTEGER comparison (tv_num * 1000 <= t_mille * 2
+    * n_c * N) so the gate never depends on rounding.
+
+    Output: (qi..., n_c, tv_num, tv, meets_t).
+    """
+    n_cv = (
+        df.groupBy(*qi_cols, F.col(sensitive).alias("sv"))
+        .agg(F.count("*").alias("n_cv"))
+    )
+    cells = df.groupBy(*qi_cols).agg(F.count("*").alias("n_c"))
+    gl = df.groupBy(F.col(sensitive).alias("sv")).agg(
+        F.count("*").alias("g_v")
+    )
+    tot = df.agg(F.count("*").alias("n_all"))
+    grid = (
+        cells.crossJoin(F.broadcast(gl))
+        .join(n_cv, [*qi_cols, "sv"], "left")
+        .withColumn("n_cv", F.coalesce(F.col("n_cv"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = grid.groupBy(*qi_cols, "n_c", "n_all").agg(
+        F.sum(F.expr("abs(n_cv * n_all - g_v * n_c)")).alias("tv_num")
+    )
+    return agg.select(
+        *qi_cols,
+        "n_c",
+        "tv_num",
+        F.expr("round(tv_num / (2e0 * n_c * n_all), 6)").alias("tv"),
+        (
+            F.col("tv_num") * 1000
+            <= F.lit(int(t_mille)) * 2 * F.col("n_c") * F.col("n_all")
+        ).alias("meets_t"),
+    )
