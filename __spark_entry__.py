@@ -4177,6 +4177,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_closeness"] = t_closeness
 
+    def pr_curve_quality(spark, sf_dir):
+        """Precision-recall curve of the quality score predicting
+        lang='en' at every distinct threshold (evaluation.pr_curve) —
+        the threshold-picking table beside auc/calibration/Brier; the
+        only window is over the distinct-score lattice."""
+        from careers_spark.operators.evaluation import pr_curve
+
+        docs = _t(spark, sf_dir, "documents")
+        qs = TS.quality_score(docs)
+        labeled = qs.join(docs.select("doc_id", "lang"), "doc_id").select(
+            F.col("quality").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        )
+        return pr_curve(labeled)
+
+    q["pr_curve_quality"] = pr_curve_quality
+
+    def sequential_ab_looks(spark, sf_dir):
+        """O'Brien-Fleming group-sequential monitor over 4 calendar
+        looks (funnel.group_sequential_looks): cumulative exact arm
+        aggregates per look, z vs the C*sqrt(K/k) boundary — the
+        peeking-safe experimentation readout; the final look's z
+        equals ab_conversion's (test-pinned)."""
+        from careers_spark.operators.funnel import group_sequential_looks
+
+        return group_sequential_looks(_t(spark, sf_dir, "events"), looks=4)
+
+    q["sequential_ab_looks"] = sequential_ab_looks
+
     return q
 
 
@@ -12538,6 +12567,97 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, len_bucket, n_c, tv_num,
                round(tv_num / (2e0 * n_c * n_all), 6) AS tv,
                tv_num * 1000 <= 200 * 2 * n_c * n_all AS meets_t
+        FROM a
+    """
+
+    # pr_curve_quality: distinct-threshold cumulative DESC over the
+    # quality-score lattice; F1 in the single-division form.
+    o["pr_curve_quality"] = f"""
+        WITH qs AS ({o["quality_score"]}),
+        lab AS (
+          SELECT q.quality AS score,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM qs q JOIN documents d ON d.doc_id = q.doc_id
+        ),
+        g AS (
+          SELECT score AS threshold, CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(sum(1 - y) AS BIGINT) AS neg
+          FROM lab GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p_all FROM g),
+        c AS (
+          SELECT threshold,
+                 CAST(sum(pos) OVER w AS BIGINT) AS tp,
+                 CAST(sum(neg) OVER w AS BIGINT) AS fp
+          FROM g
+          WINDOW w AS (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT threshold, tp, fp, CAST(p_all - tp AS BIGINT) AS fn,
+               CASE WHEN tp + fp = 0 THEN NULL
+                    ELSE round(tp * 1e0 / (tp + fp), 6) END AS "precision",
+               CASE WHEN p_all = 0 THEN NULL
+                    ELSE round(tp * 1e0 / p_all, 6) END AS recall,
+               CASE WHEN 2 * tp + fp + (p_all - tp) = 0 THEN NULL
+                    ELSE round(2e0 * tp / (2 * tp + fp + (p_all - tp)), 6)
+               END AS f1
+        FROM c, tot
+    """
+
+    # sequential_ab_looks: ab_conversion's per-user collapse with
+    # first-seen / first-conversion days, K=4 cumulative looks, the z
+    # text and the OBF boundary as shared-text expressions.
+    from careers_spark.operators.funnel import OBF_C_K4
+
+    _gsq_z = (
+        "CASE WHEN n_0 = 0 OR n_1 = 0 THEN NULL ELSE "
+        "(CASE WHEN (c_0 + c_1) = 0 OR (c_0 + c_1) = (n_0 + n_1) THEN NULL "
+        "ELSE round((CAST(c_1 AS DOUBLE) / CAST(n_1 AS DOUBLE)"
+        " - CAST(c_0 AS DOUBLE) / CAST(n_0 AS DOUBLE))"
+        " / sqrt((CAST(c_0 + c_1 AS DOUBLE) / CAST(n_0 + n_1 AS DOUBLE))"
+        " * (1e0 - CAST(c_0 + c_1 AS DOUBLE) / CAST(n_0 + n_1 AS DOUBLE))"
+        " * (1e0 / CAST(n_0 AS DOUBLE) + 1e0 / CAST(n_1 AS DOUBLE))), 6)"
+        " END) END"
+    )
+    _gsq_b = f"round({OBF_C_K4} * sqrt(4e0 / look), 6)"
+    o["sequential_ab_looks"] = f"""
+        WITH pu AS (
+          SELECT user_id, {_DUCK_H64.format(c=_ab_key)} % 2 AS arm,
+                 min(epoch_us(ts) // 86400000000) AS first_d,
+                 min(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(ts) // 86400000000 END) AS conv_d
+          FROM events GROUP BY 1, 2
+        ),
+        b AS (
+          SELECT min(epoch_us(ts) // 86400000000) AS lo,
+                 max(epoch_us(ts) // 86400000000) AS hi
+          FROM events
+        ),
+        lks AS (SELECT unnest([1, 2, 3, 4]) AS look),
+        lk AS (
+          SELECT arm, first_d, conv_d, look, lo, hi
+          FROM pu, b, lks
+        ),
+        wl AS (
+          SELECT arm, first_d, conv_d, look,
+                 lo + ((hi - lo + 1) * look) // 4 - 1 AS cutoff
+          FROM lk
+        ),
+        a AS (
+          SELECT look,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+                 CAST(sum(CASE WHEN arm = 0 AND conv_d IS NOT NULL
+                          AND conv_d <= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS c_0,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+                 CAST(sum(CASE WHEN arm = 1 AND conv_d IS NOT NULL
+                          AND conv_d <= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS c_1
+          FROM wl WHERE first_d <= cutoff GROUP BY 1
+        )
+        SELECT CAST(look AS INTEGER) AS look, n_0, c_0, n_1, c_1,
+               {_gsq_z} AS z,
+               {_gsq_b} AS boundary,
+               CASE WHEN ({_gsq_z}) IS NULL THEN false
+                    ELSE abs({_gsq_z}) >= ({_gsq_b}) END AS reject
         FROM a
     """
 

@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "embedding_sliced_w1",
     "source_ablation_report",
     "t_closeness",
+    "pr_curve_quality",
+    "sequential_ab_looks",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",

@@ -1272,3 +1272,63 @@ def brier_decomposition(
             "round((n_pos * 1e0 / n) * (1e0 - n_pos * 1e0 / n), 6)"
         ).alias("uncertainty"),
     )
+
+
+def pr_curve(
+    df: DataFrame, score: str = "score", label: str = "label"
+) -> DataFrame:
+    """Precision-recall curve at every distinct score threshold — the
+    threshold-picking table between auc_score's single number and
+    calibration_bins' probability view: for threshold t (predict
+    positive iff score >= t), the exact TP/FP cumulatives and the
+    derived precision / recall / F1.
+
+    Rows collapse to one per DISTINCT score first (the auc_score
+    convention — every score in this repo lives on a rounded lattice,
+    so this table is vocabulary-sized); the cumulative runs DESC over
+    that table, so the only window is dimension-sized. Counts are
+    exact integers; precision/recall/F1 single shared-text divisions
+    (F1 in the single-division 2tp/(2tp+fp+fn) form), NULL where
+    undefined.
+
+    Output: (threshold, tp, fp, fn, precision, recall, f1), one row
+    per distinct score, descending thresholds.
+    """
+    from pyspark.sql import Window
+
+    lb = F.col(label).cast("long")
+    g = df.groupBy(F.col(score).alias("threshold")).agg(
+        F.sum(lb).alias("pos"),
+        F.sum(1 - lb).alias("neg"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = df.agg(F.sum(lb).alias("p_all"))
+    cum = (
+        g.select(
+            "threshold",
+            F.sum("pos").over(w).alias("tp"),
+            F.sum("neg").over(w).alias("fp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("fn", F.col("p_all") - F.col("tp"))
+    )
+    return cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("double"))
+        .otherwise(F.expr("round(tp * 1e0 / (tp + fp), 6)"))
+        .alias("precision"),
+        F.when(F.col("p_all") == 0, F.lit(None).cast("double"))
+        .otherwise(F.expr("round(tp * 1e0 / p_all, 6)"))
+        .alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.expr("round(2e0 * tp / (2 * tp + fp + fn), 6)"))
+        .alias("f1"),
+    )

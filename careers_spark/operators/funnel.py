@@ -1125,3 +1125,115 @@ def ab_power_mde(
             f" else round(({mde}) / ({pooled}), 6) end"
         ).alias("mde_rel"),
     )
+
+
+# O'Brien-Fleming-style boundary constant for K=4 equally-spaced looks
+# at two-sided alpha = .05 (the classic OBF table value; b_k scales as
+# C * sqrt(K / k) so early peeks need overwhelming evidence).
+OBF_C_K4 = "2.024"
+
+
+def group_sequential_looks(
+    events: DataFrame,
+    looks: int = 4,
+    conv_type: str = "purchase",
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts: str = "ts",
+    salt: str = "ab",
+    obf_c: str = OBF_C_K4,
+) -> DataFrame:
+    """Group-sequential interim analysis with O'Brien-Fleming
+    boundaries — the peeking-safe experiment monitor: the experiment
+    timeline splits into ``looks`` equal calendar slices, and at each
+    cumulative look the two-proportion z (ab_conversion's exact
+    aggregates restricted to users SEEN by the cutoff, conversions BY
+    the cutoff) is compared against b_k = C * sqrt(K / k), which
+    spends almost no alpha early so the final look keeps nearly the
+    fixed-horizon threshold.
+
+    Everything is one per-user collapse (first-seen day, first-
+    conversion day, md5 arm) exploded across the K looks into a
+    conditional aggregation — K is a literal, so the plan is one
+    groupBy(look) regardless of corpus size; day cutoffs come from a
+    broadcast 1-row bounds aggregate (no driver collect). z and the
+    boundary are single shared-text expressions over exact integers;
+    the reject flag compares the two rounded columns, identical in
+    both engines.
+
+    Output: (look, n_0, c_0, n_1, c_1, z, boundary, reject) — one row
+    per look; the final look's z equals ab_conversion's z on the same
+    stream (pinned by test).
+    """
+    from careers_spark.operators.dedup import _hash64_expr
+
+    keyed = f"concat(cast({key} as string), '|', '{salt}')"
+    day = F.expr(f"unix_micros(cast({ts} as timestamp)) div 86400000000")
+    per_user = (
+        events.select(
+            F.col(key),
+            F.expr(f"{_hash64_expr(keyed)} % 2").alias("arm"),
+            day.alias("d"),
+            F.when(F.col(type_col) == conv_type, day).alias("cd"),
+        )
+        .groupBy(key, "arm")
+        .agg(F.min("d").alias("first_d"), F.min("cd").alias("conv_d"))
+    )
+    bounds = events.select(day.alias("d")).agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    k = int(looks)
+    lk = per_user.crossJoin(F.broadcast(bounds)).select(
+        "arm",
+        "first_d",
+        "conv_d",
+        "lo",
+        "hi",
+        F.explode(F.expr(f"sequence(1, {k})")).alias("look"),
+    ).withColumn(
+        "cutoff", F.expr(f"lo + ((hi - lo + 1) * look) div {k} - 1")
+    )
+    agg = (
+        lk.filter(F.col("first_d") <= F.col("cutoff"))
+        .groupBy("look")
+        .agg(
+            F.sum(F.expr("case when arm = 0 then 1 else 0 end")).alias("n_0"),
+            F.sum(
+                F.expr(
+                    "case when arm = 0 and conv_d is not null"
+                    " and conv_d <= cutoff then 1 else 0 end"
+                )
+            ).alias("c_0"),
+            F.sum(F.expr("case when arm = 1 then 1 else 0 end")).alias("n_1"),
+            F.sum(
+                F.expr(
+                    "case when arm = 1 and conv_d is not null"
+                    " and conv_d <= cutoff then 1 else 0 end"
+                )
+            ).alias("c_1"),
+        )
+    )
+    z = (
+        "case when n_0 = 0 or n_1 = 0 then null else "
+        "(case when (c_0 + c_1) = 0 or (c_0 + c_1) = (n_0 + n_1) then null "
+        "else round((cast(c_1 as double) / cast(n_1 as double)"
+        " - cast(c_0 as double) / cast(n_0 as double))"
+        " / sqrt((cast(c_0 + c_1 as double) / cast(n_0 + n_1 as double))"
+        " * (1e0 - cast(c_0 + c_1 as double) / cast(n_0 + n_1 as double))"
+        " * (1e0 / cast(n_0 as double) + 1e0 / cast(n_1 as double))), 6)"
+        " end) end"
+    )
+    bound = f"round({obf_c} * sqrt({k}e0 / look), 6)"
+    return agg.select(
+        F.col("look").cast("int").alias("look"),
+        "n_0",
+        "c_0",
+        "n_1",
+        "c_1",
+        F.expr(z).alias("z"),
+        F.expr(bound).alias("boundary"),
+        F.expr(
+            f"case when ({z}) is null then false"
+            f" else abs({z}) >= ({bound}) end"
+        ).alias("reject"),
+    )
