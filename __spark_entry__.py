@@ -4206,6 +4206,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sequential_ab_looks"] = sequential_ab_looks
 
+    def entity_eccentricity(spark, sf_dir):
+        """Per-entity eccentricity (graph.eccentricity) over the
+        min_obs=35 graph — the radius/diameter/center view sharing
+        closeness_centrality's exact multi-source BFS; max_iter=11
+        raises on a >10-diameter graph instead of silently diverging
+        from the 10-round oracle unroll."""
+        from careers_spark.operators.graph import eccentricity
+
+        return eccentricity(_entity_edges(spark, sf_dir, 35), max_iter=11)
+
+    q["entity_eccentricity"] = entity_eccentricity
+
     return q
 
 
@@ -12660,5 +12672,17 @@ def oracle_sql() -> dict[str, str]:
                     ELSE abs({_gsq_z}) >= ({_gsq_b}) END AS reject
         FROM a
     """
+
+    # entity_eccentricity: the closeness BFS unroll chain reused
+    # verbatim with a max(d) close instead of the harmonic sums.
+    o["entity_eccentricity"] = (
+        "WITH "
+        + ",\n".join(_clo_chain)
+        + """
+        SELECT s AS node, CAST(count(*) AS BIGINT) AS n_reach,
+               CAST(max(d) AS BIGINT) AS eccentricity
+        FROM r10 GROUP BY s
+    """
+    )
 
     return o

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "dp_release_counts",
     "k_anonymity",
     "entity_closeness",
+    "entity_eccentricity",
     "ohlc_daily",
     "vwap_daily",
     "bitext_pairs",

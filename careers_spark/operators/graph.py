@@ -658,6 +658,52 @@ def assortativity(
     )
 
 
+def _all_pairs_dist(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    caller: str,
+) -> DataFrame:
+    """Shared multi-source BFS distance table (s, n, d) — the growing
+    first-discovery frontier loop used by closeness_centrality and
+    eccentricity; see closeness_centrality's docstring for the
+    fixpoint / cost argument. Raises on budget exhaustion."""
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = bidir.select(F.col("u").alias("node")).distinct()
+    dist = nodes.select(
+        F.col("node").alias("s"),
+        F.col("node").alias("n"),
+        F.lit(0).cast("long").alias("d"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(bidir, frontier.n == bidir.u)
+            .select("s", F.col("v").alias("n"), (F.col("d") + 1).alias("d"))
+            .groupBy("s", "n")
+            .agg(F.min("d").alias("d"))
+        )
+        new = cand.join(dist.select("s", "n"), ["s", "n"], "left_anti")
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        dist = dist.union(new).localCheckpoint(eager=True)
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"{caller}: no fixpoint within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the budget); refusing to "
+            "return truncated distances"
+        )
+    return dist
+
+
 def closeness_centrality(
     edges: DataFrame,
     src: str = "src",
@@ -692,38 +738,7 @@ def closeness_centrality(
     counts the node itself, isolated-in-graph nodes report NULL
     closeness (sum_d = 0).
     """
-    bidir = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes = bidir.select(F.col("u").alias("node")).distinct()
-    dist = nodes.select(
-        F.col("node").alias("s"),
-        F.col("node").alias("n"),
-        F.lit(0).cast("long").alias("d"),
-    ).localCheckpoint(eager=True)
-    frontier = dist
-    for _ in range(max_iter):
-        cand = (
-            frontier.join(bidir, frontier.n == bidir.u)
-            .select("s", F.col("v").alias("n"), (F.col("d") + 1).alias("d"))
-            .groupBy("s", "n")
-            .agg(F.min("d").alias("d"))
-        )
-        new = cand.join(dist.select("s", "n"), ["s", "n"], "left_anti")
-        new = new.localCheckpoint(eager=True)
-        if new.isEmpty():
-            break
-        dist = dist.union(new).localCheckpoint(eager=True)
-        frontier = new
-    else:
-        raise RuntimeError(
-            f"closeness_centrality: no fixpoint within max_iter={max_iter} "
-            "rounds (graph diameter exceeds the budget); refusing to "
-            "return truncated distances"
-        )
+    dist = _all_pairs_dist(edges, src, dst, max_iter, "closeness_centrality")
     per = dist.groupBy(F.col("s").alias("node")).agg(
         F.count("*").alias("n_reach"),
         F.sum("d").alias("sum_d"),
@@ -742,6 +757,32 @@ def closeness_centrality(
             "case when sum_d = 0 then null else "
             "round(cast(n_reach - 1 as double) / cast(sum_d as double), 9) end"
         ).alias("closeness"),
+    )
+
+
+def eccentricity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-node eccentricity over the same exact multi-source BFS as
+    closeness_centrality (shared _all_pairs_dist loop): the distance
+    to a node's FARTHEST reachable peer — max over the first-discovery
+    table, so it is a pure integer aggregate with the identical
+    fixpoint/budget guarantees. min(ecc) over the output is the graph
+    radius, max(ecc) its diameter; nodes at ecc == radius form the
+    center, ecc == diameter the periphery. On disconnected graphs the
+    n_reach column distinguishes components, so per-component radii
+    remain readable.
+
+    Output: (node, n_reach, eccentricity) — integer hops; an isolated
+    node (n_reach = 1) has eccentricity 0.
+    """
+    dist = _all_pairs_dist(edges, src, dst, max_iter, "eccentricity")
+    return dist.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("n_reach"),
+        F.max("d").alias("eccentricity"),
     )
 
 
