@@ -4218,6 +4218,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_eccentricity"] = entity_eccentricity
 
+    def spell_suggestions(spark, sf_dir):
+        """Did-you-mean suggestions for four misspelled corpus terms
+        (retrieval.spell_suggest): length-banded equi-join blocking
+        (provably lossless: |len diff| <= edit distance) +
+        levenshtein<=2 verify, ranked (dist, -freq, word)."""
+        from careers_spark.operators.retrieval import spell_suggest
+
+        return spell_suggest(
+            _t(spark, sf_dir, "documents"),
+            ["tabel", "qurey", "windw", "strem"],
+            max_dist=2,
+            top_n=3,
+        )
+
+    q["spell_suggestions"] = spell_suggestions
+
+    def event_count_dispersion(spark, sf_dir):
+        """Overdispersion triage of per-user event counts
+        (evaluation.count_dispersion): variance/mean index + the
+        Poisson dispersion chi-squared and its normal z — the
+        count-model diagnostic run before any Poisson assumption."""
+        from careers_spark.operators.evaluation import count_dispersion
+
+        return count_dispersion(_t(spark, sf_dir, "events"))
+
+    q["event_count_dispersion"] = event_count_dispersion
+
     return q
 
 
@@ -12684,5 +12711,73 @@ def oracle_sql() -> dict[str, str]:
         FROM r10 GROUP BY s
     """
     )
+
+    # spell_suggestions: length-banded candidates + levenshtein verify
+    # (unit-cost edit distance in both engines — fuzzy_part_match
+    # precedent); rank (dist, -freq, word).
+    o["spell_suggestions"] = f"""
+        WITH vocab AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                 CAST(length(w) AS BIGINT) AS wl
+          FROM (SELECT unnest({_DUCK_TOKS}) AS w FROM documents)
+          GROUP BY 1
+        ),
+        qs AS (
+          SELECT unnest(['tabel', 'qurey', 'windw', 'strem']) AS query
+        ),
+        ql AS (
+          SELECT query,
+                 CAST(unnest(range(length(query) - 2, length(query) + 3))
+                   AS BIGINT) AS wl
+          FROM qs
+        ),
+        cand AS (
+          SELECT query, w, freq, levenshtein(query, w) AS dist
+          FROM ql JOIN vocab USING (wl)
+          WHERE ql.wl >= 1 AND levenshtein(query, w) <= 2
+        ),
+        r AS (
+          SELECT query, w, dist, freq,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY dist, freq DESC, w) AS rk
+          FROM cand
+        )
+        SELECT query, w AS suggestion, CAST(dist AS INTEGER) AS dist,
+               freq, CAST(rk AS INTEGER) AS rk
+        FROM r WHERE rk <= 3
+    """
+
+    # event_count_dispersion: one groupBy + one 1-row close of exact
+    # BIGINTs; every statistic a shared-text expression.
+    o["event_count_dispersion"] = """
+        WITH per AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1
+        ),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(sum(c * c) AS BIGINT) AS ss
+          FROM per
+        )
+        SELECT n AS n_keys, s AS n_events,
+               round(s * 1e0 / n, 6) AS mean,
+               CASE WHEN n < 2 THEN NULL
+                    ELSE round((ss * 1e0 - s * 1e0 * s / n) / (n - 1e0), 6)
+               END AS variance,
+               CASE WHEN n < 2 OR s = 0 THEN NULL
+                    ELSE round(((ss * 1e0 - s * 1e0 * s / n) / (n - 1e0))
+                               / (s * 1e0 / n), 6) END AS dispersion,
+               CASE WHEN n < 2 OR s = 0 THEN NULL
+                    ELSE round((n - 1e0)
+                         * ((ss * 1e0 - s * 1e0 * s / n) / (n - 1e0))
+                         / (s * 1e0 / n), 6) END AS chi2_stat,
+               CASE WHEN n < 2 OR s = 0 THEN NULL
+                    ELSE round(sqrt(2e0 * ((n - 1e0)
+                         * ((ss * 1e0 - s * 1e0 * s / n) / (n - 1e0))
+                         / (s * 1e0 / n)))
+                         - sqrt(2e0 * (n - 1e0) - 1e0), 6) END AS z
+        FROM a
+    """
 
     return o

@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     "t_closeness",
     "pr_curve_quality",
     "sequential_ab_looks",
+    "spell_suggestions",
+    "event_count_dispersion",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",

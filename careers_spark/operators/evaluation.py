@@ -1332,3 +1332,58 @@ def pr_curve(
         .otherwise(F.expr("round(2e0 * tp / (2 * tp + fp + fn), 6)"))
         .alias("f1"),
     )
+
+
+def count_dispersion(
+    df: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Overdispersion diagnostic for per-key event counts — the
+    Poisson-vs-negative-binomial triage run before modeling any count
+    outcome (sessions per user, events per day): the variance-to-mean
+    dispersion index D and the classical Poisson dispersion (chi-
+    squared) statistic
+
+        X2 = (N - 1) * var / mean   ~  chi2(N - 1)  under Poisson,
+
+    reported with its normal approximation z = sqrt(2*X2) -
+    sqrt(2*(N-1) - 1) (Wilson-Hilferty's simpler cousin; |z| > 2 reads
+    "not Poisson"). One groupBy(key) count + one 1-row aggregate of
+    exact BIGINTs (n, S, SS); every derived value is a single
+    shared-text expression over those integers. NULL when fewer than
+    two keys or zero mean.
+
+    Output: one row (n_keys, n_events, mean, variance, dispersion,
+    chi2_stat, z).
+    """
+    per = df.groupBy(key).agg(F.count("*").alias("c"))
+    agg = per.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    mean = "s * 1e0 / n"
+    var = "(ss * 1e0 - s * 1e0 * s / n) / (n - 1e0)"
+    chi2 = f"(n - 1e0) * ({var}) / ({mean})"
+    bad = (F.col("n") < 2) | (F.col("s") == 0)
+    return agg.select(
+        F.col("n").alias("n_keys"),
+        F.col("s").alias("n_events"),
+        F.expr(f"round({mean}, 6)").alias("mean"),
+        F.when(F.col("n") < 2, F.lit(None).cast("double"))
+        .otherwise(F.expr(f"round({var}, 6)"))
+        .alias("variance"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.expr(f"round(({var}) / ({mean}), 6)"))
+        .alias("dispersion"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.expr(f"round({chi2}, 6)"))
+        .alias("chi2_stat"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.expr(
+                f"round(sqrt(2e0 * ({chi2}))"
+                f" - sqrt(2e0 * (n - 1e0) - 1e0), 6)"
+            )
+        )
+        .alias("z"),
+    )

@@ -593,3 +593,72 @@ def phrase_search(
         F.count("*").alias("n_matches"),
         F.min("start").alias("first_pos"),
     )
+
+
+def spell_suggest(
+    documents: DataFrame,
+    queries: list[str],
+    max_dist: int = 2,
+    top_n: int = 3,
+    text: str = "text",
+) -> DataFrame:
+    """Vocabulary-backed spelling suggestion — the did-you-mean step
+    in front of bm25/phrase search: for each query term, the top
+    corpus-vocabulary words within ``max_dist`` edits, ranked by
+    (distance, -frequency, word).
+
+    Blocking is LENGTH-banded and purely equi-join: each query
+    explodes to its 2*max_dist+1 admissible candidate lengths and
+    joins the vocabulary on length — no inequality join, no cross
+    join; |length(a)-length(b)| <= levenshtein(a,b) guarantees the
+    band loses nothing (the prefix_jaccard lossless-blocking
+    argument). levenshtein() is unit-cost edit distance in both
+    engines (the fuzzy_part_match precedent), so the oracle is exact.
+    The rank window partitions per query over a candidate set bounded
+    by the banded vocabulary slice.
+
+    Output: (query, suggestion, dist, freq, rk).
+    """
+    vocab = (
+        documents.select(F.explode(tokens_col(text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("wl", F.length("w"))
+    )
+    qs = ",".join("'" + q.lower().replace("'", "") + "'" for q in queries)
+    spark = documents.sparkSession
+    qdf = (
+        spark.range(1)
+        .select(F.explode(F.expr(f"array({qs})")).alias("query"))
+        .select(
+            "query",
+            F.explode(
+                F.expr(
+                    f"sequence(length(query) - {int(max_dist)},"
+                    f" length(query) + {int(max_dist)})"
+                )
+            ).alias("wl"),
+        )
+        .filter(F.col("wl") >= 1)
+    )
+    cand = (
+        qdf.join(vocab, "wl")
+        .withColumn("dist", F.expr("levenshtein(query, w)"))
+        .filter(F.col("dist") <= int(max_dist))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query").orderBy(
+        F.asc("dist"), F.desc("freq"), F.asc("w")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(top_n))
+        .select(
+            "query",
+            F.col("w").alias("suggestion"),
+            F.col("dist").cast("int").alias("dist"),
+            "freq",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
