@@ -4245,6 +4245,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_count_dispersion"] = event_count_dispersion
 
+    def training_feature_snapshot(spark, sf_dir):
+        """Leakage-free training-set assembly — the feature-store
+        read path: for every purchase (the label event), three
+        point-in-time-correct features built ONLY from strictly
+        earlier data: time since last click (asof_join), trailing-hour
+        click count (windowed_count_join), and the user's prior
+        cumulative spend (per-key window, rows to -1). Composes three
+        existing exact scale paths; no feature can see the label's
+        timestamp or later (the classic training-serving-skew bug is
+        structurally impossible here)."""
+        from pyspark.sql import Window
+
+        from careers_spark.operators.temporal import (
+            asof_join,
+            windowed_count_join,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        purchases = ev.filter("event_type = 'purchase'").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        clicks = ev.filter("event_type = 'click'").select(
+            "event_id", "user_id", "ts"
+        )
+        a = asof_join(
+            purchases.select("event_id", "user_id", "ts"),
+            clicks,
+            key="user_id",
+            ts="ts",
+            tiebreak="event_id",
+            payload=["ts"],
+            strict=True,
+        ).select(
+            "event_id",
+            (us("ts") - us("ts_asof")).alias("gap_since_click_us"),
+        )
+        c = windowed_count_join(
+            purchases.select("event_id", "user_id", "ts"),
+            clicks.select("user_id", "ts"),
+            key="user_id",
+            ts="ts",
+            window_us=3_600_000_000,
+            out="n_clicks_1h",
+        ).select("event_id", "n_clicks_1h")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        s = purchases.select(
+            "event_id",
+            "user_id",
+            us("ts").alias("ts_us"),
+            F.expr("cast(round(value * 100, 0) as bigint)").alias(
+                "label_cents"
+            ),
+        ).withColumn(
+            "prior_spend_cents",
+            F.coalesce(
+                F.sum("label_cents").over(w), F.lit(0).cast("long")
+            ),
+        )
+        return (
+            s.join(a, "event_id", "left")
+            .join(c, "event_id")
+            .select(
+                "event_id",
+                "user_id",
+                "ts_us",
+                "gap_since_click_us",
+                "n_clicks_1h",
+                "prior_spend_cents",
+                "label_cents",
+            )
+        )
+
+    q["training_feature_snapshot"] = training_feature_snapshot
+
     return q
 
 
@@ -12778,6 +12857,58 @@ def oracle_sql() -> dict[str, str]:
                          / (s * 1e0 / n)))
                          - sqrt(2e0 * (n - 1e0) - 1e0), 6) END AS z
         FROM a
+    """
+
+    # training_feature_snapshot: the asof union-window SQL, the range
+    # join stated directly, and the strictly-prior spend window — each
+    # an established-exact leg, joined on the label event id.
+    o["training_feature_snapshot"] = """
+        WITH u AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, 0 AS side, event_id AS tb,
+                 CAST(NULL AS BIGINT) AS p_ts, event_id AS l_eid
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, epoch_us(ts), 1, event_id,
+                 epoch_us(ts), CAST(NULL AS BIGINT)
+          FROM events WHERE event_type = 'click'
+        ),
+        w AS (
+          SELECT l_eid,
+                 ts_us - last_value(p_ts IGNORE NULLS) OVER win
+                   AS gap_since_click_us
+          FROM u
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, tb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        a AS (
+          SELECT l_eid AS event_id, gap_since_click_us
+          FROM w WHERE l_eid IS NOT NULL
+        ),
+        c AS (
+          SELECT p.event_id,
+                 CAST(count(cl.user_id) AS BIGINT) AS n_clicks_1h
+          FROM events p LEFT JOIN events cl
+            ON cl.user_id = p.user_id AND cl.event_type = 'click'
+           AND epoch_us(cl.ts) >= epoch_us(p.ts) - 3600000000
+           AND epoch_us(cl.ts) < epoch_us(p.ts)
+          WHERE p.event_type = 'purchase'
+          GROUP BY p.event_id
+        ),
+        s AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CAST(round(value * 100, 0) AS BIGINT) AS label_cents,
+                 CAST(coalesce(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT)
+                   AS prior_spend_cents
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT s.event_id, s.user_id, s.ts_us, a.gap_since_click_us,
+               c.n_clicks_1h, s.prior_spend_cents, s.label_cents
+        FROM s LEFT JOIN a ON a.event_id = s.event_id
+        JOIN c ON c.event_id = s.event_id
     """
 
     return o

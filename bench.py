@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "sequential_ab_looks",
     "spell_suggestions",
     "event_count_dispersion",
+    "training_feature_snapshot",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",

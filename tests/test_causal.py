@@ -241,3 +241,49 @@ def test_ips_lockstep_random(spark):
     ips, snips = _python_ips(rows, target)
     assert got.ips_value == ips
     assert got.snips_value == snips
+
+
+# ---------------------------------------------------------------------------
+# training_feature_snapshot (driver-query composition; legs are the
+# tested asof_join / windowed_count_join / prior-spend window)
+
+
+def test_feature_snapshot_is_leakage_free(spark, tmp_path):
+    import __spark_entry__ as E
+
+    rows = [
+        # user 1: click 10:00, purchase 11:30 ($2), purchase 12:00 ($3,
+        # with a click AT 12:00 exactly -> strictly-earlier excludes it)
+        (1, 1, datetime(2024, 1, 5, 10, 0, 0), "click", 0.10),
+        (2, 1, datetime(2024, 1, 5, 11, 30, 0), "purchase", 2.00),
+        (3, 1, datetime(2024, 1, 5, 12, 0, 0), "click", 0.10),
+        (4, 1, datetime(2024, 1, 5, 12, 0, 0), "purchase", 3.00),
+        # user 2: purchase with no clicks ever
+        (5, 2, datetime(2024, 1, 6, 9, 0, 0), "purchase", 7.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r.event_id: r
+        for r in E.queries()["training_feature_snapshot"](spark, d).collect()
+    }
+    # purchase 2: click 90 min earlier; no prior spend
+    assert got[2].gap_since_click_us == 90 * 60 * 1_000_000
+    assert got[2].prior_spend_cents == 0
+    assert got[2].n_clicks_1h == 0  # click is 90 min back, outside 1h
+    # purchase 4: the same-ts click is NOT visible (strict as-of), so
+    # the gap reaches back to 10:00; prior spend = purchase 2 only
+    assert got[4].gap_since_click_us == 120 * 60 * 1_000_000
+    assert got[4].prior_spend_cents == 200
+    assert got[4].n_clicks_1h == 0
+    # purchase 5: no click ever -> NULL gap, zero features
+    assert got[5].gap_since_click_us is None
+    assert got[5].prior_spend_cents == 0 and got[5].n_clicks_1h == 0
