@@ -4324,6 +4324,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_feature_snapshot"] = training_feature_snapshot
 
+    def seasonal_anomalies(spark, sf_dir):
+        """Seasonality-aware anomaly flags
+        (temporal.seasonal_adjusted_anomalies): hourly residuals from
+        the classical decomposition scored against a robust MAD band
+        with a one-count floor — neither daily rhythm nor trend can
+        page; edge hours report NULL flags honestly."""
+        from careers_spark.operators.temporal import (
+            seasonal_adjusted_anomalies,
+        )
+
+        return seasonal_adjusted_anomalies(_t(spark, sf_dir, "events"))
+
+    q["seasonal_anomalies"] = seasonal_anomalies
+
     return q
 
 
@@ -12909,6 +12923,25 @@ def oracle_sql() -> dict[str, str]:
                c.n_clicks_1h, s.prior_spend_cents, s.label_cents
         FROM s LEFT JOIN a ON a.event_id = s.event_id
         JOIN c ON c.event_id = s.event_id
+    """
+
+    # seasonal_anomalies: the decomposition SQL nested, med/mad via
+    # quantile_cont (percentile() twin), flag on the one-count floor.
+    o["seasonal_anomalies"] = f"""
+        WITH dec AS ({o["hourly_seasonal_decompose"]}),
+        m AS (
+          SELECT round(quantile_cont(residual, 0.5e0), 6) AS med
+          FROM dec WHERE residual IS NOT NULL
+        ),
+        md AS (
+          SELECT round(quantile_cont(abs(residual - med), 0.5e0), 6) AS mad
+          FROM dec, m WHERE residual IS NOT NULL
+        )
+        SELECT h, y, residual, med, mad,
+               CASE WHEN residual IS NULL THEN NULL
+                    ELSE abs(residual - med)
+                         > 5 * greatest(mad, 1e0) END AS is_anomaly
+        FROM dec, m, md
     """
 
     return o

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "tpch_q18",
     "ewma_hourly",
     "hourly_seasonal_decompose",
+    "seasonal_anomalies",
     "forecast_backtest",
     "did_purchase_lift",
     "matched_att_spend",

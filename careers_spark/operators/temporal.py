@@ -1641,3 +1641,61 @@ def holt_linear_forecast(
             ).alias("forecast_cents"),
         )
     )
+
+
+def seasonal_adjusted_anomalies(
+    events: DataFrame,
+    ts: str = "ts",
+    period: int = 24,
+    k_mads: int = 5,
+) -> DataFrame:
+    """Seasonality-aware anomaly flags — the alerting step the
+    decomposition exists for: score each hour's RESIDUAL (volume minus
+    trend minus daily profile) against a robust MAD band, so neither
+    the daily rhythm nor the long-run trend can page anyone, and a
+    single genuine spike cannot widen its own detection band the way
+    it would a stddev rule.
+
+    med and mad come from exact percentile() over the residual lattice
+    (the length_quantiles convention — DuckDB quantile_cont twin);
+    the flag compares |residual - med| > k * greatest(mad, 1) on
+    already-rounded values, identical in both engines — the one-COUNT
+    floor keeps a near-perfect series (mad ~ 0, where the centered MA
+    smears a spike into its neighbors' residuals) from flagging that
+    smear as k "zero-width MADs". Edge hours (NULL residual under the
+    centered MA) are reported with NULL flag rather than silently
+    dropped — an alerting gap the caller must know about.
+
+    Output: (h, y, residual, med, mad, is_anomaly).
+    """
+    dec = seasonal_decompose(events, ts=ts, period=period)
+    stats = dec.filter(F.col("residual").isNotNull()).agg(
+        F.expr("percentile(residual, 0.5e0)").alias("med0")
+    )
+    with_med = dec.crossJoin(F.broadcast(stats)).withColumn(
+        "med", F.round(F.col("med0"), 6)
+    )
+    mad_row = (
+        with_med.filter(F.col("residual").isNotNull())
+        .agg(
+            F.expr(
+                "round(percentile(abs(residual - med), 0.5e0), 6)"
+            ).alias("mad")
+        )
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad_row))
+        .select(
+            "h",
+            "y",
+            "residual",
+            "med",
+            "mad",
+            F.when(F.col("residual").isNull(), F.lit(None).cast("boolean"))
+            .otherwise(
+                F.abs(F.col("residual") - F.col("med"))
+                > F.lit(int(k_mads)) * F.greatest(F.col("mad"), F.lit(1e0))
+            )
+            .alias("is_anomaly"),
+        )
+    )

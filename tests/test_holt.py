@@ -73,3 +73,59 @@ def test_holt_weights_reject_empty():
 
     with pytest.raises(ValueError):
         holt_weights(0)
+
+
+# ---------------------------------------------------------------------------
+# seasonal_adjusted_anomalies
+
+
+def _hourly_events(spark, counts_by_hour):
+    """counts_by_hour: {hour_index: n_events} on 2024-01-01+."""
+    from datetime import datetime, timedelta
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    for h, n in counts_by_hour.items():
+        for _ in range(n):
+            rows.append((eid, base + timedelta(hours=h, minutes=1)))
+            eid += 1
+    return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+
+def test_seasonal_anomaly_flags_spike_not_rhythm(spark):
+    from careers_spark.operators.temporal import seasonal_adjusted_anomalies
+
+    # 6 days of a clean daily rhythm (10 + hod pattern), one spiked hour
+    counts = {}
+    for d in range(6):
+        for hod in range(24):
+            counts[d * 24 + hod] = 10 + (5 if 8 <= hod <= 17 else 0)
+    # +24 over 6 days: the spike leaks -4 into its hod siblings through
+    # the mean seasonal profile (classical-decomposition behavior),
+    # below the 5-count floor band, so only the spike itself fires
+    spike_h = 2 * 24 + 12
+    counts[spike_h] += 24
+    got = {
+        r.h: r
+        for r in seasonal_adjusted_anomalies(
+            _hourly_events(spark, counts)
+        ).collect()
+    }
+    h0 = min(got)
+    flagged = {h - h0 for h, r in got.items() if r.is_anomaly}
+    assert spike_h in flagged
+    # the pure rhythm never fires
+    assert flagged == {spike_h}
+
+
+def test_seasonal_anomaly_edges_null_not_dropped(spark):
+    from careers_spark.operators.temporal import seasonal_adjusted_anomalies
+
+    counts = {h: 5 for h in range(72)}
+    got = seasonal_adjusted_anomalies(_hourly_events(spark, counts)).collect()
+    # centered 24h MA leaves NULL residuals at both edges; rows remain
+    nulls = [r for r in got if r.residual is None]
+    assert len(nulls) >= 12
+    assert all(r.is_anomaly is None for r in nulls)
+    assert len(got) == 72
