@@ -4338,6 +4338,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["seasonal_anomalies"] = seasonal_anomalies
 
+    def uplift_purchase_deciles(spark, sf_dir):
+        """Uplift-by-decile / Qini table (evaluation.uplift_deciles):
+        users decile-ranked by view activity via exact-percentile
+        VALUE cuts (no global sort), per-decile treated-minus-control
+        purchase uplift + cumulative Qini under the shared md5 arms —
+        the heterogeneity view of the A/B readout."""
+        from careers_spark.operators.dedup import _hash64_expr
+        from careers_spark.operators.evaluation import uplift_deciles
+
+        keyed = "concat(cast(user_id as string), '|', 'ab')"
+        pu = (
+            _t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                ).alias("score"),
+                F.max(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("conv"),
+            )
+            .withColumn("treat", F.expr(f"{_hash64_expr(keyed)} % 2"))
+        )
+        return uplift_deciles(pu)
+
+    q["uplift_purchase_deciles"] = uplift_purchase_deciles
+
+    def documents_partition_plan(spark, sf_dir):
+        """Partition-sizing advisory for the documents table
+        (skew.partition_plan): exact per-row byte mass -> integer
+        ceiling plan toward 128 MB partitions — size shuffle
+        partitions from data, not folklore; pairs with
+        key_skew_report."""
+        from careers_spark.operators.skew import partition_plan
+
+        return partition_plan(
+            _t(spark, sf_dir, "documents"),
+            "octet_length(text) + octet_length(lang)"
+            " + octet_length(source) + 16",
+            target_mb=128,
+        )
+
+    q["documents_partition_plan"] = documents_partition_plan
+
     return q
 
 
@@ -12942,6 +12986,73 @@ def oracle_sql() -> dict[str, str]:
                     ELSE abs(residual - med)
                          > 5 * greatest(mad, 1e0) END AS is_anomaly
         FROM dec, m, md
+    """
+
+    # uplift_purchase_deciles: exact-percentile value cuts (quantile_
+    # cont twin), per-decile exact integer counts, shared-text uplift
+    # and Qini terms, 10-row cumulative (sum skips NULLs both engines).
+    _up_cuts = ", ".join(
+        f"quantile_cont(score, 0.{q}e0) AS c{q}" for q in range(1, 10)
+    )
+    _up_dec = " + ".join(
+        f"(CASE WHEN score > c{q} THEN 1 ELSE 0 END)" for q in range(1, 10)
+    )
+    o["uplift_purchase_deciles"] = f"""
+        WITH pu AS (
+          SELECT user_id, {_DUCK_H64.format(c=_ab_key)} % 2 AS t,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS score,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS c
+          FROM events GROUP BY 1, 2
+        ),
+        cuts AS (SELECT {_up_cuts} FROM pu),
+        d AS (
+          SELECT 10 - ({_up_dec}) AS decile, t, c FROM pu, cuts
+        ),
+        g AS (
+          SELECT decile,
+                 CAST(sum(t) AS BIGINT) AS n_t,
+                 CAST(sum(t * c) AS BIGINT) AS c_t,
+                 CAST(sum(1 - t) AS BIGINT) AS n_c,
+                 CAST(sum((1 - t) * c) AS BIGINT) AS c_c
+          FROM d GROUP BY 1
+        ),
+        r AS (
+          SELECT decile, n_t, c_t, n_c, c_c,
+                 CASE WHEN n_t = 0 OR n_c = 0 THEN NULL ELSE
+                   round(c_t * 1e0 / n_t - c_c * 1e0 / n_c, 6) END AS uplift,
+                 CASE WHEN n_c = 0 THEN NULL ELSE
+                   round(c_t - c_c * 1e0 * n_t / n_c, 6) END AS qini_term
+          FROM g
+        )
+        SELECT CAST(decile AS INTEGER) AS decile, n_t, c_t, n_c, c_c,
+               uplift, qini_term,
+               round(sum(qini_term) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                 AS qini_cum
+        FROM r
+    """
+
+    # documents_partition_plan: exact byte mass + integer ceilings.
+    o["documents_partition_plan"] = """
+        WITH a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(strlen(text) + strlen(lang)
+                      + strlen(source) + 16 AS BIGINT)) AS BIGINT)
+                   AS est_bytes
+          FROM documents
+        )
+        SELECT n_rows, est_bytes,
+               CAST(134217728 AS BIGINT) AS target_bytes,
+               greatest((est_bytes + 134217728 - 1) // 134217728, 1)
+                 AS recommended_partitions,
+               (n_rows + greatest((est_bytes + 134217728 - 1) // 134217728, 1)
+                 - 1) // greatest((est_bytes + 134217728 - 1) // 134217728, 1)
+                 AS rows_per_partition,
+               CASE WHEN n_rows = 0 THEN NULL
+                    ELSE est_bytes // n_rows END AS avg_row_bytes
+        FROM a
     """
 
     return o

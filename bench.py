@@ -245,6 +245,8 @@ BENCH_QUERIES = [
     "spell_suggestions",
     "event_count_dispersion",
     "training_feature_snapshot",
+    "uplift_purchase_deciles",
+    "documents_partition_plan",
     "langid_confusion",
     "langid_kappa",
     "score_calibration",

@@ -1387,3 +1387,81 @@ def count_dispersion(
         )
         .alias("z"),
     )
+
+
+def uplift_deciles(
+    df: DataFrame,
+    score: str = "score",
+    treat: str = "treat",
+    conv: str = "conv",
+) -> DataFrame:
+    """Uplift-by-decile / Qini table (Radcliffe 2007) — the evaluation
+    artifact of every uplift model and the heterogeneity view of an
+    A/B readout: units rank into score deciles (VALUE cuts from one
+    exact-percentile row — the rfm_segments recipe, no global sort),
+    and each decile reports treated-minus-control conversion uplift
+    plus the cumulative Qini statistic
+
+        Qini(k) = sum_{d<=k} ( c_t_d  -  c_c_d * n_t_d / n_c_d ).
+
+    ``df`` is one row per unit with a numeric ``score``, 0/1 ``treat``
+    and 0/1 ``conv``. Counts are exact integers from one groupBy on
+    the derived decile; per-decile uplift is a shared-text expression;
+    the Qini cumulative is a 10-row ordered window over already-
+    rounded terms — bounded, engine-deterministic. Ties at a cut value
+    fall to the lower decile (score > cut strictly advances). NULL
+    uplift where an arm is empty in the decile.
+
+    Output: (decile, n_t, c_t, n_c, c_c, uplift, qini_term,
+    qini_cum) — decile 1 = highest scores.
+    """
+    from pyspark.sql import Window
+
+    cuts = df.agg(
+        *[
+            F.expr(f"percentile({score}, {q / 10}e0)").alias(f"c{q}")
+            for q in range(1, 10)
+        ]
+    )
+    dec_expr = " + ".join(f"(case when {score} > c{q} then 1 else 0 end)" for q in range(1, 10))
+    per = (
+        df.crossJoin(F.broadcast(cuts))
+        .select(
+            F.expr(f"10 - ({dec_expr})").alias("decile"),
+            F.col(treat).cast("long").alias("t"),
+            F.col(conv).cast("long").alias("c"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("t").alias("n_t"),
+            F.sum(F.col("t") * F.col("c")).alias("c_t"),
+            F.sum(1 - F.col("t")).alias("n_c"),
+            F.sum((1 - F.col("t")) * F.col("c")).alias("c_c"),
+        )
+    )
+    term = (
+        "case when n_c = 0 then null else "
+        "round(c_t - c_c * 1e0 * n_t / n_c, 6) end"
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.withColumn(
+            "uplift",
+            F.expr(
+                "case when n_t = 0 or n_c = 0 then null else "
+                "round(c_t * 1e0 / n_t - c_c * 1e0 / n_c, 6) end"
+            ),
+        )
+        .withColumn("qini_term", F.expr(term))
+        .withColumn("qini_cum", F.round(F.sum("qini_term").over(w), 6))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_t",
+            "c_t",
+            "n_c",
+            "c_c",
+            "uplift",
+            "qini_term",
+            "qini_cum",
+        )
+    )

@@ -60,3 +60,46 @@ def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+def partition_plan(
+    df: DataFrame,
+    byte_expr: str,
+    target_mb: int = 128,
+) -> DataFrame:
+    """Partition-sizing advisory — size `spark.sql.shuffle.partitions`
+    and `files.maxPartitionBytes` from measured data instead of
+    folklore: one aggregate computes exact row count and per-row byte
+    mass (``byte_expr`` — an integer SQL expression over the row, e.g.
+    octet_length of the string columns plus fixed widths), and the
+    plan is pure integer ceiling arithmetic toward ``target_mb``
+    partitions. Pairs with key_skew_report: this sizes the partitions,
+    that one tells you whether a skewed key will blow one up anyway.
+
+    Exactness: counts and byte sums are BIGINTs; ceilings are integer
+    (a + b - 1) div b — no float anywhere.
+
+    Output: one row (n_rows, est_bytes, target_bytes,
+    recommended_partitions, rows_per_partition, avg_row_bytes).
+    """
+    tgt = int(target_mb) * 1024 * 1024
+    agg = df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr(f"cast({byte_expr} as bigint)")).alias("est_bytes"),
+    )
+    return agg.select(
+        "n_rows",
+        "est_bytes",
+        F.lit(tgt).cast("long").alias("target_bytes"),
+        F.expr(
+            f"greatest((est_bytes + {tgt} - 1) div {tgt}, 1)"
+        ).alias("recommended_partitions"),
+        F.expr(
+            f"(n_rows + greatest((est_bytes + {tgt} - 1) div {tgt}, 1) - 1)"
+            f" div greatest((est_bytes + {tgt} - 1) div {tgt}, 1)"
+        ).alias("rows_per_partition"),
+        F.expr(
+            "case when n_rows = 0 then null"
+            " else est_bytes div n_rows end"
+        ).alias("avg_row_bytes"),
+    )
