@@ -4382,6 +4382,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["documents_partition_plan"] = documents_partition_plan
 
+    def entity_attack_robustness(spark, sf_dir):
+        """Targeted-attack robustness curve of the min_obs=35 entity
+        graph (graph.attack_robustness): remove the top-k degree hubs
+        (k = 0/1/2/4) and measure surviving nodes/edges/largest
+        component via the deterministic min-label CC — the
+        hub-dependence audit of the KG."""
+        from careers_spark.operators.graph import attack_robustness
+
+        return attack_robustness(
+            _entity_edges(spark, sf_dir, 35), ks=(0, 1, 2, 4)
+        )
+
+    q["entity_attack_robustness"] = entity_attack_robustness
+
     return q
 
 
@@ -13054,5 +13068,81 @@ def oracle_sql() -> dict[str, str]:
                     ELSE est_bytes // n_rows END AS avg_row_bytes
         FROM a
     """
+
+    # entity_attack_robustness: shared degree-rank prefix, then per k
+    # a kept-edge CTE and a 30-round min-label CC unroll (fixpoint for
+    # any post-removal diameter <= 30 on the vocabulary-bounded graph;
+    # extra rounds past the fixpoint are verbatim no-ops, and Spark's
+    # CC converges to the same min-reachable-id labels regardless of
+    # its iteration schedule).
+    _rob_parts = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        bidir AS (
+          SELECT src AS u, dst AS v FROM e
+          UNION ALL SELECT dst, src FROM e
+        ),
+        deg AS (
+          SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM bidir GROUP BY 1
+        ),
+        rnk AS (
+          SELECT node, row_number() OVER (ORDER BY deg DESC, node) AS rk
+          FROM deg
+        )"""
+    ]
+    for _k in (0, 1, 2, 4):
+        _rob_parts.append(
+            f"""kept{_k} AS MATERIALIZED (
+          SELECT src, dst FROM e
+          WHERE src NOT IN (SELECT node FROM rnk WHERE rk <= {_k})
+            AND dst NOT IN (SELECT node FROM rnk WHERE rk <= {_k})
+        ),
+        kb{_k} AS MATERIALIZED (
+          SELECT src AS u, dst AS v FROM kept{_k}
+          UNION ALL SELECT dst, src FROM kept{_k}
+        ),
+        c{_k}_0 AS MATERIALIZED (
+          SELECT DISTINCT u AS n, u AS lbl FROM kb{_k}
+        )"""
+        )
+        for _r in range(1, 31):
+            _rob_parts.append(
+                f"""c{_k}_{_r} AS MATERIALIZED (
+          SELECT n, min(lbl) AS lbl FROM (
+            SELECT n, lbl FROM c{_k}_{_r - 1}
+            UNION ALL
+            SELECT b.v AS n, c.lbl
+            FROM c{_k}_{_r - 1} c JOIN kb{_k} b ON b.u = c.n
+          ) GROUP BY n
+        )"""
+            )
+        _rob_parts.append(
+            f"""s{_k} AS (
+          SELECT CAST({_k} AS INTEGER) AS k,
+                 coalesce(CAST(sum(csz) AS BIGINT), CAST(0 AS BIGINT))
+                   AS n_nodes,
+                 (SELECT CAST(count(*) AS BIGINT) FROM kept{_k}) AS n_edges,
+                 coalesce(CAST(max(csz) AS BIGINT), CAST(0 AS BIGINT))
+                   AS largest_cc
+          FROM (
+            SELECT lbl, CAST(count(*) AS BIGINT) AS csz
+            FROM c{_k}_30 GROUP BY lbl
+          )
+        )"""
+        )
+    o["entity_attack_robustness"] = (
+        "WITH "
+        + ",\n".join(_rob_parts)
+        + "\nSELECT * FROM s0 UNION ALL SELECT * FROM s1"
+        + " UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s4"
+    )
 
     return o

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "k_anonymity",
     "entity_closeness",
     "entity_eccentricity",
+    "entity_attack_robustness",
     "ohlc_daily",
     "vwap_daily",
     "bitext_pairs",

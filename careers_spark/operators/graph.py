@@ -1964,3 +1964,83 @@ def sweep_cut(
             & (F.col("rank") == F.col("b.rank"))
         ).alias("is_best"),
     )
+
+
+def attack_robustness(
+    edges: DataFrame,
+    ks: tuple[int, ...] = (0, 1, 2, 4),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Targeted-attack robustness curve (Albert, Jeong & Barabasi
+    2000): remove the top-k highest-degree hubs and measure what is
+    left — the resilience audit of the entity graph (a KG whose giant
+    component shatters after two hub removals is a KG held together by
+    generic entities).
+
+    Hubs rank by (degree desc, node asc) over the node DIMENSION (the
+    single-partition window is vocabulary-bounded — the closeness
+    argument; never corpus-sized). For each k the kept edge set is two
+    broadcast anti-joins, and the surviving structure is measured by
+    the existing deterministic connected_components (min-label
+    propagation, O(diameter) rounds). Nodes are counted while they
+    still carry an edge; a node isolated BY the removal leaves the
+    graph (documented semantics — the curve measures surviving
+    connectivity, not inventory).
+
+    Output: (k, n_nodes, n_edges, largest_cc) — one row per k;
+    integers only, so the oracle is exact with zero tolerance.
+    """
+    from careers_spark.operators.canonicalize import connected_components
+    from pyspark.sql import Window
+
+    bidir = (
+        edges.selectExpr(f"{src} as u", f"{dst} as v")
+        .union(edges.selectExpr(f"{dst} as u", f"{src} as v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    deg = bidir.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    ranked = deg.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("deg"), F.asc("node"))),
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    out = None
+    for k in ks:
+        hubs = ranked.filter(F.col("rk") <= int(k)).select(
+            F.col("node").alias("h")
+        )
+        kept = (
+            edges.selectExpr(f"{src} as src", f"{dst} as dst")
+            .join(
+                F.broadcast(hubs), F.col("src") == F.col("h"), "left_anti"
+            )
+            .join(
+                F.broadcast(hubs), F.col("dst") == F.col("h"), "left_anti"
+            )
+        )
+        cc = connected_components(kept)
+        row = (
+            cc.groupBy("component")
+            .agg(F.count("*").alias("sz"))
+            .agg(
+                F.coalesce(F.sum("sz"), F.lit(0).cast("long")).alias(
+                    "n_nodes"
+                ),
+                F.coalesce(F.max("sz"), F.lit(0).cast("long")).alias(
+                    "largest_cc"
+                ),
+            )
+            .crossJoin(kept.agg(F.count("*").alias("n_edges")))
+            .select(
+                F.lit(int(k)).cast("int").alias("k"),
+                "n_nodes",
+                "n_edges",
+                "largest_cc",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

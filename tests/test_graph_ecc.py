@@ -41,3 +41,44 @@ def test_eccentricity_consistent_with_closeness_reach(spark):
     reach_c = {r.node: r.n_reach for r in closeness_centrality(e).collect()}
     reach_e = {r.node: r.n_reach for r in eccentricity(e).collect()}
     assert reach_c == reach_e
+
+
+# ---------------------------------------------------------------------------
+# attack_robustness
+
+
+def test_attack_star_shatters_at_one(spark):
+    from careers_spark.operators.graph import attack_robustness
+
+    # star: hub h with 5 leaves — removing the single hub leaves no edges
+    e = _edges(spark, [("h", f"l{i}") for i in range(5)])
+    got = {r.k: r for r in attack_robustness(e, ks=(0, 1)).collect()}
+    assert (got[0].n_nodes, got[0].n_edges, got[0].largest_cc) == (6, 5, 6)
+    assert (got[1].n_nodes, got[1].n_edges, got[1].largest_cc) == (0, 0, 0)
+
+
+def test_attack_ring_degrades_gracefully(spark):
+    from careers_spark.operators.graph import attack_robustness
+
+    # 6-ring: every removal only opens the ring (all degrees equal, so
+    # ties break by node name)
+    n = 6
+    e = _edges(spark, [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)])
+    got = {r.k: r for r in attack_robustness(e, ks=(0, 1, 2)).collect()}
+    assert got[0].largest_cc == 6
+    assert got[1].largest_cc == 5  # path of the 5 survivors
+    # k=2 removes n0, n1 (tie-break asc): survivors n2..n5 still a path
+    assert got[2].largest_cc == 4
+
+
+def test_attack_two_cliques_bridge(spark):
+    from careers_spark.operators.graph import attack_robustness
+
+    # two triangles joined through hub b (degree 4); removing it splits
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("b", "x"), ("b", "y"), ("x", "y")]
+    e = _edges(spark, tri1 + tri2)
+    got = {r.k: r for r in attack_robustness(e, ks=(0, 1)).collect()}
+    assert got[0].largest_cc == 5
+    assert got[1].largest_cc == 2  # {a,c} and {x,y} remain
+    assert got[1].n_nodes == 4
