@@ -4396,6 +4396,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_attack_robustness"] = entity_attack_robustness
 
+    def anova_priority_totalprice(spark, sf_dir):
+        """One-way ANOVA F across the five order-priority classes on
+        order value in exact cents (evaluation.anova_oneway): the
+        k-sample mean-difference readout beside welch_ttest; squared
+        channel rides DECIMAL(38,0) so 1e9-row corpora can't overflow."""
+        from careers_spark.operators.evaluation import anova_oneway
+
+        o = _t(spark, sf_dir, "orders").select(
+            F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias(
+                "cents"
+            ),
+            "o_orderpriority",
+        )
+        return anova_oneway(o, value="cents", group="o_orderpriority")
+
+    q["anova_priority_totalprice"] = anova_priority_totalprice
+
+    def kruskal_quantity_returnflag(spark, sf_dir):
+        """Kruskal-Wallis H of line-item quantity across return flags
+        (evaluation.kruskal_wallis): the distribution-free k-sample
+        test on a heavily tied 50-value lattice — exercises the tie
+        correction; rank algebra over the distinct-value lattice,
+        never per-row ranks."""
+        from careers_spark.operators.evaluation import kruskal_wallis
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.expr("cast(round(l_quantity, 0) as bigint)").alias("qty"),
+            "l_returnflag",
+        )
+        return kruskal_wallis(li, value="qty", group="l_returnflag")
+
+    q["kruskal_quantity_returnflag"] = kruskal_quantity_returnflag
+
     return q
 
 
@@ -13144,5 +13177,140 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT * FROM s0 UNION ALL SELECT * FROM s1"
         + " UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s4"
     )
+
+    # anova_priority_totalprice: per-group BIGINT (n, s) + HUGEINT ss;
+    # group means fixed-pointed EXACTLY at 1e-6 by half-up integer
+    # division ((2e6*s + n) // (2n)); ssb/ssw accumulate in HUGEINT
+    # (Spark DECIMAL(38,0)) in 1e-12 units; F/ssb/ssw are shared-text
+    # double closes. No raw s^2/n term ever exists (BIGINT overflow +
+    # Spark shortest-repr decimal-cast divergence).
+    o["anova_priority_totalprice"] = """
+        WITH v AS (
+          SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                 o_orderpriority
+          FROM orders
+        ),
+        g AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(cents) AS BIGINT) AS s_g,
+                 CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss_g
+          FROM v GROUP BY 1
+        ),
+        g2 AS (
+          SELECT *,
+                 CAST((2000000 * CAST(s_g AS HUGEINT) + n_g) // (2 * n_g)
+                      AS BIGINT) AS mfp_g
+          FROM g
+        ),
+        gl AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 CAST(sum(n_g) AS BIGINT) AS n_total,
+                 CAST((2000000 * CAST(sum(s_g) AS HUGEINT) + sum(n_g))
+                      // (2 * sum(n_g)) AS BIGINT) AS mfp
+          FROM g2
+        ),
+        a AS (
+          SELECT k_groups, n_total,
+                 CAST(sum(n_g * (CAST(mfp_g - mfp AS HUGEINT)
+                                 * CAST(mfp_g - mfp AS HUGEINT)))
+                      AS HUGEINT) AS ssb_fp,
+                 CAST(sum(CAST(1000000000000 AS HUGEINT) * ss_g
+                          - n_g * (CAST(mfp_g AS HUGEINT) * mfp_g))
+                      AS HUGEINT) AS ssw_fp
+          FROM g2 CROSS JOIN gl
+          GROUP BY 1, 2
+        )
+        SELECT k_groups, n_total,
+               round(CAST(ssb_fp AS DOUBLE) / 1e12, 6) AS ssb,
+               round(CAST(ssw_fp AS DOUBLE) / 1e12, 6) AS ssw,
+               CAST(k_groups - 1 AS BIGINT) AS df1,
+               CAST(n_total - k_groups AS BIGINT) AS df2,
+               CASE WHEN k_groups < 2 OR n_total <= k_groups OR ssw_fp <= 0
+                    THEN NULL
+                    ELSE round((CAST(ssb_fp AS DOUBLE) / (k_groups - 1e0))
+                         / (CAST(ssw_fp AS DOUBLE)
+                            / (n_total - k_groups * 1e0)), 6)
+               END AS f_stat
+        FROM a
+    """
+
+    # kruskal_quantity_returnflag: distinct-value lattice cumulative
+    # (the AUC recipe), doubled rank sums exact in BIGINT, per-group
+    # H terms quantized to HUGEINT, shared-text H / tie-correction
+    # close.
+    o["kruskal_quantity_returnflag"] = """
+        WITH v AS (
+          SELECT CAST(round(l_quantity, 0) AS BIGINT) AS qty, l_returnflag
+          FROM lineitem
+        ),
+        per AS (
+          SELECT qty, l_returnflag, CAST(count(*) AS BIGINT) AS c_gv
+          FROM v GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT qty, CAST(sum(c_gv) AS BIGINT) AS t_v
+          FROM per GROUP BY 1
+        ),
+        tot2 AS (
+          SELECT qty, t_v,
+                 coalesce(CAST(sum(t_v) OVER (ORDER BY qty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_v
+          FROM tot
+        ),
+        byg AS (
+          SELECT p.l_returnflag,
+                 CAST(sum(p.c_gv) AS BIGINT) AS n_g,
+                 CAST(sum(p.c_gv * (2 * t.cum_v + t.t_v + 1)) AS BIGINT)
+                   AS r2_g
+          FROM per p JOIN tot2 t ON p.qty = t.qty
+          GROUP BY 1
+        ),
+        byg2 AS (
+          SELECT *,
+                 CAST((2000000 * CAST(r2_g AS HUGEINT) + n_g) // (2 * n_g)
+                      AS BIGINT) AS afp_g
+          FROM byg
+        ),
+        ranks AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 CAST(sum(n_g) AS BIGINT) AS n_total
+          FROM byg2
+        ),
+        sfp AS (
+          SELECT CAST(sum(n_g
+                   * (CAST(afp_g - 1000000 * (r.n_total + 1) AS HUGEINT)
+                      * CAST(afp_g - 1000000 * (r.n_total + 1) AS HUGEINT)))
+                   AS HUGEINT) AS s_fp
+          FROM byg2 CROSS JOIN ranks r
+        ),
+        ties AS (
+          SELECT CAST(sum(CAST(t_v AS HUGEINT) * t_v * t_v - t_v)
+                      AS HUGEINT) AS t3_sum,
+                 CAST(count(*) AS BIGINT) AS n_distinct
+          FROM tot
+        )
+        SELECT k_groups, n_total, n_distinct,
+               CASE WHEN k_groups < 2 THEN NULL
+                    ELSE round((3e0 * CAST(s_fp AS DOUBLE)
+                         / (1e12 * n_total * (n_total + 1e0))), 6)
+               END AS h_stat,
+               round((1e0 - CAST(t3_sum AS DOUBLE)
+                     / (n_total * 1e0 * n_total * n_total - n_total)), 6)
+                 AS tie_correction,
+               CASE WHEN k_groups < 2
+                         OR (1e0 - CAST(t3_sum AS DOUBLE)
+                             / (n_total * 1e0 * n_total * n_total - n_total))
+                            = 0
+                    THEN NULL
+                    ELSE round((3e0 * CAST(s_fp AS DOUBLE)
+                         / (1e12 * n_total * (n_total + 1e0)))
+                         / (1e0 - CAST(t3_sum AS DOUBLE)
+                            / (n_total * 1e0 * n_total * n_total - n_total)),
+                         6)
+               END AS h_adj
+        FROM ties CROSS JOIN ranks CROSS JOIN sfp
+    """
 
     return o

@@ -255,6 +255,8 @@ BENCH_QUERIES = [
     "length_quality_kendall",
     "length_split_gain",
     "welch_ttest",
+    "anova_priority_totalprice",
+    "kruskal_quantity_returnflag",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

@@ -1465,3 +1465,200 @@ def uplift_deciles(
             "qini_cum",
         )
     )
+
+
+def anova_oneway(
+    df: DataFrame, value: str = "value", group: str = "grp"
+) -> DataFrame:
+    """One-way ANOVA F-test of an INTEGER value column across the
+    levels of ``group`` — the k-sample generalization of welch_ttest
+    (classical equal-variance Fisher form): does mean order value
+    differ across priority classes?
+
+    Exactness: one partial-agg groupBy collects per-group (n, sum) as
+    BIGINT and sum-of-squares as DECIMAL(38,0) (values up to ~5e7
+    cents square to 2.5e15 — a 1e9-row corpus overflows BIGINT, so the
+    squared channel rides decimal / DuckDB HUGEINT). The raw
+    sums-of-squares route s_g^2/n_g is NOT taken: at 1e12 rows it
+    overflows BIGINT `div`, and lifting a >2^53 double into decimal
+    crosses Spark's shortest-decimal-repr cast (engine-divergent, the
+    mismatch this function's first draft hit). Instead each group mean
+    is fixed-pointed EXACTLY at 1e-6 by round-half-up integer division
+
+        mfp_g = (2*10^6*s_g + n_g) div (2*n_g)          (BIGINT)
+
+    and SSB/SSW accumulate in DECIMAL(38,0) in units of 1e-12:
+
+        ssb_fp = sum_g n_g * (mfp_g - mfp)^2
+        ssw_fp = sum_g ( 10^12 * ss_g - n_g * mfp_g^2 )
+
+    — every product exact in decimal, every reduction order-free. The
+    reported ssb/ssw and F are single shared-text double closes (the
+    1e-6 mean lattice perturbs F ~13 orders below its magnitude, and
+    identically in both engines). NULL f_stat when k < 2, df2 <= 0,
+    or ssw_fp <= 0 (zero within-variance, or the lattice's worst-case
+    ~1e-6 undershoot of an exact zero).
+
+    Scale shape: two algebraic aggregations (group level, then a
+    k-row close with the 1-row global broadcast) — no window, no
+    sort, no driver loop.
+
+    Output: one row (k_groups, n_total, ssb, ssw, df1, df2, f_stat).
+    """
+    v = F.col(value).cast("long")
+    g = df.groupBy(group).agg(
+        F.count("*").alias("n_g"),
+        F.sum(v).alias("s_g"),
+        F.sum(v.cast("decimal(19,0)") * v).alias("ss_g"),
+    )
+    g = g.withColumn(
+        "mfp_g",
+        F.expr(
+            "(2000000 * cast(s_g as decimal(38,0)) + n_g) div (2 * n_g)"
+        ),
+    )
+    glob = g.agg(
+        F.count("*").alias("k_groups"),
+        F.sum("n_g").alias("n_total"),
+        F.sum("s_g").alias("s_all"),
+    ).withColumn(
+        "mfp",
+        F.expr(
+            "(2000000 * cast(s_all as decimal(38,0)) + n_total)"
+            " div (2 * n_total)"
+        ),
+    )
+    both = g.crossJoin(F.broadcast(glob))
+    agg = both.groupBy("k_groups", "n_total").agg(
+        F.sum(
+            F.expr(
+                "n_g * (cast(mfp_g - mfp as decimal(38,0))"
+                " * cast(mfp_g - mfp as decimal(38,0)))"
+            )
+        ).alias("ssb_fp"),
+        F.sum(
+            F.expr(
+                "cast(1000000000000 as decimal(38,0)) * ss_g"
+                " - n_g * (cast(mfp_g as decimal(38,0)) * mfp_g)"
+            )
+        ).alias("ssw_fp"),
+    )
+    bad = (
+        (F.col("k_groups") < 2)
+        | (F.col("n_total") <= F.col("k_groups"))
+        | (F.col("ssw_fp") <= 0)
+    )
+    fstat = (
+        "round((cast(ssb_fp as double) / (k_groups - 1e0))"
+        " / (cast(ssw_fp as double) / (n_total - k_groups * 1e0)), 6)"
+    )
+    return agg.select(
+        "k_groups",
+        "n_total",
+        F.expr("round(cast(ssb_fp as double) / 1e12, 6)").alias("ssb"),
+        F.expr("round(cast(ssw_fp as double) / 1e12, 6)").alias("ssw"),
+        (F.col("k_groups") - 1).cast("long").alias("df1"),
+        (F.col("n_total") - F.col("k_groups")).cast("long").alias("df2"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.expr(fstat))
+        .alias("f_stat"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, value: str = "value", group: str = "grp"
+) -> DataFrame:
+    """Kruskal-Wallis H-test (rank one-way ANOVA) of a value column
+    across the levels of ``group``, with the standard tie correction —
+    the distribution-free companion to anova_oneway and the k-sample
+    generalization of mann_whitney_u.
+
+    Rank algebra without per-row ranking (the AUC / Mann-Whitney
+    recipe): rows collapse to one row per DISTINCT value with
+    per-group counts; the average rank of a distinct value v is
+    cum(<v) + (t_v + 1)/2, so TWICE the per-group rank sum
+
+        r2_g = sum_v  c_gv * (2*cum_v + t_v + 1)        (exact BIGINT)
+
+    The cumulative runs over the distinct-value lattice only — bounded
+    cardinality for lattice-valued inputs (quantities, rounded
+    scores), never corpus-sized. Per-group mean doubled-ranks fix-
+    point EXACTLY at 1e-6 (the anova_oneway recipe — r2_g^2/n_g would
+    overflow at 1e12 rows):
+
+        afp_g = (2*10^6*r2_g + n_g) div (2*n_g)         (BIGINT)
+        c     = 10^6 * (N + 1)     -- doubled global mean rank, exact
+        s_fp  = sum_g n_g * (afp_g - c)^2               (DECIMAL(38,0))
+
+    and by the between-groups identity H = 12/(N(N+1)) * sum_g n_g *
+    (rbar_g - rbar)^2 = 3 * s_fp / (1e12 * N * (N+1)) — one shared-
+    text double close (the /4 converts doubled ranks). Tie correction
+    C = 1 - sum_v (t_v^3 - t_v)/(N^3 - N) from exact decimal sums;
+    h_adj = H / C, NULL when k < 2 or all values tie (C = 0).
+
+    Output: one row (k_groups, n_total, n_distinct, h_stat,
+    tie_correction, h_adj).
+    """
+    per = df.groupBy(value, group).agg(F.count("*").alias("c_gv"))
+    tot = per.groupBy(value).agg(F.sum("c_gv").alias("t_v"))
+    w = Window.orderBy(value).rowsBetween(Window.unboundedPreceding, -1)
+    tot2 = tot.withColumn(
+        "cum_v", F.coalesce(F.sum("t_v").over(w), F.lit(0))
+    )
+    joined = per.join(tot2, value)
+    byg = joined.groupBy(group).agg(
+        F.sum("c_gv").alias("n_g"),
+        F.sum(
+            F.col("c_gv") * (2 * F.col("cum_v") + F.col("t_v") + 1)
+        ).alias("r2_g"),
+    )
+    byg = byg.withColumn(
+        "afp_g",
+        F.expr(
+            "(2000000 * cast(r2_g as decimal(38,0)) + n_g) div (2 * n_g)"
+        ),
+    )
+    ranks = byg.agg(
+        F.count("*").alias("k_groups"),
+        F.sum("n_g").alias("n_total"),
+    )
+    dev = (
+        "cast(afp_g - 1000000 * (n_tot_b + 1) as decimal(38,0))"
+    )
+    sfp = (
+        byg.crossJoin(
+            F.broadcast(ranks.select(F.col("n_total").alias("n_tot_b")))
+        )
+        .agg(F.sum(F.expr(f"n_g * ({dev} * {dev})")).alias("s_fp"))
+    )
+    ties = tot.agg(
+        F.sum(
+            F.col("t_v").cast("decimal(19,0)") * F.col("t_v") * F.col("t_v")
+            - F.col("t_v")
+        ).alias("t3_sum"),
+        F.count("*").alias("n_distinct"),
+    )
+    both = ranks.crossJoin(ties).crossJoin(sfp)
+    h = (
+        "(3e0 * cast(s_fp as double)"
+        " / (1e12 * n_total * (n_total + 1e0)))"
+    )
+    ctie = (
+        "(1e0 - cast(t3_sum as double)"
+        " / (n_total * 1e0 * n_total * n_total - n_total))"
+    )
+    return both.select(
+        "k_groups",
+        "n_total",
+        "n_distinct",
+        F.when(F.col("k_groups") < 2, F.lit(None).cast("double"))
+        .otherwise(F.expr(f"round({h}, 6)"))
+        .alias("h_stat"),
+        F.expr(f"round({ctie}, 6)").alias("tie_correction"),
+        F.when(
+            (F.col("k_groups") < 2) | (F.expr(ctie) == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.expr(f"round({h} / {ctie}, 6)"))
+        .alias("h_adj"),
+    )
