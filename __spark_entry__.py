@@ -4429,6 +4429,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kruskal_quantity_returnflag"] = kruskal_quantity_returnflag
 
+    def mcnemar_purchase_halves(spark, sf_dir):
+        """McNemar paired test (evaluation.mcnemar_paired): per user,
+        purchased-in-first-half vs purchased-in-second-half of the
+        event timeline (midpoint = exact integer-us halving of the
+        observed range) — did conversion shift, judged on the
+        discordant users only."""
+        from careers_spark.operators.evaluation import mcnemar_paired
+
+        ev = _t(spark, sf_dir, "events")
+        bounds = ev.agg(
+            F.expr("min(unix_micros(cast(ts as timestamp)))").alias("lo"),
+            F.expr("max(unix_micros(cast(ts as timestamp)))").alias("hi"),
+        ).withColumn("mid", F.expr("lo + (hi - lo) div 2"))
+        per = (
+            ev.crossJoin(F.broadcast(bounds))
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.expr(
+                        "case when event_type = 'purchase' and "
+                        "unix_micros(cast(ts as timestamp)) <= mid "
+                        "then 1 else 0 end"
+                    )
+                ).alias("flag_a"),
+                F.max(
+                    F.expr(
+                        "case when event_type = 'purchase' and "
+                        "unix_micros(cast(ts as timestamp)) > mid "
+                        "then 1 else 0 end"
+                    )
+                ).alias("flag_b"),
+            )
+        )
+        return mcnemar_paired(per)
+
+    q["mcnemar_purchase_halves"] = mcnemar_purchase_halves
+
+    def event_hour_mutual_info(spark, sf_dir):
+        """Mutual information / entropies / NMI between event type and
+        hour-of-day (evaluation.mutual_information): the association-
+        strength profile behind the hourly seasonality queries; cell
+        log factors ride the 1e-9 fixed-point lattice so every
+        reduction is an exact integer sum."""
+        from careers_spark.operators.evaluation import mutual_information
+
+        ev = _t(spark, sf_dir, "events").select(
+            F.col("event_type").alias("x"),
+            F.expr("hour(cast(ts as timestamp))").alias("y"),
+        )
+        return mutual_information(ev)
+
+    q["event_hour_mutual_info"] = event_hour_mutual_info
+
     return q
 
 
@@ -13311,6 +13364,88 @@ def oracle_sql() -> dict[str, str]:
                          6)
                END AS h_adj
         FROM ties CROSS JOIN ranks CROSS JOIN sfp
+    """
+
+    # mcnemar_purchase_halves: integer-us midpoint split, per-user max
+    # flags, exact 2x2 cells, one shared-text continuity-corrected
+    # chi-square.
+    o["mcnemar_purchase_halves"] = """
+        WITH b AS (
+          SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+          FROM events
+        ),
+        m AS (SELECT lo + (hi - lo) // 2 AS mid FROM b),
+        per AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase'
+                          AND epoch_us(ts) <= mid THEN 1 ELSE 0 END) AS fa,
+                 max(CASE WHEN event_type = 'purchase'
+                          AND epoch_us(ts) > mid THEN 1 ELSE 0 END) AS fb
+          FROM events CROSS JOIN m
+          GROUP BY 1
+        ),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(sum((1 - fa) * (1 - fb)) AS BIGINT) AS n00,
+                 CAST(sum((1 - fa) * fb) AS BIGINT) AS n01,
+                 CAST(sum(fa * (1 - fb)) AS BIGINT) AS n10,
+                 CAST(sum(fa * fb) AS BIGINT) AS n11
+          FROM per
+        )
+        SELECT n_units, n00, n01, n10, n11,
+               CASE WHEN n01 + n10 = 0 THEN NULL
+                    ELSE round((abs(n01 - n10) - 1e0)
+                         * (abs(n01 - n10) - 1e0) / (n01 + n10), 6)
+               END AS chi2_cc
+        FROM a
+    """
+
+    # event_hour_mutual_info: joint/marginal integer counts; each
+    # cell's ln factor on the 1e-9 lattice (BIGINT, order-free sums);
+    # shared-text closes for MI / H / NMI.
+    o["event_hour_mutual_info"] = """
+        WITH v AS (
+          SELECT event_type AS x, CAST(hour(ts) AS INTEGER) AS y
+          FROM events
+        ),
+        joint AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+          FROM v GROUP BY 1, 2
+        ),
+        mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM joint GROUP BY 1),
+        my AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM joint GROUP BY 1),
+        tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_rows FROM joint),
+        mi AS (
+          SELECT n_rows,
+                 CAST(sum(c_xy * CAST(round(ln(c_xy * 1e0 * n_rows
+                   / (c_x * 1e0 * c_y)) * 1e9, 0) AS BIGINT)) AS BIGINT)
+                   AS mi_fp,
+                 CAST(count(*) AS BIGINT) AS n_cells
+          FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+          GROUP BY 1
+        ),
+        hx AS (
+          SELECT CAST(sum(c_x * CAST(round(ln(c_x * 1e0 / n_rows) * 1e9, 0)
+                   AS BIGINT)) AS BIGINT) AS hx_fp,
+                 CAST(count(*) AS BIGINT) AS n_x
+          FROM mx CROSS JOIN tot
+        ),
+        hy AS (
+          SELECT CAST(sum(c_y * CAST(round(ln(c_y * 1e0 / n_rows) * 1e9, 0)
+                   AS BIGINT)) AS BIGINT) AS hy_fp,
+                 CAST(count(*) AS BIGINT) AS n_y
+          FROM my CROSS JOIN tot
+        )
+        SELECT n_rows, n_x, n_y, n_cells,
+               round(mi_fp * 1e0 / (n_rows * 1e9), 6) AS mi,
+               round(-hx_fp * 1e0 / (n_rows * 1e9), 6) AS h_x,
+               round(-hy_fp * 1e0 / (n_rows * 1e9), 6) AS h_y,
+               CASE WHEN hx_fp = 0 OR hy_fp = 0 THEN NULL
+                    ELSE round((mi_fp * 1e0 / (n_rows * 1e9))
+                         / least(-hx_fp * 1e0 / (n_rows * 1e9),
+                                 -hy_fp * 1e0 / (n_rows * 1e9)), 6)
+               END AS nmi
+        FROM mi CROSS JOIN hx CROSS JOIN hy
     """
 
     return o

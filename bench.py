@@ -257,6 +257,8 @@ BENCH_QUERIES = [
     "welch_ttest",
     "anova_priority_totalprice",
     "kruskal_quantity_returnflag",
+    "mcnemar_purchase_halves",
+    "event_hour_mutual_info",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

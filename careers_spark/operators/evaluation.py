@@ -1662,3 +1662,126 @@ def kruskal_wallis(
         .otherwise(F.expr(f"round({h} / {ctie}, 6)"))
         .alias("h_adj"),
     )
+
+
+def mcnemar_paired(
+    df: DataFrame, flag_a: str = "flag_a", flag_b: str = "flag_b"
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — one row per unit
+    with two 0/1 flags (converted in window A vs window B, correct
+    under model A vs model B): did the marginal rate change, judged
+    only by the discordant pairs?
+
+        chi2_cc = (|n01 - n10| - 1)^2 / (n01 + n10)
+
+    (Edwards continuity correction). Exact integer cell counts from
+    ONE algebraic aggregation; the statistic is a single shared-text
+    double expression. NULL chi2 when there are no discordant pairs
+    (the test is undefined; the concordant cells never enter it).
+
+    Output: one row (n_units, n00, n01, n10, n11, chi2_cc).
+    """
+    a = F.col(flag_a).cast("long")
+    b = F.col(flag_b).cast("long")
+    agg = df.agg(
+        F.count("*").alias("n_units"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+        F.sum((1 - a) * b).alias("n01"),
+        F.sum(a * (1 - b)).alias("n10"),
+        F.sum(a * b).alias("n11"),
+    )
+    chi2 = (
+        "round((abs(n01 - n10) - 1e0) * (abs(n01 - n10) - 1e0)"
+        " / (n01 + n10), 6)"
+    )
+    return agg.select(
+        "n_units",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.when(F.col("n01") + F.col("n10") == 0, F.lit(None).cast("double"))
+        .otherwise(F.expr(chi2))
+        .alias("chi2_cc"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, x: str = "x", y: str = "y"
+) -> DataFrame:
+    """Mutual information, entropies, and normalized MI between two
+    CATEGORICAL columns — the association strength behind every
+    "does event type depend on hour-of-day / does language depend on
+    source" profiling question, on the natural-log scale.
+
+        MI = sum_xy  (c_xy/N) * ln( c_xy * N / (c_x * c_y) )
+        H(X) = -sum_x (c_x/N) ln(c_x/N)      (likewise H(Y))
+        NMI = MI / min(H(X), H(Y))
+
+    Exactness (the unigram_logloss recipe): a float sum over cells
+    would be addition-order dependent, so every cell's log factor is
+    FIXED-POINT QUANTIZED — contribution = c_xy * round(ln(c_xy * N /
+    (c_x * c_y)) * 1e9) as BIGINT — and the reductions are exact
+    integer sums (order-free, engine-identical; ln itself is the
+    pinned cross-engine lockstep). One joint groupBy + two marginal
+    re-aggregations of it (all partial-agg, bounded by the category
+    lattice, never corpus-sized); the big input is touched once.
+
+    Output: one row (n_rows, n_x, n_y, n_cells, mi, h_x, h_y, nmi);
+    NMI is NULL when either marginal entropy is zero (a constant
+    column carries no information to normalize by).
+    """
+    joint = df.groupBy(x, y).agg(F.count("*").alias("c_xy"))
+    mx = joint.groupBy(x).agg(F.sum("c_xy").alias("c_x"))
+    my = joint.groupBy(y).agg(F.sum("c_xy").alias("c_y"))
+    tot = joint.agg(F.sum("c_xy").alias("n_rows"))
+    cells = (
+        joint.join(mx, x)
+        .join(my, y)
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_fp = (
+        "c_xy * cast(round(ln(c_xy * 1e0 * n_rows"
+        " / (c_x * 1e0 * c_y)) * 1e9, 0) as bigint)"
+    )
+    mi_agg = cells.groupBy("n_rows").agg(
+        F.sum(F.expr(mi_fp)).alias("mi_fp"),
+        F.count("*").alias("n_cells"),
+    )
+    hx_fp = "c_x * cast(round(ln(c_x * 1e0 / n_rows) * 1e9, 0) as bigint)"
+    hy_fp = "c_y * cast(round(ln(c_y * 1e0 / n_rows) * 1e9, 0) as bigint)"
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr(hx_fp)).alias("hx_fp"),
+            F.count("*").alias("n_x"),
+        )
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr(hy_fp)).alias("hy_fp"),
+            F.count("*").alias("n_y"),
+        )
+    )
+    out = mi_agg.crossJoin(hx).crossJoin(hy)
+    mi = "(mi_fp * 1e0 / (n_rows * 1e9))"
+    h_x = "(-hx_fp * 1e0 / (n_rows * 1e9))"
+    h_y = "(-hy_fp * 1e0 / (n_rows * 1e9))"
+    return out.select(
+        "n_rows",
+        "n_x",
+        "n_y",
+        "n_cells",
+        F.expr(f"round({mi}, 6)").alias("mi"),
+        F.expr(f"round({h_x}, 6)").alias("h_x"),
+        F.expr(f"round({h_y}, 6)").alias("h_y"),
+        F.when(
+            (F.col("hx_fp") == 0) | (F.col("hy_fp") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.expr(f"round({mi} / least({h_x}, {h_y}), 6)")
+        )
+        .alias("nmi"),
+    )
