@@ -4482,6 +4482,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_hour_mutual_info"] = event_hour_mutual_info
 
+    def source_en_woe_iv(spark, sf_dir):
+        """Weight-of-evidence / information-value screening of the
+        source feed against English-ness (features.woe_iv): the
+        scorecard feature-screening statistic; iv terms quantized to
+        the 1e-9 lattice so the cross-category IV total is an exact
+        integer sum."""
+        from careers_spark.operators.features import woe_iv
+
+        d = _t(spark, sf_dir, "documents").select(
+            F.col("source").alias("feature"),
+            F.expr("case when lang = 'en' then 1 else 0 end").alias(
+                "label"
+            ),
+        )
+        return woe_iv(d)
+
+    q["source_en_woe_iv"] = source_en_woe_iv
+
+    def ols_quantity_price(spark, sf_dir):
+        """Closed-form OLS of extended price (cents) on quantity with
+        slope/intercept/R^2/t (evaluation.ols_simple): the parametric
+        companion to event_theil_sen; moment sums ride DECIMAL(38,0)
+        so the five-sum pass survives 1e12 rows."""
+        from careers_spark.operators.evaluation import ols_simple
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.expr("cast(round(l_quantity, 0) as bigint)").alias("x"),
+            F.expr(
+                "cast(round(l_extendedprice * 100, 0) as bigint)"
+            ).alias("y"),
+        )
+        return ols_simple(li)
+
+    q["ols_quantity_price"] = ols_quantity_price
+
     return q
 
 
@@ -13446,6 +13481,120 @@ def oracle_sql() -> dict[str, str]:
                                  -hy_fp * 1e0 / (n_rows * 1e9)), 6)
                END AS nmi
         FROM mi CROSS JOIN hx CROSS JOIN hy
+    """
+
+    # source_en_woe_iv: integer cell counts, half-count Laplace
+    # smoothing written as integer products inside one ln; iv terms on
+    # the 1e-9 lattice, window-summed exactly.
+    o["source_en_woe_iv"] = """
+        WITH g AS (
+          SELECT source AS feature,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_good,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                      AS BIGINT) AS n_bad
+          FROM documents GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n_good) AS BIGINT) AS g_all,
+                 CAST(sum(n_bad) AS BIGINT) AS b_all,
+                 CAST(count(*) AS BIGINT) AS k_cats
+          FROM g
+        ),
+        cells AS (
+          SELECT feature, n, n_good, n_bad, g_all, b_all, k_cats,
+                 CAST(round(((2 * n_good + 1e0) / (2 * g_all + k_cats)
+                       - (2 * n_bad + 1e0) / (2 * b_all + k_cats))
+                      * (ln((2 * n_good + 1e0) * (2 * b_all + k_cats)
+                         / ((2 * n_bad + 1e0) * (2 * g_all + k_cats))))
+                      * 1e9, 0) AS BIGINT) AS iv_fp
+          FROM g CROSS JOIN tot
+        )
+        SELECT feature, n, n_good, n_bad,
+               round(ln((2 * n_good + 1e0) * (2 * b_all + k_cats)
+                     / ((2 * n_bad + 1e0) * (2 * g_all + k_cats))), 6)
+                 AS woe,
+               round(iv_fp / 1e9, 6) AS iv_term,
+               round(sum(iv_fp) OVER () / 1e9, 6) AS iv_total
+        FROM cells
+    """
+
+    # ols_quantity_price: five exact moment sums (BIGINT n/sx/sy,
+    # HUGEINT cross/square channels), every statistic one shared-text
+    # double close.
+    o["ols_quantity_price"] = """
+        WITH v AS (
+          SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                 CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM v
+        )
+        SELECT n,
+               CASE WHEN (n * 1e0 * CAST(sxx AS DOUBLE) - sx * 1e0 * sx) = 0
+                    THEN NULL
+                    ELSE round((n * 1e0 * CAST(sxy AS DOUBLE)
+                          - sx * 1e0 * sy)
+                         / (n * 1e0 * CAST(sxx AS DOUBLE)
+                            - sx * 1e0 * sx), 6)
+               END AS slope,
+               CASE WHEN (n * 1e0 * CAST(sxx AS DOUBLE) - sx * 1e0 * sx) = 0
+                    THEN NULL
+                    ELSE round((sy - ((n * 1e0 * CAST(sxy AS DOUBLE)
+                          - sx * 1e0 * sy)
+                         / (n * 1e0 * CAST(sxx AS DOUBLE)
+                            - sx * 1e0 * sx)) * sx) / n, 6)
+               END AS intercept,
+               CASE WHEN (n * 1e0 * CAST(sxx AS DOUBLE) - sx * 1e0 * sx) = 0
+                      OR (n * 1e0 * CAST(syy AS DOUBLE) - sy * 1e0 * sy) = 0
+                    THEN NULL
+                    ELSE round((n * 1e0 * CAST(sxy AS DOUBLE)
+                          - sx * 1e0 * sy)
+                         * (n * 1e0 * CAST(sxy AS DOUBLE) - sx * 1e0 * sy)
+                         / ((n * 1e0 * CAST(sxx AS DOUBLE) - sx * 1e0 * sx)
+                            * (n * 1e0 * CAST(syy AS DOUBLE)
+                               - sy * 1e0 * sy)), 6)
+               END AS r2,
+               CASE WHEN (n * 1e0 * CAST(sxx AS DOUBLE) - sx * 1e0 * sx) = 0
+                      OR (n * 1e0 * CAST(syy AS DOUBLE) - sy * 1e0 * sy) = 0
+                      OR n <= 2
+                      OR (((n * 1e0 * CAST(syy AS DOUBLE) - sy * 1e0 * sy)
+                           / n)
+                          * (1e0 - (n * 1e0 * CAST(sxy AS DOUBLE)
+                               - sx * 1e0 * sy)
+                             * (n * 1e0 * CAST(sxy AS DOUBLE)
+                                - sx * 1e0 * sy)
+                             / ((n * 1e0 * CAST(sxx AS DOUBLE)
+                                 - sx * 1e0 * sx)
+                                * (n * 1e0 * CAST(syy AS DOUBLE)
+                                   - sy * 1e0 * sy)))) <= 0
+                    THEN NULL
+                    ELSE round(((n * 1e0 * CAST(sxy AS DOUBLE)
+                          - sx * 1e0 * sy)
+                         / (n * 1e0 * CAST(sxx AS DOUBLE) - sx * 1e0 * sx))
+                         / sqrt(((((n * 1e0 * CAST(syy AS DOUBLE)
+                               - sy * 1e0 * sy) / n)
+                           * (1e0 - (n * 1e0 * CAST(sxy AS DOUBLE)
+                                - sx * 1e0 * sy)
+                              * (n * 1e0 * CAST(sxy AS DOUBLE)
+                                 - sx * 1e0 * sy)
+                              / ((n * 1e0 * CAST(sxx AS DOUBLE)
+                                  - sx * 1e0 * sx)
+                                 * (n * 1e0 * CAST(syy AS DOUBLE)
+                                    - sy * 1e0 * sy))))
+                           / (n - 2e0))
+                          / ((n * 1e0 * CAST(sxx AS DOUBLE)
+                              - sx * 1e0 * sx) / n)), 6)
+               END AS t_slope
+        FROM a
     """
 
     return o

@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "kruskal_quantity_returnflag",
     "mcnemar_purchase_halves",
     "event_hour_mutual_info",
+    "source_en_woe_iv",
+    "ols_quantity_price",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

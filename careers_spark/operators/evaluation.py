@@ -1785,3 +1785,72 @@ def mutual_information(
         )
         .alias("nmi"),
     )
+
+
+def ols_simple(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """Simple least-squares regression of INTEGER y on INTEGER x with
+    the full inferential readout — slope, intercept, R^2, and the
+    slope t-statistic — the closed-form companion to theil_sen_slopes
+    (robust) and pearson_corr (direction-free): price-per-unit-
+    quantity, spend-per-click style questions.
+
+    One partial-agg pass collects the five moment sums; x*y / x^2 /
+    y^2 channels ride DECIMAL(38,0) (DuckDB HUGEINT) so 1e12-row
+    corpora cannot overflow. Every reported statistic is one
+    shared-text double expression over those exact sums (decimal ->
+    double casts are correctly rounded in both engines):
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+        r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2))
+        t_slope = slope / se,  se^2 = (SSE/(n-2)) / (Sxx - Sx^2/n)
+
+    NULL slope/intercept when x is constant; NULL r2 when either
+    variable is constant; NULL t when additionally n <= 2 or SSE = 0.
+
+    Output: one row (n, slope, intercept, r2, t_slope).
+    """
+    xv = F.col(x).cast("long")
+    yv = F.col(y).cast("long")
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(xv).alias("sx"),
+        F.sum(yv).alias("sy"),
+        F.sum(xv.cast("decimal(19,0)") * yv).alias("sxy"),
+        F.sum(xv.cast("decimal(19,0)") * xv).alias("sxx"),
+        F.sum(yv.cast("decimal(19,0)") * yv).alias("syy"),
+    )
+    num = "(n * 1e0 * cast(sxy as double) - sx * 1e0 * sy)"
+    dx = "(n * 1e0 * cast(sxx as double) - sx * 1e0 * sx)"
+    dy = "(n * 1e0 * cast(syy as double) - sy * 1e0 * sy)"
+    slope = f"({num} / {dx})"
+    intercept = f"((sy - {slope} * sx) / n)"
+    r2 = f"({num} * {num} / ({dx} * {dy}))"
+    # SSE = Syy_c * (1 - r2); Syy_c = dy/n, Sxx_c = dx/n
+    sse = f"(({dy} / n) * (1e0 - {r2}))"
+    se2 = f"(({sse} / (n - 2e0)) / ({dx} / n))"
+    t = f"({slope} / sqrt({se2}))"
+    return agg.select(
+        "n",
+        F.when(F.expr(dx) == 0, F.lit(None).cast("double"))
+        .otherwise(F.expr(f"round({slope}, 6)"))
+        .alias("slope"),
+        F.when(F.expr(dx) == 0, F.lit(None).cast("double"))
+        .otherwise(F.expr(f"round({intercept}, 6)"))
+        .alias("intercept"),
+        F.when(
+            (F.expr(dx) == 0) | (F.expr(dy) == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.expr(f"round({r2}, 6)"))
+        .alias("r2"),
+        F.when(
+            (F.expr(dx) == 0)
+            | (F.expr(dy) == 0)
+            | (F.col("n") <= 2)
+            | (F.expr(sse) <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.expr(f"round({t}, 6)"))
+        .alias("t_slope"),
+    )
