@@ -4517,6 +4517,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ols_quantity_price"] = ols_quantity_price
 
+    def page_hinkley_hourly(spark, sf_dir):
+        """Page-Hinkley sequential drift monitor on the gap-filled
+        hourly event-count series (temporal.page_hinkley): integer
+        m2/min-m2 algebra, alarm decided by an integer comparison —
+        the online complement to cusum_changepoint."""
+        from careers_spark.operators.temporal import page_hinkley
+
+        return page_hinkley(
+            _t(spark, sf_dir, "events"), lambda_counts=50
+        )
+
+    q["page_hinkley_hourly"] = page_hinkley_hourly
+
+    def dp_topk_event_types(spark, sf_dir):
+        """Exponential-mechanism top-3 most frequent event types at
+        eps=1.0 (privacy.dp_topk_exponential): derandomized Gumbel-max
+        one-shot selection — the DP selection query beside the Laplace
+        count release."""
+        from careers_spark.operators.privacy import dp_topk_exponential
+
+        return dp_topk_exponential(
+            _t(spark, sf_dir, "events"),
+            dims=["event_type"],
+            k=3,
+            eps_mille=1000,
+        )
+
+    q["dp_topk_event_types"] = dp_topk_event_types
+
     return q
 
 
@@ -13595,6 +13624,59 @@ def oracle_sql() -> dict[str, str]:
                               - sx * 1e0 * sx) / n)), 6)
                END AS t_slope
         FROM a
+    """
+
+    # page_hinkley_hourly: the cusum hour-grid; m2 = N*cum - t*S exact
+    # BIGINT, running min over the grid, integer alarm predicate.
+    o["page_hinkley_hourly"] = f"""
+        WITH {_HOUR_GRID},
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS s FROM grid),
+        cum AS (
+          SELECT hour, x, n,
+                 n * CAST(sum(x) OVER (ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)
+                 - CAST(row_number() OVER (ORDER BY hour) AS BIGINT) * s
+                   AS m2
+          FROM grid CROSS JOIN tot
+        ),
+        mm AS (
+          SELECT hour, x, n, m2,
+                 min(m2) OVER (ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS m2min
+          FROM cum
+        )
+        SELECT hour, x AS n_events,
+               round(m2 * 1e0 / n, 6) AS mdev,
+               round((m2 - m2min) * 1e0 / n, 6) AS ph,
+               (m2 - m2min) > 50 * n AS alarm
+        FROM mm
+    """
+
+    # dp_topk_event_types: identical md5 -> uniform -> Gumbel pipeline
+    # (rounded-6 ln lockstep), noisy key ties broken by dims.
+    o["dp_topk_event_types"] = """
+        WITH g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+          FROM events GROUP BY 1
+        ),
+        s AS (
+          SELECT event_type, n_true,
+                 round(n_true + (2000.0 / 1000)
+                   * round(-ln(-ln((('0x' || substr(md5(
+                       concat_ws('|', CAST(event_type AS VARCHAR), 'em0')
+                     ), 1, 8))::BIGINT + 0.5) / 4294967296e0)),
+                     6), 6) AS noisy_key
+          FROM g
+        )
+        SELECT CAST(row_number() OVER (ORDER BY noisy_key DESC, event_type)
+                    AS INTEGER) AS rank,
+               event_type, n_true, noisy_key
+        FROM s
+        ORDER BY noisy_key DESC, event_type
+        LIMIT 3
     """
 
     return o

@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     "event_hour_mutual_info",
     "source_en_woe_iv",
     "ols_quantity_price",
+    "page_hinkley_hourly",
+    "dp_topk_event_types",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

@@ -24,7 +24,7 @@ normalization by rule — applied here to the privacy axis.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Conservative, cross-engine-safe patterns. Order of REDACTION is
@@ -239,4 +239,54 @@ def t_closeness_audit(
             F.col("tv_num") * 1000
             <= F.lit(int(t_mille)) * 2 * F.col("n_c") * F.col("n_all")
         ).alias("meets_t"),
+    )
+
+
+def dp_topk_exponential(
+    df: DataFrame,
+    dims: list[str],
+    k: int = 3,
+    eps_mille: int = 1000,
+    salt: str = "em0",
+) -> DataFrame:
+    """Exponential-mechanism top-k selection (McSherry & Talwar '07)
+    over a GROUP BY histogram — the epsilon-DP way to release "which
+    categories are most frequent" WITHOUT releasing the counts, the
+    selection-query complement of dp_noisy_counts' Laplace release.
+    One-shot top-k via the Gumbel-max equivalence (Durfee & Rogers
+    '19): add Gumbel(2*sensitivity/eps) noise to each utility (the
+    count, sensitivity 1) and take the k largest — distributionally
+    identical to k sequential exponential-mechanism draws without
+    replacement, at one pass.
+
+    DERANDOMIZED like dp_noisy_counts and for the same machine-
+    checkability contract (a REAL release must use secret randomness;
+    this exhibits mechanism, budget, and error profile): u from the
+    group key's md5, noise = -ln(-ln(u)) on the pinned rounded-6 ln
+    lockstep, key = count + (2000/eps_mille) * gumbel. Ties on the
+    6-dp noisy key break by the dimension values (deterministic).
+
+    The noisy key is a projection over the dimension-sized histogram;
+    the top-k sort is a bounded TopK (never corpus-sized). `n_true`
+    rides along for evaluation only — drop it in a real release.
+
+    Output: k rows (rank, <dims...>, n_true, noisy_key).
+    """
+    from careers_spark.operators.dedup import _hash64_expr
+
+    key = "concat_ws('|', " + ", ".join(
+        f"cast({d} as string)" for d in dims
+    ) + f", '{salt}')"
+    u = f"(({_hash64_expr(key)}) + 0.5) / 4294967296e0"
+    gumbel = f"round(-ln(-ln({u})), 6)"
+    noisy = f"round(n_true + (2000.0 / {int(eps_mille)}) * {gumbel}, 6)"
+    g = df.groupBy(*dims).agg(F.count("*").alias("n_true"))
+    scored = g.select(*dims, "n_true", F.expr(noisy).alias("noisy_key"))
+    w = Window.orderBy(
+        F.desc("noisy_key"), *[F.asc(d) for d in dims]
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("rank", *dims, "n_true", "noisy_key")
     )

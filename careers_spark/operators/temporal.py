@@ -1699,3 +1699,55 @@ def seasonal_adjusted_anomalies(
             .alias("is_anomaly"),
         )
     )
+
+
+def page_hinkley(
+    events: DataFrame, ts: str = "ts", lambda_counts: int = 50
+) -> DataFrame:
+    """Page-Hinkley drift monitor over the gap-filled hourly count
+    series — the sequential mean-shift detector (Page 1954, Hinkley
+    1971; the streaming-ML drift test in river/MOA) beside the
+    retrospective cusum_changepoint: it accumulates deviation from the
+    series mean and alarms when the current cumulative exceeds its
+    running minimum by more than lambda.
+
+    Exact integer algebra (the cusum recipe): with S = sum x over N
+    hours, the mean-centered cumulative scaled by N is
+
+        m2_t = N * cum_t - t * S            (exact BIGINT)
+        PH_t = (m2_t - min_{i<=t} m2_i) / N
+
+    so the alarm predicate PH_t > lambda is the INTEGER comparison
+    m2_t - min m2 > lambda * N — no float enters the decision. The
+    cumulative and running-min windows run over the hour grid
+    (dimension-sized; cusum precedent), the corpus is touched once by
+    the hourly groupBy.
+
+    Output: one row per hour (hour, n_events, mdev, ph, alarm) —
+    hour on the integer epoch-hour lattice (the acf_hourly
+    convention), mdev/ph as 6-dp doubles in count units.
+    """
+    grid = _hour_grid(events, ts)
+    tot = grid.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    w = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        grid.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("x").over(w))
+        .withColumn("t", F.row_number().over(Window.orderBy("hour")))
+        .withColumn("m2", F.col("n") * F.col("cum") - F.col("t") * F.col("s"))
+        .withColumn("m2min", F.min("m2").over(w))
+    )
+    return cum.select(
+        "hour",
+        F.col("x").alias("n_events"),
+        F.expr("round(m2 * 1e0 / n, 6)").alias("mdev"),
+        F.expr("round((m2 - m2min) * 1e0 / n, 6)").alias("ph"),
+        (
+            (F.col("m2") - F.col("m2min"))
+            > F.lit(int(lambda_counts)) * F.col("n")
+        ).alias("alarm"),
+    )
