@@ -4546,6 +4546,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dp_topk_event_types"] = dp_topk_event_types
 
+    def entropy_l_diversity(spark, sf_dir):
+        """Entropy l-diversity audit of (lang, source) equivalence
+        classes against the length-bucket attribute at l=3
+        (privacy.entropy_l_diversity): the anonymization-ladder rung
+        between distinct-l (k_anonymity) and t_closeness — per-class
+        sensitive-distribution entropy on the 1e-9 fixed-point ln
+        lattice, the release predicate a pure integer comparison."""
+        from careers_spark.operators.privacy import entropy_l_diversity
+
+        d = _t(spark, sf_dir, "documents").select(
+            "lang", "source", F.expr("n_chars div 500").alias("len_bucket")
+        )
+        return entropy_l_diversity(
+            d, quasi_identifiers=["lang", "source"],
+            sensitive="len_bucket", l=3,
+        )
+
+    q["entropy_l_diversity"] = entropy_l_diversity
+
+    def moore_lewis_en_selection(spark, sf_dir):
+        """Moore-Lewis cross-entropy data selection with lang='en' as
+        the in-domain seed (textstats.moore_lewis_selection): rank
+        every document by H_in - H_gen under two add-one unigram LMs,
+        keep score < 0 — the targeted-selection complement to
+        dsir_weights; both log-prob channels on the 1e-9 fixed-point
+        lattice, the keep predicate integer-exact."""
+        from careers_spark.operators.textstats import moore_lewis_selection
+
+        d = _t(spark, sf_dir, "documents").withColumn(
+            "in_domain", F.expr("lang = 'en'")
+        )
+        return moore_lewis_selection(d)
+
+    q["moore_lewis_en_selection"] = moore_lewis_en_selection
+
     return q
 
 
@@ -13677,6 +13712,77 @@ def oracle_sql() -> dict[str, str]:
         FROM s
         ORDER BY noisy_key DESC, event_type
         LIMIT 3
+    """
+
+    # entropy_l_diversity: per-class entropy as an exact integer sum of
+    # 1e9-quantized ln cells (mutual_information recipe); the meets
+    # predicate compares BIGINTs on the lattice (ln(3)*1e9 = 1098612289).
+    o["entropy_l_diversity"] = """
+        WITH cells AS (
+          SELECT lang, source, n_chars // 500 AS len_bucket,
+                 CAST(count(*) AS BIGINT) AS c_v
+          FROM documents GROUP BY 1, 2, 3
+        ),
+        classes AS (
+          SELECT lang, source, CAST(sum(c_v) AS BIGINT) AS class_size,
+                 CAST(count(*) AS BIGINT) AS l_distinct
+          FROM cells GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT cells.lang, cells.source, class_size, l_distinct,
+                 CAST(sum(-c_v * CAST(round(
+                     ln(c_v / CAST(class_size AS DOUBLE)) * 1000000000e0,
+                     0) AS BIGINT)) AS BIGINT) AS ent_fp
+          FROM cells JOIN classes USING (lang, source)
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT lang, source, class_size, l_distinct,
+               round(ent_fp / (class_size * 1000000000e0), 6) AS entropy,
+               ent_fp >= class_size * 1098612289 AS meets_entropy_l
+        FROM per
+    """
+
+    # moore_lewis_en_selection: two Laplace unigram models over the
+    # general vocabulary, both log channels 1e9-quantized (the
+    # unigram_logloss recipe); selected decided by an integer sign.
+    o["moore_lewis_en_selection"] = f"""
+        WITH t AS (
+          SELECT doc_id, lang = 'en' AS dom, {_DUCK_TOKS} AS toks
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+                 any_value(dom) AS dom
+          FROM (SELECT doc_id, dom, unnest(toks) AS term FROM t)
+          GROUP BY doc_id, term
+        ),
+        counts AS (
+          SELECT term, CAST(sum(tf) AS BIGINT) AS n_gen,
+                 CAST(sum(CASE WHEN dom THEN tf ELSE 0 END) AS BIGINT)
+                   AS n_in
+          FROM tf GROUP BY term
+        ),
+        tot AS (
+          SELECT CAST(sum(n_gen) AS BIGINT) AS tot_gen,
+                 CAST(sum(n_in) AS BIGINT) AS tot_in,
+                 CAST(count(*) AS BIGINT) AS vocab
+          FROM counts
+        ),
+        c AS (
+          SELECT tf.doc_id, tf.tf,
+                 CAST(round(ln((n_gen + 1e0) / (tot_gen + vocab))
+                      * 1000000000e0, 0) AS BIGINT) AS lg,
+                 CAST(round(ln((n_in + 1e0) / (tot_in + vocab))
+                      * 1000000000e0, 0) AS BIGINT) AS li
+          FROM tf JOIN counts USING (term) CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               round(-sum(tf * li) / (sum(tf) * 1000000000e0), 6) AS ce_in,
+               round(-sum(tf * lg) / (sum(tf) * 1000000000e0), 6) AS ce_gen,
+               round(sum(tf * (lg - li)) / (sum(tf) * 1000000000e0), 6)
+                 AS ml_score,
+               sum(tf * (lg - li)) < 0 AS selected
+        FROM c GROUP BY doc_id
     """
 
     return o

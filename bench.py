@@ -263,6 +263,8 @@ BENCH_QUERIES = [
     "ols_quantity_price",
     "page_hinkley_hourly",
     "dp_topk_event_types",
+    "entropy_l_diversity",
+    "moore_lewis_en_selection",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

@@ -290,3 +290,79 @@ def dp_topk_exponential(
         .filter(F.col("rank") <= int(k))
         .select("rank", *dims, "n_true", "noisy_key")
     )
+
+
+def entropy_l_diversity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive: str,
+    l: int = 2,
+) -> DataFrame:
+    """Entropy l-diversity audit (Machanavajjhala et al. 2007, Def.
+    4.2) — the middle rung of the anonymization ladder this repo
+    already walks: k_anonymity_audit checks class sizes and DISTINCT
+    l-diversity, t_closeness_audit checks distributional distance to
+    the corpus; entropy l-diversity sits between them, requiring each
+    QI equivalence class's sensitive-value distribution to carry at
+    least ln(l) nats of entropy (a class can hold l distinct values
+    yet still leak if one value dominates — the skew distinct-l
+    misses and this catches).
+
+    Exactness (the mutual_information recipe): per-class entropy is
+    -sum_v (c_v/n) ln(c_v/n); each cell's ln is FIXED-POINT QUANTIZED
+    — cell contribution = -c_v * round(ln(c_v/n) * 1e9) as BIGINT —
+    so the per-class reduction is an order-free exact integer sum,
+    and the release predicate entropy >= ln(l) is decided ON THE
+    LATTICE as the pure integer comparison
+
+        ent_fp >= class_size * round(ln(l) * 1e9)
+
+    (both sides exact BIGINT; no float enters the decision — the
+    page_hinkley alarm convention).
+
+    Physical shape: one (QI, sensitive) groupBy (partial-agg), one
+    QI re-aggregation of it for class sizes, one equi-join back on
+    the QI key — cells bounded by class-size x QI cardinality, the
+    corpus touched once. No window, no sort, no driver loop.
+
+    Output: one row per equivalence class — (*quasi_identifiers,
+    class_size, l_distinct, entropy, meets_entropy_l). As in
+    k_anonymity_audit, no sensitive VALUES appear — the audit itself
+    is publishable.
+    """
+    if not quasi_identifiers:
+        raise ValueError("quasi_identifiers must be non-empty")
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    cells = df.groupBy(*quasi_identifiers, sensitive).agg(
+        F.count("*").alias("c_v")
+    )
+    classes = cells.groupBy(*quasi_identifiers).agg(
+        F.sum("c_v").alias("class_size"),
+        F.count("*").alias("l_distinct"),
+    )
+    import math
+
+    lnl_fp = int(round(math.log(l) * 1e9))
+    joined = cells.join(classes, quasi_identifiers)
+    per = joined.groupBy(*quasi_identifiers).agg(
+        F.first("class_size").alias("class_size"),
+        F.first("l_distinct").alias("l_distinct"),
+        F.sum(
+            F.expr(
+                "-c_v * cast(round(ln(c_v / cast(class_size as double))"
+                " * 1000000000e0, 0) as bigint)"
+            )
+        ).alias("ent_fp"),
+    )
+    return per.select(
+        *quasi_identifiers,
+        "class_size",
+        "l_distinct",
+        F.expr("round(ent_fp / (class_size * 1000000000e0), 6)").alias(
+            "entropy"
+        ),
+        (F.col("ent_fp") >= F.col("class_size") * F.lit(lnl_fp)).alias(
+            "meets_entropy_l"
+        ),
+    )

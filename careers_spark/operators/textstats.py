@@ -1280,3 +1280,112 @@ def vocab_growth(
     return pts.crossJoin(F.broadcast(fit)).select(
         "ck", "n_cum", "v_cum", "beta"
     )
+
+
+def moore_lewis_selection(
+    documents: DataFrame, in_domain: str = "in_domain"
+) -> DataFrame:
+    """Moore-Lewis cross-entropy data selection (Moore & Lewis, ACL
+    2010) — THE classic targeted-data-selection score: rank every
+    document by H_in(d) - H_gen(d), the difference between its
+    per-token cross-entropy under an IN-DOMAIN language model and
+    under the GENERAL-corpus model. Documents that look more like the
+    target domain than like the average of the pool score negative;
+    the canonical keep rule is score < 0 (intelligent selection), with
+    the score itself the knob for stricter quotas. This is the
+    domain-adaptation complement to dsir_weights (hashed-n-gram
+    importance resampling) and unigram_logloss (single-model
+    perplexity band): two models, one differenced score.
+
+    ``in_domain`` is a boolean column on ``documents`` naming the seed
+    subset (e.g. lang = 'en', a curated whitelist, a labeled sample).
+    Both unigram models are add-one Laplace-smoothed over the GENERAL
+    vocabulary (the in-domain model must back off on tokens it never
+    saw; smoothing the general model identically keeps the difference
+    unbiased):
+
+        p_m(t) = (c_{m,t} + 1) / (N_m + V)
+
+    Exactness (the unigram_logloss recipe): each term's two log-probs
+    are FIXED-POINT QUANTIZED — round(ln p * 1e9) as BIGINT — and the
+    per-document reduction sums tf * (lnfp_gen - lnfp_in) as exact
+    integers (order-free, engine-identical; ln is the pinned
+    cross-engine lockstep). The keep predicate score_fp < 0 is a pure
+    INTEGER comparison — no float enters the decision.
+
+    Physical shape: one token explode -> (doc, term) tf groupBy; the
+    general and in-domain count tables are two partial-agg rollups of
+    it (vocabulary-sized, broadcast back); one 1-row totals broadcast;
+    one per-doc integer-sum groupBy. The corpus is touched once; no
+    window, no sort, no driver loop.
+
+    Output: (doc_id, n_tokens, ce_in, ce_gen, ml_score, selected) —
+    cross-entropies in nats/token, ml_score = ce_in - ce_gen computed
+    from the SAME integer sum that decides `selected` (not a
+    difference of the two 6-dp roundings).
+    """
+    tf = (
+        documents.select(
+            "doc_id",
+            F.col(in_domain).cast("boolean").alias("_dom"),
+            F.explode(tokens_col("text")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dom").alias("_dom"))
+    )
+    counts = tf.groupBy("term").agg(
+        F.sum("tf").alias("n_gen"),
+        F.sum(F.when(F.col("_dom"), F.col("tf")).otherwise(F.lit(0))).alias(
+            "n_in"
+        ),
+    )
+    totals = counts.agg(
+        F.sum("n_gen").alias("tot_gen"),
+        F.sum("n_in").alias("tot_in"),
+        F.count("*").alias("vocab"),
+    )
+    lnfp = (
+        "cast(round(ln(({c} + 1e0) / ({t} + vocab)) * 1000000000e0, 0)"
+        " as bigint)"
+    )
+    scored = (
+        tf.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_d",
+            F.expr(
+                "tf * ("
+                + lnfp.format(c="n_gen", t="tot_gen")
+                + " - "
+                + lnfp.format(c="n_in", t="tot_in")
+                + ")"
+            ),
+        )
+        .withColumn(
+            "_li", F.expr("tf * " + lnfp.format(c="n_in", t="tot_in"))
+        )
+        .withColumn(
+            "_lg", F.expr("tf * " + lnfp.format(c="n_gen", t="tot_gen"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum("_d").alias("_score_fp"),
+            F.sum("_li").alias("_in_fp"),
+            F.sum("_lg").alias("_gen_fp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("round(-_in_fp / (n_tokens * 1000000000e0), 6)").alias(
+            "ce_in"
+        ),
+        F.expr("round(-_gen_fp / (n_tokens * 1000000000e0), 6)").alias(
+            "ce_gen"
+        ),
+        F.expr("round(_score_fp / (n_tokens * 1000000000e0), 6)").alias(
+            "ml_score"
+        ),
+        (F.col("_score_fp") < F.lit(0)).alias("selected"),
+    )
