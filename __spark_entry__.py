@@ -4581,6 +4581,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["moore_lewis_en_selection"] = moore_lewis_en_selection
 
+    def textrank_keywords(spark, sf_dir):
+        """TextRank corpus keywords (textstats.textrank_keywords):
+        weighted PageRank over the +-2-position word co-occurrence
+        graph (skipgram-shaped offset equi-join, stopword endpoints
+        filtered, hapax edges pruned at min_cooc=2), top-25 by the
+        pinned 10-dp pagerank lockstep."""
+        from careers_spark.operators.textstats import (
+            textrank_keywords as trk,
+        )
+
+        return trk(
+            _t(spark, sf_dir, "documents"),
+            window=2,
+            iterations=6,
+            k=25,
+            min_cooc=2,
+        )
+
+    q["textrank_keywords"] = textrank_keywords
+
     return q
 
 
@@ -13784,5 +13804,81 @@ def oracle_sql() -> dict[str, str]:
                sum(tf * (lg - li)) < 0 AS selected
         FROM c GROUP BY doc_id
     """
+
+    # textrank_keywords: the entity_pagerank_weighted unroll verbatim,
+    # fed by the +-2 positional co-occurrence graph (stopword endpoints
+    # excluded, min_cooc=2); 10-dp per-iteration rounding = lockstep.
+    from careers_spark.functions.text import STOP_WORDS as _SW
+
+    _tr_stops = ", ".join(f"'{w}'" for w in sorted(_SW))
+    _tr_chain = [
+        f"""t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        tok AS MATERIALIZED (
+          SELECT doc_id, term, pos FROM (
+            SELECT doc_id, unnest(toks) AS term,
+                   generate_subscripts(toks, 1) AS pos
+            FROM t
+          ) WHERE term NOT IN ({_tr_stops})
+        ),
+        pairs AS MATERIALIZED (
+          SELECT least(a.term, b.term) AS x,
+                 greatest(a.term, b.term) AS y,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM tok a
+          CROSS JOIN (SELECT unnest([1, 2]) AS off) o
+          JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + o.off
+          WHERE a.term <> b.term
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        e AS MATERIALIZED (
+          SELECT x AS src, y AS dst, w FROM pairs
+          UNION ALL SELECT y AS src, x AS dst, w FROM pairs
+        ),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        base AS MATERIALIZED (
+          SELECT n.node, coalesce(od.outw, 0.0) AS outw
+          FROM nodes n LEFT JOIN (
+            SELECT src AS node, sum(CAST(w AS DOUBLE)) AS outw
+            FROM e GROUP BY src
+          ) od ON od.node = n.node
+        ),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+        p0 AS MATERIALIZED (
+          SELECT node, outw, 1.0 / nn.n AS pr FROM base CROSS JOIN nn
+        )"""
+    ]
+    for _k in range(1, 7):
+        _tr_chain.append(
+            f"""p{_k} AS MATERIALIZED (
+          SELECT b.node, b.outw,
+                 round((1.0 - 0.85) / nn.n
+                       + 0.85 * (coalesce(inf.inflow, 0.0) + dang.d / nn.n),
+                       10) AS pr
+          FROM base b
+          CROSS JOIN nn
+          CROSS JOIN (
+            SELECT coalesce(sum(CASE WHEN outw = 0 THEN pr END), 0.0) AS d
+            FROM p{_k - 1}
+          ) dang
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum(p.pr * CAST(e.w AS DOUBLE) / p.outw) AS inflow
+            FROM e JOIN p{_k - 1} p ON p.node = e.src
+            GROUP BY e.dst
+          ) inf ON inf.node = b.node
+        )"""
+        )
+    o["textrank_keywords"] = (
+        "WITH "
+        + ",\n".join(_tr_chain)
+        + """
+        SELECT CAST(row_number() OVER (ORDER BY pr DESC, node)
+                    AS INTEGER) AS rank,
+               node AS term, pr
+        FROM p6 ORDER BY pr DESC, node LIMIT 25
+    """
+    )
 
     return o

@@ -1389,3 +1389,97 @@ def moore_lewis_selection(
         ),
         (F.col("_score_fp") < F.lit(0)).alias("selected"),
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    window: int = 2,
+    iterations: int = 6,
+    k: int = 20,
+    min_cooc: int = 1,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+    the graph-based companion to rake_keywords: build the word
+    co-occurrence graph (an undirected edge between two non-stopword
+    tokens that co-occur within ``window`` positions of the ORIGINAL
+    token sequence, weighted by co-occurrence count) and rank words by
+    weighted PageRank over it; the top-k are the corpus keywords.
+
+    Positions come from one posexplode; stopwords are filtered AFTER
+    position assignment, so they occupy window slots but can never be
+    edge endpoints (the paper's syntactic filter, with the stopword
+    list standing in for the POS tagger this environment lacks). The
+    +-window co-occurrence is the skipgram_pairs shape: an offset
+    explode (1..window) on the left and an EQUI-join on
+    (doc_id, pos + off) — never an inequality join. `min_cooc` prunes
+    hapax edges, bounding the graph at corpus scale.
+
+    PageRank itself is graph.pagerank verbatim — integer edge weights
+    plus the per-iteration 10-dp rounding make the unrolled oracle
+    hash-exact (the entity_pagerank_weighted lockstep). The final
+    top-k is a bounded TopK over the vocabulary-sized score table with
+    deterministic ties (pr desc, term asc).
+
+    Output: (rank, term, pr) — k rows.
+    """
+    from careers_spark.functions.text import STOP_WORDS
+    from careers_spark.operators.graph import pagerank
+
+    toks = (
+        documents.select(
+            "doc_id",
+            F.posexplode(tokens_col("text")).alias("pos", "term"),
+        )
+        .filter(~F.col("term").isin(*sorted(STOP_WORDS)))
+    )
+    left = toks.select(
+        "doc_id",
+        "pos",
+        F.col("term").alias("t1"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, int(window) + 1)])
+        ).alias("off"),
+    )
+    right = toks.select(
+        "doc_id", F.col("pos").alias("pos2"), F.col("term").alias("t2")
+    )
+    pairs = (
+        left.join(
+            right,
+            (left["doc_id"] == right["doc_id"])
+            & (right["pos2"] == left["pos"] + left["off"]),
+        )
+        .filter(F.col("t1") != F.col("t2"))
+        .select(
+            F.least("t1", "t2").alias("x"),
+            F.greatest("t1", "t2").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= int(min_cooc))
+    )
+    e = pairs.select(
+        F.col("x").alias("src"), F.col("y").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("src"), F.col("x").alias("dst"), "w"
+        )
+    )
+    from pyspark.sql import Window
+
+    # The edge table is vocabulary^2-bounded and min_cooc-pruned —
+    # checkpoint it once so the empty-graph guard (pagerank's 1/N
+    # teleport is undefined on zero nodes) doesn't recompute the
+    # co-occurrence aggregation.
+    e = e.localCheckpoint(eager=True)
+    if e.isEmpty():
+        return documents.sparkSession.createDataFrame(
+            [], "rank int, term string, pr double"
+        )
+    pr = pagerank(e, weight="w", iterations=int(iterations))
+    wnd = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return (
+        pr.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= int(k))
+        .select("rank", F.col("node").alias("term"), "pr")
+    )
