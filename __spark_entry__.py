@@ -4601,6 +4601,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["textrank_keywords"] = textrank_keywords
 
+    def entity_katz(spark, sf_dir):
+        """Katz centrality over the min_obs=35 entity graph, directed
+        as the canonical src<dst edge set like entity_pagerank
+        (graph.katz_centrality): 6 terms of the attenuated-walk series
+        at beta=1/8, carried END-TO-END as the exact BIGINT recurrence
+        m_{t+1}(v) = sum_{u->v}(8^t + m_t(u)) — no per-iteration float
+        rounding anywhere; one final division."""
+        from careers_spark.operators.graph import katz_centrality
+
+        return katz_centrality(
+            _entity_edges(spark, sf_dir, 35), iterations=6, beta_inv=8
+        )
+
+    q["entity_katz"] = entity_katz
+
     return q
 
 
@@ -13878,6 +13893,46 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS rank,
                node AS term, pr
         FROM p6 ORDER BY pr DESC, node LIMIT 25
+    """
+    )
+
+    # entity_katz: the attenuated-walk series as a PURE BIGINT unroll —
+    # m_{t+1}(v) = sum_{u->v}(8^t + m_t(u)) over the entity_pagerank
+    # edge CTE; the only float op is the single final division.
+    _kz_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS u, b.tok AS v
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        nodes AS MATERIALIZED (
+          SELECT u AS node FROM e UNION SELECT v FROM e
+        ),
+        m0 AS MATERIALIZED (
+          SELECT node, CAST(0 AS BIGINT) AS m FROM nodes
+        )"""
+    ]
+    for _kt in range(6):
+        _kz_chain.append(
+            f"""m{_kt + 1} AS MATERIALIZED (
+          SELECT n.node, CAST(coalesce(c.m, 0) AS BIGINT) AS m
+          FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, CAST(sum(p.m + {8 ** _kt}) AS BIGINT) AS m
+            FROM e JOIN m{_kt} p ON p.node = e.u
+            GROUP BY e.v
+          ) c ON c.node = n.node
+        )"""
+        )
+    o["entity_katz"] = (
+        "WITH "
+        + ",\n".join(_kz_chain)
+        + f"""
+        SELECT node, round(m / {8 ** 6}e0, 10) AS katz, m AS m_fp
+        FROM m6
     """
     )
 

@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "dp_topk_event_types",
     "entropy_l_diversity",
     "moore_lewis_en_selection",
+    "textrank_keywords",
+    "entity_katz",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",
