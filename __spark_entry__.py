@@ -4616,6 +4616,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_katz"] = entity_katz
 
+    def node2vec_walks(spark, sf_dir):
+        """node2vec biased walks over the min_obs=35 entity graph
+        (graph.node2vec_walks): 2 walks x 4 steps per node at integer
+        weights (1, 4, 2) = p=4, q=2 — md5-derandomized second-order
+        transitions, the weighted-interval pick exact in BIGINT."""
+        from careers_spark.operators.graph import node2vec_walks as n2v
+
+        return n2v(
+            _entity_edges(spark, sf_dir, 35),
+            n_walks=2,
+            walk_len=4,
+            w_ret=1,
+            w_bfs1=4,
+            w_far=2,
+            salt="n2v",
+        )
+
+    q["node2vec_walks"] = node2vec_walks
+
     return q
 
 
@@ -13934,6 +13953,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, round(m / {8 ** 6}e0, 10) AS katz, m AS m_fp
         FROM m6
     """
+    )
+
+    # node2vec_walks: the second-order walk unrolled 4 steps — per step
+    # one adjacency fan-out, one prev-neighbor LEFT join, a per-walk
+    # cumulative window, and the md5 interval pick on (start|j|t|n2v).
+    _n2v_chain = [
+        f"""tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        bidir AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM e
+            UNION ALL SELECT dst, src FROM e
+          ) WHERE u <> v
+        ),
+        s0 AS MATERIALIZED (
+          SELECT u AS start, j, u AS prev, u AS cur
+          FROM (SELECT DISTINCT u FROM bidir)
+          CROSS JOIN (SELECT CAST(unnest([0, 1]) AS INTEGER) AS j)
+        )"""
+    ]
+    for _nt in range(1, 5):
+        _n2v_key = (
+            f"s.start || '|' || CAST(s.j AS VARCHAR) || '|' || '{_nt}'"
+            " || '|' || 'n2v'"
+        )
+        _n2v_chain.append(
+            f"""c{_nt} AS MATERIALIZED (
+          SELECT s.start, s.j, s.cur, a.v AS x,
+                 CAST(CASE WHEN a.v = s.prev THEN 1
+                      WHEN p._pv IS NOT NULL THEN 4
+                      ELSE 2 END AS BIGINT) AS w
+          FROM s{_nt - 1} s
+          JOIN bidir a ON a.u = s.cur
+          LEFT JOIN (SELECT u AS _pu, v AS _pv FROM bidir) p
+            ON p._pu = s.prev AND p._pv = a.v
+        )"""
+        )
+        _n2v_chain.append(
+            f"""k{_nt} AS MATERIALIZED (
+          SELECT start, j, cur, x, w,
+                 sum(w) OVER (PARTITION BY start, j ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(w) OVER (PARTITION BY start, j) AS tot
+          FROM c{_nt}
+        )"""
+        )
+        _n2v_chain.append(
+            f"""s{_nt} AS MATERIALIZED (
+          SELECT s.start, s.j, s.cur AS prev, s.x AS cur
+          FROM k{_nt} s
+          WHERE ({_DUCK_H64.format(c=_n2v_key)} % s.tot) >= s.cum - s.w
+            AND ({_DUCK_H64.format(c=_n2v_key)} % s.tot) < s.cum
+        )"""
+        )
+    o["node2vec_walks"] = (
+        "WITH "
+        + ",\n".join(_n2v_chain)
+        + "\n"
+        + "\nUNION ALL ".join(
+            f"SELECT start, j, {_nt} AS step, cur AS node FROM s{_nt}"
+            for _nt in range(0, 5)
+        )
     )
 
     return o

@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "moore_lewis_en_selection",
     "textrank_keywords",
     "entity_katz",
+    "node2vec_walks",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

@@ -2124,3 +2124,132 @@ def katz_centrality(
         F.round(F.col("m") / F.lit(denom), 10).alias("katz"),
         F.col("m").alias("m_fp"),
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_walks: int = 2,
+    walk_len: int = 4,
+    w_ret: int = 1,
+    w_bfs1: int = 4,
+    w_far: int = 2,
+    salt: str = "n2v",
+) -> DataFrame:
+    """node2vec biased second-order random walks (Grover & Leskovec,
+    KDD 2016) — the p/q generalization of deepwalk_corpus: from
+    previous node s and current node c, neighbor x draws unnormalized
+    weight 1/p if x==s (return), 1 if x is also a neighbor of s
+    (BFS-like), 1/q otherwise (DFS-like). Expressed here as EXACT
+    INTEGER weights (w_ret, w_bfs1, w_far) = (1/p, 1, 1/q) scaled by
+    any common denominator — the defaults (1, 4, 2) are p=4, q=2, the
+    paper's "explore outward, rarely backtrack" regime.
+
+    DERANDOMIZED like every sampler in this repo: step t of walk
+    (start, j) draws r = md5(start|j|t|salt) mod W (W = the state
+    row's total candidate weight, an exact BIGINT) and picks the
+    neighbor whose cumulative-weight interval [cum-w, cum) contains r,
+    cumulated over the (v-ordered) candidate list. Reproducible across
+    runs/engines/parallelism, re-seedable by salt, oracle-able as a
+    fixed unroll. The first transition initializes prev = start, and
+    since every candidate is then a neighbor of prev, all weights are
+    w_bfs1 — the uniform first step of the paper, with no special
+    case.
+
+    Physical shape per step: one adjacency equi-join (state x deg(cur)
+    candidate fan-out — the inherent node2vec cost), one LEFT
+    equi-join against the edge set for the "neighbor of prev" flag,
+    and one per-walk window (partitions of size deg(cur), NEVER
+    corpus-wide) for the cumulative. No inequality joins, no Python,
+    no driver-side state beyond the fixed step count.
+
+    Output: (start, j, step, node) — the deepwalk_corpus schema, ready
+    for the same skip-gram windowing; isolated nodes produce no walks.
+    """
+    from pyspark.sql import Window
+
+    from careers_spark.operators.dedup import _hash64_expr
+
+    for name, w in (("w_ret", w_ret), ("w_bfs1", w_bfs1), ("w_far", w_far)):
+        if int(w) < 1:
+            raise ValueError(f"{name} must be a positive integer")
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        bidir.select(F.col("u").alias("start"))
+        .distinct()
+        .withColumn(
+            "j", F.explode(F.expr(f"sequence(0, {int(n_walks) - 1})"))
+        )
+        .withColumn("j", F.col("j").cast("int"))
+        .withColumn("prev", F.col("start"))
+        .withColumn("cur", F.col("start"))
+    )
+    steps = [
+        state.select(
+            "start", "j", F.lit(0).alias("step"), F.col("cur").alias("node")
+        )
+    ]
+    prev_edge = bidir.select(
+        F.col("u").alias("_pu"), F.col("v").alias("_pv"), F.lit(1).alias("_is1")
+    )
+    for t in range(1, int(walk_len) + 1):
+        keyed = (
+            "concat(cast(start as string), '|', cast(j as string), '|', "
+            f"'{t}', '|', '{salt}')"
+        )
+        cand = (
+            state.join(
+                bidir.select(F.col("u").alias("_cu"), F.col("v").alias("_cv")),
+                F.col("cur") == F.col("_cu"),
+            )
+            .join(
+                prev_edge,
+                (F.col("prev") == F.col("_pu"))
+                & (F.col("_cv") == F.col("_pv")),
+                "left",
+            )
+            .withColumn(
+                "w",
+                F.when(F.col("_cv") == F.col("prev"), F.lit(int(w_ret)))
+                .when(F.col("_is1").isNotNull(), F.lit(int(w_bfs1)))
+                .otherwise(F.lit(int(w_far)))
+                .cast("long"),
+            )
+        )
+        wk = Window.partitionBy("start", "j")
+        cum = cand.select(
+            "start",
+            "j",
+            "cur",
+            "_cv",
+            "w",
+            F.sum("w")
+            .over(wk.orderBy("_cv").rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.sum("w").over(wk).alias("tot"),
+        ).withColumn("r", F.expr(f"{_hash64_expr(keyed)} % tot"))
+        state = cum.filter(
+            (F.col("r") >= F.col("cum") - F.col("w"))
+            & (F.col("r") < F.col("cum"))
+        ).select(
+            "start", "j", F.col("cur").alias("prev"), F.col("_cv").alias("cur")
+        )
+        steps.append(
+            state.select(
+                "start",
+                "j",
+                F.lit(t).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out
