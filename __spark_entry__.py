@@ -4635,6 +4635,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["node2vec_walks"] = node2vec_walks
 
+    def maxsim_search(spark, sf_dir):
+        """ColBERT-style late-interaction top-10 for the house query
+        {spark, join, window} (retrieval.late_interaction_maxsim):
+        per-query-token MaxSim over hash-sign token vectors — the
+        XOR-popcount dot is pure BIGINT, so the score needs no
+        rounding recipe at all."""
+        from careers_spark.operators.retrieval import (
+            late_interaction_maxsim,
+        )
+
+        return late_interaction_maxsim(
+            _t(spark, sf_dir, "documents"),
+            ["spark", "join", "window"],
+            k=10,
+            dims=16,
+            salt="li0",
+        )
+
+    q["maxsim_search"] = maxsim_search
+
     return q
 
 
@@ -14024,5 +14044,44 @@ def oracle_sql() -> dict[str, str]:
             for _nt in range(0, 5)
         )
     )
+
+    # maxsim_search: hash-sign masks from the shared md5 family; the
+    # dot is dims - 2*popcount(xor) — all BIGINT, zero rounding.
+    _li_mask = _DUCK_H64.format(c="tok || '|li0'") + " & 65535"
+    _li_qmask = _DUCK_H64.format(c="term || '|li0'") + " & 65535"
+    o["maxsim_search"] = f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        tm AS (
+          SELECT doc_id, tok, ({_li_mask}) AS xmask FROM (
+            SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t
+          )
+        ),
+        qm AS (
+          SELECT term, ({_li_qmask}) AS tmask FROM (
+            SELECT unnest(['spark', 'join', 'window']) AS term
+          )
+        ),
+        s AS (
+          SELECT doc_id, term,
+                 max(16 - 2 * CAST(bit_count(xor(xmask, tmask)) AS BIGINT))
+                   AS maxsim
+          FROM tm CROSS JOIN qm GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT doc_id,
+                 CAST(coalesce(max(CASE WHEN term = 'spark'
+                                   THEN maxsim END), -16)
+                    + coalesce(max(CASE WHEN term = 'join'
+                                   THEN maxsim END), -16)
+                    + coalesce(max(CASE WHEN term = 'window'
+                                   THEN maxsim END), -16) AS BIGINT)
+                   AS score
+          FROM s GROUP BY doc_id
+        )
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rank,
+               doc_id, score
+        FROM p ORDER BY score DESC, doc_id LIMIT 10
+    """
 
     return o

@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "textrank_keywords",
     "entity_katz",
     "node2vec_walks",
+    "maxsim_search",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

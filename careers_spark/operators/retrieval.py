@@ -42,7 +42,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from careers_spark.operators.dedup import tokens_col
+from careers_spark.operators.dedup import _hash64_expr, tokens_col
 
 K1 = "1.2e0"
 B = "0.75e0"
@@ -661,4 +661,104 @@ def spell_suggest(
             "freq",
             F.col("rk").cast("int").alias("rk"),
         )
+    )
+
+
+def late_interaction_maxsim(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    dims: int = 16,
+    salt: str = "li0",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): score(q, d) = sum over query tokens t of
+    MAX over document tokens x of sim(v_t, v_x) — the MaxSim operator
+    that makes late interaction different from both bag-of-words
+    (bm25_topk: no token-token geometry) and single-vector ANN
+    (similarity.*: one pooled embedding per doc). Each query token
+    independently finds its best-matching document token; the doc is
+    rewarded for covering ALL query facets.
+
+    Token "embeddings" are the deterministic hashing-trick stand-in
+    this environment's no-model contract allows (documented exactly
+    like the multimodal decode stub): token v gets a ``dims``-bit sign
+    mask from the shared md5 family, and the +-1-vector dot product is
+    PURE INTEGER algebra
+
+        dot(t, x) = dims - 2 * bit_count(mask_t XOR mask_x)
+
+    — no floats anywhere in the score, so the oracle is exact with no
+    rounding recipe at all. Swapping a real encoder in means replacing
+    the mask expression with a vector column and the XOR-popcount with
+    a dot product; the MaxSim plan shape is the contribution.
+
+    Physical shape: distinct (doc, token) pairs fan out ONLY against
+    the |Q|-row broadcast query (the bm25 explode profile, corpus
+    touched once); per-(doc, term) MaxSim is an algebraic max
+    (map-side combinable), the per-doc score a fixed-query-order sum
+    of pivoted conditional aggregates (the bm25 recipe — never a
+    float sum), and the final top-k a bounded TakeOrdered with
+    (score desc, doc_id) ties. No window over corpus-sized input, no
+    cross join wider than |Q|.
+
+    Output: (rank, doc_id, score) — k rows, score an exact BIGINT.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if not 1 <= int(dims) <= 32:
+        raise ValueError("dims must be in [1, 32]")
+    from pyspark.sql import Window
+
+    mask = (2 ** int(dims)) - 1
+
+    def _mask_expr(col: str) -> str:
+        return (
+            f"({_hash64_expr(f'concat({col}, {chr(39)}|{salt}{chr(39)})')}"
+            f" & {mask})"
+        )
+
+    toks = (
+        documents.select(
+            "doc_id", F.explode(tokens_col("text")).alias("tok")
+        )
+        .distinct()
+        .withColumn("xmask", F.expr(_mask_expr("tok")))
+    )
+    qdf = documents.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    ).withColumn("tmask", F.expr(_mask_expr("term")))
+    scored = (
+        toks.crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "dot",
+            F.lit(int(dims))
+            - 2 * F.expr("bit_count(xmask ^ tmask)").cast("long"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.max("dot").alias("maxsim"))
+    )
+    # fixed-query-order sum over pivoted conditional aggregates (the
+    # bm25 recipe) — integer-exact anyway, but keeps the plan shape
+    # identical to the rest of the retrieval family
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("term") == F.lit(t), F.col("maxsim"))
+            ).alias(f"_c{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    score = None
+    for i in range(len(query_terms)):
+        c = F.coalesce(F.col(f"_c{i}"), F.lit(-int(dims)))
+        score = c if score is None else score + c
+    ranked = per_doc.select(
+        "doc_id", score.cast("long").alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("rank", "doc_id", "score")
     )
