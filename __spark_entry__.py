@@ -4655,6 +4655,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["maxsim_search"] = maxsim_search
 
+    def ccnet_ppl_buckets(spark, sf_dir):
+        """CCNet head/middle/tail perplexity tiers per language
+        (textstats.ccnet_ppl_buckets): per-language unigram LM scores
+        on the 1e-9 fixed-point lattice, tier boundaries pure integer
+        algebra on the 0.01-nat bin table — no float in any bucket
+        decision."""
+        from careers_spark.operators.textstats import ccnet_ppl_buckets
+
+        return ccnet_ppl_buckets(_t(spark, sf_dir, "documents"))
+
+    q["ccnet_ppl_buckets"] = ccnet_ppl_buckets
+
+    def neyman_eval_allocation(spark, sf_dir):
+        """Neyman optimal allocation of a 200-document eval budget
+        across sources by length variability
+        (sampling.neyman_allocation): exact integer moments, one
+        shared-text IEEE sqrt per stratum, 1e-6-quantized weights,
+        largest-remainder apportionment summing to exactly 200."""
+        from careers_spark.operators.sampling import neyman_allocation
+
+        return neyman_allocation(
+            _t(spark, sf_dir, "documents"),
+            stratum="source",
+            value="n_chars",
+            n_sample=200,
+        )
+
+    q["neyman_eval_allocation"] = neyman_eval_allocation
+
     return q
 
 
@@ -14082,6 +14111,124 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS rank,
                doc_id, score
         FROM p ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+    # ccnet_ppl_buckets: per-language unigram_logloss fp sums, bins by
+    # BIGINT floor-div (both operands positive — trunc == floor in both
+    # engines), tier cuts integer predicates over the per-lang bin CTE.
+    o["ccnet_ppl_buckets"] = f"""
+        WITH t AS (
+          SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, lang, unnest(toks) AS term FROM t)
+          GROUP BY 1, 2, 3
+        ),
+        counts AS (
+          SELECT lang, term, CAST(sum(tf) AS BIGINT) AS n_term
+          FROM tf GROUP BY 1, 2
+        ),
+        totals AS (
+          SELECT lang, CAST(sum(n_term) AS BIGINT) AS n_total
+          FROM counts GROUP BY 1
+        ),
+        docs AS (
+          SELECT tf.doc_id, tf.lang,
+                 CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(sum(tf * CAST(round(
+                     ln(n_term / CAST(n_total AS DOUBLE))
+                     * 1000000000e0, 0) AS BIGINT)) AS BIGINT) AS fp
+          FROM tf
+          JOIN counts ON counts.lang = tf.lang AND counts.term = tf.term
+          JOIN totals ON totals.lang = tf.lang
+          GROUP BY 1, 2
+        ),
+        b AS (
+          SELECT doc_id, lang, n_tokens, fp,
+                 (-fp * 100) // (n_tokens * 1000000000) AS nll_bin
+          FROM docs
+        ),
+        bins AS (
+          SELECT lang, nll_bin, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT lang, nll_bin,
+                 sum(c) OVER (PARTITION BY lang ORDER BY nll_bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(c) OVER (PARTITION BY lang) AS n
+          FROM bins
+        ),
+        cuts AS (
+          SELECT lang,
+                 min(CASE WHEN 3 * cum >= n THEN nll_bin END) AS c1,
+                 min(CASE WHEN 3 * cum >= 2 * n THEN nll_bin END) AS c2
+          FROM cum GROUP BY lang
+        )
+        SELECT b.doc_id, b.lang, b.n_tokens,
+               round(-fp / (n_tokens * 1000000000e0), 6) AS avg_nll,
+               b.nll_bin,
+               CASE WHEN b.nll_bin <= c1 THEN 'head'
+                    WHEN b.nll_bin <= c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM b JOIN cuts ON cuts.lang = b.lang
+    """
+
+    # neyman_eval_allocation: exact integer moments, one shared-text
+    # IEEE sqrt, 1e-6-quantized weights summed as BIGINT, Hamilton
+    # largest-remainder seats by (frac desc, stratum).
+    _ney_sd = (
+        "case when n_pop < 2 then 0e0 else "
+        "sqrt((n_pop * cast(ss as double) - cast(s as double) * s)"
+        " / (n_pop * (n_pop - 1e0))) end"
+    )
+    o["neyman_eval_allocation"] = f"""
+        WITH g AS (
+          SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_pop,
+                 CAST(sum(n_chars) AS BIGINT) AS s,
+                 CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+                   AS ss
+          FROM documents GROUP BY 1
+        ),
+        w AS (
+          SELECT stratum, n_pop, s, ss,
+                 CAST(round(n_pop * ({_ney_sd}) * 1000000e0, 0) AS BIGINT)
+                   AS w_fp
+          FROM g
+        ),
+        tot AS (
+          SELECT CAST(sum(w_fp) AS BIGINT) AS w_tot,
+                 CAST(sum(n_pop) AS BIGINT) AS pop_tot
+          FROM w
+        ),
+        sc AS (
+          SELECT stratum, n_pop, s, ss, w_fp, w_tot, pop_tot,
+                 CASE WHEN w_tot > 0 THEN 'neyman'
+                      ELSE 'proportional' END AS weight_basis,
+                 CASE WHEN w_tot > 0 THEN 200 * w_fp * 1e0 / w_tot
+                      ELSE 200 * n_pop * 1e0 / pop_tot END AS quota
+          FROM w CROSS JOIN tot
+        ),
+        fb AS (
+          SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+                 quota - floor(quota) AS frac
+          FROM sc
+        ),
+        rk AS (
+          SELECT *,
+                 row_number() OVER (ORDER BY frac DESC, stratum) AS rk,
+                 200 - sum(base) OVER () AS extra
+          FROM fb
+        )
+        SELECT stratum, n_pop,
+               round({_ney_sd}, 6) AS sd,
+               round(quota, 6) AS quota,
+               CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_alloc,
+               weight_basis
+        FROM rk
     """
 
     return o

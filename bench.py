@@ -269,6 +269,8 @@ BENCH_QUERIES = [
     "entity_katz",
     "node2vec_walks",
     "maxsim_search",
+    "ccnet_ppl_buckets",
+    "neyman_eval_allocation",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

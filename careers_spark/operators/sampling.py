@@ -501,3 +501,102 @@ def weighted_sample_topk(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= int(n))
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum: str = "stratum",
+    value: str = "value",
+    n_sample: int = 100,
+) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934) — the survey-sampling
+    answer to "I can afford n_sample eval labels; how many per
+    stratum?": minimum-variance allocation puts n_h proportional to
+    N_h * S_h, so big AND internally-variable strata get more budget
+    than big-but-homogeneous ones (where proportional allocation
+    over-spends). The budgeting complement to stratified_hash_sample
+    (which draws the rows once the quota is known).
+
+    Exactness: per-stratum moment sums are exact integers (the
+    ols_simple channels — sum-of-squares rides DECIMAL(38,0)); the
+    sample standard deviation is ONE shared-text sqrt over them (IEEE
+    sqrt is correctly rounded, the ab_conversion precedent); the
+    Neyman weight N_h * S_h is QUANTIZED to 1e-6 (BIGINT) before the
+    cross-stratum total so W is an order-free exact integer sum. The
+    integer allocation is largest-remainder apportionment (Hamilton):
+    base = floor(n * w_fp / W_fp) with the leftover seats going to the
+    largest fractional parts (ties by stratum id) — floors, fractions,
+    and the ranking are identical shared-text doubles in both engines,
+    and sum(n_alloc) == n_sample exactly by construction. Degenerate
+    corpus (every stratum zero-variance, W=0) falls back to
+    PROPORTIONAL allocation on N_h — the standard fallback, flagged in
+    the `weight_basis` column. Single-row strata have no sample sd and
+    count as S_h = 0 (they need no within-stratum budget), documented.
+
+    Physical shape: one partial-agg groupBy(stratum), then pure
+    dimension-table algebra (a strata-sized window for the remainder
+    ranking). The corpus is touched once.
+
+    Output: (stratum, n_pop, sd, quota, n_alloc, weight_basis) —
+    quota the real-valued Neyman share of n_sample, n_alloc the
+    integer apportionment summing exactly to n_sample.
+    """
+    if n_sample < 0:
+        raise ValueError("n_sample must be >= 0")
+    from pyspark.sql import Window
+
+    v = F.col(value).cast("long")
+    g = df.groupBy(F.col(stratum).alias("stratum")).agg(
+        F.count("*").alias("n_pop"),
+        F.sum(v).alias("s"),
+        F.sum(v.cast("decimal(19,0)") * v).alias("ss"),
+    )
+    sd = (
+        "case when n_pop < 2 then 0e0 else "
+        "sqrt((n_pop * cast(ss as double) - cast(s as double) * s)"
+        " / (n_pop * (n_pop - 1e0))) end"
+    )
+    g = g.withColumn(
+        "w_fp",
+        F.expr(f"cast(round(n_pop * ({sd}) * 1000000e0, 0) as bigint)"),
+    )
+    tot = g.agg(
+        F.sum("w_fp").alias("w_tot"), F.sum("n_pop").alias("pop_tot")
+    )
+    scored = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "weight_basis",
+            F.when(F.col("w_tot") > 0, F.lit("neyman")).otherwise(
+                F.lit("proportional")
+            ),
+        )
+        .withColumn(
+            "quota",
+            F.expr(
+                f"case when w_tot > 0 then {int(n_sample)} * w_fp * 1e0 / w_tot"
+                f" else {int(n_sample)} * n_pop * 1e0 / pop_tot end"
+            ),
+        )
+        .withColumn("base", F.expr("cast(floor(quota) as bigint)"))
+        .withColumn("frac", F.expr("quota - floor(quota)"))
+    )
+    wrk = Window.orderBy(F.desc("frac"), F.asc("stratum"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wrk))
+        .withColumn("extra", F.lit(int(n_sample)) - F.sum("base").over(wall))
+        .select(
+            "stratum",
+            "n_pop",
+            F.expr(f"round({sd}, 6)").alias("sd"),
+            F.expr("round(quota, 6)").alias("quota"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            ).alias("n_alloc"),
+            "weight_basis",
+        )
+    )

@@ -1483,3 +1483,103 @@ def textrank_keywords(
         .filter(F.col("rank") <= int(k))
         .select("rank", F.col("node").alias("term"), "pr")
     )
+
+
+def ccnet_ppl_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    split each language's documents into head / middle / tail thirds
+    by language-model score — THE published recipe for tiering a web
+    crawl before pre-training (head = cleanest third, tail = usually
+    dropped or down-sampled). CCNet scores with per-language KenLM
+    models; with no external model in this environment each language's
+    own corpus unigram MLE plays that role (the unigram_logloss
+    stand-in, per language), so a document is scored against ITS OWN
+    language's distribution and buckets never compare across
+    languages.
+
+    Exactness end-to-end: per-token ln p(t|lang) is FIXED-POINT
+    QUANTIZED at 1e9 (the unigram_logloss recipe), the per-doc sum is
+    an exact BIGINT, and the BUCKET BOUNDARIES are integer algebra on
+    a 0.01-nat bin lattice (the stump integer-binning recipe):
+
+        nll_bin = (-nll_fp * 100) div (n_tokens * 10^9)   -- BIGINT
+        head cut  c1(lang) = min bin with 3*cum(bin) >= n(lang)
+        tail cut  c2(lang) = min bin with 3*cum(bin) >= 2*n(lang)
+
+    — cumulative over the per-language BIN table (dimension-sized,
+    never a corpus-wide sort; boundary ties share a bin and land in
+    the lower bucket, documented bin-granularity semantics). No float
+    enters any bucket decision.
+
+    Physical shape: one token explode -> (doc, term) tf groupBy; the
+    per-language model is a (lang, term) rollup broadcast back; bins
+    aggregate per (lang, bin); two bounded windows over the bin table;
+    one broadcast cut join back onto docs. The corpus is touched once.
+
+    Output: (doc_id, lang, n_tokens, avg_nll, nll_bin, bucket) with
+    bucket in {'head', 'middle', 'tail'}.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select(
+            "doc_id", "lang", F.explode(tokens_col("text")).alias("term")
+        )
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    counts = tf.groupBy("lang", "term").agg(F.sum("tf").alias("n_term"))
+    totals = counts.groupBy("lang").agg(F.sum("n_term").alias("n_total"))
+    docs = (
+        tf.join(F.broadcast(counts), ["lang", "term"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn(
+            "_c",
+            F.expr(
+                "tf * cast(round(ln(n_term / cast(n_total as double))"
+                " * 1000000000e0, 0) as bigint)"
+            ),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("_c").alias("_fp"))
+        .withColumn(
+            "nll_bin",
+            F.expr("(-_fp * 100) div (n_tokens * 1000000000)"),
+        )
+    )
+    bins = docs.groupBy("lang", "nll_bin").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("nll_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("lang")
+    cuts = (
+        bins.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(3 * F.col("cum") >= F.col("n"), F.col("nll_bin"))
+            ).alias("c1"),
+            F.min(
+                F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("nll_bin"))
+            ).alias("c2"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("round(-_fp / (n_tokens * 1000000000e0), 6)").alias(
+                "avg_nll"
+            ),
+            "nll_bin",
+            F.when(F.col("nll_bin") <= F.col("c1"), F.lit("head"))
+            .when(F.col("nll_bin") <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
