@@ -4684,6 +4684,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["neyman_eval_allocation"] = neyman_eval_allocation
 
+    def source_lang_length_fdr(spark, sf_dir):
+        """Per-source randomization test (64 md5 re-labelings, exact
+        rational p) of en-vs-rest mean length, then Benjamini-Hochberg
+        at alpha=0.1 across the 20 sources
+        (evaluation.randomization_test_2s |> evaluation.bh_fdr):
+        extremity and the BH step-up are BOTH pure integer
+        cross-multiplications — no float in any decision."""
+        from careers_spark.operators.evaluation import (
+            bh_fdr,
+            randomization_test_2s,
+        )
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.col("source").alias("stratum"),
+            F.expr("lang = 'en'").alias("grp"),
+            F.col("n_chars").alias("value"),
+        )
+        tests = randomization_test_2s(
+            d, unit="doc_id", n_reps=64, salt="rt0"
+        )
+        return bh_fdr(
+            tests, test_id="stratum", alpha_mille=100
+        )
+
+    q["source_lang_length_fdr"] = source_lang_length_fdr
+
     return q
 
 
@@ -14229,6 +14256,93 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_alloc,
                weight_basis
         FROM rk
+    """
+
+    # source_lang_length_fdr: 64 md5 re-labelings per doc, extremity by
+    # HUGEINT cross-multiplication, BH step-up by the integer predicate
+    # p_num * m * 1000 <= rank * alpha_mille * p_den.
+    _rt_key = (
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)"
+        " || '|' || 'rt0'"
+    )
+    o["source_lang_length_fdr"] = f"""
+        WITH d AS (
+          SELECT doc_id, source AS stratum, (lang = 'en') AS grp,
+                 CAST(n_chars AS BIGINT) AS v
+          FROM documents
+        ),
+        obs AS (
+          SELECT stratum,
+                 CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN grp THEN v ELSE 0 END) AS BIGINT) AS s_a,
+                 CAST(sum(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN grp THEN 0 ELSE v END) AS BIGINT) AS s_b
+          FROM d GROUP BY 1
+        ),
+        reps AS (
+          SELECT stratum, b,
+                 CAST(sum(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS ra,
+                 CAST(sum(CASE WHEN ra THEN v ELSE 0 END) AS BIGINT) AS sa,
+                 CAST(sum(CASE WHEN ra THEN 0 ELSE 1 END) AS BIGINT) AS rb,
+                 CAST(sum(CASE WHEN ra THEN 0 ELSE v END) AS BIGINT) AS sb
+          FROM (
+            SELECT stratum, v, b,
+                   (({_DUCK_H64.format(c=_rt_key)}) % 2 = 0) AS ra
+            FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS b)
+          ) GROUP BY 1, 2
+        ),
+        ext AS (
+          SELECT r.stratum,
+                 (r.ra = 0 OR r.rb = 0 OR
+                  abs(CAST(r.sa AS HUGEINT) * r.rb
+                      - CAST(r.sb AS HUGEINT) * r.ra)
+                    * (CAST(o.n_a AS HUGEINT) * o.n_b)
+                  >= abs(CAST(o.s_a AS HUGEINT) * o.n_b
+                         - CAST(o.s_b AS HUGEINT) * o.n_a)
+                    * (CAST(r.ra AS HUGEINT) * r.rb)) AS is_ext
+          FROM reps r JOIN obs o USING (stratum)
+        ),
+        t AS (
+          SELECT o.stratum AS test_id,
+                 CASE WHEN o.n_a = 0 OR o.n_b = 0 THEN NULL
+                      ELSE CAST(1 + e.n_ext AS BIGINT) END AS p_num,
+                 CAST(65 AS BIGINT) AS p_den
+          FROM obs o JOIN (
+            SELECT stratum,
+                   sum(CASE WHEN is_ext THEN 1 ELSE 0 END) AS n_ext
+            FROM ext GROUP BY 1
+          ) e ON e.stratum = o.stratum
+        ),
+        mm AS (
+          SELECT CAST(count(*) AS BIGINT) AS m FROM t
+          WHERE p_num IS NOT NULL
+        ),
+        rk AS (
+          SELECT test_id, p_num, p_den,
+                 CAST(row_number() OVER (
+                   ORDER BY p_num * 1e0 / p_den, test_id) AS INTEGER)
+                   AS rank,
+                 m
+          FROM t CROSS JOIN mm WHERE p_num IS NOT NULL
+        ),
+        ks AS (
+          SELECT CAST(coalesce(max(CASE WHEN p_num * m * 1000
+                                        <= rank * 100 * p_den
+                                   THEN rank END), 0) AS INTEGER)
+                   AS k_star
+          FROM rk
+        )
+        SELECT test_id, p_num, p_den,
+               round(p_num * 1e0 / p_den, 6) AS p,
+               rank, k_star, rank <= k_star AS reject
+        FROM rk CROSS JOIN ks
+        UNION ALL
+        SELECT test_id, p_num, p_den,
+               CAST(NULL AS DOUBLE) AS p,
+               CAST(NULL AS INTEGER) AS rank,
+               CAST(NULL AS INTEGER) AS k_star,
+               CAST(NULL AS BOOLEAN) AS reject
+        FROM t WHERE p_num IS NULL
     """
 
     return o

@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "maxsim_search",
     "ccnet_ppl_buckets",
     "neyman_eval_allocation",
+    "source_lang_length_fdr",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

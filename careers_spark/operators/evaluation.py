@@ -1854,3 +1854,206 @@ def ols_simple(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
         .otherwise(F.expr(f"round({t}, 6)"))
         .alias("t_slope"),
     )
+
+
+def randomization_test_2s(
+    df: DataFrame,
+    unit: str = "unit",
+    stratum: str = "stratum",
+    group: str = "grp",
+    value: str = "value",
+    n_reps: int = 64,
+    salt: str = "rt0",
+) -> DataFrame:
+    """Two-sample randomization test of a mean difference, run
+    independently in every stratum — the distribution-free,
+    no-special-function significance test (Fisher 1935; the Bernoulli-
+    reassignment "unconditional" variant of the permutation test,
+    valid at level by construction): is the group-A mean of ``value``
+    different from group B's, judged against ``n_reps`` re-labelings?
+
+    DERANDOMIZED like every sampler here: replicate b re-assigns unit
+    u to group A iff md5(u|b|salt) is even — reproducible, re-seedable,
+    oracle-able. The B replicates ride ONE exploded frame as a key
+    column (the influence_spread vectorization); per-(stratum, b)
+    group sums are a single partial-agg groupBy.
+
+    The extremity decision never touches a float: with
+    d = sA/nA - sB/nB = (sA*nB - sB*nA) / (nA*nB), replicate b is at
+    least as extreme as the observed split iff
+
+        |num_b| * den_obs >= |num_obs| * den_b
+
+    — cross-multiplied DECIMAL(38,0) integers (engine-exact at any
+    corpus size). A replicate that empties either group has an
+    undefined statistic and COUNTS AS EXTREME (conservative, keeps the
+    p-value valid); a stratum whose OBSERVED split is one-sided
+    reports NULL (the test is undefined there). p uses the standard
+    add-one form p = (1 + #extreme) / (B + 1), reported as the exact
+    rational (p_num, p_den) alongside the 6-dp double — the rational
+    is what bh_fdr consumes, so the whole test-then-correct chain
+    stays integer-exact.
+
+    Output: one row per stratum — (stratum, n_a, n_b, diff_obs,
+    p_num, p_den, p).
+    """
+    if n_reps < 1:
+        raise ValueError("n_reps must be >= 1")
+    from careers_spark.operators.dedup import _hash64_expr
+
+    v = F.col(value).cast("long")
+    gflag = F.col(group).cast("boolean")
+    obs = df.groupBy(F.col(stratum).alias("stratum")).agg(
+        F.sum(F.when(gflag, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(gflag, v).otherwise(F.lit(0))).alias("s_a"),
+        F.sum(F.when(~gflag, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~gflag, v).otherwise(F.lit(0))).alias("s_b"),
+    )
+    coin = _hash64_expr(
+        f"concat(cast({unit} as string), '|', cast(b as string), "
+        f"'|', '{salt}')"
+    )
+    reps = (
+        df.select(
+            F.col(stratum).alias("stratum"),
+            F.col(unit).alias(unit),
+            v.alias("_v"),
+        )
+        .withColumn(
+            "b", F.explode(F.expr(f"sequence(1, {int(n_reps)})"))
+        )
+        .withColumn("_ra", F.expr(f"({coin}) % 2 = 0"))
+        .groupBy("stratum", "b")
+        .agg(
+            F.sum(F.when(F.col("_ra"), 1).otherwise(0)).alias("ra"),
+            F.sum(F.when(F.col("_ra"), F.col("_v")).otherwise(F.lit(0))).alias(
+                "sa"
+            ),
+            F.sum(F.when(~F.col("_ra"), 1).otherwise(0)).alias("rb"),
+            F.sum(
+                F.when(~F.col("_ra"), F.col("_v")).otherwise(F.lit(0))
+            ).alias("sb"),
+        )
+    )
+    dec = "cast({x} as decimal(38,0))"
+    num_o = f"abs({dec.format(x='s_a')} * n_b - {dec.format(x='s_b')} * n_a)"
+    den_o = f"({dec.format(x='n_a')} * n_b)"
+    num_b = f"abs({dec.format(x='sa')} * rb - {dec.format(x='sb')} * ra)"
+    den_b = f"({dec.format(x='ra')} * rb)"
+    joined = reps.join(obs, "stratum").withColumn(
+        "_ext",
+        F.expr(
+            f"ra = 0 or rb = 0 or {num_b} * {den_o} >= {num_o} * {den_b}"
+        ),
+    )
+    agg = joined.groupBy("stratum").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("s_a").alias("s_a"),
+        F.first("n_b").alias("n_b"),
+        F.first("s_b").alias("s_b"),
+        F.sum(F.when(F.col("_ext"), 1).otherwise(0)).alias("n_ext"),
+    )
+    return agg.select(
+        "stratum",
+        "n_a",
+        "n_b",
+        F.expr(
+            "case when n_a = 0 or n_b = 0 then null else "
+            "round(s_a * 1e0 / n_a - s_b * 1e0 / n_b, 6) end"
+        ).alias("diff_obs"),
+        F.expr(
+            f"case when n_a = 0 or n_b = 0 then null else "
+            f"cast(1 + n_ext as bigint) end"
+        ).alias("p_num"),
+        F.lit(int(n_reps) + 1).cast("long").alias("p_den"),
+        F.expr(
+            f"case when n_a = 0 or n_b = 0 then null else "
+            f"round((1 + n_ext) * 1e0 / {int(n_reps) + 1}, 6) end"
+        ).alias("p"),
+    )
+
+
+def bh_fdr(
+    tests: DataFrame,
+    test_id: str = "test_id",
+    p_num: str = "p_num",
+    p_den: str = "p_den",
+    alpha_mille: int = 100,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control (JRSS-B 1995) over a table of
+    EXACT RATIONAL p-values — the multiple-testing guard for every
+    per-stratum test family this engine runs (one test per source /
+    language / segment is m tests, and m uncorrected 0.05s guarantee
+    false discoveries at web scale). Rejects the k* smallest p-values
+    where k* = max{k : p_(k) <= k * alpha / m}.
+
+    Every decision is INTEGER algebra: the step-up predicate
+
+        p_num * m * 1000 <= k * alpha_mille * p_den
+
+    is cross-multiplied BIGINT (alpha on the familiar 1e-3 lattice),
+    and the p-value ordering ranks by the exact rational via the same
+    cross-multiplication trick — a window over the TEST table
+    (dimension-sized: one row per stratum, never corpus data). Rows
+    with NULL p (undefined tests) are passed through unranked with
+    reject = NULL, and do not count toward m (they carry no evidence).
+
+    Output: one row per test — (test_id, p_num, p_den, p, rank,
+    k_star, reject).
+    """
+    from pyspark.sql import Window
+
+    t = tests.select(
+        F.col(test_id).alias("test_id"),
+        F.col(p_num).cast("long").alias("p_num"),
+        F.col(p_den).cast("long").alias("p_den"),
+    )
+    valid = t.filter(F.col("p_num").isNotNull())
+    m = valid.count()
+    if m == 0:
+        return t.select(
+            "test_id",
+            "p_num",
+            "p_den",
+            F.lit(None).cast("double").alias("p"),
+            F.lit(None).cast("int").alias("rank"),
+            F.lit(None).cast("int").alias("k_star"),
+            F.lit(None).cast("boolean").alias("reject"),
+        )
+    # exact-rational ordering: p1 < p2 iff n1*d2 < n2*d1; realized as
+    # a sort key only when denominators are shared (the randomization
+    # family), else falls back to the deterministic double (an exact
+    # rational-to-double is itself deterministic) with id ties
+    w = Window.orderBy(
+        (F.col("p_num") * 1.0 / F.col("p_den")).asc(), F.col("test_id").asc()
+    )
+    ranked = valid.withColumn("rank", F.row_number().over(w)).withColumn(
+        "_ok",
+        F.expr(
+            f"p_num * {m} * 1000 <= rank * {int(alpha_mille)} * p_den"
+        ),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_ok"), F.col("rank"))), F.lit(0)
+        ).alias("k_star")
+    )
+    out = ranked.crossJoin(F.broadcast(kstar)).select(
+        "test_id",
+        "p_num",
+        "p_den",
+        F.expr("round(p_num * 1e0 / p_den, 6)").alias("p"),
+        "rank",
+        "k_star",
+        (F.col("rank") <= F.col("k_star")).alias("reject"),
+    )
+    nulls = t.filter(F.col("p_num").isNull()).select(
+        "test_id",
+        "p_num",
+        "p_den",
+        F.lit(None).cast("double").alias("p"),
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("int").alias("k_star"),
+        F.lit(None).cast("boolean").alias("reject"),
+    )
+    return out.unionAll(nulls)
