@@ -4711,6 +4711,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_lang_length_fdr"] = source_lang_length_fdr
 
+    def _shift_grid(spark, sf_dir, agg_purchase: bool):
+        """Complete user x 3-shift grid from events: binary purchase
+        flags (Cochran) or activity counts (Friedman) per 8-hour
+        shift — complete blocks by construction."""
+        ev = _t(spark, sf_dir, "events")
+        h = "extract(hour from ts)"
+        if agg_purchase:
+            exprs = [
+                f"max(case when {h} >= {lo} and {h} < {hi} and "
+                f"event_type = 'purchase' then 1 else 0 end) as {c}"
+                for c, lo, hi in (
+                    ("f0", 0, 8), ("f1", 8, 16), ("f2", 16, 24)
+                )
+            ]
+        else:
+            exprs = [
+                f"sum(case when {h} >= {lo} and {h} < {hi} "
+                f"then 1 else 0 end) as {c}"
+                for c, lo, hi in (
+                    ("f0", 0, 8), ("f1", 8, 16), ("f2", 16, 24)
+                )
+            ]
+        per = ev.groupBy("user_id").agg(
+            *[F.expr(e) for e in exprs]
+        )
+        return per.selectExpr(
+            "user_id as unit",
+            "stack(3, 'night', f0, 'day', f1, 'late', f2)"
+            " as (treatment, flag)",
+        )
+
+    def cochran_shift_purchase(spark, sf_dir):
+        """Cochran's Q on k=3 correlated binaries per user — did the
+        same users convert in each 8-hour shift?
+        (evaluation.cochran_q): the all-integer identity, one double
+        division."""
+        from careers_spark.operators.evaluation import cochran_q
+
+        return cochran_q(_shift_grid(spark, sf_dir, True))
+
+    q["cochran_shift_purchase"] = cochran_shift_purchase
+
+    def friedman_shift_activity(spark, sf_dir):
+        """Friedman test on per-user shift ACTIVITY ranks — does event
+        volume rank consistently across shifts within users?
+        (evaluation.friedman_test): doubled within-unit midranks stay
+        integer, tie correction exact."""
+        from careers_spark.operators.evaluation import friedman_test
+
+        g = _shift_grid(spark, sf_dir, False).withColumnRenamed(
+            "flag", "value"
+        )
+        return friedman_test(g)
+
+    q["friedman_shift_activity"] = friedman_shift_activity
+
     return q
 
 
@@ -14344,5 +14400,106 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BOOLEAN) AS reject
         FROM t WHERE p_num IS NULL
     """
+
+    # shared user x 3-shift grid (purchase flags / activity counts)
+    _shift_per = """
+        per AS (
+          SELECT user_id,
+                 {a}(CASE WHEN extract(hour FROM ts) >= 0
+                          AND extract(hour FROM ts) < 8 {pf}
+                     THEN 1 ELSE 0 END) AS f0,
+                 {a}(CASE WHEN extract(hour FROM ts) >= 8
+                          AND extract(hour FROM ts) < 16 {pf}
+                     THEN 1 ELSE 0 END) AS f1,
+                 {a}(CASE WHEN extract(hour FROM ts) >= 16
+                          AND extract(hour FROM ts) < 24 {pf}
+                     THEN 1 ELSE 0 END) AS f2
+          FROM events GROUP BY 1
+        ),
+        cells AS (
+          SELECT user_id AS u, 'night' AS t, f0 AS f FROM per
+          UNION ALL SELECT user_id, 'day', f1 FROM per
+          UNION ALL SELECT user_id, 'late', f2 FROM per
+        )"""
+
+    # cochran_shift_purchase: the all-integer identity
+    # Q = (k-1)(k*sum T^2 - T^2) / (k*sum x - sum x^2), k = 3.
+    o["cochran_shift_purchase"] = (
+        "WITH "
+        + _shift_per.format(a="max", pf="AND event_type = 'purchase'")
+        + """,
+        tj AS (SELECT t, CAST(sum(f) AS BIGINT) AS tsum
+               FROM cells GROUP BY 1),
+        ta AS (
+          SELECT CAST(sum(tsum) AS BIGINT) AS st,
+                 CAST(sum(CAST(tsum AS HUGEINT) * tsum) AS HUGEINT) AS stt
+          FROM tj
+        ),
+        xa AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+          FROM (SELECT u, CAST(sum(f) AS BIGINT) AS x
+                FROM cells GROUP BY u)
+        )
+        SELECT CAST(3 AS INTEGER) AS k_treatments, n_units,
+               CASE WHEN (3 * CAST(sx AS HUGEINT) - sxx) = 0 THEN NULL
+                    ELSE round((3 - 1) * (3 * CAST(stt AS DOUBLE)
+                          - CAST(st AS DOUBLE) * st)
+                         / (3 * CAST(sx AS DOUBLE)
+                            - CAST(sxx AS DOUBLE)), 6)
+               END AS q_stat,
+               CAST(2 AS INTEGER) AS df
+        FROM ta CROSS JOIN xa
+    """
+    )
+
+    # friedman_shift_activity: doubled within-unit midranks
+    # d2r = 2*rank + ties - 1 (k-row partitions), integer rank sums,
+    # exact tie correction; n is integer-valued so the double products
+    # are exact and engine-identical despite the column-vs-literal form.
+    o["friedman_shift_activity"] = (
+        "WITH "
+        + _shift_per.format(a="sum", pf="")
+        + """,
+        ranked AS (
+          SELECT u, t, f,
+                 2 * rank() OVER (PARTITION BY u ORDER BY f)
+                 + count(*) OVER (PARTITION BY u, f) - 1 AS d2r
+          FROM cells
+        ),
+        r2 AS (SELECT t, CAST(sum(d2r) AS BIGINT) AS R2
+               FROM ranked GROUP BY 1),
+        ra AS (
+          SELECT CAST(sum(CAST(R2 AS HUGEINT) * R2) AS HUGEINT) AS srr
+          FROM r2
+        ),
+        nn AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM cells),
+        ties AS (
+          SELECT CAST(sum(CAST(tt AS HUGEINT) * tt * tt - tt) AS HUGEINT)
+                   AS st3
+          FROM (SELECT u, f, CAST(count(*) AS BIGINT) AS tt
+                FROM cells GROUP BY 1, 2)
+        )
+        SELECT CAST(3 AS INTEGER) AS k_treatments,
+               CAST(n AS BIGINT) AS n_units,
+               round(3e0 * CAST(srr AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 3 * 4) - 3e0 * n * 4, 6)
+                 AS chi2,
+               round(1e0 - CAST(st3 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 3 * (3 * 3 - 1)), 6)
+                 AS tie_correction,
+               CASE WHEN (1e0 - CAST(st3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * 3 * (3 * 3 - 1))) = 0
+                    THEN NULL
+                    ELSE round((3e0 * CAST(srr AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * 3 * 4) - 3e0 * n * 4)
+                          / (1e0 - CAST(st3 AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * 3 * (3 * 3 - 1))), 6)
+               END AS chi2_adj,
+               CAST(2 AS INTEGER) AS df
+        FROM ra CROSS JOIN nn CROSS JOIN ties
+    """
+    )
 
     return o

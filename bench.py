@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "ccnet_ppl_buckets",
     "neyman_eval_allocation",
     "source_lang_length_fdr",
+    "cochran_shift_purchase",
+    "friedman_shift_activity",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

@@ -2057,3 +2057,174 @@ def bh_fdr(
         F.lit(None).cast("boolean").alias("reject"),
     )
     return out.unionAll(nulls)
+
+
+def cochran_q(
+    df: DataFrame,
+    unit: str = "unit",
+    treatment: str = "treatment",
+    flag: str = "flag",
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — the k-treatment
+    generalization of mcnemar_paired: did the SAME units respond
+    differently across k binary conditions (converted in each of k
+    time windows, passed under each of k models)? McNemar is the k=2
+    special case; anova_oneway's "k groups" are INDEPENDENT samples,
+    these are k correlated measurements per unit.
+
+    The statistic is computed in its all-integer identity
+
+        Q = (k-1) * (k * sum_j T_j^2 - T^2)
+                  / (k * sum_i x_i - sum_i x_i^2)
+
+    (T_j = per-treatment successes, x_i = per-unit successes,
+    T = total) — every sum an exact BIGINT / DECIMAL(38,0), Q one
+    shared-text double division. NULL when the denominator is zero
+    (every unit all-0 or all-k: no within-unit variability, test
+    undefined). Duplicate (unit, treatment) observations collapse by
+    max() first (binary semantics); a unit-treatment cell absent from
+    the input is an implicit 0, so callers pass successes only or the
+    full grid interchangeably.
+
+    Physical shape: one dedup groupBy, two partial-agg rollups (unit
+    marginals, treatment marginals), a scalar close. k comes from the
+    treatment dimension (bounded; a driver-side distinct count, the
+    nlist-centroids convention).
+
+    Output: one row — (k_treatments, n_units, q_stat, df).
+    """
+    cells = df.groupBy(
+        F.col(unit).alias("u"), F.col(treatment).alias("t")
+    ).agg(F.max(F.col(flag).cast("long")).alias("f"))
+    k = cells.select("t").distinct().count()
+    if k < 2:
+        raise ValueError("cochran_q needs >= 2 treatments")
+    tj = cells.groupBy("t").agg(F.sum("f").alias("tsum"))
+    ta = tj.agg(
+        F.sum("tsum").alias("st"),
+        F.sum(
+            F.col("tsum").cast("decimal(19,0)") * F.col("tsum")
+        ).alias("stt"),
+    )
+    xa = (
+        cells.groupBy("u")
+        .agg(F.sum("f").alias("x"))
+        .agg(
+            F.count("*").alias("n_units"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias(
+                "sxx"
+            ),
+        )
+    )
+    return (
+        ta.crossJoin(xa)
+        .select(
+            F.lit(k).cast("int").alias("k_treatments"),
+            "n_units",
+            F.expr(
+                f"case when ({k} * cast(sx as decimal(38,0)) - sxx) = 0"
+                f" then null else round(({k} - 1)"
+                f" * ({k} * cast(stt as double)"
+                f" - cast(st as double) * st)"
+                f" / ({k} * cast(sx as double)"
+                f" - cast(sxx as double)), 6) end"
+            ).alias("q_stat"),
+            F.lit(k - 1).cast("int").alias("df"),
+        )
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    unit: str = "unit",
+    treatment: str = "treatment",
+    value: str = "value",
+) -> DataFrame:
+    """Friedman test (Friedman 1937) — the rank analog of cochran_q
+    for NON-binary outcomes and the within-blocks complement of
+    kruskal_wallis: each unit ranks the k treatments among themselves
+    (a k-row ranking, never corpus-wide), and the test asks whether
+    the per-treatment mean rank differs across units.
+
+    Exactness: within-unit midranks stay on the integer lattice as
+    DOUBLED ranks — d2r = 2*rank + ties - 1, with rank = RANK() and
+    ties = the value's within-unit multiplicity (both exact
+    integers) — so rank sums R2_j are BIGINT; with R_j = R2_j/2 the
+    tie-free statistic 12*sum R_j^2/(n k (k+1)) - 3n(k+1) becomes
+    3 * sum R2_j^2 / (n k (k+1)) - 3n(k+1), one shared-text double
+    over exact sums, and the tie correction C = 1 - sum(t^3 - t) /
+    (n k (k^2 - 1)) divides two exact integers. chi2_adj = chi2 / C,
+    NULL when C = 0 (all values tied within every unit). RAISES on
+    ragged blocks — Friedman requires every unit to observe all k
+    treatments (fill a complete grid upstream, as the driver query
+    does).
+
+    Physical shape: a per-unit window over k-row partitions for the
+    doubled ranks, one treatment rollup, one tie rollup over
+    (unit, value) multiplicities, scalar close.
+
+    Output: one row — (k_treatments, n_units, chi2, tie_correction,
+    chi2_adj, df).
+    """
+    from pyspark.sql import Window
+
+    cells = df.select(
+        F.col(unit).alias("u"),
+        F.col(treatment).alias("t"),
+        F.col(value).cast("long").alias("v"),
+    )
+    k = cells.select("t").distinct().count()
+    if k < 2:
+        raise ValueError("friedman_test needs >= 2 treatments")
+    shape = cells.groupBy("u").agg(F.countDistinct("t").alias("kt")).agg(
+        F.min("kt").alias("kmin"), F.max("kt").alias("kmax")
+    ).collect()[0]
+    if shape.kmin != k or shape.kmax != k:
+        raise ValueError(
+            "friedman_test: ragged blocks — every unit must observe "
+            f"all {k} treatments (saw {shape.kmin}..{shape.kmax})"
+        )
+    wu = Window.partitionBy("u").orderBy("v")
+    wv = Window.partitionBy("u", "v")
+    ranked = cells.withColumn(
+        "d2r",
+        2 * F.rank().over(wu) + F.count("*").over(wv) - 1,
+    )
+    r2 = ranked.groupBy("t").agg(F.sum("d2r").alias("R2"))
+    ra = r2.agg(
+        F.sum(F.col("R2").cast("decimal(19,0)") * F.col("R2")).alias("srr")
+    )
+    n_units = cells.select("u").distinct().count()
+    ties = (
+        cells.groupBy("u", "v")
+        .agg(F.count("*").alias("tt"))
+        .agg(
+            F.sum(
+                F.col("tt").cast("decimal(19,0)")
+                * F.col("tt")
+                * F.col("tt")
+                - F.col("tt")
+            ).alias("st3")
+        )
+    )
+    n, kk = n_units, k
+    chi2 = (
+        f"3e0 * cast(srr as double) / ({n}e0 * {kk} * {kk + 1})"
+        f" - 3e0 * {n} * {kk + 1}"
+    )
+    corr = f"1e0 - cast(st3 as double) / ({n}e0 * {kk} * ({kk} * {kk} - 1))"
+    return (
+        ra.crossJoin(ties)
+        .select(
+            F.lit(kk).cast("int").alias("k_treatments"),
+            F.lit(n).cast("long").alias("n_units"),
+            F.expr(f"round({chi2}, 6)").alias("chi2"),
+            F.expr(f"round({corr}, 6)").alias("tie_correction"),
+            F.expr(
+                f"case when ({corr}) = 0 then null"
+                f" else round(({chi2}) / ({corr}), 6) end"
+            ).alias("chi2_adj"),
+            F.lit(kk - 1).cast("int").alias("df"),
+        )
+    )
