@@ -4767,6 +4767,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["friedman_shift_activity"] = friedman_shift_activity
 
+    def dedup_capture_recapture(spark, sf_dir):
+        """Chapman capture-recapture estimate of the total near-dup
+        population from two independent screens — LSH-Jaccard marks,
+        SimHash-Hamming recaptures (dedup.capture_recapture_dupes):
+        exact integer n1/n2/m, one shared-text Chapman close; N_hat
+        minus the union is the residual-dup release gate."""
+        from careers_spark.operators.dedup import capture_recapture_dupes
+
+        docs = _t(spark, sf_dir, "documents")
+        s1 = DD.lsh_verified_pairs(
+            docs, num_hashes=12, band_size=3, threshold=0.2
+        )
+        s2 = DD.simhash_near_dups(docs, max_hamming=3)
+        return capture_recapture_dupes(s1, s2)
+
+    q["dedup_capture_recapture"] = dedup_capture_recapture
+
+    def sprt_purchase_rate(spark, sf_dir):
+        """Wald SPRT on the purchase share of the event stream —
+        H0: 10% vs H1: 13% at alpha=5%, beta=20%
+        (funnel.sprt_monitor): fixed-point ln literals make the LLR an
+        exact BIGINT and every boundary crossing a pure integer
+        comparison."""
+        from careers_spark.operators.funnel import sprt_monitor
+
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "is_success", F.expr("event_type = 'purchase'")
+        )
+        return sprt_monitor(
+            ev, p0_mille=100, p1_mille=130,
+            alpha_mille=50, beta_mille=200,
+        )
+
+    q["sprt_purchase_rate"] = sprt_purchase_rate
+
     return q
 
 
@@ -14501,5 +14536,93 @@ def oracle_sql() -> dict[str, str]:
         FROM ra CROSS JOIN nn CROSS JOIN ties
     """
     )
+
+    # dedup_capture_recapture: nests the two screen oracles verbatim
+    # (the source_reputation recipe); Chapman close shared-text.
+    o["dedup_capture_recapture"] = f"""
+        WITH s1 AS ({o["lsh_verified_pairs"]}),
+        s2 AS ({o["simhash_near_dups"]}),
+        c1 AS (
+          SELECT DISTINCT least(doc_a, doc_b) AS x,
+                 greatest(doc_a, doc_b) AS y
+          FROM s1
+        ),
+        c2 AS (
+          SELECT DISTINCT least(doc_a, doc_b) AS x,
+                 greatest(doc_a, doc_b) AS y
+          FROM s2
+        ),
+        j AS (
+          SELECT coalesce(a.in1, 0) AS in1, coalesce(b.in2, 0) AS in2
+          FROM (SELECT x, y, 1 AS in1 FROM c1) a
+          FULL OUTER JOIN (SELECT x, y, 1 AS in2 FROM c2) b
+            USING (x, y)
+        ),
+        g AS (
+          SELECT CAST(sum(in1) AS BIGINT) AS n1,
+                 CAST(sum(in2) AS BIGINT) AS n2,
+                 CAST(sum(in1 * in2) AS BIGINT) AS m
+          FROM j
+        )
+        SELECT n1 AS n_screen_a, n2 AS n_screen_b, m AS n_both,
+               round(((n1 + 1e0) * (n2 + 1) / (m + 1) - 1), 6) AS n_hat,
+               round(sqrt(((n1 + 1e0) * (n2 + 1) * (n1 - m) * (n2 - m)
+                     / ((m + 1e0) * (m + 1) * (m + 2)))), 6) AS se,
+               round(greatest(((n1 + 1e0) * (n2 + 1) / (m + 1) - 1)
+                     - 1.96e0 * sqrt(((n1 + 1e0) * (n2 + 1) * (n1 - m)
+                       * (n2 - m)
+                       / ((m + 1e0) * (m + 1) * (m + 2)))), 0e0), 6)
+                 AS lo95,
+               round(((n1 + 1e0) * (n2 + 1) / (m + 1) - 1)
+                     + 1.96e0 * sqrt(((n1 + 1e0) * (n2 + 1) * (n1 - m)
+                       * (n2 - m)
+                       / ((m + 1e0) * (m + 1) * (m + 2)))), 6) AS hi95
+        FROM g
+    """
+
+    # sprt_purchase_rate: the four ln constants are python-time
+    # fixed-point literals (identical in the operator); LLR and both
+    # boundary crossings are pure BIGINT.
+    o["sprt_purchase_rate"] = """
+        WITH h AS (
+          SELECT epoch_us(ts) // 3600000000 AS hour,
+                 CAST(count(*) AS BIGINT) AS n_h,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS k_h
+          FROM events GROUP BY 1
+        ),
+        cum AS (
+          SELECT hour,
+                 sum(n_h) OVER (ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_cum,
+                 sum(k_h) OVER (ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS k_cum
+          FROM h
+        ),
+        d AS (
+          SELECT hour, n_cum, k_cum,
+                 k_cum * 262364264 + (n_cum - k_cum) * -33901552
+                   AS llr_fp
+          FROM cum
+        ),
+        dd AS (
+          SELECT hour, n_cum, k_cum, llr_fp,
+                 CASE WHEN llr_fp >= 2772588722 THEN 'reject_h0'
+                      WHEN llr_fp <= -1558144618 THEN 'accept_h0'
+                      ELSE 'continue' END AS decision
+          FROM d
+        )
+        SELECT hour, n_cum, k_cum,
+               round(llr_fp / 1000000000e0, 6) AS llr,
+               decision,
+               (decision <> 'continue' AND coalesce(sum(
+                  CASE WHEN decision <> 'continue' THEN 1 ELSE 0 END)
+                  OVER (ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) = 0) AS is_first_decision
+        FROM dd
+    """
 
     return o

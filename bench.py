@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "source_lang_length_fdr",
     "cochran_shift_purchase",
     "friedman_shift_activity",
+    "dedup_capture_recapture",
+    "sprt_purchase_rate",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

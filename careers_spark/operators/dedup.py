@@ -1275,3 +1275,73 @@ def sorted_neighborhood_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def capture_recapture_dupes(
+    pairs_a: DataFrame,
+    pairs_b: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL near-duplicate
+    population from two independent dedup screens (Chapman 1951; the
+    mark-recapture estimator ecology uses for fish and corpus QA
+    should use for dups): screen 1 "marks" n1 pairs, screen 2
+    "recaptures" n2 of which m were already marked, so
+
+        N_hat = (n1 + 1)(n2 + 1) / (m + 1) - 1
+
+    estimates how many near-dup pairs EXIST — including the ones both
+    screens missed — under screen-independence (stated assumption:
+    LSH-Jaccard and SimHash-Hamming miss different pairs, which is why
+    this pairing is informative; two runs of the same screen would
+    violate it). The actionable read: N_hat minus the union count is
+    the residual-dup estimate a curation team gates a release on.
+
+    Chapman's +1 form is used over Lincoln-Petersen because it is
+    unbiased for m >= 0 and never divides by zero. Counts come from
+    ONE full-outer equi-join on the canonicalized pair key and one
+    algebraic aggregate — n1, n2, m are exact BIGINTs; N_hat and the
+    variance
+
+        Var = (n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)^2 (m+2))
+
+    are single shared-text double expressions (one IEEE sqrt for the
+    95% Wald interval, floored at 0 on the low side).
+
+    Output: one row — (n_screen_a, n_screen_b, n_both, n_hat, se,
+    lo95, hi95).
+    """
+    def canon(df):
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("x"),
+            F.greatest(F.col(a), F.col(b)).alias("y"),
+        ).distinct()
+
+    p1 = canon(pairs_a).withColumn("in1", F.lit(1))
+    p2 = canon(pairs_b).withColumn("in2", F.lit(1))
+    j = p1.join(p2, ["x", "y"], "full").select(
+        F.coalesce("in1", F.lit(0)).alias("in1"),
+        F.coalesce("in2", F.lit(0)).alias("in2"),
+    )
+    agg = j.agg(
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).alias("m"),
+    )
+    nhat = "((n1 + 1e0) * (n2 + 1) / (m + 1) - 1)"
+    var = (
+        "((n1 + 1e0) * (n2 + 1) * (n1 - m) * (n2 - m)"
+        " / ((m + 1e0) * (m + 1) * (m + 2)))"
+    )
+    return agg.select(
+        F.col("n1").alias("n_screen_a"),
+        F.col("n2").alias("n_screen_b"),
+        F.col("m").alias("n_both"),
+        F.expr(f"round({nhat}, 6)").alias("n_hat"),
+        F.expr(f"round(sqrt({var}), 6)").alias("se"),
+        F.expr(
+            f"round(greatest({nhat} - 1.96e0 * sqrt({var}), 0e0), 6)"
+        ).alias("lo95"),
+        F.expr(f"round({nhat} + 1.96e0 * sqrt({var}), 6)").alias("hi95"),
+    )

@@ -1237,3 +1237,108 @@ def group_sequential_looks(
             f" else abs({z}) >= ({bound}) end"
         ).alias("reject"),
     )
+
+
+def sprt_monitor(
+    events: DataFrame,
+    ts: str = "ts",
+    success: str = "is_success",
+    p0_mille: int = 100,
+    p1_mille: int = 130,
+    alpha_mille: int = 50,
+    beta_mille: int = 200,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on a Bernoulli rate
+    (Wald 1945) — the OTHER classic sequential monitor beside the
+    group-sequential O'Brien-Fleming looks (sequential_ab_looks) and
+    the Page-Hinkley mean-shift alarm: test H0: p = p0 against
+    H1: p = p1 continuously, stopping the moment the evidence crosses
+    either boundary. SPRT is optimal (minimum expected sample size at
+    both hypotheses) — the reason ramp-up gates and data-quality
+    monitors use it.
+
+    After n trials with k successes the log-likelihood ratio is
+
+        LLR = k * ln(p1/p0) + (n - k) * ln((1-p1)/(1-p0))
+
+    decided against ln((1-beta)/alpha) (reject H0) and
+    ln(beta/(1-alpha)) (accept H0). All four constants are PYTHON-TIME
+    fixed-point literals (round(ln(.)*1e9), the pinned ln lattice), so
+    LLR_fp = k*c1 + (n-k)*c0 is an exact BIGINT and every
+    boundary crossing is a pure INTEGER comparison — no float in any
+    decision (the page_hinkley convention).
+
+    Looks happen once per hour that saw traffic (an empty hour changes
+    no cumulative count, so skipping it is exact): one corpus groupBy
+    to (hour, n, k), cumulative windows over the DIMENSION-sized hour
+    table. `is_first_decision` marks the first crossing — the moment a
+    real deployment would have stopped; rows after it are shown for
+    monitoring honesty (SPRT semantics end at the first crossing).
+
+    Output: (hour, n_cum, k_cum, llr, decision, is_first_decision)
+    with decision in {'accept_h0', 'reject_h0', 'continue'}.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    for nm, v in (
+        ("p0_mille", p0_mille),
+        ("p1_mille", p1_mille),
+        ("alpha_mille", alpha_mille),
+        ("beta_mille", beta_mille),
+    ):
+        if not 0 < v < 1000:
+            raise ValueError(f"{nm} must be in (0, 1000)")
+    if p0_mille == p1_mille:
+        raise ValueError("p0 and p1 must differ")
+    p0, p1 = p0_mille / 1000.0, p1_mille / 1000.0
+    al, be = alpha_mille / 1000.0, beta_mille / 1000.0
+    c1 = int(round(math.log(p1 / p0) * 1e9))
+    c0 = int(round(math.log((1 - p1) / (1 - p0)) * 1e9))
+    up = int(round(math.log((1 - be) / al) * 1e9))
+    lo = int(round(math.log(be / (1 - al)) * 1e9))
+    hours = events.select(
+        F.expr(
+            f"unix_micros(cast({ts} as timestamp)) div 3600000000"
+        ).alias("hour"),
+        F.col(success).cast("long").alias("k"),
+    ).groupBy("hour").agg(
+        F.count("*").alias("n_h"), F.sum("k").alias("k_h")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hours.withColumn("n_cum", F.sum("n_h").over(w))
+        .withColumn("k_cum", F.sum("k_h").over(w))
+        .withColumn(
+            "llr_fp",
+            F.expr(f"k_cum * {c1} + (n_cum - k_cum) * {c0}"),
+        )
+        .withColumn(
+            "decision",
+            F.when(F.col("llr_fp") >= F.lit(up), F.lit("reject_h0"))
+            .when(F.col("llr_fp") <= F.lit(lo), F.lit("accept_h0"))
+            .otherwise(F.lit("continue")),
+        )
+    )
+    prior = (
+        Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return cum.withColumn(
+        "_nd",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("decision") != "continue", 1).otherwise(0)
+            ).over(prior),
+            F.lit(0),
+        ),
+    ).select(
+        "hour",
+        "n_cum",
+        "k_cum",
+        F.expr("round(llr_fp / 1000000000e0, 6)").alias("llr"),
+        "decision",
+        (
+            (F.col("decision") != "continue") & (F.col("_nd") == 0)
+        ).alias("is_first_decision"),
+    )
