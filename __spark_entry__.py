@@ -4802,6 +4802,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sprt_purchase_rate"] = sprt_purchase_rate
 
+    def good_turing_fof(spark, sf_dir):
+        """Good-Turing frequency-of-frequencies with the unseen-mass
+        row (textstats.good_turing): r* = (r+1)N_{r+1}/N_r and the
+        N_1/N novel-token estimate — exact integer ratios over the
+        count-value table."""
+        from careers_spark.operators.textstats import good_turing
+
+        return good_turing(_t(spark, sf_dir, "documents"))
+
+    q["good_turing_fof"] = good_turing_fof
+
+    # three deterministic keyword labeling functions shared by the two
+    # weak-supervision queries (and mirrored verbatim in the oracles):
+    # positive keyword wins over negative when both occur (CASE order)
+    _LF_RULES = [
+        ("lf_spark", "spark", "stream"),
+        ("lf_the", "the", "vector"),
+        ("lf_join", "join", "filter"),
+    ]
+
+    def _lf_frame(spark, sf_dir):
+        cols = [
+            F.expr(
+                f"case when instr(' ' || text || ' ', ' {p} ') > 0 then 1"
+                f" when instr(' ' || text || ' ', ' {n} ') > 0 then 0"
+                f" else cast(null as int) end"
+            ).alias(name)
+            for name, p, n in _LF_RULES
+        ]
+        return _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("unit"),
+            *cols,
+            F.expr(
+                "cast(case when lang = 'en' then 1 else 0 end as int)"
+            ).alias("gold"),
+        )
+
+    def weak_lf_report(spark, sf_dir):
+        """Snorkel-style LF diagnostic table over three keyword
+        labeling functions with lang='en' as the dev gold
+        (features.weak_lf_analysis): coverage / overlap / conflict /
+        empirical accuracy, all exact integer counts in ONE pass."""
+        from careers_spark.operators.features import weak_lf_analysis
+
+        return weak_lf_analysis(
+            _lf_frame(spark, sf_dir),
+            lfs=[r[0] for r in _LF_RULES],
+            gold="gold",
+        )
+
+    q["weak_lf_report"] = weak_lf_report
+
+    def weak_label_majority(spark, sf_dir):
+        """Per-document majority vote over the same three LFs
+        (features.weak_label_votes): ties and all-abstain stay NULL —
+        determinism over coverage; pure map work."""
+        from careers_spark.operators.features import weak_label_votes
+
+        return weak_label_votes(
+            _lf_frame(spark, sf_dir), lfs=[r[0] for r in _LF_RULES]
+        )
+
+    q["weak_label_majority"] = weak_label_majority
+
     return q
 
 
@@ -14623,6 +14687,115 @@ def oracle_sql() -> dict[str, str]:
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                   0) = 0) AS is_first_decision
         FROM dd
+    """
+
+    # good_turing_fof: fof table + r+1 self equi-join; the r=0 unseen
+    # row is N_1/N; every value one division of exact BIGINTs.
+    o["good_turing_fof"] = f"""
+        WITH t AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+        tf AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS r
+          FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term
+        ),
+        fof AS (
+          SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY r
+        ),
+        tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_tot FROM tf)
+        SELECT f.r, f.n_r,
+               round(f.r * f.n_r * 1e0 / n_tot, 6) AS mass,
+               CASE WHEN nx.n_r IS NULL THEN NULL
+                    ELSE round((f.r + 1) * nx.n_r * 1e0 / f.n_r, 6)
+               END AS r_star
+        FROM fof f
+        LEFT JOIN fof nx ON nx.r = f.r + 1
+        CROSS JOIN tot
+        UNION ALL
+        SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+               round(f.n_r * 1e0 / n_tot, 6) AS mass,
+               CAST(NULL AS DOUBLE) AS r_star
+        FROM fof f CROSS JOIN tot WHERE f.r = 1
+    """
+
+    # the three keyword LFs, verbatim (positive keyword wins by CASE
+    # order); shared by the two weak-supervision oracles
+    _lf_sql = {
+        name: (
+            f"CASE WHEN instr(' ' || text || ' ', ' {p} ') > 0 THEN 1"
+            f" WHEN instr(' ' || text || ' ', ' {n} ') > 0 THEN 0"
+            f" ELSE CAST(NULL AS INTEGER) END"
+        )
+        for name, p, n in (
+            ("lf_spark", "spark", "stream"),
+            ("lf_the", "the", "vector"),
+            ("lf_join", "join", "filter"),
+        )
+    }
+    _lf_base = (
+        "SELECT doc_id AS unit, "
+        + ", ".join(f"{e} AS {n}" for n, e in _lf_sql.items())
+        + ", CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INTEGER)"
+        " AS gold FROM documents"
+    )
+    _lf_names = list(_lf_sql)
+    _lf_rows = []
+    for _i, _n in enumerate(_lf_names):
+        _others = [x for x in _lf_names if x != _n]
+        _ov = " OR ".join(f"{x} IS NOT NULL" for x in _others)
+        _od = " OR ".join(
+            f"({x} IS NOT NULL AND {x} <> {_n})" for x in _others
+        )
+        _lf_rows.append(
+            f"""SELECT '{_n}' AS lf,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN {_n} IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_votes,
+               round(sum(CASE WHEN {_n} IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1e0 / count(*), 6) AS coverage,
+               CAST(sum(CASE WHEN {_n} IS NOT NULL AND ({_ov})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               CASE WHEN sum(CASE WHEN {_n} IS NOT NULL THEN 1 ELSE 0
+                             END) = 0 THEN NULL
+                    ELSE round(sum(CASE WHEN {_n} IS NOT NULL AND ({_ov})
+                               THEN 1 ELSE 0 END) * 1e0
+                         / sum(CASE WHEN {_n} IS NOT NULL
+                               THEN 1 ELSE 0 END), 6) END AS overlap,
+               CAST(sum(CASE WHEN {_n} IS NOT NULL AND ({_od})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+               CASE WHEN sum(CASE WHEN {_n} IS NOT NULL THEN 1 ELSE 0
+                             END) = 0 THEN NULL
+                    ELSE round(sum(CASE WHEN {_n} IS NOT NULL AND ({_od})
+                               THEN 1 ELSE 0 END) * 1e0
+                         / sum(CASE WHEN {_n} IS NOT NULL
+                               THEN 1 ELSE 0 END), 6) END AS conflict,
+               CAST(sum(CASE WHEN {_n} IS NOT NULL AND {_n} = gold
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CASE WHEN sum(CASE WHEN {_n} IS NOT NULL THEN 1 ELSE 0
+                             END) = 0 THEN NULL
+                    ELSE round(sum(CASE WHEN {_n} IS NOT NULL
+                               AND {_n} = gold THEN 1 ELSE 0 END) * 1e0
+                         / sum(CASE WHEN {_n} IS NOT NULL
+                               THEN 1 ELSE 0 END), 6) END AS accuracy
+        FROM lfb"""
+        )
+    o["weak_lf_report"] = (
+        f"WITH lfb AS ({_lf_base})\n" + "\nUNION ALL\n".join(_lf_rows)
+    )
+
+    o["weak_label_majority"] = f"""
+        WITH lfb AS ({_lf_base}),
+        v AS (
+          SELECT unit,
+                 CAST({' + '.join(f"CASE WHEN {n} = 1 THEN 1 ELSE 0 END" for n in _lf_names)}
+                      AS INTEGER) AS n_pos,
+                 CAST({' + '.join(f"CASE WHEN {n} = 0 THEN 1 ELSE 0 END" for n in _lf_names)}
+                      AS INTEGER) AS n_neg
+          FROM lfb
+        )
+        SELECT unit, n_pos, n_neg,
+               CASE WHEN n_pos > n_neg THEN 1
+                    WHEN n_neg > n_pos THEN 0
+                    ELSE CAST(NULL AS INTEGER) END AS vote
+        FROM v
     """
 
     return o

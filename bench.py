@@ -276,6 +276,9 @@ BENCH_QUERIES = [
     "friedman_shift_activity",
     "dedup_capture_recapture",
     "sprt_purchase_rate",
+    "good_turing_fof",
+    "weak_lf_report",
+    "weak_label_majority",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

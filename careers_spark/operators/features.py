@@ -129,3 +129,133 @@ def woe_iv(
             F.sum("iv_fp").over(w_all) / F.lit(1e9), 6
         ).alias("iv_total"),
     )
+
+
+def weak_lf_analysis(
+    df: DataFrame,
+    lfs: list[str],
+    unit: str = "unit",
+    gold: str | None = None,
+) -> DataFrame:
+    """Snorkel-style labeling-function analysis (Ratner et al., VLDB
+    2018) — the diagnostic table a weak-supervision pipeline prints
+    before training a label model: for each labeling function (a
+    column voting 1 / 0 / NULL-abstain), its coverage (how often it
+    votes), overlap (votes alongside at least one other LF), conflict
+    (votes AGAINST at least one other LF), and — when a gold column is
+    available on a dev slice — empirical accuracy. High coverage +
+    high conflict + low accuracy is the "fire this LF" signature.
+
+    All counts are exact integers from ONE pass over the corpus (the
+    per-LF indicators are plain column expressions folded into a
+    single algebraic aggregate — no explode, no window, no second
+    scan); each rate is a single division rounded at 6 dp.
+
+    Output: one row per LF — (lf, n_total, n_votes, coverage,
+    n_overlap, overlap, n_conflict, conflict, n_correct, accuracy);
+    the gold columns are NULL when `gold` is not given, and accuracy
+    is NULL for an LF that never votes.
+    """
+    if len(lfs) < 2:
+        raise ValueError("weak_lf_analysis needs >= 2 labeling functions")
+    aggs = [F.count("*").alias("n_total")]
+    for i, lf in enumerate(lfs):
+        me = F.col(lf)
+        others_vote = None
+        others_disagree = None
+        for j, other in enumerate(lfs):
+            if j == i:
+                continue
+            ov = F.col(other).isNotNull()
+            od = F.col(other).isNotNull() & (F.col(other) != me)
+            others_vote = ov if others_vote is None else (others_vote | ov)
+            others_disagree = (
+                od if others_disagree is None else (others_disagree | od)
+            )
+        votes = me.isNotNull()
+        aggs.append(F.sum(F.when(votes, 1).otherwise(0)).alias(f"v{i}"))
+        aggs.append(
+            F.sum(F.when(votes & others_vote, 1).otherwise(0)).alias(
+                f"o{i}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(votes & others_disagree, 1).otherwise(0)).alias(
+                f"c{i}"
+            )
+        )
+        if gold is not None:
+            aggs.append(
+                F.sum(
+                    F.when(votes & (me == F.col(gold)), 1).otherwise(0)
+                ).alias(f"g{i}")
+            )
+    wide = df.agg(*aggs)
+    rows = []
+    for i, lf in enumerate(lfs):
+        acc = (
+            F.expr(
+                f"case when v{i} = 0 then null"
+                f" else round(g{i} * 1e0 / v{i}, 6) end"
+            )
+            if gold is not None
+            else F.lit(None).cast("double")
+        )
+        rows.append(
+            F.struct(
+                F.lit(lf).alias("lf"),
+                F.col("n_total").alias("n_total"),
+                F.col(f"v{i}").alias("n_votes"),
+                F.expr(f"round(v{i} * 1e0 / n_total, 6)").alias("coverage"),
+                F.col(f"o{i}").alias("n_overlap"),
+                F.expr(
+                    f"case when v{i} = 0 then null"
+                    f" else round(o{i} * 1e0 / v{i}, 6) end"
+                ).alias("overlap"),
+                F.col(f"c{i}").alias("n_conflict"),
+                F.expr(
+                    f"case when v{i} = 0 then null"
+                    f" else round(c{i} * 1e0 / v{i}, 6) end"
+                ).alias("conflict"),
+                (
+                    F.col(f"g{i}")
+                    if gold is not None
+                    else F.lit(None).cast("long")
+                ).alias("n_correct"),
+                acc.alias("accuracy"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def weak_label_votes(
+    df: DataFrame, lfs: list[str], unit: str = "unit"
+) -> DataFrame:
+    """Per-unit majority vote over labeling functions — the simplest
+    Snorkel label model (their MajorityLabelVoter): count 1-votes and
+    0-votes across the LF columns, emit the winner; TIES AND
+    ALL-ABSTAIN yield NULL (the unit stays unlabeled rather than
+    getting a coin flip — determinism over coverage). Pure map work:
+    the vote is a per-row expression, no shuffle at any scale.
+
+    Output: (unit, n_pos, n_neg, vote).
+    """
+    if not lfs:
+        raise ValueError("weak_label_votes needs >= 1 labeling function")
+    pos = None
+    neg = None
+    for lf in lfs:
+        p = F.when(F.col(lf) == 1, 1).otherwise(0)
+        ng = F.when(F.col(lf) == 0, 1).otherwise(0)
+        pos = p if pos is None else pos + p
+        neg = ng if neg is None else neg + ng
+    return df.select(
+        F.col(unit).alias("unit"),
+        pos.cast("int").alias("n_pos"),
+        neg.cast("int").alias("n_neg"),
+    ).withColumn(
+        "vote",
+        F.when(F.col("n_pos") > F.col("n_neg"), F.lit(1))
+        .when(F.col("n_neg") > F.col("n_pos"), F.lit(0))
+        .otherwise(F.lit(None).cast("int")),
+    )

@@ -1583,3 +1583,63 @@ def ccnet_ppl_buckets(documents: DataFrame) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+def good_turing(documents: DataFrame) -> DataFrame:
+    """Good-Turing frequency-of-frequencies analysis (Good 1953) —
+    the foundation under Katz backoff and the standard answer to "how
+    much probability mass belongs to tokens we have NEVER seen": the
+    unseen mass is estimated by the singleton share N_1/N, and each
+    observed count r is discounted to r* = (r+1) * N_{r+1} / N_r. The
+    vocabulary-sizing companion to corpus_vocab_growth (Heaps) and
+    corpus_zipf_alpha (Zipf): together they answer "what happens to
+    the tokenizer at 100x the data".
+
+    Everything is exact integer algebra over the frequency-of-
+    frequencies table: term counts from one explode + groupBy, N_r
+    from a second (bounded: one row per DISTINCT count value), mass =
+    r * N_r / N and r* each ONE division of exact BIGINTs rounded at
+    6 dp. N_{r+1} comes from a self equi-join on r+1 (dimension-
+    sized); where count class r+1 is empty, raw GT is undefined and
+    r_star is NULL (the simple-GT smoothing fix is out of scope,
+    stated). The r=0 summary row carries the unseen-mass estimate
+    N_1/N in `mass` (Good-Turing's claim: that is the probability the
+    NEXT token is novel).
+
+    Output: (r, n_r, mass, r_star) — one row per observed count value
+    plus the r=0 unseen row, ordered by r.
+    """
+    tf = (
+        documents.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("r"))
+    )
+    fof = tf.groupBy("r").agg(F.count("*").alias("n_r"))
+    total = tf.agg(F.sum("r").alias("n_tot"))
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+    )
+    body = (
+        fof.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            "n_r",
+            F.expr("round(r * n_r * 1e0 / n_tot, 6)").alias("mass"),
+            F.expr(
+                "case when n_next is null then null"
+                " else round((r + 1) * n_next * 1e0 / n_r, 6) end"
+            ).alias("r_star"),
+        )
+    )
+    unseen = (
+        fof.filter(F.col("r") == 1)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("n_r"),
+            F.expr("round(n_r * 1e0 / n_tot, 6)").alias("mass"),
+            F.lit(None).cast("double").alias("r_star"),
+        )
+    )
+    return body.unionAll(unseen)
