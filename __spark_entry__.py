@@ -4866,6 +4866,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weak_label_majority"] = weak_label_majority
 
+    def event_mann_kendall(spark, sf_dir):
+        """Mann-Kendall monotone-trend test on the gap-filled hourly
+        count series (temporal.mann_kendall): integer pair-sign S over
+        the dimension-sized hour grid, tie-corrected variance exact,
+        one sqrt — the significance gate before acting on
+        event_trend_slopes / event_theil_sen."""
+        from careers_spark.operators.temporal import mann_kendall
+
+        return mann_kendall(_t(spark, sf_dir, "events"))
+
+    q["event_mann_kendall"] = event_mann_kendall
+
+    def events_srm_check(spark, sf_dir):
+        """Sample-ratio-mismatch guardrail on a 50/50 md5 user split
+        (funnel.srm_check): exact BIGINT chi-square cross-products,
+        per-variant contributions, alarm vs chi2_{1,0.05} — the gate
+        that runs BEFORE ab_conversion."""
+        from careers_spark.operators.dedup import _hash64_expr
+        from careers_spark.operators.funnel import srm_check
+
+        coin = _hash64_expr(
+            "concat(cast(user_id as string), '|', 'srm0')"
+        )
+        u = (
+            _t(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .withColumn(
+                "variant",
+                F.expr(
+                    f"case when ({coin}) % 2 = 0 then 'control'"
+                    " else 'treatment' end"
+                ),
+            )
+        )
+        return srm_check(
+            u,
+            weights_mille={"control": 500, "treatment": 500},
+            crit_mille=3841,
+        )
+
+    q["events_srm_check"] = events_srm_check
+
     return q
 
 
@@ -14796,6 +14839,94 @@ def oracle_sql() -> dict[str, str]:
                     WHEN n_neg > n_pos THEN 0
                     ELSE CAST(NULL AS INTEGER) END AS vote
         FROM v
+    """
+
+    # event_mann_kendall: integer pair-sign S over the hour grid,
+    # tie-corrected variance numerator exact BIGINT, one sqrt.
+    o["event_mann_kendall"] = f"""
+        WITH {_HOUR_GRID},
+        s AS (
+          SELECT CAST(sum(CASE WHEN bb.x > aa.x THEN 1
+                          WHEN bb.x < aa.x THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat
+          FROM grid aa JOIN grid bb ON bb.hour > aa.hour
+        ),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM grid),
+        tie AS (
+          SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                   AS tie_term
+          FROM (SELECT x, CAST(count(*) AS BIGINT) AS t
+                FROM grid GROUP BY x)
+        )
+        SELECT n AS n_hours, s_stat,
+               round((n * (n - 1e0) * (2 * n + 5) - tie_term) / 18e0, 6)
+                 AS var_s,
+               CASE WHEN (n * (n - 1e0) * (2 * n + 5) - tie_term) = 0
+                    THEN NULL
+                    WHEN s_stat > 0 THEN round((s_stat - 1e0)
+                      / sqrt((n * (n - 1e0) * (2 * n + 5) - tie_term)
+                        / 18e0), 6)
+                    WHEN s_stat < 0 THEN round((s_stat + 1e0)
+                      / sqrt((n * (n - 1e0) * (2 * n + 5) - tie_term)
+                        / 18e0), 6)
+                    ELSE 0e0 END AS z
+        FROM s CROSS JOIN nt CROSS JOIN tie
+    """
+
+    # events_srm_check: md5 50/50 user split, exact BIGINT chi-square
+    # cross-products, 1e-6-lifted order-free total.
+    _srm_coin = _DUCK_H64.format(
+        c="CAST(user_id AS VARCHAR) || '|' || 'srm0'"
+    )
+    o["events_srm_check"] = f"""
+        WITH u AS (
+          SELECT DISTINCT user_id FROM events
+        ),
+        v AS (
+          SELECT CASE WHEN ({_srm_coin}) % 2 = 0 THEN 'control'
+                      ELSE 'treatment' END AS variant
+          FROM u
+        ),
+        obs AS (
+          SELECT variant, CAST(count(*) AS BIGINT) AS n_obs
+          FROM v GROUP BY 1
+        ),
+        design AS (
+          SELECT 'control' AS variant, 500 AS w_mille
+          UNION ALL SELECT 'treatment', 500
+        ),
+        j AS (
+          SELECT d.variant, coalesce(o.n_obs, 0) AS n_obs, d.w_mille,
+                 (SELECT CAST(sum(n_obs) AS BIGINT) FROM obs) AS n_all
+          FROM design d FULL OUTER JOIN obs o USING (variant)
+        ),
+        c AS (
+          SELECT variant, n_obs, w_mille,
+                 CASE WHEN w_mille IS NULL THEN NULL ELSE
+                   round((1000 * n_obs - n_all * CAST(w_mille AS BIGINT))
+                     * (1000 * n_obs - n_all * CAST(w_mille AS BIGINT))
+                     * 1e0 / (1000e0 * n_all * w_mille), 6) END
+                   AS contrib,
+                 n_all,
+                 w_mille IS NOT NULL AS designed
+          FROM j
+        ),
+        t AS (
+          SELECT round(sum(CASE WHEN designed THEN
+                   CAST(round(contrib * 1000000e0, 0) AS BIGINT) END)
+                   / 1000000e0, 6) AS chi2_total,
+                 max(CASE WHEN NOT designed THEN 1 ELSE 0 END)
+                   AS undesigned
+          FROM c
+        )
+        SELECT variant, n_obs, w_mille,
+               CASE WHEN w_mille IS NULL THEN NULL
+                    ELSE round(n_all * w_mille / 1000e0, 6) END
+                 AS expected,
+               contrib, chi2_total,
+               (chi2_total > 3841 / 1000e0 OR undesigned = 1)
+                 AS srm_alarm
+        FROM c CROSS JOIN t
     """
 
     return o

@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "good_turing_fof",
     "weak_lf_report",
     "weak_label_majority",
+    "event_mann_kendall",
+    "events_srm_check",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

@@ -1342,3 +1342,107 @@ def sprt_monitor(
             (F.col("decision") != "continue") & (F.col("_nd") == 0)
         ).alias("is_first_decision"),
     )
+
+
+def srm_check(
+    events: DataFrame,
+    variant: str = "variant",
+    weights_mille: dict | None = None,
+    crit_mille: int = 3841,
+) -> DataFrame:
+    """Sample-ratio-mismatch check (the first thing a trustworthy A/B
+    platform validates — Fabijan et al., KDD 2019 call SRM "the most
+    useful A/B guardrail"): a chi-square goodness-of-fit of observed
+    variant counts against the DESIGNED split. A significant mismatch
+    means the assignment or logging pipeline is broken and every
+    downstream metric is untrustworthy — this gate runs BEFORE
+    ab_conversion, not after.
+
+        chi2 = sum_v (o_v - n*w_v)^2 / (n*w_v)
+             = sum_v (1000*o_v - n*wm_v)^2 / (1000 * n * wm_v)
+
+    with designed weights on the mille lattice — numerators are exact
+    BIGINT cross-products, each contribution ONE shared-text double
+    division, and the alarm compares against the caller's critical
+    value (default 3.841 = chi2_{1, 0.05}; pass the df-appropriate
+    one). A variant OBSERVED but not in the design is the worst SRM of
+    all: it is flagged (`designed` false), excluded from the chi2 (its
+    expected count is zero — the statistic is undefined there), and
+    trips the alarm unconditionally. Designed-but-absent variants
+    contribute their full expected mass.
+
+    One groupBy over the corpus + a broadcast design-table FULL join;
+    everything downstream is dimension-sized.
+
+    Output: one row per variant — (variant, n_obs, w_mille, expected,
+    contrib, chi2_total, srm_alarm) with chi2_total/srm_alarm repeated
+    per row (the woe_iv release convention).
+    """
+    if not weights_mille:
+        raise ValueError("weights_mille must be a non-empty dict")
+    if sum(weights_mille.values()) != 1000:
+        raise ValueError("designed weights must sum to 1000 mille")
+    if any(w <= 0 for w in weights_mille.values()):
+        raise ValueError("designed weights must be positive")
+    spark = events.sparkSession
+    design = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(weights_mille.items())],
+        "variant string, w_mille int",
+    )
+    obs = events.groupBy(F.col(variant).alias("variant")).agg(
+        F.count("*").alias("n_obs")
+    )
+    j = (
+        design.join(obs, "variant", "full")
+        .select(
+            "variant",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "w_mille",
+        )
+        .crossJoin(
+            F.broadcast(
+                obs.agg(F.sum("n_obs").alias("n_all"))
+            )
+        )
+        .withColumn("designed", F.col("w_mille").isNotNull())
+        .withColumn(
+            "contrib",
+            F.expr(
+                "case when w_mille is null then null else"
+                " round((1000 * n_obs - n_all * cast(w_mille as bigint))"
+                " * (1000 * n_obs - n_all * cast(w_mille as bigint))"
+                " * 1e0 / (1000e0 * n_all * w_mille), 6) end"
+            ),
+        )
+    )
+    # contribs are already 6-dp-rounded, so lifting them to 1e-6
+    # integers makes the cross-variant total an order-free exact sum
+    tot = j.agg(
+        F.sum(
+            F.expr(
+                "case when designed then"
+                " cast(round(contrib * 1000000e0, 0) as bigint) end"
+            )
+        ).alias("_cfp"),
+        F.max(F.when(~F.col("designed"), 1).otherwise(0)).alias(
+            "undesigned"
+        ),
+    ).select(
+        F.expr("round(_cfp / 1000000e0, 6)").alias("chi2_total"),
+        "undesigned",
+    )
+    return j.crossJoin(F.broadcast(tot)).select(
+        "variant",
+        "n_obs",
+        "w_mille",
+        F.expr(
+            "case when w_mille is null then null"
+            " else round(n_all * w_mille / 1000e0, 6) end"
+        ).alias("expected"),
+        "contrib",
+        "chi2_total",
+        (
+            (F.col("chi2_total") > F.lit(int(crit_mille)) / F.lit(1000.0))
+            | (F.col("undesigned") == 1)
+        ).alias("srm_alarm"),
+    )

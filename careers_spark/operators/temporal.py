@@ -1751,3 +1751,76 @@ def page_hinkley(
             > F.lit(int(lambda_counts)) * F.col("n")
         ).alias("alarm"),
     )
+
+
+def mann_kendall(events: DataFrame, ts: str = "ts") -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945, Kendall 1975) on the
+    gap-filled hourly count series — the SIGNIFICANCE companion to
+    theil_sen_slopes (which reports the robust slope magnitude; MK
+    says whether a monotone trend exists at all), and the standard
+    pre-test before acting on event_trend_slopes' OLS fit:
+
+        S = sum_{i<j} sign(x_j - x_i)
+
+    over time-ordered pairs, with the tie-corrected variance
+    Var = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 and the
+    continuity-corrected normal score Z = (S -/+ 1)/sqrt(Var).
+
+    Exactness: S is a pure INTEGER pair sum; the variance NUMERATOR is
+    an exact BIGINT (tie multiplicities from the distinct-value
+    table); Z is one shared-text double (an IEEE sqrt + one division).
+    The pair join runs over the gap-filled hour GRID — dimension-sized
+    (n_hours^2/2 pairs, the theil_sen precedent), never over corpus
+    rows; the corpus is touched once by the hourly groupBy. Zeros from
+    silent hours are real observations (they tie with each other — the
+    tie correction absorbs them).
+
+    Output: one row — (n_hours, s_stat, var_s, z); z is NULL when
+    every hour ties (Var = 0).
+    """
+    grid = _hour_grid(events, ts).localCheckpoint(eager=True)
+    a = grid.select(F.col("hour").alias("ha"), F.col("x").alias("xa"))
+    b = grid.select(F.col("hour").alias("hb"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("hb") > F.col("ha"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    n_t = grid.agg(F.count("*").alias("n"))
+    tie = (
+        grid.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(tie))
+        .select(
+            F.col("n").alias("n_hours"),
+            "s_stat",
+            F.expr(
+                "round((n * (n - 1e0) * (2 * n + 5)"
+                " - tie_term) / 18e0, 6)"
+            ).alias("var_s"),
+            F.expr(
+                "case when (n * (n - 1e0) * (2 * n + 5) - tie_term)"
+                " = 0 then null"
+                " when s_stat > 0 then round((s_stat - 1e0)"
+                " / sqrt((n * (n - 1e0) * (2 * n + 5) - tie_term)"
+                " / 18e0), 6)"
+                " when s_stat < 0 then round((s_stat + 1e0)"
+                " / sqrt((n * (n - 1e0) * (2 * n + 5) - tie_term)"
+                " / 18e0), 6)"
+                " else 0e0 end"
+            ).alias("z"),
+        )
+    )
