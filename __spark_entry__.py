@@ -4909,6 +4909,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_srm_check"] = events_srm_check
 
+    def brown_forsythe_priority_price(spark, sf_dir):
+        """Brown-Forsythe variance-homogeneity gate for the
+        anova_priority_totalprice test (evaluation.brown_forsythe):
+        ANOVA F on |2x - med2| doubled median deviations — the
+        integer-lattice robust Levene."""
+        from careers_spark.operators.evaluation import brown_forsythe
+
+        d = _t(spark, sf_dir, "orders").select(
+            F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias(
+                "value"
+            ),
+            F.col("o_orderpriority").alias("grp"),
+        )
+        return brown_forsythe(d)
+
+    q["brown_forsythe_priority_price"] = brown_forsythe_priority_price
+
+    def event_hour_cramers_v(spark, sf_dir):
+        """Cramér's V between event type and hour-of-day
+        (evaluation.cramers_v) — the normalized effect size beside
+        event_hour_mutual_info's nats; empty-cell mass folded
+        algebraically, present cells only."""
+        from careers_spark.operators.evaluation import cramers_v
+
+        d = _t(spark, sf_dir, "events").select(
+            F.col("event_type").alias("x"),
+            F.expr("extract(hour from ts)").alias("y"),
+        )
+        return cramers_v(d)
+
+    q["event_hour_cramers_v"] = event_hour_cramers_v
+
     return q
 
 
@@ -14927,6 +14959,122 @@ def oracle_sql() -> dict[str, str]:
                (chi2_total > 3841 / 1000e0 OR undesigned = 1)
                  AS srm_alarm
         FROM c CROSS JOIN t
+    """
+
+    # brown_forsythe_priority_price: doubled-median deviations (the
+    # distinct-value cumulative picks both middle order statistics),
+    # then the anova_priority_totalprice oracle body verbatim on z.
+    o["brown_forsythe_priority_price"] = """
+        WITH v0 AS (
+          SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS val,
+                 o_orderpriority AS grp
+          FROM orders
+        ),
+        vc AS (
+          SELECT grp, val, CAST(count(*) AS BIGINT) AS c
+          FROM v0 GROUP BY 1, 2
+        ),
+        mk AS (
+          SELECT grp, val, c,
+                 sum(c) OVER (PARTITION BY grp ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(c) OVER (PARTITION BY grp) AS n
+          FROM vc
+        ),
+        med AS (
+          SELECT grp,
+                 min(CASE WHEN cum >= (n + 1) // 2 THEN val END)
+                 + min(CASE WHEN cum >= (n + 2) // 2 THEN val END) AS med2
+          FROM mk GROUP BY grp
+        ),
+        v AS (
+          SELECT abs(2 * v0.val - med.med2) AS cents, v0.grp
+          FROM v0 JOIN med ON med.grp = v0.grp
+        ),
+        g AS (
+          SELECT grp,
+                 CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(cents) AS BIGINT) AS s_g,
+                 CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+                   AS ss_g
+          FROM v GROUP BY 1
+        ),
+        g2 AS (
+          SELECT *,
+                 CAST((2000000 * CAST(s_g AS HUGEINT) + n_g) // (2 * n_g)
+                      AS BIGINT) AS mfp_g
+          FROM g
+        ),
+        gl AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 CAST(sum(n_g) AS BIGINT) AS n_total,
+                 CAST((2000000 * CAST(sum(s_g) AS HUGEINT) + sum(n_g))
+                      // (2 * sum(n_g)) AS BIGINT) AS mfp
+          FROM g2
+        ),
+        a AS (
+          SELECT k_groups, n_total,
+                 CAST(sum(n_g * (CAST(mfp_g - mfp AS HUGEINT)
+                                 * CAST(mfp_g - mfp AS HUGEINT)))
+                      AS HUGEINT) AS ssb_fp,
+                 CAST(sum(CAST(1000000000000 AS HUGEINT) * ss_g
+                          - n_g * (CAST(mfp_g AS HUGEINT) * mfp_g))
+                      AS HUGEINT) AS ssw_fp
+          FROM g2 CROSS JOIN gl
+          GROUP BY 1, 2
+        )
+        SELECT k_groups, n_total,
+               round(CAST(ssb_fp AS DOUBLE) / 1e12, 6) AS ssb,
+               round(CAST(ssw_fp AS DOUBLE) / 1e12, 6) AS ssw,
+               CAST(k_groups - 1 AS BIGINT) AS df1,
+               CAST(n_total - k_groups AS BIGINT) AS df2,
+               CASE WHEN k_groups < 2 OR n_total <= k_groups
+                      OR ssw_fp <= 0
+                    THEN NULL
+                    ELSE round((CAST(ssb_fp AS DOUBLE) / (k_groups - 1e0))
+                         / (CAST(ssw_fp AS DOUBLE)
+                            / (n_total - k_groups * 1e0)), 6)
+               END AS f_stat
+        FROM a
+    """
+
+    # event_hour_cramers_v: empty-cell mass folded algebraically
+    # (chi2 = N * sum o^2/(r c) - N), per-cell terms 1e-9-quantized.
+    o["event_hour_cramers_v"] = """
+        WITH d AS (
+          SELECT event_type AS x, extract(hour FROM ts) AS y FROM events
+        ),
+        joint AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2
+        ),
+        mx AS (SELECT x, CAST(sum(o) AS BIGINT) AS r_i
+               FROM joint GROUP BY 1),
+        my AS (SELECT y, CAST(sum(o) AS BIGINT) AS c_j
+               FROM joint GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_rows FROM joint),
+        nx AS (SELECT CAST(count(*) AS BIGINT) AS n_x FROM mx),
+        ny AS (SELECT CAST(count(*) AS BIGINT) AS n_y FROM my),
+        cells AS (
+          SELECT n_rows,
+                 CAST(round(CAST(o AS DOUBLE) * o * n_rows
+                   / (CAST(r_i AS DOUBLE) * c_j) * 1000000000e0, 0)
+                   AS BIGINT) AS tfp
+          FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+        ),
+        a AS (
+          SELECT any_value(n_rows) AS n_rows,
+                 CAST(sum(tfp) AS BIGINT) AS sfp
+          FROM cells
+        )
+        SELECT n_rows, n_x, n_y,
+               round(sfp / 1000000000e0 - n_rows, 6) AS chi2,
+               CASE WHEN least(n_x, n_y) < 2 THEN NULL
+                    ELSE round(sqrt(greatest(sfp / 1000000000e0 - n_rows,
+                           0e0)
+                         / (n_rows * 1e0 * (least(n_x, n_y) - 1))), 6)
+               END AS v
+        FROM a CROSS JOIN nx CROSS JOIN ny
     """
 
     return o

@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     "weak_label_majority",
     "event_mann_kendall",
     "events_srm_check",
+    "brown_forsythe_priority_price",
+    "event_hour_cramers_v",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

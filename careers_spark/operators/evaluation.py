@@ -2228,3 +2228,137 @@ def friedman_test(
             F.lit(kk - 1).cast("int").alias("df"),
         )
     )
+
+
+def brown_forsythe(
+    df: DataFrame, value: str = "value", group: str = "grp"
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe
+    1974) — the robust Levene variant and the GATE before trusting
+    anova_oneway's equal-variance assumption: run the one-way ANOVA F
+    on absolute deviations from each group's MEDIAN. A significant F
+    here says the groups' spreads differ, so the ANOVA on means needs
+    the Welch route instead.
+
+    Exactness trick: deviations stay on the INTEGER lattice by
+    doubling — the per-group doubled median med2 = (k_lo-th smallest)
+    + (k_hi-th smallest) is an exact integer for both parities (k_lo
+    = (n+1) div 2, k_hi = (n+2) div 2, both from the distinct-value
+    cumulative, the pinned AUC/percentile convention — never a
+    corpus-wide sort), and z = |2x - med2| is an exact BIGINT. F is
+    scale-invariant, so ANOVA on z IS the Brown-Forsythe statistic;
+    the heavy lifting reuses anova_oneway verbatim (its fixed-point
+    mean lattice and DECIMAL(38,0) channels included).
+
+    Physical shape: one (group, value) count rollup, a cumulative over
+    each group's distinct-value lattice, one broadcast med2 join back,
+    then anova_oneway's two aggregations. Corpus touched twice (once
+    for the median, once for the deviations) — the honest cost of a
+    median-centered statistic.
+
+    Output: anova_oneway's row — (k_groups, n_total, ssb, ssw, df1,
+    df2, f_stat) — where f_stat IS the Brown-Forsythe statistic.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value).cast("long")
+    rows = df.select(F.col(group).alias("_g"), v.alias("_v"))
+    vc = rows.groupBy("_g", "_v").agg(F.count("*").alias("_c"))
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("_g")
+    marked = (
+        vc.withColumn("_cum", F.sum("_c").over(wcum))
+        .withColumn("_n", F.sum("_c").over(wall))
+    )
+    med = marked.groupBy("_g").agg(
+        (
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(_n + 1) div 2"),
+                    F.col("_v"),
+                )
+            )
+            + F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(_n + 2) div 2"),
+                    F.col("_v"),
+                )
+            )
+        ).alias("_med2")
+    )
+    z = rows.join(F.broadcast(med), "_g").select(
+        F.col("_g").alias("grp"),
+        F.abs(2 * F.col("_v") - F.col("_med2")).alias("z"),
+    )
+    return anova_oneway(z, value="z", group="grp")
+
+
+def cramers_v(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """Cramér's V association strength between two categorical columns
+    (Cramér 1946) — the [0,1]-normalized EFFECT SIZE beside
+    mutual_information's nats and chi2's raw statistic: how strongly
+    does event type depend on hour, language on source.
+
+    The contingency chi-square is computed WITHOUT materializing empty
+    cells via the identity
+
+        chi2 = N * sum_present o^2 / (r_i * c_j)  -  N
+
+    (absent cells' (0-e)^2/e = e mass folds into the -N term), so the
+    plan is one joint groupBy + two marginal re-aggs — bounded by the
+    category lattice, never the r x c grid. Each present cell's term
+    is one shared-text double, quantized to the 1e-9 lattice before
+    the cross-cell sum (order-free BIGINT, the mutual_information
+    recipe); V = sqrt(chi2 / (N * min(r-1, c-1))) is one IEEE sqrt,
+    NULL when either variable is constant.
+
+    Output: one row — (n_rows, n_x, n_y, chi2, v).
+    """
+    joint = df.groupBy(
+        F.col(x).alias("_x"), F.col(y).alias("_y")
+    ).agg(F.count("*").alias("o"))
+    mx = joint.groupBy("_x").agg(F.sum("o").alias("r_i"))
+    my = joint.groupBy("_y").agg(F.sum("o").alias("c_j"))
+    tot = joint.agg(
+        F.sum("o").alias("n_rows"), F.count("*").alias("n_cells")
+    )
+    nx = mx.agg(F.count("*").alias("n_x"))
+    ny = my.agg(F.count("*").alias("n_y"))
+    cells = (
+        joint.join(F.broadcast(mx), "_x")
+        .join(F.broadcast(my), "_y")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_tfp",
+            F.expr(
+                "cast(round(cast(o as double) * o * n_rows"
+                " / (cast(r_i as double) * c_j) * 1000000000e0, 0)"
+                " as bigint)"
+            ),
+        )
+    )
+    agg = cells.groupBy().agg(
+        F.first("n_rows").alias("n_rows"),
+        F.sum("_tfp").alias("_sfp"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(ny))
+        .select(
+            "n_rows",
+            "n_x",
+            "n_y",
+            F.expr(
+                "round(_sfp / 1000000000e0 - n_rows, 6)"
+            ).alias("chi2"),
+            F.expr(
+                "case when least(n_x, n_y) < 2 then null else"
+                " round(sqrt(greatest(_sfp / 1000000000e0 - n_rows, 0e0)"
+                " / (n_rows * 1e0 * (least(n_x, n_y) - 1))), 6) end"
+            ).alias("v"),
+        )
+    )
