@@ -4941,6 +4941,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_hour_cramers_v"] = event_hour_cramers_v
 
+    def revenue_per_event_ci(spark, sf_dir):
+        """Delta-method CI for revenue-per-event by md5 variant —
+        the ratio-metric analysis at the USER randomization unit
+        (evaluation.ratio_metric_ci): six exact moment sums, one
+        shared-text close, one IEEE sqrt."""
+        from careers_spark.operators.dedup import _hash64_expr
+        from careers_spark.operators.evaluation import ratio_metric_ci
+
+        coin = _hash64_expr("concat(cast(user_id as string), '|', 'rm0')")
+        per = (
+            _t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.expr(
+                    "coalesce(sum(case when event_type = 'purchase'"
+                    " then cast(round(value * 100, 0) as bigint)"
+                    " else 0 end), 0)"
+                ).alias("num"),
+                F.count("*").alias("den"),
+            )
+            .withColumn(
+                "variant",
+                F.expr(
+                    f"case when ({coin}) % 2 = 0 then 'control'"
+                    " else 'treatment' end"
+                ),
+            )
+        )
+        return ratio_metric_ci(per)
+
+    q["revenue_per_event_ci"] = revenue_per_event_ci
+
+    def dunn_quantity_pairs(spark, sf_dir):
+        """Dunn post-hoc pairwise z for the kruskal_quantity_returnflag
+        family — which return flags differ (evaluation.dunn_posthoc):
+        mean doubled ranks on the 1e-6 fixed point, Bonferroni z crit
+        2.394 for 3 pairs at family alpha 0.05."""
+        from careers_spark.operators.evaluation import dunn_posthoc
+
+        d = _t(spark, sf_dir, "lineitem").select(
+            F.expr("cast(round(l_quantity, 0) as bigint)").alias("value"),
+            F.col("l_returnflag").alias("grp"),
+        )
+        return dunn_posthoc(d, z_crit_mille=2394)
+
+    q["dunn_quantity_pairs"] = dunn_quantity_pairs
+
     return q
 
 
@@ -15075,6 +15122,136 @@ def oracle_sql() -> dict[str, str]:
                          / (n_rows * 1e0 * (least(n_x, n_y) - 1))), 6)
                END AS v
         FROM a CROSS JOIN nx CROSS JOIN ny
+    """
+
+    # revenue_per_event_ci: six exact moments per md5 variant, the
+    # delta-method variance one shared-text close.
+    _rm_coin = _DUCK_H64.format(
+        c="CAST(user_id AS VARCHAR) || '|' || 'rm0'"
+    )
+    _rm_r = "(sx * 1e0 / sy)"
+    _rm_vxx = (
+        "((n * CAST(sxx AS DOUBLE) - sx * 1e0 * sx) / (n * (n - 1e0)))"
+    )
+    _rm_vyy = (
+        "((n * CAST(syy AS DOUBLE) - sy * 1e0 * sy) / (n * (n - 1e0)))"
+    )
+    _rm_vxy = (
+        "((n * CAST(sxy AS DOUBLE) - sx * 1e0 * sy) / (n * (n - 1e0)))"
+    )
+    _rm_var = (
+        f"(({_rm_vxx} + {_rm_r} * {_rm_r} * {_rm_vyy}"
+        f" - 2e0 * {_rm_r} * {_rm_vxy})"
+        f" / (n * ((sy * 1e0 / n) * (sy * 1e0 / n))))"
+    )
+    o["revenue_per_event_ci"] = f"""
+        WITH per AS (
+          SELECT user_id,
+                 coalesce(sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100, 0) AS BIGINT)
+                   ELSE 0 END), 0) AS num,
+                 CAST(count(*) AS BIGINT) AS den
+          FROM events GROUP BY 1
+        ),
+        v AS (
+          SELECT CASE WHEN ({_rm_coin}) % 2 = 0 THEN 'control'
+                      ELSE 'treatment' END AS variant,
+                 num, den
+          FROM per
+        ),
+        g AS (
+          SELECT variant,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(num) AS BIGINT) AS sx,
+                 CAST(sum(den) AS BIGINT) AS sy,
+                 CAST(sum(CAST(num AS HUGEINT) * num) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(den AS HUGEINT) * den) AS HUGEINT) AS syy,
+                 CAST(sum(CAST(num AS HUGEINT) * den) AS HUGEINT) AS sxy
+          FROM v GROUP BY 1
+        )
+        SELECT variant, n AS n_units, sx AS sum_num, sy AS sum_den,
+               CASE WHEN sy = 0 THEN NULL
+                    ELSE round({_rm_r}, 6) END AS ratio,
+               CASE WHEN sy = 0 OR n < 2 THEN NULL
+                    ELSE round(sqrt(greatest({_rm_var}, 0e0)), 6)
+               END AS se,
+               CASE WHEN sy = 0 OR n < 2 THEN NULL
+                    ELSE round({_rm_r}
+                      - 1.96e0 * sqrt(greatest({_rm_var}, 0e0)), 6)
+               END AS lo95,
+               CASE WHEN sy = 0 OR n < 2 THEN NULL
+                    ELSE round({_rm_r}
+                      + 1.96e0 * sqrt(greatest({_rm_var}, 0e0)), 6)
+               END AS hi95
+        FROM g
+    """
+
+    # dunn_quantity_pairs: the kruskal rank machinery verbatim, pair
+    # table k(k-1)/2 rows, tie-corrected sigma shared-text.
+    _dn_sig2 = (
+        "((n_tot * (n_tot + 1e0) / 12e0"
+        " - CAST(t3_sum AS DOUBLE) / (12e0 * (n_tot - 1)))"
+        " * (1e0 / n_a + 1e0 / n_b))"
+    )
+    _dn_z = (
+        f"(CAST(afp_a - afp_b AS DOUBLE) / 2000000e0) / sqrt({_dn_sig2})"
+    )
+    o["dunn_quantity_pairs"] = f"""
+        WITH v0 AS (
+          SELECT CAST(round(l_quantity, 0) AS BIGINT) AS val,
+                 l_returnflag AS grp
+          FROM lineitem
+        ),
+        per AS (
+          SELECT val, grp, CAST(count(*) AS BIGINT) AS c_gv
+          FROM v0 GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT val, CAST(sum(c_gv) AS BIGINT) AS t_v
+          FROM per GROUP BY 1
+        ),
+        tot2 AS (
+          SELECT val, t_v,
+                 CAST(coalesce(sum(t_v) OVER (ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_v
+          FROM tot
+        ),
+        byg AS (
+          SELECT grp,
+                 CAST(sum(c_gv) AS BIGINT) AS n_g,
+                 CAST(sum(c_gv * (2 * cum_v + t_v + 1)) AS BIGINT) AS r2_g
+          FROM per JOIN tot2 USING (val)
+          GROUP BY 1
+        ),
+        byg2 AS (
+          SELECT grp, n_g,
+                 CAST((2000000 * CAST(r2_g AS HUGEINT) + n_g)
+                      // (2 * n_g) AS BIGINT) AS afp_g
+          FROM byg
+        ),
+        gtot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot FROM byg2),
+        ties AS (
+          SELECT CAST(sum(CAST(t_v AS HUGEINT) * t_v * t_v - t_v)
+                      AS HUGEINT) AS t3_sum
+          FROM tot
+        )
+        , pairs AS (
+          SELECT a.grp AS grp_a, b.grp AS grp_b,
+                 a.n_g AS n_a, b.n_g AS n_b,
+                 a.afp_g AS afp_a, b.afp_g AS afp_b,
+                 n_tot, t3_sum
+          FROM byg2 a JOIN byg2 b ON a.grp < b.grp
+          CROSS JOIN gtot CROSS JOIN ties
+        )
+        SELECT grp_a, grp_b, n_a, n_b,
+               round(afp_a / 2000000e0, 6) AS mean_rank_a,
+               round(afp_b / 2000000e0, 6) AS mean_rank_b,
+               CASE WHEN {_dn_sig2} <= 0 THEN NULL
+                    ELSE round({_dn_z}, 6) END AS z,
+               CASE WHEN {_dn_sig2} <= 0 THEN NULL
+                    ELSE abs({_dn_z}) > 2394 / 1000e0 END AS reject
+        FROM pairs
     """
 
     return o

@@ -283,6 +283,8 @@ BENCH_QUERIES = [
     "events_srm_check",
     "brown_forsythe_priority_price",
     "event_hour_cramers_v",
+    "revenue_per_event_ci",
+    "dunn_quantity_pairs",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

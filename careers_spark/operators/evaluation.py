@@ -2362,3 +2362,184 @@ def cramers_v(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
             ).alias("v"),
         )
     )
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    variant: str = "variant",
+    num: str = "num",
+    den: str = "den",
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric per variant
+    (Deng, Knoblich & Lu, KDD 2018 — the experimentation-platform
+    standard): revenue per session, clicks per user, tokens per
+    document. Rows are the RANDOMIZATION UNITS (users) carrying
+    per-unit numerator and denominator totals, so the analysis unit
+    matches the assignment unit — naively treating sessions as
+    independent is the classic ratio-metric mistake this operator
+    exists to prevent (the ab_conversion lesson, generalized).
+
+    With r = sum(x)/sum(y), the delta method gives
+
+        Var(r) ~= (s_xx + r^2 s_yy - 2 r s_xy) / (n * ybar^2)
+
+    where s_** are sample (co)variances. ONE partial-agg pass collects
+    the six exact moment sums (cross/square channels ride
+    DECIMAL(38,0) — the ols_simple posture); every reported statistic
+    is a single shared-text double close over them, one IEEE sqrt for
+    the 95% Wald band. NULL se/CI when sum(y) = 0 or n < 2.
+
+    Output: one row per variant — (variant, n_units, sum_num, sum_den,
+    ratio, se, lo95, hi95).
+    """
+    x = F.col(num).cast("long")
+    y = F.col(den).cast("long")
+    g = df.groupBy(F.col(variant).alias("variant")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x.cast("decimal(19,0)") * x).alias("sxx"),
+        F.sum(y.cast("decimal(19,0)") * y).alias("syy"),
+        F.sum(x.cast("decimal(19,0)") * y).alias("sxy"),
+    )
+    r = "(sx * 1e0 / sy)"
+    # sample (co)variances from moments: (n*sAB - sA*sB)/(n*(n-1))
+    vxx = "((n * cast(sxx as double) - sx * 1e0 * sx) / (n * (n - 1e0)))"
+    vyy = "((n * cast(syy as double) - sy * 1e0 * sy) / (n * (n - 1e0)))"
+    vxy = "((n * cast(sxy as double) - sx * 1e0 * sy) / (n * (n - 1e0)))"
+    ybar2 = "((sy * 1e0 / n) * (sy * 1e0 / n))"
+    var = (
+        f"(({vxx} + {r} * {r} * {vyy} - 2e0 * {r} * {vxy})"
+        f" / (n * {ybar2}))"
+    )
+    # the guard must gate var's EVALUATION (ANSI raises on the n-1
+    # division), and float cancellation can leave var at -1e-18 for an
+    # exactly-constant ratio — greatest(.., 0) absorbs it identically
+    # in both engines
+    guard = "sy = 0 or n < 2"
+    vpos = f"greatest({var}, 0e0)"
+    return g.select(
+        "variant",
+        F.col("n").alias("n_units"),
+        F.col("sx").alias("sum_num"),
+        F.col("sy").alias("sum_den"),
+        F.expr(
+            f"case when sy = 0 then null else round({r}, 6) end"
+        ).alias("ratio"),
+        F.expr(
+            f"case when {guard} then null"
+            f" else round(sqrt({vpos}), 6) end"
+        ).alias("se"),
+        F.expr(
+            f"case when {guard} then null"
+            f" else round({r} - 1.96e0 * sqrt({vpos}), 6) end"
+        ).alias("lo95"),
+        F.expr(
+            f"case when {guard} then null"
+            f" else round({r} + 1.96e0 * sqrt({vpos}), 6) end"
+        ).alias("hi95"),
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "grp",
+    z_crit_mille: int = 2394,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons (Dunn 1964) — WHICH groups
+    differ once kruskal_wallis says SOME do: for every group pair, the
+    tie-corrected normal score of the mean-rank difference
+
+        z_ij = (Rbar_i - Rbar_j)
+               / sqrt((N(N+1)/12 - T/(12(N-1))) (1/n_i + 1/n_j))
+
+    with T = sum(t^3 - t). The default critical value 2.394 is the
+    Bonferroni z for k=3 groups (3 pairs) at family alpha 0.05 — pass
+    the value matching your k (normal quantiles are caller-side
+    because no cross-engine-pinned inverse CDF exists; the same reason
+    bh_fdr consumes rationals).
+
+    Mean DOUBLED ranks come from the kruskal_wallis machinery verbatim
+    (distinct-value-lattice cumulative, afp fixed-pointed EXACTLY at
+    1e-6 per group — order-free, never a corpus sort); z closes as one
+    shared-text double with the doubled numerator absorbed by a /2.
+    The pair table is k(k-1)/2 rows (dimension-sized).
+
+    Output: one row per unordered pair — (grp_a, grp_b, n_a, n_b,
+    mean_rank_a, mean_rank_b, z, reject).
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(value, group).agg(F.count("*").alias("c_gv"))
+    tot = per.groupBy(value).agg(F.sum("c_gv").alias("t_v"))
+    w = Window.orderBy(value).rowsBetween(Window.unboundedPreceding, -1)
+    tot2 = tot.withColumn(
+        "cum_v", F.coalesce(F.sum("t_v").over(w), F.lit(0))
+    )
+    byg = (
+        per.join(tot2, value)
+        .groupBy(group)
+        .agg(
+            F.sum("c_gv").alias("n_g"),
+            F.sum(
+                F.col("c_gv") * (2 * F.col("cum_v") + F.col("t_v") + 1)
+            ).alias("r2_g"),
+        )
+        .withColumn(
+            "afp_g",
+            F.expr(
+                "(2000000 * cast(r2_g as decimal(38,0)) + n_g)"
+                " div (2 * n_g)"
+            ),
+        )
+    )
+    glob = byg.agg(F.sum("n_g").alias("n_tot"))
+    ties = tot.agg(
+        F.sum(
+            F.col("t_v").cast("decimal(19,0)") * F.col("t_v") * F.col("t_v")
+            - F.col("t_v")
+        ).alias("t3_sum")
+    )
+    a = byg.select(
+        F.col(group).alias("grp_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("afp_g").alias("afp_a"),
+    )
+    b = byg.select(
+        F.col(group).alias("grp_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("afp_g").alias("afp_b"),
+    )
+    pairs = (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(ties))
+    )
+    # afp is the DOUBLED mean rank at 1e-6 fixed point; /2e6 recovers
+    # the mean rank, and the sigma term is the standard tie-corrected
+    # Dunn denominator
+    sig2 = (
+        "((n_tot * (n_tot + 1e0) / 12e0"
+        " - cast(t3_sum as double) / (12e0 * (n_tot - 1)))"
+        " * (1e0 / n_a + 1e0 / n_b))"
+    )
+    zexpr = (
+        f"(cast(afp_a - afp_b as double) / 2000000e0) / sqrt({sig2})"
+    )
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        F.expr("round(afp_a / 2000000e0, 6)").alias("mean_rank_a"),
+        F.expr("round(afp_b / 2000000e0, 6)").alias("mean_rank_b"),
+        F.expr(
+            f"case when {sig2} <= 0 then null"
+            f" else round({zexpr}, 6) end"
+        ).alias("z"),
+        F.expr(
+            f"case when {sig2} <= 0 then null else"
+            f" abs({zexpr}) > {int(z_crit_mille)} / 1000e0 end"
+        ).alias("reject"),
+    )
