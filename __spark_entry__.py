@@ -4988,6 +4988,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dunn_quantity_pairs"] = dunn_quantity_pairs
 
+    def _urgent_price(spark, sf_dir):
+        return _t(spark, sf_dir, "orders").select(
+            F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias(
+                "value"
+            ),
+            F.expr("o_orderpriority = '1-URGENT'").alias("grp"),
+        )
+
+    def hl_shift_price_urgent(spark, sf_dir):
+        """Hodges-Lehmann shift of urgent vs non-urgent order value —
+        BY HOW MUCH the mann_whitney/ks families' difference is
+        (evaluation.hodges_lehmann): weighted median of lattice-pair
+        differences, doubled-median order statistics exact."""
+        from careers_spark.operators.evaluation import hodges_lehmann
+
+        return hodges_lehmann(_urgent_price(spark, sf_dir))
+
+    q["hl_shift_price_urgent"] = hl_shift_price_urgent
+
+    def cliffs_delta_price_urgent(spark, sf_dir):
+        """Cliff's delta ordinal effect size for the same contrast
+        (evaluation.cliffs_delta): signed pair dominance over the
+        value lattices, Romano magnitude labels decided by integer
+        cross-multiplication."""
+        from careers_spark.operators.evaluation import cliffs_delta
+
+        return cliffs_delta(_urgent_price(spark, sf_dir))
+
+    q["cliffs_delta_price_urgent"] = cliffs_delta_price_urgent
+
     return q
 
 
@@ -15252,6 +15282,88 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN {_dn_sig2} <= 0 THEN NULL
                     ELSE abs({_dn_z}) > 2394 / 1000e0 END AS reject
         FROM pairs
+    """
+
+    # hl_shift_price_urgent: lattice-pair difference table weighted by
+    # HUGEINT count products; doubled weighted median exact.
+    o["hl_shift_price_urgent"] = """
+        WITH r AS (
+          SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+                 o_orderpriority = '1-URGENT' AS ga
+          FROM orders
+        ),
+        la AS (SELECT v, CAST(count(*) AS BIGINT) AS ca
+               FROM r WHERE ga GROUP BY 1),
+        lb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb
+               FROM r WHERE NOT ga GROUP BY 1),
+        diffs AS (
+          SELECT la.v - lb.v AS d,
+                 CAST(sum(CAST(ca AS HUGEINT) * cb) AS HUGEINT) AS w
+          FROM la CROSS JOIN lb GROUP BY 1
+        ),
+        mk AS (
+          SELECT d, w,
+                 sum(w) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(w) OVER () AS n
+          FROM diffs
+        ),
+        med AS (
+          SELECT max(n) AS n_pairs,
+                 min(CASE WHEN cum >= (n + 1) // 2 THEN d END)
+                 + min(CASE WHEN cum >= (n + 2) // 2 THEN d END) AS med2
+          FROM mk
+        ),
+        na AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a FROM la),
+        nb AS (SELECT CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b FROM lb)
+        SELECT n_a, n_b,
+               CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                    ELSE CAST(n_pairs AS BIGINT) END AS n_pairs,
+               CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                    ELSE round(med2 / 2e0, 6) END AS hl_shift
+        FROM med CROSS JOIN na CROSS JOIN nb
+    """
+
+    # cliffs_delta_price_urgent: signed dominance tallies over the two
+    # value lattices, Romano labels by integer cross-multiplication.
+    o["cliffs_delta_price_urgent"] = """
+        WITH r AS (
+          SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+                 o_orderpriority = '1-URGENT' AS ga
+          FROM orders
+        ),
+        la AS (SELECT v, CAST(count(*) AS BIGINT) AS ca
+               FROM r WHERE ga GROUP BY 1),
+        lb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb
+               FROM r WHERE NOT ga GROUP BY 1),
+        p AS (
+          SELECT CAST(sum(CASE WHEN la.v > lb.v
+                   THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) AS HUGEINT)
+                   AS n_gt,
+                 CAST(sum(CASE WHEN la.v < lb.v
+                   THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) AS HUGEINT)
+                   AS n_lt,
+                 CAST(sum(CAST(ca AS HUGEINT) * cb) AS HUGEINT) AS n_pairs
+          FROM la CROSS JOIN lb
+        ),
+        na AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a FROM la),
+        nb AS (SELECT CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b FROM lb)
+        SELECT n_a, n_b,
+               CAST(n_gt AS BIGINT) AS n_gt,
+               CAST(n_lt AS BIGINT) AS n_lt,
+               CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                    ELSE round(CAST(n_gt - n_lt AS DOUBLE)
+                         / CAST(n_pairs AS DOUBLE), 6) END AS delta,
+               CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                    WHEN abs(n_gt - n_lt) * 1000 < 147 * n_pairs
+                      THEN 'negligible'
+                    WHEN abs(n_gt - n_lt) * 1000 < 330 * n_pairs
+                      THEN 'small'
+                    WHEN abs(n_gt - n_lt) * 1000 < 474 * n_pairs
+                      THEN 'medium'
+                    ELSE 'large' END AS magnitude
+        FROM p CROSS JOIN na CROSS JOIN nb
     """
 
     return o

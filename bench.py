@@ -285,6 +285,8 @@ BENCH_QUERIES = [
     "event_hour_cramers_v",
     "revenue_per_event_ci",
     "dunn_quantity_pairs",
+    "hl_shift_price_urgent",
+    "cliffs_delta_price_urgent",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

@@ -2543,3 +2543,193 @@ def dunn_posthoc(
             f" abs({zexpr}) > {int(z_crit_mille)} / 1000e0 end"
         ).alias("reject"),
     )
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "grp",
+    group_a=True,
+) -> DataFrame:
+    """Hodges-Lehmann two-sample shift estimator (1963) — the robust
+    ANSWER to Mann-Whitney's question: the test says the groups
+    differ; HL says BY HOW MUCH, as the median of all n_a * n_b
+    pairwise differences x_i - y_j (50% breakdown, no distributional
+    assumption — the location-shift companion to theil_sen's slope).
+
+    Never materializes n_a*n_b row pairs: both samples collapse to
+    their DISTINCT-value lattices, the difference table is the lattice
+    cross join weighted by count products (|V_a| x |V_b| rows,
+    dimension-sized), and the weighted median uses the doubled-median
+    order-statistic algebra (brown_forsythe recipe: med2 = k_lo-th +
+    k_hi-th over the cumulative, exact integers; hl = med2/2 exact in
+    doubles). Weights ride DECIMAL(38,0) so 1e12-row samples cannot
+    overflow the pair count.
+
+    Output: one row — (n_a, n_b, n_pairs, hl_shift) with hl_shift =
+    median(x - y); NULL when either group is empty.
+    """
+    from pyspark.sql import Window
+
+    ga = F.col(group) == F.lit(group_a)
+    v = F.col(value).cast("long")
+    rows = df.select(ga.alias("_ga"), v.alias("_v"))
+    la = rows.filter("_ga").groupBy("_v").agg(F.count("*").alias("ca"))
+    lb = rows.filter("not _ga").groupBy("_v").agg(
+        F.count("*").alias("cb")
+    )
+    diffs = (
+        la.crossJoin(
+            lb.select(F.col("_v").alias("_vb"), "cb")
+        )
+        .select(
+            (F.col("_v") - F.col("_vb")).alias("d"),
+            (
+                F.col("ca").cast("decimal(19,0)") * F.col("cb")
+            ).alias("w"),
+        )
+        .groupBy("d")
+        .agg(F.sum("w").alias("w"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    marked = diffs.withColumn("cum", F.sum("w").over(wcum)).withColumn(
+        "n", F.sum("w").over(wall)
+    )
+    med = marked.agg(
+        F.max("n").alias("n_pairs"),
+        (
+            F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("d")))
+            + F.min(
+                F.when(F.col("cum") >= F.expr("(n + 2) div 2"), F.col("d"))
+            )
+        ).alias("med2"),
+    )
+    na = la.agg(F.coalesce(F.sum("ca"), F.lit(0)).alias("n_a"))
+    nb = lb.agg(F.coalesce(F.sum("cb"), F.lit(0)).alias("n_b"))
+    return (
+        med.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            F.expr(
+                "case when n_a = 0 or n_b = 0 then null"
+                " else cast(n_pairs as bigint) end"
+            ).alias("n_pairs"),
+            F.expr(
+                "case when n_a = 0 or n_b = 0 then null"
+                " else round(med2 / 2e0, 6) end"
+            ).alias("hl_shift"),
+        )
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "grp",
+    group_a=True,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993) — the
+    distribution-free magnitude beside mann_whitney's p: delta =
+    (#(x > y) - #(x < y)) / (n_a * n_b), in [-1, 1], with Romano's
+    conventional magnitude labels (|d| < .147 negligible, < .33
+    small, < .474 medium, else large) decided by INTEGER
+    cross-multiplication on the mille lattice — no float in the
+    labeling.
+
+    The pair counting never touches row pairs: greater/less tallies
+    come from the two distinct-value lattices joined through the
+    cumulative trick (for each a-value, the count of b-values below
+    it is the b-lattice cumulative), all DECIMAL(38,0) — the AUC
+    machinery restated for the signed difference.
+
+    Output: one row — (n_a, n_b, n_gt, n_lt, delta, magnitude); NULL
+    delta when either group is empty.
+    """
+    from pyspark.sql import Window
+
+    ga = F.col(group) == F.lit(group_a)
+    v = F.col(value).cast("long")
+    rows = df.select(ga.alias("_ga"), v.alias("_v"))
+    la = rows.filter("_ga").groupBy("_v").agg(F.count("*").alias("ca"))
+    lb = rows.filter("not _ga").groupBy("_v").agg(
+        F.count("*").alias("cb")
+    )
+    wb = Window.orderBy("_v")
+    blat = (
+        lb.withColumn(
+            "cum_lt",
+            F.coalesce(
+                F.sum("cb").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "tot_b",
+            F.sum("cb").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    # for each a-lattice value: #b strictly below, #b equal (for the
+    # strictly-above complement) — a range join restated as the pinned
+    # lattice cumulative via a <= join on the b lattice... instead:
+    # join each a value to the LARGEST b value <= it, which is again a
+    # sort-merge shape; the simplest exact dimension-sized form is the
+    # lattice cross join (|V_a| x |V_b|), matching hodges_lehmann
+    pairs = la.crossJoin(
+        lb.select(F.col("_v").alias("_vb"), "cb")
+    ).select(
+        F.expr(
+            "case when _v > _vb then cast(ca as decimal(19,0)) * cb"
+            " else cast(0 as decimal(19,0)) end"
+        ).alias("gt"),
+        F.expr(
+            "case when _v < _vb then cast(ca as decimal(19,0)) * cb"
+            " else cast(0 as decimal(19,0)) end"
+        ).alias("lt"),
+        (F.col("ca").cast("decimal(19,0)") * F.col("cb")).alias("tot"),
+    )
+    agg = pairs.agg(
+        F.sum("gt").alias("n_gt"),
+        F.sum("lt").alias("n_lt"),
+        F.sum("tot").alias("n_pairs"),
+    )
+    na = la.agg(F.coalesce(F.sum("ca"), F.lit(0)).alias("n_a"))
+    nb = lb.agg(F.coalesce(F.sum("cb"), F.lit(0)).alias("n_b"))
+    # |delta| vs Romano cuts on the mille lattice, cross-multiplied:
+    # |gt - lt| * 1000 vs cut * n_pairs — pure integer decisions
+    mag = (
+        "case"
+        " when abs(dnum) * 1000 < 147 * n_pairs then 'negligible'"
+        " when abs(dnum) * 1000 < 330 * n_pairs then 'small'"
+        " when abs(dnum) * 1000 < 474 * n_pairs then 'medium'"
+        " else 'large' end"
+    )
+    return (
+        agg.withColumn("dnum", F.col("n_gt") - F.col("n_lt"))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            F.expr("cast(n_gt as bigint)").alias("n_gt"),
+            F.expr("cast(n_lt as bigint)").alias("n_lt"),
+            F.expr(
+                "case when n_a = 0 or n_b = 0 then null"
+                " else round(cast(dnum as double)"
+                " / cast(n_pairs as double), 6) end"
+            ).alias("delta"),
+            F.expr(
+                f"case when n_a = 0 or n_b = 0 then null else {mag} end"
+            ).alias("magnitude"),
+        )
+    )
