@@ -5018,6 +5018,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cliffs_delta_price_urgent"] = cliffs_delta_price_urgent
 
+    def kg_predicate_cardinality(spark, sf_dir):
+        """Observed cardinality class per predicate of the pinned
+        synth KG (kgquality.predicate_cardinality): max fan-outs over
+        distinct triples, 1-1/1-N/N-1/M-N — the post-construction
+        schema-QA table, all exact integers."""
+        from careers_spark.operators.kgquality import (
+            predicate_cardinality,
+        )
+
+        return predicate_cardinality(flagship.kg_triples_synth(spark))
+
+    q["kg_predicate_cardinality"] = kg_predicate_cardinality
+
+    def kg_contradiction_candidates(spark, sf_dir):
+        """Constraint-violation triage list over the synth KG
+        (kgquality.contradiction_candidates): works_at declared
+        functional (provably quiet on this corpus), located_in
+        declared inverse-functional (cities hosting several orgs
+        surface with their sorted conflict sets)."""
+        from careers_spark.operators.kgquality import (
+            contradiction_candidates,
+        )
+
+        return contradiction_candidates(
+            flagship.kg_triples_synth(spark),
+            functional=["works_at"],
+            inverse_functional=["located_in"],
+        )
+
+    q["kg_contradiction_candidates"] = kg_contradiction_candidates
+
     return q
 
 
@@ -15364,6 +15395,52 @@ def oracle_sql() -> dict[str, str]:
                       THEN 'medium'
                     ELSE 'large' END AS magnitude
         FROM p CROSS JOIN na CROSS JOIN nb
+    """
+
+    # kg_predicate_cardinality / kg_contradiction_candidates: both nest
+    # the pinned-golden triple VALUES table verbatim; pure integer
+    # fan-out algebra and sorted pipe-joined conflict sets.
+    o["kg_predicate_cardinality"] = f"""
+        WITH t0 AS ({o["kg_triples_synth"]}),
+        t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM t0),
+        base AS (
+          SELECT p, CAST(count(*) AS BIGINT) AS n_triples,
+                 CAST(count(DISTINCT s) AS BIGINT) AS n_subj,
+                 CAST(count(DISTINCT o) AS BIGINT) AS n_obj
+          FROM t GROUP BY 1
+        ),
+        ofan AS (
+          SELECT p, CAST(max(no) AS BIGINT) AS max_out FROM (
+            SELECT p, s, count(DISTINCT o) AS no FROM t GROUP BY 1, 2
+          ) GROUP BY 1
+        ),
+        ifan AS (
+          SELECT p, CAST(max(ns) AS BIGINT) AS max_in FROM (
+            SELECT p, o, count(DISTINCT s) AS ns FROM t GROUP BY 1, 2
+          ) GROUP BY 1
+        )
+        SELECT base.p AS pred, n_triples, n_subj, n_obj, max_out, max_in,
+               CASE WHEN max_out = 1 AND max_in = 1 THEN '1-1'
+                    WHEN max_in = 1 THEN '1-N'
+                    WHEN max_out = 1 THEN 'N-1'
+                    ELSE 'M-N' END AS cardinality_class
+        FROM base JOIN ofan USING (p) JOIN ifan USING (p)
+    """
+
+    o["kg_contradiction_candidates"] = f"""
+        WITH t0 AS ({o["kg_triples_synth"]}),
+        t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM t0)
+        SELECT p AS pred, 'functional' AS direction, s AS key,
+               CAST(count(DISTINCT o) AS BIGINT) AS n_values,
+               string_agg(DISTINCT o, '|' ORDER BY o) AS conflict_values
+        FROM t WHERE p IN ('works_at')
+        GROUP BY 1, 2, 3 HAVING count(DISTINCT o) >= 2
+        UNION ALL
+        SELECT p AS pred, 'inverse_functional' AS direction, o AS key,
+               CAST(count(DISTINCT s) AS BIGINT) AS n_values,
+               string_agg(DISTINCT s, '|' ORDER BY s) AS conflict_values
+        FROM t WHERE p IN ('located_in')
+        GROUP BY 1, 2, 3 HAVING count(DISTINCT s) >= 2
     """
 
     return o

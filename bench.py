@@ -287,6 +287,8 @@ BENCH_QUERIES = [
     "dunn_quantity_pairs",
     "hl_shift_price_urgent",
     "cliffs_delta_price_urgent",
+    "kg_predicate_cardinality",
+    "kg_contradiction_candidates",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

@@ -1,0 +1,77 @@
+"""predicate_cardinality + contradiction_candidates — shape goldens."""
+
+import pytest
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+TRIPLES = [
+    # one_one: bijective
+    ("a1", "one_one", "x1"),
+    ("a2", "one_one", "x2"),
+    # one_n: a1 fans out, every object unique to its subject
+    ("a1", "one_n", "y1"),
+    ("a1", "one_n", "y2"),
+    ("a2", "one_n", "y3"),
+    # n_one: many subjects share an object
+    ("a1", "n_one", "z1"),
+    ("a2", "n_one", "z1"),
+    ("a3", "n_one", "z2"),
+    # m_n: both sides fan out
+    ("a1", "m_n", "w1"),
+    ("a1", "m_n", "w2"),
+    ("a2", "m_n", "w1"),
+]
+
+
+def test_cardinality_all_four_classes(spark):
+    from careers_spark.operators.kgquality import predicate_cardinality
+
+    out = {
+        r["pred"]: r
+        for r in predicate_cardinality(_t(spark, TRIPLES)).collect()
+    }
+    assert out["one_one"]["cardinality_class"] == "1-1"
+    assert out["one_n"]["cardinality_class"] == "1-N"
+    assert out["n_one"]["cardinality_class"] == "N-1"
+    assert out["m_n"]["cardinality_class"] == "M-N"
+    assert out["one_n"]["max_out"] == 2 and out["one_n"]["max_in"] == 1
+    assert out["n_one"]["n_subj"] == 3 and out["n_one"]["n_obj"] == 2
+
+
+def test_cardinality_duplicate_triples_collapse(spark):
+    """Repeated assertions of the same triple must not inflate
+    fan-outs — the profile is over DISTINCT triples."""
+    from careers_spark.operators.kgquality import predicate_cardinality
+
+    rows = [("a", "p", "x")] * 5 + [("a", "p", "y")]
+    out = predicate_cardinality(_t(spark, rows)).collect()[0]
+    assert out["n_triples"] == 2 and out["max_out"] == 2
+
+
+def test_contradictions_both_directions(spark):
+    from careers_spark.operators.kgquality import contradiction_candidates
+
+    out = contradiction_candidates(
+        _t(spark, TRIPLES),
+        functional=["one_n", "one_one"],
+        inverse_functional=["n_one", "one_one"],
+    ).collect()
+    byk = {(r["pred"], r["direction"], r["key"]): r for r in out}
+    # one_n declared functional: a1 has two objects -> violation
+    v = byk[("one_n", "functional", "a1")]
+    assert v["n_values"] == 2 and v["conflict_values"] == "y1|y2"
+    # n_one declared inverse-functional: z1 has two subjects
+    w = byk[("n_one", "inverse_functional", "z1")]
+    assert w["conflict_values"] == "a1|a2"
+    # the genuinely 1-1 predicate stays quiet in both directions
+    assert not any(r["pred"] == "one_one" for r in out)
+
+
+def test_contradictions_validation(spark):
+    from careers_spark.operators.kgquality import contradiction_candidates
+
+    with pytest.raises(ValueError):
+        contradiction_candidates(_t(spark, TRIPLES))
