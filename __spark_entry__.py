@@ -5049,6 +5049,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_contradiction_candidates"] = kg_contradiction_candidates
 
+    def kg_type_signatures(spark, sf_dir):
+        """Induced type system of the synth KG by predicate-role
+        signatures (kgquality.type_signatures): nodes grouped by the
+        sorted set of (position, predicate) roles they play — schema
+        induction for an untyped extraction, singletons = error
+        candidates."""
+        from careers_spark.operators.kgquality import type_signatures
+
+        return type_signatures(flagship.kg_triples_synth(spark))
+
+    q["kg_type_signatures"] = kg_type_signatures
+
+    def kg_rule_confidence(spark, sf_dir):
+        """AMIE confidence of the mined rule works_at(x,y) &
+        located_in(y,z) => studied_at(x, University-of-z)
+        (kgquality.path_rule_confidence): std and PCA confidences as
+        exact integer ratios over distinct body instances — the
+        rule-mining primitive that predicts missing triples and flags
+        violators."""
+        from careers_spark.operators.kgquality import (
+            path_rule_confidence,
+        )
+
+        return path_rule_confidence(
+            flagship.kg_triples_synth(spark),
+            body1="works_at",
+            body2="located_in",
+            head="studied_at",
+            head_obj_expr=(
+                "replace(z, 'Main:City', 'Main:University of City')"
+            ),
+        )
+
+    q["kg_rule_confidence"] = kg_rule_confidence
+
     return q
 
 
@@ -15441,6 +15476,69 @@ def oracle_sql() -> dict[str, str]:
                string_agg(DISTINCT s, '|' ORDER BY s) AS conflict_values
         FROM t WHERE p IN ('located_in')
         GROUP BY 1, 2, 3 HAVING count(DISTINCT s) >= 2
+    """
+
+    # kg_type_signatures: sorted '|'-joined role sets per node, rolled
+    # up by signature; min node id as the deterministic example.
+    o["kg_type_signatures"] = f"""
+        WITH t0 AS ({o["kg_triples_synth"]}),
+        t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM t0),
+        roles AS (
+          SELECT DISTINCT node, role FROM (
+            SELECT s AS node, 'subj:' || p AS role FROM t
+            UNION ALL SELECT o AS node, 'obj:' || p AS role FROM t
+          )
+        ),
+        sigs AS (
+          SELECT node,
+                 string_agg(DISTINCT role, '|' ORDER BY role)
+                   AS signature,
+                 CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+          FROM roles GROUP BY node
+        )
+        SELECT signature, CAST(count(*) AS BIGINT) AS n_nodes,
+               min(n_roles) AS n_roles, min(node) AS example_node
+        FROM sigs GROUP BY signature
+    """
+
+    # kg_rule_confidence: distinct body instances, EXISTS semi-joins
+    # for support and the PCA denominator — all integer ratios.
+    o["kg_rule_confidence"] = f"""
+        WITH t0 AS ({o["kg_triples_synth"]}),
+        t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM t0),
+        b1 AS (SELECT s AS x, o AS y FROM t WHERE p = 'works_at'),
+        b2 AS (SELECT s AS y, o AS z FROM t WHERE p = 'located_in'),
+        body AS (SELECT DISTINCT x, z FROM b1 JOIN b2 USING (y)),
+        bodyh AS (
+          SELECT x,
+                 replace(z, 'Main:City', 'Main:University of City')
+                   AS h_obj
+          FROM body
+        ),
+        hd AS (SELECT s AS x, o AS h_obj FROM t WHERE p = 'studied_at'),
+        c AS (
+          SELECT
+            CAST(count(*) AS BIGINT) AS n_body,
+            CAST(sum(CASE WHEN EXISTS (
+              SELECT 1 FROM hd WHERE hd.x = bodyh.x
+                AND hd.h_obj = bodyh.h_obj) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_support,
+            CAST(sum(CASE WHEN EXISTS (
+              SELECT 1 FROM hd WHERE hd.x = bodyh.x) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pca_body
+          FROM bodyh
+        )
+        SELECT
+          'works_at(x,y) & located_in(y,z) => studied_at(x,H(z))'
+            AS rule,
+          n_body, n_support, n_pca_body,
+          CASE WHEN n_body = 0 THEN NULL
+               ELSE round(n_support * 1e0 / n_body, 6) END
+            AS std_confidence,
+          CASE WHEN n_pca_body = 0 THEN NULL
+               ELSE round(n_support * 1e0 / n_pca_body, 6) END
+            AS pca_confidence
+        FROM c
     """
 
     return o

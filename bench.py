@@ -289,6 +289,8 @@ BENCH_QUERIES = [
     "cliffs_delta_price_urgent",
     "kg_predicate_cardinality",
     "kg_contradiction_candidates",
+    "kg_type_signatures",
+    "kg_rule_confidence",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

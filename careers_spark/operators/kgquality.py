@@ -166,3 +166,142 @@ def contradiction_candidates(
     for x in parts[1:]:
         out = out.unionAll(x)
     return out
+
+
+def type_signatures(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Schema induction by predicate-role signatures: every node is
+    typed by the SORTED set of (predicate, position) roles it plays —
+     'subj:works_at|obj:located_in' — and nodes sharing a signature
+    form an induced class. This is the untyped-KG answer to "what
+    entity types exist here" (domain/range induction, the first step
+    of every KG-refinement survey's type-prediction chapter): an
+    extraction pipeline that emits raw strings gets a type system for
+    free, and signature SINGLETONS are excellent error candidates (a
+    node playing a role no other node plays is usually a bad link).
+
+    Exactness: signatures are sorted '|'-joined strings over the
+    distinct role set (the array-free convention); counts are
+    integers. One distinct role projection + one per-node sort-join +
+    one signature rollup.
+
+    Output: (signature, n_nodes, n_roles, example_node) — example is
+    the MIN node id (deterministic), n_roles the signature's role
+    count.
+    """
+    t = triples.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    )
+    roles = (
+        t.select(
+            F.col("s").alias("node"),
+            F.concat(F.lit("subj:"), F.col("p")).alias("role"),
+        )
+        .union(
+            t.select(
+                F.col("o").alias("node"),
+                F.concat(F.lit("obj:"), F.col("p")).alias("role"),
+            )
+        )
+        .distinct()
+    )
+    sigs = roles.groupBy("node").agg(
+        F.expr("array_join(array_sort(collect_set(role)), '|')").alias(
+            "signature"
+        ),
+        F.countDistinct("role").alias("n_roles"),
+    )
+    return sigs.groupBy("signature").agg(
+        F.count("*").alias("n_nodes"),
+        F.first("n_roles").alias("n_roles"),
+        F.min("node").alias("example_node"),
+    )
+
+
+def path_rule_confidence(
+    triples: DataFrame,
+    body1: str,
+    body2: str,
+    head: str,
+    head_obj_expr: str = "z",
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """AMIE-style confidence of the 2-hop horn rule
+
+        body1(x, y) AND body2(y, z)  =>  head(x, H(z))
+
+    (Galárraga et al., WWW 2013) — the rule-mining primitive that
+    turns a raw triple store into new knowledge plus an error
+    detector: high-confidence rules predict missing triples, and
+    body instances that VIOLATE a near-certain rule are extraction
+    errors. ``head_obj_expr`` is a SQL expression over column ``z``
+    mapping the path endpoint to the expected head object (identity
+    'z' for plain composition; e.g. a string rewrite when the head
+    object is a derived surface like 'University of <city>').
+
+    Three confidences, all exact integer ratios over the distinct
+    body-instance table:
+
+      - support: body instances whose head triple EXISTS;
+      - std_confidence: support / n_body (closed-world);
+      - pca_confidence: support / (body instances whose x asserts ANY
+        head-predicate triple) — AMIE's partial-completeness
+        denominator, the published fix for incomplete KGs.
+
+    Physical shape: one equi-join on y for the path, a broadcast-able
+    head semi-join on (x, H(z)), an EXISTS semi-join on x for the PCA
+    denominator. All counts distinct-exact.
+
+    Output: one row — (rule, n_body, n_support, n_pca_body,
+    std_confidence, pca_confidence).
+    """
+    t = triples.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    ).distinct()
+    b1 = t.filter(F.col("p") == body1).select(
+        F.col("s").alias("x"), F.col("o").alias("y")
+    )
+    b2 = t.filter(F.col("p") == body2).select(
+        F.col("s").alias("y"), F.col("o").alias("z")
+    )
+    body = (
+        b1.join(b2, "y")
+        .select("x", "z")
+        .distinct()
+        .withColumn("h_obj", F.expr(head_obj_expr))
+    )
+    hd = t.filter(F.col("p") == head).select(
+        F.col("s").alias("x"), F.col("o").alias("h_obj")
+    )
+    matched = body.join(hd, ["x", "h_obj"], "left_semi")
+    pca = body.join(hd.select("x").distinct(), "x", "left_semi")
+    counts = (
+        body.agg(F.count("*").alias("n_body"))
+        .crossJoin(
+            F.broadcast(matched.agg(F.count("*").alias("n_support")))
+        )
+        .crossJoin(
+            F.broadcast(pca.agg(F.count("*").alias("n_pca_body")))
+        )
+    )
+    rule = f"{body1}(x,y) & {body2}(y,z) => {head}(x,H(z))"
+    return counts.select(
+        F.lit(rule).alias("rule"),
+        "n_body",
+        "n_support",
+        "n_pca_body",
+        F.expr(
+            "case when n_body = 0 then null"
+            " else round(n_support * 1e0 / n_body, 6) end"
+        ).alias("std_confidence"),
+        F.expr(
+            "case when n_pca_body = 0 then null"
+            " else round(n_support * 1e0 / n_pca_body, 6) end"
+        ).alias("pca_confidence"),
+    )

@@ -75,3 +75,66 @@ def test_contradictions_validation(spark):
 
     with pytest.raises(ValueError):
         contradiction_candidates(_t(spark, TRIPLES))
+
+
+def test_type_signatures_groups_and_singletons(spark):
+    from careers_spark.operators.kgquality import type_signatures
+
+    rows = [
+        ("p1", "works_at", "o1"),
+        ("p2", "works_at", "o2"),
+        ("o1", "located_in", "c1"),
+        ("o2", "located_in", "c1"),
+        ("weird", "works_at", "c1"),  # subject role only, like p1/p2
+    ]
+    out = {
+        r["signature"]: r
+        for r in type_signatures(_t(spark, rows)).collect()
+    }
+    # p1, p2, weird share the pure-subject signature
+    assert out["subj:works_at"]["n_nodes"] == 3
+    assert out["subj:works_at"]["example_node"] == "p1"
+    # orgs are both object of works_at and subject of located_in
+    both = out["obj:works_at|subj:located_in"]
+    assert both["n_nodes"] == 2 and both["n_roles"] == 2
+    # c1 is object of located_in AND object of works_at (via 'weird')
+    assert out["obj:located_in|obj:works_at"]["n_nodes"] == 1
+
+
+def test_rule_confidence_hand_values(spark):
+    """3 body instances; 2 have the head triple; 1 violating x still
+    asserts SOME head triple, 1 asserts none:
+    std = 2/3, pca = 2/2 (the no-head x drops from the denominator)."""
+    from careers_spark.operators.kgquality import path_rule_confidence
+
+    rows = [
+        ("a", "w", "o1"), ("o1", "l", "c1"), ("a", "s", "c1"),
+        ("b", "w", "o2"), ("o2", "l", "c2"), ("b", "s", "c2"),
+        # c's body holds but head missing entirely (not in pca denom)
+        ("c", "w", "o3"), ("o3", "l", "c3"),
+        # d has body AND a head triple but for the WRONG city
+        ("d", "w", "o4"), ("o4", "l", "c4"), ("d", "s", "c9"),
+    ]
+    out = path_rule_confidence(
+        _t(spark, rows), body1="w", body2="l", head="s",
+        head_obj_expr="z",
+    ).collect()[0]
+    assert out["n_body"] == 4
+    assert out["n_support"] == 2
+    assert out["n_pca_body"] == 3
+    assert out["std_confidence"] == 0.5
+    assert out["pca_confidence"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_rule_confidence_head_obj_expr(spark):
+    """The derived-head mapping: head object is a rewrite of z."""
+    from careers_spark.operators.kgquality import path_rule_confidence
+
+    rows = [
+        ("a", "w", "o1"), ("o1", "l", "City1"), ("a", "s", "Uni City1"),
+    ]
+    out = path_rule_confidence(
+        _t(spark, rows), body1="w", body2="l", head="s",
+        head_obj_expr="replace(z, 'City', 'Uni City')",
+    ).collect()[0]
+    assert out["n_support"] == 1 and out["std_confidence"] == 1.0
