@@ -5084,6 +5084,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_rule_confidence"] = kg_rule_confidence
 
+    def conv_shape_profile(spark, sf_dir):
+        """Per-conversation shape profile of the pinned synth
+        transcript corpus (convshape.conversation_shape): role
+        balance, alternation violations, verbosity ratio, tool rate,
+        duration — the SFT-curation quality table for multi-turn
+        agent transcripts; oracle is the pinned 129-turn VALUES
+        twin."""
+        from careers_spark import schema as S
+        from careers_spark import synth
+        from careers_spark.operators.convshape import conversation_shape
+
+        kb = synth.build_kb(flagship.SYNTH_DOMAINS)
+        tr = spark.createDataFrame(
+            synth.gen_transcripts_pdf(kb, flagship.SYNTH_CONVS),
+            schema=S.TRANSCRIPTS,
+        )
+        return conversation_shape(tr)
+
+    q["conv_shape_profile"] = conv_shape_profile
+
     return q
 
 
@@ -15539,6 +15559,55 @@ def oracle_sql() -> dict[str, str]:
                ELSE round(n_support * 1e0 / n_pca_body, 6) END
             AS pca_confidence
         FROM c
+    """
+
+    # conv_shape_profile: the pinned transcript VALUES twin; token
+    # counts on the house tokenizer lattice, alternation via lag over
+    # per-conversation turn order.
+    _tr_golden = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "careers_spark",
+        "golden",
+        "transcripts_synth.sql",
+    )
+    if os.path.exists(_tr_golden):
+        with open(_tr_golden) as f:
+            _tr_sql = f.read()
+        o["conv_shape_profile"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, turn_idx AS ti, role AS r,
+                 len({_DUCK_TOKS}) AS ntok,
+                 (tool IS NOT NULL AND tool <> '') AS is_tool,
+                 epoch_us(ts) AS us,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev_r
+          FROM tr
+        )
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN r = 'user' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_user,
+               CAST(sum(CASE WHEN r = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_assistant,
+               CAST(sum(CASE WHEN is_tool THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tool,
+               CAST(sum(CASE WHEN prev_r = r THEN 1 ELSE 0 END)
+                    AS BIGINT) AS alternation_violations,
+               CAST(sum(CASE WHEN r = 'user' THEN ntok ELSE 0 END)
+                    AS BIGINT) AS user_tokens,
+               CAST(sum(CASE WHEN r = 'assistant' THEN ntok ELSE 0 END)
+                    AS BIGINT) AS assistant_tokens,
+               CASE WHEN sum(CASE WHEN r = 'assistant' THEN ntok
+                             ELSE 0 END) = 0 THEN NULL
+                    ELSE round(sum(CASE WHEN r = 'user' THEN ntok
+                               ELSE 0 END) * 1e0
+                         / sum(CASE WHEN r = 'assistant' THEN ntok
+                               ELSE 0 END), 6) END AS verbosity_ratio,
+               round(sum(CASE WHEN is_tool THEN 1 ELSE 0 END) * 1e0
+                     / count(*), 6) AS tool_rate,
+               (max(us) - min(us)) // 1000000 AS duration_s
+        FROM t GROUP BY conv_id
     """
 
     return o

@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "kg_contradiction_candidates",
     "kg_type_signatures",
     "kg_rule_confidence",
+    "conv_shape_profile",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

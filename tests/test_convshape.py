@@ -1,0 +1,85 @@
+"""conversation_shape — constructed-transcript goldens."""
+
+import datetime
+
+import pytest
+
+
+def _tr(spark, rows):
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    data = [
+        (c, i, r, t, tool, base + datetime.timedelta(minutes=i))
+        for (c, i, r, t, tool) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+
+
+def test_shape_well_formed_conversation(spark):
+    from careers_spark.operators.convshape import conversation_shape
+
+    rows = [
+        ("c1", 0, "user", "hello there my friend", ""),
+        ("c1", 1, "assistant", "hi", ""),
+        ("c1", 2, "user", "tell me about spark joins", ""),
+        ("c1", 3, "tool", "search results follow", "search"),
+        ("c1", 4, "assistant", "spark supports broadcast joins", ""),
+    ]
+    out = conversation_shape(_tr(spark, rows)).collect()[0]
+    assert out["n_turns"] == 5
+    assert out["n_user"] == 2 and out["n_assistant"] == 2
+    assert out["n_tool"] == 1 and out["tool_rate"] == 0.2
+    assert out["alternation_violations"] == 0
+    assert out["user_tokens"] == 4 + 5
+    assert out["assistant_tokens"] == 1 + 4
+    assert out["verbosity_ratio"] == round(9 / 5, 6)
+    assert out["duration_s"] == 4 * 60
+
+
+def test_shape_alternation_violations_counted(spark):
+    """Three consecutive assistant turns = two violating boundaries;
+    first turn never violates (no predecessor)."""
+    from careers_spark.operators.convshape import conversation_shape
+
+    rows = [
+        ("c2", 0, "assistant", "a", ""),
+        ("c2", 1, "assistant", "b", ""),
+        ("c2", 2, "assistant", "c", ""),
+        ("c2", 3, "user", "d", ""),
+        ("c2", 4, "user", "e", ""),
+    ]
+    out = conversation_shape(_tr(spark, rows)).collect()[0]
+    assert out["alternation_violations"] == 3
+
+
+def test_shape_no_assistant_null_ratio(spark):
+    """A user monologue has no assistant tokens: the verbosity ratio
+    is NULL (a surfaced defect), not a default."""
+    from careers_spark.operators.convshape import conversation_shape
+
+    rows = [("c3", 0, "user", "talking to myself", "")]
+    out = conversation_shape(_tr(spark, rows)).collect()[0]
+    assert out["verbosity_ratio"] is None
+    assert out["n_assistant"] == 0 and out["duration_s"] == 0
+
+
+def test_shape_per_conversation_isolation(spark):
+    """Violations never leak across conversations even when global
+    turn order interleaves them."""
+    from careers_spark.operators.convshape import conversation_shape
+
+    rows = [
+        ("a", 0, "user", "x", ""),
+        ("b", 0, "user", "y", ""),
+        ("a", 1, "assistant", "x", ""),
+        ("b", 1, "user", "y", ""),  # the only violation, in b
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in conversation_shape(_tr(spark, rows)).collect()
+    }
+    assert out["a"]["alternation_violations"] == 0
+    assert out["b"]["alternation_violations"] == 1

@@ -42,3 +42,34 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+TR_OUT = "/root/repo/careers_spark/golden/transcripts_synth.sql"
+
+
+def pin_transcripts():
+    """Pin the synth transcript corpus itself (129 turns, 30 convs) so
+    transcript-shape operators get VALUES-table oracles like the
+    triple set does."""
+    from careers_spark import synth
+    from careers_spark.plans import flagship
+
+    kb = synth.build_kb(flagship.SYNTH_DOMAINS)
+    pdf = synth.gen_transcripts_pdf(kb, flagship.SYNTH_CONVS)
+
+    def q(s):
+        return "'" + str(s).replace("'", "''") + "'"
+
+    values = ",\n  ".join(
+        f"({q(r.conv_id)}, {int(r.turn_idx)}, {q(r.role)}, {q(r.text)},"
+        f" {q(r.tool)}, {q(r.ts)})"
+        for r in pdf.itertuples()
+    )
+    with open(TR_OUT, "w") as f:
+        f.write(
+            "SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,"
+            " role, text, tool, CAST(ts AS TIMESTAMP) AS ts\n"
+            f"FROM (VALUES\n  {values}\n)"
+            " AS t(conv_id, turn_idx, role, text, tool, ts)\n"
+        )
+    print(f"pinned {len(pdf)} turns -> {TR_OUT}")
