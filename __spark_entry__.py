@@ -5104,6 +5104,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_shape_profile"] = conv_shape_profile
 
+    def _synth_transcripts(spark):
+        from careers_spark import schema as S
+        from careers_spark import synth
+
+        kb = synth.build_kb(flagship.SYNTH_DOMAINS)
+        return spark.createDataFrame(
+            synth.gen_transcripts_pdf(kb, flagship.SYNTH_CONVS),
+            schema=S.TRANSCRIPTS,
+        )
+
+    def tool_grounding_audit(spark, sf_dir):
+        """Per-tool-turn grounding evidence over the pinned synth
+        transcripts (convshape.tool_grounding): does the first
+        assistant turn after each tool call share tokens with the
+        tool output — the hallucinated-past-the-tool detector; all
+        integer token-set intersections."""
+        from careers_spark.operators.convshape import tool_grounding
+
+        return tool_grounding(_synth_transcripts(spark))
+
+    q["tool_grounding_audit"] = tool_grounding_audit
+
+    def response_latency_profile(spark, sf_dir):
+        """User->assistant wait-time profile over the pinned synth
+        transcripts (convshape.response_latency): exact integer-second
+        order-statistic quantiles plus the dangling-user-turn count
+        the mean would hide."""
+        from careers_spark.operators.convshape import response_latency
+
+        return response_latency(_synth_transcripts(spark))
+
+    q["response_latency_profile"] = response_latency_profile
+
     return q
 
 
@@ -15608,6 +15641,100 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 6) AS tool_rate,
                (max(us) - min(us)) // 1000000 AS duration_s
         FROM t GROUP BY conv_id
+    """
+
+        o["tool_grounding_audit"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, turn_idx AS ti, role AS r,
+                 list_distinct({_DUCK_TOKS}) AS toks,
+                 tool AS tool_name
+          FROM tr
+        ),
+        tls AS (
+          SELECT conv_id, ti AS tool_turn, tool_name,
+                 toks AS tool_toks
+          FROM t WHERE tool_name IS NOT NULL AND tool_name <> ''
+        ),
+        ast AS (
+          SELECT conv_id, ti AS a_ti, toks AS a_toks
+          FROM t WHERE r = 'assistant'
+        ),
+        paired AS (
+          SELECT tls.conv_id, tool_turn, tool_name, tool_toks,
+                 ast.a_ti, ast.a_toks,
+                 row_number() OVER (
+                   PARTITION BY tls.conv_id, tool_turn
+                   ORDER BY ast.a_ti ASC NULLS LAST) AS rk
+          FROM tls LEFT JOIN ast
+            ON ast.conv_id = tls.conv_id AND ast.a_ti > tls.tool_turn
+        )
+        SELECT conv_id, tool_turn, tool_name,
+               a_ti AS assistant_turn,
+               CASE WHEN a_ti IS NULL THEN 0
+                    ELSE len(list_intersect(tool_toks, a_toks)) END
+                 AS n_overlap,
+               (a_ti IS NOT NULL
+                AND len(list_intersect(tool_toks, a_toks)) >= 1)
+                 AS grounded
+        FROM paired WHERE rk = 1
+    """
+
+        o["response_latency_profile"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, turn_idx AS ti, role AS r, epoch_us(ts) AS us
+          FROM tr
+        ),
+        users AS (
+          SELECT conv_id, ti AS u_ti, us AS u_us
+          FROM t WHERE r = 'user'
+        ),
+        ast AS (
+          SELECT conv_id, ti AS a_ti, us AS a_us
+          FROM t WHERE r = 'assistant'
+        ),
+        paired AS (
+          SELECT users.conv_id, u_ti,
+                 CASE WHEN a_ti IS NULL THEN NULL
+                      ELSE (a_us - u_us) // 1000000 END AS lat_s,
+                 row_number() OVER (
+                   PARTITION BY users.conv_id, u_ti
+                   ORDER BY a_ti ASC NULLS LAST) AS rk
+          FROM users LEFT JOIN ast
+            ON ast.conv_id = users.conv_id AND ast.a_ti > users.u_ti
+        ),
+        p1 AS (SELECT conv_id, u_ti, lat_s FROM paired WHERE rk = 1),
+        vals AS (
+          SELECT lat_s, CAST(count(*) AS BIGINT) AS c
+          FROM p1 WHERE lat_s IS NOT NULL GROUP BY 1
+        ),
+        mk AS (
+          SELECT lat_s,
+                 sum(c) OVER (ORDER BY lat_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(c) OVER () AS n
+          FROM vals
+        ),
+        qs AS (
+          SELECT min(CASE WHEN 2 * cum >= n THEN lat_s END) AS p50_s,
+                 min(CASE WHEN 10 * cum >= 9 * n THEN lat_s END)
+                   AS p90_s,
+                 max(lat_s) AS max_s
+          FROM mk
+        ),
+        cnt AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_user_turns,
+                 CAST(sum(CASE WHEN lat_s IS NOT NULL THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_answered,
+                 CAST(sum(CASE WHEN lat_s IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dangling
+          FROM p1
+        )
+        SELECT n_user_turns, n_answered, n_dangling, p50_s, p90_s,
+               max_s
+        FROM cnt CROSS JOIN qs
     """
 
     return o

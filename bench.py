@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "kg_type_signatures",
     "kg_rule_confidence",
     "conv_shape_profile",
+    "tool_grounding_audit",
+    "response_latency_profile",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

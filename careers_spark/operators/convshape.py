@@ -114,3 +114,189 @@ def conversation_shape(
             "duration_s",
         )
     )
+
+
+def tool_grounding(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    tool: str = "tool",
+) -> DataFrame:
+    """Tool-grounding audit: for every TOOL turn, does the next
+    assistant turn actually USE the tool output (share at least one
+    content token with it)? A low grounding rate is
+    the classic agent-transcript defect — the model called a tool and
+    then ignored it (or hallucinated past it); SFT curation drops or
+    down-weights those conversations. The assistant turn examined is
+    the FIRST assistant turn after the tool turn within the same
+    conversation (intervening tool/user turns allowed).
+
+    Exactness: overlap is the intersection size of the two turns'
+    DISTINCT token sets on the house tokenizer lattice — an integer;
+    the per-turn pairing is a min-over-later-assistant-turns algebra
+    (one conditional min per tool turn over the conversation's own
+    turns — bounded partitions). No floats anywhere but the final
+    corpus-level rate, which the caller derives; this operator emits
+    the per-tool-turn evidence rows.
+
+    Output: one row per tool turn — (conv_id, tool_turn, tool_name,
+    assistant_turn, n_overlap, grounded) with assistant_turn NULL (and
+    grounded false) when no assistant ever followed.
+    """
+    from pyspark.sql import Window
+
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        F.col(role).alias("r"),
+        F.array_distinct(tokens_col(text)).alias("toks"),
+        F.col(tool).alias("tool_name"),
+    )
+    tools = t.filter(
+        F.col("tool_name").isNotNull() & (F.col("tool_name") != "")
+    ).select(
+        "conv_id",
+        F.col("ti").alias("tool_turn"),
+        "tool_name",
+        F.col("toks").alias("tool_toks"),
+    )
+    assist = t.filter(F.col("r") == "assistant").select(
+        F.col("conv_id").alias("_ac"),
+        F.col("ti").alias("a_ti"),
+        F.col("toks").alias("a_toks"),
+    )
+    # the ">" predicate lives INSIDE the left join so a tool turn
+    # whose assistants all precede it still emits its NULL row
+    paired = (
+        tools.join(
+            assist,
+            (F.col("conv_id") == F.col("_ac"))
+            & (F.col("a_ti") > F.col("tool_turn")),
+            "left",
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("conv_id", "tool_turn").orderBy(
+                    F.col("a_ti").asc_nulls_last()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return paired.select(
+        "conv_id",
+        "tool_turn",
+        "tool_name",
+        F.col("a_ti").alias("assistant_turn"),
+        F.when(
+            F.col("a_ti").isNotNull(),
+            F.size(F.array_intersect("tool_toks", "a_toks")),
+        ).otherwise(F.lit(0)).alias("n_overlap"),
+        (
+            F.col("a_ti").isNotNull()
+            & (F.size(F.array_intersect("tool_toks", "a_toks")) >= 1)
+        ).alias("grounded"),
+    )
+
+
+def response_latency(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    role: str = "role",
+    ts: str = "ts",
+) -> DataFrame:
+    """User->assistant response-latency profile: for every user turn
+    answered by a later assistant turn (first one after it, same
+    conversation), the wait in whole seconds — the agent-ops latency
+    metric, summarized per corpus as exact integer-second quantiles
+    plus the count of DANGLING user turns (never answered: a shape
+    defect the mean would silently hide).
+
+    Latencies are exact epoch-second differences; the quantile is the
+    k-th smallest via the distinct-value cumulative (the pinned
+    percentile convention — p50/p90 as order statistics at
+    ceil(q * n), never an interpolating percentile whose cross-engine
+    semantics drift).
+
+    Output: one row — (n_user_turns, n_answered, n_dangling, p50_s,
+    p90_s, max_s); quantiles NULL when nothing was answered.
+    """
+    from pyspark.sql import Window
+
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        F.col(role).alias("r"),
+        F.expr(f"unix_micros(cast({ts} as timestamp))").alias("us"),
+    )
+    users = t.filter(F.col("r") == "user").select(
+        "conv_id", F.col("ti").alias("u_ti"), F.col("us").alias("u_us")
+    )
+    assist = t.filter(F.col("r") == "assistant").select(
+        F.col("conv_id").alias("_ac"),
+        F.col("ti").alias("a_ti"),
+        F.col("us").alias("a_us"),
+    )
+    paired = (
+        users.join(
+            assist,
+            (F.col("conv_id") == F.col("_ac"))
+            & (F.col("a_ti") > F.col("u_ti")),
+            "left",
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("conv_id", "u_ti").orderBy(
+                    F.col("a_ti").asc_nulls_last()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "conv_id",
+            "u_ti",
+            F.expr(
+                "case when a_ti is null then null"
+                " else (a_us - u_us) div 1000000 end"
+            ).alias("lat_s"),
+        )
+    )
+    lat = paired.filter(F.col("lat_s").isNotNull())
+    vals = lat.groupBy("lat_s").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("lat_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    qs = (
+        vals.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("n"), F.col("lat_s"))
+            ).alias("p50_s"),
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("lat_s"))
+            ).alias("p90_s"),
+            F.max("lat_s").alias("max_s"),
+        )
+    )
+    counts = paired.agg(
+        F.count("*").alias("n_user_turns"),
+        F.sum(F.when(F.col("lat_s").isNotNull(), 1).otherwise(0)).alias(
+            "n_answered"
+        ),
+        F.sum(F.when(F.col("lat_s").isNull(), 1).otherwise(0)).alias(
+            "n_dangling"
+        ),
+    )
+    return counts.crossJoin(F.broadcast(qs)).select(
+        "n_user_turns", "n_answered", "n_dangling", "p50_s", "p90_s",
+        "max_s",
+    )

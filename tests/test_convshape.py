@@ -83,3 +83,54 @@ def test_shape_per_conversation_isolation(spark):
     }
     assert out["a"]["alternation_violations"] == 0
     assert out["b"]["alternation_violations"] == 1
+
+
+def test_tool_grounding_golden(spark):
+    from careers_spark.operators.convshape import tool_grounding
+
+    rows = [
+        # grounded: assistant reuses 'broadcast' and 'joins'
+        ("g", 0, "user", "how fast are joins", ""),
+        ("g", 1, "tool", "broadcast joins beat shuffle joins", "search"),
+        ("g", 2, "assistant", "use broadcast joins here", ""),
+        # ungrounded: assistant ignores the tool output entirely
+        ("u", 0, "tool", "quantum flux capacitor readings", "probe"),
+        ("u", 1, "assistant", "the weather is nice today", ""),
+        # dangling: tool turn never followed by an assistant
+        ("d", 0, "tool", "orphan output", "search"),
+        ("d", 1, "user", "hello?", ""),
+        # assistant BEFORE the tool must not count as its follower
+        ("p", 0, "assistant", "early reply", ""),
+        ("p", 1, "tool", "late output", "search"),
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in tool_grounding(_tr(spark, rows)).collect()
+    }
+    assert out["g"]["grounded"] is True and out["g"]["n_overlap"] == 2
+    assert out["g"]["assistant_turn"] == 2
+    assert out["u"]["grounded"] is False and out["u"]["n_overlap"] == 0
+    assert out["d"]["assistant_turn"] is None
+    assert out["d"]["grounded"] is False
+    assert out["p"]["assistant_turn"] is None  # only earlier assistant
+
+
+def test_response_latency_golden(spark):
+    """Two answered user turns (60 s and 120 s waits — the assistant
+    two minutes later skips an intervening tool turn) and one dangling
+    user turn; p50 = 60, p90 = max = 120."""
+    from careers_spark.operators.convshape import response_latency
+
+    rows = [
+        ("c", 0, "user", "q1", ""),
+        ("c", 1, "assistant", "a1", ""),
+        ("c", 2, "user", "q2", ""),
+        ("c", 3, "tool", "t", "search"),
+        ("c", 4, "assistant", "a2", ""),
+        ("c", 5, "user", "q3 never answered", ""),
+    ]
+    out = response_latency(_tr(spark, rows)).collect()[0]
+    assert out["n_user_turns"] == 3
+    assert out["n_answered"] == 2 and out["n_dangling"] == 1
+    assert out["p50_s"] == 60
+    assert out["p90_s"] == 120 and out["max_s"] == 120
