@@ -5137,6 +5137,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["response_latency_profile"] = response_latency_profile
 
+    def context_budget_plan(spark, sf_dir):
+        """Context-accumulation cost model at a 30-token budget over
+        the pinned synth transcripts (convshape.context_budget):
+        first-over-budget turn, over-budget turn count, and the
+        sum-of-prefixes attention-cost proxy — all exact integers."""
+        from careers_spark.operators.convshape import context_budget
+
+        return context_budget(
+            _synth_transcripts(spark), budget_tokens=30
+        )
+
+    q["context_budget_plan"] = context_budget_plan
+
+    def assistant_repetition_audit(spark, sf_dir):
+        """Stuck-agent loop detection over the pinned synth
+        transcripts (convshape.assistant_repetition): repeated
+        normalized assistant texts per conversation; zero-assistant
+        conversations emit their defect row instead of vanishing."""
+        from careers_spark.operators.convshape import (
+            assistant_repetition,
+        )
+
+        return assistant_repetition(_synth_transcripts(spark))
+
+    q["assistant_repetition_audit"] = assistant_repetition_audit
+
     return q
 
 
@@ -15735,6 +15761,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_user_turns, n_answered, n_dangling, p50_s, p90_s,
                max_s
         FROM cnt CROSS JOIN qs
+    """
+
+        o["context_budget_plan"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, turn_idx AS ti,
+                 CAST(len({_DUCK_TOKS}) AS BIGINT) AS ntok
+          FROM tr
+        ),
+        c AS (
+          SELECT conv_id, ti, ntok,
+                 sum(ntok) OVER (PARTITION BY conv_id ORDER BY ti
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ctx
+          FROM t
+        )
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               min(CASE WHEN ctx > 30 THEN ti END) AS first_turn_over,
+               CAST(sum(CASE WHEN ctx > 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_turns_over,
+               CAST(sum(ctx) AS BIGINT) AS attention_cost
+        FROM c GROUP BY conv_id
+    """
+
+        o["assistant_repetition_audit"] = f"""
+        WITH tr AS ({_tr_sql}),
+        convs AS (SELECT DISTINCT conv_id FROM tr),
+        a AS (
+          SELECT conv_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS h
+          FROM tr WHERE role = 'assistant'
+        ),
+        pt AS (
+          SELECT conv_id, h, CAST(count(*) AS BIGINT) AS c
+          FROM a GROUP BY 1, 2
+        ),
+        pc AS (
+          SELECT conv_id, CAST(sum(c) AS BIGINT) AS n_assistant,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(c - 1) AS BIGINT) AS n_repeated_turns,
+                 CAST(max(c) AS BIGINT) AS max_burst
+          FROM pt GROUP BY 1
+        )
+        SELECT convs.conv_id,
+               coalesce(n_assistant, 0) AS n_assistant,
+               coalesce(n_distinct, 0) AS n_distinct,
+               coalesce(n_repeated_turns, 0) AS n_repeated_turns,
+               coalesce(max_burst, 0) AS max_burst
+        FROM convs LEFT JOIN pc USING (conv_id)
     """
 
     return o

@@ -294,6 +294,8 @@ BENCH_QUERIES = [
     "conv_shape_profile",
     "tool_grounding_audit",
     "response_latency_profile",
+    "context_budget_plan",
+    "assistant_repetition_audit",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

@@ -300,3 +300,101 @@ def response_latency(
         "n_user_turns", "n_answered", "n_dangling", "p50_s", "p90_s",
         "max_s",
     )
+
+
+def context_budget(
+    transcripts: DataFrame,
+    budget_tokens: int = 2048,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    text: str = "text",
+) -> DataFrame:
+    """Context-accumulation cost model: a chat model re-reads the
+    WHOLE conversation prefix at every turn, so the quantity that
+    matters for SFT packing and truncation policy is the cumulative
+    token count AT each turn, not per-turn lengths. Per conversation
+    this reports the final context size, the first turn at which the
+    running context exceeds ``budget_tokens`` (NULL = the whole
+    conversation fits), how many turns run over, and the total
+    attention cost proxy sum-of-prefix-lengths (the quadratic-ish
+    bill a trainer actually pays).
+
+    All exact integers: house-lattice token counts, one cumulative
+    window over each conversation's own turns (bounded partitions),
+    one rollup. attention_cost = sum over turns of the INCLUSIVE
+    prefix token count — an exact BIGINT.
+
+    Output: (conv_id, n_turns, total_tokens, first_turn_over,
+    n_turns_over, attention_cost).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ti")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        F.size(tokens_col(text)).cast("long").alias("ntok"),
+    ).withColumn("ctx", F.sum("ntok").over(w))
+    return t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("ntok").alias("total_tokens"),
+        F.min(
+            F.when(F.col("ctx") > F.lit(int(budget_tokens)), F.col("ti"))
+        ).alias("first_turn_over"),
+        F.sum(
+            F.when(F.col("ctx") > F.lit(int(budget_tokens)), 1).otherwise(0)
+        ).alias("n_turns_over"),
+        F.sum("ctx").alias("attention_cost"),
+    )
+
+
+def assistant_repetition(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+) -> DataFrame:
+    """Stuck-agent loop detection: an assistant that repeats itself
+    verbatim within one conversation is the signature failure mode of
+    agent rollouts (retry loops, tool-error spirals), and exact-repeat
+    turns are pure negative training signal. Per conversation:
+    assistant turn count, DISTINCT normalized assistant texts (md5 of
+    the lower/space-collapsed form — the dedup_exact normalization),
+    the repeated-turn count, and the most-repeated text's multiplicity
+    (max_burst — 2+ flags a loop).
+
+    One per-(conv, md5) rollup + one per-conv rollup, exact integers
+    throughout; conversations with no assistant turns emit (0, 0, 0,
+    0) rather than vanishing — absence of assistant output is itself a
+    shape defect the caller wants visible.
+
+    Output: (conv_id, n_assistant, n_distinct, n_repeated_turns,
+    max_burst).
+    """
+    convs = transcripts.select(F.col(conv).alias("conv_id")).distinct()
+    a = transcripts.filter(F.col(role) == "assistant").select(
+        F.col(conv).alias("conv_id"),
+        F.expr(
+            f"md5(regexp_replace(lower(trim({text})), '\\\\s+', ' '))"
+        ).alias("h"),
+    )
+    per_text = a.groupBy("conv_id", "h").agg(F.count("*").alias("c"))
+    per_conv = per_text.groupBy("conv_id").agg(
+        F.sum("c").alias("n_assistant"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") - 1).alias("n_repeated_turns"),
+        F.max("c").alias("max_burst"),
+    )
+    return convs.join(per_conv, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce("n_assistant", F.lit(0)).alias("n_assistant"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        F.coalesce("n_repeated_turns", F.lit(0)).alias(
+            "n_repeated_turns"
+        ),
+        F.coalesce("max_burst", F.lit(0)).alias("max_burst"),
+    )

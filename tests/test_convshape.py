@@ -134,3 +134,48 @@ def test_response_latency_golden(spark):
     assert out["n_answered"] == 2 and out["n_dangling"] == 1
     assert out["p50_s"] == 60
     assert out["p90_s"] == 120 and out["max_s"] == 120
+
+
+def test_context_budget_golden(spark):
+    """Turn tokens 4/3/5: contexts 4, 7, 12. Budget 6 -> first over at
+    turn 1, two turns over, attention cost 4+7+12 = 23."""
+    from careers_spark.operators.convshape import context_budget
+
+    rows = [
+        ("c", 0, "user", "one two three four", ""),
+        ("c", 1, "assistant", "five six seven", ""),
+        ("c", 2, "user", "eight nine ten eleven twelve", ""),
+    ]
+    out = context_budget(_tr(spark, rows), budget_tokens=6).collect()[0]
+    assert out["total_tokens"] == 12
+    assert out["first_turn_over"] == 1
+    assert out["n_turns_over"] == 2
+    assert out["attention_cost"] == 4 + 7 + 12
+    # a generous budget never triggers
+    out2 = context_budget(_tr(spark, rows), budget_tokens=100).collect()[0]
+    assert out2["first_turn_over"] is None and out2["n_turns_over"] == 0
+
+
+def test_assistant_repetition_golden(spark):
+    """A loop conversation repeats one reply three times (max_burst 3,
+    2 repeated turns); whitespace/case variants normalize together;
+    an assistant-free conversation emits zeros."""
+    from careers_spark.operators.convshape import assistant_repetition
+
+    rows = [
+        ("loop", 0, "user", "q", ""),
+        ("loop", 1, "assistant", "I cannot do that", ""),
+        ("loop", 2, "assistant", "i cannot   do that", ""),
+        ("loop", 3, "assistant", " I CANNOT DO THAT ", ""),
+        ("loop", 4, "assistant", "something new", ""),
+        ("mono", 0, "user", "anyone there", ""),
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in assistant_repetition(_tr(spark, rows)).collect()
+    }
+    lp = out["loop"]
+    assert lp["n_assistant"] == 4 and lp["n_distinct"] == 2
+    assert lp["n_repeated_turns"] == 2 and lp["max_burst"] == 3
+    mo = out["mono"]
+    assert mo["n_assistant"] == 0 and mo["max_burst"] == 0
