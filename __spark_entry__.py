@@ -5163,6 +5163,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["assistant_repetition_audit"] = assistant_repetition_audit
 
+    def turn_order_integrity(spark, sf_dir):
+        """Ordering-contract audit of the pinned synth transcripts
+        (convshape.turn_order_audit): duplicate turn indices, index
+        gaps, timestamp inversions — the ingest validation for the
+        stable-turn-ordering invariant the whole pipeline (and the
+        north rule's per-turn equality check) rests on."""
+        from careers_spark.operators.convshape import turn_order_audit
+
+        return turn_order_audit(_synth_transcripts(spark))
+
+    q["turn_order_integrity"] = turn_order_integrity
+
+    def canned_response_report(spark, sf_dir):
+        """Cross-conversation template detector over the pinned synth
+        transcripts (convshape.canned_responses): normalized assistant
+        texts spanning >= 2 conversations, with a deterministic
+        example — the multiplicity-capping input for SFT curation."""
+        from careers_spark.operators.convshape import canned_responses
+
+        return canned_responses(_synth_transcripts(spark), min_convs=2)
+
+    q["canned_response_report"] = canned_response_report
+
     return q
 
 
@@ -15812,6 +15835,43 @@ def oracle_sql() -> dict[str, str]:
                coalesce(n_repeated_turns, 0) AS n_repeated_turns,
                coalesce(max_burst, 0) AS max_burst
         FROM convs LEFT JOIN pc USING (conv_id)
+    """
+
+        o["turn_order_integrity"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, turn_idx AS ti, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY conv_id
+                   ORDER BY turn_idx, epoch_us(ts)) AS prev_us
+          FROM tr
+        )
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(*) - count(DISTINCT ti) AS BIGINT)
+                 AS n_dup_idx,
+               CAST(max(ti) - min(ti) + 1 - count(DISTINCT ti)
+                    AS BIGINT) AS n_gaps,
+               CAST(sum(CASE WHEN us < prev_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ts_inversions,
+               (count(*) - count(DISTINCT ti) = 0
+                AND max(ti) - min(ti) + 1 - count(DISTINCT ti) = 0
+                AND sum(CASE WHEN us < prev_us THEN 1 ELSE 0 END) = 0)
+                 AS clean
+        FROM t GROUP BY conv_id
+    """
+
+        o["canned_response_report"] = f"""
+        WITH tr AS ({_tr_sql}),
+        a AS (
+          SELECT conv_id, text AS raw,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS text_hash
+          FROM tr WHERE role = 'assistant'
+        )
+        SELECT text_hash, min(raw) AS example_text,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM a GROUP BY text_hash
+        HAVING count(DISTINCT conv_id) >= 2
     """
 
     return o

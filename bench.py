@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "response_latency_profile",
     "context_budget_plan",
     "assistant_repetition_audit",
+    "turn_order_integrity",
+    "canned_response_report",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

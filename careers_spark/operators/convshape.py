@@ -398,3 +398,95 @@ def assistant_repetition(
         ),
         F.coalesce("max_burst", F.lit(0)).alias("max_burst"),
     )
+
+
+def turn_order_audit(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    ts: str = "ts",
+) -> DataFrame:
+    """Ordering-contract audit for the (conv_id, turn_idx) stream —
+    the ingest validation for THE invariant every downstream operator
+    in this engine relies on (the resolver's per-conversation windows,
+    the per-turn text-equality check, the digesting order): per
+    conversation, duplicated turn indices, gaps in the index sequence,
+    and timestamp INVERSIONS (wall time decreasing while turn_idx
+    increases — the clock-skew / out-of-order-ingest smell).
+
+    All exact integers: dup count = n_rows - n_distinct_idx; gap count
+    = (max_idx - min_idx + 1) - n_distinct_idx; inversions via one lag
+    over the conversation's own turn order (bounded partitions). The
+    corpus-level read is `clean` — a conversation passing all three.
+
+    Output: (conv_id, n_turns, n_dup_idx, n_gaps, n_ts_inversions,
+    clean).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ti", "us")
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        F.expr(f"unix_micros(cast({ts} as timestamp))").alias("us"),
+    ).withColumn("prev_us", F.lag("us").over(w))
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            (F.count("*") - F.countDistinct("ti")).alias("n_dup_idx"),
+            (
+                F.max("ti") - F.min("ti") + 1 - F.countDistinct("ti")
+            ).alias("n_gaps"),
+            F.sum(
+                F.when(F.col("us") < F.col("prev_us"), 1).otherwise(0)
+            ).alias("n_ts_inversions"),
+        )
+        .withColumn(
+            "clean",
+            (F.col("n_dup_idx") == 0)
+            & (F.col("n_gaps") == 0)
+            & (F.col("n_ts_inversions") == 0),
+        )
+    )
+
+
+def canned_responses(
+    transcripts: DataFrame,
+    min_convs: int = 2,
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+) -> DataFrame:
+    """Cross-conversation canned-response detector — the complement of
+    assistant_repetition's WITHIN-conversation loops: an assistant
+    text appearing verbatim across many conversations is template
+    output (boilerplate refusals, greeting stubs), and SFT curation
+    caps its multiplicity so the model doesn't overfit the template.
+    Groups normalized assistant texts (the assistant_repetition md5
+    form) corpus-wide and reports those spanning >= ``min_convs``
+    conversations, with one example text carried for triage (MIN by
+    raw text — deterministic).
+
+    One (hash) rollup with countDistinct convs — partial-agg friendly;
+    the example rides as an algebraic min, never a sort.
+
+    Output: (text_hash, example_text, n_turns, n_convs) — ordered by
+    nothing (the caller ranks); all counts exact.
+    """
+    a = transcripts.filter(F.col(role) == "assistant").select(
+        F.col(conv).alias("conv_id"),
+        F.col(text).alias("raw"),
+        F.expr(
+            f"md5(regexp_replace(lower(trim({text})), '\\\\s+', ' '))"
+        ).alias("text_hash"),
+    )
+    return (
+        a.groupBy("text_hash")
+        .agg(
+            F.min("raw").alias("example_text"),
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .filter(F.col("n_convs") >= int(min_convs))
+    )

@@ -179,3 +179,56 @@ def test_assistant_repetition_golden(spark):
     assert lp["n_repeated_turns"] == 2 and lp["max_burst"] == 3
     mo = out["mono"]
     assert mo["n_assistant"] == 0 and mo["max_burst"] == 0
+
+
+def test_turn_order_audit_golden(spark):
+    """One clean conversation; one with a duplicated index, a gap, and
+    a timestamp inversion — each counter fires independently."""
+    import datetime
+
+    from careers_spark.operators.convshape import turn_order_audit
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(m):
+        return base + datetime.timedelta(minutes=m)
+
+    rows = [
+        ("ok", 0, "user", "a", "", at(0)),
+        ("ok", 1, "assistant", "b", "", at(1)),
+        # bad: idx 0, 0 (dup), 3 (gap of 1->2), ts goes BACKWARD at 3
+        ("bad", 0, "user", "a", "", at(0)),
+        ("bad", 0, "user", "a2", "", at(1)),
+        ("bad", 3, "assistant", "b", "", at(0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in turn_order_audit(df).collect()}
+    assert out["ok"]["clean"] is True
+    bad = out["bad"]
+    assert bad["n_dup_idx"] == 1
+    assert bad["n_gaps"] == 2  # indices {0, 3}: 1 and 2 missing
+    assert bad["n_ts_inversions"] == 1
+    assert bad["clean"] is False
+
+
+def test_canned_responses_golden(spark):
+    """A reply appearing in 3 conversations is flagged; the
+    within-conversation repeat alone (1 conv) is not."""
+    from careers_spark.operators.convshape import canned_responses
+
+    rows = [
+        ("a", 0, "assistant", "I cannot help with that", ""),
+        ("b", 0, "assistant", "i cannot   help with that", ""),
+        ("c", 0, "assistant", "I CANNOT HELP WITH THAT", ""),
+        ("d", 0, "assistant", "unique reply", ""),
+        ("d", 1, "assistant", "unique reply", ""),  # 1 conv only
+    ]
+    out = canned_responses(_tr(spark, rows), min_convs=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_convs"] == 3 and r["n_turns"] == 3
+    assert r["example_text"] == "I CANNOT HELP WITH THAT"  # min by raw
