@@ -5186,6 +5186,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["canned_response_report"] = canned_response_report
 
+    def orders_join_qerror(spark, sf_dir):
+        """Q-error of the textbook uniformity estimate on the
+        customer-orders join (skew.join_cardinality_qerror): the
+        cost-model damage metric (Moerkotte VLDB'09) a planner reads
+        before trusting its own estimate at 100x."""
+        from careers_spark.operators.skew import join_cardinality_qerror
+
+        return join_cardinality_qerror(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("k")
+            ),
+            _t(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("k")
+            ),
+            key="k",
+        )
+
+    q["orders_join_qerror"] = orders_join_qerror
+
+    def user_chao1_richness(spark, sf_dir):
+        """Chao1 estimate of the TOTAL distinct-user population from
+        the observed event sample (sketches.chao1_richness): singleton
+        and doubleton counts from the exact fof table — the
+        capacity-planning complement to the HLL counts."""
+        from careers_spark.operators.sketches import chao1_richness
+
+        return chao1_richness(
+            _t(spark, sf_dir, "events"), key="user_id"
+        )
+
+    q["user_chao1_richness"] = user_chao1_richness
+
     return q
 
 
@@ -15872,6 +15904,74 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
         FROM a GROUP BY text_hash
         HAVING count(DISTINCT conv_id) >= 2
+    """
+
+    # orders_join_qerror: per-key count tables, exact actual via
+    # HUGEINT products, shared-text estimate and Q-error closes.
+    o["orders_join_qerror"] = """
+        WITH lc AS (
+          SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS cl
+          FROM customer GROUP BY 1
+        ),
+        rc AS (
+          SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cr
+          FROM orders GROUP BY 1
+        ),
+        act AS (
+          SELECT CAST(coalesce(sum(CAST(cl AS HUGEINT) * cr), 0)
+                      AS HUGEINT) AS actual
+          FROM lc JOIN rc USING (k)
+        ),
+        ls AS (
+          SELECT CAST(sum(cl) AS BIGINT) AS n_left,
+                 CAST(count(*) AS BIGINT) AS ndv_left
+          FROM lc
+        ),
+        rs AS (
+          SELECT CAST(sum(cr) AS BIGINT) AS n_right,
+                 CAST(count(*) AS BIGINT) AS ndv_right
+          FROM rc
+        )
+        SELECT n_left, n_right, ndv_left, ndv_right,
+               CASE WHEN n_left = 0 OR n_right = 0 THEN NULL
+                    ELSE round((n_left * CAST(n_right AS DOUBLE)
+                         / greatest(ndv_left, ndv_right)), 6) END
+                 AS est_uniform,
+               CAST(actual AS DOUBLE) AS actual,
+               CASE WHEN n_left = 0 OR n_right = 0 OR actual = 0
+                    THEN NULL
+                    ELSE round(greatest(
+                      (n_left * CAST(n_right AS DOUBLE)
+                       / greatest(ndv_left, ndv_right))
+                        / CAST(actual AS DOUBLE),
+                      CAST(actual AS DOUBLE)
+                        / (n_left * CAST(n_right AS DOUBLE)
+                           / greatest(ndv_left, ndv_right))), 6) END
+                 AS q_error
+        FROM ls CROSS JOIN rs CROSS JOIN act
+    """
+
+    # user_chao1_richness: exact fof singleton/doubleton counts, the
+    # bias-corrected Chao1 one shared-text close.
+    o["user_chao1_richness"] = """
+        WITH counts AS (
+          SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1
+        ),
+        fof AS (
+          SELECT CAST(count(*) AS BIGINT) AS d_obs,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2
+          FROM counts
+        )
+        SELECT d_obs, f1, f2,
+               round((d_obs + f1 * (f1 - 1e0) / (2 * (f2 + 1))), 6)
+                 AS chao1,
+               round((d_obs + f1 * (f1 - 1e0) / (2 * (f2 + 1)))
+                     - d_obs, 6) AS undetected
+        FROM fof
     """
 
     return o

@@ -298,6 +298,8 @@ BENCH_QUERIES = [
     "assistant_repetition_audit",
     "turn_order_integrity",
     "canned_response_report",
+    "orders_join_qerror",
+    "user_chao1_richness",
     "pq_adc_topk",
     "ivfadc_topk",
     "ivfadc_refined_topk",

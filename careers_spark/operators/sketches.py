@@ -828,3 +828,45 @@ def ams_f2(
         "value",
     )
     return xs.unionByName(exact).unionByName(est)
+
+
+def chao1_richness(df: DataFrame, key: str) -> DataFrame:
+    """Chao1 species-richness estimator (Chao 1984) of the TOTAL
+    distinct-key population from an observed sample — "how many
+    distinct users / tokens / entities exist, including the ones this
+    sample never saw":
+
+        chao1 = d_obs + f1 * (f1 - 1) / (2 * (f2 + 1))
+
+    (the bias-corrected form, finite even with no doubletons) where f1
+    and f2 are the singleton and doubleton counts of the
+    frequency-of-frequencies table — the capacity-planning complement
+    to hll_distinct_users (which counts what IS here) and the
+    population-side sibling of good_turing's unseen MASS (which
+    weighs it). The undetected-count lower bound f1^2/(2 f2) is what a
+    crawler uses to decide whether another fetch round is worth it.
+
+    Exactness: d_obs, f1, f2 are exact integers from one per-key
+    count rollup + one fof rollup (bounded by the distinct count
+    values); chao1 and the classic Chao variance close as shared-text
+    doubles with ONE division each. No sampling, no sketch error —
+    this estimates the POPULATION, exactly computing the estimator.
+
+    Output: one row — (d_obs, f1, f2, chao1, undetected).
+    """
+    counts = df.groupBy(F.col(key).alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    fof = counts.agg(
+        F.count("*").alias("d_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    chao = "(d_obs + f1 * (f1 - 1e0) / (2 * (f2 + 1)))"
+    return fof.select(
+        "d_obs",
+        "f1",
+        "f2",
+        F.expr(f"round({chao}, 6)").alias("chao1"),
+        F.expr(f"round({chao} - d_obs, 6)").alias("undetected"),
+    )

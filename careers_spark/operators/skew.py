@@ -103,3 +103,76 @@ def partition_plan(
             " else est_bytes div n_rows end"
         ).alias("avg_row_bytes"),
     )
+
+
+def join_cardinality_qerror(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Planner-diagnostics Q-error of the TEXTBOOK join-size estimate:
+    every cost-based optimizer (Spark's CBO included) estimates
+    |L join R| as |L| * |R| / max(ndv_L, ndv_R) under the uniformity
+    assumption; this operator computes that estimate AND the exact
+    actual (sum over shared keys of c_L * c_R) and reports the Q-error
+    max(est/act, act/est) — the standard metric of estimator damage
+    (Moerkotte et al., VLDB 2009: plan quality degrades with the
+    FOURTH power of Q). A large Q-error on a production join key is
+    the signal to collect a histogram / salt the key / switch join
+    strategies BEFORE the 100x corpus makes the bad plan fatal.
+
+    Exactness: per-key counts and the actual output size are exact
+    BIGINT/DECIMAL(38,0) sums (c_L * c_R products ride decimal); the
+    uniform estimate divides two exact integers once; Q-error is one
+    shared-text double. NULL when either side is empty or the join is
+    empty (Q undefined on a zero).
+
+    Physical shape: two per-key count rollups, one equi-join of the
+    COUNT tables (key-cardinality-sized, not row-sized), scalar close.
+
+    Output: one row — (n_left, n_right, ndv_left, ndv_right,
+    est_uniform, actual, q_error).
+    """
+    lc = left.groupBy(F.col(key).alias("k")).agg(
+        F.count("*").alias("cl")
+    )
+    rc = right.groupBy(F.col(key).alias("k")).agg(
+        F.count("*").alias("cr")
+    )
+    actual = lc.join(rc, "k").agg(
+        F.coalesce(
+            F.sum(F.col("cl").cast("decimal(19,0)") * F.col("cr")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("actual")
+    )
+    ls = lc.agg(
+        F.sum("cl").alias("n_left"), F.count("*").alias("ndv_left")
+    )
+    rs = rc.agg(
+        F.sum("cr").alias("n_right"), F.count("*").alias("ndv_right")
+    )
+    est = (
+        "(n_left * cast(n_right as double)"
+        " / greatest(ndv_left, ndv_right))"
+    )
+    return (
+        ls.crossJoin(F.broadcast(rs))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n_left",
+            "n_right",
+            "ndv_left",
+            "ndv_right",
+            F.expr(
+                f"case when n_left = 0 or n_right = 0 then null"
+                f" else round({est}, 6) end"
+            ).alias("est_uniform"),
+            F.expr("cast(actual as double)").alias("actual"),
+            F.expr(
+                f"case when n_left = 0 or n_right = 0 or actual = 0"
+                f" then null else round(greatest("
+                f"{est} / cast(actual as double),"
+                f" cast(actual as double) / {est}), 6) end"
+            ).alias("q_error"),
+        )
+    )
