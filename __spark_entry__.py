@@ -5218,6 +5218,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_chao1_richness"] = user_chao1_richness
 
+    def source_bradley_terry(spark, sf_dir):
+        """Bradley-Terry strengths of the document sources from
+        deterministic pairwise battles (adjacent doc ids, longer text
+        wins, earlier doc wins ties) — the RLHF preference-modeling
+        layer (preference.bradley_terry_strength): one partial-agg
+        groupBy builds the arms^2 win matrix; the Zermelo/MM rounds
+        run on the dimension."""
+        from careers_spark.operators.preference import (
+            bradley_terry_strength,
+        )
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        a = d.alias("a")
+        b = d.alias("b")
+        comp = (
+            a.join(
+                b,
+                (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+                & (F.col("a.source") != F.col("b.source")),
+            )
+            .select(
+                F.expr(
+                    "case when a.n_chars >= b.n_chars then a.source"
+                    " else b.source end"
+                ).alias("winner"),
+                F.expr(
+                    "case when a.n_chars >= b.n_chars then b.source"
+                    " else a.source end"
+                ).alias("loser"),
+            )
+        )
+        return bradley_terry_strength(comp)
+
+    q["source_bradley_terry"] = source_bradley_terry
+
+    def annotator_agreement_fleiss(spark, sf_dir):
+        """Fleiss' kappa over three deterministic synthetic annotators
+        labeling documents keep/reject (base rule n_chars >= 300, each
+        rater flips on a 10% md5 lattice) — the labeling-pipeline QA
+        gate (evaluation.fleiss_kappa)."""
+        from careers_spark.operators.evaluation import fleiss_kappa
+
+        ratings = (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .withColumn("rater", F.explode(F.expr("sequence(0, 2)")))
+            .select(
+                F.col("doc_id").alias("item"),
+                "rater",
+                F.expr(
+                    "case when cast(conv(substr(md5(concat("
+                    "cast(doc_id as string), '#',"
+                    " cast(rater as string))), 1, 8), 16, 10)"
+                    " as bigint) % 10 = 0 then"
+                    " (case when n_chars >= 300 then 'reject'"
+                    " else 'keep' end)"
+                    " else (case when n_chars >= 300 then 'keep'"
+                    " else 'reject' end) end"
+                ).alias("label"),
+            )
+        )
+        return fleiss_kappa(ratings)
+
+    q["annotator_agreement_fleiss"] = annotator_agreement_fleiss
+
     return q
 
 
@@ -15972,6 +16039,129 @@ def oracle_sql() -> dict[str, str]:
                round((d_obs + f1 * (f1 - 1e0) / (2 * (f2 + 1)))
                      - d_obs, 6) AS undetected
         FROM fof
+    """
+
+    # source_bradley_terry: the full 8-round Zermelo/MM unroll — every
+    # round is joins + algebraic sums + one normalization, strengths
+    # rounded to 10 decimals per round (the pagerank lockstep recipe),
+    # so the chain reproduces the Spark values hash-exactly.
+    _bt_chain = [
+        """comp AS MATERIALIZED (
+          SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
+                      ELSE b.source END AS wi,
+                 CASE WHEN a.n_chars >= b.n_chars THEN b.source
+                      ELSE a.source END AS li
+          FROM documents a JOIN documents b
+            ON b.doc_id = a.doc_id + 1 AND a.source <> b.source
+        ),
+        wins AS MATERIALIZED (
+          SELECT wi AS i, li AS j, CAST(count(*) AS BIGINT) AS n
+          FROM comp WHERE wi <> li GROUP BY 1, 2
+        ),
+        ntot AS MATERIALIZED (
+          SELECT i, j, CAST(sum(n) AS BIGINT) AS n_tot FROM (
+            SELECT i, j, n FROM wins
+            UNION ALL SELECT j AS i, i AS j, n FROM wins
+          ) GROUP BY 1, 2
+        ),
+        base AS MATERIALIZED (
+          SELECT g.i, coalesce(w.wins, 0) AS wins, g.games
+          FROM (SELECT i, CAST(sum(n_tot) AS BIGINT) AS games
+                FROM ntot GROUP BY 1) g
+          LEFT JOIN (SELECT i, CAST(sum(n) AS BIGINT) AS wins
+                     FROM wins GROUP BY 1) w USING (i)
+        ),
+        s0 AS MATERIALIZED (
+          SELECT i, wins, games,
+                 round(1e0 / (SELECT count(*) FROM base), 10) AS w
+          FROM base
+        )"""
+    ]
+    for _t_ in range(1, 9):
+        _bt_chain.append(
+            f"""r{_t_} AS MATERIALIZED (
+          SELECT b.i, b.wins, b.games,
+                 CASE WHEN b.wins = 0 THEN 0e0
+                      ELSE b.wins / d.den END AS raw
+          FROM base b JOIN (
+            SELECT n.i, sum(n.n_tot / (x.w + y.w)) AS den
+            FROM ntot n JOIN s{_t_ - 1} x ON n.i = x.i
+                        JOIN s{_t_ - 1} y ON n.j = y.i
+            GROUP BY 1) d ON b.i = d.i
+        ),
+        s{_t_} AS MATERIALIZED (
+          SELECT i, wins, games,
+                 round(raw / (SELECT sum(raw) FROM r{_t_}), 10) AS w
+          FROM r{_t_}
+        )"""
+        )
+    o["source_bradley_terry"] = (
+        "WITH "
+        + ",\n        ".join(_bt_chain)
+        + """
+        SELECT i AS arm, wins, games, w AS strength,
+               row_number() OVER (ORDER BY w DESC, i) AS rank
+        FROM s8
+    """
+    )
+
+    # annotator_agreement_fleiss: exact integer S / T_c aggregates
+    # (sum_t2 on HUGEINT, the DECIMAL(38,0) twin), then the identical
+    # shared-text divisions.
+    o["annotator_agreement_fleiss"] = """
+        WITH ratings AS MATERIALIZED (
+          SELECT doc_id AS item, t.rater,
+                 CASE WHEN ('0x' || substr(md5(concat(
+                          CAST(doc_id AS VARCHAR), '#',
+                          CAST(t.rater AS VARCHAR))), 1, 8))::BIGINT
+                        % 10 = 0
+                      THEN (CASE WHEN n_chars >= 300 THEN 'reject'
+                            ELSE 'keep' END)
+                      ELSE (CASE WHEN n_chars >= 300 THEN 'keep'
+                            ELSE 'reject' END) END AS label
+          FROM documents CROSS JOIN range(0, 3) t(rater)
+        ),
+        cell AS (
+          SELECT item, label AS cls, CAST(count(*) AS BIGINT) AS nic
+          FROM ratings GROUP BY 1, 2
+        ),
+        per_item AS (
+          SELECT item, CAST(sum(nic) AS BIGINT) AS m_i,
+                 CAST(sum(nic * (nic - 1)) AS BIGINT) AS s_i
+          FROM cell GROUP BY 1
+        ),
+        tc AS (
+          SELECT cls, CAST(sum(nic) AS BIGINT) AS t_c FROM cell
+          GROUP BY 1
+        ),
+        sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(min(m_i) AS BIGINT) AS r_min,
+                 CAST(max(m_i) AS BIGINT) AS n_raters,
+                 CAST(sum(s_i) AS BIGINT) AS s_agree
+          FROM per_item
+        ),
+        t2 AS (
+          SELECT sum(t_c::HUGEINT * t_c) AS sum_t2 FROM tc
+        )
+        SELECT n_items, n_raters, (r_min = n_raters) AS equal_raters,
+               s_agree, sum_t2,
+               CASE WHEN n_raters < 2 THEN NULL ELSE
+                 round(s_agree / (n_items * 1e0 * n_raters
+                   * (n_raters - 1)), 6) END AS pbar,
+               round(CAST(sum_t2 AS DOUBLE) / (n_items * 1e0
+                 * n_raters * n_items * n_raters), 6) AS pe,
+               CASE WHEN r_min <> n_raters OR n_raters < 2 THEN NULL
+                 ELSE CASE WHEN 1e0 - CAST(sum_t2 AS DOUBLE)
+                   / (n_items * 1e0 * n_raters * n_items * n_raters)
+                   = 0e0 THEN NULL
+                 ELSE round((s_agree / (n_items * 1e0 * n_raters
+                   * (n_raters - 1)) - CAST(sum_t2 AS DOUBLE)
+                   / (n_items * 1e0 * n_raters * n_items * n_raters))
+                   / (1e0 - CAST(sum_t2 AS DOUBLE) / (n_items * 1e0
+                   * n_raters * n_items * n_raters)), 6) END END
+                 AS kappa
+        FROM sums CROSS JOIN t2
     """
 
     return o

@@ -321,6 +321,8 @@ BENCH_QUERIES = [
     "fs_em_linkage",
     "hll_distinct_users",
     "hll_audience_overlap",
+    "source_bradley_terry",
+    "annotator_agreement_fleiss",
 ]
 
 

@@ -257,6 +257,105 @@ def cohens_kappa(
     )
 
 
+def fleiss_kappa(
+    ratings: DataFrame,
+    item: str = "item",
+    rater: str = "rater",
+    label: str = "label",
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among
+    r >= 2 raters assigning categorical labels to N items; the
+    multi-annotator generalization of cohens_kappa and the standard
+    labeling-pipeline QA gate before annotator labels feed training.
+
+        P_i   = sum_c n_ic (n_ic - 1) / (r (r - 1))
+        Pbar  = mean_i P_i          = S / (N r (r - 1))
+        Pe    = sum_c p_c^2,  p_c = T_c / (N r)
+        kappa = (Pbar - Pe) / (1 - Pe)
+
+    Everything upstream of the two final divisions is an exact
+    integer: S = sum_ic n_ic(n_ic-1) and T_c = sum_i n_ic are BIGINT
+    aggregates; sum_c T_c^2 rides DECIMAL(38,0) (T_c can reach N*r, so
+    its square overflows BIGINT long before the corpus does — the
+    matched_att/ARI headroom convention). Pbar and Pe are then single
+    divisions of exact integers evaluated with identical expression
+    text in both engines, so kappa hash-matches with one final round.
+
+    Fleiss' formula assumes every item carries the same number of
+    ratings; rather than crash or silently average, the operator
+    emits (r_min, r_max) and NULLs kappa when they differ — a
+    surfaced data defect, matching the convention that a violated
+    precondition is a visible row, not a default. The rater column
+    itself is not used beyond existence (each row = one rating); a
+    duplicated (item, rater) pair is a data defect this operator
+    counts as two ratings, which the r_min/r_max guard then exposes.
+
+    Shape at scale: one partial-agg groupBy(item, label) over the
+    ratings (the only corpus-sized pass), then item- and class-sized
+    rollups closing to a single row.
+
+    Output: one row — (n_items, n_raters, equal_raters, s_agree,
+    sum_t2, pbar, pe, kappa).
+    """
+    cell = ratings.groupBy(
+        F.col(item).alias("it"), F.col(label).alias("cls")
+    ).agg(F.count("*").alias("nic"))
+    per_item = cell.groupBy("it").agg(
+        F.sum("nic").alias("m_i"),
+        F.sum(F.col("nic") * (F.col("nic") - 1)).alias("s_i"),
+    )
+    tc = cell.groupBy("cls").agg(F.sum("nic").alias("t_c"))
+    sums = per_item.agg(
+        F.count("*").alias("n_items"),
+        F.min("m_i").alias("r_min"),
+        F.max("m_i").alias("r_max"),
+        F.sum("s_i").alias("s_agree"),
+    )
+    t2 = tc.agg(
+        F.sum(F.col("t_c").cast("decimal(38,0)") * F.col("t_c")).alias(
+            "sum_t2"
+        )
+    )
+    return (
+        sums.crossJoin(F.broadcast(t2))
+        .select(
+            "n_items",
+            F.col("r_max").alias("n_raters"),
+            (F.col("r_min") == F.col("r_max")).alias("equal_raters"),
+            "s_agree",
+            "sum_t2",
+            "r_min",
+        )
+        .select(
+            "n_items",
+            "n_raters",
+            "equal_raters",
+            "s_agree",
+            "sum_t2",
+            F.expr(
+                "case when n_raters < 2 then null else"
+                " round(s_agree / (n_items * 1e0 * n_raters"
+                " * (n_raters - 1)), 6) end"
+            ).alias("pbar"),
+            F.expr(
+                "round(cast(sum_t2 as double) / (n_items * 1e0"
+                " * n_raters * n_items * n_raters), 6)"
+            ).alias("pe"),
+            F.expr(
+                "case when r_min <> n_raters or n_raters < 2 then null"
+                " else case when 1e0 - cast(sum_t2 as double)"
+                " / (n_items * 1e0 * n_raters * n_items * n_raters)"
+                " = 0e0 then null else"
+                " round((s_agree / (n_items * 1e0 * n_raters"
+                " * (n_raters - 1)) - cast(sum_t2 as double)"
+                " / (n_items * 1e0 * n_raters * n_items * n_raters))"
+                " / (1e0 - cast(sum_t2 as double) / (n_items * 1e0"
+                " * n_raters * n_items * n_raters)), 6) end end"
+            ).alias("kappa"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame, score: str = "score", label: str = "label", bins: int = 10
 ) -> DataFrame:

@@ -1,0 +1,150 @@
+"""Preference modeling over pairwise comparisons — the RLHF-data
+analytics layer for transcript corpora.
+
+Preference datasets (chosen/rejected response pairs) are the raw
+material of reward modeling; the first question a curation pipeline
+asks of them is "what latent strength ordering do these comparisons
+imply, and how consistent are they". The canonical answer is the
+Bradley-Terry model (Bradley & Terry 1952): P(i beats j) =
+w_i / (w_i + w_j), fit by the Zermelo/MM iteration (Hunter 2004,
+"MM algorithms for generalized Bradley-Terry models"):
+
+    w_i  <-  W_i / sum_{j != i}  n_ij_tot / (w_i + w_j)
+
+with W_i = total wins of arm i and n_ij_tot = games played between
+i and j, then normalized to sum 1 per iteration. The reference has no
+preference layer (its closest analogue is the CV<->position match
+ranking, WebCVProcess.scala:284-297); this is a from-scratch Spark
+expression of the published model.
+
+Scale shape: the ONLY corpus-sized work is one partial-agg
+groupBy(winner, loser) building the win matrix — at 10^12 comparisons
+that is a single map-side-combinable shuffle to an arms^2 table. The
+MM iterations then run on the arms-sized dimension (joins + algebraic
+sums + a broadcast 1-row normalizer, localCheckpoint per iteration —
+the HITS convention), never touching the corpus again.
+
+Determinism/oracle-exactness: strengths are rounded to `precision`
+decimals at every iteration boundary (the pagerank unroll recipe), so
+IEEE addition-order noise (~1e-16 on the arms-sized sums) never
+reaches a visible digit and the unrolled DuckDB CTE chain reproduces
+the values hash-exactly. Zero-win arms stay an exact 0e0 via a CASE,
+never a rounded quotient.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bradley_terry_strength(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    iterations: int = 8,
+    precision: int = 10,
+) -> DataFrame:
+    """Fit Bradley-Terry strengths to a (winner, loser) comparison
+    table by `iterations` rounds of the Zermelo/MM update, normalized
+    to sum 1 each round.
+
+    The MM fixpoint is scale-invariant and monotone in likelihood
+    (Hunter 2004 Thm 1); with the strongly-connected comparison graphs
+    produced by real preference data 8 rounds lands within ~1e-6 of
+    the MLE (pinned by the closed-form 2-arm golden in
+    tests/test_preference.py). Arms that never win converge to an
+    exact 0 strength; self-comparisons (winner == loser) carry no
+    information and are dropped.
+
+    Output: (arm, wins, games, strength, rank) — rank 1 = strongest,
+    ties broken by arm name for determinism.
+    """
+    c = comparisons.select(
+        F.col(winner).alias("wi"), F.col(loser).alias("li")
+    ).filter(F.col("wi") != F.col("li"))
+    wins_m = c.groupBy(F.col("wi").alias("i"), F.col("li").alias("j")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ntot = (
+        wins_m.select("i", "j", "n")
+        .union(
+            wins_m.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "n"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n_tot"))
+        .localCheckpoint(eager=True)
+    )
+    games = ntot.groupBy("i").agg(F.sum("n_tot").alias("games"))
+    wtot = wins_m.groupBy("i").agg(F.sum("n").alias("wins"))
+    base = (
+        games.join(wtot, "i", "left")
+        .select(
+            "i",
+            F.coalesce("wins", F.lit(0).cast("long")).alias("wins"),
+            "games",
+        )
+        .localCheckpoint(eager=True)
+    )
+    k = base.count()
+    if k == 0:
+        return base.select(
+            F.col("i").alias("arm"),
+            "wins",
+            "games",
+            F.lit(0.0).alias("strength"),
+            F.lit(0).alias("rank"),
+        )
+    s = base.select(
+        "i",
+        "wins",
+        "games",
+        F.round(F.lit(1.0) / F.lit(float(k)), precision).alias("w"),
+    )
+    for _ in range(iterations):
+        den = (
+            ntot.join(
+                s.select("i", F.col("w").alias("w_i")), "i"
+            )
+            .join(
+                s.select(F.col("i").alias("j"), F.col("w").alias("w_j")),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("n_tot") / (F.col("w_i") + F.col("w_j"))).alias(
+                    "den"
+                )
+            )
+        )
+        raw = base.join(den, "i").select(
+            "i",
+            "wins",
+            "games",
+            F.expr(
+                "case when wins = 0 then 0e0 else wins / den end"
+            ).alias("raw"),
+        )
+        tot = raw.agg(F.sum("raw").alias("s_tot"))
+        s = (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "i",
+                "wins",
+                "games",
+                F.round(F.col("raw") / F.col("s_tot"), precision).alias(
+                    "w"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    rk = Window.orderBy(F.desc("w"), F.asc("i"))
+    return s.select(
+        F.col("i").alias("arm"),
+        "wins",
+        "games",
+        F.col("w").alias("strength"),
+        F.row_number().over(rk).alias("rank"),
+    )

@@ -1,0 +1,179 @@
+"""Bradley-Terry preference strengths (operators/preference.py) and
+Fleiss' multi-rater kappa (operators/evaluation.py)."""
+
+import pytest
+
+from careers_spark.operators.evaluation import fleiss_kappa
+from careers_spark.operators.preference import bradley_terry_strength
+
+
+def _bt_python(win_pairs, iterations=8, precision=10):
+    """Independent pure-python replay of the MM iteration with the
+    same per-iteration rounding — the lockstep twin."""
+    wins = {}
+    for w, l in win_pairs:
+        if w == l:
+            continue
+        wins[(w, l)] = wins.get((w, l), 0) + 1
+    ntot = {}
+    for (i, j), n in wins.items():
+        ntot[(i, j)] = ntot.get((i, j), 0) + n
+        ntot[(j, i)] = ntot.get((j, i), 0) + n
+    arms = sorted({i for i, _ in ntot})
+    W = {a: 0 for a in arms}
+    for (i, _), n in wins.items():
+        W[i] += n
+    w = {a: round(1.0 / len(arms), precision) for a in arms}
+    for _ in range(iterations):
+        raw = {}
+        for i in arms:
+            if W[i] == 0:
+                raw[i] = 0.0
+                continue
+            den = sum(
+                n / (w[i] + w[j])
+                for (ii, j), n in ntot.items()
+                if ii == i
+            )
+            raw[i] = W[i] / den
+        s_tot = sum(raw[a] for a in arms)
+        w = {a: round(raw[a] / s_tot, precision) for a in arms}
+    return W, w
+
+
+def _fit(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "winner string, loser string")
+    rows = bradley_terry_strength(df, **kw).collect()
+    return {r.arm: r for r in rows}
+
+
+def test_bt_two_arm_closed_form(spark):
+    # A beats B 3x, B beats A 1x: the MLE has w_A/w_B = 3, so the
+    # sum-1 normalization gives (0.75, 0.25).
+    out = _fit(spark, [("A", "B")] * 3 + [("B", "A")])
+    assert out["A"].wins == 3 and out["A"].games == 4
+    assert out["B"].wins == 1 and out["B"].games == 4
+    assert abs(out["A"].strength - 0.75) < 1e-6
+    assert abs(out["B"].strength - 0.25) < 1e-6
+    assert out["A"].rank == 1 and out["B"].rank == 2
+
+
+def test_bt_symmetry_and_multiplicity_invariance(spark):
+    # Equal head-to-head records -> uniform strengths; doubling every
+    # comparison count leaves the fixpoint unchanged (the MM update
+    # depends only on win RATIOS).
+    pairs = [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B"),
+             ("A", "C"), ("C", "A")]
+    out1 = _fit(spark, pairs)
+    for a in "ABC":
+        assert abs(out1[a].strength - 1 / 3) < 1e-9
+    out2 = _fit(spark, pairs * 2)
+    for a in "ABC":
+        assert out2[a].strength == out1[a].strength
+        assert out2[a].wins == 2 * out1[a].wins
+
+
+def test_bt_zero_win_arm_is_exact_zero(spark):
+    out = _fit(spark, [("A", "B"), ("A", "B"), ("B", "C"), ("A", "C")])
+    assert out["C"].wins == 0
+    assert out["C"].strength == 0.0
+    assert out["C"].rank == 3
+
+
+def test_bt_python_lockstep(spark):
+    import random
+
+    rng = random.Random(17)
+    arms = ["m0", "m1", "m2", "m3", "m4"]
+    pairs = []
+    for _ in range(400):
+        i, j = rng.sample(range(5), 2)
+        # heavier arms win more often
+        if rng.random() < (i + 1) / (i + j + 2):
+            pairs.append((arms[i], arms[j]))
+        else:
+            pairs.append((arms[j], arms[i]))
+    W, want = _bt_python(pairs)
+    out = _fit(spark, pairs)
+    for a in arms:
+        assert out[a].wins == W[a]
+        # identical recurrence + per-iteration rounding; the only
+        # slack is IEEE addition order on the 5-arm sums
+        assert abs(out[a].strength - want[a]) < 1e-9
+
+
+def test_bt_self_comparisons_dropped(spark):
+    out = _fit(spark, [("A", "A")] * 5 + [("A", "B")])
+    assert out["A"].games == 1 and out["A"].wins == 1
+
+
+# ---------------------------------------------------------------------------
+def _kappa(spark, rows):
+    df = spark.createDataFrame(rows, "item long, rater long, label string")
+    (r,) = fleiss_kappa(df).collect()
+    return r
+
+
+def test_fleiss_perfect_agreement(spark):
+    rows = [(i, r, "keep" if i % 2 else "reject")
+            for i in range(6) for r in range(3)]
+    r = _kappa(spark, rows)
+    assert (r.n_items, r.n_raters, r.equal_raters) == (6, 3, True)
+    assert r.kappa == 1.0
+
+
+def test_fleiss_hand_example(spark):
+    # 4 items x 2 raters, binary labels. Agreements on items 0,1;
+    # disagreements on 2,3. S = 2 items * 2 = 4 -> Pbar = 4/(4*2*1)=0.5
+    # T_keep = 4, T_reject = 4 -> Pe = (16+16)/64 = 0.5 -> kappa = 0.
+    rows = [
+        (0, 0, "keep"), (0, 1, "keep"),
+        (1, 0, "reject"), (1, 1, "reject"),
+        (2, 0, "keep"), (2, 1, "reject"),
+        (3, 0, "reject"), (3, 1, "keep"),
+    ]
+    r = _kappa(spark, rows)
+    assert r.s_agree == 4
+    assert float(r.sum_t2) == 32.0
+    assert r.pbar == 0.5 and r.pe == 0.5
+    assert r.kappa == 0.0
+
+
+def test_fleiss_python_lockstep(spark):
+    import random
+
+    rng = random.Random(31)
+    labels = ["a", "b", "c"]
+    rows = [(i, r, rng.choice(labels)) for i in range(40) for r in range(4)]
+    # independent recompute
+    from collections import Counter
+
+    nic = Counter((i, lab) for i, _, lab in rows)
+    items = sorted({i for i, _, _ in rows})
+    N, R = len(items), 4
+    S = sum(n * (n - 1) for n in nic.values())
+    tc = Counter()
+    for (_, lab), n in nic.items():
+        tc[lab] += n
+    pbar = S / (N * R * (R - 1))
+    pe = sum(v * v for v in tc.values()) / (N * R) ** 2
+    want = round((pbar - pe) / (1 - pe), 6)
+    r = _kappa(spark, rows)
+    assert r.equal_raters and r.n_raters == 4
+    assert r.s_agree == S
+    assert abs(r.kappa - want) < 2e-6
+
+
+def test_fleiss_unequal_raters_surfaced(spark):
+    rows = [(0, 0, "a"), (0, 1, "a"), (1, 0, "a")]
+    r = _kappa(spark, rows)
+    assert r.equal_raters is False
+    assert r.kappa is None
+
+
+def test_fleiss_single_class_degenerate(spark):
+    # everyone always says "a": Pe = 1 -> kappa undefined -> NULL
+    rows = [(i, r, "a") for i in range(5) for r in range(2)]
+    r = _kappa(spark, rows)
+    assert r.pe == 1.0
+    assert r.kappa is None
