@@ -5186,6 +5186,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["canned_response_report"] = canned_response_report
 
+    def assistant_diversity(spark, sf_dir):
+        """distinct-1/distinct-2 generation-diversity ratios per
+        conversation over the pinned synth transcripts
+        (convshape.assistant_ngram_diversity) — the phrasing-recycling
+        signal beside the verbatim-loop detector (Li et al. 2016)."""
+        from careers_spark.operators.convshape import (
+            assistant_ngram_diversity,
+        )
+
+        return assistant_ngram_diversity(_synth_transcripts(spark))
+
+    q["assistant_diversity"] = assistant_diversity
+
     def orders_join_qerror(spark, sf_dir):
         """Q-error of the textbook uniformity estimate on the
         customer-orders join (skew.join_cardinality_qerror): the
@@ -15971,6 +15984,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
         FROM a GROUP BY text_hash
         HAVING count(DISTINCT conv_id) >= 2
+    """
+
+        # assistant_diversity: pooled within-turn n-gram counts per
+        # conversation on the house token/bigram lattice; ratios are
+        # single shared-text divisions, zero-token rows kept by the
+        # spine left joins.
+        o["assistant_diversity"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, {_DUCK_TOKS} AS toks FROM tr
+          WHERE role = 'assistant'
+        ),
+        spine AS (SELECT DISTINCT conv_id FROM t),
+        uni AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_unigrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS distinct_unigrams
+          FROM (SELECT conv_id, unnest(toks) AS g FROM t)
+          GROUP BY 1
+        ),
+        big AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
+          FROM (SELECT conv_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS g
+                FROM t)
+          GROUP BY 1
+        )
+        SELECT s.conv_id,
+               coalesce(u.n_unigrams, 0) AS n_unigrams,
+               coalesce(u.distinct_unigrams, 0) AS distinct_unigrams,
+               coalesce(b.n_bigrams, 0) AS n_bigrams,
+               coalesce(b.distinct_bigrams, 0) AS distinct_bigrams,
+               CASE WHEN coalesce(u.n_unigrams, 0) = 0 THEN NULL
+                    ELSE round(u.distinct_unigrams * 1e0
+                               / u.n_unigrams, 6) END AS distinct_1,
+               CASE WHEN coalesce(b.n_bigrams, 0) = 0 THEN NULL
+                    ELSE round(b.distinct_bigrams * 1e0
+                               / b.n_bigrams, 6) END AS distinct_2
+        FROM spine s
+        LEFT JOIN uni u ON s.conv_id = u.conv_id
+        LEFT JOIN big b ON s.conv_id = b.conv_id
     """
 
     # orders_join_qerror: per-key count tables, exact actual via

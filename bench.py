@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "hll_audience_overlap",
     "source_bradley_terry",
     "annotator_agreement_fleiss",
+    "assistant_diversity",
 ]
 
 

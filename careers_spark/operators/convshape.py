@@ -490,3 +490,98 @@ def canned_responses(
         )
         .filter(F.col("n_convs") >= int(min_convs))
     )
+
+
+def assistant_ngram_diversity(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+) -> DataFrame:
+    """distinct-1 / distinct-2 generation-diversity ratios (Li et al.
+    2016, "A Diversity-Promoting Objective Function for Neural
+    Conversation Models") over each conversation's assistant side —
+    the degeneracy signal SFT curation reads next to the
+    assistant_repetition burst detector: a low distinct-2 means the
+    assistant is recycling phrasing even when no single turn repeats
+    verbatim.
+
+    distinct-n = (# distinct token n-grams) / (# token n-grams), over
+    all assistant turns of the conversation pooled together; n-grams
+    never cross a turn boundary (the within-turn transform, the
+    bigram_doc_freq lattice). Ratios are NULL when the conversation
+    has no n-grams of that order (again surfaced, not defaulted).
+
+    Shape at scale: two explode -> partial-agg groupBy(conv_id)
+    passes (count + countDistinct) joined on the conversation key —
+    no window, no sort; conversations with assistant turns but zero
+    tokens keep their row via the left joins from the conversation
+    spine.
+
+    Output: (conv_id, n_unigrams, distinct_unigrams, n_bigrams,
+    distinct_bigrams, distinct_1, distinct_2).
+    """
+    t = transcripts.filter(F.col(role) == "assistant").select(
+        F.col(conv).alias("conv_id"), tokens_col(text).alias("toks")
+    )
+    spine = t.select("conv_id").distinct()
+    uni = (
+        t.select("conv_id", F.explode("toks").alias("g"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_unigrams"),
+            F.countDistinct("g").alias("distinct_unigrams"),
+        )
+    )
+    big = (
+        t.select(
+            "conv_id",
+            F.explode(
+                F.expr(
+                    "case when size(toks) >= 2 then "
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1])) "
+                    "else array() end"
+                )
+            ).alias("g"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("g").alias("distinct_bigrams"),
+        )
+    )
+    return (
+        spine.join(uni, "conv_id", "left")
+        .join(big, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce("n_unigrams", F.lit(0).cast("long")).alias(
+                "n_unigrams"
+            ),
+            F.coalesce(
+                "distinct_unigrams", F.lit(0).cast("long")
+            ).alias("distinct_unigrams"),
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce(
+                "distinct_bigrams", F.lit(0).cast("long")
+            ).alias("distinct_bigrams"),
+        )
+        .select(
+            "conv_id",
+            "n_unigrams",
+            "distinct_unigrams",
+            "n_bigrams",
+            "distinct_bigrams",
+            F.expr(
+                "case when n_unigrams = 0 then null else"
+                " round(distinct_unigrams * 1e0 / n_unigrams, 6) end"
+            ).alias("distinct_1"),
+            F.expr(
+                "case when n_bigrams = 0 then null else"
+                " round(distinct_bigrams * 1e0 / n_bigrams, 6) end"
+            ).alias("distinct_2"),
+        )
+    )
