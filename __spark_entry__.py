@@ -5298,6 +5298,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["annotator_agreement_fleiss"] = annotator_agreement_fleiss
 
+    def preference_cycles(spark, sf_dir):
+        """Condorcet-cycle audit of the same deterministic source
+        battles bradley_terry fits (preference.preference_cycles):
+        cyclic majority triads = the intransitivity a scalar reward
+        model cannot represent."""
+        from careers_spark.operators.preference import (
+            preference_cycles as pc,
+        )
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        a = d.alias("a")
+        b = d.alias("b")
+        comp = a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.source") != F.col("b.source")),
+        ).select(
+            F.expr(
+                "case when a.n_chars >= b.n_chars then a.source"
+                " else b.source end"
+            ).alias("winner"),
+            F.expr(
+                "case when a.n_chars >= b.n_chars then b.source"
+                " else a.source end"
+            ).alias("loser"),
+        )
+        return pc(comp)
+
+    q["preference_cycles"] = preference_cycles
+
+    def annotator_alpha_krippendorff(spark, sf_dir):
+        """Krippendorff's alpha over the fleiss annotator lattice WITH
+        deterministic missingness (rater r skips a doc on an md5 % 7
+        lattice) — the unequal-ratings case fleiss_kappa surfaces and
+        alpha is built for (evaluation.krippendorff_alpha)."""
+        from careers_spark.operators.evaluation import (
+            krippendorff_alpha,
+        )
+
+        ratings = (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .withColumn("rater", F.explode(F.expr("sequence(0, 2)")))
+            .filter(
+                F.expr(
+                    "cast(conv(substr(md5(concat("
+                    "cast(doc_id as string), '#',"
+                    " cast(rater as string))), 1, 8), 16, 10)"
+                    " as bigint) % 7 <> 3"
+                )
+            )
+            .select(
+                F.col("doc_id").alias("item"),
+                F.expr(
+                    "case when cast(conv(substr(md5(concat("
+                    "cast(doc_id as string), '#',"
+                    " cast(rater as string))), 1, 8), 16, 10)"
+                    " as bigint) % 10 = 0 then"
+                    " (case when n_chars >= 300 then 'reject'"
+                    " else 'keep' end)"
+                    " else (case when n_chars >= 300 then 'keep'"
+                    " else 'reject' end) end"
+                ).alias("label"),
+            )
+        )
+        return krippendorff_alpha(ratings)
+
+    q["annotator_alpha_krippendorff"] = annotator_alpha_krippendorff
+
     return q
 
 
@@ -16217,6 +16288,128 @@ def oracle_sql() -> dict[str, str]:
                    * n_raters * n_items * n_raters)), 6) END END
                  AS kappa
         FROM sums CROSS JOIN t2
+    """
+
+    # preference_cycles: majority tournament from the same battle CTE,
+    # triangles by canonical a<b<c wedge join, directed 3-cycles
+    # anchored at the minimum arm.
+    o["preference_cycles"] = """
+        WITH comp AS MATERIALIZED (
+          SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
+                      ELSE b.source END AS wi,
+                 CASE WHEN a.n_chars >= b.n_chars THEN b.source
+                      ELSE a.source END AS li
+          FROM documents a JOIN documents b
+            ON b.doc_id = a.doc_id + 1 AND a.source <> b.source
+        ),
+        wins AS MATERIALIZED (
+          SELECT wi AS i, li AS j, CAST(count(*) AS BIGINT) AS n
+          FROM comp WHERE wi <> li GROUP BY 1, 2
+        ),
+        maj AS MATERIALIZED (
+          SELECT i, j FROM (
+            SELECT coalesce(w1.i, w2.i) AS i, coalesce(w1.j, w2.j) AS j,
+                   coalesce(w1.n, 0) AS n_ij, coalesce(w2.n, 0) AS n_ji
+            FROM wins w1 FULL OUTER JOIN
+                 (SELECT j AS i, i AS j, n FROM wins) w2
+              ON w1.i = w2.i AND w1.j = w2.j
+          ) WHERE n_ij > n_ji
+        ),
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b
+          FROM maj
+        ),
+        complete AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_complete_triads
+          FROM und e1 JOIN und e2 ON e1.b = e2.a
+               JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        cyc AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_cyclic_triads
+          FROM maj m1 JOIN maj m2 ON m1.j = m2.i
+               JOIN maj m3 ON m3.i = m2.j AND m3.j = m1.i
+          WHERE m1.i < m1.j AND m1.i < m2.j
+        ),
+        arms AS (
+          SELECT CAST(count(DISTINCT a) AS BIGINT) AS n_arms FROM (
+            SELECT wi AS a FROM comp WHERE wi <> li
+            UNION ALL SELECT li FROM comp WHERE wi <> li
+          )
+        ),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_majority_edges
+               FROM maj)
+        SELECT n_arms, n_majority_edges, n_complete_triads,
+               n_cyclic_triads,
+               CASE WHEN n_complete_triads = 0 THEN NULL ELSE
+                 round(n_cyclic_triads * 1e0 / n_complete_triads, 6)
+               END AS cyclic_rate
+        FROM arms CROSS JOIN ne CROSS JOIN complete CROSS JOIN cyc
+    """
+
+    # annotator_alpha_krippendorff: the nominal-metric coincidence
+    # algebra on exact integers; do_sum's across-unit double sum rides
+    # the pagerank noise argument under the final round(,6).
+    o["annotator_alpha_krippendorff"] = """
+        WITH ratings AS MATERIALIZED (
+          SELECT doc_id AS item,
+                 CASE WHEN ('0x' || substr(md5(concat(
+                          CAST(doc_id AS VARCHAR), '#',
+                          CAST(t.rater AS VARCHAR))), 1, 8))::BIGINT
+                        % 10 = 0
+                      THEN (CASE WHEN n_chars >= 300 THEN 'reject'
+                            ELSE 'keep' END)
+                      ELSE (CASE WHEN n_chars >= 300 THEN 'keep'
+                            ELSE 'reject' END) END AS label
+          FROM documents CROSS JOIN range(0, 3) t(rater)
+          WHERE ('0x' || substr(md5(concat(
+                   CAST(doc_id AS VARCHAR), '#',
+                   CAST(t.rater AS VARCHAR))), 1, 8))::BIGINT % 7 <> 3
+        ),
+        cell AS (
+          SELECT item, label AS cls, CAST(count(*) AS BIGINT) AS nuc
+          FROM ratings GROUP BY 1, 2
+        ),
+        per_unit AS (
+          SELECT item, CAST(sum(nuc) AS BIGINT) AS m_u,
+                 CAST(sum(nuc * nuc) AS BIGINT) AS sq
+          FROM cell GROUP BY 1
+        ),
+        units AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(sum(CASE WHEN m_u >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_pairable,
+                 CAST(coalesce(sum(CASE WHEN m_u >= 2 THEN m_u
+                                   ELSE 0 END), 0) AS BIGINT)
+                   AS n_ratings,
+                 sum(CASE WHEN m_u >= 2 THEN
+                     (m_u * m_u - sq) / (m_u - 1e0) ELSE 0e0 END)
+                   AS do_sum
+          FROM per_unit
+        ),
+        tc AS (
+          SELECT cls, CAST(sum(nuc) AS BIGINT) AS t_c
+          FROM cell JOIN (SELECT item FROM per_unit WHERE m_u >= 2) p
+            USING (item)
+          GROUP BY 1
+        ),
+        t2 AS (SELECT sum(t_c::HUGEINT * t_c) AS sum_t2 FROM tc)
+        SELECT n_units, n_pairable, n_ratings,
+               round(coalesce(do_sum, 0e0), 6) AS do_sum,
+               CASE WHEN n_ratings < 2 THEN NULL ELSE
+                 round((CAST(n_ratings AS DOUBLE) * n_ratings
+                        - CAST(sum_t2 AS DOUBLE))
+                       / (n_ratings * 1e0 * (n_ratings - 1)), 6)
+               END AS d_e,
+               CASE WHEN n_ratings < 2 THEN NULL
+                    WHEN (CAST(n_ratings AS DOUBLE) * n_ratings
+                          - CAST(sum_t2 AS DOUBLE)) = 0e0 THEN NULL
+                    ELSE round(1e0 - (coalesce(do_sum, 0e0)
+                          / n_ratings)
+                        / ((CAST(n_ratings AS DOUBLE) * n_ratings
+                            - CAST(sum_t2 AS DOUBLE))
+                           / (n_ratings * 1e0 * (n_ratings - 1))), 6)
+               END AS alpha
+        FROM units CROSS JOIN t2
     """
 
     return o

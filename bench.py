@@ -324,6 +324,8 @@ BENCH_QUERIES = [
     "source_bradley_terry",
     "annotator_agreement_fleiss",
     "assistant_diversity",
+    "preference_cycles",
+    "annotator_alpha_krippendorff",
 ]
 
 

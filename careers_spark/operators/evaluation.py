@@ -356,6 +356,105 @@ def fleiss_kappa(
     )
 
 
+def krippendorff_alpha(
+    ratings: DataFrame,
+    item: str = "item",
+    label: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (Krippendorff 2004) — the
+    agreement coefficient for the messy case fleiss_kappa surfaces and
+    refuses: raters may skip items, items may carry different numbers
+    of ratings. Units with fewer than 2 ratings are unpairable and
+    drop out (their count is emitted, not hidden).
+
+        o_u   = sum_c n_uc (m_u - n_uc) / (m_u - 1)   per pairable unit
+        D_o   = sum_u o_u / n
+        D_e   = sum_c T_c (n - T_c) / (n (n - 1))
+        alpha = 1 - D_o / D_e
+
+    with m_u the unit's rating count, n = sum m_u over pairable units,
+    T_c the category totals over pairable units.
+
+    Exactness: every n_uc / m_u / T_c is an exact BIGINT; o_u is a
+    per-unit integer ratio whose across-unit sum carries only IEEE
+    addition-order noise (~1e-16 relative, far below the final
+    round(,6) digit — the pagerank-sum argument); D_e is one division
+    of exact integers (T_c(n - T_c) rides DECIMAL(38,0) for headroom).
+    Degenerate cases NULL rather than divide by zero: no pairable
+    units, or a single observed category (D_e = 0).
+
+    One partial-agg groupBy(item, label) is the only corpus-sized
+    pass — identical shape to fleiss_kappa.
+
+    Output: one row — (n_units, n_pairable, n_ratings, do_sum, d_e,
+    alpha).
+    """
+    cell = ratings.groupBy(
+        F.col(item).alias("it"), F.col(label).alias("cls")
+    ).agg(F.count("*").alias("nuc"))
+    per_unit = cell.groupBy("it").agg(
+        F.sum("nuc").alias("m_u"),
+        F.sum(F.col("nuc") * F.col("nuc")).alias("sq"),
+    )
+    # sum_c nuc*(m_u - nuc) = m_u^2 - sum_c nuc^2, exact integers
+    units = per_unit.agg(
+        F.count("*").alias("n_units"),
+        F.sum(F.when(F.col("m_u") >= 2, 1).otherwise(0)).alias(
+            "n_pairable"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("m_u") >= 2, F.col("m_u")).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_ratings"),
+        F.sum(
+            F.when(
+                F.col("m_u") >= 2,
+                (F.col("m_u") * F.col("m_u") - F.col("sq"))
+                / (F.col("m_u") - F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+        ).alias("do_sum"),
+    )
+    pairable = per_unit.filter(F.col("m_u") >= 2).select("it")
+    tc = (
+        cell.join(pairable, "it")
+        .groupBy("cls")
+        .agg(F.sum("nuc").alias("t_c"))
+    )
+    t2 = tc.agg(
+        F.sum(F.col("t_c").cast("decimal(38,0)") * F.col("t_c")).alias(
+            "sum_t2"
+        )
+    )
+    return (
+        units.crossJoin(F.broadcast(t2))
+        .select(
+            "n_units",
+            "n_pairable",
+            "n_ratings",
+            F.expr("round(coalesce(do_sum, 0e0), 6)").alias("do_sum"),
+            F.expr(
+                "case when n_ratings < 2 then null else"
+                " round((cast(n_ratings as double) * n_ratings"
+                " - cast(sum_t2 as double))"
+                " / (n_ratings * 1e0 * (n_ratings - 1)), 6) end"
+            ).alias("d_e"),
+            F.expr(
+                "case when n_ratings < 2 then null"
+                " when (cast(n_ratings as double) * n_ratings"
+                "  - cast(sum_t2 as double)) = 0e0 then null"
+                " else round(1e0 - (coalesce(do_sum, 0e0) / n_ratings)"
+                " / ((cast(n_ratings as double) * n_ratings"
+                "     - cast(sum_t2 as double))"
+                "    / (n_ratings * 1e0 * (n_ratings - 1))), 6) end"
+            ).alias("alpha"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame, score: str = "score", label: str = "label", bins: int = 10
 ) -> DataFrame:

@@ -148,3 +148,102 @@ def bradley_terry_strength(
         F.col("w").alias("strength"),
         F.row_number().over(rk).alias("rank"),
     )
+
+
+def preference_cycles(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+) -> DataFrame:
+    """Condorcet-cycle audit of a pairwise-preference table — HOW
+    Bradley-Terry-fittable is this data: BT assumes a latent total
+    order, and the diagnostic for its violation is cyclic majority
+    triads (a > b > c > a in head-to-head majorities, the classic
+    intransitivity measure of tournament theory). A high cyclic rate
+    says the preferences are noise or multi-dimensional and a scalar
+    reward model will fight itself.
+
+    Majority edges: i -> j iff i beat j strictly more often than j
+    beat i (head-to-head ties contribute no edge, so their triads are
+    incomplete and counted in neither bucket). Complete triads are
+    triangles of the undirected majority graph (the canonical a<b<c
+    wedge-join enumeration, graph.triangle_stats' shape); a complete
+    triad is cyclic iff it is a directed 3-cycle, counted exactly once
+    by anchoring the cycle at its minimum arm (each directed 3-cycle
+    has exactly one wedge path starting and ending at its minimum).
+
+    All counts are exact integers from arms^2-bounded tables — the
+    corpus-sized work is the same single win-matrix groupBy as
+    bradley_terry_strength.
+
+    Output: one row — (n_arms, n_majority_edges, n_complete_triads,
+    n_cyclic_triads, cyclic_rate).
+    """
+    c = comparisons.select(
+        F.col(winner).alias("wi"), F.col(loser).alias("li")
+    ).filter(F.col("wi") != F.col("li"))
+    wins_m = c.groupBy(F.col("wi").alias("i"), F.col("li").alias("j")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    both = (
+        wins_m.select("i", "j", F.col("n").alias("n_ij"))
+        .join(
+            wins_m.select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                F.col("n").alias("n_ji"),
+            ),
+            ["i", "j"],
+            "full",
+        )
+        .select(
+            "i",
+            "j",
+            F.coalesce("n_ij", F.lit(0).cast("long")).alias("n_ij"),
+            F.coalesce("n_ji", F.lit(0).cast("long")).alias("n_ji"),
+        )
+    )
+    maj = both.filter(F.col("n_ij") > F.col("n_ji")).select("i", "j")
+    maj = maj.localCheckpoint(eager=True)
+    arms = (
+        c.select(F.col("wi").alias("a"))
+        .union(c.select(F.col("li").alias("a")))
+        .distinct()
+    )
+    und = maj.select(
+        F.least("i", "j").alias("a"), F.greatest("i", "j").alias("b")
+    ).distinct()
+    e1 = und.selectExpr("a as x", "b as y")
+    e2 = und.selectExpr("a as y", "b as z")
+    e3 = und.selectExpr("a as x", "b as z")
+    complete = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count("*").cast("long").alias("n_complete_triads")
+    )
+    # directed 3-cycles anchored at the minimum arm
+    m1 = maj.selectExpr("i as x", "j as y")
+    m2 = maj.selectExpr("i as y", "j as z")
+    m3 = maj.selectExpr("i as z", "j as x")
+    cyc = (
+        m1.join(m2, "y")
+        .join(m3, ["z", "x"])
+        .filter((F.col("x") < F.col("y")) & (F.col("x") < F.col("z")))
+        .agg(F.count("*").cast("long").alias("n_cyclic_triads"))
+    )
+    counts = arms.agg(F.count("*").cast("long").alias("n_arms"))
+    ne = maj.agg(F.count("*").cast("long").alias("n_majority_edges"))
+    return (
+        counts.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(complete))
+        .crossJoin(F.broadcast(cyc))
+        .select(
+            "n_arms",
+            "n_majority_edges",
+            "n_complete_triads",
+            "n_cyclic_triads",
+            F.expr(
+                "case when n_complete_triads = 0 then null else"
+                " round(n_cyclic_triads * 1e0 / n_complete_triads, 6)"
+                " end"
+            ).alias("cyclic_rate"),
+        )
+    )

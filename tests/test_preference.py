@@ -177,3 +177,137 @@ def test_fleiss_single_class_degenerate(spark):
     r = _kappa(spark, rows)
     assert r.pe == 1.0
     assert r.kappa is None
+
+
+# ---------------------------------------------------------------------------
+def _cycles(spark, pairs):
+    df = spark.createDataFrame(pairs, "winner string, loser string")
+    from careers_spark.operators.preference import preference_cycles
+
+    (r,) = preference_cycles(df).collect()
+    return r
+
+
+def test_cycles_rock_paper_scissors(spark):
+    r = _cycles(spark, [("A", "B"), ("B", "C"), ("C", "A")])
+    assert (r.n_arms, r.n_majority_edges) == (3, 3)
+    assert (r.n_complete_triads, r.n_cyclic_triads) == (1, 1)
+    assert r.cyclic_rate == 1.0
+
+
+def test_cycles_transitive_chain(spark):
+    r = _cycles(spark, [("A", "B"), ("B", "C"), ("A", "C")])
+    assert (r.n_complete_triads, r.n_cyclic_triads) == (1, 0)
+    assert r.cyclic_rate == 0.0
+
+
+def test_cycles_tie_breaks_triad(spark):
+    r = _cycles(
+        spark,
+        [("A", "B"), ("B", "A"), ("B", "C"), ("A", "C")],
+    )
+    # A-B head-to-head tied -> no majority edge -> no complete triad
+    assert r.n_majority_edges == 2
+    assert r.n_complete_triads == 0
+    assert r.cyclic_rate is None
+
+
+def test_cycles_python_lockstep(spark):
+    import random
+    from itertools import combinations
+
+    rng = random.Random(41)
+    arms = [f"a{i}" for i in range(6)]
+    pairs = []
+    for _ in range(200):
+        i, j = rng.sample(arms, 2)
+        pairs.append((i, j) if rng.random() < 0.5 else (j, i))
+    wins = {}
+    for w, l in pairs:
+        wins[(w, l)] = wins.get((w, l), 0) + 1
+    maj = {
+        (i, j)
+        for (i, j), n in wins.items()
+        if n > wins.get((j, i), 0)
+    }
+    complete = cyclic = 0
+    for t in combinations(sorted(arms), 3):
+        es = [
+            (x, y)
+            for x, y in combinations(t, 2)
+            if (x, y) in maj or (y, x) in maj
+        ]
+        if len(es) == 3:
+            complete += 1
+            outdeg = {a: 0 for a in t}
+            for x, y in combinations(t, 2):
+                if (x, y) in maj:
+                    outdeg[x] += 1
+                else:
+                    outdeg[y] += 1
+            if sorted(outdeg.values()) == [1, 1, 1]:
+                cyclic += 1
+    r = _cycles(spark, pairs)
+    assert r.n_complete_triads == complete
+    assert r.n_cyclic_triads == cyclic
+
+
+# ---------------------------------------------------------------------------
+def _alpha(spark, rows):
+    from careers_spark.operators.evaluation import krippendorff_alpha
+
+    df = spark.createDataFrame(rows, "item long, label string")
+    (r,) = krippendorff_alpha(df).collect()
+    return r
+
+
+def test_krippendorff_hand_example(spark):
+    # u1: A,A  u2: A,B  u3: B,B -> Do = (2)/6, De = (36-18)/30 = 0.6,
+    # alpha = 1 - (1/3)/0.6 = 4/9
+    rows = [(1, "A"), (1, "A"), (2, "A"), (2, "B"), (3, "B"), (3, "B")]
+    r = _alpha(spark, rows)
+    assert (r.n_units, r.n_pairable, r.n_ratings) == (3, 3, 6)
+    assert r.alpha == round(4 / 9, 6)
+
+
+def test_krippendorff_unpairable_unit_excluded(spark):
+    rows = [(1, "A"), (1, "A"), (2, "A"), (2, "B"), (3, "B"), (3, "B")]
+    r0 = _alpha(spark, rows)
+    r1 = _alpha(spark, rows + [(9, "A")])  # single rating: unpairable
+    assert r1.n_units == 4 and r1.n_pairable == 3
+    assert r1.alpha == r0.alpha
+
+
+def test_krippendorff_perfect_and_degenerate(spark):
+    perfect = [(i, "x" if i % 2 else "y") for i in range(4) for _ in range(3)]
+    assert _alpha(spark, perfect).alpha == 1.0
+    single = [(i, "x") for i in range(4) for _ in range(2)]
+    assert _alpha(spark, single).alpha is None
+
+
+def test_krippendorff_python_lockstep(spark):
+    import random
+    from collections import Counter
+
+    rng = random.Random(53)
+    rows = []
+    for u in range(30):
+        for _ in range(rng.randrange(1, 5)):
+            rows.append((u, rng.choice("abc")))
+    nuc = Counter(rows)
+    mu = Counter(u for u, _ in rows)
+    pair_units = {u for u, m in mu.items() if m >= 2}
+    n = sum(mu[u] for u in pair_units)
+    do_sum = 0.0
+    for u in pair_units:
+        sq = sum(c * c for (uu, _), c in nuc.items() if uu == u)
+        do_sum += (mu[u] ** 2 - sq) / (mu[u] - 1)
+    tc = Counter()
+    for (u, lab), c in nuc.items():
+        if u in pair_units:
+            tc[lab] += c
+    de = (n * n - sum(v * v for v in tc.values())) / (n * (n - 1))
+    want = round(1 - (do_sum / n) / de, 6)
+    r = _alpha(spark, rows)
+    assert r.n_ratings == n
+    assert abs(r.alpha - want) < 2e-6
