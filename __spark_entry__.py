@@ -5369,6 +5369,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["annotator_alpha_krippendorff"] = annotator_alpha_krippendorff
 
+    def source_winrate_wilson(spark, sf_dir):
+        """Head-to-head leaderboard of the source battles with Wilson
+        95% intervals (preference.pairwise_winrate) — which matchups
+        the data actually decides, beside the BT point estimates."""
+        from careers_spark.operators.preference import pairwise_winrate
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        a = d.alias("a")
+        b = d.alias("b")
+        comp = a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.source") != F.col("b.source")),
+        ).select(
+            F.expr(
+                "case when a.n_chars >= b.n_chars then a.source"
+                " else b.source end"
+            ).alias("winner"),
+            F.expr(
+                "case when a.n_chars >= b.n_chars then b.source"
+                " else a.source end"
+            ).alias("loser"),
+        )
+        return pairwise_winrate(comp)
+
+    q["source_winrate_wilson"] = source_winrate_wilson
+
+    def instruction_grounding_audit(spark, sf_dir):
+        """Per assistant turn of the pinned synth transcripts: distinct
+        -token overlap with the most recent strictly earlier user turn
+        (convshape.instruction_grounding) — the answering-the-question
+        complement of tool_grounding, dangling assistants surfaced as
+        NULL rows."""
+        from careers_spark.operators.convshape import (
+            instruction_grounding,
+        )
+
+        return instruction_grounding(_synth_transcripts(spark))
+
+    q["instruction_grounding_audit"] = instruction_grounding_audit
+
     return q
 
 
@@ -16099,6 +16142,49 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN big b ON s.conv_id = b.conv_id
     """
 
+        # instruction_grounding_audit: last-user-turn pairing via the
+        # IGNORE NULLS running window (the asof convention), distinct
+        # intersection on the house lattice, dangling assistants kept
+        # as NULL rows.
+        o["instruction_grounding_audit"] = f"""
+        WITH tr AS ({_tr_sql}),
+        base AS (
+          SELECT conv_id, turn_idx AS ti, role AS r,
+                 last_value(CASE WHEN role = 'user' THEN turn_idx END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_user_turn
+          FROM tr
+        ),
+        asst AS (
+          SELECT conv_id, ti, prev_user_turn FROM base
+          WHERE r = 'assistant'
+        ),
+        atoks AS (
+          SELECT conv_id, turn_idx AS ti, {_DUCK_TOKS} AS a_toks
+          FROM tr WHERE role = 'assistant'
+        ),
+        utoks AS (
+          SELECT conv_id AS u_conv, turn_idx AS uti,
+                 {_DUCK_TOKS} AS u_toks
+          FROM tr WHERE role = 'user'
+        )
+        SELECT a.conv_id, a.ti AS turn_idx, a.prev_user_turn,
+               CASE WHEN a.prev_user_turn IS NULL THEN NULL
+                    ELSE CAST(len(list_filter(list_distinct(t.a_toks),
+                         x -> list_contains(u.u_toks, x))) AS BIGINT)
+               END AS overlap_tokens,
+               CASE WHEN a.prev_user_turn IS NULL THEN NULL
+                    ELSE len(list_filter(list_distinct(t.a_toks),
+                         x -> list_contains(u.u_toks, x))) >= 1
+               END AS grounded
+        FROM asst a
+        JOIN atoks t ON a.conv_id = t.conv_id AND a.ti = t.ti
+        LEFT JOIN utoks u
+          ON a.conv_id = u.u_conv AND a.prev_user_turn = u.uti
+    """
+
     # orders_join_qerror: per-key count tables, exact actual via
     # HUGEINT products, shared-text estimate and Q-error closes.
     o["orders_join_qerror"] = """
@@ -16410,6 +16496,48 @@ def oracle_sql() -> dict[str, str]:
                            / (n_ratings * 1e0 * (n_ratings - 1))), 6)
                END AS alpha
         FROM units CROSS JOIN t2
+    """
+
+    # source_winrate_wilson: canonical-pair win counts + the Wilson
+    # interval as identical shared-text doubles (z^2 stays the product
+    # 1.96e0 * 1.96e0; sqrt is IEEE-correctly-rounded).
+    _wr_p = "(n_ab / (games * 1e0))"
+    _wr_z2 = "(1.96e0 * 1.96e0)"
+    _wr_rad = (
+        f"sqrt({_wr_p} * (1e0 - {_wr_p}) / games"
+        f" + {_wr_z2} / (4e0 * games * games))"
+    )
+    _wr_mid = f"({_wr_p} + {_wr_z2} / (2e0 * games))"
+    _wr_den = f"(1e0 + {_wr_z2} / games)"
+    o["source_winrate_wilson"] = f"""
+        WITH comp AS MATERIALIZED (
+          SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
+                      ELSE b.source END AS wi,
+                 CASE WHEN a.n_chars >= b.n_chars THEN b.source
+                      ELSE a.source END AS li
+          FROM documents a JOIN documents b
+            ON b.doc_id = a.doc_id + 1 AND a.source <> b.source
+        ),
+        pairs AS (
+          SELECT least(wi, li) AS arm_a, greatest(wi, li) AS arm_b,
+                 CAST(sum(CASE WHEN wi < li THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_ab,
+                 CAST(sum(CASE WHEN wi > li THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_ba
+          FROM comp WHERE wi <> li GROUP BY 1, 2
+        ),
+        g AS (SELECT arm_a, arm_b, n_ab, n_ba, n_ab + n_ba AS games
+              FROM pairs)
+        SELECT arm_a, arm_b, n_ab, n_ba, games,
+               round({_wr_p}, 6) AS p_ab,
+               round(({_wr_mid} - 1.96e0 * {_wr_rad}) / {_wr_den}, 6)
+                 AS wilson_lo,
+               round(({_wr_mid} + 1.96e0 * {_wr_rad}) / {_wr_den}, 6)
+                 AS wilson_hi,
+               (({_wr_mid} - 1.96e0 * {_wr_rad}) / {_wr_den} > 0.5e0)
+                 OR (({_wr_mid} + 1.96e0 * {_wr_rad}) / {_wr_den}
+                     < 0.5e0) AS decided
+        FROM g
     """
 
     return o

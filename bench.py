@@ -326,6 +326,8 @@ BENCH_QUERIES = [
     "assistant_diversity",
     "preference_cycles",
     "annotator_alpha_krippendorff",
+    "source_winrate_wilson",
+    "instruction_grounding_audit",
 ]
 
 

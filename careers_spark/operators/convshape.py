@@ -585,3 +585,83 @@ def assistant_ngram_diversity(
             ).alias("distinct_2"),
         )
     )
+
+
+def instruction_grounding(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+) -> DataFrame:
+    """Per assistant turn: distinct-token overlap with the most recent
+    STRICTLY earlier user turn of the same conversation — the
+    is-the-assistant-answering-the-question complement of
+    tool_grounding (which checks the tool side). Zero overlap with the
+    instruction is the off-topic/derailment smell SFT curation drops;
+    an assistant turn with NO prior user turn is a dangling defect row
+    (NULL overlap), emitted rather than silently filtered — the same
+    inside-the-pairing lesson tool_grounding learned.
+
+    Pairing: one per-conversation window computes the last user
+    turn_idx strictly before each turn (bounded partitions, the
+    resolver's ordering contract), then assistant turns left-join the
+    user turns' token arrays on that index. Overlap counts DISTINCT
+    shared tokens on the house lattice (array_intersect dedups).
+
+    Output: one row per assistant turn — (conv_id, turn_idx,
+    prev_user_turn, overlap_tokens, grounded).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ti")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        F.col(role).alias("r"),
+    ).withColumn(
+        "prev_user_turn",
+        F.last(
+            F.when(F.col("r") == "user", F.col("ti")), ignorenulls=True
+        ).over(w),
+    )
+    asst = base.filter(F.col("r") == "assistant").select(
+        "conv_id", "ti", "prev_user_turn"
+    )
+    atoks = transcripts.filter(F.col(role) == "assistant").select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        tokens_col(text).alias("a_toks"),
+    )
+    utoks = transcripts.filter(F.col(role) == "user").select(
+        F.col(conv).alias("u_conv"),
+        F.col(turn).alias("uti"),
+        tokens_col(text).alias("u_toks"),
+    )
+    j = asst.join(atoks, ["conv_id", "ti"]).join(
+        utoks,
+        (F.col("conv_id") == F.col("u_conv"))
+        & (F.col("prev_user_turn") == F.col("uti")),
+        "left",
+    )
+    return j.select(
+        "conv_id",
+        F.col("ti").alias("turn_idx"),
+        "prev_user_turn",
+        F.when(
+            F.col("prev_user_turn").isNull(), F.lit(None).cast("long")
+        )
+        .otherwise(
+            F.size(F.array_intersect("a_toks", "u_toks")).cast("long")
+        )
+        .alias("overlap_tokens"),
+        F.when(F.col("prev_user_turn").isNull(), F.lit(None))
+        .otherwise(
+            F.size(F.array_intersect("a_toks", "u_toks")) >= 1
+        )
+        .alias("grounded"),
+    )

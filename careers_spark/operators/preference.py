@@ -247,3 +247,70 @@ def preference_cycles(
             ).alias("cyclic_rate"),
         )
     )
+
+
+def pairwise_winrate(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+) -> DataFrame:
+    """The head-to-head leaderboard table: per unordered arm pair
+    (a < b canonically), wins each way and the Wilson 95% score
+    interval for P(a beats b) — the LMSYS-style matchup matrix with
+    honest small-sample uncertainty (a raw win rate on 3 games says
+    nothing; the Wilson bound says exactly how little). `decided`
+    flags pairs whose interval clears 0.5 either way — the pairs a
+    reward model can safely order.
+
+        wilson = (p + z^2/2n -+ z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n)
+
+    Exactness: wins are integers from the single corpus-sized win-
+    matrix groupBy; p is one division of exact integers and the Wilson
+    expression is identical text in both engines over those doubles —
+    sqrt is IEEE-correctly-rounded, z^2 is written as the product
+    1.96e0 * 1.96e0 (never a rounded 3.8416 literal), so every
+    intermediate double matches and the bounds hash-exactly under the
+    final round(,6).
+
+    Output: (arm_a, arm_b, n_ab, n_ba, games, p_ab, wilson_lo,
+    wilson_hi, decided) — one row per pair that played.
+    """
+    c = comparisons.select(
+        F.col(winner).alias("wi"), F.col(loser).alias("li")
+    ).filter(F.col("wi") != F.col("li"))
+    directed = c.groupBy(
+        F.least("wi", "li").alias("arm_a"),
+        F.greatest("wi", "li").alias("arm_b"),
+    ).agg(
+        F.sum(F.when(F.col("wi") < F.col("li"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ab"),
+        F.sum(F.when(F.col("wi") > F.col("li"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ba"),
+    )
+    z2 = "(1.96e0 * 1.96e0)"
+    p = "(n_ab / (games * 1e0))"
+    rad = f"sqrt({p} * (1e0 - {p}) / games + {z2} / (4e0 * games * games))"
+    mid = f"({p} + {z2} / (2e0 * games))"
+    den = f"(1e0 + {z2} / games)"
+    return directed.withColumn(
+        "games", F.col("n_ab") + F.col("n_ba")
+    ).select(
+        "arm_a",
+        "arm_b",
+        "n_ab",
+        "n_ba",
+        "games",
+        F.expr(f"round({p}, 6)").alias("p_ab"),
+        F.expr(
+            f"round(({mid} - 1.96e0 * {rad}) / {den}, 6)"
+        ).alias("wilson_lo"),
+        F.expr(
+            f"round(({mid} + 1.96e0 * {rad}) / {den}, 6)"
+        ).alias("wilson_hi"),
+        F.expr(
+            f"(({mid} - 1.96e0 * {rad}) / {den} > 0.5e0)"
+            f" or (({mid} + 1.96e0 * {rad}) / {den} < 0.5e0)"
+        ).alias("decided"),
+    )

@@ -311,3 +311,115 @@ def test_krippendorff_python_lockstep(spark):
     r = _alpha(spark, rows)
     assert r.n_ratings == n
     assert abs(r.alpha - want) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+def _wr(spark, pairs):
+    df = spark.createDataFrame(pairs, "winner string, loser string")
+    from careers_spark.operators.preference import pairwise_winrate
+
+    return {
+        (r.arm_a, r.arm_b): r for r in pairwise_winrate(df).collect()
+    }
+
+
+def _wilson(p, n, z=1.96):
+    import math
+
+    z2 = z * z
+    mid = p + z2 / (2 * n)
+    rad = math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    den = 1 + z2 / n
+    return (mid - z * rad) / den, (mid + z * rad) / den
+
+
+def test_winrate_eight_of_ten_is_undecided(spark):
+    out = _wr(spark, [("A", "B")] * 8 + [("B", "A")] * 2)
+    r = out[("A", "B")]
+    assert (r.n_ab, r.n_ba, r.games) == (8, 2, 10)
+    assert r.p_ab == 0.8
+    lo, hi = _wilson(0.8, 10)
+    assert r.wilson_lo == round(lo, 6) and r.wilson_hi == round(hi, 6)
+    # the canonical 8/10 surprise: the 95% interval still covers 0.5
+    assert lo < 0.5 < hi
+    assert r.decided is False
+
+
+def test_winrate_shutout_is_decided(spark):
+    out = _wr(spark, [("A", "B")] * 20)
+    r = out[("A", "B")]
+    assert r.p_ab == 1.0
+    lo, _ = _wilson(1.0, 20)
+    assert r.wilson_lo == round(lo, 6)
+    assert lo > 0.5 and r.decided is True
+
+
+def test_winrate_canonical_order_and_balance(spark):
+    out = _wr(spark, [("Z", "A")] * 3 + [("A", "Z")] * 3)
+    assert list(out) == [("A", "Z")]
+    r = out[("A", "Z")]
+    assert (r.n_ab, r.n_ba) == (3, 3)
+    assert r.p_ab == 0.5 and r.decided is False
+
+
+# ---------------------------------------------------------------------------
+def _ig(spark, rows):
+    from careers_spark.operators.convshape import instruction_grounding
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    return {
+        (r.conv_id, r.turn_idx): r
+        for r in instruction_grounding(df).collect()
+    }
+
+
+def test_instruction_grounding_basic_and_recent_user(spark):
+    out = _ig(
+        spark,
+        [
+            ("c", 0, "user", "alpha question"),
+            ("c", 1, "assistant", "alpha answer"),
+            ("c", 2, "user", "beta followup"),
+            ("c", 3, "assistant", "beta gamma"),
+        ],
+    )
+    r1 = out[("c", 1)]
+    assert (r1.prev_user_turn, r1.overlap_tokens, r1.grounded) == (
+        0, 1, True,
+    )
+    r3 = out[("c", 3)]
+    # pairs with the MOST RECENT user turn (2), not turn 0
+    assert (r3.prev_user_turn, r3.overlap_tokens) == (2, 1)
+
+
+def test_instruction_grounding_dangling_and_offtopic(spark):
+    out = _ig(
+        spark,
+        [
+            ("c", 0, "assistant", "unprompted greeting"),
+            ("c", 1, "user", "alpha"),
+            ("c", 2, "assistant", "completely unrelated"),
+        ],
+    )
+    r0 = out[("c", 0)]
+    assert r0.prev_user_turn is None
+    assert r0.overlap_tokens is None and r0.grounded is None
+    r2 = out[("c", 2)]
+    assert (r2.overlap_tokens, r2.grounded) == (0, False)
+
+
+def test_instruction_grounding_distinct_overlap_and_tool_skip(spark):
+    out = _ig(
+        spark,
+        [
+            ("c", 0, "user", "spark spark spark engine"),
+            ("c", 1, "tool", "spark engine output rows"),
+            ("c", 2, "assistant", "spark engine spark engine"),
+        ],
+    )
+    r = out[("c", 2)]
+    # tool turn does not displace the user pairing; repeated shared
+    # tokens count once each
+    assert (r.prev_user_turn, r.overlap_tokens) == (0, 2)
