@@ -5412,6 +5412,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["instruction_grounding_audit"] = instruction_grounding_audit
 
+    def turn_cohesion_boundaries(spark, sf_dir):
+        """Adjacent-turn lexical-cohesion pairs of the pinned synth
+        transcripts with TextTiling-style topic-shift boundaries at
+        jaccard < 1/5 (convshape.turn_cohesion) — the cut points
+        context-budget truncation should respect."""
+        from careers_spark.operators.convshape import turn_cohesion
+
+        return turn_cohesion(_synth_transcripts(spark))
+
+    q["turn_cohesion_boundaries"] = turn_cohesion_boundaries
+
+    def tool_usage_summary(spark, sf_dir):
+        """Per-tool usage rollup of the pinned synth transcripts
+        (convshape.tool_usage_profile): calls, conversations, grounded
+        vs dangling, grounding rate — which tools the agent uses and
+        then actually reads."""
+        from careers_spark.operators.convshape import tool_usage_profile
+
+        return tool_usage_profile(_synth_transcripts(spark))
+
+    q["tool_usage_summary"] = tool_usage_summary
+
     return q
 
 
@@ -16183,6 +16205,58 @@ def oracle_sql() -> dict[str, str]:
         JOIN atoks t ON a.conv_id = t.conv_id AND a.ti = t.ti
         LEFT JOIN utoks u
           ON a.conv_id = u.u_conv AND a.prev_user_turn = u.uti
+    """
+
+        # turn_cohesion_boundaries: adjacent-turn self-join on the
+        # pinned corpus; boundary = cross-multiplied integers, jaccard
+        # one rounded division.
+        o["turn_cohesion_boundaries"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, turn_idx AS ti, {_DUCK_TOKS} AS toks FROM tr
+        )
+        SELECT a.conv_id, a.ti AS turn_idx, b.ti AS next_turn_idx,
+               CAST(len(list_filter(list_distinct(a.toks),
+                    x -> list_contains(b.toks, x))) AS BIGINT)
+                 AS inter_tokens,
+               CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                    AS BIGINT) AS union_tokens,
+               CASE WHEN len(list_distinct(list_concat(a.toks,
+                         b.toks))) = 0 THEN NULL
+                    ELSE round(len(list_filter(list_distinct(a.toks),
+                         x -> list_contains(b.toks, x))) * 1e0
+                         / len(list_distinct(list_concat(a.toks,
+                               b.toks))), 6) END AS jaccard,
+               CASE WHEN len(list_distinct(list_concat(a.toks,
+                         b.toks))) = 0 THEN NULL
+                    ELSE len(list_filter(list_distinct(a.toks),
+                         x -> list_contains(b.toks, x))) * 5
+                         < len(list_distinct(list_concat(a.toks,
+                               b.toks))) * 1 END AS is_boundary
+        FROM t a JOIN t b
+          ON a.conv_id = b.conv_id AND b.ti = a.ti + 1
+    """
+
+        # tool_usage_summary: the tool_grounding oracle nested
+        # verbatim, closed by one tool-dimension rollup.
+        o["tool_usage_summary"] = f"""
+        WITH tg AS ({o["tool_grounding_audit"]})
+        SELECT tool_name,
+               CAST(count(*) AS BIGINT) AS n_calls,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               CAST(sum(CASE WHEN assistant_turn IS NOT NULL
+                        AND grounded THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_grounded,
+               CAST(sum(CASE WHEN assistant_turn IS NULL THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_dangling,
+               CASE WHEN count(*) - sum(CASE WHEN assistant_turn
+                         IS NULL THEN 1 ELSE 0 END) = 0 THEN NULL
+                    ELSE round(sum(CASE WHEN assistant_turn IS NOT
+                         NULL AND grounded THEN 1 ELSE 0 END) * 1e0
+                         / (count(*) - sum(CASE WHEN assistant_turn
+                            IS NULL THEN 1 ELSE 0 END)), 6)
+               END AS grounded_rate
+        FROM tg GROUP BY tool_name
     """
 
     # orders_join_qerror: per-key count tables, exact actual via

@@ -328,6 +328,8 @@ BENCH_QUERIES = [
     "annotator_alpha_krippendorff",
     "source_winrate_wilson",
     "instruction_grounding_audit",
+    "turn_cohesion_boundaries",
+    "tool_usage_summary",
 ]
 
 

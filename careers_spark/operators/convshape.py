@@ -665,3 +665,139 @@ def instruction_grounding(
         )
         .alias("grounded"),
     )
+
+
+def turn_cohesion(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    text: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Adjacent-turn lexical cohesion — the TextTiling signal (Hearst
+    1997) on the conversation's own turn lattice: Jaccard similarity
+    of the distinct token sets of each consecutive turn pair, with a
+    topic-shift boundary flagged where cohesion drops below
+    threshold_num/threshold_den. Long multi-topic conversations are
+    what context-budget truncation should cut at a boundary, not mid-
+    topic — this emits the cut points.
+
+    Exactness: the boundary decision is the cross-multiplied integer
+    comparison |inter| * den < |union| * num — float-free; the
+    reported jaccard is one rounded division of the same integers.
+    Empty-union pairs (both turns tokenless) surface NULL jaccard and
+    NULL boundary rather than a default.
+
+    Shape at scale: one equi-self-join on (conv_id, turn_idx + 1) —
+    shuffle on the conversation key, per-row work bounded by turn
+    length; no window, no sort.
+
+    Output: one row per adjacent pair — (conv_id, turn_idx,
+    next_turn_idx, inter_tokens, union_tokens, jaccard, is_boundary).
+    """
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        tokens_col(text).alias("toks"),
+    )
+    a = t.select(
+        "conv_id", F.col("ti").alias("turn_idx"), F.col("toks").alias("a_toks")
+    )
+    b = t.select(
+        F.col("conv_id").alias("b_conv"),
+        F.col("ti").alias("next_turn_idx"),
+        F.col("toks").alias("b_toks"),
+    )
+    j = a.join(
+        b,
+        (F.col("conv_id") == F.col("b_conv"))
+        & (F.col("next_turn_idx") == F.col("turn_idx") + 1),
+    )
+    num, den = int(threshold_num), int(threshold_den)
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        "next_turn_idx",
+        F.size(F.array_intersect("a_toks", "b_toks"))
+        .cast("long")
+        .alias("inter_tokens"),
+        F.size(F.array_union("a_toks", "b_toks"))
+        .cast("long")
+        .alias("union_tokens"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "next_turn_idx",
+        "inter_tokens",
+        "union_tokens",
+        F.expr(
+            "case when union_tokens = 0 then null else"
+            " round(inter_tokens * 1e0 / union_tokens, 6) end"
+        ).alias("jaccard"),
+        F.expr(
+            "case when union_tokens = 0 then null else"
+            f" inter_tokens * {den} < union_tokens * {num} end"
+        ).alias("is_boundary"),
+    )
+
+
+def tool_usage_profile(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    tool: str = "tool",
+) -> DataFrame:
+    """Per-tool usage rollup of the tool_grounding evidence rows — the
+    which-tools-does-the-agent-actually-use (and which does it then
+    ignore) table: calls, conversations reached, grounded vs dangling
+    counts, grounding rate. A tool with many calls and a low grounded
+    rate is either broken or its output format is unreadable to the
+    model — either way a curation finding.
+
+    Pure composition: tool_grounding's per-call rows (already exact)
+    closed by one dimension-sized groupBy(tool_name); grounded_rate is
+    a single division over non-dangling calls (NULL when every call
+    dangles).
+
+    Output: (tool_name, n_calls, n_convs, n_grounded, n_dangling,
+    grounded_rate).
+    """
+    g = tool_grounding(
+        transcripts, conv=conv, turn=turn, role=role, text=text, tool=tool
+    )
+    return (
+        g.groupBy("tool_name")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum(
+                F.when(
+                    F.col("assistant_turn").isNotNull()
+                    & F.col("grounded"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_grounded"),
+            F.sum(
+                F.when(F.col("assistant_turn").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dangling"),
+        )
+        .select(
+            "tool_name",
+            "n_calls",
+            "n_convs",
+            "n_grounded",
+            "n_dangling",
+            F.expr(
+                "case when n_calls - n_dangling = 0 then null else"
+                " round(n_grounded * 1e0 / (n_calls - n_dangling), 6)"
+                " end"
+            ).alias("grounded_rate"),
+        )
+    )

@@ -232,3 +232,90 @@ def test_canned_responses_golden(spark):
     r = out[0]
     assert r["n_convs"] == 3 and r["n_turns"] == 3
     assert r["example_text"] == "I CANNOT HELP WITH THAT"  # min by raw
+
+
+# ---------------------------------------------------------------------------
+def test_turn_cohesion_golden(spark):
+    from careers_spark.operators.convshape import turn_cohesion
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "spark engine question"),
+            ("c", 1, "assistant", "spark engine answer"),
+            ("c", 2, "user", "totally different topic"),
+            ("d", 0, "user", "lonely"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r for r in turn_cohesion(df).collect()
+    }
+    # pairs never cross conversations; a single-turn conv emits none
+    assert set(out) == {("c", 0), ("c", 1)}
+    r0 = out[("c", 0)]
+    # {spark,engine,question} vs {spark,engine,answer}: 2/4
+    assert (r0.inter_tokens, r0.union_tokens) == (2, 4)
+    assert r0.jaccard == 0.5 and r0.is_boundary is False
+    r1 = out[("c", 1)]
+    # zero overlap -> boundary
+    assert r1.inter_tokens == 0 and r1.is_boundary is True
+
+
+def test_turn_cohesion_threshold_is_strict(spark):
+    from careers_spark.operators.convshape import turn_cohesion
+
+    df = spark.createDataFrame(
+        [("c", 0, "u", "a b c d e"), ("c", 1, "a", "a f g h")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    # inter=1 union=8 -> jaccard=0.125; at 1/8 the cross-multiplied
+    # comparison 1*8 < 8*1 is FALSE (strict) -> not a boundary
+    (r,) = turn_cohesion(
+        df, threshold_num=1, threshold_den=8
+    ).collect()
+    assert (r.inter_tokens, r.union_tokens) == (1, 8)
+    assert r.is_boundary is False
+    (r,) = turn_cohesion(
+        df, threshold_num=1, threshold_den=5
+    ).collect()
+    assert r.is_boundary is True
+
+
+def test_turn_cohesion_empty_union_null(spark):
+    from careers_spark.operators.convshape import turn_cohesion
+
+    df = spark.createDataFrame(
+        [("c", 0, "u", "..."), ("c", 1, "a", "!!!")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    (r,) = turn_cohesion(df).collect()
+    assert r.union_tokens == 0
+    assert r.jaccard is None and r.is_boundary is None
+
+
+def test_tool_usage_profile_rollup(spark):
+    from careers_spark.operators.convshape import tool_usage_profile
+
+    df = spark.createDataFrame(
+        [
+            # search: grounded call in c1, ignored call in c2
+            ("c1", 0, "user", "find spark docs", ""),
+            ("c1", 1, "tool", "spark docs url result", "search"),
+            ("c1", 2, "assistant", "the spark docs say", ""),
+            ("c2", 0, "tool", "alpha beta", "search"),
+            ("c2", 1, "assistant", "unrelated reply", ""),
+            # calc: dangling call (no assistant after)
+            ("c3", 0, "user", "compute", ""),
+            ("c3", 1, "tool", "42", "calc"),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string",
+    )
+    out = {r.tool_name: r for r in tool_usage_profile(df).collect()}
+    s = out["search"]
+    assert (s.n_calls, s.n_convs) == (2, 2)
+    assert (s.n_grounded, s.n_dangling) == (1, 0)
+    assert s.grounded_rate == 0.5
+    c = out["calc"]
+    assert (c.n_calls, c.n_grounded, c.n_dangling) == (1, 0, 1)
+    assert c.grounded_rate is None
