@@ -5434,6 +5434,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tool_usage_summary"] = tool_usage_summary
 
+    def conv_near_dup_pairs(spark, sf_dir):
+        """Conversation-grain near-duplicate pairs of the pinned synth
+        transcripts at jaccard >= 1/2 over pooled within-turn trigram
+        shingles (convshape.conversation_near_dups) — the SFT-level
+        dedup document operators cannot see."""
+        from careers_spark.operators.convshape import (
+            conversation_near_dups,
+        )
+
+        return conversation_near_dups(_synth_transcripts(spark))
+
+    q["conv_near_dup_pairs"] = conv_near_dup_pairs
+
+    def conv_dedup_canonical(spark, sf_dir):
+        """Keep-one-representative conversation dedup: near-dup pairs
+        -> salted min-label CC -> min conv_id per cluster
+        (convshape.conversation_dedup_canonical) — near_dup_canonical
+        lifted to the conversation grain."""
+        from careers_spark.operators.convshape import (
+            conversation_dedup_canonical,
+        )
+
+        return conversation_dedup_canonical(_synth_transcripts(spark))
+
+    q["conv_dedup_canonical"] = conv_dedup_canonical
+
     return q
 
 
@@ -16257,6 +16283,73 @@ def oracle_sql() -> dict[str, str]:
                             IS NULL THEN 1 ELSE 0 END)), 6)
                END AS grounded_rate
         FROM tg GROUP BY tool_name
+    """
+
+        # conv_near_dup_pairs: pooled within-turn trigram shingles per
+        # conversation, shared-shingle blocking (complete for any
+        # positive threshold), cross-multiplied integer keep decision.
+        _conv_pairs_sql = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (SELECT conv_id, {_DUCK_TOKS} AS toks FROM tr),
+        sh AS (
+          SELECT DISTINCT conv_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                             || toks[i+2])) AS s
+          FROM t
+        ),
+        sz AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh
+          GROUP BY 1
+        ),
+        inter AS (
+          SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                 CAST(count(*) AS BIGINT) AS inter_shingles
+          FROM sh a JOIN sh b
+            ON a.s = b.s AND a.conv_id < b.conv_id
+          GROUP BY 1, 2
+        )
+        SELECT conv_a, conv_b, inter_shingles,
+               x.n_sh AS n_sh_a, y.n_sh AS n_sh_b,
+               round(inter_shingles * 1e0
+                     / (x.n_sh + y.n_sh - inter_shingles), 6)
+                 AS jaccard
+        FROM inter JOIN sz x ON conv_a = x.conv_id
+                   JOIN sz y ON conv_b = y.conv_id
+        WHERE inter_shingles * 2
+              >= (x.n_sh + y.n_sh - inter_shingles) * 1
+    """
+        o["conv_near_dup_pairs"] = _conv_pairs_sql
+
+        # conv_dedup_canonical: the pairs oracle nested verbatim as
+        # the edge set, 8-round MATERIALIZED min-label propagation
+        # (the near_dup_canonical recipe at conversation grain), spine
+        # = every conversation.
+        _conv_cc_rounds = ""
+        for _i in range(1, 9):
+            _conv_cc_rounds += f""",
+        cl{_i} AS MATERIALIZED (
+          SELECT d.conv_id,
+                 least(d.label, coalesce(min(nb.label), d.label))
+                   AS label
+          FROM cl{_i - 1} d
+          LEFT JOIN conv_edges e ON e.u = d.conv_id
+          LEFT JOIN cl{_i - 1} nb ON nb.conv_id = e.v
+          GROUP BY d.conv_id, d.label
+        )"""
+        o["conv_dedup_canonical"] = f"""
+        WITH pairs AS MATERIALIZED ({_conv_pairs_sql}),
+        tr2 AS ({_tr_sql}),
+        conv_edges AS MATERIALIZED (
+          SELECT conv_a AS u, conv_b AS v FROM pairs
+          UNION ALL SELECT conv_b AS u, conv_a AS v FROM pairs
+        ),
+        cl0 AS MATERIALIZED (
+          SELECT DISTINCT conv_id, conv_id AS label FROM tr2
+        ){_conv_cc_rounds}
+        SELECT conv_id, label AS canonical_id,
+               (conv_id = label) AS is_kept
+        FROM cl8
     """
 
     # orders_join_qerror: per-key count tables, exact actual via

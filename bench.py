@@ -330,6 +330,8 @@ BENCH_QUERIES = [
     "instruction_grounding_audit",
     "turn_cohesion_boundaries",
     "tool_usage_summary",
+    "conv_near_dup_pairs",
+    "conv_dedup_canonical",
 ]
 
 

@@ -801,3 +801,143 @@ def tool_usage_profile(
             ).alias("grounded_rate"),
         )
     )
+
+
+def conversation_near_dups(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    text: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Conversation-grain near-duplicate pairs — the SFT-level dedup
+    the document operators cannot see: two conversations that retell
+    the same exchange (template rollouts, retried sessions, shared
+    boilerplate) carry near-identical training signal even when no
+    single turn is a verbatim duplicate. Similarity is exact Jaccard
+    over the conversation's pooled DISTINCT word n-gram shingles
+    (shingles stay within a turn — the bigram_doc_freq lattice),
+    kept at jaccard >= threshold_num/threshold_den.
+
+    Candidate generation is the shared-shingle equi-join (the
+    ngram_jaccard_pairs shape, conversation grain): complete by
+    construction for any positive threshold, since jaccard > 0
+    requires at least one shared shingle — never an all-pairs step.
+    The keep decision is the cross-multiplied integer comparison
+    inter * den >= (n_a + n_b - inter) * num — float-free; the
+    reported jaccard is one rounded division of the same integers.
+
+    Output: (conv_a, conv_b, inter_shingles, n_sh_a, n_sh_b, jaccard),
+    conv_a < conv_b canonically.
+    """
+    from careers_spark.operators.dedup import shingles_expr
+
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"), tokens_col(text).alias("toks")
+    )
+    sh = (
+        t.select(
+            "conv_id",
+            F.explode(F.expr(shingles_expr(n))).alias("s"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("conv_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("conv_id").alias("conv_a"), "s")
+    b = sh.select(F.col("conv_id").alias("conv_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("conv_a") < F.col("conv_b"))
+        .groupBy("conv_a", "conv_b")
+        .agg(F.count("*").cast("long").alias("inter_shingles"))
+    )
+    num, den = int(threshold_num), int(threshold_den)
+    return (
+        inter.join(
+            sz.select(
+                F.col("conv_id").alias("conv_a"),
+                F.col("n_sh").alias("n_sh_a"),
+            ),
+            "conv_a",
+        )
+        .join(
+            sz.select(
+                F.col("conv_id").alias("conv_b"),
+                F.col("n_sh").alias("n_sh_b"),
+            ),
+            "conv_b",
+        )
+        .filter(
+            F.expr(
+                f"inter_shingles * {den}"
+                f" >= (n_sh_a + n_sh_b - inter_shingles) * {num}"
+            )
+        )
+        .select(
+            "conv_a",
+            "conv_b",
+            "inter_shingles",
+            "n_sh_a",
+            "n_sh_b",
+            F.expr(
+                "round(inter_shingles * 1e0"
+                " / (n_sh_a + n_sh_b - inter_shingles), 6)"
+            ).alias("jaccard"),
+        )
+    )
+
+
+def conversation_dedup_canonical(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    text: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Keep-one-representative conversation dedup: the near-dup pairs
+    as edges -> salted min-label connected components (transitive
+    clusters: a~b, b~c merge even when a,c never pair directly) ->
+    the minimum conv_id kept per cluster — near_dup_canonical's exact
+    recipe lifted to the conversation grain, composing two existing
+    scale paths (shared-shingle blocking + O(diameter) CC) with no
+    new shuffle shapes.
+
+    Output: (conv_id, canonical_id, is_kept) — one row per
+    conversation; singletons are their own canonical.
+    """
+    from careers_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    pairs = conversation_near_dups(
+        transcripts,
+        conv=conv,
+        text=text,
+        n=n,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+    )
+    cc = connected_components(
+        pairs.select(
+            F.col("conv_a").alias("src"), F.col("conv_b").alias("dst")
+        )
+    )
+    spine = transcripts.select(
+        F.col(conv).alias("conv_id")
+    ).distinct()
+    return (
+        spine.join(
+            cc.withColumnRenamed("node", "conv_id"), "conv_id", "left"
+        )
+        .select(
+            "conv_id",
+            F.coalesce("component", F.col("conv_id")).alias(
+                "canonical_id"
+            ),
+        )
+        .withColumn(
+            "is_kept", F.col("conv_id") == F.col("canonical_id")
+        )
+    )

@@ -319,3 +319,93 @@ def test_tool_usage_profile_rollup(spark):
     c = out["calc"]
     assert (c.n_calls, c.n_grounded, c.n_dangling) == (1, 0, 1)
     assert c.grounded_rate is None
+
+
+# ---------------------------------------------------------------------------
+def _conv_rows(texts_by_conv):
+    rows = []
+    for cid, texts in texts_by_conv.items():
+        for i, tx in enumerate(texts):
+            rows.append((cid, i, "user" if i % 2 == 0 else "assistant", tx))
+    return rows
+
+
+def test_conv_near_dups_golden_and_threshold(spark):
+    from careers_spark.operators.convshape import conversation_near_dups
+
+    df = spark.createDataFrame(
+        _conv_rows(
+            {
+                # c1/c2 share 2 of 3 distinct trigram shingles
+                "c1": ["alpha beta gamma delta"],
+                "c2": ["alpha beta gamma epsilon"],
+                "c3": ["totally different words here"],
+            }
+        ),
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    # c1 shingles: {abg, bgd}; c2: {abg, bge}; inter=1, union=3 -> 1/3
+    out = conversation_near_dups(
+        df, threshold_num=1, threshold_den=3
+    ).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r.conv_a, r.conv_b) == ("c1", "c2")
+    assert (r.inter_shingles, r.n_sh_a, r.n_sh_b) == (1, 2, 2)
+    assert r.jaccard == round(1 / 3, 6)
+    # inclusive threshold: exactly 1/3 kept; 1/2 drops it
+    assert (
+        conversation_near_dups(
+            df, threshold_num=1, threshold_den=2
+        ).count()
+        == 0
+    )
+
+
+def test_conv_near_dups_shingles_stay_within_turns(spark):
+    from careers_spark.operators.convshape import conversation_near_dups
+
+    # same words, but split so no turn has 3 tokens -> no shingles at
+    # all -> no pairs
+    df = spark.createDataFrame(
+        _conv_rows(
+            {
+                "c1": ["alpha beta", "gamma delta"],
+                "c2": ["alpha beta", "gamma delta"],
+            }
+        ),
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    assert conversation_near_dups(df).count() == 0
+
+
+def test_conv_dedup_canonical_transitive_chain(spark):
+    from careers_spark.operators.convshape import (
+        conversation_dedup_canonical,
+    )
+
+    # a~b and b~c at >= 1/2, but a~c only ~1/3: the cluster must merge
+    # through the chain.  Shingle sets:
+    #   a: {w x y, x y z}        b: {w x y, x y z, p q r}
+    #   c: {p q r, x y z}  -> j(a,b)=2/3, j(b,c)=2/3, j(a,c)=1/3
+    df = spark.createDataFrame(
+        _conv_rows(
+            {
+                "a": ["w x y z"],
+                "b": ["w x y z", "p q r"],
+                "c": ["p q r", "x y z"],
+                "lone": ["nothing shared at all"],
+            }
+        ),
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {
+        r.conv_id: r
+        for r in conversation_dedup_canonical(
+            df, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert out["a"].canonical_id == "a" and out["a"].is_kept
+    assert out["b"].canonical_id == "a" and not out["b"].is_kept
+    assert out["c"].canonical_id == "a" and not out["c"].is_kept
+    assert out["lone"].canonical_id == "lone" and out["lone"].is_kept
