@@ -5460,6 +5460,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_dedup_canonical"] = conv_dedup_canonical
 
+    def role_transition_matrix(spark, sf_dir):
+        """Role-transition Markov matrix of the pinned synth
+        transcripts with virtual <start>/<end> states
+        (convshape.role_transitions) — the conversation protocol as
+        data, per-source rows summing to 1."""
+        from careers_spark.operators.convshape import role_transitions
+
+        return role_transitions(_synth_transcripts(spark))
+
+    q["role_transition_matrix"] = role_transition_matrix
+
+    def entity_wl_classes(spark, sf_dir):
+        """Weisfeiler-Lehman color-refinement classes of the
+        min_obs=35 entity graph after 3 rounds (graph.wl_refinement) —
+        the structural-equivalence fingerprint for diffing KG builds;
+        singleton classes are structurally unique entities."""
+        from careers_spark.operators.graph import wl_refinement
+
+        return wl_refinement(
+            _entity_edges(spark, sf_dir, 35).select("src", "dst"),
+            rounds=3,
+        )
+
+    q["entity_wl_classes"] = entity_wl_classes
+
     return q
 
 
@@ -16352,6 +16377,38 @@ def oracle_sql() -> dict[str, str]:
         FROM cl8
     """
 
+        # role_transition_matrix: lead/row_number over per-conv turn
+        # order, virtual <start>/<end>, per-source normalization.
+        o["role_transition_matrix"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, turn_idx AS ti, role AS r,
+                 lead(role) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) AS next_r,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS rk
+          FROM tr
+        ),
+        trans AS (
+          SELECT r AS from_role, coalesce(next_r, '<end>') AS to_role
+          FROM t
+          UNION ALL
+          SELECT '<start>' AS from_role, r AS to_role FROM t
+          WHERE rk = 1
+        ),
+        counts AS (
+          SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
+          FROM trans GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT from_role, CAST(sum(n) AS BIGINT) AS n_from
+          FROM counts GROUP BY 1
+        )
+        SELECT c.from_role, c.to_role, c.n,
+               round(c.n * 1e0 / t2.n_from, 6) AS share
+        FROM counts c JOIN tot t2 USING (from_role)
+    """
+
     # orders_join_qerror: per-key count tables, exact actual via
     # HUGEINT products, shared-text estimate and Q-error closes.
     o["orders_join_qerror"] = """
@@ -16705,6 +16762,45 @@ def oracle_sql() -> dict[str, str]:
                  OR (({_wr_mid} + 1.96e0 * {_wr_rad}) / {_wr_den}
                      < 0.5e0) AS decided
         FROM g
+    """
+
+    # entity_wl_classes: the 3-round WL color-refinement unroll —
+    # md5 of identical strings is engine-identical, neighbor colors
+    # sorted before concatenation, no floats anywhere.
+    _wl_rounds = ""
+    for _i in range(1, 4):
+        _wl_rounds += f""",
+        wl{_i} AS MATERIALIZED (
+          SELECT l.node,
+                 md5(concat_ws('|', l.wl, coalesce(n.nbs, ''))) AS wl
+          FROM wl{_i - 1} l LEFT JOIN (
+            SELECT b.u AS node,
+                   string_agg(x.wl, ',' ORDER BY x.wl) AS nbs
+            FROM wlbidir b JOIN wl{_i - 1} x ON x.node = b.v
+            GROUP BY 1) n USING (node)
+        )"""
+    o["entity_wl_classes"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS}))
+                   AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 35
+        ),
+        wlbidir AS MATERIALIZED (
+          SELECT src AS u, dst AS v FROM e
+          UNION ALL SELECT dst AS u, src AS v FROM e
+        ),
+        wl0 AS MATERIALIZED (
+          SELECT DISTINCT u AS node, '0' AS wl FROM wlbidir
+        ){_wl_rounds}
+        SELECT wl AS wl_class, CAST(count(*) AS BIGINT) AS n_nodes,
+               min(node) AS example_node
+        FROM wl3 GROUP BY 1
     """
 
     return o

@@ -332,6 +332,8 @@ BENCH_QUERIES = [
     "tool_usage_summary",
     "conv_near_dup_pairs",
     "conv_dedup_canonical",
+    "role_transition_matrix",
+    "entity_wl_classes",
 ]
 
 

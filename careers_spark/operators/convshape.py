@@ -941,3 +941,58 @@ def conversation_dedup_canonical(
             "is_kept", F.col("conv_id") == F.col("canonical_id")
         )
     )
+
+
+def role_transitions(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    role: str = "role",
+) -> DataFrame:
+    """Corpus-level role-transition matrix — the Markov chain of the
+    conversation protocol (user -> assistant -> tool -> ...), with
+    virtual <start> and <end> states so entry and exit behavior is
+    part of the matrix: which role opens conversations, which role is
+    allowed to close them. A mass on assistant -> assistant or
+    user -> user is the alternation defect conversation_shape counts,
+    now attributed by direction; tool -> <end> is the dangling-tool
+    smell tool_grounding surfaces per turn.
+
+    One lag/lead pass over per-conversation turn order (bounded
+    partitions), one dimension-sized groupBy; shares are one division
+    per row of exact counts, per SOURCE role (each from_role's row
+    sums to 1).
+
+    Output: (from_role, to_role, n, share).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ti")
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        F.col(role).alias("r"),
+    ).withColumn("next_r", F.lead("r").over(w)).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    trans = t.select(
+        F.col("r").alias("from_role"),
+        F.coalesce("next_r", F.lit("<end>")).alias("to_role"),
+    ).union(
+        t.filter(F.col("rk") == 1).select(
+            F.lit("<start>").alias("from_role"),
+            F.col("r").alias("to_role"),
+        )
+    )
+    counts = trans.groupBy("from_role", "to_role").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = counts.groupBy("from_role").agg(
+        F.sum("n").alias("n_from")
+    )
+    return counts.join(tot, "from_role").select(
+        "from_role",
+        "to_role",
+        "n",
+        F.expr("round(n * 1e0 / n_from, 6)").alias("share"),
+    )

@@ -2253,3 +2253,87 @@ def node2vec_walks(
     for s in steps[1:]:
         out = out.unionAll(s)
     return out
+
+
+def wl_refinement(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Lehman color refinement (Weisfeiler &
+    Lehman 1968; the WL-kernel base of Shervashidze et al. 2011) over
+    the undirected simple graph — the structural-equivalence
+    fingerprint of a freshly built KG: nodes ending in the same color
+    class are indistinguishable by any rounds-hop neighborhood
+    statistic, so the class histogram is a cheap graph signature for
+    diffing KG builds, and class singletons are structurally unique
+    entities.
+
+    Colors start uniform and refine by hashing each node's own color
+    with the SORTED multiset of neighbor colors:
+
+        c_{t+1}(v) = md5(c_t(v) || '|' || sorted_join(c_t(u): u ~ v))
+
+    Determinism/oracle-exactness: md5 of identical strings is engine-
+    identical, the neighbor join is sorted before concatenation, and
+    the round count is fixed — the DuckDB unroll reproduces every
+    color hash-exactly (no floats anywhere). Each round is one join +
+    one partial-agg-friendly groupBy(node) with a per-node sort
+    bounded by degree; localCheckpoint per round (the HITS
+    convention).
+
+    Output: (wl_class, n_nodes, example_node) — the refined color
+    classes with their deterministic min-node example.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    bidir = (
+        und.selectExpr("a as u", "b as v")
+        .union(und.selectExpr("b as u", "a as v"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = bidir.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("wl", F.lit("0")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(int(rounds)):
+        nb = (
+            bidir.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("wl").alias("nb_wl")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(
+                F.array_join(
+                    F.sort_array(F.collect_list("nb_wl")), ","
+                ).alias("nbs")
+            )
+        )
+        labels = (
+            labels.join(nb, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("wl"), F.coalesce("nbs", F.lit(""))
+                    )
+                ).alias("wl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("wl").alias("wl_class"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("node").alias("example_node"),
+        )
+    )

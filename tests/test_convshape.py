@@ -409,3 +409,38 @@ def test_conv_dedup_canonical_transitive_chain(spark):
     assert out["b"].canonical_id == "a" and not out["b"].is_kept
     assert out["c"].canonical_id == "a" and not out["c"].is_kept
     assert out["lone"].canonical_id == "lone" and out["lone"].is_kept
+
+
+def test_role_transitions_golden(spark):
+    from careers_spark.operators.convshape import role_transitions
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user"), ("c1", 1, "assistant"),
+            ("c1", 2, "user"), ("c1", 3, "assistant"),
+            ("c2", 0, "user"), ("c2", 1, "tool"),
+            ("c2", 2, "assistant"),
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    out = {
+        (r.from_role, r.to_role): r
+        for r in role_transitions(df).collect()
+    }
+    assert out[("<start>", "user")].n == 2
+    assert out[("user", "assistant")].n == 2
+    assert out[("user", "tool")].n == 1
+    assert out[("tool", "assistant")].n == 1
+    assert out[("assistant", "<end>")].n == 2
+    assert out[("assistant", "user")].n == 1
+    # per-source normalization: user rows 2/3 and 1/3
+    assert out[("user", "assistant")].share == round(2 / 3, 6)
+    assert out[("user", "tool")].share == round(1 / 3, 6)
+    # every from_role's shares sum to ~1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (fr, _), r in out.items():
+        sums[fr] += r.share
+    for v in sums.values():
+        assert abs(v - 1.0) < 1e-5
