@@ -5485,6 +5485,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_wl_classes"] = entity_wl_classes
 
+    def conv_language_mix(spark, sf_dir):
+        """Code-switching audit of the pinned synth transcripts:
+        per-turn lang_id heuristic rolled up per conversation with a
+        deterministic modal language
+        (convshape.conversation_language_mix)."""
+        from careers_spark.operators.convshape import (
+            conversation_language_mix,
+        )
+
+        return conversation_language_mix(_synth_transcripts(spark))
+
+    q["conv_language_mix"] = conv_language_mix
+
+    def canned_user_prompts(spark, sf_dir):
+        """Cross-conversation template detector on the USER side of
+        the pinned synth transcripts (convshape.canned_responses,
+        target_role='user') — boilerplate prompts whose multiplicity
+        synthetic-data curation caps."""
+        from careers_spark.operators.convshape import canned_responses
+
+        return canned_responses(
+            _synth_transcripts(spark), min_convs=2, target_role="user"
+        )
+
+    q["canned_user_prompts"] = canned_user_prompts
+
     return q
 
 
@@ -16407,6 +16433,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.from_role, c.to_role, c.n,
                round(c.n * 1e0 / t2.n_from, 6) AS share
         FROM counts c JOIN tot t2 USING (from_role)
+    """
+
+        # conv_language_mix: the lang_id cases verbatim on turn text,
+        # modal language via the (count desc, lang asc) row_number.
+        o["conv_language_mix"] = f"""
+        WITH tr AS ({_tr_sql}),
+        x AS (SELECT conv_id, {', '.join(lang_cases)} FROM tr),
+        pt AS (
+          SELECT conv_id,
+                 CASE WHEN {best} > 0 AND len({winners}) = 1
+                      THEN ({winners})[1] ELSE 'und' END AS pred_lang
+          FROM x
+        ),
+        counts AS (
+          SELECT conv_id, pred_lang, CAST(count(*) AS BIGINT) AS c
+          FROM pt GROUP BY 1, 2
+        ),
+        main AS (
+          SELECT conv_id, pred_lang AS main_lang, c AS n_main FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id
+                      ORDER BY c DESC, pred_lang) AS rk
+            FROM counts) WHERE rk = 1
+        ),
+        pc AS (
+          SELECT conv_id, CAST(sum(c) AS BIGINT) AS n_turns,
+                 CAST(coalesce(sum(CASE WHEN pred_lang = 'und'
+                               THEN c END), 0) AS BIGINT)
+                   AS n_und_turns,
+                 CAST(sum(CASE WHEN pred_lang <> 'und' THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_langs
+          FROM counts GROUP BY 1
+        )
+        SELECT p.conv_id, n_turns, n_und_turns, n_langs, main_lang,
+               round(n_main * 1e0 / n_turns, 6) AS main_share,
+               (n_langs >= 2) AS is_mixed
+        FROM pc p JOIN main m ON p.conv_id = m.conv_id
+    """
+
+        # canned_user_prompts: the canned-response rollup on the user
+        # side.
+        o["canned_user_prompts"] = f"""
+        WITH tr AS ({_tr_sql}),
+        a AS (
+          SELECT conv_id, text AS raw,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                     'g')) AS text_hash
+          FROM tr WHERE role = 'user'
+        )
+        SELECT text_hash, min(raw) AS example_text,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM a GROUP BY text_hash
+        HAVING count(DISTINCT conv_id) >= 2
     """
 
     # orders_join_qerror: per-key count tables, exact actual via

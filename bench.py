@@ -334,6 +334,8 @@ BENCH_QUERIES = [
     "conv_dedup_canonical",
     "role_transition_matrix",
     "entity_wl_classes",
+    "conv_language_mix",
+    "canned_user_prompts",
 ]
 
 

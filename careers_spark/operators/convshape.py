@@ -457,6 +457,7 @@ def canned_responses(
     conv: str = "conv_id",
     role: str = "role",
     text: str = "text",
+    target_role: str = "assistant",
 ) -> DataFrame:
     """Cross-conversation canned-response detector — the complement of
     assistant_repetition's WITHIN-conversation loops: an assistant
@@ -474,7 +475,7 @@ def canned_responses(
     Output: (text_hash, example_text, n_turns, n_convs) — ordered by
     nothing (the caller ranks); all counts exact.
     """
-    a = transcripts.filter(F.col(role) == "assistant").select(
+    a = transcripts.filter(F.col(role) == target_role).select(
         F.col(conv).alias("conv_id"),
         F.col(text).alias("raw"),
         F.expr(
@@ -995,4 +996,100 @@ def role_transitions(
         "to_role",
         "n",
         F.expr("round(n * 1e0 / n_from, 6)").alias("share"),
+    )
+
+
+def conversation_language_mix(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    text: str = "text",
+) -> DataFrame:
+    """Code-switching audit: per-turn language identification (the
+    textstats.lang_id function-word heuristic, verbatim — same lists,
+    same tie->'und' rule) rolled up per conversation — conversations
+    whose turns flip language mid-stream need either a multilingual
+    training bucket or exclusion from a monolingual one, and a high
+    und share marks transcripts the heuristic cannot place at all.
+
+    main_lang is the modal per-turn prediction with the deterministic
+    (count desc, lang asc) tie-break via one per-conversation
+    row_number (bounded partitions); n_langs counts distinct non-und
+    predictions; every other value is an integer count or one rounded
+    division.
+
+    Output: (conv_id, n_turns, n_und_turns, n_langs, main_lang,
+    main_share, is_mixed).
+    """
+    from pyspark.sql import Window
+
+    from careers_spark.operators.textstats import LANG_WORDS
+
+    toks = tokens_col(text)
+
+    def hits(words):
+        # single-param lambda: pyspark's higher-order-function wrapper
+        # binds a Column to EVERY parameter, defaults included
+        wl = list(words)
+        return lambda t: t.isin(*wl)
+
+    cols = [
+        F.size(F.filter(toks, hits(words))).alias(f"n_{lang}")
+        for lang, words in LANG_WORDS.items()
+    ]
+    d = transcripts.select(F.col(conv).alias("conv_id"), *cols)
+    best = F.greatest(*[F.col(f"n_{lg}") for lg in LANG_WORDS])
+    winners = F.filter(
+        F.array(*[
+            F.when(F.col(f"n_{lg}") == best, F.lit(lg)).otherwise(
+                F.lit(None)
+            )
+            for lg in LANG_WORDS
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    per_turn = d.select(
+        "conv_id",
+        F.when((best > 0) & (F.size(winners) == 1), winners[0])
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+    )
+    counts = per_turn.groupBy("conv_id", "pred_lang").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("c"), F.asc("pred_lang")
+    )
+    main = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "conv_id",
+            F.col("pred_lang").alias("main_lang"),
+            F.col("c").alias("n_main"),
+        )
+    )
+    per_conv = counts.groupBy("conv_id").agg(
+        F.sum("c").alias("n_turns"),
+        F.coalesce(
+            F.sum(F.when(F.col("pred_lang") == "und", F.col("c"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_und_turns"),
+        F.sum(
+            F.when(F.col("pred_lang") != "und", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_langs"),
+    )
+    return per_conv.join(main, "conv_id").select(
+        "conv_id",
+        "n_turns",
+        "n_und_turns",
+        "n_langs",
+        "main_lang",
+        F.expr("round(n_main * 1e0 / n_turns, 6)").alias(
+            "main_share"
+        ),
+        (F.col("n_langs") >= 2).alias("is_mixed"),
     )

@@ -444,3 +444,69 @@ def test_role_transitions_golden(spark):
         sums[fr] += r.share
     for v in sums.values():
         assert abs(v - 1.0) < 1e-5
+
+
+def test_conversation_language_mix(spark):
+    from careers_spark.operators.convshape import (
+        conversation_language_mix,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # c1: two en turns, one es turn -> mixed, main en
+            ("c1", 0, "user", "the and of this that"),
+            ("c1", 1, "assistant", "the with for are was"),
+            ("c1", 2, "user", "el la los una para"),
+            # c2: all und (no function words)
+            ("c2", 0, "user", "zzz qqq xxx"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {
+        r.conv_id: r
+        for r in conversation_language_mix(df).collect()
+    }
+    r1 = out["c1"]
+    assert (r1.n_turns, r1.n_und_turns, r1.n_langs) == (3, 0, 2)
+    assert r1.main_lang == "en" and r1.is_mixed is True
+    assert r1.main_share == round(2 / 3, 6)
+    r2 = out["c2"]
+    assert (r2.n_langs, r2.main_lang) == (0, "und")
+    assert r2.is_mixed is False and r2.main_share == 1.0
+
+
+def test_language_mix_tie_break_deterministic(spark):
+    from careers_spark.operators.convshape import (
+        conversation_language_mix,
+    )
+
+    # one de turn, one en turn: tie on count -> lexicographically
+    # smaller lang wins ('de' < 'en')
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "der und die das ist"),
+            ("c", 1, "assistant", "the with for are was"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    (r,) = conversation_language_mix(df).collect()
+    assert r.main_lang == "de" and r.n_langs == 2
+
+
+def test_canned_user_prompts_role_param(spark):
+    from careers_spark.operators.convshape import canned_responses
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "tell me about X"),
+            ("c2", 0, "user", "Tell  me about x"),
+            ("c1", 1, "assistant", "X is a thing"),
+            ("c2", 1, "assistant", "X is a thing"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    u = canned_responses(df, target_role="user").collect()
+    assert len(u) == 1 and u[0].n_convs == 2
+    # normalization folds case/whitespace
+    a = canned_responses(df).collect()
+    assert len(a) == 1 and a[0].example_text == "X is a thing"
