@@ -5511,6 +5511,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["canned_user_prompts"] = canned_user_prompts
 
+    def _jittered_events(spark, sf_dir):
+        """Events with a deterministic simulated arrival time: event
+        time plus 0-2h of md5 jitter — the out-of-order stream a
+        watermark has to absorb (the testdata stream itself is fully
+        ordered, so order-noise is injected reproducibly)."""
+        return _t(spark, sf_dir, "events").withColumn(
+            "arrival_us",
+            F.expr(
+                "unix_micros(cast(ts as timestamp))"
+                " + (cast(conv(substr(md5(cast(event_id as string)),"
+                " 1, 8), 16, 10) as bigint) % 7200) * 1000000"
+            ),
+        )
+
+    def event_lateness(spark, sf_dir):
+        """Watermark-design profile of the jittered event stream
+        (temporal.event_lateness_profile): p50/p90/p99/max event-time
+        lateness vs the hour-grain arrival frontier — the numbers that
+        size withWatermark."""
+        from careers_spark.operators.temporal import (
+            event_lateness_profile,
+        )
+
+        return event_lateness_profile(_jittered_events(spark, sf_dir))
+
+    q["event_lateness"] = event_lateness
+
+    def watermark_drop_table(spark, sf_dir):
+        """Exact drop counts of candidate watermark delays (0 / 60 /
+        600 / 3600 s) on the jittered stream
+        (temporal.watermark_drop_rates) — the other side of the
+        lateness trade."""
+        from careers_spark.operators.temporal import (
+            watermark_drop_rates,
+        )
+
+        return watermark_drop_rates(
+            _jittered_events(spark, sf_dir),
+            delays_s=(0, 60, 600, 3600),
+        )
+
+    q["watermark_drop_table"] = watermark_drop_table
+
     return q
 
 
@@ -16880,6 +16923,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT wl AS wl_class, CAST(count(*) AS BIGINT) AS n_nodes,
                min(node) AS example_node
         FROM wl3 GROUP BY 1
+    """
+
+    # event_lateness / watermark_drop_table: md5-jittered arrival,
+    # hour-grain frontier, order-statistic quantiles over the
+    # distinct-lateness cumulative.
+    _late_cte = """e AS (
+          SELECT epoch_us(ts) AS us,
+                 (epoch_us(ts) + (('0x' || substr(md5(CAST(event_id
+                    AS VARCHAR)), 1, 8))::BIGINT % 7200) * 1000000)
+                   // 3600000000 AS hr
+          FROM events
+        ),
+        h AS (SELECT hr, max(us) AS mx FROM e GROUP BY 1),
+        f AS (
+          SELECT hr, max(mx) OVER (ORDER BY hr ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING) AS frontier
+          FROM h
+        ),
+        late AS (
+          SELECT CASE WHEN frontier IS NOT NULL AND frontier > us
+                      THEN (frontier - us) // 1000000 ELSE 0 END
+                   AS late_s
+          FROM e JOIN f USING (hr)
+        )"""
+    o["event_lateness"] = f"""
+        WITH {_late_cte},
+        vals AS (
+          SELECT late_s, CAST(count(*) AS BIGINT) AS c FROM late
+          GROUP BY 1
+        ),
+        cum AS (
+          SELECT late_s, c,
+                 sum(c) OVER (ORDER BY late_s ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS cum,
+                 sum(c) OVER () AS n
+          FROM vals
+        )
+        SELECT CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN late_s > 0 THEN c ELSE 0 END)
+                    AS BIGINT) AS n_late,
+               round(sum(CASE WHEN late_s > 0 THEN c ELSE 0 END) * 1e0
+                     / sum(c), 6) AS late_frac,
+               min(CASE WHEN 2 * cum >= n THEN late_s END) AS p50_s,
+               min(CASE WHEN 10 * cum >= 9 * n THEN late_s END)
+                 AS p90_s,
+               min(CASE WHEN 100 * cum >= 99 * n THEN late_s END)
+                 AS p99_s,
+               max(late_s) AS max_late_s
+        FROM cum
+    """
+
+    o["watermark_drop_table"] = f"""
+        WITH {_late_cte},
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d0,
+                 CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d1,
+                 CAST(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d2,
+                 CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d3
+          FROM late
+        ),
+        rows_ AS (
+          SELECT 0 AS delay_s, d0 AS n_dropped, n FROM agg
+          UNION ALL SELECT 60, d1, n FROM agg
+          UNION ALL SELECT 600, d2, n FROM agg
+          UNION ALL SELECT 3600, d3, n FROM agg
+        )
+        SELECT delay_s, n_dropped,
+               round(n_dropped * 1e0 / n, 6) AS drop_rate
+        FROM rows_
     """
 
     return o

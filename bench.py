@@ -336,6 +336,8 @@ BENCH_QUERIES = [
     "entity_wl_classes",
     "conv_language_mix",
     "canned_user_prompts",
+    "event_lateness",
+    "watermark_drop_table",
 ]
 
 

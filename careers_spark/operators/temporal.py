@@ -1824,3 +1824,137 @@ def mann_kendall(events: DataFrame, ts: str = "ts") -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+def _lateness_table(
+    events: DataFrame,
+    arrival: str,
+    ts: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Per-event lateness (seconds) against the bucket-grain arrival
+    frontier: the max event-time seen in STRICTLY earlier arrival
+    buckets. Shapes are all bounded: one partial-agg groupBy(bucket),
+    one cumulative window over the bucket DIMENSION (hours, never
+    rows), one broadcast join back to events — the scalable stand-in
+    for a per-event running max, which would need a global sort."""
+    e = events.select(
+        F.expr(f"unix_micros(cast({ts} as timestamp))").alias("us"),
+        F.col(arrival).cast("long").alias("arr"),
+    ).withColumn("hr", F.expr(f"arr div {int(bucket_us)}"))
+    h = e.groupBy("hr").agg(F.max("us").alias("mx"))
+    wf = Window.orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    f = h.select("hr", F.max("mx").over(wf).alias("frontier"))
+    return e.join(F.broadcast(f), "hr").select(
+        F.expr(
+            "case when frontier is not null and frontier > us"
+            " then (frontier - us) div 1000000 else 0 end"
+        ).alias("late_s")
+    )
+
+
+def event_lateness_profile(
+    events: DataFrame,
+    arrival: str = "arrival_us",
+    ts: str = "ts",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Watermark-design diagnostic: the distribution of event-time
+    lateness relative to the arrival stream — the number that sizes
+    `withWatermark`'s delay. An event is late by (frontier - ts) when
+    events from strictly earlier arrival hours already carried a
+    larger event time; the p99 of that distribution is the classic
+    "watermark delay that keeps 99% of events" choice, and max_late_s
+    is the delay for losslessness.
+
+    Exactness: lateness is integer seconds from exact epoch-us
+    arithmetic; quantiles are ORDER STATISTICS over the distinct-
+    lateness cumulative (the response_latency convention — never an
+    interpolation), so every output is an exact integer or one
+    rounded division.
+
+    Output: one row — (n_events, n_late, late_frac, p50_s, p90_s,
+    p99_s, max_late_s).
+    """
+    late = _lateness_table(events, arrival, ts, bucket_us)
+    vals = late.groupBy("late_s").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("late_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        vals.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("late_s") > 0, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("n"), F.col("late_s"))
+            ).alias("p50_s"),
+            F.min(
+                F.when(
+                    10 * F.col("cum") >= 9 * F.col("n"), F.col("late_s")
+                )
+            ).alias("p90_s"),
+            F.min(
+                F.when(
+                    100 * F.col("cum") >= 99 * F.col("n"),
+                    F.col("late_s"),
+                )
+            ).alias("p99_s"),
+            F.max("late_s").alias("max_late_s"),
+        )
+        .select(
+            "n_events",
+            "n_late",
+            F.expr("round(n_late * 1e0 / n_events, 6)").alias(
+                "late_frac"
+            ),
+            "p50_s",
+            "p90_s",
+            "p99_s",
+            "max_late_s",
+        )
+    )
+
+
+def watermark_drop_rates(
+    events: DataFrame,
+    delays_s=(0, 60, 600, 3600),
+    arrival: str = "arrival_us",
+    ts: str = "ts",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """The other side of the watermark trade: for each candidate
+    `withWatermark` delay, exactly how many events would arrive too
+    late and be dropped. Pure counts over the shared lateness table —
+    one aggregate pass computing every candidate simultaneously, then
+    a stack to rows.
+
+    Output: (delay_s, n_dropped, drop_rate) — one row per candidate.
+    """
+    late = _lateness_table(events, arrival, ts, bucket_us)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i, d in enumerate(delays_s):
+        aggs.append(
+            F.sum(F.when(F.col("late_s") > int(d), 1).otherwise(0))
+            .cast("long")
+            .alias(f"d{i}")
+        )
+    wide = late.agg(*aggs)
+    pairs = ", ".join(
+        f"{int(d)}, d{i}" for i, d in enumerate(delays_s)
+    )
+    return wide.selectExpr(
+        f"stack({len(delays_s)}, {pairs}) as (delay_s, n_dropped)", "n"
+    ).select(
+        "delay_s",
+        "n_dropped",
+        F.expr("round(n_dropped * 1e0 / n, 6)").alias("drop_rate"),
+    )
