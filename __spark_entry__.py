@@ -5554,6 +5554,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["watermark_drop_table"] = watermark_drop_table
 
+    def conv_fork_groups(spark, sf_dir):
+        """Rollout-fork groups of the pinned synth transcripts:
+        conversations sharing an identical normalized 2-turn opening
+        (convshape.conversation_forks) — shared-prefix gradient
+        multiplication curation caps."""
+        from careers_spark.operators.convshape import conversation_forks
+
+        return conversation_forks(_synth_transcripts(spark), k=2)
+
+    q["conv_fork_groups"] = conv_fork_groups
+
+    def assistant_verbosity_trend(spark, sf_dir):
+        """Within-conversation assistant verbosity slope (exact OLS on
+        integer moments) over the pinned synth transcripts
+        (convshape.assistant_length_trend) — the degradation signal
+        the corpus-level verbosity ratio cannot see."""
+        from careers_spark.operators.convshape import (
+            assistant_length_trend,
+        )
+
+        return assistant_length_trend(_synth_transcripts(spark))
+
+    q["assistant_verbosity_trend"] = assistant_verbosity_trend
+
     return q
 
 
@@ -16529,6 +16553,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
         FROM a GROUP BY text_hash
         HAVING count(DISTINCT conv_id) >= 2
+    """
+
+        # conv_fork_groups: per-conversation opening hash (per-turn
+        # md5s joined in turn order, hashed), sorted '|'-joined member
+        # lists.
+        o["conv_fork_groups"] = f"""
+        WITH tr AS ({_tr_sql}),
+        first AS (
+          SELECT conv_id,
+                 md5(string_agg(md5(regexp_replace(lower(trim(text)),
+                     '\\s+', ' ', 'g')), '||' ORDER BY turn_idx))
+                   AS prefix_hash
+          FROM tr WHERE turn_idx < 2 GROUP BY conv_id
+        )
+        SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_convs,
+               string_agg(conv_id, '|' ORDER BY conv_id) AS conv_ids
+        FROM first GROUP BY prefix_hash
+        HAVING count(*) >= 2
+    """
+
+        # assistant_verbosity_trend: exact integer OLS moments per
+        # conversation, one shared-text slope division.
+        o["assistant_verbosity_trend"] = f"""
+        WITH tr AS ({_tr_sql}),
+        a AS (
+          SELECT conv_id, CAST(turn_idx AS BIGINT) AS x,
+                 CAST(len({_DUCK_TOKS}) AS BIGINT) AS y
+          FROM tr WHERE role = 'assistant'
+        ),
+        m AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM a GROUP BY 1
+        )
+        SELECT conv_id, n AS n_assistant,
+               round(sy * 1e0 / n, 6) AS mean_tokens,
+               CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                    ELSE round((n * 1e0 * sxy - sx * 1e0 * sy)
+                         / (n * 1e0 * sxx - sx * 1e0 * sx), 6) END
+                 AS slope
+        FROM m
     """
 
     # orders_join_qerror: per-key count tables, exact actual via

@@ -338,6 +338,8 @@ BENCH_QUERIES = [
     "canned_user_prompts",
     "event_lateness",
     "watermark_drop_table",
+    "conv_fork_groups",
+    "assistant_verbosity_trend",
 ]
 
 

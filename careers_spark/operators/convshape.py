@@ -1093,3 +1093,113 @@ def conversation_language_mix(
         ),
         (F.col("n_langs") >= 2).alias("is_mixed"),
     )
+
+
+def conversation_forks(
+    transcripts: DataFrame,
+    k: int = 2,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    text: str = "text",
+) -> DataFrame:
+    """Fork detection: conversations sharing an identical normalized
+    opening (first `k` turns) are branches of one rollout tree —
+    resampled continuations, retried sessions, A/B'd system prompts.
+    Training on every branch multiplies the shared prefix's gradient
+    weight exactly like duplicate documents do; curation wants the
+    fork groups so it can cap or reweight them.
+
+    The group key is md5 over the first k turns' normalized texts in
+    turn order (the assistant_repetition normalization, '||'-joined);
+    member lists ride the sorted '|'-joined string convention
+    (array-free, hash-exact). Conversations shorter than k hash over
+    the turns they have — "same complete opening" still groups them.
+
+    One bounded per-conversation rollup + one hash-keyed rollup;
+    no windows, no sorts beyond the degree-bounded member join.
+
+    Output: (prefix_hash, n_convs, conv_ids) — groups with >= 2
+    members only.
+    """
+    norm = F.expr(
+        f"md5(regexp_replace(lower(trim({text})), '\\\\s+', ' '))"
+    )
+    first = (
+        transcripts.filter(F.col(turn) < int(k))
+        .select(
+            F.col(conv).alias("conv_id"),
+            F.col(turn).alias("ti"),
+            norm.alias("h"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("ti", "h"))
+                        ),
+                        lambda s: s["h"],
+                    ),
+                    "||",
+                )
+            ).alias("prefix_hash")
+        )
+    )
+    return (
+        first.groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.array_join(
+                F.sort_array(F.collect_list("conv_id")), "|"
+            ).alias("conv_ids"),
+        )
+        .filter(F.col("n_convs") >= 2)
+    )
+
+
+def assistant_length_trend(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+) -> DataFrame:
+    """Per-conversation trend of assistant verbosity over turn index —
+    the within-conversation degradation signal: a strongly negative
+    slope means the assistant gets terser as the conversation runs
+    (fatigue / collapse into stub answers), a strongly positive one
+    often marks padding loops; both are curation flags the corpus-
+    level verbosity ratio cannot see.
+
+    Exact OLS on integers: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+    with x = turn_idx and y = the house-lattice token count — every
+    moment is a BIGINT from one partial-agg groupBy(conv_id), the
+    slope one rounded division (NULL when fewer than 2 assistant
+    turns; the denominator cannot vanish otherwise since turn indices
+    are distinct).
+
+    Output: (conv_id, n_assistant, mean_tokens, slope).
+    """
+    a = transcripts.filter(F.col(role) == "assistant").select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).cast("long").alias("x"),
+        F.size(tokens_col(text)).cast("long").alias("y"),
+    )
+    m = a.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "conv_id",
+        F.col("n").alias("n_assistant"),
+        F.expr("round(sy * 1e0 / n, 6)").alias("mean_tokens"),
+        F.expr(
+            "case when n < 2 or n * sxx - sx * sx = 0 then null else"
+            " round((n * 1e0 * sxy - sx * 1e0 * sy)"
+            " / (n * 1e0 * sxx - sx * 1e0 * sx), 6) end"
+        ).alias("slope"),
+    )

@@ -510,3 +510,70 @@ def test_canned_user_prompts_role_param(spark):
     # normalization folds case/whitespace
     a = canned_responses(df).collect()
     assert len(a) == 1 and a[0].example_text == "X is a thing"
+
+
+def test_conversation_forks_golden(spark):
+    from careers_spark.operators.convshape import conversation_forks
+
+    df = spark.createDataFrame(
+        [
+            # c1/c2 share the first two normalized turns (case and
+            # spacing differ); c3 diverges at turn 1; c4 is short
+            ("c1", 0, "user", "hello there"),
+            ("c1", 1, "assistant", "hi how can I help"),
+            ("c1", 2, "user", "branch one"),
+            ("c2", 0, "user", "Hello   THERE"),
+            ("c2", 1, "assistant", "hi how can i help"),
+            ("c2", 2, "user", "branch two"),
+            ("c3", 0, "user", "hello there"),
+            ("c3", 1, "assistant", "different opening"),
+            ("c4", 0, "user", "lonely start"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = conversation_forks(df, k=2).collect()
+    assert len(out) == 1
+    (g,) = out
+    assert g.n_convs == 2 and g.conv_ids == "c1|c2"
+
+
+def test_conversation_forks_k_sensitivity(spark):
+    from careers_spark.operators.convshape import conversation_forks
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "user", "same start"),
+            ("a", 1, "assistant", "diverges here"),
+            ("b", 0, "user", "same start"),
+            ("b", 1, "assistant", "elsewhere"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    assert conversation_forks(df, k=1).count() == 1
+    assert conversation_forks(df, k=2).count() == 0
+
+
+def test_assistant_length_trend(spark):
+    from careers_spark.operators.convshape import assistant_length_trend
+
+    df = spark.createDataFrame(
+        [
+            # c1: tokens 6, 4, 2 at turns 1, 3, 5 -> slope = -1
+            ("c1", 1, "assistant", "a b c d e f"),
+            ("c1", 2, "user", "ignored entirely"),
+            ("c1", 3, "assistant", "a b c d"),
+            ("c1", 5, "assistant", "a b"),
+            # c2: single assistant turn -> NULL slope
+            ("c2", 0, "assistant", "one turn"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {
+        r.conv_id: r for r in assistant_length_trend(df).collect()
+    }
+    r1 = out["c1"]
+    assert r1.n_assistant == 3
+    assert r1.mean_tokens == 4.0
+    assert r1.slope == -1.0
+    r2 = out["c2"]
+    assert r2.n_assistant == 1 and r2.slope is None
