@@ -5578,6 +5578,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["assistant_verbosity_trend"] = assistant_verbosity_trend
 
+    def sft_pair_table(spark, sf_dir):
+        """The SFT (prompt, response) pair extraction over the pinned
+        synth transcripts (convshape.sft_pairs): first-assistant-after
+        pairing with token counts and the canned-cap join key;
+        unanswered prompts kept as NULL defect rows."""
+        from careers_spark.operators.convshape import sft_pairs
+
+        return sft_pairs(_synth_transcripts(spark))
+
+    q["sft_pair_table"] = sft_pair_table
+
     return q
 
 
@@ -16597,6 +16608,38 @@ def oracle_sql() -> dict[str, str]:
                          / (n * 1e0 * sxx - sx * 1e0 * sx), 6) END
                  AS slope
         FROM m
+    """
+
+        # sft_pair_table: the response_latency pairing emitting the
+        # training pairs themselves; DISTINCT ON-free first-assistant
+        # via row_number over bounded partitions.
+        o["sft_pair_table"] = f"""
+        WITH tr AS ({_tr_sql}),
+        users AS (
+          SELECT conv_id, turn_idx AS user_turn,
+                 CAST(len({_DUCK_TOKS}) AS BIGINT) AS prompt_tokens
+          FROM tr WHERE role = 'user'
+        ),
+        assist AS (
+          SELECT conv_id AS _ac, turn_idx AS a_ti,
+                 CAST(len({_DUCK_TOKS}) AS BIGINT) AS a_ntok,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                     'g')) AS a_hash
+          FROM tr WHERE role = 'assistant'
+        ),
+        paired AS (
+          SELECT u.conv_id, u.user_turn, u.prompt_tokens,
+                 a.a_ti, a.a_ntok, a.a_hash,
+                 row_number() OVER (
+                   PARTITION BY u.conv_id, u.user_turn
+                   ORDER BY a.a_ti ASC NULLS LAST) AS rk
+          FROM users u LEFT JOIN assist a
+            ON u.conv_id = a._ac AND a.a_ti > u.user_turn
+        )
+        SELECT conv_id, user_turn, a_ti AS assistant_turn,
+               prompt_tokens, a_ntok AS response_tokens,
+               a_hash AS response_hash
+        FROM paired WHERE rk = 1
     """
 
     # orders_join_qerror: per-key count tables, exact actual via

@@ -340,6 +340,7 @@ BENCH_QUERIES = [
     "watermark_drop_table",
     "conv_fork_groups",
     "assistant_verbosity_trend",
+    "sft_pair_table",
 ]
 
 

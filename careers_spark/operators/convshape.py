@@ -1203,3 +1203,76 @@ def assistant_length_trend(
             " / (n * 1e0 * sxx - sx * 1e0 * sx), 6) end"
         ).alias("slope"),
     )
+
+
+def sft_pairs(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+) -> DataFrame:
+    """The SFT pair-extraction step itself: one row per user turn,
+    paired with the FIRST later assistant turn of the conversation
+    (intervening tool turns allowed — the response_latency pairing,
+    reused verbatim) — i.e. the (prompt, response) examples a
+    fine-tune actually trains on, with the bookkeeping curation
+    filters key on: token counts on the house lattice, the response's
+    normalized hash (so the canned-response multiplicity cap joins
+    straight in), and unanswered prompts kept as NULL-response defect
+    rows rather than silently dropped.
+
+    One inside-the-join pairing + a per-pair row_number over bounded
+    (conv, user-turn) partitions; token counts are integers, no other
+    arithmetic.
+
+    Output: (conv_id, user_turn, assistant_turn, prompt_tokens,
+    response_tokens, response_hash) — response fields NULL when no
+    assistant ever follows.
+    """
+    from pyspark.sql import Window
+
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        F.col(role).alias("r"),
+        F.col(text).alias("tx"),
+    )
+    users = t.filter(F.col("r") == "user").select(
+        "conv_id",
+        F.col("ti").alias("user_turn"),
+        F.size(tokens_col("tx")).cast("long").alias("prompt_tokens"),
+    )
+    assist = t.filter(F.col("r") == "assistant").select(
+        F.col("conv_id").alias("_ac"),
+        F.col("ti").alias("a_ti"),
+        F.size(tokens_col("tx")).cast("long").alias("a_ntok"),
+        F.expr(
+            "md5(regexp_replace(lower(trim(tx)), '\\\\s+', ' '))"
+        ).alias("a_hash"),
+    )
+    paired = (
+        users.join(
+            assist,
+            (F.col("conv_id") == F.col("_ac"))
+            & (F.col("a_ti") > F.col("user_turn")),
+            "left",
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("conv_id", "user_turn").orderBy(
+                    F.col("a_ti").asc_nulls_last()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return paired.select(
+        "conv_id",
+        "user_turn",
+        F.col("a_ti").alias("assistant_turn"),
+        "prompt_tokens",
+        F.col("a_ntok").alias("response_tokens"),
+        F.col("a_hash").alias("response_hash"),
+    )

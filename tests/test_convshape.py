@@ -577,3 +577,48 @@ def test_assistant_length_trend(spark):
     assert r1.slope == -1.0
     r2 = out["c2"]
     assert r2.n_assistant == 1 and r2.slope is None
+
+
+def test_sft_pairs_extraction(spark):
+    from careers_spark.operators.convshape import sft_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "what is spark"),
+            ("c", 1, "tool", "tool output here", ),
+            ("c", 2, "assistant", "spark is an engine"),
+            ("c", 3, "user", "thanks bye"),
+            # no assistant after turn 3 -> dangling pair
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {
+        (r.conv_id, r.user_turn): r for r in sft_pairs(df).collect()
+    }
+    p0 = out[("c", 0)]
+    # pairs past the tool turn to the first assistant
+    assert p0.assistant_turn == 2
+    assert (p0.prompt_tokens, p0.response_tokens) == (3, 4)
+    assert p0.response_hash is not None
+    p3 = out[("c", 3)]
+    assert p3.assistant_turn is None
+    assert p3.response_tokens is None and p3.response_hash is None
+
+
+def test_sft_pairs_each_user_gets_nearest_assistant(spark):
+    from careers_spark.operators.convshape import sft_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "q one"),
+            ("c", 1, "assistant", "a one"),
+            ("c", 2, "user", "q two"),
+            ("c", 3, "assistant", "a two"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {
+        (r.conv_id, r.user_turn): r.assistant_turn
+        for r in sft_pairs(df).collect()
+    }
+    assert out == {("c", 0): 1, ("c", 2): 3}
