@@ -527,3 +527,86 @@ def test_session12_ops_have_no_cartesian(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# session-15 additions: every new pairing/blocking operator keeps its
+# equi-join shape — no CartesianProduct anywhere; the only nested-loop
+# crosses allowed are the documented 1-row broadcast normalizers
+# (Bradley-Terry's s_tot, the lateness profile's totals row).
+def test_s15_conversation_near_dups_plan(spark):
+    from careers_spark.operators.convshape import conversation_near_dups
+
+    df = spark.createDataFrame(
+        [("c1", 0, "u", "a b c d"), ("c2", 0, "u", "a b c e")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(conversation_near_dups(df))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_s15_pairing_operators_no_cartesian(spark):
+    from careers_spark.operators.convshape import (
+        instruction_grounding,
+        sft_pairs,
+        turn_cohesion,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "alpha beta"),
+            ("c", 1, "assistant", "beta gamma"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    for op in (instruction_grounding, sft_pairs, turn_cohesion):
+        plan = _plan(op(df))
+        # the conv-key equality keeps every pairing join hash/merge-
+        # joinable; the a_ti > turn residual rides the equi-join
+        assert "CartesianProduct" not in plan, (op.__name__, plan)
+
+
+def test_s15_preference_and_wl_no_cartesian(spark):
+    from careers_spark.operators.graph import wl_refinement
+    from careers_spark.operators.preference import (
+        pairwise_winrate,
+        preference_cycles,
+    )
+
+    comp = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A")],
+        "winner string, loser string",
+    )
+    for op in (preference_cycles, pairwise_winrate):
+        plan = _plan(op(comp))
+        assert "CartesianProduct" not in plan, (op.__name__, plan)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    plan = _plan(wl_refinement(e, rounds=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_s15_lateness_frontier_is_broadcast(spark):
+    from datetime import datetime, timezone
+
+    from careers_spark.operators.temporal import event_lateness_profile
+
+    df = spark.createDataFrame(
+        [
+            (
+                datetime.fromtimestamp(100, tz=timezone.utc).replace(
+                    tzinfo=None
+                ),
+                100_000_000,
+            )
+        ],
+        "ts timestamp, arrival_us long",
+    )
+    plan = _plan(event_lateness_profile(df))
+    # the hour-dim frontier joins back as a broadcast hash join, and
+    # nothing in the chain plans a cartesian
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
