@@ -5589,6 +5589,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sft_pair_table"] = sft_pair_table
 
+    def length_quality_simpson(spark, sf_dir):
+        """Simpson's-paradox audit of the length-quality association
+        by language (evaluation.simpson_sign_check): per-lang
+        covariance SIGN vs the pooled sign on exact integer moments —
+        quality rides its 1e-6 lattice so the whole audit is
+        float-free."""
+        from careers_spark.operators.evaluation import (
+            simpson_sign_check,
+        )
+        from careers_spark.operators.textstats import quality_score
+
+        docs = _t(spark, sf_dir, "documents")
+        qd = quality_score(docs).select(
+            "doc_id",
+            F.expr("cast(round(quality * 1000000, 0) as long)").alias(
+                "q_int"
+            ),
+        )
+        j = docs.select("doc_id", "lang", "n_chars").join(qd, "doc_id")
+        return simpson_sign_check(
+            j, x="n_chars", y="q_int", stratum="lang"
+        )
+
+    q["length_quality_simpson"] = length_quality_simpson
+
     return q
 
 
@@ -17108,6 +17133,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT delay_s, n_dropped,
                round(n_dropped * 1e0 / n, 6) AS drop_rate
         FROM rows_
+    """
+
+    # length_quality_simpson: the quality oracle nested verbatim,
+    # lattice-cast, covariance-numerator signs on HUGEINT moments.
+    _simpson_sign = (
+        "CASE WHEN n * sxy - sx * sy > 0 THEN 1"
+        " WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END"
+    )
+    o["length_quality_simpson"] = f"""
+        WITH qs AS ({o["quality_score"]}),
+        base AS (
+          SELECT d.lang AS s,
+                 CAST(d.n_chars AS HUGEINT) AS xv,
+                 CAST(round(q.quality * 1000000, 0) AS HUGEINT) AS yv
+          FROM documents d JOIN qs q ON d.doc_id = q.doc_id
+        ),
+        per AS (
+          SELECT s, CAST(count(*) AS HUGEINT) AS n,
+                 sum(xv) AS sx, sum(yv) AS sy, sum(xv * yv) AS sxy
+          FROM base GROUP BY 1
+        ),
+        pooled AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(xv) AS sx, sum(yv) AS sy, sum(xv * yv) AS sxy
+          FROM base
+        ),
+        ps AS (SELECT {_simpson_sign} AS pooled_sign FROM pooled)
+        SELECT s AS lang, CAST(n AS BIGINT) AS n,
+               {_simpson_sign} AS cov_sign, pooled_sign,
+               (({_simpson_sign}) * pooled_sign = -1) AS is_reversed
+        FROM per CROSS JOIN ps
     """
 
     return o

@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "conv_fork_groups",
     "assistant_verbosity_trend",
     "sft_pair_table",
+    "length_quality_simpson",
 ]
 
 

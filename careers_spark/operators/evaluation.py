@@ -2931,3 +2931,65 @@ def cliffs_delta(
             ).alias("magnitude"),
         )
     )
+
+
+def simpson_sign_check(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    stratum: str = "stratum",
+) -> DataFrame:
+    """Simpson's-paradox audit: does the SIGN of the x-y association
+    within each stratum contradict the pooled sign? The classic
+    curation trap this catches: "longer documents score higher" in the
+    pooled corpus while every language individually shows the
+    opposite — a length filter tuned on the pooled trend then cuts
+    against every stratum. Association is measured by the covariance
+    numerator n*Sxy - Sx*Sy, whose SIGN equals the correlation's, so
+    the whole audit is float-free: integer moments on DECIMAL(38,0)
+    (headroom for n*Sxy at corpus scale), one three-way CASE per row,
+    and a strict sign-product flag.
+
+    One partial-agg groupBy(stratum) + a broadcast pooled row; x and y
+    must be integer-valued columns (put rounded scores on their 1e6
+    lattice first — the calibration_bins convention).
+
+    Output: (stratum, n, cov_sign, pooled_sign, is_reversed) with
+    is_reversed true only on a strict sign flip (zero covariances
+    never flag).
+    """
+    base = df.select(
+        F.col(stratum).alias("s"),
+        F.col(x).cast("decimal(38,0)").alias("xv"),
+        F.col(y).cast("decimal(38,0)").alias("yv"),
+    )
+
+    def moments(g):
+        return g.agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("xv").alias("sx"),
+            F.sum("yv").alias("sy"),
+            F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        )
+
+    sign = (
+        "case when n * sxy - sx * sy > 0 then 1"
+        " when n * sxy - sx * sy < 0 then -1 else 0 end"
+    )
+    per = moments(base.groupBy("s")).select(
+        "s",
+        F.col("n").cast("long").alias("n"),
+        F.expr(sign).alias("cov_sign"),
+    )
+    pooled = moments(base.groupBy()).select(
+        F.expr(sign).alias("pooled_sign")
+    )
+    return per.crossJoin(F.broadcast(pooled)).select(
+        F.col("s").alias(stratum),
+        "n",
+        "cov_sign",
+        "pooled_sign",
+        (F.col("cov_sign") * F.col("pooled_sign") == -1).alias(
+            "is_reversed"
+        ),
+    )

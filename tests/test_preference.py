@@ -423,3 +423,74 @@ def test_instruction_grounding_distinct_overlap_and_tool_skip(spark):
     # tool turn does not displace the user pairing; repeated shared
     # tokens count once each
     assert (r.prev_user_turn, r.overlap_tokens) == (0, 2)
+
+
+# ---------------------------------------------------------------------------
+def test_simpson_classic_reversal(spark):
+    from careers_spark.operators.evaluation import simpson_sign_check
+
+    # within each stratum y falls with x; across strata both rise:
+    # pooled sign positive, per-stratum signs negative.
+    rows = []
+    for g, (ox, oy) in enumerate([(0, 0), (100, 100), (200, 200)]):
+        for i in range(10):
+            rows.append((f"g{g}", ox + i, oy + (9 - i)))
+    df = spark.createDataFrame(rows, "stratum string, x long, y long")
+    out = {
+        r.stratum: r for r in simpson_sign_check(df).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        assert out[g].cov_sign == -1
+        assert out[g].pooled_sign == 1
+        assert out[g].is_reversed is True
+
+
+def test_simpson_aligned_and_zero(spark):
+    from careers_spark.operators.evaluation import simpson_sign_check
+
+    rows = [("a", i, i) for i in range(10)] + [
+        ("flat", i, 7) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "stratum string, x long, y long")
+    out = {
+        r.stratum: r for r in simpson_sign_check(df).collect()
+    }
+    assert out["a"].cov_sign == 1 and out["a"].is_reversed is False
+    # constant y: zero covariance never flags
+    assert out["flat"].cov_sign == 0
+    assert out["flat"].is_reversed is False
+
+
+def test_simpson_python_lockstep(spark):
+    import random
+
+    from careers_spark.operators.evaluation import simpson_sign_check
+
+    rng = random.Random(83)
+    rows = [
+        (f"s{rng.randrange(4)}", rng.randrange(100), rng.randrange(100))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "stratum string, x long, y long")
+    out = {r.stratum: r for r in simpson_sign_check(df).collect()}
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for s, xv, yv in rows:
+        by[s].append((xv, yv))
+    n = len(rows)
+    sx = sum(x for _, x, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    sxy = sum(x * y for _, x, y in rows)
+    pooled = sgn(n * sxy - sx * sy)
+    for s, pts in by.items():
+        m = len(pts)
+        a = sum(x for x, _ in pts)
+        b = sum(y for _, y in pts)
+        c = sum(x * y for x, y in pts)
+        assert out[s].cov_sign == sgn(m * c - a * b)
+        assert out[s].pooled_sign == pooled
