@@ -5614,6 +5614,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["length_quality_simpson"] = length_quality_simpson
 
+    def turn_novelty_curve(spark, sf_dir):
+        """Per-turn new-token fraction of the pinned synth transcripts
+        (convshape.turn_novelty) — the information-accumulation curve
+        beside turn_cohesion's boundaries."""
+        from careers_spark.operators.convshape import turn_novelty
+
+        return turn_novelty(_synth_transcripts(spark))
+
+    q["turn_novelty_curve"] = turn_novelty_curve
+
+    def entity_degree_alpha(spark, sf_dir):
+        """Clauset-Shalizi-Newman continuous-MLE power-law exponent of
+        the min_obs=20 entity graph's degree tail
+        (graph.degree_tail_alpha) — the hub-salting early warning."""
+        from careers_spark.operators.graph import degree_tail_alpha
+
+        return degree_tail_alpha(
+            _entity_edges(spark, sf_dir, 20).select("src", "dst"),
+            dmin=2,
+        )
+
+    q["entity_degree_alpha"] = entity_degree_alpha
+
     return q
 
 
@@ -16667,6 +16690,47 @@ def oracle_sql() -> dict[str, str]:
         FROM paired WHERE rk = 1
     """
 
+        # turn_novelty_curve: first-occurrence algebra (min turn per
+        # token), order-free; turn spine keeps tokenless rows.
+        o["turn_novelty_curve"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, turn_idx AS ti, {_DUCK_TOKS} AS toks FROM tr
+        ),
+        spine AS (SELECT conv_id, ti AS turn_idx FROM t),
+        tok AS (
+          SELECT DISTINCT conv_id, ti, unnest(list_distinct(toks))
+                   AS g
+          FROM t
+        ),
+        per_turn AS (
+          SELECT conv_id, ti AS turn_idx,
+                 CAST(count(*) AS BIGINT) AS n_distinct_tokens
+          FROM tok GROUP BY 1, 2
+        ),
+        first AS (
+          SELECT conv_id, g, min(ti) AS first_ti FROM tok
+          GROUP BY 1, 2
+        ),
+        news AS (
+          SELECT conv_id, first_ti AS turn_idx,
+                 CAST(count(*) AS BIGINT) AS n_new_tokens
+          FROM first GROUP BY 1, 2
+        )
+        SELECT s.conv_id, s.turn_idx,
+               coalesce(p.n_distinct_tokens, 0) AS n_distinct_tokens,
+               coalesce(n.n_new_tokens, 0) AS n_new_tokens,
+               CASE WHEN coalesce(p.n_distinct_tokens, 0) = 0
+                    THEN NULL
+                    ELSE round(coalesce(n.n_new_tokens, 0) * 1e0
+                         / p.n_distinct_tokens, 6) END AS novelty
+        FROM spine s
+        LEFT JOIN per_turn p
+          ON s.conv_id = p.conv_id AND s.turn_idx = p.turn_idx
+        LEFT JOIN news n
+          ON s.conv_id = n.conv_id AND s.turn_idx = n.turn_idx
+    """
+
     # orders_join_qerror: per-key count tables, exact actual via
     # HUGEINT products, shared-text estimate and Q-error closes.
     o["orders_join_qerror"] = """
@@ -17164,6 +17228,44 @@ def oracle_sql() -> dict[str, str]:
                {_simpson_sign} AS cov_sign, pooled_sign,
                (({_simpson_sign}) * pooled_sign = -1) AS is_reversed
         FROM per CROSS JOIN ps
+    """
+
+    # entity_degree_alpha: exact degrees, ln terms rounded to 6 before
+    # the sum (the pinned ln-lockstep recipe), one-row close.
+    o["entity_degree_alpha"] = f"""
+        WITH tokd AS MATERIALIZED (
+          SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS}))
+                   AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS MATERIALIZED (
+          SELECT a.tok AS src, b.tok AS dst
+          FROM tokd a JOIN tokd b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT src AS node FROM e
+            UNION ALL SELECT dst AS node FROM e
+          ) GROUP BY 1
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_tail,
+                 sum(CASE WHEN d >= 2 THEN
+                     round(ln(d * 1e0 / 1.5e0), 6) ELSE 0e0 END)
+                   AS sum_ln_raw
+          FROM deg
+        )
+        SELECT n_nodes, n_tail, 2 AS dmin,
+               round(coalesce(sum_ln_raw, 0e0), 6) AS sum_ln,
+               CASE WHEN n_tail = 0 OR coalesce(sum_ln_raw, 0e0) = 0e0
+                    THEN NULL
+                    ELSE round(1e0 + n_tail
+                         / coalesce(sum_ln_raw, 0e0), 6) END AS alpha
+        FROM agg
     """
 
     return o

@@ -342,6 +342,8 @@ BENCH_QUERIES = [
     "assistant_verbosity_trend",
     "sft_pair_table",
     "length_quality_simpson",
+    "turn_novelty_curve",
+    "entity_degree_alpha",
 ]
 
 

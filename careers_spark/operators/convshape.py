@@ -1276,3 +1276,71 @@ def sft_pairs(
         F.col("a_ntok").alias("response_tokens"),
         F.col("a_hash").alias("response_hash"),
     )
+
+
+def turn_novelty(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    text: str = "text",
+) -> DataFrame:
+    """Per-turn information-accumulation curve: what fraction of a
+    turn's distinct tokens are NEW to the conversation (first
+    occurrence). A conversation whose later turns contribute nothing
+    new is circling (the repetition family's lexical complement); a
+    flat-high curve is a topic parade with no follow-up depth —
+    both shape signals for SFT curation and for choosing truncation
+    points together with turn_cohesion's boundaries.
+
+    Order-free exactness: "new at turn t" is a function of each
+    token's MIN turn index within the conversation (one partial-agg
+    groupBy), never of scan order — the vocab_growth recipe at
+    conversation grain. Tokenless turns keep their row with NULL
+    novelty via the turn spine.
+
+    Output: (conv_id, turn_idx, n_distinct_tokens, n_new_tokens,
+    novelty).
+    """
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        tokens_col(text).alias("toks"),
+    )
+    spine = t.select("conv_id", F.col("ti").alias("turn_idx"))
+    tok = t.select(
+        "conv_id", "ti", F.explode(F.array_distinct("toks")).alias("g")
+    )
+    per_turn = tok.groupBy("conv_id", F.col("ti").alias("turn_idx")).agg(
+        F.count("*").cast("long").alias("n_distinct_tokens")
+    )
+    first = tok.groupBy("conv_id", "g").agg(
+        F.min("ti").alias("first_ti")
+    )
+    news = first.groupBy(
+        "conv_id", F.col("first_ti").alias("turn_idx")
+    ).agg(F.count("*").cast("long").alias("n_new_tokens"))
+    return (
+        spine.join(per_turn, ["conv_id", "turn_idx"], "left")
+        .join(news, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce("n_distinct_tokens", F.lit(0).cast("long")).alias(
+                "n_distinct_tokens"
+            ),
+            F.coalesce("n_new_tokens", F.lit(0).cast("long")).alias(
+                "n_new_tokens"
+            ),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "n_distinct_tokens",
+            "n_new_tokens",
+            F.expr(
+                "case when n_distinct_tokens = 0 then null else"
+                " round(n_new_tokens * 1e0 / n_distinct_tokens, 6)"
+                " end"
+            ).alias("novelty"),
+        )
+    )

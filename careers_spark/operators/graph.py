@@ -2337,3 +2337,73 @@ def wl_refinement(
             F.min("node").alias("example_node"),
         )
     )
+
+
+def degree_tail_alpha(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    dmin: int = 2,
+) -> DataFrame:
+    """Power-law exponent of the degree tail by the continuous MLE
+    with the standard half-integer correction (Clauset, Shalizi &
+    Newman 2009, eq. 3.7):
+
+        alpha = 1 + n / sum_{d_i >= dmin} ln(d_i / (dmin - 1/2))
+
+    — the scale-free diagnostic for a fresh KG: alpha near 2-3 with a
+    fat tail says hub entities will dominate joins (salt them);
+    a steep alpha says degree-based pruning is safe.
+
+    Exactness: degrees are exact integers; each ln term is rounded to
+    6 decimals BEFORE summation (the pinned ln-lockstep recipe), so
+    the across-node sum carries only addition-order noise under the
+    final round(,6). Tail emptiness surfaces NULL alpha.
+
+    One distinct-edge pass + one degree groupBy + a 1-row close.
+
+    Output: one row — (n_nodes, n_tail, dmin, sum_ln, alpha).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    half = float(dmin) - 0.5
+    return (
+        deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.when(F.col("d") >= int(dmin), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tail"),
+            F.sum(
+                F.when(
+                    F.col("d") >= int(dmin),
+                    F.expr(f"round(ln(d * 1e0 / {half}e0), 6)"),
+                ).otherwise(F.lit(0.0))
+            ).alias("sum_ln_raw"),
+        )
+        .select(
+            "n_nodes",
+            "n_tail",
+            F.lit(int(dmin)).alias("dmin"),
+            F.expr("round(coalesce(sum_ln_raw, 0e0), 6)").alias(
+                "sum_ln"
+            ),
+            F.expr(
+                "case when n_tail = 0 or coalesce(sum_ln_raw, 0e0)"
+                " = 0e0 then null else"
+                " round(1e0 + n_tail / coalesce(sum_ln_raw, 0e0), 6)"
+                " end"
+            ).alias("alpha"),
+        )
+    )

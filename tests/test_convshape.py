@@ -622,3 +622,30 @@ def test_sft_pairs_each_user_gets_nearest_assistant(spark):
         for r in sft_pairs(df).collect()
     }
     assert out == {("c", 0): 1, ("c", 2): 3}
+
+
+def test_turn_novelty_curve(spark):
+    from careers_spark.operators.convshape import turn_novelty
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "alpha beta alpha"),
+            ("c", 1, "assistant", "beta gamma"),
+            ("c", 2, "user", "alpha beta gamma"),
+            ("c", 3, "user", "..."),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r for r in turn_novelty(df).collect()
+    }
+    r0 = out[("c", 0)]
+    assert (r0.n_distinct_tokens, r0.n_new_tokens) == (2, 2)
+    assert r0.novelty == 1.0
+    r1 = out[("c", 1)]  # beta seen, gamma new
+    assert (r1.n_distinct_tokens, r1.n_new_tokens) == (2, 1)
+    assert r1.novelty == 0.5
+    r2 = out[("c", 2)]  # nothing new
+    assert (r2.n_new_tokens, r2.novelty) == (0, 0.0)
+    r3 = out[("c", 3)]  # tokenless turn surfaces NULL
+    assert r3.n_distinct_tokens == 0 and r3.novelty is None

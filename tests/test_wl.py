@@ -77,3 +77,31 @@ def test_wl_python_lockstep_and_direction_invariance(spark):
         for r in _wl(spark, rev)
     }
     assert got_rev == want
+
+
+def test_degree_tail_alpha_lockstep(spark):
+    import math
+
+    from careers_spark.operators.graph import degree_tail_alpha
+
+    # star + path: hub degree 5, leaves 1, path adds degree-2 nodes
+    edges = [("h", f"l{i}") for i in range(5)] + [
+        ("p1", "p2"), ("p2", "p3"), ("p3", "p4")
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    (r,) = degree_tail_alpha(df, dmin=2).collect()
+    degs = {"h": 5, "p2": 2, "p3": 2}
+    want_sum = sum(round(math.log(d / 1.5), 6) for d in degs.values())
+    assert r.n_tail == 3
+    assert abs(r.sum_ln - round(want_sum, 6)) < 2e-6
+    assert r.alpha == round(1 + 3 / want_sum, 6)
+
+
+def test_degree_tail_alpha_empty_tail_null(spark):
+    from careers_spark.operators.graph import degree_tail_alpha
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "src string, dst string"
+    )
+    (r,) = degree_tail_alpha(df, dmin=2).collect()
+    assert r.n_tail == 0 and r.alpha is None
