@@ -5637,6 +5637,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_degree_alpha"] = entity_degree_alpha
 
+    def curated_sft_pairs(spark, sf_dir):
+        """The transcripts capstone: curated_corpus at SFT-pair grain
+        (convshape.curated_sft_pairs) — every (prompt, response) pair
+        with its four curation legs (trainable / conv near-dup kept /
+        ordering clean / not canned) and the selected conjunction;
+        rejected pairs stay visible with their failing legs."""
+        from careers_spark.operators.convshape import (
+            curated_sft_pairs as csp,
+        )
+
+        return csp(_synth_transcripts(spark))
+
+    q["curated_sft_pairs"] = curated_sft_pairs
+
     return q
 
 
@@ -16729,6 +16743,30 @@ def oracle_sql() -> dict[str, str]:
           ON s.conv_id = p.conv_id AND s.turn_idx = p.turn_idx
         LEFT JOIN news n
           ON s.conv_id = n.conv_id AND s.turn_idx = n.turn_idx
+    """
+
+        # curated_sft_pairs: the four leg oracles nested verbatim
+        # (inner WITHs scope inside each CTE body — the
+        # near_dup_canonical nesting precedent), three key joins, one
+        # conjunction.
+        o["curated_sft_pairs"] = f"""
+        WITH sp AS MATERIALIZED ({o["sft_pair_table"]}),
+        cd AS MATERIALIZED ({o["conv_dedup_canonical"]}),
+        toi AS MATERIALIZED ({o["turn_order_integrity"]}),
+        cr AS MATERIALIZED ({o["canned_response_report"]})
+        SELECT sp.conv_id, sp.user_turn, sp.assistant_turn,
+               sp.prompt_tokens, sp.response_tokens, sp.response_hash,
+               (sp.assistant_turn IS NOT NULL) AS has_response,
+               cd.is_kept AS conv_kept,
+               toi.clean AS conv_clean,
+               (sp.response_hash IS NOT NULL AND cr.text_hash IS NULL)
+                 AS not_canned,
+               ((sp.assistant_turn IS NOT NULL) AND cd.is_kept
+                AND toi.clean AND (sp.response_hash IS NOT NULL
+                AND cr.text_hash IS NULL)) AS selected
+        FROM sp JOIN cd ON sp.conv_id = cd.conv_id
+                JOIN toi ON sp.conv_id = toi.conv_id
+                LEFT JOIN cr ON sp.response_hash = cr.text_hash
     """
 
     # orders_join_qerror: per-key count tables, exact actual via

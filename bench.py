@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "length_quality_simpson",
     "turn_novelty_curve",
     "entity_degree_alpha",
+    "curated_sft_pairs",
 ]
 
 

@@ -1344,3 +1344,80 @@ def turn_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def curated_sft_pairs(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    ts: str = "ts",
+) -> DataFrame:
+    """The transcripts capstone — curated_corpus at the SFT-pair
+    grain: every (prompt, response) pair from sft_pairs carrying four
+    independent curation legs and their conjunction, so "what actually
+    enters training" is one machine-checkable view:
+
+      has_response  — the pair is trainable at all (no dangling user)
+      conv_kept     — the conversation survived near-dup dedup
+                      (conversation_dedup_canonical representative)
+      conv_clean    — the ordering contract holds
+                      (turn_order_audit's dup/gap/inversion zeros)
+      not_canned    — the response is not a cross-conversation
+                      template (canned_responses at min_convs=2);
+                      NULL-response rows are false here, not NULL —
+                      an untrainable pair can never be selected
+
+    Rejected pairs stay in the output with their failing legs visible
+    (the curated_corpus convention): curation decisions must be
+    auditable, not silently applied. Pure composition of four
+    existing exact operators; the only new work is three left joins
+    on conversation / hash keys.
+
+    Output: sft_pairs' columns + (has_response, conv_kept,
+    conv_clean, not_canned, selected).
+    """
+    pairs = sft_pairs(
+        transcripts, conv=conv, turn=turn, role=role, text=text
+    )
+    kept = conversation_dedup_canonical(
+        transcripts, conv=conv, text=text
+    ).select("conv_id", F.col("is_kept").alias("conv_kept"))
+    clean = turn_order_audit(
+        transcripts, conv=conv, turn=turn, ts=ts
+    ).select("conv_id", F.col("clean").alias("conv_clean"))
+    canned = canned_responses(
+        transcripts, min_convs=2, conv=conv, role=role, text=text
+    ).select(F.col("text_hash").alias("response_hash"))
+    return (
+        pairs.join(kept, "conv_id")
+        .join(clean, "conv_id")
+        .join(
+            canned.withColumn("is_canned", F.lit(True)),
+            "response_hash",
+            "left",
+        )
+        .select(
+            "conv_id",
+            "user_turn",
+            "assistant_turn",
+            "prompt_tokens",
+            "response_tokens",
+            "response_hash",
+            F.col("assistant_turn").isNotNull().alias("has_response"),
+            "conv_kept",
+            "conv_clean",
+            (
+                F.col("response_hash").isNotNull()
+                & F.col("is_canned").isNull()
+            ).alias("not_canned"),
+        )
+        .withColumn(
+            "selected",
+            F.col("has_response")
+            & F.col("conv_kept")
+            & F.col("conv_clean")
+            & F.col("not_canned"),
+        )
+    )

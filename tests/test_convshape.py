@@ -649,3 +649,95 @@ def test_turn_novelty_curve(spark):
     assert (r2.n_new_tokens, r2.novelty) == (0, 0.0)
     r3 = out[("c", 3)]  # tokenless turn surfaces NULL
     assert r3.n_distinct_tokens == 0 and r3.novelty is None
+
+
+def test_curated_sft_pairs_composition(spark):
+    from datetime import datetime
+
+    from careers_spark.operators.convshape import (
+        canned_responses,
+        conversation_dedup_canonical,
+        curated_sft_pairs,
+        sft_pairs,
+        turn_order_audit,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def turn(c, i, r, tx, ts_off=0):
+        from datetime import timedelta
+
+        return (c, i, r, tx, "", t0 + timedelta(seconds=i * 10 + ts_off))
+
+    rows = [
+        # good conversation: trainable, clean, unique
+        turn("good", 0, "user", "alpha beta gamma question here"),
+        turn("good", 1, "assistant", "a unique detailed answer body"),
+        # near-dup twins: same trigram content -> one kept
+        turn("dupA", 0, "user", "one two three four five six"),
+        turn("dupA", 1, "assistant", "seven eight nine ten eleven"),
+        turn("dupB", 0, "user", "one two three four five six"),
+        turn("dupB", 1, "assistant", "seven eight nine ten twelve"),
+        # dirty conversation: duplicated turn index
+        turn("dirty", 0, "user", "dup idx question words here"),
+        turn("dirty", 0, "assistant", "some answer to that words"),
+        # canned: same assistant text in two conversations
+        turn("cA", 0, "user", "unrelated question text one"),
+        turn("cA", 1, "assistant", "i can help with that"),
+        turn("cB", 0, "user", "unrelated question text two"),
+        turn("cB", 1, "assistant", "I  can help with THAT"),
+        # dangling user turn
+        turn("dang", 0, "user", "never answered prompt words"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = curated_sft_pairs(df).collect()
+    by = {(r.conv_id, r.user_turn): r for r in out}
+
+    g = by[("good", 0)]
+    assert g.selected is True
+
+    # exactly one of the dup twins is selected (the kept one)
+    dup_sel = [
+        r.selected for k, r in by.items() if k[0] in ("dupA", "dupB")
+    ]
+    assert sorted(dup_sel) == [False, True]
+
+    d = by[("dirty", 0)]
+    assert d.conv_clean is False and d.selected is False
+
+    for c in ("cA", "cB"):
+        r = by[(c, 0)]
+        assert r.not_canned is False and r.selected is False
+
+    dg = by[("dang", 0)]
+    assert dg.has_response is False
+    assert dg.not_canned is False and dg.selected is False
+
+    # the conjunction equals the independently computed legs
+    pairs = {
+        (r.conv_id, r.user_turn): r for r in sft_pairs(df).collect()
+    }
+    kept = {
+        r.conv_id: r.is_kept
+        for r in conversation_dedup_canonical(df).collect()
+    }
+    clean = {
+        r.conv_id: r.clean for r in turn_order_audit(df).collect()
+    }
+    canned_hashes = {
+        r.text_hash for r in canned_responses(df).collect()
+    }
+    for k, r in by.items():
+        p = pairs[k]
+        want = (
+            p.assistant_turn is not None
+            and kept[k[0]]
+            and clean[k[0]]
+            and p.response_hash is not None
+            and p.response_hash not in canned_hashes
+        )
+        assert r.selected is want, k
