@@ -5651,6 +5651,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curated_sft_pairs"] = curated_sft_pairs
 
+    def prompt_contamination_report(spark, sf_dir):
+        """Eval-split prompt leakage over the pinned synth transcripts
+        (convshape.prompt_contamination, md5 conv split mod 5): eval
+        prompts that also appear normalized-verbatim in train — the
+        memorization-not-capability audit."""
+        from careers_spark.operators.convshape import (
+            prompt_contamination,
+        )
+
+        return prompt_contamination(_synth_transcripts(spark))
+
+    q["prompt_contamination_report"] = prompt_contamination_report
+
+    def split_balance(spark, sf_dir):
+        """Per-side balance of the same md5 conversation split
+        (convshape.split_balance_report): conv/turn/token counts and
+        role shares — the split-bias audit."""
+        from careers_spark.operators.convshape import (
+            split_balance_report,
+        )
+
+        return split_balance_report(_synth_transcripts(spark))
+
+    q["split_balance"] = split_balance
+
     return q
 
 
@@ -16767,6 +16792,65 @@ def oracle_sql() -> dict[str, str]:
         FROM sp JOIN cd ON sp.conv_id = cd.conv_id
                 JOIN toi ON sp.conv_id = toi.conv_id
                 LEFT JOIN cr ON sp.response_hash = cr.text_hash
+    """
+
+        # prompt_contamination_report / split_balance: the md5 conv
+        # split as a pure conv_id function, canned normalization for
+        # prompt identity.
+        o["prompt_contamination_report"] = f"""
+        WITH tr AS ({_tr_sql}),
+        u AS (
+          SELECT conv_id, text AS raw,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                     'g')) AS prompt_hash,
+                 ('0x' || substr(md5(conv_id), 1, 8))::BIGINT % 5 = 0
+                   AS is_eval
+          FROM tr WHERE role = 'user'
+        ),
+        ev AS (
+          SELECT prompt_hash,
+                 CAST(count(DISTINCT conv_id) AS BIGINT)
+                   AS n_eval_convs,
+                 min(raw) AS example_text
+          FROM u WHERE is_eval GROUP BY 1
+        ),
+        tn AS (
+          SELECT prompt_hash,
+                 CAST(count(DISTINCT conv_id) AS BIGINT)
+                   AS n_train_convs
+          FROM u WHERE NOT is_eval GROUP BY 1
+        )
+        SELECT prompt_hash, n_eval_convs, n_train_convs, example_text
+        FROM ev JOIN tn USING (prompt_hash)
+    """
+
+        o["split_balance"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, role AS r,
+                 CAST(len({_DUCK_TOKS}) AS BIGINT) AS ntok,
+                 CASE WHEN ('0x' || substr(md5(conv_id), 1, 8))::BIGINT
+                        % 5 = 0 THEN 'eval' ELSE 'train' END AS split
+          FROM tr
+        ),
+        g AS (
+          SELECT split,
+                 CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                 CAST(count(*) AS BIGINT) AS n_turns,
+                 CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN r = 'assistant' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_assistant,
+                 CAST(sum(CASE WHEN r = 'tool' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_tool
+          FROM t GROUP BY 1
+        )
+        SELECT split, n_convs, n_turns, n_tokens,
+               round(n_assistant * 1e0 / n_turns, 6)
+                 AS assistant_share,
+               round(n_tool * 1e0 / n_turns, 6) AS tool_turn_share,
+               round(n_turns * 1e0 / n_convs, 6)
+                 AS mean_turns_per_conv
+        FROM g
     """
 
     # orders_join_qerror: per-key count tables, exact actual via

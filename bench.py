@@ -345,6 +345,8 @@ BENCH_QUERIES = [
     "turn_novelty_curve",
     "entity_degree_alpha",
     "curated_sft_pairs",
+    "prompt_contamination_report",
+    "split_balance",
 ]
 
 

@@ -1421,3 +1421,123 @@ def curated_sft_pairs(
             & F.col("not_canned"),
         )
     )
+
+
+def prompt_contamination(
+    transcripts: DataFrame,
+    mod: int = 5,
+    eval_bucket: int = 0,
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+) -> DataFrame:
+    """Eval-split prompt contamination — the transcript-grain analogue
+    of benchmark decontamination: after the deterministic md5
+    conversation split (bucket(conv) == eval_bucket mod `mod`), which
+    EVAL user prompts also appear verbatim (normalized) in TRAIN
+    conversations? An eval set whose prompts leak into training
+    measures memorization, not capability; these are the prompts to
+    drop from eval or quarantine from training.
+
+    Membership is a pure function of conv_id (the train_val_test_split
+    convention — never migrates as the corpus grows); prompts compare
+    on the canned-response normalization. One groupBy per split side +
+    one hash equi-join, all counts exact.
+
+    Output: one row per CONTAMINATED eval prompt — (prompt_hash,
+    n_eval_convs, n_train_convs, example_text).
+    """
+    u = transcripts.filter(F.col(role) == "user").select(
+        F.col(conv).alias("conv_id"),
+        F.col(text).alias("raw"),
+        F.expr(
+            f"md5(regexp_replace(lower(trim({text})), '\\\\s+', ' '))"
+        ).alias("prompt_hash"),
+        F.expr(
+            f"cast(conv(substr(md5({conv}), 1, 8), 16, 10) as bigint)"
+            f" % {int(mod)} = {int(eval_bucket)}"
+        ).alias("is_eval"),
+    )
+    ev = (
+        u.filter(F.col("is_eval"))
+        .groupBy("prompt_hash")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias(
+                "n_eval_convs"
+            ),
+            F.min("raw").alias("example_text"),
+        )
+    )
+    tr = (
+        u.filter(~F.col("is_eval"))
+        .groupBy("prompt_hash")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias(
+                "n_train_convs"
+            )
+        )
+    )
+    return ev.join(tr, "prompt_hash").select(
+        "prompt_hash", "n_eval_convs", "n_train_convs", "example_text"
+    )
+
+
+def split_balance_report(
+    transcripts: DataFrame,
+    mod: int = 5,
+    eval_bucket: int = 0,
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+) -> DataFrame:
+    """Balance audit of the md5 conversation split: per side,
+    conversation / turn / token counts and role shares — a split whose
+    eval side is systematically longer or more tool-heavy than train
+    biases every evaluation run on it. All exact integers plus one
+    rounded share per column; the split predicate is the same pure
+    conv_id function prompt_contamination keys on.
+
+    Output: one row per side — (split, n_convs, n_turns, n_tokens,
+    assistant_share, tool_turn_share, mean_turns_per_conv).
+    """
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(role).alias("r"),
+        F.size(tokens_col(text)).cast("long").alias("ntok"),
+        F.expr(
+            f"case when cast(conv(substr(md5({conv}), 1, 8), 16, 10)"
+            f" as bigint) % {int(mod)} = {int(eval_bucket)}"
+            " then 'eval' else 'train' end"
+        ).alias("split"),
+    )
+    return (
+        t.groupBy("split")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("r") == "assistant", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_assistant"),
+            F.sum(F.when(F.col("r") == "tool", 1).otherwise(0))
+            .cast("long")
+            .alias("n_tool"),
+        )
+        .select(
+            "split",
+            "n_convs",
+            "n_turns",
+            "n_tokens",
+            F.expr("round(n_assistant * 1e0 / n_turns, 6)").alias(
+                "assistant_share"
+            ),
+            F.expr("round(n_tool * 1e0 / n_turns, 6)").alias(
+                "tool_turn_share"
+            ),
+            F.expr("round(n_turns * 1e0 / n_convs, 6)").alias(
+                "mean_turns_per_conv"
+            ),
+        )
+    )

@@ -741,3 +741,69 @@ def test_curated_sft_pairs_composition(spark):
             and p.response_hash not in canned_hashes
         )
         assert r.selected is want, k
+
+
+def test_prompt_contamination_and_split_stability(spark):
+    from careers_spark.operators.convshape import prompt_contamination
+
+    # force the split with known conv ids by scanning buckets
+    import hashlib
+
+    def bucket(cid, mod=5):
+        return int(hashlib.md5(cid.encode()).hexdigest()[:8], 16) % mod
+
+    ev = next(c for c in (f"c{i}" for i in range(50)) if bucket(c) == 0)
+    tr1 = next(c for c in (f"c{i}" for i in range(50)) if bucket(c) != 0)
+    tr2 = next(
+        c
+        for c in (f"c{i}" for i in range(50))
+        if bucket(c) != 0 and c != tr1
+    )
+    rows = [
+        (ev, 0, "user", "shared leaked prompt"),
+        (tr1, 0, "user", "Shared   LEAKED prompt"),
+        (tr2, 0, "user", "shared leaked prompt"),
+        (ev, 2, "user", "eval only question"),
+        (tr1, 2, "user", "train only question"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = prompt_contamination(df).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r.n_eval_convs == 1 and r.n_train_convs == 2
+    # growing the corpus never flips membership of existing convs
+    out2 = prompt_contamination(
+        df.union(
+            spark.createDataFrame(
+                [("zz_new", 0, "user", "whatever text")],
+                df.schema,
+            )
+        )
+    ).collect()
+    assert len(out2) == 1 and out2[0].prompt_hash == r.prompt_hash
+
+
+def test_split_balance_report(spark):
+    from careers_spark.operators.convshape import split_balance_report
+
+    rows = []
+    for i in range(40):
+        c = f"k{i}"
+        rows += [
+            (c, 0, "user", "one two three"),
+            (c, 1, "assistant", "four five"),
+        ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r.split: r for r in split_balance_report(df).collect()}
+    assert set(out) == {"eval", "train"}
+    tot_convs = out["eval"].n_convs + out["train"].n_convs
+    assert tot_convs == 40
+    for side in out.values():
+        assert side.n_turns == 2 * side.n_convs
+        assert side.assistant_share == 0.5
+        assert side.mean_turns_per_conv == 2.0
+        assert side.n_tokens == 5 * side.n_convs
