@@ -26,10 +26,13 @@ KG_CONVS = int(os.environ.get("KG_BENCH_CONVS", "100000"))
 
 BENCH_QUERIES = [
     "tpch_q1",
+    "tpch_q2",
     "tpch_q4",
     "tpch_q6",
     "tpch_q7",
     "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
     "tpch_q10",
     "tpch_q12",
     "tpch_q13",
@@ -38,6 +41,7 @@ BENCH_QUERIES = [
     "tpch_q16",
     "tpch_q17",
     "tpch_q19",
+    "tpch_q20",
     "tpch_q21",
     "tpch_q22",
     "star_revenue",
