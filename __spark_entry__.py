@@ -5920,6 +5920,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q20"] = tpch_q20
 
+    def user_salt_advisor(spark, sf_dir):
+        """Salting prescription for the event stream's user key at a
+        70-rows-per-task budget (skew.salt_advisor): the table a
+        pipeline author turns directly into hash-salt repartition
+        keys — the actionable follow-up to key_skew_report."""
+        from careers_spark.operators.skew import salt_advisor
+
+        return salt_advisor(
+            _t(spark, sf_dir, "events"), "user_id", target_rows=70
+        )
+
+    q["user_salt_advisor"] = user_salt_advisor
+
     return q
 
 
@@ -17213,6 +17226,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN supplier ON ps_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
           AND n_name = 'NATION_2'
+    """
+
+    # user_salt_advisor: exact integer ceil-divisions, over-budget
+    # keys only.
+    o["user_salt_advisor"] = """
+        WITH c AS (
+          SELECT CAST(user_id AS VARCHAR) AS key_value,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM events GROUP BY 1
+        )
+        SELECT key_value, n_rows,
+               (n_rows + 70 - 1) // 70 AS salt_factor,
+               (n_rows + ((n_rows + 70 - 1) // 70) - 1)
+                 // ((n_rows + 70 - 1) // 70) AS post_salt_max_rows
+        FROM c WHERE n_rows > 70
     """
 
     # orders_join_qerror: per-key count tables, exact actual via

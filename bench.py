@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "event_theil_sen",
     "hourly_haar_synopsis",
     "key_skew_report",
+    "user_salt_advisor",
     "distinct_sketch",
     "bitmap_distinct_users",
     "top_orders_per_cust",

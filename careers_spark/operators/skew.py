@@ -176,3 +176,43 @@ def join_cardinality_qerror(
             ).alias("q_error"),
         )
     )
+
+
+def salt_advisor(
+    df: DataFrame, key: str, target_rows: int = 1_000_000
+) -> DataFrame:
+    """Per-hot-key salting prescription — the actionable follow-up to
+    key_skew_report: every key whose row count exceeds
+    `target_rows` (the rows-per-task budget a shuffle partition
+    should carry) gets the integer salt factor that brings its
+    largest sub-key back under budget:
+
+        salt_factor       = ceil(n_rows / target_rows)
+        post_salt_max_rows = ceil(n_rows / salt_factor)
+
+    both as exact integer ceil-divisions ((a + b - 1) div b) — this is
+    the table a pipeline author turns directly into
+    `hash(col, salt % k)` repartition keys, and the policy this
+    engine's own canonicalization salting implements (CC_SALT).
+
+    One partial-agg groupBy(key); only keys OVER budget emit rows (an
+    empty result is the all-clear).
+
+    Output: (key_value, n_rows, salt_factor, post_salt_max_rows).
+    """
+    t = int(target_rows)
+    return (
+        df.select(F.col(key).cast("string").alias("key_value"))
+        .groupBy("key_value")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .filter(F.col("n_rows") > t)
+        .select(
+            "key_value",
+            "n_rows",
+            F.expr(f"(n_rows + {t} - 1) div {t}").alias("salt_factor"),
+            F.expr(
+                f"(n_rows + ((n_rows + {t} - 1) div {t}) - 1)"
+                f" div ((n_rows + {t} - 1) div {t})"
+            ).alias("post_salt_max_rows"),
+        )
+    )

@@ -37,3 +37,27 @@ def test_skew_report_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_salt_advisor_prescription(spark):
+    from careers_spark.operators.skew import salt_advisor
+
+    rows = (
+        [("hot", i) for i in range(250)]
+        + [("warm", i) for i in range(101)]
+        + [("cold", i) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = {r.key_value: r for r in salt_advisor(df, "k", 100).collect()}
+    # cold is under budget -> absent
+    assert set(out) == {"hot", "warm"}
+    h = out["hot"]
+    assert (h.n_rows, h.salt_factor) == (250, 3)
+    assert h.post_salt_max_rows == 84  # ceil(250/3)
+    w = out["warm"]
+    assert (w.n_rows, w.salt_factor, w.post_salt_max_rows) == (
+        101, 2, 51,
+    )
+    # the prescription actually lands under budget
+    for r in out.values():
+        assert r.post_salt_max_rows <= 100
