@@ -5933,6 +5933,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_salt_advisor"] = user_salt_advisor
 
+    def kg_split_contribution(spark, sf_dir):
+        """Incremental-knowledge diff of the pinned triple set across
+        the md5 conversation split (kgquality.split_contribution):
+        per predicate, what DISTINCT facts the eval-side conversations
+        contribute that train never asserts — the
+        is-another-batch-worth-ingesting read."""
+        from careers_spark.operators.kgquality import (
+            split_contribution,
+        )
+
+        return split_contribution(flagship.kg_triples_synth(spark))
+
+    q["kg_split_contribution"] = kg_split_contribution
+
     return q
 
 
@@ -17241,6 +17255,49 @@ def oracle_sql() -> dict[str, str]:
                (n_rows + ((n_rows + 70 - 1) // 70) - 1)
                  // ((n_rows + 70 - 1) // 70) AS post_salt_max_rows
         FROM c WHERE n_rows > 70
+    """
+
+    # kg_split_contribution: the pinned triple VALUES + the pure
+    # conv_id md5 split; novelty as a left-anti on the fact key.
+    o["kg_split_contribution"] = f"""
+        WITH t0 AS ({o["kg_triples_synth"]}),
+        t AS (
+          SELECT *, ('0x' || substr(md5(conv_id), 1, 8))::BIGINT % 5
+                    = 0 AS is_eval
+          FROM t0
+        ),
+        counts AS (
+          SELECT pred,
+                 CAST(sum(CASE WHEN NOT is_eval THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_train,
+                 CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_eval
+          FROM t GROUP BY 1
+        ),
+        facts_t AS (
+          SELECT DISTINCT pred, subj, obj FROM t WHERE NOT is_eval
+        ),
+        facts_e AS (
+          SELECT DISTINCT pred, subj, obj FROM t WHERE is_eval
+        ),
+        ft AS (SELECT pred, CAST(count(*) AS BIGINT) AS facts_train
+               FROM facts_t GROUP BY 1),
+        fe AS (SELECT pred, CAST(count(*) AS BIGINT) AS facts_eval
+               FROM facts_e GROUP BY 1),
+        novel AS (
+          SELECT e.pred, CAST(count(*) AS BIGINT) AS n_novel_eval
+          FROM facts_e e ANTI JOIN facts_t x
+            ON e.pred = x.pred AND e.subj = x.subj AND e.obj = x.obj
+          GROUP BY 1
+        )
+        SELECT c.pred, c.n_train, c.n_eval,
+               coalesce(ft.facts_train, 0) AS facts_train,
+               coalesce(fe.facts_eval, 0) AS facts_eval,
+               coalesce(novel.n_novel_eval, 0) AS n_novel_eval
+        FROM counts c
+        LEFT JOIN ft ON c.pred = ft.pred
+        LEFT JOIN fe ON c.pred = fe.pred
+        LEFT JOIN novel ON c.pred = novel.pred
     """
 
     # orders_join_qerror: per-key count tables, exact actual via

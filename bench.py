@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "hourly_haar_synopsis",
     "key_skew_report",
     "user_salt_advisor",
+    "kg_split_contribution",
     "distinct_sketch",
     "bitmap_distinct_users",
     "top_orders_per_cust",

@@ -305,3 +305,80 @@ def path_rule_confidence(
             " else round(n_support * 1e0 / n_pca_body, 6) end"
         ).alias("pca_confidence"),
     )
+
+
+def split_contribution(
+    triples: DataFrame,
+    mod: int = 5,
+    eval_bucket: int = 0,
+    conv: str = "conv_id",
+) -> DataFrame:
+    """Incremental-knowledge diff across the md5 conversation split:
+    per predicate, how many triples each side asserts and — the number
+    that matters for corpus growth — how many DISTINCT (subj, obj)
+    facts the eval-side conversations contribute that the train side
+    never asserts (`n_novel_eval`). Run with eval = "the new crawl",
+    this is the is-another-batch-worth-ingesting read on a freshly
+    built KG (the population-side companion to chao1's undetected
+    estimate); run on a train/eval split it quantifies knowledge
+    leakage in the other direction: facts the eval set ALSO asserts
+    are facts a model could have memorized from training.
+
+    The split predicate is the same pure conv_id function the
+    transcript split family keys on (membership never migrates).
+    Shapes: two distinct-projections + one left-anti join on the fact
+    key + dimension-sized rollups; all counts exact.
+
+    Output: (pred, n_train, n_eval, facts_train, facts_eval,
+    n_novel_eval).
+    """
+    t = triples.withColumn(
+        "_is_eval",
+        F.expr(
+            f"cast(conv(substr(md5({conv}), 1, 8), 16, 10) as bigint)"
+            f" % {int(mod)} = {int(eval_bucket)}"
+        ),
+    )
+    counts = t.groupBy("pred").agg(
+        F.sum(F.when(~F.col("_is_eval"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("_is_eval"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval"),
+    )
+    facts_t = (
+        t.filter(~F.col("_is_eval"))
+        .select("pred", "subj", "obj")
+        .distinct()
+    )
+    facts_e = (
+        t.filter(F.col("_is_eval"))
+        .select("pred", "subj", "obj")
+        .distinct()
+    )
+    ft = facts_t.groupBy("pred").agg(
+        F.count("*").cast("long").alias("facts_train")
+    )
+    fe = facts_e.groupBy("pred").agg(
+        F.count("*").cast("long").alias("facts_eval")
+    )
+    novel = (
+        facts_e.join(facts_t, ["pred", "subj", "obj"], "left_anti")
+        .groupBy("pred")
+        .agg(F.count("*").cast("long").alias("n_novel_eval"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        counts.join(ft, "pred", "left")
+        .join(fe, "pred", "left")
+        .join(novel, "pred", "left")
+        .select(
+            "pred",
+            "n_train",
+            "n_eval",
+            F.coalesce("facts_train", z).alias("facts_train"),
+            F.coalesce("facts_eval", z).alias("facts_eval"),
+            F.coalesce("n_novel_eval", z).alias("n_novel_eval"),
+        )
+    )

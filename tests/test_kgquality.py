@@ -138,3 +138,42 @@ def test_rule_confidence_head_obj_expr(spark):
         head_obj_expr="replace(z, 'City', 'Uni City')",
     ).collect()[0]
     assert out["n_support"] == 1 and out["std_confidence"] == 1.0
+
+
+def test_split_contribution(spark):
+    import hashlib
+
+    from careers_spark.operators.kgquality import split_contribution
+
+    def bucket(cid, mod=5):
+        return int(hashlib.md5(cid.encode()).hexdigest()[:8], 16) % mod
+
+    ev = next(c for c in (f"c{i}" for i in range(60)) if bucket(c) == 0)
+    t1 = next(c for c in (f"c{i}" for i in range(60)) if bucket(c) != 0)
+    t2 = next(
+        c
+        for c in (f"c{i}" for i in range(60))
+        if bucket(c) != 0 and c != t1
+    )
+    rows = [
+        # shared fact asserted on both sides (twice in train)
+        (t1, 0, "a", "works_at", "X"),
+        (t2, 0, "a", "works_at", "X"),
+        (ev, 0, "a", "works_at", "X"),
+        # novel eval-only fact
+        (ev, 1, "b", "works_at", "Y"),
+        # train-only predicate
+        (t1, 1, "c", "located_in", "Z"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subj string, pred string,"
+        " obj string",
+    )
+    out = {r.pred: r for r in split_contribution(df).collect()}
+    w = out["works_at"]
+    assert (w.n_train, w.n_eval) == (2, 2)
+    assert (w.facts_train, w.facts_eval) == (1, 2)
+    assert w.n_novel_eval == 1  # only (b, Y) is new knowledge
+    lo = out["located_in"]
+    assert (lo.n_eval, lo.facts_eval, lo.n_novel_eval) == (0, 0, 0)
