@@ -5947,6 +5947,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_split_contribution"] = kg_split_contribution
 
+    def prompt_template_report(spark, sf_dir):
+        """Digit-masked template mining over the pinned synth
+        transcripts' user side (convshape.prompt_templates) — template
+        families with many distinct fillings, the level above
+        canned_user_prompts' verbatim matches."""
+        from careers_spark.operators.convshape import prompt_templates
+
+        return prompt_templates(_synth_transcripts(spark))
+
+    q["prompt_template_report"] = prompt_template_report
+
     return q
 
 
@@ -17122,6 +17133,27 @@ def oracle_sql() -> dict[str, str]:
                round(n_turns * 1e0 / n_convs, 6)
                  AS mean_turns_per_conv
         FROM g
+    """
+
+        # prompt_template_report: digit-run masking over the canned
+        # normalization; variants via the normalized hash.
+        o["prompt_template_report"] = f"""
+        WITH tr AS ({_tr_sql}),
+        a AS (
+          SELECT conv_id, text AS raw,
+                 regexp_replace(regexp_replace(lower(trim(text)),
+                   '\\s+', ' ', 'g'), '[0-9]+', '#', 'g') AS template,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                     'g')) AS variant_hash
+          FROM tr WHERE role = 'user'
+        )
+        SELECT template, CAST(count(*) AS BIGINT) AS n_uses,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               CAST(count(DISTINCT variant_hash) AS BIGINT)
+                 AS n_variants,
+               min(raw) AS example_text
+        FROM a GROUP BY template
+        HAVING count(*) >= 2
     """
 
         pass  # (end of pinned-transcripts oracle block)

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "key_skew_report",
     "user_salt_advisor",
     "kg_split_contribution",
+    "prompt_template_report",
     "distinct_sketch",
     "bitmap_distinct_users",
     "top_orders_per_cust",

@@ -1541,3 +1541,51 @@ def split_balance_report(
             ),
         )
     )
+
+
+def prompt_templates(
+    transcripts: DataFrame,
+    target_role: str = "user",
+    min_uses: int = 2,
+    conv: str = "conv_id",
+    role: str = "role",
+    text: str = "text",
+) -> DataFrame:
+    """Template mining — the synthetic-data forensics step one level
+    above canned_responses: masking digit runs ('#') in the
+    normalized text collapses parameterized generations ("tell me
+    about org5" / "about org12") into their TEMPLATE, so template
+    families with many distinct fillings surface even when no two
+    turns are verbatim equal. `n_variants` separates true templates
+    (many fillings) from plain canned repeats (one filling) — the
+    former need slot-aware dedup caps, the latter the canned cap.
+
+    One normalize-and-mask projection + one template rollup, all
+    counts exact; the example is the deterministic min raw text.
+
+    Output: (template, n_uses, n_convs, n_variants, example_text)
+    for templates used >= min_uses times.
+    """
+    a = transcripts.filter(F.col(role) == target_role).select(
+        F.col(conv).alias("conv_id"),
+        F.col(text).alias("raw"),
+        F.expr(
+            f"regexp_replace(regexp_replace(lower(trim({text})),"
+            " '\\\\s+', ' '), '[0-9]+', '#')"
+        ).alias("template"),
+        F.expr(
+            f"md5(regexp_replace(lower(trim({text})), '\\\\s+', ' '))"
+        ).alias("variant_hash"),
+    )
+    return (
+        a.groupBy("template")
+        .agg(
+            F.count("*").cast("long").alias("n_uses"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.countDistinct("variant_hash")
+            .cast("long")
+            .alias("n_variants"),
+            F.min("raw").alias("example_text"),
+        )
+        .filter(F.col("n_uses") >= int(min_uses))
+    )

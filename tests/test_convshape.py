@@ -807,3 +807,26 @@ def test_split_balance_report(spark):
         assert side.assistant_share == 0.5
         assert side.mean_turns_per_conv == 2.0
         assert side.n_tokens == 5 * side.n_convs
+
+
+def test_prompt_templates_mining(spark):
+    from careers_spark.operators.convshape import prompt_templates
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "tell me about org5 please"),
+            ("c2", 0, "user", "Tell me about org12   please"),
+            ("c3", 0, "user", "tell me about org5 please"),
+            ("c4", 0, "user", "completely unique prompt"),
+            ("c5", 0, "assistant", "tell me about org9 please"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = prompt_templates(df).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r.template == "tell me about org# please"
+    # 3 uses across 3 convs, but only 2 distinct fillings
+    assert (r.n_uses, r.n_convs, r.n_variants) == (3, 3, 2)
+    # assistant turns never leak into the user mining
+    assert "org9" not in r.example_text
