@@ -5958,6 +5958,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["prompt_template_report"] = prompt_template_report
 
+    def context_policy_sweep(spark, sf_dir):
+        """Max-sequence-length decision table over the pinned synth
+        transcripts (convshape.context_budget_sweep, budgets
+        30/60/120/240 tokens at this corpus scale): overflow convs,
+        truncation-lost turns, fit rate per candidate."""
+        from careers_spark.operators.convshape import (
+            context_budget_sweep,
+        )
+
+        return context_budget_sweep(
+            _synth_transcripts(spark), budgets=(30, 60, 120, 240)
+        )
+
+    q["context_policy_sweep"] = context_policy_sweep
+
     return q
 
 
@@ -17154,6 +17169,55 @@ def oracle_sql() -> dict[str, str]:
                min(raw) AS example_text
         FROM a GROUP BY template
         HAVING count(*) >= 2
+    """
+
+        # context_policy_sweep: one cumulative pass, every candidate
+        # budget in one aggregate, unioned to rows.
+        o["context_policy_sweep"] = f"""
+        WITH tr AS ({_tr_sql}),
+        t AS (
+          SELECT conv_id, turn_idx AS ti,
+                 CAST(len({_DUCK_TOKS}) AS BIGINT) AS ntok
+          FROM tr
+        ),
+        c AS (
+          SELECT conv_id,
+                 sum(ntok) OVER (PARTITION BY conv_id ORDER BY ti
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ctx
+          FROM t
+        ),
+        agg AS (
+          SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                 CAST(count(DISTINCT CASE WHEN ctx > 30
+                      THEN conv_id END) AS BIGINT) AS c0,
+                 CAST(sum(CASE WHEN ctx > 30 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS t0,
+                 CAST(count(DISTINCT CASE WHEN ctx > 60
+                      THEN conv_id END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN ctx > 60 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS t1,
+                 CAST(count(DISTINCT CASE WHEN ctx > 120
+                      THEN conv_id END) AS BIGINT) AS c2,
+                 CAST(sum(CASE WHEN ctx > 120 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS t2,
+                 CAST(count(DISTINCT CASE WHEN ctx > 240
+                      THEN conv_id END) AS BIGINT) AS c3,
+                 CAST(sum(CASE WHEN ctx > 240 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS t3
+          FROM c
+        ),
+        rows_ AS (
+          SELECT 30 AS budget_tokens, c0 AS n_convs_over,
+                 t0 AS n_turns_lost, n_convs FROM agg
+          UNION ALL SELECT 60, c1, t1, n_convs FROM agg
+          UNION ALL SELECT 120, c2, t2, n_convs FROM agg
+          UNION ALL SELECT 240, c3, t3, n_convs FROM agg
+        )
+        SELECT budget_tokens, n_convs, n_convs_over, n_turns_lost,
+               round((n_convs - n_convs_over) * 1e0 / n_convs, 6)
+                 AS fit_rate
+        FROM rows_
     """
 
         pass  # (end of pinned-transcripts oracle block)

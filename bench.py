@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "user_salt_advisor",
     "kg_split_contribution",
     "prompt_template_report",
+    "context_policy_sweep",
     "distinct_sketch",
     "bitmap_distinct_users",
     "top_orders_per_cust",

@@ -1589,3 +1589,68 @@ def prompt_templates(
         )
         .filter(F.col("n_uses") >= int(min_uses))
     )
+
+
+def context_budget_sweep(
+    transcripts: DataFrame,
+    budgets=(1024, 2048, 4096, 8192),
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-level context-policy sweep — the decision table behind
+    choosing a max sequence length: for each candidate budget, how
+    many conversations overflow it at all, how many TURNS sit past
+    the overflow point (the tokens a hard truncation throws away),
+    and the share of conversations that fit. One cumulative pass over
+    per-conversation turn order (bounded partitions, shared with
+    context_budget), every candidate evaluated simultaneously in one
+    aggregate, stacked to rows (the watermark_drop_rates pattern).
+
+    Output: (budget_tokens, n_convs, n_convs_over, n_turns_lost,
+    fit_rate) — one row per candidate.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ti")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = transcripts.select(
+        F.col(conv).alias("conv_id"),
+        F.col(turn).alias("ti"),
+        F.size(tokens_col(text)).cast("long").alias("ntok"),
+    ).withColumn("ctx", F.sum("ntok").over(w))
+    aggs = [F.countDistinct("conv_id").cast("long").alias("n_convs")]
+    for i, b in enumerate(budgets):
+        b = int(b)
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col("ctx") > b, F.col("conv_id"))
+            )
+            .cast("long")
+            .alias(f"c{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("ctx") > b, 1).otherwise(0))
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    wide = t.agg(*aggs)
+    pairs = ", ".join(
+        f"{int(b)}, c{i}, t{i}" for i, b in enumerate(budgets)
+    )
+    return wide.selectExpr(
+        f"stack({len(budgets)}, {pairs})"
+        " as (budget_tokens, n_convs_over, n_turns_lost)",
+        "n_convs",
+    ).select(
+        "budget_tokens",
+        "n_convs",
+        "n_convs_over",
+        "n_turns_lost",
+        F.expr(
+            "round((n_convs - n_convs_over) * 1e0 / n_convs, 6)"
+        ).alias("fit_rate"),
+    )

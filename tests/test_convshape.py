@@ -830,3 +830,32 @@ def test_prompt_templates_mining(spark):
     assert (r.n_uses, r.n_convs, r.n_variants) == (3, 3, 2)
     # assistant turns never leak into the user mining
     assert "org9" not in r.example_text
+
+
+def test_context_budget_sweep(spark):
+    from careers_spark.operators.convshape import context_budget_sweep
+
+    df = spark.createDataFrame(
+        [
+            # conv a: cumulative 3, 6, 9 tokens
+            ("a", 0, "u", "x y z"), ("a", 1, "b", "x y z"),
+            ("a", 2, "u", "x y z"),
+            # conv b: cumulative 2, 4
+            ("b", 0, "u", "x y"), ("b", 1, "b", "x y"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {
+        r.budget_tokens: r
+        for r in context_budget_sweep(df, budgets=(4, 8, 20)).collect()
+    }
+    r4 = out[4]
+    # a overflows at turn 1 (ctx 6) and 2 (ctx 9): 2 turns lost;
+    # b never overflows 4 (max ctx 4 is NOT > 4)
+    assert (r4.n_convs, r4.n_convs_over, r4.n_turns_lost) == (2, 1, 2)
+    assert r4.fit_rate == 0.5
+    r8 = out[8]
+    assert (r8.n_convs_over, r8.n_turns_lost) == (1, 1)
+    r20 = out[20]
+    assert (r20.n_convs_over, r20.n_turns_lost) == (0, 0)
+    assert r20.fit_rate == 1.0
