@@ -5973,6 +5973,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["context_policy_sweep"] = context_policy_sweep
 
+    def frame_budget_plan(spark, sf_dir):
+        """Hamilton largest-remainder allocation of a 1000-frame
+        decode budget across the synth video assets
+        (multimodal.frame_budget_allocation): integer allocations
+        summing exactly to the budget, remainder top-k bounded by the
+        budget constant."""
+        return MM.frame_budget_allocation(
+            MM.synth_assets(_t(spark, sf_dir, "documents")),
+            total_frames=1000,
+        )
+
+    q["frame_budget_plan"] = frame_budget_plan
+
     return q
 
 
@@ -9179,6 +9192,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS asset_id,
                unnest(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000)) AS frame_ts_ms
         FROM documents WHERE doc_id % 3 = 2
+    """
+
+    # frame_budget_plan: Hamilton largest-remainder seats on exact
+    # integers; remainder rank (rem desc, asset_id).
+    o["frame_budget_plan"] = """
+        WITH v AS (
+          SELECT doc_id AS asset_id,
+                 CAST(n_chars * 10 AS BIGINT) AS duration_ms
+          FROM documents WHERE doc_id % 3 = 2
+        ),
+        tot AS (
+          SELECT CAST(sum(duration_ms) AS BIGINT) AS total_dur FROM v
+        ),
+        j AS (
+          SELECT asset_id, duration_ms,
+                 (1000 * duration_ms) // total_dur AS base_alloc,
+                 (1000 * duration_ms) % total_dur AS rem
+          FROM v CROSS JOIN tot
+        ),
+        lft AS (
+          SELECT CAST(1000 - sum(base_alloc) AS BIGINT) AS leftover
+          FROM j
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, asset_id)
+                   AS rk
+          FROM j
+        )
+        SELECT asset_id, duration_ms, base_alloc,
+               CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS extra,
+               base_alloc + (CASE WHEN rk <= leftover THEN 1 ELSE 0
+                             END) AS n_frames
+        FROM rk CROSS JOIN lft
     """
 
     # pack_sequences: window=64 token sequences, md5 shards per lang

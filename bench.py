@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "length_quantiles",
     "gopher_repetition",
     "frame_sample_plan",
+    "frame_budget_plan",
     "multimodal_features",
     "digest_grouped_ranks",
     "digest_doc_grouped",

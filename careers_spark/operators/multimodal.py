@@ -164,3 +164,66 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def frame_budget_allocation(
+    assets: DataFrame, total_frames: int = 1000
+) -> DataFrame:
+    """Fixed-budget frame allocation across the video corpus —
+    decode-time is the expensive resource in a multimodal pipeline,
+    and this plans it: `total_frames` decoded frames distributed
+    proportionally to duration by the Hamilton largest-remainder
+    method (the neyman_eval_allocation seat algebra applied to
+    decode budget), so allocations are integers that sum EXACTLY to
+    the budget.
+
+    Exact integer algebra end to end: quota numerator total * dur,
+    floor via integer div, remainders ranked (remainder desc,
+    asset_id asc) with the top `leftover` taking +1. The rank is an
+    orderBy + limit-shaped top-k bounded by the BUDGET (leftover <
+    total_frames, a constant) — at corpus scale the remainder rank
+    compiles to TakeOrderedAndProject, never a global sort of all
+    videos (the key_skew_report shape).
+
+    Output: (asset_id, duration_ms, base_alloc, extra, n_frames);
+    sum(n_frames) == total_frames whenever any video has positive
+    duration.
+    """
+    from pyspark.sql import Window
+
+    t = int(total_frames)
+    v = assets.filter(F.col("kind") == "video").select(
+        "asset_id",
+        F.col("meta.duration_ms").cast("long").alias("duration_ms"),
+    )
+    tot = v.agg(
+        F.sum("duration_ms").alias("total_dur"),
+    )
+    j = v.crossJoin(F.broadcast(tot)).select(
+        "asset_id",
+        "duration_ms",
+        F.expr(f"({t} * duration_ms) div total_dur").alias(
+            "base_alloc"
+        ),
+        F.expr(f"({t} * duration_ms) % total_dur").alias("rem"),
+    )
+    left = j.agg(
+        (F.lit(t) - F.sum("base_alloc")).cast("long").alias("leftover")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("asset_id"))
+    return (
+        j.crossJoin(F.broadcast(left))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "asset_id",
+            "duration_ms",
+            "base_alloc",
+            (F.col("rk") <= F.col("leftover"))
+            .cast("int")
+            .cast("long")
+            .alias("extra"),
+        )
+        .withColumn(
+            "n_frames", F.col("base_alloc") + F.col("extra")
+        )
+    )

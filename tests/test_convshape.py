@@ -859,3 +859,42 @@ def test_context_budget_sweep(spark):
     r20 = out[20]
     assert (r20.n_convs_over, r20.n_turns_lost) == (0, 0)
     assert r20.fit_rate == 1.0
+
+
+def test_frame_budget_allocation(spark):
+    from careers_spark.operators.multimodal import (
+        frame_budget_allocation,
+    )
+
+    rows = [
+        ("v1", "video", {"duration_ms": 5000}),
+        ("v2", "video", {"duration_ms": 3000}),
+        ("v3", "video", {"duration_ms": 2001}),
+        ("img", "image", {"duration_ms": 0}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string,"
+        " meta struct<duration_ms: long>",
+    )
+    out = {
+        r.asset_id: r
+        for r in frame_budget_allocation(df, total_frames=100).collect()
+    }
+    assert "img" not in out  # images take no frame budget
+    assert sum(r.n_frames for r in out.values()) == 100
+    # python Hamilton recompute
+    durs = {"v1": 5000, "v2": 3000, "v3": 2001}
+    tot = sum(durs.values())
+    base = {k: (100 * d) // tot for k, d in durs.items()}
+    rem = {k: (100 * d) % tot for k, d in durs.items()}
+    left = 100 - sum(base.values())
+    order = sorted(durs, key=lambda k: (-rem[k], k))
+    want = {
+        k: base[k] + (1 if i < left else 0)
+        for i, k in enumerate(order)
+    }
+    for k in durs:
+        assert out[k].n_frames == want[k], k
+    # longer videos never get fewer frames
+    assert out["v1"].n_frames >= out["v2"].n_frames >= out["v3"].n_frames
