@@ -5986,6 +5986,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_budget_plan"] = frame_budget_plan
 
+    def preference_bias_audit(spark, sf_dir):
+        """Position/length bias audit of the deterministic source
+        battles (preference.selection_bias_audit). The battles' rule
+        IS longer-wins, so the audit must flag length bias at share
+        1.0 among unequal-length comparisons — a self-validating
+        fixture proving the detector detects."""
+        from careers_spark.operators.preference import (
+            selection_bias_audit,
+        )
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        a = d.alias("a")
+        b = d.alias("b")
+        comp = a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.source") != F.col("b.source")),
+        ).select(
+            # the earlier (first-listed) doc is the a-side
+            F.expr("a.n_chars >= b.n_chars").alias("first_won"),
+            F.expr(
+                "case when a.n_chars = b.n_chars then null"
+                " else true end"
+            ).alias("longer_won"),
+        )
+        return selection_bias_audit(comp)
+
+    q["preference_bias_audit"] = preference_bias_audit
+
     return q
 
 
@@ -9226,6 +9257,42 @@ def oracle_sql() -> dict[str, str]:
                base_alloc + (CASE WHEN rk <= leftover THEN 1 ELSE 0
                              END) AS n_frames
         FROM rk CROSS JOIN lft
+    """
+
+    # preference_bias_audit: one aggregate pass over the battle flags,
+    # exact binomial z, stack to rows.
+    o["preference_bias_audit"] = """
+        WITH comp AS (
+          SELECT (a.n_chars >= b.n_chars) AS first_won,
+                 CASE WHEN a.n_chars = b.n_chars THEN NULL
+                      ELSE true END AS longer_won
+          FROM documents a JOIN documents b
+            ON b.doc_id = a.doc_id + 1 AND a.source <> b.source
+        ),
+        agg AS (
+          SELECT CAST(count(first_won) AS BIGINT) AS n_f,
+                 CAST(sum(CASE WHEN first_won THEN 1 ELSE 0 END)
+                      AS BIGINT) AS t_f,
+                 CAST(count(longer_won) AS BIGINT) AS n_l,
+                 CAST(sum(CASE WHEN longer_won THEN 1 ELSE 0 END)
+                      AS BIGINT) AS t_l
+          FROM comp
+        ),
+        rows_ AS (
+          SELECT 'first_won' AS bias, n_f AS n, t_f AS n_biased_wins
+          FROM agg
+          UNION ALL SELECT 'longer_won', n_l, t_l FROM agg
+        )
+        SELECT bias, n, n_biased_wins,
+               CASE WHEN n = 0 THEN NULL ELSE
+                 round(n_biased_wins * 1e0 / n, 6) END AS share,
+               CASE WHEN n = 0 THEN NULL ELSE
+                 round((2e0 * n_biased_wins - n) / sqrt(n * 1e0), 6)
+               END AS z,
+               CASE WHEN n = 0 THEN NULL ELSE
+                 abs((2e0 * n_biased_wins - n) / sqrt(n * 1e0))
+                 > 1.96e0 END AS flagged
+        FROM rows_
     """
 
     # pack_sequences: window=64 token sequences, md5 shards per lang

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "kg_split_contribution",
     "prompt_template_report",
     "context_policy_sweep",
+    "preference_bias_audit",
     "distinct_sketch",
     "bitmap_distinct_users",
     "top_orders_per_cust",

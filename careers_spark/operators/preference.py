@@ -314,3 +314,65 @@ def pairwise_winrate(
             f" or (({mid} + 1.96e0 * {rad}) / {den} < 0.5e0)"
         ).alias("decided"),
     )
+
+
+def selection_bias_audit(
+    comparisons: DataFrame, flag_cols=("first_won", "longer_won")
+) -> DataFrame:
+    """Systematic-bias audit for pairwise preference data — the two
+    classic artifacts reward-model data carries: POSITION bias
+    (annotators favor the first-listed response) and LENGTH bias
+    (longer wins regardless of quality). The caller supplies one
+    BOOLEAN column per bias hypothesis (true = the biased side won,
+    NULL = hypothesis not applicable to that comparison, e.g. equal
+    lengths); the audit reports, per hypothesis, the observed biased-
+    win share and the exact binomial z against the fair coin:
+
+        z = (2 * n_true - n) / sqrt(n)
+
+    — integer numerator, IEEE-correctly-rounded sqrt, so the z and
+    the |z| > 1.96 flag are engine-identical. One aggregate pass
+    computes every hypothesis simultaneously (the
+    watermark_drop_rates stack pattern).
+
+    A flagged hypothesis does not prove annotator error — it proves
+    the preference signal is CONFOUNDED with the feature, which a
+    reward model will learn as if it were quality.
+
+    Output: (bias, n, n_biased_wins, share, z, flagged) — one row per
+    hypothesis; all-NULL hypotheses emit n = 0 with NULL stats.
+    """
+    aggs = []
+    for c in flag_cols:
+        aggs.append(
+            F.count(F.col(c)).cast("long").alias(f"n_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(c), 1).otherwise(0))
+            .cast("long")
+            .alias(f"t_{c}")
+        )
+    wide = comparisons.agg(*aggs)
+    pairs = ", ".join(f"'{c}', n_{c}, t_{c}" for c in flag_cols)
+    return wide.selectExpr(
+        f"stack({len(flag_cols)}, {pairs})"
+        " as (bias, n, n_biased_wins)"
+    ).select(
+        "bias",
+        "n",
+        "n_biased_wins",
+        F.expr(
+            "case when n = 0 then null else"
+            " round(n_biased_wins * 1e0 / n, 6) end"
+        ).alias("share"),
+        F.expr(
+            "case when n = 0 then null else"
+            " round((2e0 * n_biased_wins - n) / sqrt(n * 1e0), 6)"
+            " end"
+        ).alias("z"),
+        F.expr(
+            "case when n = 0 then null else"
+            " abs((2e0 * n_biased_wins - n) / sqrt(n * 1e0))"
+            " > 1.96e0 end"
+        ).alias("flagged"),
+    )

@@ -494,3 +494,46 @@ def test_simpson_python_lockstep(spark):
         c = sum(x * y for x, y in pts)
         assert out[s].cov_sign == sgn(m * c - a * b)
         assert out[s].pooled_sign == pooled
+
+
+# ---------------------------------------------------------------------------
+def test_selection_bias_audit(spark):
+    import math
+
+    from careers_spark.operators.preference import selection_bias_audit
+
+    rows = []
+    # position: 70 of 100 first-wins; length: 40 of 60 applicable,
+    # 40 comparisons have equal lengths (NULL)
+    for i in range(100):
+        rows.append(
+            (
+                i < 70,
+                (i % 10 < 4) if i < 60 else None,
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "first_won boolean, longer_won boolean"
+    )
+    out = {r.bias: r for r in selection_bias_audit(df).collect()}
+    f = out["first_won"]
+    assert (f.n, f.n_biased_wins) == (100, 70)
+    assert f.share == 0.7
+    want_z = round((2 * 70 - 100) / math.sqrt(100), 6)
+    assert f.z == want_z and f.flagged is True
+    lo = out["longer_won"]
+    assert (lo.n, lo.n_biased_wins) == (60, 24)
+    assert lo.flagged is False  # z = -12/sqrt(60) ~ -1.55
+
+
+def test_selection_bias_all_null_hypothesis(spark):
+    from careers_spark.operators.preference import selection_bias_audit
+
+    df = spark.createDataFrame(
+        [(True, None), (False, None)],
+        "first_won boolean, longer_won boolean",
+    )
+    out = {r.bias: r for r in selection_bias_audit(df).collect()}
+    lo = out["longer_won"]
+    assert lo.n == 0
+    assert lo.share is None and lo.z is None and lo.flagged is None
