@@ -6017,6 +6017,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["preference_bias_audit"] = preference_bias_audit
 
+    def bt_fit_residuals(spark, sf_dir):
+        """Per-pair Bradley-Terry residuals of the source battles
+        (preference.bt_fit_report): observed vs predicted head-to-head
+        rates — where the latent-total-order assumption breaks."""
+        from careers_spark.operators.preference import bt_fit_report
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        a = d.alias("a")
+        b = d.alias("b")
+        comp = a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.source") != F.col("b.source")),
+        ).select(
+            F.expr(
+                "case when a.n_chars >= b.n_chars then a.source"
+                " else b.source end"
+            ).alias("winner"),
+            F.expr(
+                "case when a.n_chars >= b.n_chars then b.source"
+                " else a.source end"
+            ).alias("loser"),
+        )
+        return bt_fit_report(comp)
+
+    q["bt_fit_residuals"] = bt_fit_residuals
+
     return q
 
 
@@ -17699,6 +17728,41 @@ def oracle_sql() -> dict[str, str]:
                    * n_raters * n_items * n_raters)), 6) END END
                  AS kappa
         FROM sums CROSS JOIN t2
+    """
+
+    # bt_fit_residuals: the full BT unroll nested as a CTE, pair
+    # counts from the same comp, shared-text divisions.
+    o["bt_fit_residuals"] = f"""
+        WITH bt AS MATERIALIZED ({o["source_bradley_terry"]}),
+        comp2 AS (
+          SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
+                      ELSE b.source END AS wi,
+                 CASE WHEN a.n_chars >= b.n_chars THEN b.source
+                      ELSE a.source END AS li
+          FROM documents a JOIN documents b
+            ON b.doc_id = a.doc_id + 1 AND a.source <> b.source
+        ),
+        pairs AS (
+          SELECT least(wi, li) AS arm_a, greatest(wi, li) AS arm_b,
+                 CAST(sum(CASE WHEN wi < li THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_ab,
+                 CAST(sum(CASE WHEN wi > li THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_ba
+          FROM comp2 WHERE wi <> li GROUP BY 1, 2
+        )
+        SELECT p.arm_a, p.arm_b, p.n_ab, p.n_ba,
+               round(n_ab * 1e0 / (n_ab + n_ba), 6) AS observed,
+               CASE WHEN x.strength + y.strength = 0e0 THEN NULL
+                    ELSE round(x.strength
+                         / (x.strength + y.strength), 6) END
+                 AS predicted,
+               CASE WHEN x.strength + y.strength = 0e0 THEN NULL
+                    ELSE round(abs(n_ab * 1e0 / (n_ab + n_ba)
+                         - x.strength / (x.strength + y.strength)),
+                         6) END AS abs_dev
+        FROM pairs p
+        JOIN bt x ON p.arm_a = x.arm
+        JOIN bt y ON p.arm_b = y.arm
     """
 
     # preference_cycles: majority tournament from the same battle CTE,

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "prompt_template_report",
     "context_policy_sweep",
     "preference_bias_audit",
+    "bt_fit_residuals",
     "distinct_sketch",
     "bitmap_distinct_users",
     "top_orders_per_cust",

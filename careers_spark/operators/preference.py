@@ -376,3 +376,84 @@ def selection_bias_audit(
             " > 1.96e0 end"
         ).alias("flagged"),
     )
+
+
+def bt_fit_report(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    iterations: int = 8,
+    precision: int = 10,
+) -> DataFrame:
+    """Goodness-of-fit of the Bradley-Terry model to its own data:
+    per head-to-head pair, the OBSERVED win rate vs the rate the
+    fitted strengths PREDICT (w_a / (w_a + w_b)), and their absolute
+    deviation — the per-pair residual that says WHERE the
+    latent-total-order assumption breaks (its aggregate sibling is
+    preference_cycles' cyclic rate; large residuals concentrate on
+    the arms inside cycles).
+
+    Exactness: observed is one division of exact win counts;
+    predicted divides the (already rounded, engine-identical)
+    strengths with shared expression text; both round(,6). A pair
+    whose two strengths both rounded to zero surfaces NULL rather
+    than dividing by zero.
+
+    Output: (arm_a, arm_b, n_ab, n_ba, observed, predicted, abs_dev)
+    — one row per unordered pair that played, arm_a < arm_b.
+    """
+    c = comparisons.select(
+        F.col(winner).alias("wi"), F.col(loser).alias("li")
+    ).filter(F.col("wi") != F.col("li"))
+    pairs = c.groupBy(
+        F.least("wi", "li").alias("arm_a"),
+        F.greatest("wi", "li").alias("arm_b"),
+    ).agg(
+        F.sum(F.when(F.col("wi") < F.col("li"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ab"),
+        F.sum(F.when(F.col("wi") > F.col("li"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ba"),
+    )
+    s = bradley_terry_strength(
+        comparisons,
+        winner=winner,
+        loser=loser,
+        iterations=iterations,
+        precision=precision,
+    ).select("arm", "strength")
+    return (
+        pairs.join(
+            s.select(
+                F.col("arm").alias("arm_a"),
+                F.col("strength").alias("w_a"),
+            ),
+            "arm_a",
+        )
+        .join(
+            s.select(
+                F.col("arm").alias("arm_b"),
+                F.col("strength").alias("w_b"),
+            ),
+            "arm_b",
+        )
+        .select(
+            "arm_a",
+            "arm_b",
+            "n_ab",
+            "n_ba",
+            F.expr(
+                "round(n_ab * 1e0 / (n_ab + n_ba), 6)"
+            ).alias("observed"),
+            F.expr(
+                "case when w_a + w_b = 0e0 then null else"
+                " round(w_a / (w_a + w_b), 6) end"
+            ).alias("predicted"),
+            F.expr(
+                "case when w_a + w_b = 0e0 then null else"
+                " round(abs(n_ab * 1e0 / (n_ab + n_ba)"
+                " - w_a / (w_a + w_b)), 6) end"
+            ).alias("abs_dev"),
+        )
+    )

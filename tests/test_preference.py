@@ -537,3 +537,29 @@ def test_selection_bias_all_null_hypothesis(spark):
     lo = out["longer_won"]
     assert lo.n == 0
     assert lo.share is None and lo.z is None and lo.flagged is None
+
+
+def test_bt_fit_report(spark):
+    from careers_spark.operators.preference import bt_fit_report
+
+    # two-arm case: BT reproduces the observed rate exactly
+    pairs = [("A", "B")] * 3 + [("B", "A")]
+    df = spark.createDataFrame(pairs, "winner string, loser string")
+    (r,) = bt_fit_report(df).collect()
+    assert (r.arm_a, r.arm_b, r.n_ab, r.n_ba) == ("A", "B", 3, 1)
+    assert r.observed == 0.75
+    assert abs(r.predicted - 0.75) < 1e-5
+    assert r.abs_dev < 1e-5
+
+
+def test_bt_fit_flags_cycles(spark):
+    from careers_spark.operators.preference import bt_fit_report
+
+    # rock-paper-scissors: symmetric strengths predict 0.5 everywhere,
+    # but every pair is observed 1.0 or 0.0 -> residual 0.5
+    pairs = [("A", "B")] * 4 + [("B", "C")] * 4 + [("C", "A")] * 4
+    df = spark.createDataFrame(pairs, "winner string, loser string")
+    out = {(r.arm_a, r.arm_b): r for r in bt_fit_report(df).collect()}
+    for r in out.values():
+        assert abs(r.predicted - 0.5) < 1e-5
+        assert abs(r.abs_dev - 0.5) < 1e-5
