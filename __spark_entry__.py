@@ -6046,6 +6046,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bt_fit_residuals"] = bt_fit_residuals
 
+    def corpus_datasheet(spark, sf_dir):
+        """The one-row dataset card (profiling.corpus_datasheet):
+        inventory + exact-dup / near-dup / gopher / contamination /
+        PII / quality summary, every number individually oracle-gated
+        by its leg operator and jointly here."""
+        from careers_spark.operators.profiling import (
+            corpus_datasheet as cds,
+        )
+
+        return cds(_t(spark, sf_dir, "documents"))
+
+    q["corpus_datasheet"] = corpus_datasheet
+
     return q
 
 
@@ -18109,6 +18122,69 @@ def oracle_sql() -> dict[str, str]:
                     ELSE round(1e0 + n_tail
                          / coalesce(sum_ln_raw, 0e0), 6) END AS alpha
         FROM agg
+    """
+
+    # corpus_datasheet: six leg oracles nested verbatim, single-row
+    # close of counts and single divisions.
+    o["corpus_datasheet"] = f"""
+        WITH qs AS MATERIALIZED ({o["quality_score"]}),
+        de AS ({o["dedup_exact"]}),
+        nd AS MATERIALIZED ({o["near_dup_canonical"]}),
+        gr AS MATERIALIZED ({o["gopher_repetition"]}),
+        ct AS MATERIALIZED ({o["decontamination"]}),
+        pi AS MATERIALIZED (
+          SELECT doc_id,
+                 (CAST(len(regexp_extract_all(text,
+                       '{_PII["email"]}')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(text,
+                        '{_PII["ip"]}')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(text,
+                        '{_PII["phone"]}')) AS BIGINT)) = 0
+                   AS is_clean
+          FROM documents
+        ),
+        base AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM documents
+        ),
+        tq AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(CAST(round(quality * 1000000, 0) AS BIGINT))
+                      AS BIGINT) AS q_sum
+          FROM qs
+        ),
+        dd AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes FROM de),
+        nk AS (
+          SELECT CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_kept FROM nd
+        ),
+        gk AS (
+          SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_gopher_keep FROM gr
+        ),
+        cc AS (
+          SELECT CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_contaminated,
+                 CAST(count(*) AS BIGINT) AS n_screened
+          FROM ct
+        ),
+        pc AS (
+          SELECT CAST(sum(CASE WHEN is_clean THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_clean FROM pi
+        )
+        SELECT n_docs, n_tokens, n_langs,
+               round((n_docs - n_hashes) * 1e0 / n_docs, 6)
+                 AS exact_dup_frac,
+               round(n_kept * 1e0 / n_docs, 6) AS near_dup_kept_frac,
+               round(n_gopher_keep * 1e0 / n_docs, 6)
+                 AS gopher_keep_frac,
+               round(n_contaminated * 1e0 / n_screened, 6)
+                 AS contaminated_frac,
+               round(n_clean * 1e0 / n_docs, 6) AS pii_clean_frac,
+               round(q_sum / (n_docs * 1e6), 6) AS mean_quality
+        FROM base CROSS JOIN tq CROSS JOIN dd CROSS JOIN nk
+             CROSS JOIN gk CROSS JOIN cc CROSS JOIN pc
     """
 
     return o

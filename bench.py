@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "context_policy_sweep",
     "preference_bias_audit",
     "bt_fit_residuals",
+    "corpus_datasheet",
     "distinct_sketch",
     "bitmap_distinct_users",
     "top_orders_per_cust",

@@ -127,3 +127,111 @@ def source_ablation(
         )
         .alias("delta_mean_chars"),
     )
+
+
+def corpus_datasheet(documents: DataFrame) -> DataFrame:
+    """The dataset card in one row — the release-gate summary every
+    published corpus ships (Gebru et al., "Datasheets for Datasets"),
+    composed from the repo's own exact curation legs so each number
+    is individually oracle-gated elsewhere and jointly here:
+
+      n_docs / n_tokens / n_langs       basic inventory
+      exact_dup_frac                    1 - distinct text hashes / docs
+      near_dup_kept_frac                near_dup_canonical survivors
+      gopher_keep_frac                  repetition-filter pass rate
+      contaminated_frac                 eval-overlap screen hits
+      pii_clean_frac                    pii_scrub all-clean share
+      mean_quality                      exact: quality rides its 1e-6
+                                        lattice, so the SUM is an
+                                        exact integer and the mean one
+                                        division
+
+    Pure composition — five leg operators plus two trivial rollups,
+    each a partial-agg pass; the close is a single row of counts and
+    single divisions.
+
+    Output: one row — (n_docs, n_tokens, n_langs, exact_dup_frac,
+    near_dup_kept_frac, gopher_keep_frac, contaminated_frac,
+    pii_clean_frac, mean_quality).
+    """
+    from careers_spark.operators.dedup import (
+        contamination_flags,
+        dedup_exact,
+        near_dup_canonical,
+    )
+    from careers_spark.operators.privacy import pii_scrub
+    from careers_spark.operators.textstats import (
+        gopher_repetition,
+        quality_score,
+    )
+
+    base = documents.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    ntok = (
+        quality_score(documents)
+        .agg(
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(
+                F.expr("cast(round(quality * 1000000, 0) as long)")
+            ).alias("q_sum"),
+        )
+    )
+    dedup = dedup_exact(documents).agg(
+        F.count("*").cast("long").alias("n_hashes")
+    )
+    nd = near_dup_canonical(documents).agg(
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept")
+    )
+    gr = gopher_repetition(documents).agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gopher_keep")
+    )
+    ct = contamination_flags(
+        documents, eval_pred="doc_id % 97 = 0", n=3, threshold=0.05
+    ).agg(
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.count("*").cast("long").alias("n_screened"),
+    )
+    pii = pii_scrub(documents).agg(
+        F.sum(F.when(F.col("is_clean"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean")
+    )
+    row = (
+        base.crossJoin(F.broadcast(ntok))
+        .crossJoin(F.broadcast(dedup))
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(gr))
+        .crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(pii))
+    )
+    return row.select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        F.expr(
+            "round((n_docs - n_hashes) * 1e0 / n_docs, 6)"
+        ).alias("exact_dup_frac"),
+        F.expr("round(n_kept * 1e0 / n_docs, 6)").alias(
+            "near_dup_kept_frac"
+        ),
+        F.expr("round(n_gopher_keep * 1e0 / n_docs, 6)").alias(
+            "gopher_keep_frac"
+        ),
+        F.expr(
+            "round(n_contaminated * 1e0 / n_screened, 6)"
+        ).alias("contaminated_frac"),
+        F.expr("round(n_clean * 1e0 / n_docs, 6)").alias(
+            "pii_clean_frac"
+        ),
+        F.expr("round(q_sum / (n_docs * 1e6), 6)").alias(
+            "mean_quality"
+        ),
+    )

@@ -898,3 +898,31 @@ def test_frame_budget_allocation(spark):
         assert out[k].n_frames == want[k], k
     # longer videos never get fewer frames
     assert out["v1"].n_frames >= out["v2"].n_frames >= out["v3"].n_frames
+
+
+def test_corpus_datasheet_legs_agree(spark):
+    from careers_spark.operators.dedup import (
+        dedup_exact,
+        near_dup_canonical,
+    )
+    from careers_spark.operators.profiling import corpus_datasheet
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (r,) = corpus_datasheet(df).collect()
+    n = df.count()
+    assert r.n_docs == n
+    # leg-wise recomputation of two fractions
+    n_hashes = dedup_exact(df).count()
+    assert r.exact_dup_frac == round((n - n_hashes) / n, 6)
+    n_kept = near_dup_canonical(df).filter("is_kept").count()
+    assert r.near_dup_kept_frac == round(n_kept / n, 6)
+    # fractions are fractions
+    for c in (
+        "exact_dup_frac",
+        "near_dup_kept_frac",
+        "gopher_keep_frac",
+        "contaminated_frac",
+        "pii_clean_frac",
+    ):
+        assert 0.0 <= getattr(r, c) <= 1.0
+    assert 0.0 <= r.mean_quality <= 1.0
