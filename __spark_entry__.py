@@ -6059,6 +6059,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_datasheet"] = corpus_datasheet
 
+    def transcripts_datasheet(spark, sf_dir):
+        """The conversation-corpus dataset card over the pinned synth
+        transcripts (convshape.transcripts_datasheet): inventory +
+        clean / alternation / near-dup / code-switch / canned
+        fractions, each leg individually oracle-gated."""
+        from careers_spark.operators.convshape import (
+            transcripts_datasheet as tds,
+        )
+
+        return tds(_synth_transcripts(spark))
+
+    q["transcripts_datasheet"] = transcripts_datasheet
+
     return q
 
 
@@ -17374,6 +17387,69 @@ def oracle_sql() -> dict[str, str]:
                round((n_convs - n_convs_over) * 1e0 / n_convs, 6)
                  AS fit_rate
         FROM rows_
+    """
+
+        # transcripts_datasheet: five leg oracles nested verbatim +
+        # one inventory pass, single-row close.
+        o["transcripts_datasheet"] = f"""
+        WITH tr AS ({_tr_sql}),
+        inv AS (
+          SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                 CAST(count(*) AS BIGINT) AS n_turns,
+                 CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+          FROM tr
+        ),
+        cs AS MATERIALIZED ({o["conv_shape_profile"]}),
+        csa AS (
+          SELECT CAST(sum(alternation_violations) AS BIGINT)
+                   AS n_viol,
+                 CAST(sum(n_turns - 1) AS BIGINT) AS n_bounds
+          FROM cs
+        ),
+        toa AS MATERIALIZED ({o["turn_order_integrity"]}),
+        toaa AS (
+          SELECT CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_clean FROM toa
+        ),
+        nd AS MATERIALIZED ({o["conv_dedup_canonical"]}),
+        nda AS (
+          SELECT CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_kept FROM nd
+        ),
+        lm AS MATERIALIZED ({o["conv_language_mix"]}),
+        lma AS (
+          SELECT CAST(sum(CASE WHEN is_mixed THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_mixed FROM lm
+        ),
+        cr AS MATERIALIZED ({o["canned_response_report"]}),
+        at AS (
+          SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                     'g')) AS text_hash
+          FROM tr WHERE role = 'assistant'
+        ),
+        caa AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_canned_turns
+          FROM at SEMI JOIN cr USING (text_hash)
+        ),
+        naa AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_assistant FROM tr
+          WHERE role = 'assistant'
+        )
+        SELECT n_convs, n_turns, n_tokens,
+               round(n_turns * 1e0 / n_convs, 6)
+                 AS mean_turns_per_conv,
+               round(n_clean * 1e0 / n_convs, 6) AS clean_frac,
+               CASE WHEN n_bounds = 0 THEN NULL ELSE
+                 round(n_viol * 1e0 / n_bounds, 6) END
+                 AS alternation_violation_rate,
+               round(n_kept * 1e0 / n_convs, 6)
+                 AS near_dup_kept_frac,
+               round(n_mixed * 1e0 / n_convs, 6) AS mixed_lang_frac,
+               CASE WHEN n_assistant = 0 THEN NULL ELSE
+                 round(n_canned_turns * 1e0 / n_assistant, 6) END
+                 AS canned_assistant_frac
+        FROM inv CROSS JOIN csa CROSS JOIN toaa CROSS JOIN nda
+             CROSS JOIN lma CROSS JOIN caa CROSS JOIN naa
     """
 
         pass  # (end of pinned-transcripts oracle block)

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "preference_bias_audit",
     "bt_fit_residuals",
     "corpus_datasheet",
+    "transcripts_datasheet",
     "distinct_sketch",
     "bitmap_distinct_users",
     "top_orders_per_cust",

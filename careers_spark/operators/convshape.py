@@ -1654,3 +1654,113 @@ def context_budget_sweep(
             "round((n_convs - n_convs_over) * 1e0 / n_convs, 6)"
         ).alias("fit_rate"),
     )
+
+
+def transcripts_datasheet(
+    transcripts: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    tool: str = "tool",
+    ts: str = "ts",
+) -> DataFrame:
+    """The conversation-corpus dataset card — corpus_datasheet's
+    transcript sibling, one row composing the conversation-QA legs
+    this module ships (each individually oracle-gated):
+
+      n_convs / n_turns / n_tokens      inventory
+      mean_turns_per_conv               shape center
+      clean_frac                        turn_order_audit pass rate
+      alternation_violation_rate        violations per turn boundary
+      near_dup_kept_frac                conversation_dedup survivors
+      mixed_lang_frac                   code-switching share
+      canned_assistant_frac             assistant turns whose text is
+                                        a cross-conv template
+
+    All counts exact; each fraction one division. Pure composition —
+    five leg operators plus one inventory pass.
+
+    Output: one row.
+    """
+    inv = transcripts.agg(
+        F.countDistinct(F.col(conv)).cast("long").alias("n_convs"),
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.size(tokens_col(text))).cast("long").alias("n_tokens"),
+    )
+    cs = conversation_shape(
+        transcripts, conv=conv, turn=turn, role=role, text=text,
+        tool=tool, ts=ts,
+    ).agg(
+        F.sum("alternation_violations").cast("long").alias("n_viol"),
+        F.sum(F.col("n_turns") - 1).cast("long").alias("n_bounds"),
+    )
+    toa = turn_order_audit(
+        transcripts, conv=conv, turn=turn, ts=ts
+    ).agg(
+        F.sum(F.when(F.col("clean"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean")
+    )
+    nd = conversation_dedup_canonical(
+        transcripts, conv=conv, text=text
+    ).agg(
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept")
+    )
+    lm = conversation_language_mix(
+        transcripts, conv=conv, text=text
+    ).agg(
+        F.sum(F.when(F.col("is_mixed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mixed")
+    )
+    canned_hashes = canned_responses(
+        transcripts, min_convs=2, conv=conv, role=role, text=text
+    ).select("text_hash")
+    a_turns = transcripts.filter(F.col(role) == "assistant").select(
+        F.expr(
+            f"md5(regexp_replace(lower(trim({text})), '\\\\s+', ' '))"
+        ).alias("text_hash")
+    )
+    ca = (
+        a_turns.join(canned_hashes, "text_hash", "left_semi")
+        .agg(F.count("*").cast("long").alias("n_canned_turns"))
+    )
+    na = transcripts.filter(F.col(role) == "assistant").agg(
+        F.count("*").cast("long").alias("n_assistant")
+    )
+    row = (
+        inv.crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(toa))
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(lm))
+        .crossJoin(F.broadcast(ca))
+        .crossJoin(F.broadcast(na))
+    )
+    return row.select(
+        "n_convs",
+        "n_turns",
+        "n_tokens",
+        F.expr("round(n_turns * 1e0 / n_convs, 6)").alias(
+            "mean_turns_per_conv"
+        ),
+        F.expr("round(n_clean * 1e0 / n_convs, 6)").alias(
+            "clean_frac"
+        ),
+        F.expr(
+            "case when n_bounds = 0 then null else"
+            " round(n_viol * 1e0 / n_bounds, 6) end"
+        ).alias("alternation_violation_rate"),
+        F.expr("round(n_kept * 1e0 / n_convs, 6)").alias(
+            "near_dup_kept_frac"
+        ),
+        F.expr("round(n_mixed * 1e0 / n_convs, 6)").alias(
+            "mixed_lang_frac"
+        ),
+        F.expr(
+            "case when n_assistant = 0 then null else"
+            " round(n_canned_turns * 1e0 / n_assistant, 6) end"
+        ).alias("canned_assistant_frac"),
+    )

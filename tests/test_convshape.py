@@ -926,3 +926,42 @@ def test_corpus_datasheet_legs_agree(spark):
     ):
         assert 0.0 <= getattr(r, c) <= 1.0
     assert 0.0 <= r.mean_quality <= 1.0
+
+
+def test_transcripts_datasheet_legs_agree(spark):
+    from datetime import datetime, timedelta
+
+    from careers_spark.operators.convshape import (
+        conversation_dedup_canonical,
+        transcripts_datasheet,
+        turn_order_audit,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # clean well-formed conversation
+    rows += [
+        ("c1", 0, "user", "alpha beta gamma delta", "", t0),
+        ("c1", 1, "assistant", "unique reply one here", "",
+         t0 + timedelta(seconds=5)),
+    ]
+    # dirty conversation (duplicate turn index) + alternation violation
+    rows += [
+        ("c2", 0, "user", "one two three four", "", t0),
+        ("c2", 0, "user", "five six seven eight", "", t0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    (r,) = transcripts_datasheet(df).collect()
+    assert (r.n_convs, r.n_turns) == (2, 4)
+    assert r.mean_turns_per_conv == 2.0
+    n_clean = turn_order_audit(df).filter("clean").count()
+    assert r.clean_frac == round(n_clean / 2, 6)
+    n_kept = conversation_dedup_canonical(df).filter("is_kept").count()
+    assert r.near_dup_kept_frac == round(n_kept / 2, 6)
+    # c2's same-role boundary is the 1 violation over 2 boundaries
+    assert r.alternation_violation_rate == 0.5
+    assert r.mixed_lang_frac in (0.0, 0.5, 1.0)
