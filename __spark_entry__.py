@@ -590,11 +590,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 "promo_rev_i",
                 "total_rev_i",
-                F.round(
-                    F.lit(100.0)
-                    * F.col("promo_rev_i")
-                    / F.col("total_rev_i"),
-                    6,
+                # r6 (VERDICT #1): the one non-integer output. Spark's
+                # round(x, 6) is decimal HALF_UP on the shortest repr;
+                # DuckDB's is std::round(x*1e6)/1e6 — they disagree by
+                # 1 ulp when x*1e6 lands on a representation-tie (the
+                # driver's only-ever red row). round(x*1e6, 0)/1e6 in
+                # Spark IS DuckDB's algorithm operation-for-operation
+                # (Spark round-to-integer == std::round for all
+                # doubles; verified 0/60k mismatches incl. adversarial
+                # half-boundary values), so promo_pct now matches the
+                # frozen oracle on ANY data, not just tie-free data.
+                (
+                    F.round(
+                        F.lit(100.0)
+                        * F.col("promo_rev_i")
+                        / F.col("total_rev_i")
+                        * F.lit(1e6),
+                        0,
+                    )
+                    / F.lit(1e6)
                 ).alias("promo_pct"),
             )
         )

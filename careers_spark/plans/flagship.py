@@ -66,18 +66,38 @@ def kg_run_in_memory(
     }
 
 
+# r6 (VERDICT #5): the pinned synth triple set is a CONSTANT of the
+# session — seed=42, 30 convs, 8 domains, no dependence on any input
+# directory — yet five driver queries (kg_predicate_cardinality,
+# kg_contradiction_candidates, kg_type_signatures, kg_rule_confidence,
+# kg_split_contribution) each re-ran the full dictionary+mentions+
+# resolve pipeline just to reconstruct it (~9-14 s apiece at bench
+# scale). Materialize it once per SparkSession (localCheckpoint, fully
+# computed inside the first caller's timed region — nothing persists
+# across sessions or runs) and let the family share it, exactly like
+# the dictionary model artifact is shared. Keyed by SparkSession id;
+# one entry, replaced when a new session appears.
+_TRIPLES_SYNTH_CACHE: list = []  # [(session_id, DataFrame)]
+
+
 def kg_triples_synth(spark: SparkSession) -> DataFrame:
     """The pinned-golden synth corpus (seed=42, 30 convs, 8 domains)."""
+    key = id(spark)
+    if _TRIPLES_SYNTH_CACHE and _TRIPLES_SYNTH_CACHE[0][0] == key:
+        return _TRIPLES_SYNTH_CACHE[0][1]
     kb = synth.build_kb(SYNTH_DOMAINS)
     transcripts = spark.createDataFrame(
         synth.gen_transcripts_pdf(kb, SYNTH_CONVS), schema=S.TRANSCRIPTS
     )
     res = kg_run_in_memory(spark, transcripts, synth.kb_tables(spark, kb))
-    return (
+    df = (
         res["triples"]
         .select("conv_id", "turn_idx", "subj", "pred", "obj")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    _TRIPLES_SYNTH_CACHE[:] = [(key, df)]
+    return df
 
 
 # -- corpus-derived KG over the driver's documents table --------------------
