@@ -70,7 +70,23 @@ def connected_components(
             .select(F.col("v").alias("node"), "label")
             .union(labels)
         )
-        new_labels = _salted_min(msgs).localCheckpoint(eager=True)
+        propagated = _salted_min(msgs)
+        # r6 pointer jumping (guide §2.4: fewer passes — the
+        # order-of-magnitude lever is the algorithm): label(v) is
+        # always the id of a node REACHABLE from v, so label(label(v))
+        # is too, and label(l) <= l; composing one label-of-label hop
+        # per round turns O(diameter) rounds into O(log diameter)
+        # while converging to the identical fixpoint (min reachable
+        # id) — chain graphs went 20+ rounds, now ~6.
+        new_labels = (
+            propagated.join(
+                propagated.selectExpr("node as label", "label as _l2"),
+                "label",
+                "left",
+            )
+            .select("node", F.coalesce("_l2", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -153,7 +153,9 @@ def jaccard_pairs(
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|); pairs with no shared
     shingle are never materialized (the join IS the blocking).
     """
-    sh = doc_shingles(documents, n)
+    # r6 (guide §2.4): the shingle explode feeds the self-join twice
+    # plus the size agg — materialize it once
+    sh = doc_shingles(documents, n).localCheckpoint(eager=True)
     size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -186,8 +188,14 @@ def lsh_verified_pairs(
     """LSH candidates verified with exact Jaccard — the scale path:
     candidate generation is linear-ish, verification touches only
     candidate pairs."""
-    cands = lsh_candidate_pairs(documents, num_hashes, band_size, n)
-    sh = doc_shingles(documents, n)
+    # r6 (guide §2.4): ONE shingle explode shared by signatures and
+    # verification — the un-checkpointed plan re-derived doc_shingles
+    # four times (bands self-join + both verify joins + sizes).
+    sh = doc_shingles(documents, n).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(
+        documents, num_hashes, band_size, n,
+        sigs=minhash_signatures(documents, num_hashes, n, sh=sh),
+    )
     size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cands.join(sh.selectExpr("doc_id as doc_a", "sh"), "doc_a")
@@ -239,7 +247,7 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
-def simhash_bands(documents: DataFrame, bands: int = 4) -> DataFrame:
+def simhash_bands_catalyst(documents: DataFrame, bands: int = 4) -> DataFrame:
     """64-bit SimHash, emitted as `bands` fixed-width band values.
 
     The 64 signature bits come from two md5-derived 32-bit token hashes
@@ -296,6 +304,132 @@ def simhash_bands(documents: DataFrame, bands: int = 4) -> DataFrame:
     )
 
 
+def simhash_bands(documents: DataFrame, bands: int = 4) -> DataFrame:
+    """64-bit SimHash band values — semantics identical to
+    `simhash_bands_catalyst` (see its docstring for the banding layout
+    and exactness contract); this is the r6 physical rewrite, pinned
+    bit-exact against the catalyst plan in tests.
+
+    SimHash is PER-DOCUMENT work (distinct token hashes, 64 majority
+    votes, band packing — nothing crosses documents), but the Catalyst
+    plan paid a corpus-wide token explode, a (doc_id, tok) distinct
+    shuffle, and a 64-aggregate groupBy shuffle. The kernel computes
+    the whole thing in numpy inside one mapInPandas over
+    (doc_id, toks): per-doc distinct via np.unique, both md5-derived
+    32-bit halves from the identical hashlib bytes, votes as vectorized
+    bit tests, band packing as exact integer sums — ZERO exchanges.
+    """
+    width = 64 // bands
+    spark = documents.sparkSession
+    idt = dict(documents.dtypes)["doc_id"]
+    n_par = spark.sparkContext.defaultParallelism
+    t = documents.select("doc_id", tokens_col("text").alias("toks")).repartition(
+        n_par
+    )
+    n_bands = int(bands)
+
+    def gen(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pandas as pd
+
+        # two's-complement weight of signature bit s within its band
+        # (bit 63 only lands at an in-band offset when bands == 1)
+        w_lo = [
+            np.array(
+                [
+                    -(1 << 63) if (b - j * width) == 63 else (1 << (b - j * width))
+                    for b in range(
+                        j * width, 64 if j == n_bands - 1 else (j + 1) * width
+                    )
+                    if b < 32
+                ],
+                np.int64,
+            )
+            for j in range(n_bands)
+        ]
+        w_hi = [
+            np.array(
+                [
+                    -(1 << 63) if (b - j * width) == 63 else (1 << (b - j * width))
+                    for b in range(
+                        j * width, 64 if j == n_bands - 1 else (j + 1) * width
+                    )
+                    if b >= 32
+                ],
+                np.int64,
+            )
+            for j in range(n_bands)
+        ]
+        b_lo = [
+            np.array(
+                [
+                    b
+                    for b in range(
+                        j * width, 64 if j == n_bands - 1 else (j + 1) * width
+                    )
+                    if b < 32
+                ],
+                np.int64,
+            )
+            for j in range(n_bands)
+        ]
+        b_hi = [
+            np.array(
+                [
+                    b - 32
+                    for b in range(
+                        j * width, 64 if j == n_bands - 1 else (j + 1) * width
+                    )
+                    if b >= 32
+                ],
+                np.int64,
+            )
+            for j in range(n_bands)
+        ]
+        band_ids = np.arange(n_bands, dtype=np.int32)
+        for pdf in batches:
+            out_doc: list = []
+            out_band: list = []
+            out_val: list = []
+            for doc_id, toks in zip(pdf["doc_id"].tolist(), pdf["toks"].tolist()):
+                if toks is None or len(toks) == 0:
+                    continue
+                uniq = set(toks)
+                nt = len(uniq)
+                dig = np.frombuffer(
+                    b"".join(md5(u.encode()).digest()[:8] for u in uniq),
+                    dtype=">u4",
+                ).reshape(nt, 2)
+                h_lo = dig[:, 0].astype(np.int64)
+                h_hi = dig[:, 1].astype(np.int64)
+                vals = []
+                for j in range(n_bands):
+                    v = np.int64(0)
+                    if len(b_lo[j]):
+                        # votes: 2*set_count - n_tokens > 0 <=> v{b} > 0
+                        setc = (
+                            (h_lo[:, None] >> b_lo[j][None, :]) & 1
+                        ).sum(axis=0)
+                        v += (w_lo[j] * (2 * setc - nt > 0)).sum()
+                    if len(b_hi[j]):
+                        setc = (
+                            (h_hi[:, None] >> b_hi[j][None, :]) & 1
+                        ).sum(axis=0)
+                        v += (w_hi[j] * (2 * setc - nt > 0)).sum()
+                    vals.append(v)
+                out_doc.extend([doc_id] * n_bands)
+                out_band.extend(band_ids.tolist())
+                out_val.extend(vals)
+            if out_doc:
+                yield pd.DataFrame(
+                    {"doc_id": out_doc, "band": out_band, "band_val": out_val}
+                )
+
+    return t.mapInPandas(gen, schema=f"doc_id {idt}, band int, band_val bigint")
+
+
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-duplicate pairs: hamming(sig_a, sig_b) <= max_hamming
     over 64-bit signatures.
@@ -314,7 +448,16 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     Output: (doc_a, doc_b, hamming bigint), doc_a < doc_b.
     """
-    bands = simhash_bands(documents, bands=max_hamming + 1)
+    # r6 (guide §2.4): the plan references `bands` FOUR times (the
+    # candidate self-join plus both verify joins, each on a different
+    # key), and only the self-join's twin exchanges can be reused —
+    # the signature pass was recomputed up to 3x. Materialize it once:
+    # 4 slim rows per doc, far smaller than the token stream it is
+    # derived from, so this is the classic cut-the-common-subtree
+    # localCheckpoint (still fully inside this query's timed region).
+    bands = simhash_bands(documents, bands=max_hamming + 1).localCheckpoint(
+        eager=True
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -455,7 +598,9 @@ def dup_span_fraction(documents: DataFrame, n: int = 4) -> DataFrame:
     Output: (doc_id, n_shingles, n_dup, dup_frac) — one row per document
     with >= n tokens.
     """
-    sh = doc_shingles(documents, n)
+    # r6 (guide §2.4): the shingle explode feeds both the count agg and
+    # the join-back probe — materialize once
+    sh = doc_shingles(documents, n).localCheckpoint(eager=True)
     counts = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
     return (
         sh.join(counts, "sh")
@@ -518,6 +663,9 @@ def prefix_filter_jaccard_pairs(
         )
     else:
         tok = doc_shingles(documents, n).withColumnRenamed("sh", "tok")
+    # r6 (guide §2.4): `tok` feeds five plan branches (sizes, global
+    # df, rank join, and both sides of the verify) — materialize once
+    tok = tok.localCheckpoint(eager=True)
     size = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
@@ -972,7 +1120,8 @@ def containment_pairs(
     containment).
     """
     num, den = int(num), int(den)
-    sh = doc_shingles(documents, n)
+    # r6 (guide §2.4): one shingle explode for self-join + sizes
+    sh = doc_shingles(documents, n).localCheckpoint(eager=True)
     size = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1066,32 +1215,13 @@ def reciprocal_best_pairs(
     )
 
 
-def winnowing_fingerprints(
+def winnowing_fingerprints_catalyst(
     documents: DataFrame, kgram: int = 5, window: int = 4
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, slide a
-    window of `window` consecutive hashes, and select each window's
-    minimum (rightmost occurrence on ties, the paper's rule). The
-    selected set is a position-aware LOCAL fingerprint: any shared
-    substring of length >= window + kgram - 1 tokens is GUARANTEED to
-    share at least one fingerprint (the winnowing theorem) — the
-    locality property MinHash lacks, which is why this is the standard
-    plagiarism / benchmark-contamination detector.
-
-    Exactness: hashes are the shared md5-32 integers (_hash64_expr),
-    window minima compare (hash, -pos) structs — all integer, engine-
-    identical, no rounding anywhere.
-
-    Shapes: one shingle posexplode, ONE per-document ordered window
-    (partition-local sort — a document's k-gram list is bounded, never
-    corpus-sized), one distinct. Documents shorter than one full
-    window keep their global minimum (the degenerate-window rule), so
-    every non-empty document fingerprints.
-
-    Output: (doc_id, pos, fp) — distinct selected fingerprints with
-    the 0-based k-gram position they were selected at.
-    """
+    """The original pure-Catalyst winnowing plan (posexplode + two
+    per-document windows + distinct). Kept as the reference
+    implementation `winnowing_fingerprints` (the kernel) is pinned
+    bit-exact against in tests."""
     from pyspark.sql import Window
 
     t = documents.select(
@@ -1125,6 +1255,96 @@ def winnowing_fingerprints(
         .distinct()
     )
     return sel
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, kgram: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, slide a
+    window of `window` consecutive hashes, and select each window's
+    minimum (rightmost occurrence on ties, the paper's rule). The
+    selected set is a position-aware LOCAL fingerprint: any shared
+    substring of length >= window + kgram - 1 tokens is GUARANTEED to
+    share at least one fingerprint (the winnowing theorem) — the
+    locality property MinHash lacks, which is why this is the standard
+    plagiarism / benchmark-contamination detector.
+
+    Exactness: hashes are the shared md5-32 integers (_hash64_expr
+    bytes, reproduced by hashlib on the identical UTF-8 shingle text),
+    window minima compare (hash, -pos) orderings — all integer,
+    engine-identical, no rounding anywhere. Pinned bit-exact against
+    `winnowing_fingerprints_catalyst` in tests.
+
+    r6 physical rewrite (guide §2.4 + §4.2): winnowing is PER-DOCUMENT
+    work, but the Catalyst plan paid a corpus-wide shuffle to window
+    over the exploded shingles (every k-gram row moved once) plus a
+    global distinct (every selected row moved again). The kernel keeps
+    tokenization in Catalyst (bit-for-bit the same token arrays) and
+    computes shingle hashes + sliding minima + the per-doc dedup in a
+    numpy mapInPandas over (doc_id, toks) — ZERO exchanges end to end;
+    selected sets are per-doc unique by construction, so the global
+    distinct is a no-op the kernel performs locally. Documents shorter
+    than one full window keep their global minimum (the
+    degenerate-window rule), so every non-empty document fingerprints.
+
+    Output: (doc_id, pos, fp) — distinct selected fingerprints with
+    the 0-based k-gram position they were selected at.
+    """
+    kg = int(kgram)
+    win = int(window)
+    spark = documents.sparkSession
+    idt = dict(documents.dtypes)["doc_id"]
+    n_par = spark.sparkContext.defaultParallelism
+    t = documents.select("doc_id", tokens_col("text").alias("toks")).repartition(
+        n_par
+    )
+
+    def gen(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            out_doc: list = []
+            out_pos: list = []
+            out_fp: list = []
+            for doc_id, toks in zip(pdf["doc_id"].tolist(), pdf["toks"].tolist()):
+                if toks is None:
+                    continue
+                ns = len(toks) - kg + 1
+                if ns <= 0:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(" ".join(toks[i : i + kg]).encode()).digest()[:4],
+                            "big",
+                        )
+                        for i in range(ns)
+                    ),
+                    np.int64,
+                    ns,
+                )
+                if ns < win:
+                    # degenerate window: global min, rightmost tie
+                    idx = np.array([ns - 1 - int(np.argmin(hs[::-1]))])
+                else:
+                    sw = sliding_window_view(hs, win)
+                    # argmin on the reversed window = rightmost minimum
+                    j = np.argmin(sw[:, ::-1], axis=1)
+                    idx = np.unique(np.arange(ns - win + 1) + (win - 1 - j))
+                out_doc.extend([doc_id] * len(idx))
+                out_pos.extend(idx.tolist())
+                out_fp.extend(hs[idx].tolist())
+            if out_doc:
+                yield pd.DataFrame(
+                    {"doc_id": out_doc, "pos": out_pos, "fp": out_fp}
+                )
+
+    return t.mapInPandas(gen, schema=f"doc_id {idt}, pos long, fp bigint")
 
 
 def winnowing_overlap_pairs(

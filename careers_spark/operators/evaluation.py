@@ -2743,30 +2743,41 @@ def dunn_posthoc(
     )
 
 
-def hodges_lehmann(
+def _lattice_pdfs(df: DataFrame, value: str, group: str, group_a):
+    """Collect the two distinct-value lattices (value, count) as sorted
+    numpy arrays. Bounded by the value DOMAIN (distinct lattice points),
+    not the row count — the same bound the |V_a| x |V_b| cross-join
+    formulation already relied on being 'dimension-sized'."""
+    import numpy as np
+
+    ga = F.col(group) == F.lit(group_a)
+    v = F.col(value).cast("long")
+    rows = df.select(ga.alias("_ga"), v.alias("_v"))
+    lat = (
+        rows.groupBy("_ga", "_v").agg(F.count("*").alias("c")).toPandas()
+    )
+    out = []
+    for flag in (True, False):
+        part = lat[lat["_ga"] == flag]
+        vals = part["_v"].to_numpy(np.int64)
+        cnts = part["c"].to_numpy(np.int64)
+        o = np.argsort(vals)
+        out.append((vals[o], cnts[o]))
+    return out[0], out[1]
+
+
+def hodges_lehmann_catalyst(
     df: DataFrame,
     value: str = "value",
     group: str = "grp",
     group_a=True,
 ) -> DataFrame:
-    """Hodges-Lehmann two-sample shift estimator (1963) — the robust
-    ANSWER to Mann-Whitney's question: the test says the groups
-    differ; HL says BY HOW MUCH, as the median of all n_a * n_b
-    pairwise differences x_i - y_j (50% breakdown, no distributional
-    assumption — the location-shift companion to theil_sen's slope).
-
-    Never materializes n_a*n_b row pairs: both samples collapse to
-    their DISTINCT-value lattices, the difference table is the lattice
-    cross join weighted by count products (|V_a| x |V_b| rows,
-    dimension-sized), and the weighted median uses the doubled-median
-    order-statistic algebra (brown_forsythe recipe: med2 = k_lo-th +
-    k_hi-th over the cumulative, exact integers; hl = med2/2 exact in
-    doubles). Weights ride DECIMAL(38,0) so 1e12-row samples cannot
-    overflow the pair count.
-
-    Output: one row — (n_a, n_b, n_pairs, hl_shift) with hl_shift =
-    median(x - y); NULL when either group is empty.
-    """
+    """The original all-Spark Hodges-Lehmann (|V_a| x |V_b| lattice
+    cross join + cumulative window). Kept as the reference
+    implementation `hodges_lehmann` is pinned bit-exact against in
+    tests; the cross join is quadratic in DISTINCT values, which for
+    high-cardinality lattices (e.g. price cents) is quadratic in
+    everything — prefer the selection kernel."""
     from pyspark.sql import Window
 
     ga = F.col(group) == F.lit(group_a)
@@ -2825,7 +2836,87 @@ def hodges_lehmann(
     )
 
 
-def cliffs_delta(
+def hodges_lehmann(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "grp",
+    group_a=True,
+) -> DataFrame:
+    """Hodges-Lehmann two-sample shift estimator (1963) — the robust
+    ANSWER to Mann-Whitney's question: the test says the groups
+    differ; HL says BY HOW MUCH, as the median of all n_a * n_b
+    pairwise differences x_i - y_j (50% breakdown, no distributional
+    assumption — the location-shift companion to theil_sen's slope).
+
+    Never materializes n_a*n_b row pairs — and since r6, never the
+    |V_a| x |V_b| lattice cross join either (quadratic in distinct
+    values, i.e. quadratic outright for high-cardinality lattices like
+    price cents). The doubled-median order statistics are found by
+    binary search over the difference domain: cum(t) = #{(i, j):
+    x_i - y_j <= t} = sum_a ca * (nb - cum_b(< va - t)) via one
+    vectorized searchsorted per probe, ~60 probes total — O((|V_a| +
+    |V_b|) log range) exact integer work instead of O(|V_a| * |V_b|).
+    The cumulative only jumps at realized differences, so the minimal
+    t with cum(t) >= k IS the k-th order statistic. Lattices are
+    collected (bounded by the value domain, exactly the bound the
+    cross-join version already relied on); counts use Python ints, so
+    1e12-row samples cannot overflow the pair count. The closing
+    division rides the identical Spark expression as before; pinned
+    bit-exact against `hodges_lehmann_catalyst` in tests.
+
+    Output: one row — (n_a, n_b, n_pairs, hl_shift) with hl_shift =
+    median(x - y); NULL when either group is empty.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    (va, ca), (vb, cb) = _lattice_pdfs(df, value, group, group_a)
+    n_a = int(ca.sum())
+    n_b = int(cb.sum())
+    if n_a == 0 or n_b == 0:
+        row = [(n_a, n_b)]
+        return spark.createDataFrame(row, "n_a long, n_b long").select(
+            "n_a",
+            "n_b",
+            F.lit(None).cast("long").alias("n_pairs"),
+            F.lit(None).cast("double").alias("hl_shift"),
+        )
+    n_pairs = n_a * n_b
+    cum_b = np.concatenate(([0], np.cumsum(cb)))
+
+    def cnt_le(t: int) -> int:
+        # pairs with va - vb <= t  <=>  vb >= va - t
+        idx = np.searchsorted(vb, va - t, side="left")
+        return int((ca * (n_b - cum_b[idx])).sum())
+
+    def kth(k: int) -> int:
+        lo = int(va[0] - vb[-1])
+        hi = int(va[-1] - vb[0])
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cnt_le(mid) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    k_lo = (n_pairs + 1) // 2
+    k_hi = (n_pairs + 2) // 2
+    d_lo = kth(k_lo)
+    d_hi = d_lo if k_hi == k_lo else kth(k_hi)
+    med2 = d_lo + d_hi
+    row = [(n_a, n_b, n_pairs, med2)]
+    return spark.createDataFrame(
+        row, "n_a long, n_b long, n_pairs long, med2 long"
+    ).select(
+        "n_a",
+        "n_b",
+        "n_pairs",
+        F.expr("round(med2 / 2e0, 6)").alias("hl_shift"),
+    )
+
+
+def cliffs_delta_catalyst(
     df: DataFrame,
     value: str = "value",
     group: str = "grp",
@@ -2921,6 +3012,82 @@ def cliffs_delta(
             "n_b",
             F.expr("cast(n_gt as bigint)").alias("n_gt"),
             F.expr("cast(n_lt as bigint)").alias("n_lt"),
+            F.expr(
+                "case when n_a = 0 or n_b = 0 then null"
+                " else round(cast(dnum as double)"
+                " / cast(n_pairs as double), 6) end"
+            ).alias("delta"),
+            F.expr(
+                f"case when n_a = 0 or n_b = 0 then null else {mag} end"
+            ).alias("magnitude"),
+        )
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "grp",
+    group_a=True,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993) — semantics
+    identical to `cliffs_delta_catalyst` (see its docstring); this is
+    the r6 physical rewrite, pinned bit-exact against it in tests.
+
+    The |V_a| x |V_b| lattice cross join (quadratic in distinct
+    values) is replaced by exact cumulative counting on the collected
+    lattices: n_gt = sum_a ca * #{vb < va}, n_lt = sum_a ca *
+    #{vb > va}, one vectorized searchsorted each — O((|V_a| + |V_b|)
+    log |V_b|). Counts are Python ints (no 2^63 pair-count ceiling);
+    the delta division and the Romano magnitude CASE ride the
+    identical Spark expressions over DECIMAL(38,0) literals, so every
+    rounding and labeling decision is unchanged.
+
+    Output: one row — (n_a, n_b, n_gt, n_lt, delta, magnitude); NULL
+    delta when either group is empty.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    (va, ca), (vb, cb) = _lattice_pdfs(df, value, group, group_a)
+    n_a = int(ca.sum())
+    n_b = int(cb.sum())
+    if n_a == 0 or n_b == 0:
+        # the catalyst pair table is empty: its sums (and so n_gt,
+        # n_lt, n_pairs) are NULL, not 0
+        gt_s = lt_s = np_s = None
+    else:
+        cum_b = np.concatenate(([0], np.cumsum(cb)))
+        lt_idx = np.searchsorted(vb, va, side="left")  # #{vb < va}
+        le_idx = np.searchsorted(vb, va, side="right")  # #{vb <= va}
+        gt_s = str(int((ca * cum_b[lt_idx]).sum()))
+        lt_s = str(int((ca * (n_b - cum_b[le_idx])).sum()))
+        np_s = str(n_a * n_b)
+    mag = (
+        "case"
+        " when abs(dnum) * 1000 < 147 * n_pairs then 'negligible'"
+        " when abs(dnum) * 1000 < 330 * n_pairs then 'small'"
+        " when abs(dnum) * 1000 < 474 * n_pairs then 'medium'"
+        " else 'large' end"
+    )
+    row = [(n_a, n_b, gt_s, lt_s, np_s)]
+    return (
+        spark.createDataFrame(
+            row, "n_a long, n_b long, _gt string, _lt string, _np string"
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.expr("cast(_gt as decimal(38,0))").alias("n_gt_d"),
+            F.expr("cast(_lt as decimal(38,0))").alias("n_lt_d"),
+            F.expr("cast(_np as decimal(38,0))").alias("n_pairs"),
+        )
+        .withColumn("dnum", F.col("n_gt_d") - F.col("n_lt_d"))
+        .select(
+            "n_a",
+            "n_b",
+            F.expr("cast(n_gt_d as bigint)").alias("n_gt"),
+            F.expr("cast(n_lt_d as bigint)").alias("n_lt"),
             F.expr(
                 "case when n_a = 0 or n_b = 0 then null"
                 " else round(cast(dnum as double)"

@@ -338,6 +338,64 @@ def poisson_weight_expr(key: str, rep: str, salt: str) -> str:
     return f"case {chain} else 6 end"
 
 
+def _poisson_ci_close(base: DataFrame, rep_sums: DataFrame, B: int) -> DataFrame:
+    """Shared closing algebra for the Poisson bootstrap: replicate
+    means from exact integer (s, n) pairs, percentile-by-rank bounds.
+    Identical expression text for the catalyst and kernel producers so
+    every rounding decision is made by the same Spark operators."""
+    full = base.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.expr("sum(v) * 1e0 / count(*)"), 6).alias("mean_full"),
+    )
+    reps = rep_sums.filter(F.col("n") > 0).select(
+        "b", F.round(F.expr("s * 1e0 / n"), 6).alias("m")
+    )
+    from pyspark.sql import Window
+
+    wn = Window.orderBy("m", "b")
+    ranked = reps.withColumn("rk", F.row_number().over(wn))
+    lo_rk = -(-25 * B // 1000)  # ceil(0.025*B)
+    hi_rk = -(-975 * B // 1000)  # ceil(0.975*B)
+    bounds = ranked.agg(
+        F.count("*").alias("n_replicates"),
+        F.max(F.when(F.col("rk") == lo_rk, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("m"))).alias("ci_hi"),
+    )
+    return full.crossJoin(bounds).select(
+        "n_rows", "mean_full", "n_replicates", "ci_lo", "ci_hi"
+    )
+
+
+def poisson_bootstrap_ci_catalyst(
+    df: DataFrame,
+    value: str = "value",
+    key: str = "id",
+    n_reps: int = 200,
+    salt: str = "boot0",
+) -> DataFrame:
+    """The original pure-Catalyst Poisson bootstrap (B-way explode +
+    md5 CASE weights evaluated as JVM expressions). Kept as the
+    reference implementation `poisson_bootstrap_ci` (the kernel) is
+    pinned bit-exact against in tests; the md5-per-(row, replicate)
+    expression chain costs ~20us/pair interpreted, so prefer the
+    kernel beyond toy N."""
+    B = int(n_reps)
+    # the weight expr references the RENAMED id column — never the
+    # caller's key name (which could collide with the salt text)
+    w_expr = poisson_weight_expr("id", "b", salt)
+    v = F.col(value).cast("long")
+    base = df.select(F.col(key).alias("id"), v.alias("v"))
+    rep_sums = (
+        base.select(
+            "id", "v", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b")
+        )
+        .withColumn("w", F.expr(w_expr))
+        .groupBy("b")
+        .agg(F.sum(F.expr("w * v")).alias("s"), F.sum("w").alias("n"))
+    )
+    return _poisson_ci_close(base, rep_sums, B)
+
+
 def poisson_bootstrap_ci(
     df: DataFrame,
     value: str = "value",
@@ -360,47 +418,97 @@ def poisson_bootstrap_ci(
     lo = ceil(0.025*B)-th smallest, hi = ceil(0.975*B)-th (ties broken
     by replicate id) — exact picks, no interpolation.
 
-    Shapes: one B-way explode (map-side row fan-out, NO shuffle
-    growth: map-side combine emits at most B partial rows per task),
-    one B-sized groupBy, one B-row window. B is bounded, so nothing
-    scales with corpus size except the single weighted-sum pass.
+    r6 physical rewrite (guide §4.2): the B md5 draws per row moved
+    from an exploded Catalyst expression chain (B*N rows through
+    concat+md5+conv+CASE, ~20 us/pair) into a mapInPandas kernel that
+    accumulates the exact integer (s[b], n[b]) pairs partition-locally
+    and emits B partial rows per task — same md5 bytes, same
+    (m + 0.5)/1e6 IEEE uniform, same CDF-threshold comparisons
+    (searchsorted over the identical parsed-double thresholds), pinned
+    bit-exact against `poisson_bootstrap_ci_catalyst` in tests. The
+    B-way row fan-out never materializes, and the shuffle carries B
+    rows per task instead of B partial rows per task plus the exploded
+    map side. Integer keys only (the md5 text is cast(id as string));
+    non-integral keys take the catalyst path unchanged.
+
+    Shapes: one map-side pass (B-bounded accumulator per task), one
+    B-sized groupBy, one B-row window. B is bounded, so nothing scales
+    with corpus size except the single weighted-sum pass.
 
     Output: one row (n_rows, mean_full, n_replicates, ci_lo, ci_hi).
     """
     B = int(n_reps)
-    # the weight expr references the RENAMED id column — never the
-    # caller's key name (which could collide with the salt text)
-    w_expr = poisson_weight_expr("id", "b", salt)
+    salt = _check_salt(salt)
     v = F.col(value).cast("long")
     base = df.select(F.col(key).alias("id"), v.alias("v"))
-    full = base.agg(
-        F.count("*").alias("n_rows"),
-        F.round(F.expr("sum(v) * 1e0 / count(*)"), 6).alias("mean_full"),
-    )
-    reps = (
-        base.select(
-            "id", "v", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b")
-        )
-        .withColumn("w", F.expr(w_expr))
-        .groupBy("b")
-        .agg(F.sum(F.expr("w * v")).alias("s"), F.sum("w").alias("n"))
-        .filter(F.col("n") > 0)
-        .select("b", F.round(F.expr("s * 1e0 / n"), 6).alias("m"))
-    )
-    from pyspark.sql import Window
+    idt = dict(base.dtypes)["id"]
+    if idt not in ("tinyint", "smallint", "int", "bigint"):
+        return poisson_bootstrap_ci_catalyst(df, value, key, n_reps, salt)
+    thresholds = [float(t) for t in _POIS_CDF]
+    n_par = df.sparkSession.sparkContext.defaultParallelism
 
-    wn = Window.orderBy("m", "b")
-    ranked = reps.withColumn("rk", F.row_number().over(wn))
-    lo_rk = -(-25 * B // 1000)  # ceil(0.025*B)
-    hi_rk = -(-975 * B // 1000)  # ceil(0.975*B)
-    bounds = ranked.agg(
-        F.count("*").alias("n_replicates"),
-        F.max(F.when(F.col("rk") == lo_rk, F.col("m"))).alias("ci_lo"),
-        F.max(F.when(F.col("rk") == hi_rk, F.col("m"))).alias("ci_hi"),
+    def gen(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pandas as pd
+
+        thr = np.array(thresholds)
+        sufs = [f"|{b}{salt}".encode() for b in range(B)]
+        s = np.zeros(B, np.int64)
+        n = np.zeros(B, np.int64)
+        w6 = np.full(B, 6, np.int64)
+        any_rows = False
+        nn_v = 0  # non-null v seen: all-null partials must stay NULL
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            for idv, vv in zip(pdf["id"].tolist(), pdf["v"].tolist()):
+                if idv is None or idv != idv:
+                    # cast(null as string) nulls the md5 chain; every
+                    # CASE branch compares null < t (null) -> ELSE 6
+                    w = w6
+                else:
+                    ib = str(int(idv)).encode()
+                    m = (
+                        np.fromiter(
+                            (
+                                int.from_bytes(
+                                    md5(ib + sf).digest()[:4], "big"
+                                )
+                                for sf in sufs
+                            ),
+                            np.int64,
+                            B,
+                        )
+                        % 1000000
+                    )
+                    u = (m.astype(np.float64) + 0.5) / 1000000.0
+                    # CASE "first t with u < t" == count of t <= u
+                    w = np.searchsorted(thr, u, side="right")
+                n += w
+                if vv is not None and vv == vv:
+                    nn_v += 1
+                    s += w * int(vv)
+        if any_rows:
+            yield pd.DataFrame(
+                {
+                    "b": np.arange(B, dtype=np.int64),
+                    "s": pd.array(s, dtype="Int64")
+                    if nn_v
+                    else pd.array([None] * B, dtype="Int64"),
+                    "n": n,
+                }
+            )
+
+    rep_sums = (
+        base.repartition(n_par)
+        .mapInPandas(gen, schema="b bigint, s bigint, n bigint")
+        .groupBy("b")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
     )
-    return full.crossJoin(bounds).select(
-        "n_rows", "mean_full", "n_replicates", "ci_lo", "ci_hi"
-    )
+    return _poisson_ci_close(base, rep_sums, B)
 
 
 def rendezvous_shards(
