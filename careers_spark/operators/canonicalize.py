@@ -31,13 +31,27 @@ CC_SALT = 16
 
 def _salted_min(msgs: DataFrame) -> DataFrame:
     """Two-phase min: groupBy(node, salt) then groupBy(node) — explicit
-    hub-key salting for the message reduce."""
+    hub-key salting for the message reduce.
+
+    r6: the node's OWN previous label rides along as a second salted
+    min (`is_self` marks the union branch carrying it; it is present
+    exactly once per node, so min(when(is_self, label)) recovers it
+    verbatim). That lets the caller decide convergence from the new
+    frame alone — the old per-round labels-new x labels-old equi-join
+    existed only to compute `changed` and was one full shuffle per
+    round (guide §2.4: remove shuffles outright)."""
     return (
         msgs.withColumn("salt", F.pmod(F.xxhash64("label"), F.lit(CC_SALT)))
         .groupBy("node", "salt")
-        .agg(F.min("label").alias("label"))
+        .agg(
+            F.min("label").alias("label"),
+            F.min(F.when(F.col("is_self"), F.col("label"))).alias("prev"),
+        )
         .groupBy("node")
-        .agg(F.min("label").alias("label"))
+        .agg(
+            F.min("label").alias("label"),
+            F.min("prev").alias("prev"),
+        )
     )
 
 
@@ -67,32 +81,23 @@ def connected_components(
     for _ in range(max_iter):
         msgs = (
             bidir.join(labels.withColumnRenamed("node", "u"), "u")
-            .select(F.col("v").alias("node"), "label")
-            .union(labels)
-        )
-        propagated = _salted_min(msgs)
-        # r6 pointer jumping (guide §2.4: fewer passes — the
-        # order-of-magnitude lever is the algorithm): label(v) is
-        # always the id of a node REACHABLE from v, so label(label(v))
-        # is too, and label(l) <= l; composing one label-of-label hop
-        # per round turns O(diameter) rounds into O(log diameter)
-        # while converging to the identical fixpoint (min reachable
-        # id) — chain graphs went 20+ rounds, now ~6.
-        new_labels = (
-            propagated.join(
-                propagated.selectExpr("node as label", "label as _l2"),
-                "label",
-                "left",
+            .select(
+                F.col("v").alias("node"), "label", F.lit(False).alias("is_self")
             )
-            .select("node", F.coalesce("_l2", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .union(labels.select("node", "label", F.lit(True).alias("is_self")))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # NOTE (r6): the per-round label function is deliberately
+        # UNCHANGED (min over the 1-hop neighborhood) — capped runs
+        # (max_iter before convergence) must reproduce the identical
+        # round-k labels. Pointer jumping was evaluated and rejected
+        # for exactly that reason.
+        stamped = _salted_min(msgs).localCheckpoint(eager=True)
+        new_labels = stamped.select("node", "label")
+        # convergence from the materialized frame alone: labels are
+        # pointwise non-increasing, so "any row with label != prev"
+        # is exactly the old labels-new x labels-old join's count —
+        # minus that join's per-round shuffle
+        changed = stamped.filter(F.col("label") != F.col("prev")).count()
         labels = new_labels
         if changed == 0:
             break

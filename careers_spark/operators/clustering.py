@@ -85,13 +85,53 @@ def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
-def lloyd_centroids(q: DataFrame, k: int, iters: int) -> list[list[int]] | None:
-    """The Lloyd loop over a quantized (id, x) frame: deterministic
-    seeds (k smallest ids, cluster id = seed rank), ``iters``
-    assign-then-update rounds on the integer lattice. Returns the
-    FINAL centroid list (lattice points), or None on empty input.
-    Collects k rows per iteration — the centroid table is tiny by
-    definition."""
+def _assign_kernel(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(id, cluster, dist) under broadcast centroids — the numpy twin
+    of `_assign` (guide §4.2: the per-row k x dim zip_with folds were
+    interpreted Catalyst HOFs at ~0.5us/element): exact integer
+    squared distances, argmin = first minimum = smallest cluster id on
+    ties, identical to least(struct(d, j)). Pinned against `_assign`
+    in tests. Map-only — distributes exactly like the expression
+    version."""
+    import numpy as np
+
+    spark = q.sparkSession
+    C = np.array(centroids, dtype=np.int64)
+    bc = spark.sparkContext.broadcast(C)
+    idt = dict(q.dtypes)["id"]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        CT = bc.value.T  # dim x k
+        for pdf in batches:
+            for lo in range(0, len(pdf), 2048):
+                chunk = pdf.iloc[lo : lo + 2048]
+                if len(chunk) == 0:
+                    continue
+                X = np.array(chunk["x"].tolist(), dtype=np.int64)
+                D = ((X[:, :, None] - CT[None, :, :]) ** 2).sum(axis=1)
+                j = D.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": chunk["id"].to_numpy(),
+                        "cluster": j.astype(np.int64),
+                        "dist": D[np.arange(len(j)), j],
+                    }
+                )
+
+    return q.mapInPandas(gen, schema=f"id {idt}, cluster long, dist long")
+
+
+def lloyd_centroids_spark(
+    q: DataFrame, k: int, iters: int
+) -> list[list[int]] | None:
+    """The original cluster-side Lloyd loop (one assignment map pass +
+    one k-row groupBy collect per iteration). Kept as the scale path
+    for training sets too large to collect, and as the reference
+    implementation `lloyd_centroids` (the driver kernel) is pinned
+    bit-exact against in tests."""
     seeds = q.orderBy("id").limit(int(k)).collect()
     if not seeds:
         return None
@@ -120,6 +160,65 @@ def lloyd_centroids(q: DataFrame, k: int, iters: int) -> list[list[int]] | None:
     return centroids
 
 
+def lloyd_centroids(
+    q: DataFrame,
+    k: int,
+    iters: int,
+    driver_train_max: int = 200_000,
+    n_rows: int | None = None,
+) -> list[list[int]] | None:
+    """The Lloyd loop over a quantized (id, x) frame: deterministic
+    seeds (k smallest ids, cluster id = seed rank), ``iters``
+    assign-then-update rounds on the integer lattice. Returns the
+    FINAL centroid list (lattice points), or None on empty input.
+
+    r6 physical rewrite (guide §1.2: fix the algorithm's pass count
+    first): the Spark loop paid 2+ jobs per iteration per subspace —
+    ivfadc at m=4 ran 10 Lloyd loops = ~20 cluster round-trips for a
+    2000-row training set. Training sets up to `driver_train_max` rows
+    are collected ONCE (they are already quantized BIGINTs, so no
+    rounding is re-derived) and the identical iteration runs in numpy:
+    integer distances, first-min argmin (= smallest cluster id on
+    ties), integer sums, and the centroid update's one double division
+    rounded by the Spark-round emulation kernel pinned in
+    tests/test_exact_kernels.py. Larger frames fall back to
+    `lloyd_centroids_spark` unchanged — training on a driver-bounded
+    set is the faiss convention and the r4-landed ivf_train_centroids
+    precedent; the assignment/search passes stay distributed either
+    way."""
+    import numpy as np
+
+    from careers_spark.operators.similarity import _np_round_half_up
+
+    if (q.count() if n_rows is None else n_rows) > int(driver_train_max):
+        return lloyd_centroids_spark(q, k, iters)
+    pdf = q.toPandas()
+    if len(pdf) == 0:
+        return None
+    ids = pdf["id"].to_numpy()
+    X = np.array(pdf["x"].tolist(), dtype=np.int64)
+    X = X[np.argsort(ids, kind="stable")]
+    kk = min(int(k), len(X))
+    cent = X[:kk].copy()
+    for _ in range(int(iters)):
+        # assignment: exact integer squared distances, first-min ties
+        best = np.zeros(len(X), np.int64)
+        for lo in range(0, len(X), 4096):
+            hi = min(lo + 4096, len(X))
+            D = ((X[lo:hi, :, None] - cent.T[None, :, :]) ** 2).sum(axis=1)
+            best[lo:hi] = D.argmin(axis=1)
+        cnt = np.bincount(best, minlength=kk)
+        s = np.zeros((kk, X.shape[1]), np.int64)
+        np.add.at(s, best, X)
+        got = cnt > 0
+        # the identical one double division + Spark-round per component
+        mean = _np_round_half_up(
+            s[got].astype(np.float64) / cnt[got, None].astype(np.float64), 0
+        ).astype(np.int64)
+        cent[got] = mean
+    return [list(map(int, c)) for c in cent]
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,
@@ -144,7 +243,7 @@ def kmeans_assign(
             F.lit(None).cast("long").alias("dist"),
         )
 
-    out = _assign(q, centroids).select(
+    out = _assign_kernel(q, centroids).select(
         F.col("id").alias(id_col), "cluster", "dist"
     )
     q.unpersist()
@@ -177,28 +276,55 @@ def semantic_dedup_pairs(
     engine-identical decision rule). Output: (id_a, id_b, cluster,
     sim), id_a < id_b.
     """
-    from careers_spark.operators.similarity import _dot, _norm
-
     assign = kmeans_assign(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     ).select(F.col(id_col).alias("_id"), "cluster")
     vecs = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
-    side = assign.join(vecs, "_id")
+    # r6 (guide §2.4): one materialization instead of re-deriving the
+    # full quantize+train+assign chain on both sides of the self-join
+    side = assign.join(vecs, "_id").localCheckpoint(eager=True)
     a = side.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "cluster"
     )
     b = side.select(
         F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "cluster"
     )
-    sim = F.expr(
-        f"round({_dot('_va', '_vb')} / ({_norm('_va')} * {_norm('_vb')}), 6)"
-    )
+    idt = dict(embeddings.dtypes)[id_col]
+    paired = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+
+    # r6 (guide §4.2): the per-pair round6 cosine moved from the
+    # interpreted HOF expression into the rowwise numpy kernel with
+    # the identical IEEE sequence (pinned in tests); the >= threshold
+    # decision still compares the kernel's rounded sim in Spark.
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from careers_spark.operators.similarity import _cos6_rows
+
+        for pdf in batches:
+            for lo in range(0, len(pdf), 2048):
+                chunk = pdf.iloc[lo : lo + 2048]
+                if len(chunk) == 0:
+                    continue
+                Q = np.array(chunk["_va"].tolist(), dtype=np.float64)
+                N = np.array(chunk["_vb"].tolist(), dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "id_a": chunk["id_a"].to_numpy(),
+                        "id_b": chunk["id_b"].to_numpy(),
+                        "cluster": chunk["cluster"].to_numpy(),
+                        "sim": _cos6_rows(Q, N),
+                    }
+                )
+
     return (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", sim)
+        paired.mapInPandas(
+            gen,
+            schema=f"id_a {idt}, id_b {idt}, cluster long, sim double",
+        )
         .filter(F.col("sim") >= float(threshold))
         .select("id_a", "id_b", "cluster", "sim")
     )
@@ -427,6 +553,136 @@ def pq_codes(
     )
 
 
+def _route_encode_kernel(
+    cq: DataFrame,
+    codebooks: list[list[list[int]]],
+    sub: int,
+    coarse: list[list[int]] | None = None,
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """One map pass over a quantized (id, x) frame emitting the PQ code
+    tuple (and, with `coarse` given, the IVF list id) — the numpy twin
+    of the least(struct(dist, j)) encode expressions (guide §4.2: those
+    are interpreted HOFs at k x dim folds per row). Exact integer
+    argmins, first-minimum = smallest code / list id on ties. Map-only:
+    distributes exactly like the expression version."""
+    import numpy as np
+
+    spark = cq.sparkSession
+    m = len(codebooks)
+    CB = [np.array(b, dtype=np.int64) for b in codebooks]
+    CO = None if coarse is None else np.array(coarse, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((CB, CO))
+    idt = dict(cq.dtypes)["id"]
+    cols = ([f"{out_id} {idt}"] + (["list_id int"] if coarse is not None else [])
+            + [f"code_{j} long" for j in range(m)])
+    schema = ", ".join(cols)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        CB_, CO_ = bc.value
+        for pdf in batches:
+            for lo in range(0, len(pdf), 2048):
+                chunk = pdf.iloc[lo : lo + 2048]
+                if len(chunk) == 0:
+                    continue
+                X = np.array(chunk["x"].tolist(), dtype=np.int64)
+                out = {out_id: chunk["id"].to_numpy()}
+                if CO_ is not None:
+                    D = ((X[:, :, None] - CO_.T[None, :, :]) ** 2).sum(axis=1)
+                    out["list_id"] = D.argmin(axis=1).astype(np.int32)
+                for j in range(len(CB_)):
+                    Xj = X[:, j * sub : (j + 1) * sub]
+                    Dj = ((Xj[:, :, None] - CB_[j].T[None, :, :]) ** 2).sum(
+                        axis=1
+                    )
+                    out[f"code_{j}"] = Dj.argmin(axis=1).astype(np.int64)
+                yield pd.DataFrame(out)
+
+    return cq.mapInPandas(gen, schema=schema)
+
+
+def _adc_rank_kernel(
+    codes: DataFrame,
+    qx_df: DataFrame,
+    codebooks: list[list[list[int]]],
+    sub: int,
+    k: int,
+) -> DataFrame:
+    """ADC top-k against broadcast query lattice vectors: per task a
+    (query x centroid) integer LUT per subspace, block-local top-k by
+    (adist asc, neighbor asc), then one small global window — the
+    numpy twin of the query x codes cross join + aggregate(zip_with)
+    adist expressions. Exact BIGINT arithmetic end to end; block
+    top-ks are supersets of the global top-k, so the closing window
+    returns the identical rows. Queries are the bounded side by the
+    query_pred contract (the brute_force_topk broadcast posture)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    spark = codes.sparkSession
+    m = len(codebooks)
+    CB = [np.array(b, dtype=np.int64) for b in codebooks]
+    qpdf = qx_df.toPandas()
+    qids = qpdf["query_id"].to_numpy()
+    QX = np.array(qpdf["qx"].tolist(), dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qids, QX, CB))
+    idt = dict(codes.dtypes)["neighbor_id"]
+    kk = int(k)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids_, QX_, CB_ = bc.value
+        nq = len(qids_)
+        if nq == 0:
+            return
+        luts = [
+            ((QX_[:, None, j * sub : (j + 1) * sub] - CB_[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(len(CB_))
+        ]
+        for pdf in batches:
+            for lo in range(0, len(pdf), 4096):
+                chunk = pdf.iloc[lo : lo + 4096]
+                nb = len(chunk)
+                if nb == 0:
+                    continue
+                nids = chunk["neighbor_id"].to_numpy()
+                adist = np.zeros((nq, nb), dtype=np.int64)
+                for j in range(len(CB_)):
+                    cj = chunk[f"code_{j}"].to_numpy(np.int64)
+                    adist += luts[j][:, cj]
+                take = min(kk, nb)
+                out_q, out_n, out_d = [], [], []
+                for qi in range(nq):
+                    order = np.lexsort((nids, adist[qi]))[:take]
+                    out_q.extend([qids_[qi]] * take)
+                    out_n.extend(nids[order].tolist())
+                    out_d.extend(adist[qi][order].tolist())
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
+                )
+
+    cand = codes.mapInPandas(
+        gen, schema=f"query_id {idt}, neighbor_id {idt}, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= kk)
+        .select(
+            "query_id", "neighbor_id", "adist",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def _slice_dist_expr(centroid: list[int], lo: int, sub: int) -> str:
     """Exact integer squared distance between slice(x, lo, sub) and a
     literal lattice centroid."""
@@ -487,63 +743,26 @@ def pq_adc_topk(
     corpus = embeddings.filter(f"NOT ({query_pred})")
     queries = embeddings.filter(query_pred)
     cq = _quantize(corpus, id_col, vec_col).cache()
+    n_corpus = cq.count()
+    if n_corpus == 0:
+        raise ValueError("pq_adc_topk: empty corpus")
 
+    # r6 (guide §4.2): training, encoding and the ADC ranking all moved
+    # into exact-integer numpy kernels (driver Lloyd / map-only encode /
+    # LUT block-top-k) — the former per-row least(struct(zip_with ...))
+    # expressions were interpreted HOFs; every argmin and distance is
+    # the identical BIGINT computation, pinned piecewise in tests.
     codebooks: list[list[list[int]]] = []
     for j in range(m):
         qj = cq.select("id", F.slice(F.col("x"), j * sub + 1, sub).alias("x"))
-        cents = lloyd_centroids(qj, kcent, iters)
-        if cents is None:
-            raise ValueError("pq_adc_topk: empty corpus")
+        cents = lloyd_centroids(qj, kcent, iters, n_rows=n_corpus)
         codebooks.append(cents)
 
-    # encode: per-subspace argmin over literal centroids — zero joins
-    code_cols = []
-    for j in range(m):
-        lo = j * sub + 1
-        structs = [
-            F.struct(
-                F.expr(_slice_dist_expr(c, lo, sub)).alias("d"),
-                F.lit(ci).cast("long").alias("j"),
-            )
-            for ci, c in enumerate(codebooks[j])
-        ]
-        best = F.least(*structs) if len(structs) > 1 else structs[0]
-        code_cols.append(best.getField("j").alias(f"code_{j}"))
-    codes = cq.select(F.col("id").alias("neighbor_id"), *code_cols)
-
-    # ADC: query lattice vector x corpus code tuple; per-subspace
-    # lookup table is a literal array-of-arrays indexed by the code
+    codes = _route_encode_kernel(cq, codebooks, sub)
     qx = _quantize(queries, id_col, vec_col).select(
         F.col("id").alias("query_id"), F.col("x").alias("qx")
     )
-    dist_terms = []
-    for j in range(m):
-        lo = j * sub + 1
-        book = (
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
-                for c in codebooks[j]
-            )
-            + ")"
-        )
-        dist_terms.append(
-            f"aggregate(zip_with(slice(qx, {lo}, {sub}), "
-            f"element_at({book}, cast(code_{j} as int) + 1), "
-            "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
-        )
-    adist = F.expr(" + ".join(f"({t})" for t in dist_terms))
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    out = (
-        qx.crossJoin(codes)
-        .select("query_id", "neighbor_id", adist.alias("adist"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= int(k))
-        .select("query_id", "neighbor_id", "adist", F.col("rk").cast("int").alias("rk"))
-    )
+    out = _adc_rank_kernel(codes, qx, codebooks, sub, k)
     cq.unpersist()
     return out
 
@@ -606,47 +825,31 @@ def ivfadc_topk(
     corpus = embeddings.filter(f"NOT ({query_pred})")
     queries = embeddings.filter(query_pred)
     cq = _quantize(corpus, id_col, vec_col).cache()
-
-    coarse = lloyd_centroids(cq, nlist, iters)
-    if coarse is None:
+    n_corpus = cq.count()
+    if n_corpus == 0:
         raise ValueError("ivfadc_topk: empty corpus")
+
+    coarse = lloyd_centroids(cq, nlist, iters, n_rows=n_corpus)
 
     codebooks: list[list[list[int]]] = []
     for j in range(m):
         qj = cq.select("id", F.slice(F.col("x"), j * sub + 1, sub).alias("x"))
-        cents = lloyd_centroids(qj, kcent, iters)
+        cents = lloyd_centroids(qj, kcent, iters, n_rows=n_corpus)
         codebooks.append(cents)
 
     # corpus: ONE map pass -> (neighbor_id, list_id, code_0..m-1)
+    # (r6: the numpy route+encode kernel — exact integer argmins,
+    # first-min ties, identical to the least(struct(...)) exprs)
+    codes = _route_encode_kernel(cq, codebooks, sub, coarse=coarse)
+
+    # queries: nprobe nearest lists via a map-side sort of the nlist
+    # literal structs — no window, no shuffle
     coarse_structs = [
         F.struct(
             F.expr(_dist_expr(c)).alias("d"), F.lit(i).cast("long").alias("j")
         )
         for i, c in enumerate(coarse)
     ]
-    coarse_best = (
-        F.least(*coarse_structs) if len(coarse_structs) > 1 else coarse_structs[0]
-    )
-    code_cols = []
-    for j in range(m):
-        lo = j * sub + 1
-        structs = [
-            F.struct(
-                F.expr(_slice_dist_expr(c, lo, sub)).alias("d"),
-                F.lit(ci).cast("long").alias("j"),
-            )
-            for ci, c in enumerate(codebooks[j])
-        ]
-        best = F.least(*structs) if len(structs) > 1 else structs[0]
-        code_cols.append(best.getField("j").alias(f"code_{j}"))
-    codes = cq.select(
-        F.col("id").alias("neighbor_id"),
-        coarse_best.getField("j").cast("int").alias("list_id"),
-        *code_cols,
-    )
-
-    # queries: nprobe nearest lists via a map-side sort of the nlist
-    # literal structs — no window, no shuffle
     probe = (
         _quantize(queries, id_col, vec_col)
         .select(
@@ -661,31 +864,55 @@ def ivfadc_topk(
         .select("query_id", "qx", F.col("p.j").cast("int").alias("list_id"))
     )
 
-    dist_terms = []
-    for j in range(m):
-        lo = j * sub + 1
-        book = (
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
-                for c in codebooks[j]
-            )
-            + ")"
-        )
-        dist_terms.append(
-            f"aggregate(zip_with(slice(qx, {lo}, {sub}), "
-            f"element_at({book}, cast(code_{j} as int) + 1), "
-            "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
-        )
-    adist = F.expr(" + ".join(f"({t})" for t in dist_terms))
+    # ADC over the list-local candidates: the equi-join stays (the
+    # 100 TB routing shape is untouched); only the per-pair
+    # aggregate(zip_with) fold moved into a rowwise integer kernel
+    CBv = codebooks
+    joined = probe.join(codes, "list_id").select(
+        "query_id", "qx", "neighbor_id", *[f"code_{j}" for j in range(m)]
+    )
+    spark = embeddings.sparkSession
+    import numpy as np
+
+    bc_cb = spark.sparkContext.broadcast(
+        [np.array(b, dtype=np.int64) for b in CBv]
+    )
+    idt = dict(embeddings.dtypes)[id_col]
+    sub_ = sub
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        CB_ = bc_cb.value
+        for pdf in batches:
+            for lo in range(0, len(pdf), 4096):
+                chunk = pdf.iloc[lo : lo + 4096]
+                if len(chunk) == 0:
+                    continue
+                QXr = np.array(chunk["qx"].tolist(), dtype=np.int64)
+                adist = np.zeros(len(chunk), dtype=np.int64)
+                for j in range(len(CB_)):
+                    idx = chunk[f"code_{j}"].to_numpy(np.int64)
+                    diff = QXr[:, j * sub_ : (j + 1) * sub_] - CB_[j][idx]
+                    adist += (diff * diff).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": chunk["query_id"].to_numpy(),
+                        "neighbor_id": chunk["neighbor_id"].to_numpy(),
+                        "adist": adist,
+                    }
+                )
+
+    scored = joined.mapInPandas(
+        gen, schema=f"query_id {idt}, neighbor_id {idt}, adist long"
+    )
 
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     out = (
-        probe.join(codes, "list_id")
-        .select("query_id", "neighbor_id", adist.alias("adist"))
-        .withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= int(k))
         .select(
             "query_id", "neighbor_id", "adist", F.col("rk").cast("int").alias("rk")

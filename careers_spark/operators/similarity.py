@@ -534,7 +534,24 @@ def ivf_train_centroids(
     return cents
 
 
-def ivf_topk(
+def _cos6_rows(Q, N):
+    """Rowwise round-6 cosine for aligned pair matrices — the same
+    IEEE sequence as the Catalyst `round(dot/(norm*norm), 6)` pair
+    expression (sequential-over-dims folds, multiply then divide,
+    Spark-round emulation)."""
+    import numpy as np
+
+    acc = np.zeros(Q.shape[0])
+    tmp = np.empty_like(acc)
+    for d in range(Q.shape[1]):
+        np.multiply(Q[:, d], N[:, d], out=tmp)
+        np.add(acc, tmp, out=acc)
+    return _np_round_half_up(
+        acc / (_seq_sq_norm_sqrt(Q) * _seq_sq_norm_sqrt(N)), 6
+    )
+
+
+def ivf_topk_catalyst(
     embeddings: DataFrame,
     k: int = 5,
     nlist: int = 16,
@@ -546,8 +563,10 @@ def ivf_topk(
     train_sample_pred: str | None = None,
     driver_train_max: int = 100_000,
 ) -> DataFrame:
-    """IVF approximate top-k: coarse-quantizer bucket join + exact
-    re-rank — the inverted-file counterpart to lsh_bucketed_topk.
+    """The original expression-form IVF search (crossJoin assignment +
+    interpreted higher-order-function dot products). Kept as the
+    reference implementation `ivf_topk` (the kernel form) is pinned
+    bit-exact against in tests.
 
     Every corpus vector lands in ONE inverted list (its nearest
     centroid); each query probes its `nprobe` nearest lists, so the
@@ -629,6 +648,142 @@ def ivf_topk(
                 6,
             ).alias("sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    query_pred: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_pred: str | None = None,
+    driver_train_max: int = 100_000,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantizer bucket join + exact
+    re-rank — the inverted-file counterpart to lsh_bucketed_topk.
+
+    Every corpus vector lands in ONE inverted list (its nearest
+    centroid); each query probes its `nprobe` nearest lists, so the
+    candidate join is list-local (shuffle key = list_id, expected list
+    size N / nlist — salt or split hot lists if the quantizer is badly
+    skewed). With nprobe == nlist every list is probed and the result
+    EQUALS brute_force_topk exactly — the driver query runs that
+    configuration against the brute-force SQL oracle, making the whole
+    train/assign/probe machinery exactly checkable; recall at
+    nprobe < nlist is the standard IVF trade, gated in pytest on
+    clustered data.
+
+    r6 physical rewrite (guide §4.2): list assignment and the
+    candidate re-rank kept their exact Catalyst semantics (sequential
+    IEEE folds, max(struct) / row_number tie-breaks, Spark round6) but
+    run as numpy mapInPandas kernels — the expression forms were
+    interpreted HOFs at ~0.5us/element. The distributed shape is
+    byte-for-byte the same: centroids broadcast (nlist x dim), corpus
+    assignment map-only, the probe join still the list_id equi-join.
+    Pinned bit-exact against `ivf_topk_catalyst` in tests.
+
+    Output: (query_id, neighbor_id, sim, rk) — same schema and 6dp
+    rounding as the other top-k operators.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cents = ivf_train_centroids(
+        embeddings, nlist=nlist, iters=iters,
+        id_col=id_col, vec_col=vec_col, sample_pred=train_sample_pred,
+        driver_train_max=driver_train_max,
+    )
+    C = np.array(cents, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
+    idt = dict(embeddings.dtypes)[id_col]
+
+    def assign(df: DataFrame, out: str, n: int) -> DataFrame:
+        vchar = out[:1]
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            C_ = bc.value
+            nl = C_.shape[0]
+            nn = min(n, nl)
+            lists = np.arange(nl)
+            for pdf in batches:
+                for lo in range(0, len(pdf), 1024):
+                    chunk = pdf.iloc[lo : lo + 1024]
+                    if len(chunk) == 0:
+                        continue
+                    V = np.array(chunk["_v"].tolist(), dtype=np.float64)
+                    U = V / _seq_sq_norm_sqrt(V)[:, None]
+                    dots = _seq_dot_block(U, C_)
+                    ids = chunk["_id"].to_numpy()
+                    if nn == 1:
+                        # max(struct(dot, -list)): first argmax = min list
+                        j = dots.argmax(axis=1)
+                        yield pd.DataFrame(
+                            {
+                                out: ids,
+                                f"{vchar}vec": chunk["_v"].tolist(),
+                                "list_id": j.astype(np.int32),
+                            }
+                        )
+                    else:
+                        o_ids, o_v, o_l = [], [], []
+                        for r in range(len(ids)):
+                            sel = np.lexsort((lists, -dots[r]))[:nn]
+                            o_ids.extend([ids[r]] * nn)
+                            o_v.extend([chunk["_v"].iloc[r]] * nn)
+                            o_l.extend(sel.tolist())
+                        yield pd.DataFrame(
+                            {out: o_ids, f"{vchar}vec": o_v, "list_id": o_l}
+                        )
+
+        return df.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        ).mapInPandas(
+            gen,
+            schema=f"{out} {idt}, {vchar}vec array<double>, list_id int",
+        )
+
+    base = assign(embeddings, "nid", 1)
+    queries = assign(embeddings.filter(query_pred), "query_id", nprobe)
+    paired = (
+        queries.join(base, "list_id")
+        .filter(F.col("query_id") != F.col("nid"))
+        .select("query_id", "qvec", F.col("nid").alias("neighbor_id"), "nvec")
+    )
+
+    def sim_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for lo in range(0, len(pdf), 2048):
+                chunk = pdf.iloc[lo : lo + 2048]
+                if len(chunk) == 0:
+                    continue
+                Q = np.array(chunk["qvec"].tolist(), dtype=np.float64)
+                N = np.array(chunk["nvec"].tolist(), dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "query_id": chunk["query_id"].to_numpy(),
+                        "neighbor_id": chunk["neighbor_id"].to_numpy(),
+                        "sim": _cos6_rows(Q, N),
+                    }
+                )
+
+    sims = paired.mapInPandas(
+        sim_gen, schema=f"query_id {idt}, neighbor_id {idt}, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
