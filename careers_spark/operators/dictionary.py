@@ -280,9 +280,19 @@ def link_weights(topic_contexts: DataFrame) -> DataFrame:
     """
     tc = topic_contexts.select("topic", "context").dropDuplicates()
     # bidirectional (U3: BuildPhraseQueryDb.scala:272-274)
-    bidir = tc.union(
-        tc.select(F.col("context").alias("topic"), F.col("topic").alias("context"))
-    ).dropDuplicates()
+    # r6 (guide §2.4): the plan references `bidir` five times (e/a/b of
+    # the intersection join, the left join back, and the degree table)
+    # — without materialization the union+dropDuplicates shuffle reruns
+    # per reference. One dictionary-sized checkpoint instead.
+    bidir = (
+        tc.union(
+            tc.select(
+                F.col("context").alias("topic"), F.col("topic").alias("context")
+            )
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
 
     deg = bidir.groupBy("topic").agg(F.count("*").alias("deg"))
 

@@ -167,6 +167,11 @@ def confusion_stats(
 
     Output: (cls, n_true, n_pred, n_correct, precision, recall, f1).
     """
+    # r6 (guide §2.4): three aggregations consume the same (truth,
+    # pred) pairing, whose upstream is typically a scoring pipeline
+    # (lang_id is ~15 Catalyst stages) — materialize the two-column
+    # projection once instead of re-running that pipeline per agg
+    df = df.select(truth, pred).localCheckpoint(eager=True)
     t = df.groupBy(F.col(truth).alias("cls")).agg(F.count("*").alias("n_true"))
     p = df.groupBy(F.col(pred).alias("cls")).agg(F.count("*").alias("n_pred"))
     c = (

@@ -137,6 +137,11 @@ def pagerank(
         def dang_share(dang_col):
             return dang_col * is_src
 
+    # r6 note: a per-iteration localCheckpoint was A/B-measured and
+    # REJECTED here — with iterations fixed at 6 the lazy recompute
+    # (each dangling broadcast re-executes its prefix) is bounded at
+    # ~3.5x one pass, which beats 12 eager checkpoint jobs on the
+    # node-sized frames this runs over (2.2s vs 1.7s at sf0.1).
     pr = base.select("node", "outdeg", init)
     for _ in range(iterations):
         dangling = pr.agg(
@@ -341,8 +346,21 @@ def hits(
             "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
         )
         s_a = a_full.agg(F.sum("raw").alias("s"))
-        auth = a_full.crossJoin(F.broadcast(s_a)).select(
-            "node", F.round(F.col("raw") / F.col("s"), precision).alias("auth")
+        # truncate lineage each iteration: HITS stacks 2 joins + 2 aggs
+        # + 2 crossJoins per step and the final hub⋈auth join doubles
+        # the chain — the un-checkpointed 6-deep plan OOMs the driver in
+        # plan/codegen string building (the kcore convention).
+        # r6 (guide §2.4): checkpoint auth BEFORE the hub half-step
+        # consumes it — checkpointing both frames at the END made the
+        # hub job recompute the whole auth subtree (its join + agg +
+        # normalizer) a second time every iteration.
+        auth = (
+            a_full.crossJoin(F.broadcast(s_a))
+            .select(
+                "node",
+                F.round(F.col("raw") / F.col("s"), precision).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
         )
         h_raw = (
             e.join(auth.withColumnRenamed("node", "v"), "v")
@@ -353,15 +371,14 @@ def hits(
             "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
         )
         s_h = h_full.agg(F.sum("raw").alias("s"))
-        hub = h_full.crossJoin(F.broadcast(s_h)).select(
-            "node", F.round(F.col("raw") / F.col("s"), precision).alias("hub")
+        hub = (
+            h_full.crossJoin(F.broadcast(s_h))
+            .select(
+                "node",
+                F.round(F.col("raw") / F.col("s"), precision).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
         )
-        # truncate lineage each iteration: HITS stacks 2 joins + 2 aggs
-        # + 2 crossJoins per step and the final hub⋈auth join doubles
-        # the chain — the un-checkpointed 6-deep plan OOMs the driver in
-        # plan/codegen string building (the kcore convention)
-        auth = auth.localCheckpoint(eager=True)
-        hub = hub.localCheckpoint(eager=True)
     return hub.join(auth, "node").select("node", "hub", "auth")
 
 

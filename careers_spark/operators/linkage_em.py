@@ -133,7 +133,85 @@ def em_query(
     return "WITH " + ",\n".join(ctes) + f"\nSELECT {params}, {gcols} FROM gfin"
 
 
-def fs_em_linkage(
+def _round8_py(x: float) -> float:
+    """Scalar twin of Spark round(double, 8) — shortest-repr decimal
+    HALF_UP (the similarity._np_round_half_up contract, reused here so
+    the emulation is pinned by one shared test surface)."""
+    import numpy as np
+
+    from careers_spark.operators.similarity import _np_round_half_up
+
+    return float(_np_round_half_up(np.array([x]), 8)[0])
+
+
+def _clamp8_py(x: float) -> float:
+    """least(greatest(round(x, 8), LO), HI) with Spark NaN ordering
+    (NaN compares greater than any double, so it survives greatest and
+    loses least -> HI)."""
+    import math
+
+    lo, hi = float(_CLAMP_LO), float(_CLAMP_HI)
+    r = _round8_py(x)
+    if math.isnan(r):
+        return hi
+    return min(max(r, lo), hi)
+
+
+def _em_converge_py(obs: dict[int, int], K: int, iters: int):
+    """The identical EM chain evaluated in Python floats — binary64
+    * / + - are correctly rounded in both runtimes, products and
+    pattern sums keep the generated expressions' fixed order, and
+    round/clamp re-enter each iteration on the same 8-dp doubles, so
+    every iterate matches the Spark/DuckDB expression tree bit-for-bit
+    (pinned against the retained Spark loop in tests). Returns
+    (lam, m[], u[], gam{p}) after `iters` rounds + one final E-step."""
+    P = 1 << K
+    n = [float(obs.get(p, 0)) for p in range(P)]
+    ntot = float(sum(obs.values()))
+    lam = 0.1
+    m = [0.9] * K
+    u = [0.1] * K
+
+    def gammas():
+        out = []
+        for p in range(P):
+            tm = 1.0
+            tu = 1.0
+            # products in fixed k order, matching _gamma_expr's
+            # left-to-right chain
+            for k in range(K):
+                tm = tm * (m[k] if (p >> k) & 1 else (1.0 - m[k]))
+                tu = tu * (u[k] if (p >> k) & 1 else (1.0 - u[k]))
+            wm = lam * tm
+            wu = (1.0 - lam) * tu
+            out.append(_round8_py(wm / (wm + wu)))
+        return out
+
+    for _ in range(int(iters)):
+        gam = gammas()
+        s = 0.0
+        for p in range(P):  # fixed p order, chained +
+            s = s + gam[p] * n[p]
+        new_lam = _clamp8_py(s / ntot)
+        new_m = []
+        new_u = []
+        for k in range(K):
+            hits = [p for p in range(P) if (p >> k) & 1]
+            mnum = 0.0
+            for p in hits:
+                mnum = mnum + gam[p] * n[p]
+            new_m.append(_clamp8_py(mnum / s))
+        for k in range(K):
+            hits = [p for p in range(P) if (p >> k) & 1]
+            unum = 0.0
+            for p in hits:
+                unum = unum + (1.0 - gam[p]) * n[p]
+            new_u.append(_clamp8_py(unum / (ntot - s)))
+        lam, m, u = new_lam, new_m, new_u
+    return lam, m, u, gammas()
+
+
+def fs_em_linkage_spark(
     pairs: DataFrame,
     features: list[str],
     iters: int = 10,
@@ -194,6 +272,65 @@ def fs_em_linkage(
             + (obs[p], float(fin[f"gam{p}"]), float(fin["lam"]))
             + tuple(float(fin[f"m{k}"]) for k in range(K))
             + tuple(float(fin[f"u{k}"]) for k in range(K))
+        )
+    schema = (
+        ", ".join(f"{f} boolean" for f in features)
+        + ", n_pairs long, gamma double, lam double, "
+        + ", ".join(f"m{k} double" for k in range(K))
+        + ", "
+        + ", ".join(f"u{k} double" for k in range(K))
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def fs_em_linkage(
+    pairs: DataFrame,
+    features: list[str],
+    iters: int = 10,
+) -> DataFrame:
+    """Run FS-EM over a candidate-pair frame whose `features` columns
+    are booleans. One distributed groupBy collapses the pairs to
+    pattern counts (<= 2^K rows collected — the bounded-dimension
+    driver pattern); the parameter convergence then runs over that
+    one row of counts.
+
+    r6 physical rewrite (guide §1.2): the Spark-side loop spent one
+    localCheckpoint job per EM iteration ON A ONE-ROW FRAME (10 jobs +
+    2 collects to converge 2K+1 scalars). The chain is * / + - and
+    round(,8)/clamp only, so Python binary64 reproduces the identical
+    expression tree bit-for-bit (`_em_converge_py`, pinned against the
+    retained `fs_em_linkage_spark` loop in tests) — the whole
+    convergence is now driver arithmetic on the already-collected
+    pattern counts: one Spark job total.
+
+    Output: one row per OBSERVED pattern — (<features...>, n_pairs,
+    gamma, lam, m0.., u0..) with gamma the converged posterior match
+    probability of that agreement pattern.
+    """
+    K = len(features)
+    if not 1 <= K <= 6:
+        raise ValueError("fs_em_linkage: 1..6 features supported")
+    spark: SparkSession = pairs.sparkSession
+
+    cnts = pairs.groupBy(
+        *[F.col(f).cast("boolean").alias(f) for f in features]
+    ).agg(F.count("*").alias("n_pairs"))
+    obs = {}
+    for r in cnts.collect():
+        p = sum((1 if r[f] else 0) << k for k, f in enumerate(features))
+        obs[p] = int(r["n_pairs"])
+    if not obs:
+        raise ValueError("fs_em_linkage: no candidate pairs")
+
+    lam, m, u, gam = _em_converge_py(obs, K, iters)
+
+    rows = []
+    for p in sorted(obs):
+        rows.append(
+            tuple(bool((p >> k) & 1) for k in range(K))
+            + (obs[p], gam[p], lam)
+            + tuple(m)
+            + tuple(u)
         )
     schema = (
         ", ".join(f"{f} boolean" for f in features)

@@ -133,3 +133,25 @@ def test_hl_and_cliffs_orders_lattice_bitexact(spark, orders):
     )
     assert _rows(hodges_lehmann(d)) == _rows(hodges_lehmann_catalyst(d))
     assert _rows(cliffs_delta(d)) == _rows(cliffs_delta_catalyst(d))
+
+
+def test_fs_em_python_vs_spark_loop(spark):
+    from careers_spark.operators.linkage_em import (
+        fs_em_linkage,
+        fs_em_linkage_spark,
+    )
+
+    rows = [(bool(i % 2), bool(i % 3 == 0), bool(i % 5 == 0)) for i in range(4000)]
+    d = spark.createDataFrame(rows, "fa boolean, fb boolean, fc boolean")
+    a = sorted(map(tuple, fs_em_linkage(d, ["fa", "fb", "fc"], iters=10).collect()))
+    b = sorted(
+        map(tuple, fs_em_linkage_spark(d, ["fa", "fb", "fc"], iters=10).collect())
+    )
+    assert a == b
+    d2 = spark.createDataFrame(
+        [(bool(i % 2), bool((i // 7) % 2)) for i in range(300)],
+        "x boolean, y boolean",
+    )
+    assert sorted(map(tuple, fs_em_linkage(d2, ["x", "y"], iters=4).collect())) == sorted(
+        map(tuple, fs_em_linkage_spark(d2, ["x", "y"], iters=4).collect())
+    )
