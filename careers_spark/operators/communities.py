@@ -51,29 +51,36 @@ def label_propagation(
         F.max("w").alias("w")
     )
     for _ in range(max_iter):
+        # r6 (guide §2.4): the self-vote row is the ONLY is_self row
+        # per node and always carries the node's old label, so the
+        # picked row's was_self flag says "label unchanged" — the old
+        # per-round labels-new x labels-old join existed only to count
+        # `changed` and was one full shuffle per round.
         votes = (
             bidir.join(labels.withColumnRenamed("node", "v"), "v")
-            .select(F.col("u").alias("node"), "label", "w")
-            .unionByName(self_w.join(labels, "node").select("node", "label", "w"))
+            .select(
+                F.col("u").alias("node"), "label", "w",
+                F.lit(False).alias("is_self"),
+            )
+            .unionByName(
+                self_w.join(labels, "node").select(
+                    "node", "label", "w", F.lit(True).alias("is_self")
+                )
+            )
             .groupBy("node", "label")
-            .agg(F.sum("w").alias("votes"))
+            .agg(F.sum("w").alias("votes"), F.max("is_self").alias("was_self"))
         )
         pick = Window.partitionBy("node").orderBy(
             F.desc("votes"), F.asc("label")
         )
-        new_labels = (
+        stamped = (
             votes.withColumn("rk", F.row_number().over(pick))
             .filter(F.col("rk") == 1)
-            .select("node", "label")
+            .select("node", "label", "was_self")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stamped.filter(~F.col("was_self")).count()
+        labels = stamped.select("node", "label")
         if changed == 0:
             break
     return labels.withColumnRenamed("label", "community")
@@ -262,18 +269,23 @@ def louvain_refine(
             if r % 2 == 0
             else (F.col("new_c") > F.col("own_c"))
         )
-        moved = best.withColumn(
-            "community",
-            F.when(dir_ok, F.col("new_c")).otherwise(F.col("own_c")),
-        ).select("node", "community")
-        new_memb = moved.localCheckpoint(eager=True)
-        changed = (
-            new_memb.alias("n")
-            .join(memb.alias("o"), "node")
-            .filter(F.col("n.community") != F.col("o.community"))
-            .count()
+        # r6 (guide §2.4): own_c IS the previous membership, so the
+        # moved flag rides the same frame — the old new x old equi-join
+        # existed only to count `changed` (one shuffle per round)
+        stamped = (
+            best.withColumn(
+                "community",
+                F.when(dir_ok, F.col("new_c")).otherwise(F.col("own_c")),
+            )
+            .select(
+                "node",
+                "community",
+                (F.col("community") != F.col("own_c")).alias("_moved"),
+            )
+            .localCheckpoint(eager=True)
         )
-        memb = new_memb
+        changed = stamped.filter("_moved").count()
+        memb = stamped.select("node", "community")
         # a parity round touches only half the nodes: converged means
         # BOTH parities went quiet back-to-back
         quiet = quiet + 1 if changed == 0 else 0

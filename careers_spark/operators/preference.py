@@ -97,6 +97,52 @@ def bradley_terry_strength(
             F.lit(0.0).alias("strength"),
             F.lit(0).alias("rank"),
         )
+    # r6 (guide §1.2): the MM loop iterates over ARM-bounded tables
+    # (ntot is the pairwise comparison matrix, base one row per arm) —
+    # the Spark loop paid 8 checkpoint jobs + 16 joins to converge
+    # them. Up to a generous arm bound, collect both once and run the
+    # identical update in numpy: the same per-round round(,precision)
+    # lattice re-entry pins the iterates (the pagerank lockstep
+    # argument — pre-round sum-order noise ~1e-16 sits far below the
+    # rounded digit in BOTH engines); the final ranking stays in
+    # Spark. Larger arm sets keep the cluster loop below.
+    if k <= 100_000:
+        import numpy as np
+
+        from careers_spark.operators.similarity import _np_round_half_up
+
+        bpdf = base.toPandas().sort_values("i").reset_index(drop=True)
+        arms = bpdf["i"].tolist()
+        idx = {a: ii for ii, a in enumerate(arms)}
+        wins_v = bpdf["wins"].to_numpy(np.int64)
+        games_v = bpdf["games"].to_numpy(np.int64)
+        npdf = ntot.toPandas()
+        pi = npdf["i"].map(idx).to_numpy(np.int64)
+        pj = npdf["j"].map(idx).to_numpy(np.int64)
+        pn = npdf["n_tot"].to_numpy(np.float64)
+        w = np.full(k, float(_np_round_half_up(np.array([1.0 / float(k)]),
+                                               precision)[0]))
+        for _ in range(iterations):
+            den = np.zeros(k)
+            np.add.at(den, pi, pn / (w[pi] + w[pj]))
+            raw = np.where(wins_v == 0, 0.0, wins_v / den)
+            w = _np_round_half_up(raw / raw.sum(), precision)
+        s = base.sparkSession.createDataFrame(
+            [
+                (arms[ii], int(wins_v[ii]), int(games_v[ii]), float(w[ii]))
+                for ii in range(k)
+            ],
+            f"i {dict(base.dtypes)['i']}, wins long, games long, w double",
+        )
+        rk = Window.orderBy(F.desc("w"), F.asc("i"))
+        return s.select(
+            F.col("i").alias("arm"),
+            "wins",
+            "games",
+            F.col("w").alias("strength"),
+            F.row_number().over(rk).alias("rank"),
+        )
+
     s = base.select(
         "i",
         "wins",

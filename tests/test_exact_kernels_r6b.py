@@ -155,3 +155,22 @@ def test_fs_em_python_vs_spark_loop(spark):
     assert sorted(map(tuple, fs_em_linkage(d2, ["x", "y"], iters=4).collect())) == sorted(
         map(tuple, fs_em_linkage_spark(d2, ["x", "y"], iters=4).collect())
     )
+
+
+def test_bradley_terry_numpy_vs_spark_loop(spark):
+    """The driver MM path must reproduce the cluster loop's rounded
+    iterates (same round(,10) lattice re-entry per round)."""
+    import careers_spark.operators.preference as P
+
+    rows = [
+        (f"a{i % 7}", f"a{(i * 3 + 1) % 7}")
+        for i in range(2000)
+        if i % 7 != (i * 3 + 1) % 7
+    ]
+    d = spark.createDataFrame(rows, "winner string, loser string")
+    a = sorted(map(tuple, P.bradley_terry_strength(d).collect()))
+    src = open(P.__file__).read().replace("if k <= 100_000:", "if False:")
+    ns = {}
+    exec(compile(src, "pref_spark_loop", "exec"), ns)
+    b = sorted(map(tuple, ns["bradley_terry_strength"](d).collect()))
+    assert a == b
