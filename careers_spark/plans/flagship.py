@@ -31,16 +31,22 @@ def kg_run_in_memory(
     Defaults match KGPipeline.run_corpus: TF-IDF context-cosine linking
     scores and the second-order/allowedContext dictionary build."""
     built = D.build_dictionary(raw)
-    resolved_r = built["redirects_resolved"]
-    sf = built["surface_forms"]
-    ctx = built["context_vectors"]
+    # r6 (guide §2.4): the in-memory path has no stage parquet like
+    # KGPipeline, so every consumer (automaton collect, tfidf chain,
+    # sf_pairs collect, resolve, canonical map) re-executed the lazy
+    # dictionary DAG. Materialize the four dictionary-sized outputs
+    # once — same frames KGPipeline persists as stages.
+    resolved_r = built["redirects_resolved"].localCheckpoint(eager=True)
+    sf = built["surface_forms"].localCheckpoint(eager=True)
+    ctx = built["context_vectors"].localCheckpoint(eager=True)
+    link_w = built["link_weights"].localCheckpoint(eager=True)
     ac = M.build_automaton(sf)
     mentions = M.detect_mentions(spark, transcripts, ac)
     cands = L.attach_candidates(mentions, sf)
     if tfidf:
         wdf = D.word_doc_freq(transcripts)
         n_turns = transcripts.count()
-        top_ctx = D.top_contexts(built["link_weights"])
+        top_ctx = D.top_contexts(link_w)
         cands = (
             L.tfidf_context_scores(cands, transcripts, top_ctx, wdf, n_docs=n_turns)
             .withColumn("prior", F.col("score"))
