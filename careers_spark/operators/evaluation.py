@@ -229,6 +229,10 @@ def cohens_kappa(
 
     Output: one row (nn, n_agree, sum_rc, accuracy, kappa).
     """
+    # r6 (guide §2.4): three aggregations consume the same (truth,
+    # pred) pairing — materialize the two-column projection once (the
+    # confusion_stats fix; the upstream is typically a scoring chain)
+    df = df.select(truth, pred).localCheckpoint(eager=True)
     t = df.groupBy(F.col(truth).alias("cls")).agg(F.count("*").alias("n_true"))
     p = df.groupBy(F.col(pred).alias("cls")).agg(F.count("*").alias("n_pred"))
     rc = (

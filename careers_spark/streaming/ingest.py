@@ -166,15 +166,52 @@ def make_incremental_sink(
         if old_dg is not None:
             prev_max = old_dg.agg(F.max("vec_id")).collect()[0][0] or 0
         dg = document_digests(links_of(out))
-        ids = (
+        # r6 (VERDICT r5 #6, guide §2.5): vec_ids are the dense ranks
+        # of this epoch's distinct conv_ids — the old unpartitioned
+        # dense_rank window single-partition-sorted a backfill-sized
+        # poll. Two-phase ranking assigns the IDENTICAL ids: range
+        # partitioning makes partitions order-disjoint, so partition
+        # offset + local rank == global rank whatever the sampled
+        # boundaries are; the offset table is one bounded
+        # (n_partitions)-row collect.
+        distinct_ids = (
             dg.select("conv_id")
             .dropDuplicates()
-            .withColumn(
-                "vec_id",
-                F.lit(int(prev_max))
-                + F.dense_rank().over(Window.orderBy("conv_id")),
+            .repartitionByRange(
+                spark.sparkContext.defaultParallelism, "conv_id"
             )
+            .withColumn("_p", F.spark_partition_id())
+            .localCheckpoint(eager=True)
         )
+        sizes = {
+            r["_p"]: r["c"]
+            for r in distinct_ids.groupBy("_p")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        offsets = {}
+        acc = 0
+        for p in sorted(sizes):
+            offsets[p] = acc
+            acc += sizes[p]
+        off_col = F.coalesce(
+            *(
+                [
+                    F.when(F.col("_p") == p, F.lit(int(off)))
+                    for p, off in sorted(offsets.items())
+                ]
+                or [F.lit(0)]
+            ),
+            F.lit(0),
+        )
+        ids = distinct_ids.withColumn(
+            "vec_id",
+            F.lit(int(prev_max))
+            + off_col
+            + F.row_number().over(
+                Window.partitionBy("_p").orderBy("conv_id")
+            ),
+        ).drop("_p")
         new_dg = dg.join(ids, "conv_id").localCheckpoint(eager=True)
         all_dg = (
             new_dg
