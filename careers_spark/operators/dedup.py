@@ -1022,8 +1022,13 @@ def golden_records(
         clusters = near_dup_canonical(
             documents, num_hashes, band_size, threshold, n
         ).select("doc_id", "canonical_id")
-    m = documents.select("doc_id", "lang", "source", "n_chars").join(
-        clusters.select("doc_id", "canonical_id"), "doc_id"
+    # r6 (guide §2.4): `m` feeds both the lang-mode and survivor aggs,
+    # and it embeds the whole LSH+CC cluster chain — materialize the
+    # slim join once instead of running that chain twice
+    m = (
+        documents.select("doc_id", "lang", "source", "n_chars")
+        .join(clusters.select("doc_id", "canonical_id"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     lang_mode = (
         m.groupBy("canonical_id", "lang")
@@ -1399,7 +1404,12 @@ def pair_screen_eval(screen: DataFrame, exact: DataFrame) -> DataFrame:
     Output: one row (n_exact, n_screen, n_hit, precision, recall).
     """
     key = ["doc_a", "doc_b"]
-    hit = screen.select(*key).join(exact.select(*key), key)
+    # r6 (guide §2.4): both inputs are consumed twice (the hit join and
+    # their count aggregates) and each is a full near-dup pipeline —
+    # materialize the slim pair keys once per side
+    screen = screen.select(*key).localCheckpoint(eager=True)
+    exact = exact.select(*key).localCheckpoint(eager=True)
+    hit = screen.join(exact, key)
     agg = (
         screen.agg(F.count("*").alias("n_screen"))
         .crossJoin(exact.agg(F.count("*").alias("n_exact")))
