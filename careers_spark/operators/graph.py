@@ -50,6 +50,7 @@ def pagerank(
     precision: int = 10,
     weight: str | None = None,
     personalize=None,
+    checkpoint_iterates: bool = False,
 ) -> DataFrame:
     """PageRank entity salience over the KG edge table — the standard
     "which entities matter" score for a freshly constructed graph
@@ -137,12 +138,17 @@ def pagerank(
         def dang_share(dang_col):
             return dang_col * is_src
 
-    # r6 note: a per-iteration localCheckpoint was A/B-measured and
-    # REJECTED here — with iterations fixed at 6 the lazy recompute
-    # (each dangling broadcast re-executes its prefix) is bounded at
-    # ~3.5x one pass, which beats 12 eager checkpoint jobs on the
-    # node-sized frames this runs over (2.2s vs 1.7s at sf0.1).
-    pr = base.select("node", "outdeg", init)
+    # r6: checkpoint_iterates trades per-iteration jobs against lazy
+    # prefix re-execution (each dangling broadcast re-runs its prefix,
+    # bounded at ~3.5x one pass for 6 iterations). A/B at sf0.1: the
+    # small entity graphs prefer lazy (1.7s vs 2.2s), textrank's word
+    # co-occurrence graph prefers checkpointing (7.2s -> 3.7s) — so it
+    # is the CALLER's choice; values are bit-identical either way (the
+    # per-iteration round() already pins every iterate).
+    def _cp(df):
+        return df.localCheckpoint(eager=True) if checkpoint_iterates else df
+
+    pr = _cp(base.select("node", "outdeg", init))
     for _ in range(iterations):
         dangling = pr.agg(
             F.coalesce(
@@ -154,7 +160,7 @@ def pagerank(
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("pr") * F.col("w") / F.col("outdeg")).alias("inflow"))
         )
-        pr = (
+        pr = _cp(
             base.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
