@@ -1404,12 +1404,11 @@ def pair_screen_eval(screen: DataFrame, exact: DataFrame) -> DataFrame:
     Output: one row (n_exact, n_screen, n_hit, precision, recall).
     """
     key = ["doc_a", "doc_b"]
-    # r6 (guide §2.4): both inputs are consumed twice (the hit join and
-    # their count aggregates) and each is a full near-dup pipeline —
-    # materialize the slim pair keys once per side
-    screen = screen.select(*key).localCheckpoint(eager=True)
-    exact = exact.select(*key).localCheckpoint(eager=True)
-    hit = screen.join(exact, key)
+    # r6 note: checkpointing both inputs here was A/B-measured and
+    # REJECTED (5.0s vs 3.7s warm at sf0.1) — the double consumption
+    # largely rides shared/reused exchanges, and two eager
+    # materialization barriers cost more than the residual recompute.
+    hit = screen.select(*key).join(exact.select(*key), key)
     agg = (
         screen.agg(F.count("*").alias("n_screen"))
         .crossJoin(exact.agg(F.count("*").alias("n_exact")))
